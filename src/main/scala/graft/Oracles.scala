@@ -1,0 +1,376 @@
+package graft
+
+/** DuckDB oracle SQL — one entry per SparkEntry.queries key.
+  *
+  * Every statement mirrors the Spark plan's semantics *exactly*: the same
+  * md5-derived hashes, the same decimal-exact aggregation
+  * (see graft.functions.F), the same deterministic tie-breaks. The driver
+  * runs these on the same parquet tables and hash-compares values, so any
+  * divergence (rounding mode, integer division, hash function) is a test
+  * failure — which is the point.
+  */
+object Oracles {
+
+  /** DuckDB equivalent of F.decSum. */
+  private def dsum(x: String) = s"CAST(SUM(CAST($x AS DECIMAL(18,6))) AS DOUBLE)"
+  /** DuckDB equivalent of F.decAvg. */
+  private def davg(x: String) = s"${dsum(x)} / COUNT(*)"
+  /** DuckDB equivalent of F.hash60. */
+  private def h60(x: String) = s"CAST(('0x' || substr(md5($x), 1, 15)) AS BIGINT)"
+  /** DuckDB equivalent of F.tokens on documents.text. */
+  private val TOK = """regexp_split_to_array(lower(trim(text)), '\s+')"""
+  /** DuckDB equivalent of F.quantize. */
+  private val QV =
+    "list_transform(embedding, x -> floor(CAST(x AS DOUBLE) * 1000.0 + 0.5))"
+
+  private val validCond =
+    """event_id IS NOT NULL AND ts IS NOT NULL
+      |AND user_id IS NOT NULL AND user_id >= 0
+      |AND event_type IN ('signup','click','view','purchase','error')
+      |AND value IS NOT NULL AND value >= 0.0""".stripMargin
+
+  private val tripCte =
+    """starts AS (
+      |  SELECT user_id, min(ts) AS start_ts FROM events
+      |  WHERE event_type = 'signup' GROUP BY user_id),
+      |ends AS (
+      |  SELECT e.user_id, e.ts, e.event_id, e.value, s.start_ts,
+      |         row_number() OVER (PARTITION BY e.user_id ORDER BY e.ts, e.event_id) AS rn
+      |  FROM events e JOIN starts s ON e.user_id = s.user_id
+      |  WHERE e.event_type = 'purchase' AND e.ts >= s.start_ts),
+      |trips AS (
+      |  SELECT user_id, start_ts, ts AS end_ts, value AS fare,
+      |         epoch_us(ts) - epoch_us(start_ts) AS duration_us
+      |  FROM ends WHERE rn = 1)""".stripMargin
+
+  private val ngramCte =
+    s"""docs AS (SELECT doc_id, $TOK AS t FROM documents),
+       |ng AS (SELECT DISTINCT doc_id, ngram FROM (
+       |  SELECT doc_id, unnest(CASE WHEN len(t) >= 3
+       |    THEN list_transform(range(1, len(t) - 1), i -> array_to_string(t[i:i+2], ' '))
+       |    ELSE [] END) AS ngram FROM docs) u)""".stripMargin
+
+  private def annQ =
+    s"q AS (SELECT vec_id, $QV AS qv FROM embeddings)"
+
+  private val bucketCte =
+    s"""planes AS (
+       |  SELECT p, d, ${h60("'hp_' || p || '_' || d")} % 2001 - 1000 AS w
+       |  FROM range(12) t1(p) CROSS JOIN range(64) t2(d)),
+       |unp AS (SELECT vec_id, generate_subscripts(qv, 1) - 1 AS d, unnest(qv) AS v FROM q),
+       |pd AS (SELECT u.vec_id, pl.p, SUM(u.v * pl.w) AS dot
+       |       FROM unp u JOIN planes pl ON u.d = pl.d GROUP BY 1, 2),
+       |bk AS (SELECT vec_id,
+       |         CAST(SUM((CASE WHEN dot > 0 THEN CAST(1 AS BIGINT) ELSE 0 END) << p) AS BIGINT) AS bucket
+       |       FROM pd GROUP BY vec_id),
+       |wb AS (SELECT q.vec_id, q.qv, bk.bucket FROM q JOIN bk USING (vec_id))""".stripMargin
+
+  val sql: Map[String, String] = Map(
+
+    // ---------- A. pipeline ----------
+    "p1_validate" ->
+      s"""SELECT event_id, ts, user_id, event_type, value, props FROM events
+         |WHERE $validCond""".stripMargin,
+
+    "p2_quarantine" ->
+      s"""SELECT event_id, ts, user_id, event_type, value, props FROM events
+         |WHERE NOT coalesce($validCond, false)""".stripMargin,
+
+    "p3_dedup_first" ->
+      """SELECT event_id, ts, user_id, event_type, value, props FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) AS rn
+        |  FROM events) t
+        |WHERE rn = 1""".stripMargin,
+
+    "p4_trip_match" ->
+      s"""WITH $tripCte
+         |SELECT user_id, start_ts, end_ts, fare, duration_us FROM trips""".stripMargin,
+
+    "p5_kpi_daily" ->
+      s"""WITH $tripCte
+         |SELECT CAST(end_ts AS DATE) AS date,
+         |  ${dsum("fare")} AS total_fare,
+         |  COUNT(*) AS count_trips,
+         |  ${davg("fare")} AS average_fare,
+         |  max(fare) AS max_fare,
+         |  min(fare) AS min_fare
+         |FROM trips GROUP BY CAST(end_ts AS DATE) ORDER BY date""".stripMargin,
+
+    "p6_kpi_daily_by_type" ->
+      s"""SELECT CAST(ts AS DATE) AS date, event_type,
+         |  COUNT(*) AS n_events,
+         |  ${dsum("value")} AS total_value,
+         |  ${davg("value")} AS avg_value,
+         |  max(value) AS max_value,
+         |  min(value) AS min_value
+         |FROM events GROUP BY 1, 2 ORDER BY date, event_type""".stripMargin,
+
+    "p7_sessionize" ->
+      s"""WITH x AS (
+         |  SELECT *, lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+         |  FROM events),
+         |y AS (
+         |  SELECT *, CASE WHEN prev_us IS NULL OR epoch_us(ts) - prev_us > 1800000000
+         |    THEN 1 ELSE 0 END AS new_sess FROM x),
+         |z AS (
+         |  SELECT *, CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_idx FROM y)
+         |SELECT user_id, session_idx, COUNT(*) AS n_events,
+         |  min(ts) AS session_start, max(ts) AS session_end,
+         |  ${dsum("value")} AS session_value
+         |FROM z GROUP BY user_id, session_idx ORDER BY user_id, session_idx""".stripMargin,
+
+    "p8_props_agg" ->
+      s"""SELECT k % 10 AS k_bucket, COUNT(*) AS n_events,
+         |  ${dsum("value")} AS total_value,
+         |  ${davg("value")} AS avg_value
+         |FROM (SELECT TRY_CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT) AS k, value
+         |      FROM events) t
+         |WHERE k IS NOT NULL GROUP BY 1 ORDER BY k_bucket""".stripMargin,
+
+    // ---------- B. analytics ----------
+    "q1_pricing" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         |  ${dsum("l_quantity")} AS sum_qty,
+         |  ${dsum("l_extendedprice")} AS sum_base_price,
+         |  ${dsum("l_extendedprice * (1.0 - l_discount)")} AS sum_disc_price,
+         |  ${dsum("l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)")} AS sum_charge,
+         |  ${davg("l_quantity")} AS avg_qty,
+         |  ${davg("l_extendedprice")} AS avg_price,
+         |  ${davg("l_discount")} AS avg_disc,
+         |  COUNT(*) AS count_order
+         |FROM lineitem
+         |WHERE l_shipdate <= TIMESTAMP '2000-01-01'
+         |GROUP BY l_returnflag, l_linestatus
+         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q3_shipping" ->
+      """SELECT l_orderkey,
+        |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+        |  o_orderdate, o_orderpriority
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01'
+        |  AND l_shipdate > TIMESTAMP '1998-01-01'
+        |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        |ORDER BY SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) DESC, l_orderkey
+        |LIMIT 10""".stripMargin,
+
+    "q5_region_revenue" ->
+      """SELECT n_name,
+        |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+        |FROM customer, orders, lineitem, supplier, nation, region
+        |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+        |  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+        |  AND r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01'
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+
+    "q7_window_rank" ->
+      """SELECT o_orderpriority, rn, o_orderkey, o_totalprice, o_orderdate FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY o_orderpriority
+        |    ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders) t
+        |WHERE rn <= 3 ORDER BY o_orderpriority, rn""".stripMargin,
+
+    "q8_running_sum" ->
+      """SELECT l_suppkey, l_shipdate, l_orderkey, l_linenumber, l_quantity,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) OVER (PARTITION BY l_suppkey
+        |    ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_qty
+        |FROM lineitem WHERE l_suppkey <= 5
+        |ORDER BY l_suppkey, l_shipdate, l_orderkey, l_linenumber""".stripMargin,
+
+    "q9_semi_anti" ->
+      """WITH w AS (
+        |  SELECT c_nationkey, count(*) AS n_with FROM customer c
+        |  WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        |  GROUP BY c_nationkey),
+        |wo AS (
+        |  SELECT c_nationkey, count(*) AS n_without FROM customer c
+        |  WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        |  GROUP BY c_nationkey)
+        |SELECT n_name,
+        |  CAST(coalesce(w.n_with, 0) AS BIGINT) AS n_with,
+        |  CAST(coalesce(wo.n_without, 0) AS BIGINT) AS n_without
+        |FROM nation
+        |LEFT JOIN w ON n_nationkey = w.c_nationkey
+        |LEFT JOIN wo ON n_nationkey = wo.c_nationkey
+        |ORDER BY n_name""".stripMargin,
+
+    "q10_rollup" ->
+      s"""SELECT coalesce(o_orderpriority, '(all)') AS priority,
+         |  coalesce(o_orderstatus, '(all)') AS status,
+         |  COUNT(*) AS n_orders,
+         |  ${dsum("o_totalprice")} AS total_price
+         |FROM orders GROUP BY ROLLUP(o_orderpriority, o_orderstatus)
+         |ORDER BY priority, status""".stripMargin,
+
+    "q11_topk_orders" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate
+        |FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 25""".stripMargin,
+
+    // ---------- C. text / dedup / ANN / multimodal ----------
+    "t1_token_count" ->
+      s"""SELECT doc_id,
+         |  len($TOK) AS n_tokens,
+         |  len(list_distinct($TOK)) AS n_unique_tokens,
+         |  len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\\s]', 0)) AS n_subtokens,
+         |  length(text) AS n_chars_measured
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "t2_quality" ->
+      s"""WITH d AS (SELECT doc_id, $TOK AS t FROM documents),
+         |x AS (SELECT doc_id, len(t) AS n_tokens, len(list_distinct(t)) AS n_unique,
+         |  len(list_filter(t, x -> x IN ('the','a','of','and','to','in','is','on','for','with'))) AS n_stop,
+         |  list_sum(list_transform(t, x -> length(x))) AS sum_len FROM d)
+         |SELECT doc_id, n_tokens,
+         |  CAST(sum_len AS DOUBLE) / n_tokens AS avg_token_len,
+         |  CAST(n_stop AS DOUBLE) / n_tokens AS stopword_ratio,
+         |  CAST(n_unique AS DOUBLE) / n_tokens AS distinct_ratio,
+         |  round(0.3 * (CAST(n_unique AS DOUBLE) / n_tokens)
+         |      + 0.4 * (1.0 - CAST(n_stop AS DOUBLE) / n_tokens)
+         |      + 0.3 * least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0), 6) AS quality_score
+         |FROM x ORDER BY doc_id""".stripMargin,
+
+    "t3_langid" ->
+      s"""WITH d AS (SELECT doc_id, lang, $TOK AS t FROM documents),
+         |s AS (SELECT doc_id, lang,
+         |  CAST(len(list_filter(t, x -> x IN ('der','die','und','das','ist','nicht'))) AS BIGINT) AS s_de,
+         |  CAST(len(list_filter(t, x -> x IN ('the','and','of','to','in','is'))) AS BIGINT) AS s_en,
+         |  CAST(len(list_filter(t, x -> x IN ('el','la','de','que','y','los'))) AS BIGINT) AS s_es,
+         |  CAST(len(list_filter(t, x -> x IN ('le','la','de','et','les','des'))) AS BIGINT) AS s_fr,
+         |  CAST(len(list_filter(t, x -> x IN ('de5','shi4','le5','zai4','he2','you3'))) AS BIGINT) AS s_zh
+         |  FROM d)
+         |SELECT doc_id, s_de, s_en, s_es, s_fr, s_zh,
+         |  CASE WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
+         |       WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+         |       WHEN s_es >= s_fr AND s_es >= s_zh THEN 'es'
+         |       WHEN s_fr >= s_zh THEN 'fr'
+         |       ELSE 'zh' END AS pred_lang,
+         |  lang AS labeled_lang
+         |FROM s ORDER BY doc_id""".stripMargin,
+
+    "t4_fingerprint" ->
+      s"""SELECT doc_id,
+         |  md5(array_to_string($TOK, ' ')) AS fingerprint,
+         |  ${h60(s"array_to_string($TOK, ' ')")} AS fingerprint60
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "d1_dedup_exact" ->
+      s"""SELECT fp, min(doc_id) AS keep_doc_id, count(*) AS n_copies FROM (
+         |  SELECT doc_id, md5(array_to_string($TOK, ' ')) AS fp FROM documents) t
+         |GROUP BY fp ORDER BY keep_doc_id""".stripMargin,
+
+    "d2_ngram_jaccard" ->
+      s"""WITH $ngramCte,
+         |pruned AS (SELECT doc_id, ngram FROM ng WHERE ngram IN (
+         |  SELECT ngram FROM ng GROUP BY ngram HAVING count(*) <= 100)),
+         |sizes AS (SELECT doc_id, count(*) AS n_ng FROM pruned GROUP BY doc_id),
+         |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+         |  FROM pruned a JOIN pruned b ON a.ngram = b.ngram AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT doc_a, doc_b, inter, (sa.n_ng + sb.n_ng - inter) AS uni,
+         |  round(CAST(inter AS DOUBLE) / (sa.n_ng + sb.n_ng - inter), 6) AS jaccard
+         |FROM inter
+         |JOIN sizes sa ON doc_a = sa.doc_id
+         |JOIN sizes sb ON doc_b = sb.doc_id
+         |WHERE round(CAST(inter AS DOUBLE) / (sa.n_ng + sb.n_ng - inter), 6) >= 0.18
+         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "d3_minhash_lsh" ->
+      s"""WITH $ngramCte,
+         |h AS (SELECT doc_id, ${h60("ngram")} % 2147483647 AS h FROM ng),
+         |perms AS (SELECT CAST(i AS INTEGER) AS i,
+         |  ${h60("'perm_a_' || i")} % 2147483646 + 1 AS pa,
+         |  ${h60("'perm_b_' || i")} % 2147483647 AS pb
+         |  FROM range(16) t(i)),
+         |sig AS (SELECT doc_id, i, min((pa * h + pb) % 2147483647) AS mh
+         |  FROM h CROSS JOIN perms GROUP BY doc_id, i),
+         |bands AS (SELECT doc_id, CAST(floor(i / 4) AS INTEGER) AS band,
+         |  md5(string_agg(CAST(mh AS VARCHAR), ',' ORDER BY i)) AS bkey
+         |  FROM sig GROUP BY doc_id, CAST(floor(i / 4) AS INTEGER)),
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id)
+         |SELECT c.doc_a, c.doc_b,
+         |  CAST(SUM(CASE WHEN sa.mh = sb.mh THEN 1 ELSE 0 END) AS DOUBLE) / 16 AS est_jaccard
+         |FROM cand c
+         |JOIN sig sa ON sa.doc_id = c.doc_a
+         |JOIN sig sb ON sb.doc_id = c.doc_b AND sb.i = sa.i
+         |GROUP BY c.doc_a, c.doc_b
+         |HAVING CAST(SUM(CASE WHEN sa.mh = sb.mh THEN 1 ELSE 0 END) AS DOUBLE) / 16 >= 0.25
+         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "d4_simhash" ->
+      s"""WITH tc AS (SELECT doc_id, tok, count(*) AS c FROM (
+         |    SELECT doc_id, unnest($TOK) AS tok FROM documents) u
+         |  GROUP BY doc_id, tok),
+         |th AS (SELECT doc_id, c, ${h60("tok")} AS h FROM tc),
+         |bv AS (SELECT doc_id, b, SUM(c * (((h >> b) & 1) * 2 - 1)) AS s
+         |  FROM th CROSS JOIN (SELECT CAST(i AS INTEGER) AS b FROM range(60) t(i)) bits
+         |  GROUP BY doc_id, b),
+         |sh AS (SELECT doc_id,
+         |  CAST(SUM((CASE WHEN s > 0 THEN CAST(1 AS BIGINT) ELSE 0 END) << b) AS BIGINT) AS simhash
+         |  FROM bv GROUP BY doc_id),
+         |ch AS (SELECT doc_id, simhash, j, (simhash >> (j * 15)) & 32767 AS chunk
+         |  FROM sh CROSS JOIN (SELECT CAST(i AS INTEGER) AS j FROM range(4) t(i)) js),
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |    a.simhash AS ha, b.simhash AS hb
+         |  FROM ch a JOIN ch b ON a.j = b.j AND a.chunk = b.chunk AND a.doc_id < b.doc_id)
+         |SELECT doc_a, doc_b, CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
+         |FROM cand WHERE bit_count(xor(ha, hb)) <= 3
+         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "e1_ann_topk" ->
+      s"""WITH ${annQ},
+         |p AS (SELECT a.vec_id AS q_id, b.vec_id AS c_id,
+         |    list_dot_product(a.qv, b.qv) AS dot,
+         |    list_dot_product(a.qv, a.qv) AS na,
+         |    list_dot_product(b.qv, b.qv) AS nb
+         |  FROM q a JOIN q b ON a.vec_id % 25 = 0 AND a.vec_id <> b.vec_id),
+         |r AS (SELECT q_id, c_id, dot / sqrt(na * nb) AS score,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY dot / sqrt(na * nb) DESC, c_id) AS rnk
+         |  FROM p)
+         |SELECT q_id, rnk, c_id, round(score, 6) AS score
+         |FROM r WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin,
+
+    "e2_ann_lsh" ->
+      s"""WITH ${annQ},
+         |$bucketCte,
+         |pr AS (SELECT a.vec_id AS q_id, b.vec_id AS c_id,
+         |    list_dot_product(a.qv, b.qv) AS dot,
+         |    list_dot_product(a.qv, a.qv) AS na,
+         |    list_dot_product(b.qv, b.qv) AS nb
+         |  FROM wb a JOIN wb b ON a.bucket = b.bucket
+         |    AND a.vec_id % 25 = 0 AND a.vec_id <> b.vec_id),
+         |r AS (SELECT q_id, c_id, dot / sqrt(na * nb) AS score,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY dot / sqrt(na * nb) DESC, c_id) AS rnk
+         |  FROM pr)
+         |SELECT q_id, rnk, c_id, round(score, 6) AS score
+         |FROM r WHERE rnk <= 3 ORDER BY q_id, rnk""".stripMargin,
+
+    "e3_embed_neardup" ->
+      s"""WITH ${annQ},
+         |$bucketCte
+         |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |  round(list_dot_product(a.qv, b.qv) /
+         |    sqrt(list_dot_product(a.qv, a.qv) * list_dot_product(b.qv, b.qv)), 6) AS cosine
+         |FROM wb a JOIN wb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+         |WHERE list_dot_product(a.qv, b.qv) /
+         |    sqrt(list_dot_product(a.qv, a.qv) * list_dot_product(b.qv, b.qv)) >= 0.3
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    "m1_multimodal_meta" ->
+      """SELECT doc_id,
+        |  octet_length(encode(text)) AS byte_len,
+        |  md5(text) AS sha,
+        |  lower(hex(encode(substring(text, 1, 4)))) AS magic,
+        |  octet_length(encode(text)) % 30 + 1 AS n_frames
+        |FROM documents ORDER BY doc_id""".stripMargin
+  )
+}

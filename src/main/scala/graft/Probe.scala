@@ -1,0 +1,27 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Dev-only probe (not part of the driver contract). */
+object Probe {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val d = "/root/testdata/sf0.001"
+    val ev = Tables.events(spark, d)
+    ev.printSchema()
+    Tables.lineitem(spark, d).printSchema()
+    ev.select(col("ts"), unix_micros(col("ts")).as("us"),
+        to_date(col("ts")).as("dt")).show(3, false)
+    Tables.embeddings(spark, d)
+      .select(col("vec_id"), graft.functions.F.quantize(col("embedding")).as("q"))
+      .show(2, false)
+    spark.stop()
+  }
+}

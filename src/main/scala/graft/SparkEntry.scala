@@ -1,13 +1,53 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.pipeline.TripPipeline
+import graft.analytics.Analytics
+import graft.operators.{AnnOps, DedupOps, MultimodalOps, TextOps}
+
+/** Driver contract — see /root/repo/SURVEY.md §2 for the inventory. */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship query on sf=0.001: the reference pipeline's headline daily
+    * KPI output (validate → dedup → trip match → daily aggregate). */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    TripPipeline.kpiDaily(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // A. reference pipeline core
+    "p1_validate" -> TripPipeline.validate _,
+    "p2_quarantine" -> TripPipeline.quarantine _,
+    "p3_dedup_first" -> TripPipeline.dedupFirst _,
+    "p4_trip_match" -> TripPipeline.tripMatch _,
+    "p5_kpi_daily" -> TripPipeline.kpiDaily _,
+    "p6_kpi_daily_by_type" -> TripPipeline.kpiDailyByType _,
+    "p7_sessionize" -> TripPipeline.sessionize _,
+    "p8_props_agg" -> TripPipeline.propsAgg _,
+    // B. analytics
+    "q1_pricing" -> Analytics.q1Pricing _,
+    "q3_shipping" -> Analytics.q3Shipping _,
+    "q5_region_revenue" -> Analytics.q5RegionRevenue _,
+    "q7_window_rank" -> Analytics.q7WindowRank _,
+    "q8_running_sum" -> Analytics.q8RunningSum _,
+    "q9_semi_anti" -> Analytics.q9SemiAnti _,
+    "q10_rollup" -> Analytics.q10Rollup _,
+    "q11_topk_orders" -> Analytics.q11TopkOrders _,
+    // C. text / dedup / ANN / multimodal
+    "t1_token_count" -> TextOps.tokenCount _,
+    "t2_quality" -> TextOps.quality _,
+    "t3_langid" -> TextOps.langId _,
+    "t4_fingerprint" -> TextOps.fingerprint _,
+    "d1_dedup_exact" -> DedupOps.dedupExact _,
+    "d2_ngram_jaccard" -> ((s: SparkSession, d: String) => DedupOps.ngramJaccard(s, d)),
+    "d3_minhash_lsh" -> ((s: SparkSession, d: String) => DedupOps.minhashLsh(s, d)),
+    "d4_simhash" -> DedupOps.simhashPairs _,
+    "e1_ann_topk" -> ((s: SparkSession, d: String) => AnnOps.annTopk(s, d)),
+    "e2_ann_lsh" -> ((s: SparkSession, d: String) => AnnOps.annLsh(s, d)),
+    "e3_embed_neardup" -> ((s: SparkSession, d: String) => AnnOps.embedNearDup(s, d)),
+    "m1_multimodal_meta" -> MultimodalOps.multimodalMeta _
+  )
+
+  /** DuckDB oracle SQL per query key (see graft.Oracles). */
+  def oracleSql: Map[String, String] = Oracles.sql
 }

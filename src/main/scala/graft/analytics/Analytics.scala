@@ -1,0 +1,152 @@
+package graft.analytics
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.Tables
+import graft.functions.F._
+
+/** TPC-H-style analytical operators over the star schema
+  * (lineitem/orders/customer/supplier/nation/region/part).
+  *
+  * Scale design: dimension tables (region, nation, supplier, customer at
+  * these SFs) are broadcast — no shuffle of the fact side for star joins;
+  * fact-fact joins (orders⋈lineitem) shuffle on the join key with AQE.
+  * All money aggregations go through decimal (F.decSum) so results are
+  * partition-count-independent — the same answer at local[32] and on
+  * 1000 executors.
+  */
+object Analytics {
+
+  private def revDec(): Column =
+    (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).cast(DecimalType(18, 6))
+
+  /** q1: TPC-H Q1 pricing summary — single scan, partial aggregation
+    * map-side, 6-group output. Filter is pushed to the parquet scan. */
+  def q1Pricing(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") <= lit("2000-01-01"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        decSum(col("l_quantity")).as("sum_qty"),
+        decSum(col("l_extendedprice")).as("sum_base_price"),
+        sum(revDec()).cast(DoubleType).as("sum_disc_price"),
+        sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")) *
+          (lit(1.0) + col("l_tax"))).cast(DecimalType(18, 6)))
+          .cast(DoubleType).as("sum_charge"),
+        decAvg(col("l_quantity")).as("avg_qty"),
+        decAvg(col("l_extendedprice")).as("avg_price"),
+        decAvg(col("l_discount")).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** q3: shipping-priority top-10 — broadcast the filtered customer dim,
+    * shuffle join orders⋈lineitem, tie-safe global ordering on the
+    * *exact decimal* revenue before the limit. */
+  def q3Shipping(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir).filter(col("c_mktsegment") === "BUILDING")
+    val ord = Tables.orders(spark, dir).filter(col("o_orderdate") < lit("1998-01-01"))
+    val li = Tables.lineitem(spark, dir).filter(col("l_shipdate") > lit("1998-01-01"))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+      .agg(sum(revDec()).as("rev_dec"))
+      .orderBy(col("rev_dec").desc, col("l_orderkey"))
+      .limit(10)
+      .select(col("l_orderkey"), col("rev_dec").cast(DoubleType).as("revenue"),
+        col("o_orderdate"), col("o_orderpriority"))
+  }
+
+  /** q5: region revenue — 6-way star join; all dims broadcast, so the
+    * only shuffle is the final small aggregation. */
+  def q5RegionRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val region = Tables.region(spark, dir).filter(col("r_name") === "ASIA")
+    val nation = Tables.nation(spark, dir)
+    val supplier = Tables.supplier(spark, dir)
+    val customer = Tables.customer(spark, dir)
+    val orders = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit("1996-01-01") && col("o_orderdate") < lit("1997-01-01"))
+    val li = Tables.lineitem(spark, dir)
+    li.join(orders, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(customer), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(supplier),
+        col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      .groupBy("n_name")
+      .agg(sum(revDec()).cast(DoubleType).as("revenue"))
+      .orderBy("n_name")
+  }
+
+  /** q7: top-3 orders per priority class — rank window, one shuffle on
+    * the partition key. row_number with a total order (price desc, key)
+    * keeps the result deterministic under ties. */
+  def q7WindowRank(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_orderpriority")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables.orders(spark, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("o_orderpriority"), col("rn"), col("o_orderkey"),
+        col("o_totalprice"), col("o_orderdate"))
+      .orderBy("o_orderpriority", "rn")
+  }
+
+  /** q8: per-supplier running quantity — cumulative window over an
+    * explicit ROWS frame and a *total* order (shipdate, orderkey,
+    * linenumber), decimal-exact running sum. Bounded to a supplier subset
+    * so the verify output stays small; the plan is identical unbounded. */
+  def q8RunningSum(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("l_suppkey")
+      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    Tables.lineitem(spark, dir)
+      .filter(col("l_suppkey") <= 5)
+      .withColumn("running_qty",
+        sum(col("l_quantity").cast(DecimalType(18, 6))).over(w).cast(DoubleType))
+      .select(col("l_suppkey"), col("l_shipdate"), col("l_orderkey"),
+        col("l_linenumber"), col("l_quantity"), col("running_qty"))
+      .orderBy("l_suppkey", "l_shipdate", "l_orderkey", "l_linenumber")
+  }
+
+  /** q9: EXISTS / NOT EXISTS — left-semi and left-anti joins (no
+    * row-multiplying join then distinct), counted per nation. */
+  def q9SemiAnti(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir)
+    val ordKeys = Tables.orders(spark, dir).select("o_custkey")
+    val withO = cust.join(ordKeys, col("c_custkey") === col("o_custkey"), "left_semi")
+      .groupBy("c_nationkey").agg(count(lit(1)).as("n_with"))
+    val withoutO = cust.join(ordKeys, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy("c_nationkey").agg(count(lit(1)).as("n_without"))
+    Tables.nation(spark, dir)
+      .join(withO, col("n_nationkey") === withO("c_nationkey"), "left")
+      .drop("c_nationkey")
+      .join(withoutO, col("n_nationkey") === withoutO("c_nationkey"), "left")
+      .select(col("n_name"),
+        coalesce(col("n_with"), lit(0L)).as("n_with"),
+        coalesce(col("n_without"), lit(0L)).as("n_without"))
+      .orderBy("n_name")
+  }
+
+  /** q10: hierarchical ROLLUP over (priority, status) with grand total. */
+  def q10Rollup(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .rollup(col("o_orderpriority"), col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"),
+        decSum(col("o_totalprice")).as("total_price"))
+      .select(
+        coalesce(col("o_orderpriority"), lit("(all)")).as("priority"),
+        coalesce(col("o_orderstatus"), lit("(all)")).as("status"),
+        col("n_orders"), col("total_price"))
+      .orderBy("priority", "status")
+
+  /** q11: global top-25 orders by price — total order (price desc, key)
+    * before limit; at scale this is a TakeOrderedAndProject (per-partition
+    * top-k then merge on the driver), not a full sort. */
+  def q11TopkOrders(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(25)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"), col("o_orderdate"))
+}

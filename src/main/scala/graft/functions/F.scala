@@ -1,0 +1,69 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Column helpers shared across graft operators.
+  *
+  * Everything here is built from codegen'd Catalyst built-ins (no UDFs)
+  * and is *oracle-portable*: each helper has an exact DuckDB-SQL
+  * equivalent, so query results can be hash-compared bit-for-bit against
+  * an independent engine (see graft.Oracles).
+  */
+object F {
+
+  /** Portable 60-bit non-negative hash of any column.
+    *
+    * Spark:  conv(substring(md5(x), 1, 15), 16, 10) :: bigint
+    * DuckDB: CAST('0x' || substr(md5(x), 1, 15) AS BIGINT)
+    *
+    * md5 is identical everywhere; 15 hex chars = 60 bits < 2^63 so the
+    * value is always positive and exact in an int64. Used for dedup
+    * fingerprints, MinHash base hashes, SimHash token hashes, and
+    * deterministic pseudo-random projections — anywhere we need a hash
+    * an independent engine can reproduce.
+    */
+  def hash60(c: Column): Column =
+    conv(substring(md5(c.cast(StringType)), 1, 15), 16, 10).cast(LongType)
+
+  /** Exact, order-independent sum of a double column.
+    *
+    * Row-level values are cast to DECIMAL(18,6) (deterministic rounding
+    * of identical IEEE doubles in every engine), summed exactly
+    * (decimal addition is associative — no float reassociation drift
+    * across partitionings), and cast back to double. This is what makes
+    * aggregate results reproducible between a 32-thread local run, a
+    * 1000-executor cluster, and the DuckDB oracle.
+    */
+  def decSum(c: Column): Column =
+    sum(c.cast(DecimalType(18, 6))).cast(DoubleType)
+
+  /** Mean built from the exact decimal sum: one IEEE division at the end,
+    * identical in every engine. */
+  def decAvg(c: Column): Column =
+    decSum(c) / count(lit(1))
+
+  /** Whitespace tokenizer (lower-cased). DuckDB equivalent:
+    * regexp_split_to_array(lower(trim(x)), '\s+'). */
+  def tokens(c: Column): Column =
+    split(trim(lower(c)), "\\s+")
+
+  /** Quantize a float-array embedding to exact int64 milli-units:
+    * floor(x * 1000 + 0.5). Makes dot products / norms exact integer
+    * arithmetic — bit-identical in Spark and DuckDB — while preserving
+    * 3 decimals of the embedding. Scale note: |x|<=~1 keeps each term
+    * <= 1e6 and a 64-dim dot product <= ~6.4e7, far inside int64. */
+  def quantize(arr: Column): Column =
+    transform(arr, x => floor(x.cast(DoubleType) * lit(1000.0) + lit(0.5)).cast(LongType))
+
+  /** Exact integer dot product of two quantized embeddings. */
+  def dotQ(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+
+  /** Cosine similarity from quantized vectors: double division of exact
+    * integers — identical across engines. */
+  def cosineQ(a: Column, b: Column): Column =
+    dotQ(a, b).cast(DoubleType) /
+      sqrt(dotQ(a, a).cast(DoubleType) * dotQ(b, b).cast(DoubleType))
+}

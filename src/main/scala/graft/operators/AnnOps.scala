@@ -1,0 +1,107 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.Tables
+import graft.functions.F._
+
+/** Approximate-nearest-neighbor / embedding-similarity operators over the
+  * `embeddings` table (vec_id, embedding: array<float>, label).
+  *
+  * Embeddings are quantized to exact int64 milli-units (F.quantize) so
+  * every dot product, norm and cosine is exact integer arithmetic plus a
+  * single IEEE division — deterministic across partitionings, engines
+  * and cluster sizes.
+  *
+  * Scale design: the brute-force path (e1) is the correctness baseline
+  * and is only ever run for a bounded query set; the LSH path (e2/e3)
+  * buckets the corpus by random-hyperplane sign codes so a query probes
+  * one bucket (equality join on the code) instead of the full corpus —
+  * the candidate volume is |corpus| / 2^planes per query in expectation.
+  */
+object AnnOps {
+
+  /** Query subset: every 25th vector — bounded, deterministic. */
+  val QueryStride = 25
+
+  /** Number of random hyperplanes → 2^Planes LSH buckets. */
+  val Planes = 12
+
+  private def quantized(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id"), quantize(col("embedding")).as("q"), col("label"))
+
+  /** e1: brute-force cosine top-k per query — the exactness baseline.
+    * Broadcast the bounded query set against the full corpus; rank on the
+    * exact score with vec_id tie-break. */
+  def annTopk(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val corpus = quantized(spark, dir)
+    val queries = corpus.filter(col("vec_id") % QueryStride === 0)
+      .select(col("vec_id").as("q_id"), col("q").as("qq"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(col("score").desc, col("c_id"))
+    queries.join(corpus.select(col("vec_id").as("c_id"), col("q").as("cq")),
+        col("q_id") =!= col("c_id"))
+      .withColumn("score", cosineQ(col("qq"), col("cq")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col("rnk"), col("c_id"), round(col("score"), 6).as("score"))
+      .orderBy("q_id", "rnk")
+  }
+
+  /** Integer hyperplane coefficients in [-1000, 1000], derived from md5
+    * so the oracle regenerates them exactly: w(p,d) = hash60("hp_p_d") %
+    * 2001 − 1000. */
+  private def planeTable(spark: SparkSession): DataFrame =
+    spark.range(Planes.toLong).select(col("id").cast(IntegerType).as("p"))
+      .crossJoin(spark.range(64).select(col("id").cast(IntegerType).as("d")))
+      .withColumn("w",
+        hash60(concat(lit("hp_"), col("p"), lit("_"), col("d"))) % 2001L - 1000L)
+
+  /** Per-vector LSH bucket code: sign bit per hyperplane, packed into an
+    * int. Exact integer dot products against integer planes. */
+  private def buckets(spark: SparkSession, dir: String): DataFrame = {
+    val unpacked = quantized(spark, dir)
+      .select(col("vec_id"), col("q"), posexplode(col("q")).as(Seq("d", "qv")))
+    unpacked.join(broadcast(planeTable(spark)), "d")
+      .groupBy("vec_id", "p")
+      .agg(sum(col("qv") * col("w")).as("dot"))
+      .withColumn("bit", when(col("dot") > 0, 1L).otherwise(0L))
+      .groupBy("vec_id")
+      .agg(sum(expr("shiftleft(bit, p)")).as("bucket"))
+  }
+
+  /** e2: LSH-bucketed ANN — query joins only its own bucket; exact cosine
+    * rerank inside the bucket, top-3. This is the 100 TB path: the join
+    * is an equality join on (bucket), never a cross join. */
+  def annLsh(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    val withB = quantized(spark, dir).join(buckets(spark, dir), "vec_id")
+    val queries = withB.filter(col("vec_id") % QueryStride === 0)
+      .select(col("vec_id").as("q_id"), col("q").as("qq"), col("bucket"))
+    val corpus = withB.select(col("vec_id").as("c_id"), col("q").as("cq"), col("bucket"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(col("score").desc, col("c_id"))
+    queries.join(corpus, "bucket")
+      .filter(col("q_id") =!= col("c_id"))
+      .withColumn("score", cosineQ(col("qq"), col("cq")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col("rnk"), col("c_id"), round(col("score"), 6).as("score"))
+      .orderBy("q_id", "rnk")
+  }
+
+  /** e3: embedding-cosine near-dup pairs — LSH-bucket candidate
+    * generation (a<b within a bucket) then exact cosine threshold. */
+  def embedNearDup(spark: SparkSession, dir: String, minCosine: Double = 0.3): DataFrame = {
+    val withB = quantized(spark, dir).join(buckets(spark, dir), "vec_id")
+    val a = withB.select(col("vec_id").as("id_a"), col("q").as("qa"), col("bucket"))
+    val b = withB.select(col("vec_id").as("id_b"), col("q").as("qb"), col("bucket"))
+    a.join(b, "bucket")
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cosine", cosineQ(col("qa"), col("qb")))
+      .filter(col("cosine") >= minCosine)
+      .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
+      .orderBy("id_a", "id_b")
+  }
+}

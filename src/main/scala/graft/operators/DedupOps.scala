@@ -1,0 +1,165 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.Tables
+import graft.functions.F._
+
+/** Document-deduplication operator family: exact, n-gram Jaccard,
+  * MinHash+LSH banding, SimHash — the four standard tiers of a
+  * training-data dedup stage.
+  *
+  * Scale design: nothing here ever does all-pairs comparison. Candidate
+  * pairs come from equality joins on derived keys (fingerprint, shared
+  * n-gram with document-frequency pruning, LSH band signature, SimHash
+  * chunk), so at 100 TB the cost is one shuffle per candidate-key space,
+  * proportional to true-duplicate density rather than |docs|².
+  *
+  * Oracle portability: every hash is the md5-based F.hash60, modular
+  * arithmetic stays inside int64, so DuckDB reproduces the exact same
+  * signatures, candidates and scores.
+  */
+object DedupOps {
+
+  /** Token 3-gram array (empty when the doc has < 3 tokens). */
+  private def ngramsExpr: Column = expr(
+    """CASE WHEN size(t) >= 3
+      |  THEN transform(sequence(0, size(t) - 3), i -> array_join(slice(t, i + 1, 3), ' '))
+      |  ELSE array() END""".stripMargin)
+
+  /** Distinct (doc_id, ngram) pairs — the shared candidate substrate for
+    * d2 and d3. */
+  private def docNgrams(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("t", tokens(col("text")))
+      .select(col("doc_id"), explode(ngramsExpr).as("ngram"))
+      .distinct()
+
+  /** d1: exact dedup — md5 fingerprint of the normalized token stream,
+    * keep the lowest doc_id per group. One hash-groupBy shuffle. */
+  def dedupExact(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), md5(array_join(tokens(col("text")), " ")).as("fp"))
+      .groupBy("fp")
+      .agg(min("doc_id").as("keep_doc_id"), count(lit(1)).as("n_copies"))
+      .orderBy("keep_doc_id")
+
+  /** Max document frequency for an n-gram to participate in candidate
+    * generation (d2). Ubiquitous n-grams generate quadratic junk
+    * candidates at scale; dropping them bounds the join fan-out. */
+  val MaxNgramDf = 100L
+
+  /** d2: n-gram Jaccard near-dup pairs.
+    * distinct ngrams → DF-pruned inverted index → self-join on ngram →
+    * |A∩B| via count, |A∪B| = |A|+|B|−|A∩B|. */
+  def ngramJaccard(spark: SparkSession, dir: String, minJaccard: Double = 0.18): DataFrame = {
+    val ng = docNgrams(spark, dir)
+    val pruned = ng.join(
+      ng.groupBy("ngram").agg(count(lit(1)).as("df"))
+        .filter(col("df") <= MaxNgramDf).select("ngram"),
+      "ngram")
+    val sizes = pruned.groupBy("doc_id").agg(count(lit(1)).as("n_ng"))
+    val a = pruned.select(col("doc_id").as("doc_a"), col("ngram"))
+    val b = pruned.select(col("doc_id").as("doc_b"), col("ngram"))
+    a.join(b, "ngram")
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("inter"))
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n_ng").as("na")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n_ng").as("nb")), "doc_b")
+      .withColumn("uni", col("na") + col("nb") - col("inter"))
+      .withColumn("jaccard",
+        round(col("inter").cast(DoubleType) / col("uni").cast(DoubleType), 6))
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("doc_a"), col("doc_b"), col("inter"), col("uni"), col("jaccard"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** MinHash parameters: K permutations over a Mersenne-prime field,
+    * banded K/BandRows-way for LSH. Permutation coefficients are derived
+    * from md5 so the oracle can regenerate them. */
+  val K = 16
+  val BandRows = 4
+  val P = 2147483647L // 2^31 − 1: keeps a*h + b < 2^62, inside int64
+
+  /** MinHash signatures: one row per (doc_id, perm i) with the min hash
+    * over the doc's shingle set. */
+  private def minhashSig(spark: SparkSession, dir: String): DataFrame = {
+    val perms = spark.range(K.toLong).select(col("id").cast(IntegerType).as("i"))
+      .withColumn("pa", hash60(concat(lit("perm_a_"), col("i"))) % (P - 1) + 1L)
+      .withColumn("pb", hash60(concat(lit("perm_b_"), col("i"))) % P)
+    docNgrams(spark, dir)
+      .withColumn("h", hash60(col("ngram")) % P)
+      .crossJoin(broadcast(perms))
+      .groupBy("doc_id", "i")
+      .agg(min((col("pa") * col("h") + col("pb")) % P).as("mh"))
+  }
+
+  /** d3: MinHash + LSH banding. Band signature = md5 of the band's
+    * minhashes in permutation order; candidates = pairs sharing any band;
+    * est_jaccard = fraction of agreeing permutations. */
+  def minhashLsh(spark: SparkSession, dir: String, minEst: Double = 0.25): DataFrame = {
+    val sig = minhashSig(spark, dir)
+    val bands = sig.withColumn("band", floor(col("i") / BandRows).cast(IntegerType))
+      .groupBy("doc_id", "band")
+      .agg(md5(array_join(
+        transform(array_sort(collect_list(struct(col("i"), col("mh")))),
+          s => s.getField("mh").cast(StringType)),
+        ",")).as("bkey"))
+    val cand = bands.select(col("doc_id").as("doc_a"), col("band"), col("bkey"))
+      .join(bands.select(col("doc_id").as("doc_b"), col("band"), col("bkey")),
+        Seq("band", "bkey"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+    cand
+      .join(sig.select(col("doc_id").as("doc_a"), col("i"), col("mh").as("mha")), "doc_a")
+      .join(sig.select(col("doc_id").as("doc_b"), col("i"), col("mh").as("mhb")),
+        Seq("doc_b", "i"))
+      .groupBy("doc_a", "doc_b")
+      .agg((sum(when(col("mha") === col("mhb"), 1L).otherwise(0L))
+        .cast(DoubleType) / K).as("est_jaccard"))
+      .filter(col("est_jaccard") >= minEst)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** SimHash geometry: 60-bit hashes (F.hash60), 4 blocking chunks of 15
+    * bits — pigeonhole guarantees recall for hamming ≤ 3. */
+  val SimBits = 60
+  val ChunkBits = 15
+  val MaxHamming = 3
+
+  /** Per-doc 60-bit SimHash: token-frequency-weighted bit votes. */
+  private def simhashSig(spark: SparkSession, dir: String): DataFrame = {
+    val tokCounts = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+      .withColumn("h", hash60(col("tok")))
+    val bits = spark.range(SimBits.toLong).select(col("id").cast(IntegerType).as("b"))
+    tokCounts.crossJoin(broadcast(bits))
+      .groupBy("doc_id", "b")
+      .agg(sum(col("c") * (expr("(shiftright(h, b) & 1)") * 2L - 1L)).as("s"))
+      .withColumn("bit", when(col("s") > 0, 1L).otherwise(0L))
+      .groupBy("doc_id")
+      .agg(sum(expr("shiftleft(bit, b)")).as("simhash"))
+  }
+
+  /** d4: SimHash near-dup pairs — chunk-equality blocking then exact
+    * hamming via bit_count(xor). */
+  def simhashPairs(spark: SparkSession, dir: String): DataFrame = {
+    val sig = simhashSig(spark, dir)
+    val chunks = sig.crossJoin(broadcast(
+        spark.range(SimBits.toLong / ChunkBits).select(col("id").cast(IntegerType).as("j"))))
+      .withColumn("chunk", expr(s"shiftright(simhash, j * $ChunkBits) & ${(1 << ChunkBits) - 1}"))
+    val cand = chunks.select(col("doc_id").as("doc_a"), col("simhash").as("ha"),
+        col("j"), col("chunk"))
+      .join(chunks.select(col("doc_id").as("doc_b"), col("simhash").as("hb"),
+        col("j"), col("chunk")), Seq("j", "chunk"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b", "ha", "hb").distinct()
+    cand.withColumn("hamming", expr("bit_count(ha ^ hb)").cast(LongType))
+      .filter(col("hamming") <= MaxHamming)
+      .select("doc_a", "doc_b", "hamming")
+      .orderBy("doc_a", "doc_b")
+  }
+}

@@ -1,0 +1,36 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Multimodal-column plumbing: treat media payloads as opaque `binary`
+  * columns with typed metadata, the way a 100 TB image/audio corpus is
+  * carried through Spark (binary + metadata columns in parquet, decode
+  * deferred to the last possible stage).
+  *
+  * The actual codec step is STUBBED (no image/audio libraries in this
+  * environment): `n_frames` below is a deterministic fake "decode" so the
+  * Spark-side plumbing — binary schema, per-row feature extraction,
+  * partition-parallel execution, hash/magic/size metadata — is real and
+  * testable. Swapping the stub for a real decoder is a one-expression
+  * change (e.g. a mapPartitions batch decode), leaving the plan shape
+  * intact.
+  */
+object MultimodalOps {
+
+  /** m1: binary metadata extraction. The documents' text bytes stand in
+    * for media blobs; every derived column is computed from the binary
+    * payload only. */
+  def multimodalMeta(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("blob", col("text").cast("binary"))
+      .select(
+        col("doc_id"),
+        octet_length(col("blob")).as("byte_len"),
+        md5(col("blob")).as("sha"),
+        lower(hex(expr("substring(blob, 1, 4)"))).as("magic"),
+        // --- stubbed decode: deterministic fake frame count ---
+        (octet_length(col("blob")) % 30 + 1).as("n_frames"))
+      .orderBy("doc_id")
+}

@@ -1,0 +1,107 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.Tables
+import graft.functions.F._
+
+/** Text-analysis operators for a training-data pipeline, over the
+  * `documents` table (doc_id, text, lang, source, n_chars).
+  *
+  * All per-document work is embarrassingly parallel (narrow map over the
+  * scan — no shuffle at all until an aggregation is requested), built
+  * purely from codegen'd built-ins + higher-order array functions, so the
+  * same plan handles 100 TB of documents: throughput scales with
+  * executors, and the only state is per-row.
+  */
+object TextOps {
+
+  /** Whitespace token array column (shared definition → shared plan). */
+  private def toks: Column = tokens(col("text"))
+
+  val Stopwords: Seq[String] =
+    Seq("the", "a", "of", "and", "to", "in", "is", "on", "for", "with")
+
+  /** t1: token counting — whitespace tokens plus a BPE-ish sub-token
+    * count (runs of letters / digits / single punctuation, the classic
+    * pre-tokenizer regex). */
+  def tokenCount(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("t", toks)
+      .select(
+        col("doc_id"),
+        size(col("t")).as("n_tokens"),
+        size(array_distinct(col("t"))).as("n_unique_tokens"),
+        size(expr("regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\\\\s]', 0)"))
+          .as("n_subtokens"),
+        length(col("text")).as("n_chars_measured"))
+      .orderBy("doc_id")
+
+  /** t2: quality scoring — length/stopword/uniqueness signals combined
+    * into one deterministic score (every input to the formula is an exact
+    * integer ratio, so the double math is engine-portable). */
+  def quality(spark: SparkSession, dir: String): DataFrame = {
+    val stopArr = array(Stopwords.map(lit): _*)
+    Tables.documents(spark, dir)
+      .withColumn("t", toks)
+      .withColumn("n_tokens", size(col("t")))
+      .withColumn("n_unique", size(array_distinct(col("t"))))
+      .withColumn("n_stop", size(filter(col("t"), x => array_contains(stopArr, x))))
+      .withColumn("sum_len",
+        aggregate(transform(col("t"), x => length(x)), lit(0), (a, x) => a + x))
+      .select(
+        col("doc_id"),
+        col("n_tokens"),
+        (col("sum_len").cast(DoubleType) / col("n_tokens")).as("avg_token_len"),
+        (col("n_stop").cast(DoubleType) / col("n_tokens")).as("stopword_ratio"),
+        (col("n_unique").cast(DoubleType) / col("n_tokens")).as("distinct_ratio"),
+        round(
+          lit(0.3) * (col("n_unique").cast(DoubleType) / col("n_tokens")) +
+            lit(0.4) * (lit(1.0) - col("n_stop").cast(DoubleType) / col("n_tokens")) +
+            lit(0.3) * least(col("n_tokens").cast(DoubleType) / lit(100.0), lit(1.0)),
+          6).as("quality_score"))
+      .orderBy("doc_id")
+  }
+
+  /** Marker-word lists for the language-ID heuristic (alphabetical
+    * preference on ties: de > en > es > fr > zh). */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "und", "das", "ist", "nicht"),
+    "en" -> Seq("the", "and", "of", "to", "in", "is"),
+    "es" -> Seq("el", "la", "de", "que", "y", "los"),
+    "fr" -> Seq("le", "la", "de", "et", "les", "des"),
+    "zh" -> Seq("de5", "shi4", "le5", "zai4", "he2", "you3"))
+
+  /** t3: language-ID — count marker-word hits per language, argmax with
+    * deterministic alphabetical tie-break. */
+  def langId(spark: SparkSession, dir: String): DataFrame = {
+    val scored = LangMarkers.foldLeft(
+      Tables.documents(spark, dir).withColumn("t", toks)) {
+      case (df, (lang, markers)) =>
+        val m = array(markers.map(lit): _*)
+        df.withColumn(s"s_$lang",
+          size(filter(col("t"), x => array_contains(m, x))).cast(LongType))
+    }
+    val langs = LangMarkers.map(_._1)
+    val pred = langs.init.foldRight(lit(langs.last): Column) { (lang, rest) =>
+      val ge = langs.filter(_ > lang)
+        .map(o => col(s"s_$lang") >= col(s"s_$o"))
+        .reduce(_ && _)
+      when(ge, lit(lang)).otherwise(rest)
+    }
+    scored.select(col("doc_id") +: langs.map(l => col(s"s_$l")) :+
+      pred.as("pred_lang") :+ col("lang").as("labeled_lang"): _*)
+      .orderBy("doc_id")
+  }
+
+  /** t4: document fingerprint — md5 over the normalized token stream
+    * (and its 60-bit integer form for numeric bucketing downstream). */
+  def fingerprint(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(
+        col("doc_id"),
+        md5(array_join(toks, " ")).as("fingerprint"),
+        hash60(array_join(toks, " ")).as("fingerprint60"))
+      .orderBy("doc_id")
+}

@@ -1,0 +1,158 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.F._
+
+/** Batch re-expression of the reference trip pipeline
+  * (Kwame842/nsp-bolt-pipeline) on the `events` table.
+  *
+  * Reference semantics reproduced (file:line cites into /root/reference):
+  *  - schema validation + type coercion, invalid → DLQ, never crash
+  *    (lambdas/TripStartProcessor/TripStartProcessor.py:29-45,
+  *     lambdas/TripEndProcessor/TripEndProcessor.py:36-65)
+  *  - first-event-wins dedup per key
+  *    (TripStartProcessor.py:60-72 `check_existing`)
+  *  - trip completion = start matched with a subsequent end
+  *    (glue_jobs/KPI-Aggregator.py:98 inner join on trip_id)
+  *  - daily KPI agg: total/count/avg/max/min fare
+  *    (glue_jobs/KPI-Aggregator.py:104-110)
+  *
+  * Mapping onto the driver's synthetic `events` schema
+  * (event_id, ts, user_id, event_type, value, props): `signup` plays the
+  * trip-start role, `purchase` the trip-end role, `user_id` the trip key,
+  * `value` the fare.
+  *
+  * Scale notes (100 TB): every stage is a declarative DataFrame plan —
+  * validation filters are codegen'd and pushed at the scan; dedup,
+  * matching and sessionization all hash-partition by `user_id`, so they
+  * share one shuffle layout; the KPI aggregations use partial (map-side)
+  * aggregation before the single shuffle on the (low-cardinality) date
+  * key. No driver-side collection anywhere.
+  */
+object TripPipeline {
+
+  val KnownTypes: Seq[String] = Seq("signup", "click", "view", "purchase", "error")
+
+  /** Validation predicate — the Spark-native analog of the reference's
+    * REQUIRED_FIELDS presence/type checks. Null-safe: any null required
+    * field fails validation. */
+  private def validCond = col("event_id").isNotNull &&
+    col("ts").isNotNull &&
+    col("user_id").isNotNull && col("user_id") >= 0 &&
+    col("event_type").isin(KnownTypes: _*) &&
+    col("value").isNotNull && col("value") >= 0.0
+
+  private def ntz(c: String): org.apache.spark.sql.Column =
+    col(c).cast("timestamp_ntz")
+
+  /** p1: valid events (the rows the reference would write to DynamoDB). */
+  def validate(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir).filter(validCond)
+      .select(col("event_id"), ntz("ts").as("ts"), col("user_id"),
+        col("event_type"), col("value"), col("props"))
+
+  /** p2: quarantine / DLQ — rows failing validation (TripDLQ analog). */
+  def quarantine(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir).filter(!coalesce(validCond, lit(false)))
+      .select(col("event_id"), ntz("ts").as("ts"), col("user_id"),
+        col("event_type"), col("value"), col("props"))
+
+  /** p3: first-event-wins dedup per (user_id, event_type) — one shuffle,
+    * rank inside each hash partition. */
+  def dedupFirst(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id", "event_type").orderBy(col("ts"), col("event_id"))
+    Tables.events(spark, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1).drop("rn")
+      .select(col("event_id"), ntz("ts").as("ts"), col("user_id"),
+        col("event_type"), col("value"), col("props"))
+  }
+
+  /** p4: trip-completion matching. A user's "trip" starts at their first
+    * `signup` and completes at the first `purchase` at-or-after it.
+    * Two filtered scans of the same source; the match is a shuffle join
+    * on user_id (at scale: both sides hash-partitioned on the key, AQE
+    * handles skew). */
+  def tripMatch(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val starts = ev.filter(col("event_type") === "signup")
+      .groupBy("user_id").agg(min("ts").as("start_ts"))
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val ends = ev.filter(col("event_type") === "purchase")
+      .join(starts, "user_id")
+      .filter(col("ts") >= col("start_ts"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+    ends.select(col("user_id"),
+      col("start_ts").cast("timestamp_ntz").as("start_ts"),
+      ntz("ts").as("end_ts"),
+      col("value").as("fare"),
+      (unix_micros(col("ts")) - unix_micros(col("start_ts"))).as("duration_us"))
+  }
+
+  /** p5: daily KPIs over completed trips — the reference's headline
+    * output (KPI-Aggregator.py:104-110): total/count/average/max/min fare
+    * grouped by completion date. Decimal-exact sums (see F.decSum). */
+  def kpiDaily(spark: SparkSession, dir: String): DataFrame =
+    tripMatch(spark, dir)
+      .groupBy(to_date(col("end_ts")).as("date"))
+      .agg(
+        decSum(col("fare")).as("total_fare"),
+        count(lit(1)).as("count_trips"),
+        decAvg(col("fare")).as("average_fare"),
+        max(col("fare")).as("max_fare"),
+        min(col("fare")).as("min_fare"))
+      .orderBy("date")
+
+  /** p6: KPIs by (date, event_type) — the natural extension the reference
+    * FAQ suggests ("extend the Glue job for more KPIs"). */
+  def kpiDailyByType(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(to_date(col("ts")).as("date"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        decSum(col("value")).as("total_value"),
+        decAvg(col("value")).as("avg_value"),
+        max(col("value")).as("max_value"),
+        min(col("value")).as("min_value"))
+      .orderBy("date", "event_type")
+
+  /** p7: sessionization with a 30-minute inactivity gap — lag + running
+    * sum of session-start flags, both over the same (user_id) window, so
+    * Catalyst plans a single shuffle + sort. */
+  def sessionize(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val gapUs = 30L * 60 * 1000000
+    Tables.events(spark, dir)
+      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(byUser))
+      .withColumn("new_sess",
+        when(col("prev_us").isNull ||
+          unix_micros(col("ts")) - col("prev_us") > gapUs, 1L).otherwise(0L))
+      .withColumn("session_idx",
+        sum("new_sess").over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("session_idx"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(ntz("ts")).as("session_start"),
+        max(ntz("ts")).as("session_end"),
+        decSum(col("value")).as("session_value"))
+      .orderBy("user_id", "session_idx")
+  }
+
+  /** p8: semi-structured prop extraction (`props` is a JSON blob) +
+    * aggregation by extracted key bucket. regexp_extract is codegen'd and
+    * identical in the oracle engine. */
+  def propsAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .withColumn("k", regexp_extract(col("props"), "\"k\": (\\d+)", 1).cast("long"))
+      .filter(col("k").isNotNull)
+      .groupBy((col("k") % 10).as("k_bucket"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        decSum(col("value")).as("total_value"),
+        decAvg(col("value")).as("avg_value"))
+      .orderBy("k_bucket")
+}

@@ -1,0 +1,62 @@
+#!/usr/bin/env python3
+"""Local approximation of the driver's correctness gate.
+
+Usage: python3 tools/check.py [sfDir] [outDir]
+
+Reads outDir/<name>/ parquet (written by graft.Verify), runs
+outDir/oracle_sql.json in DuckDB with views named after the tables in
+sfDir, and compares: row count, column names, and values (sorted columns
+by name, sorted rows) with exact match for ints/strings and tiny-epsilon
+for floats.
+"""
+import json, math, sys, glob, os
+import duckdb
+
+sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
+
+con = duckdb.connect()
+for p in glob.glob(f"{sf}/*.parquet"):
+    name = os.path.basename(p).replace(".parquet", "")
+    con.sql(f"CREATE VIEW {name} AS SELECT * FROM '{p}'")
+
+oracle = json.load(open(f"{out}/oracle_sql.json"))
+fails = []
+for name, sql in sorted(oracle.items()):
+    pq = f"{out}/{name}"
+    if not glob.glob(f"{pq}/*.parquet"):
+        print(f"FAIL {name}: no spark output");  fails.append(name); continue
+    try:
+        got = con.sql(f"SELECT * FROM '{pq}/*.parquet'").fetchdf()
+        exp = con.sql(sql).fetchdf()
+    except Exception as e:
+        print(f"FAIL {name}: {e}"); fails.append(name); continue
+    gc, ec = sorted(got.columns), sorted(exp.columns)
+    if gc != ec:
+        print(f"FAIL {name}: cols {gc} vs {ec}"); fails.append(name); continue
+    if len(got) != len(exp):
+        print(f"FAIL {name}: rows {len(got)} vs {len(exp)}"); fails.append(name); continue
+    g = got[gc].sort_values(by=gc, ignore_index=True)
+    e = exp[ec].sort_values(by=ec, ignore_index=True)
+    bad = None
+    for c in gc:
+        gv, ev = g[c].tolist(), e[c].tolist()
+        for i, (a, b) in enumerate(zip(gv, ev)):
+            if isinstance(a, float) and isinstance(b, float):
+                if math.isnan(a) and math.isnan(b):
+                    continue
+                if a != b and abs(a - b) > 1e-9 * max(1.0, abs(a), abs(b)):
+                    bad = (c, i, a, b); break
+            else:
+                if str(a) != str(b):
+                    bad = (c, i, a, b); break
+        if bad: break
+    if bad:
+        c, i, a, b = bad
+        print(f"FAIL {name}: col {c} row {i}: spark={a!r} oracle={b!r}")
+        fails.append(name)
+    else:
+        print(f"ok   {name}: {len(got)} rows")
+
+print(f"\n{len(oracle) - len(fails)}/{len(oracle)} pass")
+sys.exit(1 if fails else 0)
