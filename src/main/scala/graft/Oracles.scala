@@ -124,9 +124,32 @@ object Oracles {
       s"""SELECT k % 10 AS k_bucket, COUNT(*) AS n_events,
          |  ${dsum("value")} AS total_value,
          |  ${davg("value")} AS avg_value
-         |FROM (SELECT TRY_CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT) AS k, value
+         |FROM (SELECT TRY_CAST(json_extract_string(props, '$$.k') AS BIGINT) AS k, value
          |      FROM events) t
          |WHERE k IS NOT NULL GROUP BY 1 ORDER BY k_bucket""".stripMargin,
+
+    // p10 re-reads the partitioned sink output, which must round-trip the
+    // daily KPI exactly — so its oracle IS the daily-KPI aggregation.
+    "p10_kpi_sink" ->
+      s"""WITH $tripCte
+         |SELECT CAST(end_ts AS DATE) AS date,
+         |  ${dsum("fare")} AS total_fare,
+         |  COUNT(*) AS count_trips,
+         |  ${davg("fare")} AS average_fare,
+         |  max(fare) AS max_fare,
+         |  min(fare) AS min_fare
+         |FROM trips GROUP BY CAST(end_ts AS DATE) ORDER BY date""".stripMargin,
+
+    "p11_ts_multiformat" ->
+      """SELECT event_id, raw_ts,
+        |  coalesce(try_strptime(raw_ts, '%d/%m/%Y %H:%M'),
+        |           try_strptime(raw_ts, '%Y-%m-%d %H:%M:%S')) AS parsed_ts
+        |FROM (
+        |  SELECT event_id,
+        |    CASE WHEN event_id % 2 = 0 THEN strftime(ts, '%d/%m/%Y %H:%M')
+        |         ELSE strftime(ts, '%Y-%m-%d %H:%M:%S') END AS raw_ts
+        |  FROM events) t
+        |ORDER BY event_id""".stripMargin,
 
     // ---------- B. analytics ----------
     "q1_pricing" ->
@@ -354,15 +377,31 @@ object Oracles {
          |SELECT q_id, rnk, c_id, round(score, 6) AS score
          |FROM r WHERE rnk <= 3 ORDER BY q_id, rnk""".stripMargin,
 
+    // e3 uses banded multi-probe LSH: 4 band codes of 6 hyperplanes each
+    // (planes 0..23 of the same md5-derived family); a pair is a
+    // candidate when ANY band code matches.
     "e3_embed_neardup" ->
       s"""WITH ${annQ},
-         |$bucketCte
-         |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-         |  round(list_dot_product(a.qv, b.qv) /
-         |    sqrt(list_dot_product(a.qv, a.qv) * list_dot_product(b.qv, b.qv)), 6) AS cosine
-         |FROM wb a JOIN wb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-         |WHERE list_dot_product(a.qv, b.qv) /
-         |    sqrt(list_dot_product(a.qv, a.qv) * list_dot_product(b.qv, b.qv)) >= 0.3
+         |planes AS (
+         |  SELECT p, d, ${h60("'hp_' || p || '_' || d")} % 2001 - 1000 AS w
+         |  FROM range(24) t1(p) CROSS JOIN range(64) t2(d)),
+         |unp AS (SELECT vec_id, generate_subscripts(qv, 1) - 1 AS d, unnest(qv) AS v FROM q),
+         |pd AS (SELECT u.vec_id, pl.p, SUM(u.v * pl.w) AS dot
+         |       FROM unp u JOIN planes pl ON u.d = pl.d GROUP BY 1, 2),
+         |bands AS (SELECT vec_id, CAST(p // 6 AS INTEGER) AS band,
+         |    CAST(SUM((CASE WHEN dot > 0 THEN CAST(1 AS BIGINT) ELSE 0 END) << (p % 6)) AS BIGINT) AS code
+         |  FROM pd GROUP BY 1, 2),
+         |cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.code = b.code AND a.vec_id < b.vec_id)
+         |SELECT c.id_a, c.id_b,
+         |  round(list_dot_product(qa.qv, qb.qv) /
+         |    sqrt(list_dot_product(qa.qv, qa.qv) * list_dot_product(qb.qv, qb.qv)), 6) AS cosine
+         |FROM cand c
+         |JOIN q qa ON c.id_a = qa.vec_id
+         |JOIN q qb ON c.id_b = qb.vec_id
+         |WHERE list_dot_product(qa.qv, qb.qv) /
+         |    sqrt(list_dot_product(qa.qv, qa.qv) * list_dot_product(qb.qv, qb.qv)) >= 0.3
          |ORDER BY id_a, id_b""".stripMargin,
 
     "m1_multimodal_meta" ->

@@ -3,7 +3,10 @@ package graft
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-/** Dev-only probe (not part of the driver contract). */
+/** Dev-only probe (not part of the driver contract): drives the public
+  * entry points the way the driver does and prints plan/behavior
+  * evidence — driver smoke (entry rows>0), q5 join strategy, and
+  * malformed-input behavior of the JSON/datetime parsers. */
 object Probe {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
@@ -13,15 +16,36 @@ object Probe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val d = "/root/testdata/sf0.001"
-    val ev = Tables.events(spark, d)
-    ev.printSchema()
-    Tables.lineitem(spark, d).printSchema()
-    ev.select(col("ts"), unix_micros(col("ts")).as("us"),
-        to_date(col("ts")).as("dt")).show(3, false)
-    Tables.embeddings(spark, d)
-      .select(col("vec_id"), graft.functions.F.quantize(col("embedding")).as("q"))
-      .show(2, false)
+    import spark.implicits._
+
+    // 1. driver smoke: entry() on sf0.001 must return rows > 0
+    val entry = SparkEntry.entry(spark)
+    println(s"[probe] entry rows = ${entry.count()}")
+    entry.show(3, false)
+
+    // 2. q5 plan: customer/supplier must NOT be broadcast (only the
+    //    constant dims nation/region are)
+    val q5 = analytics.Analytics.q5RegionRevenue(spark, "/root/testdata/sf0.001")
+    q5.collect()
+    println("[probe] q5 executed plan:")
+    println(q5.queryExecution.executedPlan.toString.take(4000))
+
+    // 3. malformed-input probes: JSON prop extraction must tolerate
+    //    spacing/order variants and garbage; the multiformat ts parser
+    //    must yield null (not throw) on unparseable strings
+    val weird = Seq(
+      """{"k":5}""", """{ "k" : 7 }""", """{"x":1,"k":9}""",
+      """not json""", """{"k":"abc"}""", null
+    ).toDF("props")
+    weird.select(col("props"),
+      expr("try_cast(get_json_object(props, '$.k') AS LONG)").as("k")).show(false)
+    val badTs = Seq("31/12/2024 23:59", "2024-12-31 23:59:58", "99/99/9999 99:99", "garbage")
+      .toDF("raw_ts")
+    badTs.select(col("raw_ts"),
+      coalesce(
+        try_to_timestamp(col("raw_ts"), lit("dd/MM/yyyy HH:mm")),
+        try_to_timestamp(col("raw_ts"), lit("yyyy-MM-dd HH:mm:ss"))).as("parsed")).show(false)
+
     spark.stop()
   }
 }

@@ -58,8 +58,11 @@ object Analytics {
         col("o_orderdate"), col("o_orderpriority"))
   }
 
-  /** q5: region revenue — 6-way star join; all dims broadcast, so the
-    * only shuffle is the final small aggregation. */
+  /** q5: region revenue — 6-way star join. Only the true constant-size
+    * dims (region: 5 rows, nation: 25 rows) are broadcast; customer and
+    * supplier are SF-proportional fact-scale tables (15 M / 1 M rows at
+    * SF100), so they go through shuffle joins on their keys and AQE picks
+    * the physical strategy (and handles skew) at runtime. */
   def q5RegionRevenue(spark: SparkSession, dir: String): DataFrame = {
     val region = Tables.region(spark, dir).filter(col("r_name") === "ASIA")
     val nation = Tables.nation(spark, dir)
@@ -69,8 +72,8 @@ object Analytics {
       .filter(col("o_orderdate") >= lit("1996-01-01") && col("o_orderdate") < lit("1997-01-01"))
     val li = Tables.lineitem(spark, dir)
     li.join(orders, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(customer), col("o_custkey") === col("c_custkey"))
-      .join(broadcast(supplier),
+      .join(customer, col("o_custkey") === col("c_custkey"))
+      .join(supplier,
         col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
       .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
       .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))

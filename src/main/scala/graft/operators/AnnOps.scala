@@ -15,34 +15,80 @@ import graft.functions.F._
   * and cluster sizes.
   *
   * Scale design: the brute-force path (e1) is the correctness baseline
-  * and is only ever run for a bounded query set; the LSH path (e2/e3)
-  * buckets the corpus by random-hyperplane sign codes so a query probes
-  * one bucket (equality join on the code) instead of the full corpus —
-  * the candidate volume is |corpus| / 2^planes per query in expectation.
+  * and is only ever run for a bounded query set; the LSH paths (e2/e3)
+  * bucket the corpus by random-hyperplane sign codes so candidate
+  * generation is an equality join on the code, never a cross join.
+  *
+  * The hyperplane coefficients are md5-derived integers
+  * (hash60("hp_p_d") % 2001 − 1000). md5 is the same function on the
+  * driver as in any engine, so the coefficients are PRECOMPUTED here and
+  * embedded as array literals: each vector's bucket/band codes are a
+  * single map-side projection over the scan — zero shuffles, zero joins
+  * for signature construction (vs. the posexplode+join formulation that
+  * exploded 64 dims × planes rows per vector through two shuffles).
   */
 object AnnOps {
 
   /** Query subset: every 25th vector — bounded, deterministic. */
   val QueryStride = 25
 
-  /** Number of random hyperplanes → 2^Planes LSH buckets. */
+  /** Number of hyperplanes for the e2 single-bucket code (2^12 buckets). */
   val Planes = 12
 
+  /** e3 banded multi-probe: Bands codes of PlanesPerBand hyperplanes
+    * each; a pair is a candidate if ANY band code matches. Collision
+    * probability for a pair at angle θ is 1−(1−(1−θ/π)^6)^4 — ≈17% at
+    * cosine 0.3 vs ≈0.2% for the single 12-plane bucket, which is what
+    * makes the near-dup output non-empty at verification SF. */
+  val Bands = 4
+  val PlanesPerBand = 6
+
+  /** Embedding dimensionality (driver testdata; coefficients are derived
+    * per (plane, dim) so any other width only changes this constant). */
+  val Dims = 64
+
+  /** Driver-side mirror of F.hash60: md5 hex, first 15 chars, as int64.
+    * Identical to what Spark/DuckDB compute for the same string. */
+  private def h60(s: String): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(hex.substring(0, 15), 16)
+  }
+
+  /** Integer coefficients of hyperplane p: w(p,d) = hash60("hp_p_d") %
+    * 2001 − 1000, matching the oracle's regeneration in SQL. */
+  private def planeW(p: Int): Seq[Long] =
+    (0 until Dims).map(d => h60(s"hp_${p}_${d}") % 2001L - 1000L)
+
+  /** Sign bit of q·w(p) — an exact integer dot against a literal
+    * coefficient array, evaluated map-side. */
+  private def planeBit(q: Column, p: Int): Column =
+    when(dotQ(q, typedlit(planeW(p))) > 0, lit(1L)).otherwise(lit(0L))
+
+  /** Packed LSH code over planes [p0, p0+n): bit i = sign of plane p0+i. */
+  private def packedCode(q: Column, p0: Int, n: Int): Column =
+    (0 until n).map(i => planeBit(q, p0 + i) * lit(1L << i)).reduce(_ + _)
+
+  /** Quantized corpus, persisted once per session+dir: e1's two sides,
+    * e2/e3's bucket builds and candidate recheck all read it. */
   private def quantized(spark: SparkSession, dir: String): DataFrame =
-    Tables.embeddings(spark, dir)
-      .select(col("vec_id"), quantize(col("embedding")).as("q"), col("label"))
+    DedupOps.memoized(spark, "ann_quantized", dir) {
+      Tables.embeddings(spark, dir)
+        .select(col("vec_id"), quantize(col("embedding")).as("q"), col("label"))
+    }
 
   /** e1: brute-force cosine top-k per query — the exactness baseline.
-    * Broadcast the bounded query set against the full corpus; rank on the
-    * exact score with vec_id tie-break. */
+    * Deliberately bounded: |queries| = |corpus| / QueryStride. At scale
+    * this stays a broadcast of the small query side against a single
+    * corpus scan; the unbounded scale path is e2. */
   def annTopk(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
     val corpus = quantized(spark, dir)
     val queries = corpus.filter(col("vec_id") % QueryStride === 0)
       .select(col("vec_id").as("q_id"), col("q").as("qq"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("q_id").orderBy(col("score").desc, col("c_id"))
-    queries.join(corpus.select(col("vec_id").as("c_id"), col("q").as("cq")),
-        col("q_id") =!= col("c_id"))
+    corpus.select(col("vec_id").as("c_id"), col("q").as("cq"))
+      .join(broadcast(queries), col("q_id") =!= col("c_id"))
       .withColumn("score", cosineQ(col("qq"), col("cq")))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
@@ -50,33 +96,20 @@ object AnnOps {
       .orderBy("q_id", "rnk")
   }
 
-  /** Integer hyperplane coefficients in [-1000, 1000], derived from md5
-    * so the oracle regenerates them exactly: w(p,d) = hash60("hp_p_d") %
-    * 2001 − 1000. */
-  private def planeTable(spark: SparkSession): DataFrame =
-    spark.range(Planes.toLong).select(col("id").cast(IntegerType).as("p"))
-      .crossJoin(spark.range(64).select(col("id").cast(IntegerType).as("d")))
-      .withColumn("w",
-        hash60(concat(lit("hp_"), col("p"), lit("_"), col("d"))) % 2001L - 1000L)
-
-  /** Per-vector LSH bucket code: sign bit per hyperplane, packed into an
-    * int. Exact integer dot products against integer planes. */
-  private def buckets(spark: SparkSession, dir: String): DataFrame = {
-    val unpacked = quantized(spark, dir)
-      .select(col("vec_id"), col("q"), posexplode(col("q")).as(Seq("d", "qv")))
-    unpacked.join(broadcast(planeTable(spark)), "d")
-      .groupBy("vec_id", "p")
-      .agg(sum(col("qv") * col("w")).as("dot"))
-      .withColumn("bit", when(col("dot") > 0, 1L).otherwise(0L))
-      .groupBy("vec_id")
-      .agg(sum(expr("shiftleft(bit, p)")).as("bucket"))
-  }
+  /** Corpus + 12-plane bucket code, computed in one map-side projection
+    * (no shuffle) and persisted — both the query and corpus sides of e2
+    * read it. */
+  private def withBucket(spark: SparkSession, dir: String): DataFrame =
+    DedupOps.memoized(spark, "ann_withBucket", dir) {
+      quantized(spark, dir)
+        .select(col("vec_id"), col("q"), packedCode(col("q"), 0, Planes).as("bucket"))
+    }
 
   /** e2: LSH-bucketed ANN — query joins only its own bucket; exact cosine
     * rerank inside the bucket, top-3. This is the 100 TB path: the join
     * is an equality join on (bucket), never a cross join. */
   def annLsh(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
-    val withB = quantized(spark, dir).join(buckets(spark, dir), "vec_id")
+    val withB = withBucket(spark, dir)
     val queries = withB.filter(col("vec_id") % QueryStride === 0)
       .select(col("vec_id").as("q_id"), col("q").as("qq"), col("bucket"))
     val corpus = withB.select(col("vec_id").as("c_id"), col("q").as("cq"), col("bucket"))
@@ -91,14 +124,31 @@ object AnnOps {
       .orderBy("q_id", "rnk")
   }
 
-  /** e3: embedding-cosine near-dup pairs — LSH-bucket candidate
-    * generation (a<b within a bucket) then exact cosine threshold. */
+  /** (vec_id, band, code) — Bands rows per vector, codes computed in the
+    * same map-side projection then unpacked with one posexplode (no
+    * joins). Persisted: both sides of the e3 candidate join read it. */
+  private def bandCodes(spark: SparkSession, dir: String): DataFrame =
+    DedupOps.memoized(spark, "ann_bandCodes", dir) {
+      val codes = array((0 until Bands).map(j =>
+        packedCode(col("q"), j * PlanesPerBand, PlanesPerBand)): _*)
+      quantized(spark, dir)
+        .select(col("vec_id"), posexplode(codes).as(Seq("band", "code")))
+    }
+
+  /** e3: embedding-cosine near-dup pairs — banded multi-probe LSH
+    * candidate generation (a<b sharing ANY band code), then exact cosine
+    * threshold on the persisted quantized vectors. */
   def embedNearDup(spark: SparkSession, dir: String, minCosine: Double = 0.3): DataFrame = {
-    val withB = quantized(spark, dir).join(buckets(spark, dir), "vec_id")
-    val a = withB.select(col("vec_id").as("id_a"), col("q").as("qa"), col("bucket"))
-    val b = withB.select(col("vec_id").as("id_b"), col("q").as("qb"), col("bucket"))
-    a.join(b, "bucket")
+    val bands = bandCodes(spark, dir)
+    val qv = quantized(spark, dir)
+    val cand = bands.select(col("vec_id").as("id_a"), col("band"), col("code"))
+      .join(bands.select(col("vec_id").as("id_b"), col("band"), col("code")),
+        Seq("band", "code"))
       .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    cand
+      .join(qv.select(col("vec_id").as("id_a"), col("q").as("qa")), "id_a")
+      .join(qv.select(col("vec_id").as("id_b"), col("q").as("qb")), "id_b")
       .withColumn("cosine", cosineQ(col("qa"), col("qb")))
       .filter(col("cosine") >= minCosine)
       .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))

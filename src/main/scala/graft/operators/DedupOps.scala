@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
+import org.apache.spark.storage.StorageLevel
 import graft.Tables
 import graft.functions.F._
 
@@ -16,11 +17,28 @@ import graft.functions.F._
   * chunk), so at 100 TB the cost is one shuffle per candidate-key space,
   * proportional to true-duplicate density rather than |docs|².
   *
+  * Signature construction is shuffle-minimal: the SimHash signature is a
+  * SINGLE hash aggregation with 60 per-bit vote expressions (no row
+  * explosion), and every signature that feeds a self-join is persisted
+  * first so the join's two sides read the materialized signature instead
+  * of recomputing the tokenize→hash lineage. On a cluster the persists
+  * below would be checkpoints/shuffle-reuse; the plan shape is the same.
+  *
   * Oracle portability: every hash is the md5-based F.hash60, modular
   * arithmetic stays inside int64, so DuckDB reproduces the exact same
   * signatures, candidates and scores.
   */
 object DedupOps {
+
+  /** Session-scoped memo of persisted intermediate DataFrames, so the
+    * same signature build is materialized once per (session, sfDir) even
+    * when several operators (d2/d3 share docNgrams; e2/e3 share buckets)
+    * or both sides of a self-join need it. */
+  private val memo =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String, String), DataFrame]
+  private[operators] def memoized(spark: SparkSession, key: String, dir: String)(
+      build: => DataFrame): DataFrame =
+    memo.getOrElseUpdate((spark, key, dir), build.persist(StorageLevel.MEMORY_AND_DISK))
 
   /** Token 3-gram array (empty when the doc has < 3 tokens). */
   private def ngramsExpr: Column = expr(
@@ -29,12 +47,14 @@ object DedupOps {
       |  ELSE array() END""".stripMargin)
 
   /** Distinct (doc_id, ngram) pairs — the shared candidate substrate for
-    * d2 and d3. */
+    * d2 and d3, persisted once per session+dir. */
   private def docNgrams(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
-      .withColumn("t", tokens(col("text")))
-      .select(col("doc_id"), explode(ngramsExpr).as("ngram"))
-      .distinct()
+    memoized(spark, "docNgrams", dir) {
+      Tables.documents(spark, dir)
+        .withColumn("t", tokens(col("text")))
+        .select(col("doc_id"), explode(ngramsExpr).as("ngram"))
+        .distinct()
+    }
 
   /** d1: exact dedup — md5 fingerprint of the normalized token stream,
     * keep the lowest doc_id per group. One hash-groupBy shuffle. */
@@ -52,13 +72,16 @@ object DedupOps {
 
   /** d2: n-gram Jaccard near-dup pairs.
     * distinct ngrams → DF-pruned inverted index → self-join on ngram →
-    * |A∩B| via count, |A∪B| = |A|+|B|−|A∩B|. */
+    * |A∩B| via count, |A∪B| = |A|+|B|−|A∩B|. The pruned index feeds the
+    * self-join (both sides) and the per-doc sizes, so it is persisted. */
   def ngramJaccard(spark: SparkSession, dir: String, minJaccard: Double = 0.18): DataFrame = {
     val ng = docNgrams(spark, dir)
-    val pruned = ng.join(
-      ng.groupBy("ngram").agg(count(lit(1)).as("df"))
-        .filter(col("df") <= MaxNgramDf).select("ngram"),
-      "ngram")
+    val pruned = memoized(spark, "d2_pruned", dir) {
+      ng.join(
+        ng.groupBy("ngram").agg(count(lit(1)).as("df"))
+          .filter(col("df") <= MaxNgramDf).select("ngram"),
+        "ngram")
+    }
     val sizes = pruned.groupBy("doc_id").agg(count(lit(1)).as("n_ng"))
     val a = pruned.select(col("doc_id").as("doc_a"), col("ngram"))
     val b = pruned.select(col("doc_id").as("doc_b"), col("ngram"))
@@ -84,17 +107,19 @@ object DedupOps {
   val P = 2147483647L // 2^31 − 1: keeps a*h + b < 2^62, inside int64
 
   /** MinHash signatures: one row per (doc_id, perm i) with the min hash
-    * over the doc's shingle set. */
-  private def minhashSig(spark: SparkSession, dir: String): DataFrame = {
-    val perms = spark.range(K.toLong).select(col("id").cast(IntegerType).as("i"))
-      .withColumn("pa", hash60(concat(lit("perm_a_"), col("i"))) % (P - 1) + 1L)
-      .withColumn("pb", hash60(concat(lit("perm_b_"), col("i"))) % P)
-    docNgrams(spark, dir)
-      .withColumn("h", hash60(col("ngram")) % P)
-      .crossJoin(broadcast(perms))
-      .groupBy("doc_id", "i")
-      .agg(min((col("pa") * col("h") + col("pb")) % P).as("mh"))
-  }
+    * over the doc's shingle set. Persisted: it feeds the band build plus
+    * both sides of the candidate verification join (3 uses). */
+  private def minhashSig(spark: SparkSession, dir: String): DataFrame =
+    memoized(spark, "minhashSig", dir) {
+      val perms = spark.range(K.toLong).select(col("id").cast(IntegerType).as("i"))
+        .withColumn("pa", hash60(concat(lit("perm_a_"), col("i"))) % (P - 1) + 1L)
+        .withColumn("pb", hash60(concat(lit("perm_b_"), col("i"))) % P)
+      docNgrams(spark, dir)
+        .withColumn("h", hash60(col("ngram")) % P)
+        .crossJoin(broadcast(perms))
+        .groupBy("doc_id", "i")
+        .agg(min((col("pa") * col("h") + col("pb")) % P).as("mh"))
+    }
 
   /** d3: MinHash + LSH banding. Band signature = md5 of the band's
     * minhashes in permutation order; candidates = pairs sharing any band;
@@ -129,28 +154,38 @@ object DedupOps {
   val ChunkBits = 15
   val MaxHamming = 3
 
-  /** Per-doc 60-bit SimHash: token-frequency-weighted bit votes. */
-  private def simhashSig(spark: SparkSession, dir: String): DataFrame = {
-    val tokCounts = Tables.documents(spark, dir)
-      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
-      .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
-      .withColumn("h", hash60(col("tok")))
-    val bits = spark.range(SimBits.toLong).select(col("id").cast(IntegerType).as("b"))
-    tokCounts.crossJoin(broadcast(bits))
-      .groupBy("doc_id", "b")
-      .agg(sum(col("c") * (expr("(shiftright(h, b) & 1)") * 2L - 1L)).as("s"))
-      .withColumn("bit", when(col("s") > 0, 1L).otherwise(0L))
-      .groupBy("doc_id")
-      .agg(sum(expr("shiftleft(bit, b)")).as("simhash"))
-  }
+  /** Per-doc 60-bit SimHash: token-frequency-weighted bit votes.
+    *
+    * ALL 60 bit votes are computed as aggregate expressions inside ONE
+    * `groupBy("doc_id")` over the (doc_id, token, count, hash) rows — no
+    * 60× bit cross-join, no second shuffle. Persisted because the chunk
+    * self-join below reads it from both sides. */
+  private def simhashSig(spark: SparkSession, dir: String): DataFrame =
+    memoized(spark, "simhashSig", dir) {
+      val tokCounts = Tables.documents(spark, dir)
+        .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+        .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+        .withColumn("h", hash60(col("tok")))
+      val votes = (0 until SimBits).map(b =>
+        sum(col("c") * (expr(s"shiftright(h, $b) & 1") * 2L - 1L)).as(s"s$b"))
+      tokCounts
+        .groupBy("doc_id")
+        .agg(votes.head, votes.tail: _*)
+        .select(col("doc_id"),
+          (0 until SimBits).map(b =>
+            when(col(s"s$b") > 0, lit(1L << b)).otherwise(lit(0L))).reduce(_ + _)
+            .as("simhash"))
+    }
 
   /** d4: SimHash near-dup pairs — chunk-equality blocking then exact
-    * hamming via bit_count(xor). */
+    * hamming via bit_count(xor). The blocking join's two sides both read
+    * the persisted signature (K rows/doc, tiny). */
   def simhashPairs(spark: SparkSession, dir: String): DataFrame = {
     val sig = simhashSig(spark, dir)
-    val chunks = sig.crossJoin(broadcast(
-        spark.range(SimBits.toLong / ChunkBits).select(col("id").cast(IntegerType).as("j"))))
-      .withColumn("chunk", expr(s"shiftright(simhash, j * $ChunkBits) & ${(1 << ChunkBits) - 1}"))
+    val chunkArr = array((0 until SimBits / ChunkBits).map(j =>
+      expr(s"shiftright(simhash, ${j * ChunkBits}) & ${(1 << ChunkBits) - 1}")): _*)
+    val chunks = sig.select(col("doc_id"), col("simhash"),
+      posexplode(chunkArr).as(Seq("j", "chunk")))
     val cand = chunks.select(col("doc_id").as("doc_a"), col("simhash").as("ha"),
         col("j"), col("chunk"))
       .join(chunks.select(col("doc_id").as("doc_b"), col("simhash").as("hb"),

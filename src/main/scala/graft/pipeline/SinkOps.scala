@@ -1,0 +1,51 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Partitioned-sink operator — the Spark counterpart of the reference's
+  * KPI writer, which lands daily KPIs under `date=YYYY-MM-DD/` JSON
+  * partitions (glue_jobs/KPI-Aggregator.py:117-125).
+  *
+  * Scale notes: `partitionBy("date")` makes every executor write only
+  * the partitions present in its shuffle split; downstream readers prune
+  * by directory (partition pruning — a `WHERE date = X` never touches
+  * other days' files). KPI rows are one-per-day so the write volume is tiny
+  * regardless of input SF; for high-cardinality partition keys you would
+  * `repartition($"date")` first to avoid small-file explosion.
+  */
+object SinkOps {
+
+  /** Write `kpi` partitioned by `date` (JSON like the reference by
+    * default; parquet also supported) and return the output path. */
+  def writeKpiPartitioned(kpi: DataFrame, path: String, format: String = "json"): String = {
+    kpi.write.mode("overwrite").format(format).partitionBy("date").save(path)
+    path
+  }
+
+  /** Explicit schema for reading the JSON partitions back — the `date`
+    * partition column comes from the directory names (partition
+    * discovery), everything else from the JSON documents. Explicit
+    * (never inferred) so a reader at any scale does zero inference scans. */
+  val kpiDataSchema: StructType = StructType(Seq(
+    StructField("total_fare", DoubleType),
+    StructField("count_trips", LongType),
+    StructField("average_fare", DoubleType),
+    StructField("max_fare", DoubleType),
+    StructField("min_fare", DoubleType)))
+
+  /** p10: daily-KPI partitioned sink round-trip — computes kpiDaily,
+    * writes it `date=.../part-*.json` like the reference, reads the
+    * partition tree back with an explicit schema, and returns the
+    * re-read result (so the oracle can verify the round-trip preserved
+    * every value bit-for-bit). */
+  def kpiSinkRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val out = "target/graft-sink/kpi_daily_" + dir.replaceAll("[^A-Za-z0-9.]", "_")
+    writeKpiPartitioned(TripPipeline.kpiDaily(spark, dir), out)
+    spark.read.schema(kpiDataSchema).json(out)
+      .select(col("date").cast(DateType).as("date"), col("total_fare"),
+        col("count_trips"), col("average_fare"), col("max_fare"), col("min_fare"))
+      .orderBy("date")
+  }
+}
