@@ -28,3 +28,7 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+
+// Suites share one SparkSession; run them sequentially so conf
+// mutations (plan-shape tests) and streaming queries don't interleave.
+Test / parallelExecution := false

@@ -18,6 +18,8 @@ object Probe {
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._
 
+    val d = "/root/testdata/sf0.001"
+
     // 1. driver smoke: entry() on sf0.001 must return rows > 0
     val entry = SparkEntry.entry(spark)
     println(s"[probe] entry rows = ${entry.count()}")
@@ -45,6 +47,26 @@ object Probe {
       coalesce(
         try_to_timestamp(col("raw_ts"), lit("dd/MM/yyyy HH:mm")),
         try_to_timestamp(col("raw_ts"), lit("yyyy-MM-dd HH:mm:ss"))).as("parsed")).show(false)
+
+    // 4. streaming drive: the p9 pipeline over a REAL file streaming
+    //    source (the events parquet), compared against the batch KPIs
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val streamDir = java.nio.file.Paths.get("target/probe-stream")
+    java.nio.file.Files.createDirectories(streamDir)
+    java.nio.file.Files.copy(java.nio.file.Paths.get(s"$d/events.parquet"),
+      streamDir.resolve("events.parquet"),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    val rawSchema = spark.read.parquet(s"$d/events.parquet").schema
+    val sdf = spark.readStream.schema(rawSchema).parquet(streamDir.toString)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val query = streaming.StreamPipeline.kpiDailyStream(spark, sdf)
+      .writeStream.format("memory").queryName("probe_kpi").outputMode("complete").start()
+    query.processAllAvailable()
+    println("[probe] streaming daily KPIs (file source):")
+    spark.table("probe_kpi").orderBy("date").show(20, false)
+    println("[probe] batch daily KPIs:")
+    pipeline.TripPipeline.kpiDaily(spark, d).show(20, false)
+    query.stop()
 
     spark.stop()
   }

@@ -160,7 +160,7 @@ object DedupOps {
     * `groupBy("doc_id")` over the (doc_id, token, count, hash) rows — no
     * 60× bit cross-join, no second shuffle. Persisted because the chunk
     * self-join below reads it from both sides. */
-  private def simhashSig(spark: SparkSession, dir: String): DataFrame =
+  private[graft] def simhashSig(spark: SparkSession, dir: String): DataFrame =
     memoized(spark, "simhashSig", dir) {
       val tokCounts = Tables.documents(spark, dir)
         .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))

@@ -1,0 +1,115 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import graft.functions.F._
+import graft.pipeline.TripPipeline
+
+/** One validated event entering the stateful trip matcher. Boxed numeric
+  * types so upstream nulls (filtered before this point, but kept
+  * encoder-safe) can never throw. */
+case class TripEvent(
+    event_id: java.lang.Long,
+    ts: Timestamp,
+    user_id: java.lang.Long,
+    event_type: String,
+    value: java.lang.Double)
+
+/** Per-user matcher state: the earliest signup seen (null until one
+  * arrives) and whether the completed trip was already emitted. Two
+  * fields per user — bounded, tiny state at any scale. */
+case class TripMatchState(startTs: Timestamp, emitted: Boolean)
+
+/** A completed trip: first signup matched with the first at-or-after
+  * purchase (the reference's trip-completion semantics,
+  * glue_jobs/KPI-Aggregator.py:98). */
+case class CompletedTrip(user_id: Long, start_ts: Timestamp, end_ts: Timestamp, fare: Double)
+
+/** Structured Streaming re-expression of the reference's real-time
+  * ingestion path (Kinesis → Lambda per-event processing,
+  * lambdas/TripStartProcessor/TripStartProcessor.py): the same
+  * validate → dedup → stateful trip match → daily KPI chain as the
+  * batch TripPipeline, expressed over an unbounded source.
+  *
+  * Mapping of reference semantics onto streaming operators:
+  *  - per-event schema validation (TripStartProcessor.py:29-45) →
+  *    the SAME TripPipeline.validCond filter, applied per micro-batch;
+  *  - idempotent ingestion / "already processed" check
+  *    (TripStartProcessor.py:60-72 `check_existing`) → watermarked
+  *    `dropDuplicates(event_id)`: at-least-once sources (Kinesis
+  *    re-delivery) collapse to exactly-once, and the watermark bounds
+  *    the dedup state instead of letting it grow forever;
+  *  - trip completion matching (KPI-Aggregator.py:98) →
+  *    `flatMapGroupsWithState` keyed by user: state is (first signup
+  *    ts, emitted?) and a completed trip is emitted on the first
+  *    purchase at-or-after it — identical to the batch `tripMatch`;
+  *  - daily KPI aggregation (KPI-Aggregator.py:104-110) → event-time
+  *    window aggregation over the matched trips.
+  *
+  * Scale notes: every stage is keyed by user_id, so dedup, the stateful
+  * matcher and the shuffle they imply share one hash partitioning;
+  * matcher state is 2 small fields per user; watermarks bound the dedup
+  * state. Exactness caveat (inherent to single-pass streaming): results
+  * equal the batch pipeline when events arrive in event-time order per
+  * user — intra-batch disorder is handled by sorting each group's batch
+  * slice, cross-batch disorder would need retraction, which the
+  * reference (DynamoDB conditional writes) doesn't do either.
+  */
+object StreamPipeline {
+
+  /** validate + watermark + exactly-once ingestion dedup on event_id. */
+  def dedupedEvents(events: DataFrame): DataFrame =
+    events.filter(TripPipeline.validCond)
+      .withWatermark("ts", "1 hour")
+      .dropDuplicates("event_id")
+
+  /** Stateful trip matcher over the deduped stream. */
+  def matchedTrips(spark: SparkSession, events: DataFrame): Dataset[CompletedTrip] = {
+    import spark.implicits._
+    dedupedEvents(events)
+      .filter(col("event_type").isin("signup", "purchase"))
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      .as[TripEvent]
+      .groupByKey(_.user_id.longValue())
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(matchOne)
+  }
+
+  /** Process one user's micro-batch slice against its running state. */
+  private[streaming] def matchOne(
+      userId: Long,
+      events: Iterator[TripEvent],
+      state: GroupState[TripMatchState]): Iterator[CompletedTrip] = {
+    var st = state.getOption.getOrElse(TripMatchState(null, emitted = false))
+    val out = scala.collection.mutable.ArrayBuffer.empty[CompletedTrip]
+    val sorted = events.toIndexedSeq.sortBy(e => (e.ts.getTime, e.ts.getNanos, e.event_id.longValue()))
+    sorted.foreach { e =>
+      if (e.event_type == "signup") {
+        if (st.startTs == null || e.ts.before(st.startTs))
+          st = st.copy(startTs = e.ts)
+      } else { // purchase
+        if (!st.emitted && st.startTs != null && !e.ts.before(st.startTs)) {
+          out += CompletedTrip(userId, st.startTs, e.ts, e.value.doubleValue())
+          st = st.copy(emitted = true)
+        }
+      }
+    }
+    state.update(st)
+    out.iterator
+  }
+
+  /** Daily KPIs over the matched-trip stream — event-time 1-day window,
+    * same decimal-exact aggregates as the batch kpiDaily. */
+  def kpiDailyStream(spark: SparkSession, events: DataFrame): DataFrame =
+    matchedTrips(spark, events).toDF()
+      .groupBy(window(col("end_ts"), "1 day").as("w"))
+      .agg(
+        decSum(col("fare")).as("total_fare"),
+        count(lit(1)).as("count_trips"),
+        decAvg(col("fare")).as("average_fare"),
+        max(col("fare")).as("max_fare"),
+        min(col("fare")).as("min_fare"))
+      .select(to_date(col("w.start")).as("date"), col("total_fare"),
+        col("count_trips"), col("average_fare"), col("max_fare"), col("min_fare"))
+}

@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.analytics.Analytics
+import graft.operators.{AnnOps, DedupOps}
+
+class OperatorSpec extends AnyFunSuite with SparkSpec {
+
+  test("q5 logical plan broadcasts only constant dims (customer/supplier shuffle)") {
+    val conf = spark.conf
+    val prev = conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    val prevAqe = conf.get("spark.sql.adaptive.autoBroadcastJoinThreshold", prev)
+    try {
+      // Disable size-based auto-broadcast so the plan shows only the
+      // broadcasts the CODE asks for — at real scale the auto threshold
+      // would not fire for customer/supplier anyway (they are SF-sized).
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      val q5 = Analytics.q5RegionRevenue(spark, Sf0001)
+      q5.collect() // finalize the adaptive plan
+      // AQE's toString appends the pre-adaptive "Initial Plan" — only the
+      // final physical plan counts.
+      val plan = q5.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+      val nBroadcast = "BroadcastHashJoin".r.findAllIn(plan).length
+      assert(nBroadcast === 2, s"expected only nation+region broadcast, plan:\n$plan")
+      assert("SortMergeJoin|ShuffledHashJoin".r.findAllIn(plan).nonEmpty,
+        s"expected shuffle joins for customer/supplier, plan:\n$plan")
+    } finally {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", prevAqe)
+    }
+  }
+
+  test("e3 embedding near-dup is non-vacuous at verification SF") {
+    val n = AnnOps.embedNearDup(spark, Sf001).count()
+    assert(n > 0L, "banded multi-probe LSH must produce a non-empty pair set")
+  }
+
+  test("d4 chunk blocking finds exactly the brute-force hamming<=3 pairs") {
+    // Pigeonhole: hamming <= 3 over 4 chunks forces >= 1 equal chunk, so
+    // blocked candidate generation must equal the all-pairs answer.
+    val sig = DedupOps.simhashSig(spark, Sf0001)
+    val a = sig.select(col("doc_id").as("doc_a"), col("simhash").as("ha"))
+    val b = sig.select(col("doc_id").as("doc_b"), col("simhash").as("hb"))
+    val brute = a.crossJoin(b)
+      .filter(col("doc_a") < col("doc_b"))
+      .withColumn("hamming", expr("bit_count(ha ^ hb)").cast("long"))
+      .filter(col("hamming") <= DedupOps.MaxHamming)
+      .select("doc_a", "doc_b", "hamming")
+    val blocked = DedupOps.simhashPairs(spark, Sf0001)
+    assert(blocked.exceptAll(brute).count() === 0L)
+    assert(brute.exceptAll(blocked).count() === 0L)
+  }
+
+  test("ANN LSH top-k scores are bounded by the brute-force exact top-k") {
+    // e2 searches only the query's bucket, so each (q_id, rnk) score can
+    // never exceed the exact brute-force score at the same rank.
+    val exact = AnnOps.annTopk(spark, Sf0001, k = 3)
+      .select(col("q_id"), col("rnk"), col("score").as("exact_score"))
+    val lsh = AnnOps.annLsh(spark, Sf0001, k = 3)
+    val joined = lsh.join(exact, Seq("q_id", "rnk"))
+    assert(joined.filter(col("score") > col("exact_score") + 1e-9).count() === 0L)
+    assert(lsh.count() > 0L)
+  }
+}

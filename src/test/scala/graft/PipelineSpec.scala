@@ -1,0 +1,99 @@
+package graft
+
+import java.sql.Timestamp
+import scala.jdk.CollectionConverters._
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.pipeline.{SinkOps, TripPipeline}
+
+class PipelineSpec extends AnyFunSuite with SparkSpec {
+
+  private val eventsSchema = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", TimestampType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  private val t0 = Timestamp.valueOf("2024-01-01 10:00:00")
+
+  test("validate/quarantine partition injected invalid rows exactly and exhaustively") {
+    val rows: Seq[Row] = Seq(
+      Row(1L, t0, 5L, "signup", 10.0, """{"k":1}"""), // valid
+      Row(2L, null, 5L, "click", 1.0, null), //          null ts
+      Row(null, t0, 5L, "view", 1.0, null), //           null event_id
+      Row(3L, t0, -1L, "view", 1.0, null), //            negative user_id
+      Row(4L, t0, 5L, "weird", 1.0, null), //            unknown event_type
+      Row(5L, t0, 5L, "purchase", -2.0, null), //        negative value
+      Row(6L, t0, null, "purchase", 2.0, null), //       null user_id
+      Row(7L, t0, 5L, null, 2.0, null), //               null event_type
+      Row(8L, t0, 5L, "error", null, null)) //           null value
+    val ev = spark.createDataFrame(rows.asJava, eventsSchema)
+
+    val valid = TripPipeline.validateDf(ev)
+    val quar = TripPipeline.quarantineDf(ev)
+    assert(valid.count() === 1L)
+    assert(quar.count() === 8L)
+    // exact + exhaustive: p1 ∪ p2 = all, p1 ∩ p2 = ∅ (compare by whole row)
+    assert(valid.unionByName(quar).count() === ev.count())
+    assert(valid.intersect(quar).count() === 0L)
+    assert(valid.select("event_id").as[Long](org.apache.spark.sql.Encoders.scalaLong)
+      .collect().toSet === Set(1L))
+  }
+
+  test("quarantine on driver testdata is the exact complement of validate") {
+    val all = Tables.events(spark, Sf0001).count()
+    val nValid = TripPipeline.validate(spark, Sf0001).count()
+    val nQuar = TripPipeline.quarantine(spark, Sf0001).count()
+    assert(nValid + nQuar === all)
+  }
+
+  test("props JSON extraction tolerates spacing, key order and garbage") {
+    val df = spark.createDataFrame(
+      Seq(
+        Row(1L, t0, 1L, "click", 1.0, """{"k":5}"""),
+        Row(2L, t0, 1L, "click", 1.0, """{ "k" : 7 }"""),
+        Row(3L, t0, 1L, "click", 1.0, """{"x":1,"k":9}"""),
+        Row(4L, t0, 1L, "click", 1.0, "not json"),
+        Row(5L, t0, 1L, "click", 1.0, """{"k":"abc"}""")).asJava,
+      eventsSchema)
+    val ks = df.select(expr("try_cast(get_json_object(props, '$.k') AS LONG)").as("k"))
+      .collect().map(r => if (r.isNullAt(0)) None else Some(r.getLong(0)))
+    assert(ks.toSeq === Seq(Some(5L), Some(7L), Some(9L), None, None))
+  }
+
+  test("partitioned KPI sink round-trips the daily KPI exactly") {
+    val direct = TripPipeline.kpiDaily(spark, Sf0001).collect()
+    val viaSink = SinkOps.kpiSinkRoundtrip(spark, Sf0001).collect()
+    assert(viaSink.length === direct.length)
+    viaSink.zip(direct).foreach { case (g, e) =>
+      assert(g.getDate(0) === e.getDate(0))
+      assert(g.getLong(2) === e.getLong(2)) // count_trips
+      Seq(1, 3, 4, 5).foreach { i => // total/avg/max/min fare round-trip bit-exactly
+        assert(g.getDouble(i) === e.getDouble(i))
+      }
+    }
+    // the sink really is partitioned by date on disk
+    val out = new java.io.File(
+      "target/graft-sink/kpi_daily_" + Sf0001.replaceAll("[^A-Za-z0-9.]", "_"))
+    val parts = out.listFiles().filter(_.getName.startsWith("date="))
+    assert(parts.length === direct.length)
+  }
+
+  test("multi-format datetime normalization parses both formats, null on garbage") {
+    val parsed = TripPipeline.tsMultiFormat(spark, Sf0001)
+    // every generated string (either format) must parse back
+    assert(parsed.filter(col("parsed_ts").isNull && col("raw_ts").isNotNull).count() === 0L)
+    // format A drops seconds: parsed == ts truncated to the minute
+    val ev = Tables.events(spark, Sf0001)
+      .select(col("event_id"), col("ts").cast("timestamp_ntz").as("ts"))
+    val joined = parsed.join(ev, "event_id")
+      .withColumn("expected",
+        when(col("event_id") % 2 === 0, date_trunc("minute", col("ts")).cast("timestamp_ntz"))
+          .otherwise(date_trunc("second", col("ts")).cast("timestamp_ntz")))
+    assert(joined.filter(col("parsed_ts") =!= col("expected")).count() === 0L)
+  }
+}

@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.{Encoders, Row}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+import graft.pipeline.TripPipeline
+import graft.streaming.StreamPipeline
+
+/** p9: the Structured Streaming pipeline must produce the same daily
+  * KPIs as the batch pipeline when fed the same events in event-time
+  * order, and must be idempotent under at-least-once re-delivery. */
+class StreamingSpec extends AnyFunSuite with SparkSpec {
+
+  private def feedAndCollect(chunks: Seq[Seq[Row]], name: String): Array[Row] = {
+    val evDf = Tables.events(spark, Sf0001)
+    implicit val enc = Encoders.row(evDf.schema)
+    val stream = MemoryStream[Row](enc, spark)
+    val query = StreamPipeline.kpiDailyStream(spark, stream.toDF())
+      .writeStream.format("memory").queryName(name).outputMode("complete").start()
+    try {
+      chunks.foreach { c => stream.addData(c); query.processAllAvailable() }
+      spark.table(name).orderBy("date").collect()
+    } finally query.stop()
+  }
+
+  private lazy val orderedEvents: Seq[Row] =
+    Tables.events(spark, Sf0001).orderBy("ts", "event_id").collect().toSeq
+
+  test("streaming validate→dedup→stateful match→windowed KPI equals batch kpiDaily") {
+    val batch = TripPipeline.kpiDaily(spark, Sf0001).collect()
+    val nChunks = 5
+    val size = orderedEvents.length / nChunks + 1
+    val got = feedAndCollect(orderedEvents.grouped(size).toSeq, "kpi_stream")
+    assert(got.length === batch.length)
+    got.zip(batch).foreach { case (g, e) =>
+      assert(g.getDate(0) === e.getDate(0))
+      assert(g.getLong(2) === e.getLong(2), s"count_trips for ${g.getDate(0)}")
+      Seq(1, 3, 4, 5).foreach { i =>
+        assert(math.abs(g.getDouble(i) - e.getDouble(i)) < 1e-9,
+          s"col $i for ${g.getDate(0)}")
+      }
+    }
+    assert(got.length > 0)
+  }
+
+  test("at-least-once re-delivery of recent events does not change the KPIs") {
+    val batch = TripPipeline.kpiDaily(spark, Sf0001).collect()
+    val half = orderedEvents.length / 2
+    val first = orderedEvents.take(half)
+    val second = orderedEvents.drop(half)
+    // re-deliver the tail chunk (inside the watermark) — the watermarked
+    // dropDuplicates(event_id) must absorb it
+    val got = feedAndCollect(Seq(first, second, second), "kpi_stream_redeliver")
+    assert(got.length === batch.length)
+    got.zip(batch).foreach { case (g, e) =>
+      assert(g.getLong(2) === e.getLong(2), s"count_trips for ${g.getDate(0)}")
+      assert(math.abs(g.getDouble(1) - e.getDouble(1)) < 1e-9)
+    }
+  }
+}
