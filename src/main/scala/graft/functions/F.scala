@@ -57,13 +57,27 @@ object F {
   def quantize(arr: Column): Column =
     transform(arr, x => floor(x.cast(DoubleType) * lit(1000.0) + lit(0.5)).cast(LongType))
 
-  /** Exact integer dot product of two quantized embeddings. */
+  /** Exact integer dot product of two quantized embeddings (built-in
+    * formulation — portable to any session; see dotBest for the
+    * codegen'd native expression). */
   def dotQ(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
 
+  /** Best available integer dot product for this session: the native
+    * codegen'd LongDotProduct when GraftExtensions is registered
+    * (a tight primitive loop in the generated stage), the higher-order
+    * built-ins otherwise. Identical results either way. */
+  def dotBest(spark: org.apache.spark.sql.SparkSession): (Column, Column) => Column =
+    if (spark.catalog.functionExists("graft_dot_long"))
+      (a, b) => call_function("graft_dot_long", a, b)
+    else dotQ
+
   /** Cosine similarity from quantized vectors: double division of exact
     * integers — identical across engines. */
-  def cosineQ(a: Column, b: Column): Column =
-    dotQ(a, b).cast(DoubleType) /
-      sqrt(dotQ(a, a).cast(DoubleType) * dotQ(b, b).cast(DoubleType))
+  def cosineQ(a: Column, b: Column): Column = cosineWith(dotQ)(a, b)
+
+  /** Cosine built over a supplied dot-product implementation. */
+  def cosineWith(dot: (Column, Column) => Column)(a: Column, b: Column): Column =
+    dot(a, b).cast(DoubleType) /
+      sqrt(dot(a, a).cast(DoubleType) * dot(b, b).cast(DoubleType))
 }

@@ -1,0 +1,82 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+
+/** Exact int64 dot product of two array<bigint> columns as a native
+  * Catalyst expression with whole-stage codegen.
+  *
+  * This is the hot inner loop of every embedding operator (cosine
+  * scoring in e1/e2/e3 and the hyperplane sign codes): the built-in
+  * formulation `aggregate(zip_with(a, b, _*_), 0, _+_)` allocates an
+  * intermediate array and interprets two lambdas per element, while this
+  * compiles to a tight primitive `long` loop inside the generated stage
+  * — no allocation, no virtual calls. Semantics are identical (exact
+  * integer arithmetic), so the DuckDB oracle is unaffected.
+  *
+  * Null behavior mirrors the built-ins: null if either array is null;
+  * null elements are treated as 0 (embeddings never contain them).
+  */
+case class LongDotProduct(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"graft_dot_long requires (array<bigint>, array<bigint>), got ($l, $r)")
+    }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_dot_long"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      if (!x.isNullAt(i) && !y.isNullAt(i)) acc += x.getLong(i) * y.getLong(i)
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y) => {
+      s"""
+         |int n = java.lang.Math.min($x.numElements(), $y.numElements());
+         |long acc = 0L;
+         |for (int i = 0; i < n; i++) {
+         |  if (!$x.isNullAt(i) && !$y.isNullAt(i)) {
+         |    acc += $x.getLong(i) * $y.getLong(i);
+         |  }
+         |}
+         |${ev.value} = acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): LongDotProduct =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Session extension registering graft's native functions — wire with
+  * `.config("spark.sql.extensions", "graft.functions.GraftExtensions")`.
+  * Operators probe `spark.catalog.functionExists` and fall back to the
+  * built-in (slower, semantically identical) formulation when a session
+  * was built without the extension, so nothing hard-depends on it. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      new FunctionIdentifier("graft_dot_long"),
+      new ExpressionInfo(classOf[LongDotProduct].getName, "graft_dot_long"),
+      (children: Seq[Expression]) => LongDotProduct(children.head, children(1))))
+  }
+}

@@ -62,12 +62,12 @@ object AnnOps {
 
   /** Sign bit of q·w(p) — an exact integer dot against a literal
     * coefficient array, evaluated map-side. */
-  private def planeBit(q: Column, p: Int): Column =
-    when(dotQ(q, typedlit(planeW(p))) > 0, lit(1L)).otherwise(lit(0L))
+  private def planeBit(dot: (Column, Column) => Column, q: Column, p: Int): Column =
+    when(dot(q, typedlit(planeW(p))) > 0, lit(1L)).otherwise(lit(0L))
 
   /** Packed LSH code over planes [p0, p0+n): bit i = sign of plane p0+i. */
-  private def packedCode(q: Column, p0: Int, n: Int): Column =
-    (0 until n).map(i => planeBit(q, p0 + i) * lit(1L << i)).reduce(_ + _)
+  private def packedCode(dot: (Column, Column) => Column, q: Column, p0: Int, n: Int): Column =
+    (0 until n).map(i => planeBit(dot, q, p0 + i) * lit(1L << i)).reduce(_ + _)
 
   /** Quantized corpus, persisted once per session+dir: e1's two sides,
     * e2/e3's bucket builds and candidate recheck all read it. */
@@ -82,6 +82,7 @@ object AnnOps {
     * this stays a broadcast of the small query side against a single
     * corpus scan; the unbounded scale path is e2. */
   def annTopk(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val cos = cosineWith(dotBest(spark)) _
     val corpus = quantized(spark, dir)
     val queries = corpus.filter(col("vec_id") % QueryStride === 0)
       .select(col("vec_id").as("q_id"), col("q").as("qq"))
@@ -89,7 +90,7 @@ object AnnOps {
       .partitionBy("q_id").orderBy(col("score").desc, col("c_id"))
     corpus.select(col("vec_id").as("c_id"), col("q").as("cq"))
       .join(broadcast(queries), col("q_id") =!= col("c_id"))
-      .withColumn("score", cosineQ(col("qq"), col("cq")))
+      .withColumn("score", cos(col("qq"), col("cq")))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
       .select(col("q_id"), col("rnk"), col("c_id"), round(col("score"), 6).as("score"))
@@ -102,13 +103,15 @@ object AnnOps {
   private def withBucket(spark: SparkSession, dir: String): DataFrame =
     DedupOps.memoized(spark, "ann_withBucket", dir) {
       quantized(spark, dir)
-        .select(col("vec_id"), col("q"), packedCode(col("q"), 0, Planes).as("bucket"))
+        .select(col("vec_id"), col("q"),
+          packedCode(dotBest(spark), col("q"), 0, Planes).as("bucket"))
     }
 
   /** e2: LSH-bucketed ANN — query joins only its own bucket; exact cosine
     * rerank inside the bucket, top-3. This is the 100 TB path: the join
     * is an equality join on (bucket), never a cross join. */
   def annLsh(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    val cos = cosineWith(dotBest(spark)) _
     val withB = withBucket(spark, dir)
     val queries = withB.filter(col("vec_id") % QueryStride === 0)
       .select(col("vec_id").as("q_id"), col("q").as("qq"), col("bucket"))
@@ -117,7 +120,7 @@ object AnnOps {
       .partitionBy("q_id").orderBy(col("score").desc, col("c_id"))
     queries.join(corpus, "bucket")
       .filter(col("q_id") =!= col("c_id"))
-      .withColumn("score", cosineQ(col("qq"), col("cq")))
+      .withColumn("score", cos(col("qq"), col("cq")))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
       .select(col("q_id"), col("rnk"), col("c_id"), round(col("score"), 6).as("score"))
@@ -130,7 +133,7 @@ object AnnOps {
   private def bandCodes(spark: SparkSession, dir: String): DataFrame =
     DedupOps.memoized(spark, "ann_bandCodes", dir) {
       val codes = array((0 until Bands).map(j =>
-        packedCode(col("q"), j * PlanesPerBand, PlanesPerBand)): _*)
+        packedCode(dotBest(spark), col("q"), j * PlanesPerBand, PlanesPerBand)): _*)
       quantized(spark, dir)
         .select(col("vec_id"), posexplode(codes).as(Seq("band", "code")))
     }
@@ -139,6 +142,7 @@ object AnnOps {
     * candidate generation (a<b sharing ANY band code), then exact cosine
     * threshold on the persisted quantized vectors. */
   def embedNearDup(spark: SparkSession, dir: String, minCosine: Double = 0.3): DataFrame = {
+    val cos = cosineWith(dotBest(spark)) _
     val bands = bandCodes(spark, dir)
     val qv = quantized(spark, dir)
     val cand = bands.select(col("vec_id").as("id_a"), col("band"), col("code"))
@@ -149,7 +153,7 @@ object AnnOps {
     cand
       .join(qv.select(col("vec_id").as("id_a"), col("q").as("qa")), "id_a")
       .join(qv.select(col("vec_id").as("id_b"), col("q").as("qb")), "id_b")
-      .withColumn("cosine", cosineQ(col("qa"), col("qb")))
+      .withColumn("cosine", cos(col("qa"), col("qb")))
       .filter(col("cosine") >= minCosine)
       .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
       .orderBy("id_a", "id_b")

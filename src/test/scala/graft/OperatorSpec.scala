@@ -53,6 +53,21 @@ class OperatorSpec extends AnyFunSuite with SparkSpec {
     assert(brute.exceptAll(blocked).count() === 0L)
   }
 
+  test("native graft_dot_long equals the built-in higher-order dot product") {
+    assert(spark.catalog.functionExists("graft_dot_long"),
+      "GraftExtensions must be registered in the test session")
+    val q = Tables.embeddings(spark, Sf0001)
+      .select(col("vec_id"), graft.functions.F.quantize(col("embedding")).as("q"))
+    val both = q.select(
+      graft.functions.F.dotQ(col("q"), col("q")).as("builtin"),
+      call_function("graft_dot_long", col("q"), col("q")).as("native"))
+    assert(both.filter(col("builtin") =!= col("native")).count() === 0L)
+    // null array → null result, like the built-in
+    val nulls = q.limit(1).select(
+      call_function("graft_dot_long", lit(null).cast("array<long>"), col("q")).as("d"))
+    assert(nulls.collect().head.isNullAt(0))
+  }
+
   test("ANN LSH top-k scores are bounded by the brute-force exact top-k") {
     // e2 searches only the query's bucket, so each (q_id, rnk) score can
     // never exceed the exact brute-force score at the same rank.
