@@ -237,6 +237,78 @@ object Oracles {
       """SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate
         |FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 25""".stripMargin,
 
+    "q4_priority_exists" ->
+      """SELECT o_orderpriority, COUNT(*) AS order_count
+        |FROM orders o
+        |WHERE o_orderdate >= TIMESTAMP '1996-07-01' AND o_orderdate < TIMESTAMP '1996-10-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem l
+        |              WHERE l.l_orderkey = o.o_orderkey AND l.l_discount >= 0.08)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q6_revenue" ->
+      s"""SELECT ${dsum("l_extendedprice * l_discount")} AS revenue, COUNT(*) AS n_items
+         |FROM lineitem
+         |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+         |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin,
+
+    "q14_promo" ->
+      """WITH j AS (
+        |  SELECT CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6)) AS rev, p_type
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE l_shipdate >= TIMESTAMP '1996-03-01' AND l_shipdate < TIMESTAMP '1996-04-01')
+        |SELECT
+        |  CAST(SUM(CASE WHEN p_type = 'PROMO' THEN rev ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE) AS promo_revenue,
+        |  CAST(SUM(rev) AS DOUBLE) AS total_revenue,
+        |  round(CAST(SUM(CASE WHEN p_type = 'PROMO' THEN rev ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE)
+        |    / CAST(SUM(rev) AS DOUBLE) * 100.0, 6) AS promo_pct
+        |FROM j""".stripMargin,
+
+    "q18_large_volume" ->
+      s"""WITH big AS (
+         |  SELECT l_orderkey, ${dsum("l_quantity")} AS sum_qty
+         |  FROM lineitem GROUP BY l_orderkey
+         |  HAVING ${dsum("l_quantity")} > 200.0)
+         |SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice, sum_qty
+         |FROM orders
+         |JOIN big ON o_orderkey = l_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |ORDER BY o_totalprice DESC, o_orderkey LIMIT 25""".stripMargin,
+
+    "q19_disjunctive" ->
+      s"""SELECT ${dsum("l_extendedprice * (1.0 - l_discount)")} AS revenue, COUNT(*) AS n_items
+         |FROM lineitem JOIN part ON l_partkey = p_partkey
+         |WHERE (p_brand = 'Brand#12' AND l_quantity BETWEEN 1 AND 11 AND p_size BETWEEN 1 AND 5)
+         |   OR (p_brand = 'Brand#23' AND l_quantity BETWEEN 10 AND 20 AND p_size BETWEEN 1 AND 10)
+         |   OR (p_brand = 'Brand#34' AND l_quantity BETWEEN 20 AND 30 AND p_size BETWEEN 1 AND 15)""".stripMargin,
+
+    // a1: the literal as-of semantics via a running IGNORE NULLS window —
+    // identical formulation in both engines.
+    "a1_asof_join" ->
+      """SELECT event_id, user_id, ts AS purchase_ts, asof_signup_ts,
+        |  value AS fare, epoch_us(ts) - epoch_us(asof_signup_ts) AS lag_us
+        |FROM (
+        |  SELECT event_id, user_id, ts, value, event_type,
+        |    last_value(CASE WHEN event_type = 'signup' THEN ts END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS asof_signup_ts
+        |  FROM events) t
+        |WHERE event_type = 'purchase' AND asof_signup_ts IS NOT NULL
+        |ORDER BY event_id""".stripMargin,
+
+    // a2: the oracle runs the LITERAL range join the Spark side rewrote
+    // into an equality join — equality of results proves the rewrite.
+    "a2_band_join" ->
+      s"""WITH bands AS (
+         |  SELECT CAST(i AS INTEGER) AS band, i * 25.0 AS lo, (i + 1) * 25.0 AS hi
+         |  FROM range(20) t(i))
+         |SELECT band,
+         |  '[' || CAST(band * 25 AS INTEGER) || ',' || CAST(band * 25 + 25 AS INTEGER) || ')' AS band_label,
+         |  COUNT(*) AS n_events,
+         |  ${dsum("value")} AS total_value
+         |FROM events e JOIN bands b ON e.value >= b.lo AND e.value < b.hi
+         |WHERE e.value IS NOT NULL AND e.value >= 0.0 AND e.value < 500.0
+         |GROUP BY 1, 2 ORDER BY band""".stripMargin,
+
     // ---------- C. text / dedup / ANN / multimodal ----------
     "t1_token_count" ->
       s"""SELECT doc_id,

@@ -35,6 +35,13 @@ object SparkEntry {
     "q9_semi_anti" -> Analytics.q9SemiAnti _,
     "q10_rollup" -> Analytics.q10Rollup _,
     "q11_topk_orders" -> Analytics.q11TopkOrders _,
+    "q4_priority_exists" -> Analytics.q4PriorityExists _,
+    "q6_revenue" -> Analytics.q6Revenue _,
+    "q14_promo" -> Analytics.q14Promo _,
+    "q18_large_volume" -> Analytics.q18LargeVolume _,
+    "q19_disjunctive" -> Analytics.q19Disjunctive _,
+    "a1_asof_join" -> operators.JoinOps.asofJoin _,
+    "a2_band_join" -> operators.JoinOps.bandJoin _,
     // C. text / dedup / ANN / multimodal
     "t1_token_count" -> TextOps.tokenCount _,
     "t2_quality" -> TextOps.quality _,

@@ -152,4 +152,84 @@ object Analytics {
       .orderBy(col("o_totalprice").desc, col("o_orderkey"))
       .limit(25)
       .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"), col("o_orderdate"))
+
+  /** q4 (TPC-H Q4 shape, adapted to the columns present): orders in a
+    * quarter having at least one deeply-discounted line — EXISTS as a
+    * left-semi join (no row multiplication, no distinct). */
+  def q4PriorityExists(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit("1996-07-01") && col("o_orderdate") < lit("1996-10-01"))
+    val disc = Tables.lineitem(spark, dir)
+      .filter(col("l_discount") >= 0.08).select("l_orderkey")
+    ord.join(disc, col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** q6 (TPC-H Q6): pure scan-side filter + global aggregate — every
+    * predicate pushes to the parquet scan, partial agg leaves one row
+    * per partition. The canonical "is pushdown working" query. */
+  def q6Revenue(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1996-01-01") && col("l_shipdate") < lit("1997-01-01") &&
+        col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+      .agg(
+        decSum(col("l_extendedprice") * col("l_discount")).as("revenue"),
+        count(lit(1)).as("n_items"))
+
+  /** q14 (TPC-H Q14 shape): promo revenue share — lineitem⋈part on
+    * partkey (shuffle join: part is SF-proportional, same lesson as
+    * q5's customer), conditional decimal sums, one output row. */
+  def q14Promo(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1996-03-01") && col("l_shipdate") < lit("1996-04-01"))
+    val rev = (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).cast(DecimalType(18, 6))
+    li.join(Tables.part(spark, dir), col("l_partkey") === col("p_partkey"))
+      .agg(
+        sum(when(col("p_type") === "PROMO", rev).otherwise(lit(0).cast(DecimalType(18, 6))))
+          .cast(DoubleType).as("promo_revenue"),
+        sum(rev).cast(DoubleType).as("total_revenue"))
+      .select(col("promo_revenue"), col("total_revenue"),
+        round(col("promo_revenue") / col("total_revenue") * 100.0, 6).as("promo_pct"))
+  }
+
+  /** q18 (TPC-H Q18): large-volume orders — pre-aggregate lineitem to
+    * per-order quantity (map-side partial agg does most of the work),
+    * filter to the heavy tail BEFORE joining orders/customer, so the
+    * joins see only qualifying orders. */
+  def q18LargeVolume(spark: SparkSession, dir: String): DataFrame = {
+    val big = Tables.lineitem(spark, dir)
+      .groupBy("l_orderkey")
+      .agg(decSum(col("l_quantity")).as("sum_qty"))
+      .filter(col("sum_qty") > 200.0)
+    Tables.orders(spark, dir)
+      .join(big, col("o_orderkey") === col("l_orderkey"))
+      .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
+      .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+        col("o_orderdate"), col("o_totalprice"), col("sum_qty"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(25)
+  }
+
+  /** q19 (TPC-H Q19 shape): disjunctive brand/size/quantity predicate —
+    * Catalyst extracts the common `l_partkey = p_partkey` equality so
+    * this stays a hash join with the OR-of-ANDs applied post-join, and
+    * pushes the per-side conjuncts (quantity ranges to lineitem, size
+    * ranges to part) down to the scans. */
+  def q19Disjunctive(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val pt = Tables.part(spark, dir)
+    li.join(pt, col("l_partkey") === col("p_partkey"))
+      .filter(
+        (col("p_brand") === "Brand#12" && col("l_quantity").between(1, 11) &&
+          col("p_size").between(1, 5)) ||
+        (col("p_brand") === "Brand#23" && col("l_quantity").between(10, 20) &&
+          col("p_size").between(1, 10)) ||
+        (col("p_brand") === "Brand#34" && col("l_quantity").between(20, 30) &&
+          col("p_size").between(1, 15)))
+      .agg(
+        decSum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"),
+        count(lit(1)).as("n_items"))
+  }
 }

@@ -78,5 +78,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_dot_long"),
       new ExpressionInfo(classOf[LongDotProduct].getName, "graft_dot_long"),
       (children: Seq[Expression]) => LongDotProduct(children.head, children(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_simhash_agg"),
+      new ExpressionInfo(classOf[SimHashAgg].getName, "graft_simhash_agg"),
+      (children: Seq[Expression]) => SimHashAgg(children.head, children(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_minhash_agg"),
+      new ExpressionInfo(classOf[MinHashAgg].getName, "graft_minhash_agg"),
+      (children: Seq[Expression]) => MinHashAgg(children.head)))
   }
 }

@@ -1,0 +1,182 @@
+package graft.functions
+
+import java.nio.ByteBuffer
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+
+/** Single-pass sketch aggregates for the dedup family.
+  *
+  * Both replace wide declarative formulations whose *plan* cost dwarfed
+  * the data cost at bench scale:
+  *  - SimHash needed 60 `sum(...)` aggregate expressions in one groupBy
+  *    (a huge generated method to JIT) or a 60× row explosion;
+  *  - MinHash needed a 16× crossJoin against the permutation table and
+  *    an extra shuffle tier.
+  * Each is now one imperative aggregation buffer updated in a tight JVM
+  * loop — one shuffle, map-side partial aggregation for free (Spark
+  * plans ObjectHashAggregate with partial merge), and constant plan
+  * size. Both remain bit-identical to the declarative/oracle definition.
+  */
+
+/** graft_simhash_agg(c, h): 60-bit SimHash of token-frequency-weighted
+  * bit votes — buffer slot b accumulates c * ((h>>b & 1) * 2 − 1); eval
+  * packs sign bits. */
+case class SimHashAgg(
+    cExpr: Expression,
+    hExpr: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[Long]] {
+
+  val Bits = 60
+
+  override def children: Seq[Expression] = Seq(cExpr, hExpr)
+  override def nullable: Boolean = false
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_simhash_agg"
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (children.forall(_.dataType == LongType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure("graft_simhash_agg requires (bigint, bigint)")
+
+  override def createAggregationBuffer(): Array[Long] = new Array[Long](Bits)
+
+  override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
+    val cv = cExpr.eval(input)
+    val hv = hExpr.eval(input)
+    if (cv != null && hv != null) {
+      val c = cv.asInstanceOf[Long]
+      val h = hv.asInstanceOf[Long]
+      var b = 0
+      while (b < Bits) {
+        buf(b) += (if (((h >> b) & 1L) == 1L) c else -c)
+        b += 1
+      }
+    }
+    buf
+  }
+
+  override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+    var i = 0
+    while (i < Bits) { a(i) += b(i); i += 1 }
+    a
+  }
+
+  override def eval(buf: Array[Long]): Any = {
+    var sig = 0L
+    var b = 0
+    while (b < Bits) {
+      if (buf(b) > 0) sig |= (1L << b)
+      b += 1
+    }
+    sig
+  }
+
+  override def serialize(buf: Array[Long]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(Bits * 8)
+    var i = 0
+    while (i < Bits) { bb.putLong(buf(i)); i += 1 }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Long] = {
+    val bb = ByteBuffer.wrap(bytes)
+    val buf = new Array[Long](Bits)
+    var i = 0
+    while (i < Bits) { buf(i) = bb.getLong(); i += 1 }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): SimHashAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): SimHashAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): SimHashAgg =
+    copy(cExpr = newChildren(0), hExpr = newChildren(1))
+}
+
+/** graft_minhash_agg(h): length-K MinHash signature — buffer slot i
+  * holds min((pa_i * h + pb_i) mod P) over the group's (already
+  * P-reduced) hashes. Coefficients are the same md5-derived values the
+  * oracle regenerates (hash60("perm_a_i") etc.), precomputed once on the
+  * driver and closed over — constants, not children. */
+case class MinHashAgg(
+    hExpr: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[Long]] {
+
+  import MinHashAgg._
+
+  override def children: Seq[Expression] = Seq(hExpr)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_minhash_agg"
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (hExpr.dataType == LongType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure("graft_minhash_agg requires bigint")
+
+  override def createAggregationBuffer(): Array[Long] = Array.fill(K)(Long.MaxValue)
+
+  override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
+    val hv = hExpr.eval(input)
+    if (hv != null) {
+      val h = hv.asInstanceOf[Long]
+      var i = 0
+      while (i < K) {
+        val v = (Pa(i) * h + Pb(i)) % P
+        if (v < buf(i)) buf(i) = v
+        i += 1
+      }
+    }
+    buf
+  }
+
+  override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+    var i = 0
+    while (i < K) { if (b(i) < a(i)) a(i) = b(i); i += 1 }
+    a
+  }
+
+  override def eval(buf: Array[Long]): Any = new GenericArrayData(buf.clone())
+
+  override def serialize(buf: Array[Long]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(K * 8)
+    var i = 0
+    while (i < K) { bb.putLong(buf(i)); i += 1 }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Long] = {
+    val bb = ByteBuffer.wrap(bytes)
+    val buf = new Array[Long](K)
+    var i = 0
+    while (i < K) { buf(i) = bb.getLong(); i += 1 }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): MinHashAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): MinHashAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): MinHashAgg =
+    copy(hExpr = newChildren(0))
+}
+
+object MinHashAgg {
+  /** Mirrors DedupOps (K perms, Mersenne prime) and the oracle's
+    * md5-derived permutation coefficients. */
+  val K = 16
+  val P = 2147483647L
+
+  private def h60(s: String): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(hex.substring(0, 15), 16)
+  }
+  val Pa: Array[Long] = Array.tabulate(K)(i => h60(s"perm_a_$i") % (P - 1) + 1L)
+  val Pb: Array[Long] = Array.tabulate(K)(i => h60(s"perm_b_$i") % P)
+}

@@ -108,18 +108,36 @@ object DedupOps {
 
   /** MinHash signatures: one row per (doc_id, perm i) with the min hash
     * over the doc's shingle set. Persisted: it feeds the band build plus
-    * both sides of the candidate verification join (3 uses). */
-  private def minhashSig(spark: SparkSession, dir: String): DataFrame =
+    * both sides of the candidate verification join (3 uses).
+    *
+    * Preferred path: the graft_minhash_agg imperative aggregate — ONE
+    * pass over the (doc_id, h) rows with a K-slot buffer, no 16×
+    * permutation crossJoin, no extra shuffle tier. Falls back to the
+    * declarative formulation in sessions without GraftExtensions;
+    * results are bit-identical (same md5-derived coefficients). */
+  private[graft] def minhashSig(spark: SparkSession, dir: String): DataFrame =
     memoized(spark, "minhashSig", dir) {
-      val perms = spark.range(K.toLong).select(col("id").cast(IntegerType).as("i"))
-        .withColumn("pa", hash60(concat(lit("perm_a_"), col("i"))) % (P - 1) + 1L)
-        .withColumn("pb", hash60(concat(lit("perm_b_"), col("i"))) % P)
-      docNgrams(spark, dir)
-        .withColumn("h", hash60(col("ngram")) % P)
-        .crossJoin(broadcast(perms))
-        .groupBy("doc_id", "i")
-        .agg(min((col("pa") * col("h") + col("pb")) % P).as("mh"))
+      if (spark.catalog.functionExists("graft_minhash_agg"))
+        docNgrams(spark, dir)
+          .withColumn("h", hash60(col("ngram")) % P)
+          .groupBy("doc_id")
+          .agg(call_function("graft_minhash_agg", col("h")).as("mhs"))
+          .select(col("doc_id"), posexplode(col("mhs")).as(Seq("i", "mh")))
+      else minhashSigDeclarative(spark, dir)
     }
+
+  /** Built-ins-only MinHash (the oracle-mirroring reference formulation
+    * and the no-extension fallback). */
+  private[graft] def minhashSigDeclarative(spark: SparkSession, dir: String): DataFrame = {
+    val perms = spark.range(K.toLong).select(col("id").cast(IntegerType).as("i"))
+      .withColumn("pa", hash60(concat(lit("perm_a_"), col("i"))) % (P - 1) + 1L)
+      .withColumn("pb", hash60(concat(lit("perm_b_"), col("i"))) % P)
+    docNgrams(spark, dir)
+      .withColumn("h", hash60(col("ngram")) % P)
+      .crossJoin(broadcast(perms))
+      .groupBy("doc_id", "i")
+      .agg(min((col("pa") * col("h") + col("pb")) % P).as("mh"))
+  }
 
   /** d3: MinHash + LSH banding. Band signature = md5 of the band's
     * minhashes in permutation order; candidates = pairs sharing any band;
@@ -154,28 +172,42 @@ object DedupOps {
   val ChunkBits = 15
   val MaxHamming = 3
 
+  /** (doc_id, token, count, hash60) — the SimHash vote substrate. */
+  private def tokCounts(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+      .withColumn("h", hash60(col("tok")))
+
   /** Per-doc 60-bit SimHash: token-frequency-weighted bit votes.
     *
-    * ALL 60 bit votes are computed as aggregate expressions inside ONE
-    * `groupBy("doc_id")` over the (doc_id, token, count, hash) rows — no
-    * 60× bit cross-join, no second shuffle. Persisted because the chunk
+    * Preferred path: the graft_simhash_agg imperative aggregate — one
+    * 60-slot buffer updated in a tight loop, ONE shuffle with map-side
+    * partial aggregation and a constant-size plan. Fallback: the same
+    * votes as 60 declarative sum expressions in one groupBy (identical
+    * result, much larger generated code). Persisted because the chunk
     * self-join below reads it from both sides. */
   private[graft] def simhashSig(spark: SparkSession, dir: String): DataFrame =
     memoized(spark, "simhashSig", dir) {
-      val tokCounts = Tables.documents(spark, dir)
-        .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
-        .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
-        .withColumn("h", hash60(col("tok")))
-      val votes = (0 until SimBits).map(b =>
-        sum(col("c") * (expr(s"shiftright(h, $b) & 1") * 2L - 1L)).as(s"s$b"))
-      tokCounts
-        .groupBy("doc_id")
-        .agg(votes.head, votes.tail: _*)
-        .select(col("doc_id"),
-          (0 until SimBits).map(b =>
-            when(col(s"s$b") > 0, lit(1L << b)).otherwise(lit(0L))).reduce(_ + _)
-            .as("simhash"))
+      if (spark.catalog.functionExists("graft_simhash_agg"))
+        tokCounts(spark, dir)
+          .groupBy("doc_id")
+          .agg(call_function("graft_simhash_agg", col("c"), col("h")).as("simhash"))
+      else simhashSigDeclarative(spark, dir)
     }
+
+  /** Built-ins-only SimHash (oracle-mirroring fallback). */
+  private[graft] def simhashSigDeclarative(spark: SparkSession, dir: String): DataFrame = {
+    val votes = (0 until SimBits).map(b =>
+      sum(col("c") * (expr(s"shiftright(h, $b) & 1") * 2L - 1L)).as(s"s$b"))
+    tokCounts(spark, dir)
+      .groupBy("doc_id")
+      .agg(votes.head, votes.tail: _*)
+      .select(col("doc_id"),
+        (0 until SimBits).map(b =>
+          when(col(s"s$b") > 0, lit(1L << b)).otherwise(lit(0L))).reduce(_ + _)
+          .as("simhash"))
+  }
 
   /** d4: SimHash near-dup pairs — chunk-equality blocking then exact
     * hamming via bit_count(xor). The blocking join's two sides both read

@@ -1,0 +1,78 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.Tables
+import graft.functions.F._
+
+/** Join-shaped operators Spark has no single built-in for — each
+  * re-expressed as an equality-join/window plan so it scales instead of
+  * degenerating into a nested-loop join.
+  */
+object JoinOps {
+
+  /** a1: AS-OF join — each `purchase` event matched with the most recent
+    * `signup` at-or-before it for the same user.
+    *
+    * Spark realization: instead of a range/inequality join (which
+    * Catalyst would plan as a nested loop), both event kinds flow
+    * through ONE window over (user_id, ts): `last(signup_ts ignoring
+    * nulls)` carries the as-of match to every later row. One shuffle on
+    * user_id — the same partitioning the dedup/sessionize stages use —
+    * and no join at all. The general two-table form is the same plan
+    * over a union of the two sources, tagged by side.
+    */
+  def asofJoin(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    Tables.events(spark, dir)
+      .withColumn("asof_signup_ts",
+        last(when(col("event_type") === "signup", col("ts")), ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase" && col("asof_signup_ts").isNotNull)
+      .select(
+        col("event_id"),
+        col("user_id"),
+        col("ts").cast("timestamp_ntz").as("purchase_ts"),
+        col("asof_signup_ts").cast("timestamp_ntz").as("asof_signup_ts"),
+        col("value").as("fare"),
+        (unix_micros(col("ts")) - unix_micros(col("asof_signup_ts"))).as("lag_us"))
+      .orderBy("event_id")
+  }
+
+  /** Number and width of the value bands for a2. */
+  val NumBands = 20
+  val BandWidth = 25.0
+
+  /** a2: range join rewritten as an equality join — events matched to
+    * the value band [lo, hi) containing them.
+    *
+    * A literal `e.value >= b.lo AND e.value < b.hi` join is a
+    * BroadcastNestedLoopJoin: every row tests every band, and at 100 TB
+    * the nested loop dominates. Because the bands are uniform, the
+    * containing band is computable row-side (`floor(value / width)`),
+    * turning the range predicate into a derived-key EQUALITY join that
+    * hash-joins/broadcasts like any other. The same trick handles
+    * non-uniform bands by joining on a coarse uniform "chunk" first and
+    * re-checking the exact bounds after. The oracle runs the literal
+    * range join, proving the rewrite equivalent. */
+  def bandJoin(spark: SparkSession, dir: String): DataFrame = {
+    val bands = spark.range(NumBands.toLong).select(col("id").cast(IntegerType).as("band"))
+      .withColumn("lo", col("band") * BandWidth)
+      .withColumn("hi", (col("band") + 1) * BandWidth)
+      .withColumn("band_label",
+        concat(lit("["), col("lo").cast(IntegerType), lit(","),
+          col("hi").cast(IntegerType), lit(")")))
+    Tables.events(spark, dir)
+      .filter(col("value").isNotNull && col("value") >= 0.0 &&
+        col("value") < NumBands * BandWidth)
+      .withColumn("band", floor(col("value") / BandWidth).cast(IntegerType))
+      .join(broadcast(bands), "band")
+      .groupBy("band", "band_label")
+      .agg(
+        count(lit(1)).as("n_events"),
+        decSum(col("value")).as("total_value"))
+      .orderBy("band")
+  }
+}

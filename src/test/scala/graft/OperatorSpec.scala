@@ -68,6 +68,21 @@ class OperatorSpec extends AnyFunSuite with SparkSpec {
     assert(nulls.collect().head.isNullAt(0))
   }
 
+  test("native sketch aggregates equal their declarative formulations") {
+    assert(spark.catalog.functionExists("graft_simhash_agg"))
+    assert(spark.catalog.functionExists("graft_minhash_agg"))
+    // simhash: imperative 60-slot buffer vs 60 declarative sum expressions
+    val nativeSim = DedupOps.simhashSig(spark, Sf0001)
+    val declSim = DedupOps.simhashSigDeclarative(spark, Sf0001)
+    assert(nativeSim.exceptAll(declSim).count() === 0L)
+    assert(declSim.exceptAll(nativeSim).count() === 0L)
+    // minhash: imperative K-slot buffer vs 16× permutation crossJoin
+    val nativeMin = DedupOps.minhashSig(spark, Sf0001)
+    val declMin = DedupOps.minhashSigDeclarative(spark, Sf0001)
+    assert(nativeMin.exceptAll(declMin).count() === 0L)
+    assert(declMin.exceptAll(nativeMin).count() === 0L)
+  }
+
   test("ANN LSH top-k scores are bounded by the brute-force exact top-k") {
     // e2 searches only the query's bucket, so each (q_id, rnk) score can
     // never exceed the exact brute-force score at the same rank.
