@@ -482,6 +482,15 @@ object Oracles {
         |  md5(text) AS sha,
         |  lower(hex(encode(substring(text, 1, 4)))) AS magic,
         |  octet_length(encode(text)) % 30 + 1 AS n_frames
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // m2 mirrors the mapPartitions stub decoder: frame count from the
+    // payload byte length, signature = hash60(text || '_frame_' || i).
+    "m2_frame_sample" ->
+      s"""SELECT doc_id, CAST(i AS INTEGER) AS frame_idx,
+         |  ${h60("text || '_frame_' || i")} AS frame_sig
+         |FROM documents CROSS JOIN range(30) t(i)
+         |WHERE i < octet_length(encode(text)) % 30 + 1 AND i % 5 = 0
+         |ORDER BY doc_id, frame_idx""".stripMargin
   )
 }

@@ -33,4 +33,42 @@ object MultimodalOps {
         // --- stubbed decode: deterministic fake frame count ---
         (octet_length(col("blob")) % 30 + 1).as("n_frames"))
       .orderBy("doc_id")
+
+  /** One sampled "frame" of a media blob (see frameSample). */
+  case class FrameRow(doc_id: Long, frame_idx: Int, frame_sig: Long)
+
+  /** Every `FrameStride`-th frame is sampled. */
+  val FrameStride = 5
+
+  /** m2: frame sampling through the imperative escape hatch — a typed
+    * `Dataset.mapPartitions` over the blob column, the Scala analog of a
+    * batched decode UDF: per-partition setup (here the MD5 instance;
+    * in production the codec context) is amortized across the
+    * partition's rows, rows stream through without collecting, and the
+    * output is a typed Dataset that drops straight back into relational
+    * plans. The DECODE itself is stubbed deterministically (frame count
+    * from payload length, frame signature from an md5 of payload+index —
+    * no codecs in this environment), so the partition-parallel plumbing,
+    * batch shape and schema are real and oracle-checkable while the
+    * codec call remains a one-line swap. */
+  def frameSample(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5") // per-partition codec ctx
+        it.flatMap { case (id, text) =>
+          val t = if (text == null) "" else text
+          val nFrames = t.getBytes("UTF-8").length % 30 + 1 // stubbed "decode"
+          (0 until nFrames by FrameStride).iterator.map { i =>
+            md.reset()
+            val hex = md.digest((t + "_frame_" + i).getBytes("UTF-8"))
+              .map("%02x".format(_)).mkString
+            FrameRow(id, i, java.lang.Long.parseLong(hex.substring(0, 15), 16))
+          }
+        }
+      }
+      .toDF()
+      .orderBy("doc_id", "frame_idx")
+  }
 }

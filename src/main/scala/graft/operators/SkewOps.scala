@@ -1,0 +1,54 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew-handling utilities for 100 TB joins.
+  *
+  * AQE's skew-join splitting handles most sort-merge skew at runtime;
+  * explicit salting remains the tool when a SINGLE key's rows overwhelm
+  * one task even after splitting, or when the skewed join feeds an
+  * aggregation keyed by the same column (AQE cannot split the
+  * aggregation's hash partition).
+  */
+object SkewOps {
+
+  /** Salted inner equi-join: every left row gets a deterministic salt in
+    * [0, salts) derived from the whole row (stable across retries), and
+    * the right side is replicated `salts`× so each (key, salt) bucket
+    * joins independently — a hot key's rows spread over `salts` tasks
+    * instead of one. Right-side replication costs |right| × salts rows,
+    * so this is for moderate right sides that are too big to broadcast
+    * but far smaller than the skewed left. Results are identical to a
+    * plain inner join (asserted in SkewSpec). */
+  def saltedJoin(left: DataFrame, right: DataFrame, key: String, salts: Int): DataFrame = {
+    require(salts > 0, "salts must be positive")
+    val saltedLeft = left.withColumn("__salt",
+      pmod(xxhash64(struct(left.columns.map(col).toIndexedSeq: _*)), lit(salts.toLong)))
+    val replicatedRight = right.withColumn("__salt",
+      explode(array((0 until salts).map(s => lit(s.toLong)): _*)))
+    saltedLeft.join(replicatedRight, Seq(key, "__salt")).drop("__salt")
+  }
+
+  /** Two-phase (salted) aggregation for skewed group keys: partial
+    * aggregate on (key, salt), then final aggregate on key. Spark's
+    * map-side partial aggregation already does this implicitly for
+    * algebraic aggregates; the explicit form is for aggregates where the
+    * partial state per key is itself large (e.g. collect-style or
+    * high-cardinality distinct counts) and one reducer per hot key would
+    * spill. The caller supplies the partial and final agg pairs. */
+  def saltedAgg(
+      df: DataFrame,
+      key: String,
+      salts: Int,
+      partial: Seq[Column],
+      finalAgg: Seq[Column]): DataFrame = {
+    require(salts > 0, "salts must be positive")
+    df.withColumn("__salt",
+        pmod(xxhash64(struct(df.columns.map(col).toIndexedSeq: _*)), lit(salts.toLong)))
+      .groupBy(col(key), col("__salt"))
+      .agg(partial.head, partial.tail: _*)
+      .groupBy(col(key))
+      .agg(finalAgg.head, finalAgg.tail: _*)
+  }
+}

@@ -99,6 +99,28 @@ object StreamPipeline {
     out.iterator
   }
 
+  /** Streaming sessionization — the batch 30-minute-gap rule (p7)
+    * expressed with the native `session_window` streaming aggregation:
+    * watermarked event time, sessions close when the watermark passes
+    * last-event + gap, append-mode output. `session_window.end` is
+    * last-event + gap, so the true session end (max event ts) is carried
+    * as an explicit aggregate to stay comparable with the batch
+    * operator. At scale this is one shuffle on (user_id) with state
+    * bounded by open sessions × users — the watermark reaps closed
+    * ones. */
+  def sessionizeStream(events: DataFrame, gap: String = "30 minutes"): DataFrame =
+    events.filter(TripPipeline.validCond)
+      .withWatermark("ts", "1 hour")
+      .groupBy(col("user_id"), session_window(col("ts"), gap).as("w"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        max(col("ts")).as("max_ts"),
+        decSum(col("value")).as("session_value"))
+      .select(col("user_id"),
+        col("w.start").cast("timestamp_ntz").as("session_start"),
+        col("max_ts").cast("timestamp_ntz").as("session_end"),
+        col("n_events"), col("session_value"))
+
   /** Daily KPIs over the matched-trip stream — event-time 1-day window,
     * same decimal-exact aggregates as the batch kpiDaily. */
   def kpiDailyStream(spark: SparkSession, events: DataFrame): DataFrame =

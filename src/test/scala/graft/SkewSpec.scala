@@ -1,0 +1,35 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.SkewOps
+
+class SkewSpec extends AnyFunSuite with SparkSpec {
+
+  test("salted join equals the plain join on a skewed key") {
+    import spark.implicits._
+    // event_type has 5 hot values over 10k rows — genuinely skewed
+    val left = Tables.events(spark, Sf0001).select("event_id", "event_type", "value")
+    val right = Seq(("signup", 1.0), ("click", 0.1), ("view", 0.2),
+      ("purchase", 2.0), ("error", -1.0)).toDF("event_type", "weight")
+    val salted = SkewOps.saltedJoin(left, right, "event_type", salts = 8)
+    val plain = left.join(right, "event_type")
+    assert(salted.count() === plain.count())
+    assert(salted.exceptAll(plain).count() === 0L)
+    assert(plain.exceptAll(salted).count() === 0L)
+  }
+
+  test("salted two-phase aggregation equals the direct aggregation") {
+    val ev = Tables.events(spark, Sf0001)
+    val direct = ev.groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("value").as("s"))
+    val salted = SkewOps.saltedAgg(ev, "event_type", salts = 8,
+      partial = Seq(count(lit(1)).as("pn"), sum("value").as("ps")),
+      finalAgg = Seq(sum("pn").as("n"), sum("ps").as("s")))
+    val j = direct.join(salted.withColumnRenamed("n", "n2").withColumnRenamed("s", "s2"),
+      "event_type")
+    assert(j.count() === direct.count())
+    assert(j.filter(col("n") =!= col("n2")).count() === 0L)
+    assert(j.filter(abs(col("s") - col("s2")) > 1e-6).count() === 0L)
+  }
+}

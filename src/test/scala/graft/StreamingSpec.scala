@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{Encoders, Row}
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.scalatest.funsuite.AnyFunSuite
 import graft.pipeline.TripPipeline
@@ -41,6 +42,45 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
       }
     }
     assert(got.length > 0)
+  }
+
+  test("streaming session_window sessionization equals the batch gap rule") {
+    import java.sql.Timestamp
+    val evDf = Tables.events(spark, Sf0001)
+    implicit val enc = Encoders.row(evDf.schema)
+    val stream = MemoryStream[Row](enc, spark)
+    val query = StreamPipeline.sessionizeStream(stream.toDF())
+      .writeStream.format("memory").queryName("sess_stream").outputMode("append").start()
+    try {
+      val half = orderedEvents.length / 2
+      stream.addData(orderedEvents.take(half)); query.processAllAvailable()
+      stream.addData(orderedEvents.drop(half)); query.processAllAvailable()
+      // sentinel far in the future pushes the watermark past every open
+      // session so append mode flushes them all
+      val maxTs = orderedEvents.flatMap(r => Option(r.getAs[Timestamp]("ts"))).max
+      val sentinel = Row(999999L,
+        new Timestamp(maxTs.getTime + 7L * 24 * 3600 * 1000),
+        999999999L, "click", 0.0, null)
+      stream.addData(Seq(sentinel)); query.processAllAvailable()
+
+      val got = spark.table("sess_stream")
+        .filter(col("user_id") =!= 999999999L)
+        .select("user_id", "session_start", "session_end", "n_events", "session_value")
+        .orderBy("user_id", "session_start").collect()
+      // batch p7 on the valid subset (streaming validates first)
+      val exp = graft.pipeline.TripPipeline.sessionize(spark, Sf0001)
+        .select(col("user_id"), col("session_start"), col("session_end"),
+          col("n_events"), col("session_value"))
+        .orderBy("user_id", "session_start").collect()
+      assert(got.length === exp.length)
+      got.zip(exp).foreach { case (g, e) =>
+        assert(g.getLong(0) === e.getLong(0))
+        assert(g.get(1) === e.get(1), s"session_start for user ${g.getLong(0)}")
+        assert(g.get(2) === e.get(2), s"session_end for user ${g.getLong(0)}")
+        assert(g.getLong(3) === e.getLong(3))
+        assert(math.abs(g.getDouble(4) - e.getDouble(4)) < 1e-9)
+      }
+    } finally query.stop()
   }
 
   test("at-least-once re-delivery of recent events does not change the KPIs") {
