@@ -1,0 +1,49 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.analytics.Analytics
+
+/** Plan-shape regressions: the physical plans we chose on purpose, kept
+  * as assertions so a refactor can't silently trade them away. */
+class PlanSpec extends AnyFunSuite with SparkSpec {
+
+  private def finalPlan(df: org.apache.spark.sql.DataFrame): String = {
+    spark.conf.set("spark.sql.maxToStringFields", "200") // don't truncate PushedFilters
+    spark.conf.set("spark.sql.maxMetadataStringLength", "2000") // full FileScan metadata
+    df.collect()
+    df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+  }
+
+  test("q6 pushes every filter to the parquet scan and prunes columns") {
+    val plan = finalPlan(Analytics.q6Revenue(spark, Sf0001))
+    assert(plan.contains("PushedFilters:"), plan)
+    assert(plan.contains("GreaterThanOrEqual(l_shipdate"), s"shipdate lower bound not pushed:\n$plan")
+    assert(plan.contains("LessThan(l_shipdate"), s"shipdate upper bound not pushed:\n$plan")
+    assert(plan.contains("LessThan(l_quantity,24.0)"), s"quantity bound not pushed:\n$plan")
+    // column pruning: the scan must read only the 4 referenced columns
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema:")).getOrElse("")
+    Seq("l_quantity", "l_extendedprice", "l_discount", "l_shipdate").foreach { c =>
+      assert(readSchema.contains(c), s"$c missing from ReadSchema:\n$readSchema")
+    }
+    assert(!readSchema.contains("l_orderkey"), s"unreferenced column read:\n$readSchema")
+  }
+
+  test("q11 global top-k plans as TakeOrderedAndProject, not a full sort") {
+    val plan = finalPlan(Analytics.q11TopkOrders(spark, Sf0001))
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
+  test("q1 aggregates map-side before its single shuffle") {
+    val plan = finalPlan(Analytics.q1Pricing(spark, Sf0001))
+    assert(plan.contains("partial_sum"), s"no partial aggregation:\n$plan")
+    // one shuffle for the aggregation + one for the final small sort
+    val exchanges = "Exchange".r.findAllIn(plan).length
+    assert(exchanges <= 2, s"expected <= 2 exchanges, got $exchanges:\n$plan")
+  }
+
+  test("text ops stay narrow: t4 has no shuffle besides the output sort") {
+    val plan = finalPlan(graft.operators.TextOps.fingerprint(spark, Sf0001))
+    val exchanges = "Exchange".r.findAllIn(plan).length
+    assert(exchanges <= 1, s"text op should only shuffle for the final sort:\n$plan")
+  }
+}
