@@ -356,6 +356,20 @@ object Oracles {
          |  ${h60(s"array_to_string($TOK, ' ')")} AS fingerprint60
          |FROM documents ORDER BY doc_id""".stripMargin,
 
+    "t5_tfidf_top" ->
+      s"""WITH tc AS (SELECT doc_id, tok, count(*) AS tf FROM (
+         |    SELECT doc_id, unnest($TOK) AS tok FROM documents) u
+         |  GROUP BY 1, 2),
+         |dfreq AS (SELECT tok, count(*) AS df FROM tc GROUP BY 1),
+         |n AS (SELECT count(*) AS n_docs FROM documents),
+         |s AS (SELECT tc.doc_id, tc.tok, tc.tf, dfreq.df,
+         |    round(tc.tf * ln(CAST(n_docs AS DOUBLE) / dfreq.df), 6) AS score,
+         |    row_number() OVER (PARTITION BY tc.doc_id
+         |      ORDER BY round(tc.tf * ln(CAST(n_docs AS DOUBLE) / dfreq.df), 6) DESC, tc.tok) AS rnk
+         |  FROM tc JOIN dfreq USING (tok) CROSS JOIN n)
+         |SELECT doc_id, rnk, tok AS term, tf, df, score
+         |FROM s WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin,
+
     "d1_dedup_exact" ->
       s"""SELECT fp, min(doc_id) AS keep_doc_id, count(*) AS n_copies FROM (
          |  SELECT doc_id, md5(array_to_string($TOK, ' ')) AS fp FROM documents) t
@@ -452,6 +466,23 @@ object Oracles {
     // e3 uses banded multi-probe LSH: 4 band codes of 6 hyperplanes each
     // (planes 0..23 of the same md5-derived family); a pair is a
     // candidate when ANY band code matches.
+    // e4's probe set (own bucket + every 1-bit flip) hits exactly the
+    // hamming<=1 code pairs, which the oracle states directly.
+    "e4_ann_multiprobe" ->
+      s"""WITH ${annQ},
+         |$bucketCte,
+         |pr AS (SELECT a.vec_id AS q_id, b.vec_id AS c_id,
+         |    list_dot_product(a.qv, b.qv) AS dot,
+         |    list_dot_product(a.qv, a.qv) AS na,
+         |    list_dot_product(b.qv, b.qv) AS nb
+         |  FROM wb a JOIN wb b ON bit_count(xor(a.bucket, b.bucket)) <= 1
+         |    AND a.vec_id % 25 = 0 AND a.vec_id <> b.vec_id),
+         |r AS (SELECT q_id, c_id, dot / sqrt(na * nb) AS score,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY dot / sqrt(na * nb) DESC, c_id) AS rnk
+         |  FROM pr)
+         |SELECT q_id, rnk, c_id, round(score, 6) AS score
+         |FROM r WHERE rnk <= 3 ORDER BY q_id, rnk""".stripMargin,
+
     "e3_embed_neardup" ->
       s"""WITH ${annQ},
          |planes AS (

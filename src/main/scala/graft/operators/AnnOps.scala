@@ -127,6 +127,34 @@ object AnnOps {
       .orderBy("q_id", "rnk")
   }
 
+  /** e4: multi-probe LSH ANN — each query probes its own bucket PLUS all
+    * Planes hamming-1 neighbor buckets (flipping one sign bit), trading
+    * a (Planes+1)× widening of the tiny query side for recall that a
+    * single bucket can't reach. The corpus side is untouched and the
+    * join stays an equality join on (bucket): the canonical recall knob
+    * for hyperplane LSH at scale. Candidates are exactly the pairs whose
+    * codes differ in ≤ 1 bit, which is what the oracle re-derives with
+    * bit_count(xor). */
+  def annMultiprobe(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    val cos = cosineWith(dotBest(spark)) _
+    val withB = withBucket(spark, dir)
+    val probeSet = array((col("bucket") +:
+      (0 until Planes).map(p => col("bucket").bitwiseXOR(lit(1L << p)))): _*)
+    val queries = withB.filter(col("vec_id") % QueryStride === 0)
+      .select(col("vec_id").as("q_id"), col("q").as("qq"),
+        explode(probeSet).as("bucket"))
+    val corpus = withB.select(col("vec_id").as("c_id"), col("q").as("cq"), col("bucket"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(col("score").desc, col("c_id"))
+    queries.join(corpus, "bucket")
+      .filter(col("q_id") =!= col("c_id"))
+      .withColumn("score", cos(col("qq"), col("cq")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col("rnk"), col("c_id"), round(col("score"), 6).as("score"))
+      .orderBy("q_id", "rnk")
+  }
+
   /** (vec_id, band, code) — Bands rows per vector, codes computed in the
     * same map-side projection then unpacked with one posexplode (no
     * joins). Persisted: both sides of the e3 candidate join read it. */

@@ -104,4 +104,32 @@ object TextOps {
         md5(array_join(toks, " ")).as("fingerprint"),
         hash60(array_join(toks, " ")).as("fingerprint60"))
       .orderBy("doc_id")
+
+  /** t5: per-document top-3 terms by tf-idf.
+    *
+    * tf = in-document term count; idf = ln(N / df) with df = number of
+    * documents containing the term. Plan: one groupBy to the term-count
+    * substrate, one groupBy for document frequencies (both with map-side
+    * partial aggregation), the corpus size N as a broadcast single-row
+    * join, and a rank window partitioned by doc_id. Scores are rounded
+    * to 6 dp with a (score desc, term) total order so both engines rank
+    * identically. */
+  def tfidfTop(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    val tc = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(toks).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    val df = tc.groupBy("tok").agg(count(lit(1)).as("df"))
+    val nDocs = Tables.documents(spark, dir).agg(count(lit(1)).as("n_docs"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("score").desc, col("tok"))
+    tc.join(df, "tok")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("score",
+        round(col("tf") * log(col("n_docs").cast(DoubleType) / col("df")), 6))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("doc_id"), col("rnk"), col("tok").as("term"),
+        col("tf"), col("df"), col("score"))
+      .orderBy("doc_id", "rnk")
+  }
 }
