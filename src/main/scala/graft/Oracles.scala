@@ -274,6 +274,14 @@ object Oracles {
          |JOIN customer ON o_custkey = c_custkey
          |ORDER BY o_totalprice DESC, o_orderkey LIMIT 25""".stripMargin,
 
+    "q20_topk_heap" ->
+      """SELECT o_orderpriority, o_orderkey, o_totalprice, o_orderdate FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY o_orderpriority
+        |    ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders) t
+        |WHERE rn <= 3
+        |ORDER BY o_orderpriority, o_totalprice DESC, o_orderkey""".stripMargin,
+
     "q19_disjunctive" ->
       s"""SELECT ${dsum("l_extendedprice * (1.0 - l_discount)")} AS revenue, COUNT(*) AS n_items
          |FROM lineitem JOIN part ON l_partkey = p_partkey

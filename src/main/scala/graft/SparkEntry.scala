@@ -40,6 +40,7 @@ object SparkEntry {
     "q14_promo" -> Analytics.q14Promo _,
     "q18_large_volume" -> Analytics.q18LargeVolume _,
     "q19_disjunctive" -> Analytics.q19Disjunctive _,
+    "q20_topk_heap" -> Analytics.q20TopkHeap _,
     "a1_asof_join" -> operators.JoinOps.asofJoin _,
     "a2_band_join" -> operators.JoinOps.bandJoin _,
     // C. text / dedup / ANN / multimodal

@@ -212,6 +212,29 @@ object Analytics {
       .limit(25)
   }
 
+  /** q20: per-priority top-3 orders through the custom TopKPerKey
+    * operator — one hash shuffle + bounded per-key heaps, NO sort stage
+    * (vs. the window row_number formulation in q7, which fully sorts
+    * every partition). Falls back to the window formulation in sessions
+    * without GraftExtensions; identical output either way (total tie
+    * order). */
+  def q20TopkHeap(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.orders(spark, dir)
+      .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"), col("o_orderdate"))
+    val hasExt = spark.conf.getOption("spark.sql.extensions")
+      .exists(_.contains("graft.functions.GraftExtensions"))
+    val top =
+      if (hasExt)
+        graft.plans.TopKPerKey(base, Seq("o_orderpriority"),
+          Seq(("o_totalprice", false), ("o_orderkey", true)), 3)
+      else {
+        val w = Window.partitionBy("o_orderpriority")
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        base.withColumn("rn", row_number().over(w)).filter(col("rn") <= 3).drop("rn")
+      }
+    top.orderBy(col("o_orderpriority"), col("o_totalprice").desc, col("o_orderkey"))
+  }
+
   /** q19 (TPC-H Q19 shape): disjunctive brand/size/quantity predicate —
     * Catalyst extracts the common `l_partkey = p_partkey` equality so
     * this stays a hash join with the OR-of-ANDs applied post-join, and

@@ -86,5 +86,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_minhash_agg"),
       new ExpressionInfo(classOf[MinHashAgg].getName, "graft_minhash_agg"),
       (children: Seq[Expression]) => MinHashAgg(children.head)))
+    ext.injectPlannerStrategy(_ => new graft.plans.TopKPerKeyStrategy)
   }
 }

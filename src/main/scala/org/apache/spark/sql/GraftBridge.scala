@@ -1,0 +1,14 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+
+/** Bridge into `private[sql]` constructors the public DataFrame API does
+  * not expose: building a Dataset from a custom LogicalPlan node. This
+  * is the standard technique Spark extension libraries use to hand a
+  * custom logical operator (planned by an injected SparkStrategy) back
+  * to user code as an ordinary DataFrame. Nothing here is copied from
+  * Spark — it only forwards to Spark's own factory. */
+object GraftBridge {
+  def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+}

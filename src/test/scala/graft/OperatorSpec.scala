@@ -83,6 +83,25 @@ class OperatorSpec extends AnyFunSuite with SparkSpec {
     assert(declMin.exceptAll(nativeMin).count() === 0L)
   }
 
+  test("custom TopKPerKey operator equals the window formulation, sort-free") {
+    val viaHeap = Analytics.q20TopkHeap(spark, Sf0001)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("o_orderpriority")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    val viaWindow = Tables.orders(spark, Sf0001)
+      .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"), col("o_orderdate"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= 3).drop("rn")
+      .orderBy(col("o_orderpriority"), col("o_totalprice").desc, col("o_orderkey"))
+    assert(viaHeap.collect().toSeq === viaWindow.collect().toSeq)
+    // the custom physical operator really is in the plan, with no sort
+    // upstream of it (the only Sort is the final presentation orderBy)
+    val plan = viaHeap.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(plan.contains("TopKPerKey "), plan)
+    // children print after the node: nothing below the heap operator sorts
+    val heapIdx = plan.indexOf("TopKPerKey ")
+    assert(!plan.substring(heapIdx).contains("Sort "), s"sort below the heap operator:\n$plan")
+  }
+
   test("ANN LSH top-k scores are bounded by the brute-force exact top-k") {
     // e2 searches only the query's bucket, so each (q_id, rnk) score can
     // never exceed the exact brute-force score at the same rank.
