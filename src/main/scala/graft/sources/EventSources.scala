@@ -1,0 +1,86 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Ingestion sources beyond the harness parquet: the reference consumes
+  * JSON event records off Kinesis and treats unparseable payloads as
+  * DLQ material (lambdas/TripStartProcessor/TripStartProcessor.py:29-45
+  * wraps the JSON parse; failures are skipped, never crash the
+  * pipeline). The Spark-native equivalent is an explicit-schema
+  * PERMISSIVE JSON read with a corrupt-record column: parse failures
+  * land in `_corrupt_record` instead of failing the job, and the
+  * valid/DLQ split is two declarative filters over one scan.
+  *
+  * Explicit schemas everywhere — at 100 TB an inference pass is a full
+  * extra scan, and schema drift should fail loudly at analysis time,
+  * not silently re-type columns.
+  */
+object EventSources {
+
+  val CorruptCol = "_corrupt_record"
+
+  /** The events schema as ingested from JSON (ts is ISO-8601). */
+  val eventJsonSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", TimestampType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType),
+    StructField(CorruptCol, StringType)))
+
+  /** PERMISSIVE JSON read: malformed lines yield a row whose only
+    * non-null column is the corrupt-record payload. Cached because Spark
+    * disallows queries that reference ONLY the corrupt column on a raw
+    * file scan (the DLQ filter is exactly that query) — and because the
+    * valid/DLQ split reads the same scan twice anyway. */
+  def readEventsJson(spark: SparkSession, path: String): DataFrame =
+    spark.read
+      .schema(eventJsonSchema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", CorruptCol)
+      .json(path)
+      .cache()
+
+  /** Parsed rows (the corrupt column dropped). Rows that parsed but fail
+    * semantic validation still flow to TripPipeline.quarantineDf — this
+    * split is purely syntactic. */
+  def parsed(raw: DataFrame): DataFrame =
+    raw.filter(col(CorruptCol).isNull).drop(CorruptCol)
+
+  /** Syntactic DLQ: the raw unparseable payloads, preserved verbatim for
+    * replay — the TripDLQ analog. */
+  def parseDlq(raw: DataFrame): DataFrame =
+    raw.filter(col(CorruptCol).isNotNull).select(col(CorruptCol).as("raw_payload"))
+
+  /** Columnar round-trip through ORC (same reader/writer contract as
+    * parquet — both are splittable, predicate-pushdown columnar formats;
+    * ORC is the common interchange with Hive-era warehouses). */
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").orc(path)
+
+  def readOrc(spark: SparkSession, schema: StructType, path: String): DataFrame =
+    spark.read.schema(schema).orc(path)
+
+  /** CSV timestamp format carrying full microseconds — the default
+    * format truncates to milliseconds, silently corrupting event times
+    * on a round-trip. */
+  val CsvTsFormat = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
+
+  /** CSV with explicit schema + header, quoting handled by the writer —
+    * the lowest-common-denominator export the reference's S3 consumers
+    * expect. */
+  def writeCsv(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite")
+      .option("header", "true")
+      .option("timestampFormat", CsvTsFormat)
+      .csv(path)
+
+  def readCsv(spark: SparkSession, schema: StructType, path: String): DataFrame =
+    spark.read.schema(schema)
+      .option("header", "true")
+      .option("timestampFormat", CsvTsFormat)
+      .csv(path)
+}

@@ -121,6 +121,23 @@ object StreamPipeline {
         col("max_ts").cast("timestamp_ntz").as("session_end"),
         col("n_events"), col("session_value"))
 
+  /** Streaming partitioned KPI sink: lands the daily KPIs under
+    * `date=.../part-....json` via foreachBatch, same layout as the batch
+    * SinkOps / the reference's Glue writer
+    * (glue_jobs/KPI-Aggregator.py:117-125). Complete-mode batches carry
+    * the full KPI set, so a full overwrite per micro-batch is idempotent
+    * under retries (re-running batch N rewrites the same content). */
+  def kpiSinkStream(
+      spark: SparkSession,
+      events: DataFrame,
+      path: String): org.apache.spark.sql.streaming.StreamingQuery =
+    kpiDailyStream(spark, events).writeStream
+      .outputMode("complete")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        graft.pipeline.SinkOps.writeKpiPartitioned(batch.toDF(), path): Unit
+      }
+      .start()
+
   /** Daily KPIs over the matched-trip stream — event-time 1-day window,
     * same decimal-exact aggregates as the batch kpiDaily. */
   def kpiDailyStream(spark: SparkSession, events: DataFrame): DataFrame =

@@ -1,0 +1,55 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.sources.EventSources
+
+class SourcesSpec extends AnyFunSuite with SparkSpec {
+
+  test("JSON ingestion splits parsed rows from the syntactic DLQ") {
+    val dir = Files.createDirectories(Paths.get("target/test-sources/json"))
+    val lines = Seq(
+      """{"event_id": 1, "ts": "2024-01-01T10:00:00.000Z", "user_id": 7, "event_type": "signup", "value": 10.5, "props": "{\"k\": 1}"}""",
+      """{"event_id": 2, "ts": "2024-01-01T10:05:00.000Z", "user_id": 7, "event_type": "purchase", "value": 20.0, "props": null}""",
+      """this is not json at all""",
+      """{"event_id": 3, "ts": "2024-01-01T11:00:00.000Z", "user_id": 8, "event_type": "click", "value": 1.0}""",
+      """{"event_id": "NOT_A_NUMBER_}""")
+    Files.write(dir.resolve("events.json"), String.join("\n", lines: _*).getBytes)
+
+    val raw = EventSources.readEventsJson(spark, dir.toString)
+    val ok = EventSources.parsed(raw)
+    val dlq = EventSources.parseDlq(raw)
+    assert(ok.count() === 3L)
+    assert(dlq.count() === 2L)
+    assert(ok.agg(sum("value")).collect().head.getDouble(0) === 31.5)
+    // DLQ preserves the raw payload verbatim for replay
+    val payloads = dlq.collect().map(_.getString(0)).toSet
+    assert(payloads.contains("this is not json at all"))
+    // the parsed rows drop straight into the batch validation pipeline
+    val valid = pipeline.TripPipeline.validateDf(ok)
+    assert(valid.count() === 3L)
+  }
+
+  test("ORC round-trip preserves the events table exactly") {
+    val ev = Tables.events(spark, Sf0001)
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+    val path = "target/test-sources/orc"
+    EventSources.writeOrc(ev, path)
+    val back = EventSources.readOrc(spark, ev.schema, path)
+    assert(back.count() === ev.count())
+    assert(back.exceptAll(ev).count() === 0L)
+    assert(ev.exceptAll(back).count() === 0L)
+  }
+
+  test("CSV round-trip preserves values through quoting") {
+    val ev = Tables.events(spark, Sf0001)
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+    val path = "target/test-sources/csv"
+    EventSources.writeCsv(ev, path)
+    val back = EventSources.readCsv(spark, ev.schema, path)
+    assert(back.count() === ev.count())
+    // CSV carries µs timestamps and JSON-in-a-column through quoting
+    assert(back.exceptAll(ev).count() === 0L)
+  }
+}

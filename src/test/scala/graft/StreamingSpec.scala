@@ -83,6 +83,32 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming foreachBatch sink lands the batch-identical partitioned KPIs") {
+    val evDf = Tables.events(spark, Sf0001)
+    implicit val enc = Encoders.row(evDf.schema)
+    val stream = MemoryStream[Row](enc, spark)
+    val out = "target/test-stream-sink/kpi"
+    val query = StreamPipeline.kpiSinkStream(spark, stream.toDF(), out)
+    try {
+      val third = orderedEvents.length / 3
+      orderedEvents.grouped(third + 1).foreach { c =>
+        stream.addData(c); query.processAllAvailable()
+      }
+    } finally query.stop()
+    val landed = spark.read
+      .schema(graft.pipeline.SinkOps.kpiDataSchema).json(out)
+      .select(col("date").cast("date").as("date"), col("total_fare"),
+        col("count_trips"), col("average_fare"), col("max_fare"), col("min_fare"))
+      .orderBy("date").collect()
+    val batch = TripPipeline.kpiDaily(spark, Sf0001).collect()
+    assert(landed.length === batch.length)
+    landed.zip(batch).foreach { case (g, e) =>
+      assert(g.getDate(0) === e.getDate(0))
+      assert(g.getLong(2) === e.getLong(2))
+      assert(math.abs(g.getDouble(1) - e.getDouble(1)) < 1e-9)
+    }
+  }
+
   test("at-least-once re-delivery of recent events does not change the KPIs") {
     val batch = TripPipeline.kpiDaily(spark, Sf0001).collect()
     val half = orderedEvents.length / 2
