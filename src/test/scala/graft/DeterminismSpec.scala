@@ -1,0 +1,41 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.analytics.Analytics
+import graft.pipeline.TripPipeline
+
+/** The §4 determinism contract, executed: the same query must produce
+  * BIT-IDENTICAL rows (doubles included) under different partition
+  * counts — this is what makes a local run, the DuckDB oracle, and a
+  * 1000-executor cluster agree. Decimal-exact sums and total tie orders
+  * are what's actually under test. */
+class DeterminismSpec extends AnyFunSuite with SparkSpec {
+
+  private def underPartitions[T](n: Int)(f: => T): T = {
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", n.toString)
+    try f finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
+  private def assertStable(name: String)(build: => org.apache.spark.sql.DataFrame): Unit = {
+    val a = underPartitions(3)(build.collect().toSeq)
+    val b = underPartitions(13)(build.collect().toSeq)
+    assert(a === b, s"$name differs across partition counts")
+  }
+
+  test("decimal-summed aggregations are partition-count independent") {
+    assertStable("q1_pricing")(Analytics.q1Pricing(spark, Sf0001))
+    assertStable("p5_kpi_daily")(TripPipeline.kpiDaily(spark, Sf0001))
+  }
+
+  test("windowed and top-k results are partition-count independent") {
+    assertStable("q7_window_rank")(Analytics.q7WindowRank(spark, Sf0001))
+    assertStable("q20_topk_heap")(Analytics.q20TopkHeap(spark, Sf0001))
+    assertStable("q3_shipping")(Analytics.q3Shipping(spark, Sf0001))
+  }
+
+  test("sketch-based dedup results are partition-count independent") {
+    assertStable("d4_simhash")(operators.DedupOps.simhashPairs(spark, Sf0001))
+    assertStable("t5_tfidf_top")(operators.TextOps.tfidfTop(spark, Sf0001))
+  }
+}

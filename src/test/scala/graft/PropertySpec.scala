@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+import graft.plans.TopKPerKey
+
+/** Property-style checks of the custom operators against their
+  * reference formulations on randomized (seeded, reproducible)
+  * inputs — raw ScalaCheck generators sampled explicitly since each
+  * case spins Spark jobs. */
+class PropertySpec extends AnyFunSuite with SparkSpec {
+
+  private val rowsGen: Gen[List[(Int, Long, Double)]] =
+    Gen.listOfN(200, for {
+      key <- Gen.choose(0, 5)
+      id <- Gen.choose(0L, 10000L)
+      v <- Gen.choose(-1000.0, 1000.0)
+    } yield (key, id, v))
+
+  private def samples(n: Int): Seq[List[(Int, Long, Double)]] =
+    (1 to n).map(i => rowsGen.pureApply(Gen.Parameters.default, Seed(i.toLong)))
+
+  test("TopKPerKey equals the window formulation on random data") {
+    import spark.implicits._
+    samples(5).foreach { rows =>
+      val df = rows.toDF("k", "id", "v").distinct()
+      val viaHeap = TopKPerKey(df, Seq("k"), Seq(("v", false), ("id", true)), 3)
+        .orderBy(col("k"), col("v").desc, col("id"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("k").orderBy(col("v").desc, col("id"))
+      val viaWindow = df.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3).drop("rn")
+        .orderBy(col("k"), col("v").desc, col("id"))
+      assert(viaHeap.collect().toSeq === viaWindow.collect().toSeq)
+    }
+  }
+
+  test("salted join equals the plain join on random data") {
+    import spark.implicits._
+    samples(3).foreach { rows =>
+      val left = rows.toDF("k", "id", "v")
+      val right = (0 to 5).map(k => (k, s"name_$k")).toDF("k", "name")
+      val salted = operators.SkewOps.saltedJoin(left, right, "k", salts = 4)
+      val plain = left.join(right, "k")
+      assert(salted.exceptAll(plain).count() === 0L)
+      assert(plain.exceptAll(salted).count() === 0L)
+    }
+  }
+}
