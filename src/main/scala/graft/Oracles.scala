@@ -65,6 +65,51 @@ object Oracles {
        |       FROM pd GROUP BY vec_id),
        |wb AS (SELECT q.vec_id, q.qv, bk.bucket FROM q JOIN bk USING (vec_id))""".stripMargin
 
+  private val d3Sql: String =
+    s"""WITH $ngramCte,
+         |h AS (SELECT doc_id, ${h60("ngram")} % 2147483647 AS h FROM ng),
+         |perms AS (SELECT CAST(i AS INTEGER) AS i,
+         |  ${h60("'perm_a_' || i")} % 2147483646 + 1 AS pa,
+         |  ${h60("'perm_b_' || i")} % 2147483647 AS pb
+         |  FROM range(16) t(i)),
+         |sig AS (SELECT doc_id, i, min((pa * h + pb) % 2147483647) AS mh
+         |  FROM h CROSS JOIN perms GROUP BY doc_id, i),
+         |bands AS (SELECT doc_id, CAST(floor(i / 4) AS INTEGER) AS band,
+         |  md5(string_agg(CAST(mh AS VARCHAR), ',' ORDER BY i)) AS bkey
+         |  FROM sig GROUP BY doc_id, CAST(floor(i / 4) AS INTEGER)),
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id)
+         |SELECT c.doc_a, c.doc_b,
+         |  CAST(SUM(CASE WHEN sa.mh = sb.mh THEN 1 ELSE 0 END) AS DOUBLE) / 16 AS est_jaccard
+         |FROM cand c
+         |JOIN sig sa ON sa.doc_id = c.doc_a
+         |JOIN sig sb ON sb.doc_id = c.doc_b AND sb.i = sa.i
+         |GROUP BY c.doc_a, c.doc_b
+         |HAVING CAST(SUM(CASE WHEN sa.mh = sb.mh THEN 1 ELSE 0 END) AS DOUBLE) / 16 >= 0.25
+         |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** One bounded label-propagation round: label := min(own, neighbors'). */
+  private def lpRound(prev: String, next: String): String =
+    s"""$next AS (
+       |  SELECT l.doc_id, least(l.label, coalesce(min(ln.label), l.label)) AS label
+       |  FROM $prev l
+       |  LEFT JOIN edges e ON e.doc_a = l.doc_id
+       |  LEFT JOIN $prev ln ON ln.doc_id = e.doc_b
+       |  GROUP BY l.doc_id, l.label)""".stripMargin
+
+  /** d5: replays the Spark side's exact ClusterIters rounds over the d3
+    * pair graph, so results agree even pre-convergence. */
+  private val d5Sql: String =
+    s"""WITH d3pairs AS (SELECT doc_a, doc_b FROM ($d3Sql) z),
+       |edges AS (SELECT doc_a, doc_b FROM d3pairs
+       |          UNION ALL SELECT doc_b AS doc_a, doc_a AS doc_b FROM d3pairs),
+       |l0 AS (SELECT DISTINCT doc_a AS doc_id, doc_a AS label FROM edges),
+       |${lpRound("l0", "l1")},
+       |${lpRound("l1", "l2")},
+       |${lpRound("l2", "l3")}
+       |SELECT doc_id, label AS cluster_id FROM l3 ORDER BY doc_id""".stripMargin
+
   val sql: Map[String, String] = Map(
 
     // ---------- A. pipeline ----------
@@ -282,6 +327,18 @@ object Oracles {
         |WHERE rn <= 3
         |ORDER BY o_orderpriority, o_totalprice DESC, o_orderkey""".stripMargin,
 
+    "q22_inactive_rich" ->
+      s"""WITH thr AS (
+         |  SELECT ${davg("c_acctbal")} AS avg_bal FROM customer WHERE c_acctbal > 0.0),
+         |inact AS (
+         |  SELECT c.* FROM customer c, thr
+         |  WHERE c.c_acctbal > thr.avg_bal
+         |    AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+         |                    AND o.o_orderdate >= TIMESTAMP '2000-01-01'))
+         |SELECT n_name, COUNT(*) AS n_cust, ${dsum("c_acctbal")} AS total_bal
+         |FROM inact JOIN nation ON c_nationkey = n_nationkey
+         |GROUP BY n_name ORDER BY n_name""".stripMargin,
+
     "q19_disjunctive" ->
       s"""SELECT ${dsum("l_extendedprice * (1.0 - l_discount)")} AS revenue, COUNT(*) AS n_items
          |FROM lineitem JOIN part ON l_partkey = p_partkey
@@ -399,29 +456,10 @@ object Oracles {
          |WHERE round(CAST(inter AS DOUBLE) / (sa.n_ng + sb.n_ng - inter), 6) >= 0.18
          |ORDER BY doc_a, doc_b""".stripMargin,
 
-    "d3_minhash_lsh" ->
-      s"""WITH $ngramCte,
-         |h AS (SELECT doc_id, ${h60("ngram")} % 2147483647 AS h FROM ng),
-         |perms AS (SELECT CAST(i AS INTEGER) AS i,
-         |  ${h60("'perm_a_' || i")} % 2147483646 + 1 AS pa,
-         |  ${h60("'perm_b_' || i")} % 2147483647 AS pb
-         |  FROM range(16) t(i)),
-         |sig AS (SELECT doc_id, i, min((pa * h + pb) % 2147483647) AS mh
-         |  FROM h CROSS JOIN perms GROUP BY doc_id, i),
-         |bands AS (SELECT doc_id, CAST(floor(i / 4) AS INTEGER) AS band,
-         |  md5(string_agg(CAST(mh AS VARCHAR), ',' ORDER BY i)) AS bkey
-         |  FROM sig GROUP BY doc_id, CAST(floor(i / 4) AS INTEGER)),
-         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |  FROM bands a JOIN bands b
-         |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id)
-         |SELECT c.doc_a, c.doc_b,
-         |  CAST(SUM(CASE WHEN sa.mh = sb.mh THEN 1 ELSE 0 END) AS DOUBLE) / 16 AS est_jaccard
-         |FROM cand c
-         |JOIN sig sa ON sa.doc_id = c.doc_a
-         |JOIN sig sb ON sb.doc_id = c.doc_b AND sb.i = sa.i
-         |GROUP BY c.doc_a, c.doc_b
-         |HAVING CAST(SUM(CASE WHEN sa.mh = sb.mh THEN 1 ELSE 0 END) AS DOUBLE) / 16 >= 0.25
-         |ORDER BY doc_a, doc_b""".stripMargin,
+    "d3_minhash_lsh" -> d3Sql,
+
+    "d5_neardup_clusters" -> d5Sql,
+
 
     "d4_simhash" ->
       s"""WITH tc AS (SELECT doc_id, tok, count(*) AS c FROM (

@@ -41,6 +41,8 @@ object SparkEntry {
     "q18_large_volume" -> Analytics.q18LargeVolume _,
     "q19_disjunctive" -> Analytics.q19Disjunctive _,
     "q20_topk_heap" -> Analytics.q20TopkHeap _,
+    "q22_inactive_rich" -> Analytics.q22InactiveRich _,
+    "d5_neardup_clusters" -> DedupOps.nearDupClusters _,
     "a1_asof_join" -> operators.JoinOps.asofJoin _,
     "a2_band_join" -> operators.JoinOps.bandJoin _,
     // C. text / dedup / ANN / multimodal

@@ -235,6 +235,32 @@ object Analytics {
     top.orderBy(col("o_orderpriority"), col("o_totalprice").desc, col("o_orderkey"))
   }
 
+  /** q22 (TPC-H Q22 shape): wealthy dormant customers — a scalar
+    * aggregate subquery (global positive-balance average, computed once
+    * and broadcast as a 1-row join) filters customers, an anti join
+    * against RECENT orders removes the still-active ones (the date
+    * filter pushes to the orders scan, shrinking the anti join's build
+    * side), and the survivors aggregate per nation. The threshold uses
+    * the same decimal-exact average as the oracle so the boundary
+    * comparison is bit-identical. */
+  def q22InactiveRich(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir)
+    val thr = cust.filter(col("c_acctbal") > 0.0)
+      .agg(decAvg(col("c_acctbal")).as("avg_bal"))
+    val inactive = cust
+      .crossJoin(broadcast(thr))
+      .filter(col("c_acctbal") > col("avg_bal"))
+      .join(Tables.orders(spark, dir)
+          .filter(col("o_orderdate") >= lit("2000-01-01")).select("o_custkey"),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+    inactive
+      .join(broadcast(Tables.nation(spark, dir)),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy("n_name")
+      .agg(count(lit(1)).as("n_cust"), decSum(col("c_acctbal")).as("total_bal"))
+      .orderBy("n_name")
+  }
+
   /** q19 (TPC-H Q19 shape): disjunctive brand/size/quantity predicate —
     * Catalyst extracts the common `l_partkey = p_partkey` equality so
     * this stays a hash join with the OR-of-ANDs applied post-join, and

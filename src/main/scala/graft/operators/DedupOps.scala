@@ -166,6 +166,40 @@ object DedupOps {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Label-propagation iterations for d5 (bounded — see scaladoc). */
+  val ClusterIters = 3
+
+  /** d5: near-duplicate CLUSTERS — connected components over the
+    * MinHash-LSH pair graph via bounded label propagation: every doc
+    * starts labeled with its own id; each round takes the min of its own
+    * and its neighbors' labels. `ClusterIters` rounds merge any
+    * component of diameter ≤ ClusterIters (near-dup clusters are tiny
+    * and dense, so this converges immediately in practice; unbounded CC
+    * would iterate to a fixpoint — same joins in a loop). Each round is
+    * one join + one groupBy on the (small) pair graph, NOT on the
+    * corpus. The oracle replays the exact same rounds, so results match
+    * even if some pathological chain hasn't converged. */
+  def nearDupClusters(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = minhashLsh(spark, dir).select("doc_a", "doc_b")
+    val edges = pairs
+      .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.select(col("doc_a").as("doc_id")).distinct()
+      .withColumn("label", col("doc_id"))
+    for (_ <- 1 to ClusterIters) {
+      val nb = edges
+        .join(labels.select(col("doc_id").as("nb_id"), col("label").as("nb_label")),
+          col("doc_b") === col("nb_id"))
+        .groupBy(col("doc_a").as("upd_id"))
+        .agg(min("nb_label").as("nb_min"))
+      labels = labels
+        .join(nb, col("doc_id") === col("upd_id"), "left")
+        .select(col("doc_id"),
+          least(col("label"), coalesce(col("nb_min"), col("label"))).as("label"))
+    }
+    labels.select(col("doc_id"), col("label").as("cluster_id")).orderBy("doc_id")
+  }
+
   /** SimHash geometry: 60-bit hashes (F.hash60), 4 blocking chunks of 15
     * bits — pigeonhole guarantees recall for hamming ≤ 3. */
   val SimBits = 60
