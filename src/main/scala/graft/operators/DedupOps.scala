@@ -192,10 +192,17 @@ object DedupOps {
           col("doc_b") === col("nb_id"))
         .groupBy(col("doc_a").as("upd_id"))
         .agg(min("nb_label").as("nb_min"))
-      labels = labels
+      val next = labels
         .join(nb, col("doc_id") === col("upd_id"), "left")
         .select(col("doc_id"),
           least(col("label"), coalesce(col("nb_min"), col("label"))).as("label"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      // materialize each round: labels feeds the NEXT round twice (own
+      // side + neighbor side), so an unmaterialized lineage doubles per
+      // round — the standard iterative-algorithm checkpoint.
+      next.count()
+      labels.unpersist(blocking = false)
+      labels = next
     }
     labels.select(col("doc_id"), col("label").as("cluster_id")).orderBy("doc_id")
   }
