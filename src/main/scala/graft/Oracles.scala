@@ -512,6 +512,33 @@ object Oracles {
     // e3 uses banded multi-probe LSH: 4 band codes of 6 hyperplanes each
     // (planes 0..23 of the same md5-derived family); a pair is a
     // candidate when ANY band code matches.
+    // e5 mirrors the n-scaled exact centroid distance:
+    // n^2*q.q - 2n*(q.s) + s.s — magnitudes < 2^53, exact in doubles.
+    "e5_ann_ivf" ->
+      s"""WITH ql AS (SELECT vec_id, $QV AS qv, label FROM embeddings),
+         |unp AS (SELECT label, generate_subscripts(qv, 1) - 1 AS d, unnest(qv) AS v FROM ql),
+         |cd AS (SELECT label, d, SUM(v) AS s, COUNT(*) AS n FROM unp GROUP BY 1, 2),
+         |cent AS (SELECT label, list(s ORDER BY d) AS s, min(n) AS n,
+         |    SUM(s * s) AS ss FROM cd GROUP BY label),
+         |qq AS (SELECT vec_id AS q_id, qv, list_dot_product(qv, qv) AS q2
+         |  FROM ql WHERE vec_id % 25 = 0),
+         |qd AS (SELECT q.q_id, q.qv, c.label,
+         |    c.n * c.n * q.q2 - 2 * c.n * list_dot_product(q.qv, c.s) + c.ss AS dist2
+         |  FROM qq q CROSS JOIN cent c),
+         |pr AS (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY dist2, label) AS crnk
+         |  FROM qd),
+         |cand AS (SELECT p.q_id, p.qv, c.vec_id AS c_id, c.qv AS cq
+         |  FROM pr p JOIN ql c ON c.label = p.label
+         |  WHERE p.crnk <= 2 AND c.vec_id <> p.q_id),
+         |r AS (SELECT q_id, c_id,
+         |    list_dot_product(qv, cq) / sqrt(list_dot_product(qv, qv) * list_dot_product(cq, cq)) AS score,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY
+         |      list_dot_product(qv, cq) / sqrt(list_dot_product(qv, qv) * list_dot_product(cq, cq)) DESC,
+         |      c_id) AS rnk
+         |  FROM cand)
+         |SELECT q_id, rnk, c_id, round(score, 6) AS score
+         |FROM r WHERE rnk <= 3 ORDER BY q_id, rnk""".stripMargin,
+
     // e4's probe set (own bucket + every 1-bit flip) hits exactly the
     // hamming<=1 code pairs, which the oracle states directly.
     "e4_ann_multiprobe" ->

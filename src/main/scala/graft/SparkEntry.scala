@@ -52,6 +52,7 @@ object SparkEntry {
     "t4_fingerprint" -> TextOps.fingerprint _,
     "t5_tfidf_top" -> ((s: SparkSession, d: String) => TextOps.tfidfTop(s, d)),
     "e4_ann_multiprobe" -> ((s: SparkSession, d: String) => AnnOps.annMultiprobe(s, d)),
+    "e5_ann_ivf" -> ((s: SparkSession, d: String) => AnnOps.annIvf(s, d)),
     "d1_dedup_exact" -> DedupOps.dedupExact _,
     "d2_ngram_jaccard" -> ((s: SparkSession, d: String) => DedupOps.ngramJaccard(s, d)),
     "d3_minhash_lsh" -> ((s: SparkSession, d: String) => DedupOps.minhashLsh(s, d)),

@@ -155,6 +155,64 @@ object AnnOps {
       .orderBy("q_id", "rnk")
   }
 
+  /** How many coarse cells an IVF query probes (e5). */
+  val NProbe = 2
+
+  /** IVF coarse centroids — one per `label` (the corpus's cluster
+    * assignment playing the trained coarse quantizer's role), kept as
+    * EXACT integers: the per-dimension sum vector `s`, member count `n`,
+    * and `ss = s·s`. Mean-based distances are compared through the
+    * n-scaled identity  n²·‖q − s/n‖² = n²·q·q − 2n·(q·s) + s·s,
+    * so centroid ranking needs no division and is bit-deterministic.
+    * Magnitudes stay ≤ ~1e15 — exact in int64 and in the oracle's
+    * 53-bit doubles. */
+  private def centroids(spark: SparkSession, dir: String): DataFrame =
+    DedupOps.memoized(spark, "ann_centroids", dir) {
+      quantized(spark, dir)
+        .select(col("label"), posexplode(col("q")).as(Seq("d", "v")))
+        .groupBy("label", "d").agg(sum("v").as("s"), count(lit(1)).as("n"))
+        .groupBy("label").agg(
+          transform(array_sort(collect_list(struct(col("d"), col("s")))),
+            x => x.getField("s")).as("s"),
+          min("n").as("n"))
+        .withColumn("ss", dotQ(col("s"), col("s")))
+    }
+
+  /** e5: IVF (inverted-file) ANN — the classic coarse-quantize-then-probe
+    * architecture: each query ranks the (tiny, broadcast) centroid table
+    * by exact scaled distance, probes only the NProbe nearest cells, and
+    * reranks that ~NProbe/|cells| fraction of the corpus by exact
+    * cosine. The corpus-side join stays an equality join on the cell id
+    * (`label`) — at 100 TB the inverted file is the partitioning, so a
+    * probe touches only its cells' partitions. Complements e2/e4: LSH
+    * needs no training and probes O(1) rows per bucket; IVF follows the
+    * data's cluster structure and bounds the scanned fraction. */
+  def annIvf(spark: SparkSession, dir: String, k: Int = 3, nProbe: Int = NProbe): DataFrame = {
+    val cos = cosineWith(dotBest(spark)) _
+    val dot = dotBest(spark)
+    val qv = quantized(spark, dir)
+    val queries = qv.filter(col("vec_id") % QueryStride === 0)
+      .select(col("vec_id").as("q_id"), col("q").as("qq"))
+    val probed = queries.crossJoin(broadcast(centroids(spark, dir)))
+      .withColumn("dist2",
+        col("n") * col("n") * dot(col("qq"), col("qq")) -
+          lit(2L) * col("n") * dot(col("qq"), col("s")) + col("ss"))
+      .withColumn("crnk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("q_id").orderBy(col("dist2"), col("label"))))
+      .filter(col("crnk") <= nProbe)
+      .select(col("q_id"), col("qq"), col("label"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(col("score").desc, col("c_id"))
+    probed.join(qv.select(col("vec_id").as("c_id"), col("q").as("cq"), col("label")), "label")
+      .filter(col("q_id") =!= col("c_id"))
+      .withColumn("score", cos(col("qq"), col("cq")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col("rnk"), col("c_id"), round(col("score"), 6).as("score"))
+      .orderBy("q_id", "rnk")
+  }
+
   /** (vec_id, band, code) — Bands rows per vector, codes computed in the
     * same map-side projection then unpacked with one posexplode (no
     * joins). Persisted: both sides of the e3 candidate join read it. */

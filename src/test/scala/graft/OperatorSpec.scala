@@ -107,9 +107,15 @@ class OperatorSpec extends AnyFunSuite with SparkSpec {
     // never exceed the exact brute-force score at the same rank.
     val exact = AnnOps.annTopk(spark, Sf0001, k = 3)
       .select(col("q_id"), col("rnk"), col("score").as("exact_score"))
-    val lsh = AnnOps.annLsh(spark, Sf0001, k = 3)
-    val joined = lsh.join(exact, Seq("q_id", "rnk"))
-    assert(joined.filter(col("score") > col("exact_score") + 1e-9).count() === 0L)
-    assert(lsh.count() > 0L)
+    Seq(AnnOps.annLsh(spark, Sf0001, k = 3),
+        AnnOps.annMultiprobe(spark, Sf0001, k = 3),
+        AnnOps.annIvf(spark, Sf0001, k = 3)).foreach { approx =>
+      val joined = approx.join(exact, Seq("q_id", "rnk"))
+      assert(joined.filter(col("score") > col("exact_score") + 1e-9).count() === 0L)
+      assert(approx.count() > 0L)
+    }
+    // IVF probes 2 of 10 cells and must return full top-3 lists per query
+    val ivf = AnnOps.annIvf(spark, Sf0001, k = 3)
+    assert(ivf.groupBy("q_id").count().filter(col("count") =!= 3L).count() === 0L)
   }
 }
