@@ -65,7 +65,18 @@ object StreamPipeline {
       .withWatermark("ts", "1 hour")
       .dropDuplicates("event_id")
 
-  /** Stateful trip matcher over the deduped stream. */
+  /** Stateful trip matcher over the deduped stream.
+    *
+    * State-cleanup note: the matcher runs with NoTimeout because Spark's
+    * global-watermark correctness check (rightly) refuses an event-time-
+    * timeout flatMapGroupsWithState that FEEDS another stateful operator
+    * — a timeout-armed matcher may emit rows already older than the
+    * watermark, which the downstream window aggregation would silently
+    * drop. In a deployment where matcher state must be reaped (abandoned
+    * trips), split the query at this boundary: run the matcher with
+    * EventTimeTimeout into a foreachBatch/Kafka sink and aggregate in a
+    * second query, exactly like the reference splits Lambda (match) from
+    * Glue (aggregate). State here is 2 fields per user either way. */
   def matchedTrips(spark: SparkSession, events: DataFrame): Dataset[CompletedTrip] = {
     import spark.implicits._
     dedupedEvents(events)
