@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Executable proof of the SURVEY §5 bucketing claim: two tables
+  * bucketed (and sorted) on the join key join WITHOUT any exchange —
+  * the physical layout IS the shuffle, paid once at write time and
+  * amortized over every subsequent join. This is the co-location
+  * strategy for repeated fact⋈fact joins at 100 TB. */
+class BucketingSpec extends AnyFunSuite with SparkSpec {
+
+  test("bucketed co-located join runs with zero exchanges") {
+    val conf = spark.conf
+    val prev = conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    val prevAqe = conf.get("spark.sql.adaptive.autoBroadcastJoinThreshold", prev)
+    try {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      spark.sql("DROP TABLE IF EXISTS b_orders")
+      spark.sql("DROP TABLE IF EXISTS b_customer")
+      Tables.orders(spark, Sf0001).write
+        .bucketBy(8, "o_custkey").sortBy("o_custkey")
+        .format("parquet").mode("overwrite").saveAsTable("b_orders")
+      Tables.customer(spark, Sf0001).write
+        .bucketBy(8, "c_custkey").sortBy("c_custkey")
+        .format("parquet").mode("overwrite").saveAsTable("b_customer")
+
+      val joined = spark.table("b_orders")
+        .join(spark.table("b_customer"), col("o_custkey") === col("c_custkey"))
+      val n = joined.count()
+      val plan = joined.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+      assert(!plan.contains("Exchange"), s"bucketed join still shuffles:\n$plan")
+
+      // same answer as the plain (shuffling) join on the raw parquet
+      val plainN = Tables.orders(spark, Sf0001)
+        .join(Tables.customer(spark, Sf0001), col("o_custkey") === col("c_custkey"))
+        .count()
+      assert(n === plainN)
+    } finally {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", prevAqe)
+    }
+  }
+}
