@@ -87,6 +87,53 @@ object StreamPipeline {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(matchOne)
   }
 
+  /** How long a user's matcher state outlives the watermark before the
+    * standalone (split-deployment) matcher reaps it. */
+  val StateRetentionMs: Long = 7L * 24 * 3600 * 1000
+
+  /** The split-deployment matcher: same semantics as matchedTrips but
+    * with EventTimeTimeout state cleanup — legal because this variant is
+    * meant to be a TERMINAL query (foreachBatch/Kafka sink), not an
+    * input to further stateful operators (see matchedTrips' scaladoc).
+    * Abandoned trips' state is dropped once the watermark passes
+    * last-activity + retention. */
+  def matchedTripsStandalone(
+      spark: SparkSession,
+      events: DataFrame,
+      retentionMs: Long = StateRetentionMs): Dataset[CompletedTrip] = {
+    import spark.implicits._
+    dedupedEvents(events)
+      .filter(col("event_type").isin("signup", "purchase"))
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      .as[TripEvent]
+      .groupByKey(_.user_id.longValue())
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        matchOneWithTimeout(retentionMs))
+  }
+
+  private[streaming] def matchOneWithTimeout(retentionMs: Long)(
+      userId: Long,
+      events: Iterator[TripEvent],
+      state: GroupState[TripMatchState]): Iterator[CompletedTrip] = {
+    if (state.hasTimedOut) {
+      // reap: a user idle past last-activity + retention starts a fresh
+      // matching epoch on their next event
+      state.remove()
+      Iterator.empty
+    } else {
+      val batch = events.toIndexedSeq
+      val out = matchOne(userId, batch.iterator, state)
+      // arm from the group's LAST EVENT TIME, not the watermark: early
+      // in the stream the watermark still reads epoch 0, and an
+      // epoch-relative timeout would wrongly reap every group on the
+      // next batch. Event-time + retention always leads the watermark.
+      val lastMs = batch.map(_.ts.getTime).max
+      state.setTimeoutTimestamp(math.max(
+        lastMs + retentionMs, state.getCurrentWatermarkMs() + 1))
+      out
+    }
+  }
+
   /** Process one user's micro-batch slice against its running state. */
   private[streaming] def matchOne(
       userId: Long,

@@ -109,6 +109,41 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("standalone matcher (EventTimeTimeout) matches batch; short retention reaps state") {
+    def run(name: String, retentionMs: Long): Array[Row] = {
+      val evDf = Tables.events(spark, Sf0001)
+      implicit val enc = Encoders.row(evDf.schema)
+      val stream = MemoryStream[Row](enc, spark)
+      val query = StreamPipeline.matchedTripsStandalone(spark, stream.toDF(), retentionMs)
+        .writeStream.format("memory").queryName(name).outputMode("append").start()
+      try {
+        val third = orderedEvents.length / 3
+        orderedEvents.grouped(third + 1).foreach { c =>
+          stream.addData(c); query.processAllAvailable()
+        }
+      } finally query.stop()
+      spark.table(name)
+        .select(col("user_id"), col("start_ts").cast("timestamp_ntz").as("start_ts"),
+          col("end_ts").cast("timestamp_ntz").as("end_ts"), col("fare"))
+        .orderBy("user_id", "start_ts").collect()
+    }
+    // retention beyond the data span → no state reaped → exactly batch p4
+    val got = run("trips_standalone_long", 90L * 24 * 3600 * 1000)
+    val exp = TripPipeline.tripMatch(spark, Sf0001)
+      .select(col("user_id"), col("start_ts"), col("end_ts"), col("fare"))
+      .orderBy("user_id", "start_ts").collect()
+    assert(got.toSeq === exp.toSeq)
+    // short retention → idle users' state is reaped and a NEW matching
+    // epoch begins (more trips than batch) — evidence the timeout fires;
+    // every emitted trip is still internally consistent
+    val reaped = run("trips_standalone_short", 24L * 3600 * 1000)
+    assert(reaped.length > got.length)
+    reaped.foreach { r =>
+      assert(!r.getAs[java.time.LocalDateTime]("end_ts")
+        .isBefore(r.getAs[java.time.LocalDateTime]("start_ts")))
+    }
+  }
+
   test("at-least-once re-delivery of recent events does not change the KPIs") {
     val batch = TripPipeline.kpiDaily(spark, Sf0001).collect()
     val half = orderedEvents.length / 2
