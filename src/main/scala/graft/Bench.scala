@@ -28,8 +28,13 @@ object Bench {
     // readers, charged to no query.
     spark.range(1L << 22).selectExpr("sum(id)", "count(distinct id % 1024)").collect()
     Tables.all.foreach { t =>
-      try Tables(spark, sfDir, t).limit(16).collect()
-      catch { case _: Throwable => () }
+      // events needs its nanos-ts conversion — the generic reader throws
+      // on TIMESTAMP(NANOS) and the events warm-up would silently no-op,
+      // charging the cold read to the first events query instead
+      try {
+        val df = if (t == "events") Tables.events(spark, sfDir) else Tables(spark, sfDir, t)
+        df.limit(16).collect()
+      } catch { case _: Throwable => () }
     }
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>

@@ -30,18 +30,19 @@ object Oracles {
       |AND value IS NOT NULL AND value >= 0.0""".stripMargin
 
   private val tripCte =
-    """starts AS (
-      |  SELECT user_id, min(ts) AS start_ts FROM events
-      |  WHERE event_type = 'signup' GROUP BY user_id),
-      |ends AS (
-      |  SELECT e.user_id, e.ts, e.event_id, e.value, s.start_ts,
-      |         row_number() OVER (PARTITION BY e.user_id ORDER BY e.ts, e.event_id) AS rn
-      |  FROM events e JOIN starts s ON e.user_id = s.user_id
-      |  WHERE e.event_type = 'purchase' AND e.ts >= s.start_ts),
-      |trips AS (
-      |  SELECT user_id, start_ts, ts AS end_ts, value AS fare,
-      |         epoch_us(ts) - epoch_us(start_ts) AS duration_us
-      |  FROM ends WHERE rn = 1)""".stripMargin
+    s"""vev AS (SELECT * FROM events WHERE $validCond),
+       |starts AS (
+       |  SELECT user_id, min(ts) AS start_ts FROM vev
+       |  WHERE event_type = 'signup' GROUP BY user_id),
+       |ends AS (
+       |  SELECT e.user_id, e.ts, e.event_id, e.value, s.start_ts,
+       |         row_number() OVER (PARTITION BY e.user_id ORDER BY e.ts, e.event_id) AS rn
+       |  FROM vev e JOIN starts s ON e.user_id = s.user_id
+       |  WHERE e.event_type = 'purchase' AND e.ts >= s.start_ts),
+       |trips AS (
+       |  SELECT user_id, start_ts, ts AS end_ts, value AS fare,
+       |         epoch_us(ts) - epoch_us(start_ts) AS duration_us
+       |  FROM ends WHERE rn = 1)""".stripMargin
 
   private val ngramCte =
     s"""docs AS (SELECT doc_id, $TOK AS t FROM documents),

@@ -221,8 +221,9 @@ object Analytics {
   def q20TopkHeap(spark: SparkSession, dir: String): DataFrame = {
     val base = Tables.orders(spark, dir)
       .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"), col("o_orderdate"))
-    val hasExt = spark.conf.getOption("spark.sql.extensions")
-      .exists(_.contains("graft.functions.GraftExtensions"))
+    // same probe as every other extension-gated path (a session built
+    // with .withExtensions(...) has the function but no conf entry)
+    val hasExt = spark.catalog.functionExists("graft_dot_long")
     val top =
       if (hasExt)
         graft.plans.TopKPerKey(base, Seq("o_orderpriority"),

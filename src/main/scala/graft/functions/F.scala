@@ -27,6 +27,18 @@ object F {
   def hash60(c: Column): Column =
     conv(substring(md5(c.cast(StringType)), 1, 15), 16, 10).cast(LongType)
 
+  /** Driver-side mirror of hash60 — md5 is the same function on the
+    * driver as in any engine, so coefficients derived here (hyperplanes,
+    * MinHash permutations, stub frame signatures) are identical to what
+    * Spark or DuckDB would compute. Single definition: every driver-side
+    * use MUST go through this, or a width/encoding change would silently
+    * break oracle agreement for some operators only. */
+  def hash60Driver(s: String): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(hex.substring(0, 15), 16)
+  }
+
   /** Exact, order-independent sum of a double column.
     *
     * Row-level values are cast to DECIMAL(18,6) (deterministic rounding

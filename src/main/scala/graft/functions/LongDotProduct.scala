@@ -19,8 +19,11 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   * — no allocation, no virtual calls. Semantics are identical (exact
   * integer arithmetic), so the DuckDB oracle is unaffected.
   *
-  * Null behavior mirrors the built-ins: null if either array is null;
-  * null elements are treated as 0 (embeddings never contain them).
+  * Null behavior EXACTLY mirrors the built-in formulation: null if
+  * either array is null, if the lengths differ (zip_with pads the
+  * shorter side with nulls), or if any element is null (a null product
+  * nulls the running sum) — so sessions with and without the extension
+  * can never diverge.
   */
 case class LongDotProduct(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -35,14 +38,18 @@ case class LongDotProduct(left: Expression, right: Expression)
   override def dataType: DataType = LongType
   override def prettyName: String = "graft_dot_long"
 
+  override def nullable: Boolean = true
+
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    if (x.numElements() != y.numElements()) return null
+    val n = x.numElements()
     var acc = 0L
     var i = 0
     while (i < n) {
-      if (!x.isNullAt(i) && !y.isNullAt(i)) acc += x.getLong(i) * y.getLong(i)
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      acc += x.getLong(i) * y.getLong(i)
       i += 1
     }
     acc
@@ -51,14 +58,20 @@ case class LongDotProduct(left: Expression, right: Expression)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (x, y) => {
       s"""
-         |int n = java.lang.Math.min($x.numElements(), $y.numElements());
-         |long acc = 0L;
-         |for (int i = 0; i < n; i++) {
-         |  if (!$x.isNullAt(i) && !$y.isNullAt(i)) {
-         |    acc += $x.getLong(i) * $y.getLong(i);
+         |if ($x.numElements() != $y.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  int n = $x.numElements();
+         |  long acc = 0L;
+         |  for (int i = 0; i < n && !${ev.isNull}; i++) {
+         |    if ($x.isNullAt(i) || $y.isNullAt(i)) {
+         |      ${ev.isNull} = true;
+         |    } else {
+         |      acc += $x.getLong(i) * $y.getLong(i);
+         |    }
          |  }
+         |  ${ev.value} = acc;
          |}
-         |${ev.value} = acc;
        """.stripMargin
     })
 

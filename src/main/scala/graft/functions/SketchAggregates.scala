@@ -172,11 +172,6 @@ object MinHashAgg {
   val K = 16
   val P = 2147483647L
 
-  private def h60(s: String): Long = {
-    val md = java.security.MessageDigest.getInstance("MD5")
-    val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
-    java.lang.Long.parseLong(hex.substring(0, 15), 16)
-  }
-  val Pa: Array[Long] = Array.tabulate(K)(i => h60(s"perm_a_$i") % (P - 1) + 1L)
-  val Pb: Array[Long] = Array.tabulate(K)(i => h60(s"perm_b_$i") % P)
+  val Pa: Array[Long] = Array.tabulate(K)(i => F.hash60Driver(s"perm_a_$i") % (P - 1) + 1L)
+  val Pb: Array[Long] = Array.tabulate(K)(i => F.hash60Driver(s"perm_b_$i") % P)
 }

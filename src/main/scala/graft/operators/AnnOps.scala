@@ -47,18 +47,10 @@ object AnnOps {
     * per (plane, dim) so any other width only changes this constant). */
   val Dims = 64
 
-  /** Driver-side mirror of F.hash60: md5 hex, first 15 chars, as int64.
-    * Identical to what Spark/DuckDB compute for the same string. */
-  private def h60(s: String): Long = {
-    val md = java.security.MessageDigest.getInstance("MD5")
-    val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
-    java.lang.Long.parseLong(hex.substring(0, 15), 16)
-  }
-
   /** Integer coefficients of hyperplane p: w(p,d) = hash60("hp_p_d") %
     * 2001 − 1000, matching the oracle's regeneration in SQL. */
   private def planeW(p: Int): Seq[Long] =
-    (0 until Dims).map(d => h60(s"hp_${p}_${d}") % 2001L - 1000L)
+    (0 until Dims).map(d => hash60Driver(s"hp_${p}_${d}") % 2001L - 1000L)
 
   /** Sign bit of q·w(p) — an exact integer dot against a literal
     * coefficient array, evaluated map-side. */

@@ -40,6 +40,16 @@ object DedupOps {
       build: => DataFrame): DataFrame =
     memo.getOrElseUpdate((spark, key, dir), build.persist(StorageLevel.MEMORY_AND_DISK))
 
+  /** Release every memoized persist for a session — call between
+    * experiments (the determinism tests do) or before retiring a
+    * long-lived session; otherwise the memo pins its signature builds
+    * for the session lifetime by design (they are re-read per query). */
+  def clearMemo(spark: SparkSession): Unit = {
+    memo.keys.filter(_._1 eq spark).foreach { k =>
+      memo.remove(k).foreach(_.unpersist(blocking = false))
+    }
+  }
+
   /** Token 3-gram array (empty when the doc has < 3 tokens). */
   private def ngramsExpr: Column = expr(
     """CASE WHEN size(t) >= 3
@@ -204,6 +214,10 @@ object DedupOps {
       labels.unpersist(blocking = false)
       labels = next
     }
+    // every round is materialized, so the edge cache has served its
+    // purpose — release it (the final labels stay persisted: they back
+    // the returned DataFrame)
+    edges.unpersist(blocking = false)
     labels.select(col("doc_id"), col("label").as("cluster_id")).orderBy("doc_id")
   }
 

@@ -56,15 +56,13 @@ object MultimodalOps {
     Tables.documents(spark, dir)
       .select(col("doc_id"), col("text")).as[(Long, String)]
       .mapPartitions { it =>
-        val md = java.security.MessageDigest.getInstance("MD5") // per-partition codec ctx
         it.flatMap { case (id, text) =>
-          val t = if (text == null) "" else text
-          val nFrames = t.getBytes("UTF-8").length % 30 + 1 // stubbed "decode"
-          (0 until nFrames by FrameStride).iterator.map { i =>
-            md.reset()
-            val hex = md.digest((t + "_frame_" + i).getBytes("UTF-8"))
-              .map("%02x".format(_)).mkString
-            FrameRow(id, i, java.lang.Long.parseLong(hex.substring(0, 15), 16))
+          if (text == null) Iterator.empty // undecodable blob: no frames
+          else {
+            val nFrames = text.getBytes("UTF-8").length % 30 + 1 // stubbed "decode"
+            (0 until nFrames by FrameStride).iterator.map { i =>
+              FrameRow(id, i, graft.functions.F.hash60Driver(text + "_frame_" + i))
+            }
           }
         }
       }

@@ -115,9 +115,14 @@ object TextOps {
     * to 6 dp with a (score desc, term) total order so both engines rank
     * identically. */
   def tfidfTop(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
-    val tc = Tables.documents(spark, dir)
-      .select(col("doc_id"), explode(toks).as("tok"))
-      .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    // persisted: tc feeds both the tf side of the join and the df
+    // aggregation — without it the tokenize/explode/aggregate lineage
+    // (the dominant cost at scale) runs twice
+    val tc = DedupOps.memoized(spark, "t5_tokCounts", dir) {
+      Tables.documents(spark, dir)
+        .select(col("doc_id"), explode(toks).as("tok"))
+        .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    }
     val df = tc.groupBy("tok").agg(count(lit(1)).as("df"))
     val nDocs = Tables.documents(spark, dir).agg(count(lit(1)).as("n_docs"))
     val w = org.apache.spark.sql.expressions.Window

@@ -88,7 +88,12 @@ object TripPipeline {
     * on user_id (at scale: both sides hash-partitioned on the key, AQE
     * handles skew). */
   def tripMatch(spark: SparkSession, dir: String): DataFrame = {
-    val ev = Tables.events(spark, dir)
+    // only VALIDATED events participate in matching — reference
+    // semantics (invalid payloads never reach DynamoDB, so the Glue
+    // aggregation never sees them) and what keeps the streaming pipeline
+    // (which validates first) semantically equal to batch, not just
+    // equal on datasets that happen to contain no invalid rows.
+    val ev = Tables.events(spark, dir).filter(validCond)
     val starts = ev.filter(col("event_type") === "signup")
       .groupBy("user_id").agg(min("ts").as("start_ts"))
     val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))

@@ -59,11 +59,17 @@ case class CompletedTrip(user_id: Long, start_ts: Timestamp, end_ts: Timestamp, 
   */
 object StreamPipeline {
 
-  /** validate + watermark + exactly-once ingestion dedup on event_id. */
+  /** validate + watermark + exactly-once ingestion dedup on event_id.
+    * dropDuplicatesWithinWatermark (NOT plain dropDuplicates): with the
+    * event-time column absent from the dedup subset, plain dedup state
+    * is never evicted and grows with every event_id ever seen; the
+    * within-watermark variant reaps keys once the watermark passes them,
+    * which also matches the real guarantee needed — Kinesis re-delivery
+    * happens within a bounded window, not years later. */
   def dedupedEvents(events: DataFrame): DataFrame =
     events.filter(TripPipeline.validCond)
       .withWatermark("ts", "1 hour")
-      .dropDuplicates("event_id")
+      .dropDuplicatesWithinWatermark("event_id")
 
   /** Stateful trip matcher over the deduped stream.
     *

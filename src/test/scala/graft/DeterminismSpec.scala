@@ -18,7 +18,12 @@ class DeterminismSpec extends AnyFunSuite with SparkSpec {
   }
 
   private def assertStable(name: String)(build: => org.apache.spark.sql.DataFrame): Unit = {
+    // drop memoized/persisted substrates between the runs — otherwise
+    // the second partitioning replays cached signatures instead of
+    // recomputing them, and the test proves nothing
+    operators.DedupOps.clearMemo(spark)
     val a = underPartitions(3)(build.collect().toSeq)
+    operators.DedupOps.clearMemo(spark)
     val b = underPartitions(13)(build.collect().toSeq)
     assert(a === b, s"$name differs across partition counts")
   }
