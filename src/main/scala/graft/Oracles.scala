@@ -142,6 +142,45 @@ object Oracles {
          |  min(fare) AS min_fare
          |FROM trips GROUP BY CAST(end_ts AS DATE) ORDER BY date""".stripMargin,
 
+    // p9: the streaming pipeline is batch-equivalent on in-order input
+    // (StreamingSpec), so its oracle IS the daily-KPI SQL — same CTE,
+    // same decimal-exact aggregates as p5.
+    "p9_dedup_exact_stream" ->
+      s"""WITH $tripCte
+         |SELECT CAST(end_ts AS DATE) AS date,
+         |  ${dsum("fare")} AS total_fare,
+         |  COUNT(*) AS count_trips,
+         |  ${davg("fare")} AS average_fare,
+         |  max(fare) AS max_fare,
+         |  min(fare) AS min_fare
+         |FROM trips GROUP BY CAST(end_ts AS DATE) ORDER BY date""".stripMargin,
+
+    "p12_coerce_fields" ->
+      """WITH r AS (
+        |  SELECT event_id,
+        |    CASE WHEN event_id % 103 = 0 THEN NULL
+        |         WHEN event_id % 101 = 0 THEN 'N/A'
+        |         ELSE CAST(CAST(value AS DECIMAL(18,6)) AS VARCHAR) END AS fare_str,
+        |    CASE WHEN event_id % 7 = 0 THEN NULL
+        |         WHEN event_id % 109 = 0 THEN 'abc'
+        |         ELSE CAST(user_id AS VARCHAR) END AS count_str
+        |  FROM events),
+        |c AS (
+        |  SELECT event_id, fare_str, count_str,
+        |    TRY_CAST(fare_str AS DOUBLE) AS fare_d,
+        |    TRY_CAST(count_str AS BIGINT) AS count_l
+        |  FROM r),
+        |v AS (
+        |  SELECT *, CASE WHEN fare_str IS NULL THEN 'missing_required'
+        |       WHEN fare_d IS NULL THEN 'bad_required'
+        |       WHEN count_str IS NOT NULL AND count_l IS NULL THEN 'bad_optional'
+        |       ELSE 'ok' END AS status
+        |  FROM c)
+        |SELECT event_id, status,
+        |  CASE WHEN status = 'ok' THEN fare_d END AS fare,
+        |  CASE WHEN status = 'ok' THEN count_l END AS passenger_count
+        |FROM v ORDER BY event_id""".stripMargin,
+
     "p6_kpi_daily_by_type" ->
       s"""SELECT CAST(ts AS DATE) AS date, event_type,
          |  COUNT(*) AS n_events,

@@ -24,8 +24,10 @@ object SparkEntry {
     "p6_kpi_daily_by_type" -> TripPipeline.kpiDailyByType _,
     "p7_sessionize" -> TripPipeline.sessionize _,
     "p8_props_agg" -> TripPipeline.propsAgg _,
+    "p9_dedup_exact_stream" -> streaming.StreamPipeline.kpiDailyViaFileStream _,
     "p10_kpi_sink" -> pipeline.SinkOps.kpiSinkRoundtrip _,
     "p11_ts_multiformat" -> TripPipeline.tsMultiFormat _,
+    "p12_coerce_fields" -> TripPipeline.coerceFields _,
     // B. analytics
     "q1_pricing" -> Analytics.q1Pricing _,
     "q3_shipping" -> Analytics.q3Shipping _,

@@ -38,6 +38,9 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // release this dir's memoized substrate persists — memo hygiene for
+    // sessions that verify more than one dir
+    operators.DedupOps.clearMemo(spark, sfDir)
     spark.stop()
   }
 }

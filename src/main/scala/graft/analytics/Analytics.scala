@@ -41,15 +41,19 @@ object Analytics {
         count(lit(1)).as("count_order"))
       .orderBy("l_returnflag", "l_linestatus")
 
-  /** q3: shipping-priority top-10 — broadcast the filtered customer dim,
-    * shuffle join orders⋈lineitem, tie-safe global ordering on the
-    * *exact decimal* revenue before the limit. */
+  /** q3: shipping-priority top-10 — shuffle joins throughout, tie-safe
+    * global ordering on the *exact decimal* revenue before the limit.
+    * No broadcast hint: the BUILDING segment of customer is still
+    * SF-proportional (~1/5 of the table — 3 M rows at SF100), the same
+    * fact-scale class q5 deliberately stopped broadcasting; AQE picks
+    * the physical join (and may still broadcast at small SFs) from
+    * RUNTIME sizes instead of a hint that goes wrong at 100 TB. */
   def q3Shipping(spark: SparkSession, dir: String): DataFrame = {
     val cust = Tables.customer(spark, dir).filter(col("c_mktsegment") === "BUILDING")
     val ord = Tables.orders(spark, dir).filter(col("o_orderdate") < lit("1998-01-01"))
     val li = Tables.lineitem(spark, dir).filter(col("l_shipdate") > lit("1998-01-01"))
     li.join(ord, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
       .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
       .agg(sum(revDec()).as("rev_dec"))
       .orderBy(col("rev_dec").desc, col("l_orderkey"))

@@ -33,8 +33,14 @@ object F {
     * Spark or DuckDB would compute. Single definition: every driver-side
     * use MUST go through this, or a width/encoding change would silently
     * break oracle agreement for some operators only. */
-  def hash60Driver(s: String): Long = {
-    val md = java.security.MessageDigest.getInstance("MD5")
+  def hash60Driver(s: String): Long =
+    hash60With(java.security.MessageDigest.getInstance("MD5"), s)
+
+  /** hash60 over a CALLER-OWNED MessageDigest — the per-partition hot
+    * path (m2 frame sampling) hoists one instance per partition and
+    * reuses it per row (`digest()` resets the instance), instead of
+    * allocating one per frame. Same bytes, same value as hash60Driver. */
+  def hash60With(md: java.security.MessageDigest, s: String): Long = {
     val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
     java.lang.Long.parseLong(hex.substring(0, 15), 16)
   }

@@ -50,6 +50,16 @@ object DedupOps {
     }
   }
 
+  /** Release only the persists built for one data directory — the memo
+    * lifecycle hook for long-lived sessions that sweep many dirs
+    * (Verify/Bench call this after finishing a dir, so the session never
+    * pins more than one dir's substrates at a time). */
+  def clearMemo(spark: SparkSession, dir: String): Unit = {
+    memo.keys.filter(k => (k._1 eq spark) && k._3 == dir).foreach { k =>
+      memo.remove(k).foreach(_.unpersist(blocking = false))
+    }
+  }
+
   /** Token 3-gram array (empty when the doc has < 3 tokens). */
   private def ngramsExpr: Column = expr(
     """CASE WHEN size(t) >= 3
@@ -151,30 +161,36 @@ object DedupOps {
 
   /** d3: MinHash + LSH banding. Band signature = md5 of the band's
     * minhashes in permutation order; candidates = pairs sharing any band;
-    * est_jaccard = fraction of agreeing permutations. */
-  def minhashLsh(spark: SparkSession, dir: String, minEst: Double = 0.25): DataFrame = {
-    val sig = minhashSig(spark, dir)
-    val bands = sig.withColumn("band", floor(col("i") / BandRows).cast(IntegerType))
-      .groupBy("doc_id", "band")
-      .agg(md5(array_join(
-        transform(array_sort(collect_list(struct(col("i"), col("mh")))),
-          s => s.getField("mh").cast(StringType)),
-        ",")).as("bkey"))
-    val cand = bands.select(col("doc_id").as("doc_a"), col("band"), col("bkey"))
-      .join(bands.select(col("doc_id").as("doc_b"), col("band"), col("bkey")),
-        Seq("band", "bkey"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b").distinct()
-    cand
-      .join(sig.select(col("doc_id").as("doc_a"), col("i"), col("mh").as("mha")), "doc_a")
-      .join(sig.select(col("doc_id").as("doc_b"), col("i"), col("mh").as("mhb")),
-        Seq("doc_b", "i"))
-      .groupBy("doc_a", "doc_b")
-      .agg((sum(when(col("mha") === col("mhb"), 1L).otherwise(0L))
-        .cast(DoubleType) / K).as("est_jaccard"))
-      .filter(col("est_jaccard") >= minEst)
-      .orderBy("doc_a", "doc_b")
-  }
+    * est_jaccard = fraction of agreeing permutations.
+    *
+    * The verified pair set (NOT just the signature) is memoized: d5
+    * builds its cluster graph from exactly these pairs, so without the
+    * memo the band build + band self-join + verification joins would
+    * re-execute once per consumer — at sf0.1 that recompute was 46% of
+    * the whole benchmark. With it, d3 and d5 share one materialization. */
+  def minhashLsh(spark: SparkSession, dir: String, minEst: Double = 0.25): DataFrame =
+    memoized(spark, s"d3_pairs:$minEst", dir) {
+      val sig = minhashSig(spark, dir)
+      val bands = sig.withColumn("band", floor(col("i") / BandRows).cast(IntegerType))
+        .groupBy("doc_id", "band")
+        .agg(md5(array_join(
+          transform(array_sort(collect_list(struct(col("i"), col("mh")))),
+            s => s.getField("mh").cast(StringType)),
+          ",")).as("bkey"))
+      val cand = bands.select(col("doc_id").as("doc_a"), col("band"), col("bkey"))
+        .join(bands.select(col("doc_id").as("doc_b"), col("band"), col("bkey")),
+          Seq("band", "bkey"))
+        .filter(col("doc_a") < col("doc_b"))
+        .select("doc_a", "doc_b").distinct()
+      cand
+        .join(sig.select(col("doc_id").as("doc_a"), col("i"), col("mh").as("mha")), "doc_a")
+        .join(sig.select(col("doc_id").as("doc_b"), col("i"), col("mh").as("mhb")),
+          Seq("doc_b", "i"))
+        .groupBy("doc_a", "doc_b")
+        .agg((sum(when(col("mha") === col("mhb"), 1L).otherwise(0L))
+          .cast(DoubleType) / K).as("est_jaccard"))
+        .filter(col("est_jaccard") >= minEst)
+    }.orderBy("doc_a", "doc_b")
 
   /** Label-propagation iterations for d5 (bounded — see scaladoc). */
   val ClusterIters = 3
@@ -190,34 +206,32 @@ object DedupOps {
     * corpus. The oracle replays the exact same rounds, so results match
     * even if some pathological chain hasn't converged. */
   def nearDupClusters(spark: SparkSession, dir: String): DataFrame = {
+    // the pair graph comes straight from the memoized d3 materialization
+    // — no recompute of the band/verification joins when d3 already ran
     val pairs = minhashLsh(spark, dir).select("doc_a", "doc_b")
+    // localCheckpoint(eager): ONE materialization job per round with the
+    // lineage truncated at the checkpoint — the previous rounds' plans
+    // can't double into this one, and there is no separate count() job
+    // (the r2 persist+count formulation paid an extra aggregation job
+    // per round purely to force materialization).
     val edges = pairs
       .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(eager = true)
     var labels = edges.select(col("doc_a").as("doc_id")).distinct()
       .withColumn("label", col("doc_id"))
+      .localCheckpoint(eager = true)
     for (_ <- 1 to ClusterIters) {
       val nb = edges
         .join(labels.select(col("doc_id").as("nb_id"), col("label").as("nb_label")),
           col("doc_b") === col("nb_id"))
         .groupBy(col("doc_a").as("upd_id"))
         .agg(min("nb_label").as("nb_min"))
-      val next = labels
+      labels = labels
         .join(nb, col("doc_id") === col("upd_id"), "left")
         .select(col("doc_id"),
           least(col("label"), coalesce(col("nb_min"), col("label"))).as("label"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      // materialize each round: labels feeds the NEXT round twice (own
-      // side + neighbor side), so an unmaterialized lineage doubles per
-      // round — the standard iterative-algorithm checkpoint.
-      next.count()
-      labels.unpersist(blocking = false)
-      labels = next
+        .localCheckpoint(eager = true)
     }
-    // every round is materialized, so the edge cache has served its
-    // purpose — release it (the final labels stay persisted: they back
-    // the returned DataFrame)
-    edges.unpersist(blocking = false)
     labels.select(col("doc_id"), col("label").as("cluster_id")).orderBy("doc_id")
   }
 

@@ -56,12 +56,16 @@ object MultimodalOps {
     Tables.documents(spark, dir)
       .select(col("doc_id"), col("text")).as[(Long, String)]
       .mapPartitions { it =>
+        // per-partition setup, amortized across the partition's rows —
+        // in production this is the codec context; here the MD5 instance
+        // (digest() resets it, so one instance serves every frame)
+        val md = java.security.MessageDigest.getInstance("MD5")
         it.flatMap { case (id, text) =>
           if (text == null) Iterator.empty // undecodable blob: no frames
           else {
             val nFrames = text.getBytes("UTF-8").length % 30 + 1 // stubbed "decode"
             (0 until nFrames by FrameStride).iterator.map { i =>
-              FrameRow(id, i, graft.functions.F.hash60Driver(text + "_frame_" + i))
+              FrameRow(id, i, graft.functions.F.hash60With(md, text + "_frame_" + i))
             }
           }
         }

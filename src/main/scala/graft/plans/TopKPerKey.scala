@@ -36,17 +36,35 @@ case class TopKPerKey(
     keys: Seq[Expression],
     order: Seq[SortOrder],
     k: Int,
-    child: LogicalPlan) extends UnaryNode {
+    child: LogicalPlan,
+    maxKeysPerPartition: Int = TopKPerKey.DefaultMaxKeysPerPartition) extends UnaryNode {
   override def output: Seq[Attribute] = child.output
   override protected def withNewChildInternal(newChild: LogicalPlan): TopKPerKey =
     copy(child = newChild)
 }
 
 object TopKPerKey {
+  /** MEMORY CONTRACT: the exec holds every key's k-row heap in executor
+    * memory with NO spill path — O(#distinct keys per partition × k)
+    * rows. That is the operator's entire reason to exist (no sort
+    * buffer) and is the right trade for the low-cardinality grouping
+    * keys it targets (priorities, categories, tenants); it is the WRONG
+    * operator for high-cardinality keys, where the window/sort
+    * formulation spills gracefully. The guard makes that contract fail
+    * fast with advice instead of an executor OOM: 4M keys × k=3 ×
+    * ~50-byte rows ≈ 600 MB — near the practical per-task ceiling. */
+  val DefaultMaxKeysPerPartition: Int = 4 * 1000 * 1000
+
   /** Top-k rows per distinct value of `keyCols`, ranked by `orderCols`
     * (columnName → ascending?) with the caller responsible for making
     * the order total if deterministic output matters. */
-  def apply(df: DataFrame, keyCols: Seq[String], orderCols: Seq[(String, Boolean)], k: Int): DataFrame = {
+  def apply(df: DataFrame, keyCols: Seq[String], orderCols: Seq[(String, Boolean)], k: Int): DataFrame =
+    apply(df, keyCols, orderCols, k, DefaultMaxKeysPerPartition)
+
+  /** As above with an explicit per-partition distinct-key bound (see
+    * the memory contract on [[DefaultMaxKeysPerPartition]]). */
+  def apply(df: DataFrame, keyCols: Seq[String], orderCols: Seq[(String, Boolean)], k: Int,
+      maxKeysPerPartition: Int): DataFrame = {
     val analyzed = df.queryExecution.analyzed
     def attr(name: String): Attribute =
       analyzed.output.find(_.name == name).getOrElse(
@@ -56,15 +74,16 @@ object TopKPerKey {
       if (asc) SortOrder(attr(name), org.apache.spark.sql.catalyst.expressions.Ascending)
       else SortOrder(attr(name), org.apache.spark.sql.catalyst.expressions.Descending)
     }
-    GraftBridge.ofRows(df.sparkSession, TopKPerKey(keyExprs, sortOrders, k, analyzed))
+    GraftBridge.ofRows(df.sparkSession,
+      TopKPerKey(keyExprs, sortOrders, k, analyzed, maxKeysPerPartition))
   }
 }
 
 /** Plans the logical TopKPerKey into its physical operator. */
 class TopKPerKeyStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case TopKPerKey(keys, order, k, child) =>
-      TopKPerKeyExec(keys, order, k, planLater(child)) :: Nil
+    case TopKPerKey(keys, order, k, child, maxKeys) =>
+      TopKPerKeyExec(keys, order, k, planLater(child), maxKeys) :: Nil
     case _ => Nil
   }
 }
@@ -73,7 +92,8 @@ case class TopKPerKeyExec(
     keys: Seq[Expression],
     order: Seq[SortOrder],
     k: Int,
-    child: SparkPlan) extends UnaryExecNode {
+    child: SparkPlan,
+    maxKeysPerPartition: Int = TopKPerKey.DefaultMaxKeysPerPartition) extends UnaryExecNode {
 
   override def output: Seq[Attribute] = child.output
   override def outputPartitioning: Partitioning = child.outputPartitioning
@@ -88,6 +108,7 @@ case class TopKPerKeyExec(
     val keyExprs = keys
     val sortOrders = order
     val kk = k
+    val maxKeys = maxKeysPerPartition
     child.execute().mapPartitions { it =>
       val keyProj = UnsafeProjection.create(keyExprs, childOutput)
       // identity projection normalizes any InternalRow to UnsafeRow
@@ -104,6 +125,13 @@ case class TopKPerKeyExec(
         val key = keyProj(unsafe)
         var heap = heaps.get(key)
         if (heap == null) {
+          // enforce the no-spill memory contract: fail fast with advice
+          // instead of letting O(#keys × k) heaps OOM the executor
+          if (heaps.size() >= maxKeys) throw new IllegalStateException(
+            s"TopKPerKey saw more than $maxKeys distinct keys in one partition; " +
+              "its per-key heaps have no spill path. Use the window " +
+              "row_number() formulation for high-cardinality keys, or raise " +
+              "maxKeysPerPartition if executor memory allows #keys*k rows.")
           heap = new JPriorityQueue[UnsafeRow](kk + 1, heapCmp)
           heaps.put(key.copy(), heap)
         }

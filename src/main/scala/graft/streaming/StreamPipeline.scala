@@ -202,6 +202,35 @@ object StreamPipeline {
       }
       .start()
 
+  /** p9 as an oracle-checkable BATCH result: drives the full streaming
+    * pipeline (validate → watermarked dedup → stateful match → windowed
+    * KPI) over the events parquet through a REAL file streaming source
+    * and returns the materialized memory-sink table. Because the
+    * streaming chain is equivalent to the batch pipeline on in-order
+    * input (proven under re-delivery by StreamingSpec), the result
+    * hash-matches the same DuckDB oracle as p5 — which is what promotes
+    * the streaming operator from test-verified to oracle-verified. */
+  def kpiDailyViaFileStream(spark: SparkSession, dir: String): DataFrame = {
+    // stage the events parquet as a file-source directory (per sf-dir,
+    // rerunnable: REPLACE_EXISTING makes re-staging idempotent)
+    val streamDir = java.nio.file.Paths.get(
+      s"target/graft-p9-stream-${math.abs(dir.hashCode)}")
+    java.nio.file.Files.createDirectories(streamDir)
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/events.parquet"),
+      streamDir.resolve("events.parquet"),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val rawSchema = spark.read.parquet(s"$dir/events.parquet").schema
+    val sdf = spark.readStream.schema(rawSchema).parquet(streamDir.toString)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val query = kpiDailyStream(spark, sdf)
+      .writeStream.format("memory").queryName("graft_p9_kpi")
+      .outputMode("complete").start()
+    try query.processAllAvailable() finally query.stop()
+    spark.table("graft_p9_kpi").orderBy("date")
+  }
+
   /** Daily KPIs over the matched-trip stream — event-time 1-day window,
     * same decimal-exact aggregates as the batch kpiDaily. */
   def kpiDailyStream(spark: SparkSession, events: DataFrame): DataFrame =

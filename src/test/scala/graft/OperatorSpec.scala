@@ -32,6 +32,42 @@ class OperatorSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("q3 logical plan asks for no broadcast (AQE decides from runtime sizes)") {
+    val conf = spark.conf
+    val prev = conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    val prevAqe = conf.get("spark.sql.adaptive.autoBroadcastJoinThreshold", prev)
+    try {
+      // with auto-broadcast off, any remaining BroadcastHashJoin could
+      // only come from a hint in the code — q3 must not have one: the
+      // BUILDING customer segment is SF-proportional (fact-scale at
+      // SF100), the exact class q5 stopped broadcasting
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      val q3 = Analytics.q3Shipping(spark, Sf0001)
+      q3.collect()
+      val plan = q3.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+      assert(!plan.contains("BroadcastHashJoin"),
+        s"q3 must not hint a broadcast of the customer segment, plan:\n$plan")
+    } finally {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", prevAqe)
+    }
+  }
+
+  test("TopKPerKey fails fast with advice when a partition exceeds its key budget") {
+    // 1000 distinct keys over 4 shuffle partitions ≈ 250 keys/partition;
+    // a 50-key budget must trip the no-spill guard, not OOM silently
+    val df = spark.range(1000L).selectExpr("id AS k", "id % 10 AS v")
+    val guarded = graft.plans.TopKPerKey(df, Seq("k"), Seq(("v", true)), 2, 50)
+    val ex = intercept[Exception] { guarded.collect() }
+    val messages = Iterator.iterate[Throwable](ex)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString("\n")
+    assert(messages.contains("distinct keys in one partition"), messages)
+    // the same shape under the default budget completes fine
+    val fine = graft.plans.TopKPerKey(df, Seq("k"), Seq(("v", true)), 2)
+    assert(fine.count() === 1000L) // k=2 but only 1 row per key exists
+  }
+
   test("e3 embedding near-dup is non-vacuous at verification SF") {
     val n = AnnOps.embedNearDup(spark, Sf001).count()
     assert(n > 0L, "banded multi-probe LSH must produce a non-empty pair set")

@@ -65,6 +65,35 @@ class PipelineSpec extends AnyFunSuite with SparkSpec {
     assert(ks.toSeq === Seq(Some(5L), Some(7L), Some(9L), None, None))
   }
 
+  test("p12 coerces string numerics per field class (required vs optional)") {
+    // event_ids chosen to hit each injection residue exactly once:
+    //   1   → clean row ("12.500000" → 12.5, "3" → 3)
+    //   101 → required field uncoercible ('N/A')
+    //   103 → required field missing (NULL)
+    //   7   → optional field missing (NULL) — row KEPT, null passenger_count
+    //   109 → optional field present but uncoercible ('abc') — row rejected
+    val rows: Seq[Row] = Seq(
+      Row(1L, t0, 3L, "click", 12.5, null),
+      Row(101L, t0, 3L, "click", 1.0, null),
+      Row(103L, t0, 3L, "click", 1.0, null),
+      Row(7L, t0, 4L, "click", 2.5, null),
+      Row(109L, t0, 5L, "click", 3.5, null))
+    val out = TripPipeline.coerceFieldsDf(
+        spark.createDataFrame(rows.asJava, eventsSchema))
+      .orderBy("event_id").collect()
+    def status(r: Row) = r.getString(1)
+    val byId = out.map(r => r.getLong(0) -> r).toMap
+    assert(status(byId(1L)) === "ok")
+    assert(byId(1L).getDouble(2) === 12.5) // "12.500000" coerced back exactly
+    assert(byId(1L).getLong(3) === 3L)
+    assert(status(byId(101L)) === "bad_required")
+    assert(byId(101L).isNullAt(2) && byId(101L).isNullAt(3))
+    assert(status(byId(103L)) === "missing_required")
+    assert(status(byId(7L)) === "ok") // optional absent is fine
+    assert(byId(7L).getDouble(2) === 2.5 && byId(7L).isNullAt(3))
+    assert(status(byId(109L)) === "bad_optional") // 'abc' never coerces
+  }
+
   test("partitioned KPI sink round-trips the daily KPI exactly") {
     val direct = TripPipeline.kpiDaily(spark, Sf0001).collect()
     val viaSink = SinkOps.kpiSinkRoundtrip(spark, Sf0001).collect()

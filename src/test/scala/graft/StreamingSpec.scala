@@ -44,6 +44,21 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     assert(got.length > 0)
   }
 
+  test("p9 file-source materialization equals batch kpiDaily (the oracle query path)") {
+    // this is exactly what the driver's correctness gate runs: the full
+    // streaming chain over a real file streaming source, materialized to
+    // a batch result — it must be bit-comparable to the batch pipeline
+    // (whose SQL is the p9 oracle)
+    val batch = TripPipeline.kpiDaily(spark, Sf0001).collect()
+    val got = StreamPipeline.kpiDailyViaFileStream(spark, Sf0001).collect()
+    assert(got.length === batch.length)
+    got.zip(batch).foreach { case (g, e) =>
+      assert(g.getDate(0) === e.getDate(0))
+      assert(g.getLong(2) === e.getLong(2))
+      Seq(1, 3, 4, 5).foreach { i => assert(g.getDouble(i) === e.getDouble(i)) }
+    }
+  }
+
   test("streaming session_window sessionization equals the batch gap rule") {
     import java.sql.Timestamp
     val evDf = Tables.events(spark, Sf0001)
