@@ -496,6 +496,84 @@ object Oracles {
          |WHERE round(CAST(inter AS DOUBLE) / (sa.n_ng + sb.n_ng - inter), 6) >= 0.18
          |ORDER BY doc_a, doc_b""".stripMargin,
 
+    "q13_order_dist" ->
+      """WITH oc AS (
+        |  SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+        |  FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+        |  GROUP BY c.c_custkey)
+        |SELECT c_count, count(*) AS n_cust FROM oc GROUP BY c_count
+        |ORDER BY n_cust DESC, c_count DESC""".stripMargin,
+
+    "s1_kmv_distinct" ->
+      s"""WITH toks AS (SELECT DISTINCT ${h60("tok")} AS h
+         |  FROM (SELECT unnest($TOK) AS tok FROM documents) u),
+         |k AS (SELECT h FROM toks ORDER BY h LIMIT 16)
+         |SELECT 16 AS k, max(h) AS kth_min,
+         |  CAST((16 - 1) AS DOUBLE) * 1152921504606846976.0 / max(h) AS est_distinct,
+         |  (SELECT count(*) FROM toks) AS n_exact
+         |FROM k""".stripMargin,
+
+    "s2_group_quantiles" ->
+      """WITH r AS (
+        |  SELECT o_orderpriority, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_orderpriority
+        |      ORDER BY o_totalprice, o_orderkey) AS rn,
+        |    count(*) OVER (PARTITION BY o_orderpriority) AS cnt
+        |  FROM orders)
+        |SELECT o_orderpriority, CAST(q AS DOUBLE) AS q,
+        |  o_totalprice AS quantile_value
+        |FROM r JOIN (VALUES (0.25), (0.5), (0.75)) qs(q)
+        |  ON rn = CAST(floor((cnt - 1) * q) AS BIGINT) + 1
+        |ORDER BY o_orderpriority, q""".stripMargin,
+
+    "s3_sample_stratified" ->
+      s"""SELECT event_id, event_type FROM events
+         |WHERE ${h60("'sample_' || event_id")} % 1000 <
+         |  CASE event_type WHEN 'signup' THEN 1000 WHEN 'purchase' THEN 500
+         |    WHEN 'click' THEN 100 WHEN 'view' THEN 50 ELSE 0 END
+         |ORDER BY event_id""".stripMargin,
+
+    "t6_redact" ->
+      """WITH pii AS (
+        |  SELECT doc_id,
+        |    text || ' contact user' || doc_id || '@mail.example.com or call 555-01' ||
+        |      lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') || ' now' AS ptext
+        |  FROM documents),
+        |red AS (
+        |  SELECT doc_id,
+        |    len(regexp_extract_all(ptext, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS n_emails,
+        |    len(regexp_extract_all(ptext, '\d{3}-\d{4}')) AS n_phones,
+        |    regexp_replace(regexp_replace(ptext,
+        |      '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+        |      '\d{3}-\d{4}', '<PHONE>', 'g') AS rtext
+        |  FROM pii)
+        |SELECT doc_id, n_emails, n_phones, md5(rtext) AS redacted_md5,
+        |  len(rtext) AS redacted_len
+        |FROM red ORDER BY doc_id""".stripMargin,
+
+    "t7_bigram_pmi" ->
+      s"""WITH docs AS (SELECT doc_id, $TOK AS t FROM documents),
+         |uni AS (SELECT tok, count(*) AS c
+         |  FROM (SELECT unnest(t) AS tok FROM docs) u GROUP BY tok),
+         |bg AS (SELECT bigram, count(*) AS c_xy FROM (
+         |  SELECT unnest(CASE WHEN len(t) >= 2
+         |    THEN list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])
+         |    ELSE [] END) AS bigram
+         |  FROM docs) u GROUP BY bigram),
+         |tot AS (SELECT (SELECT SUM(c) FROM uni) AS n_uni,
+         |               (SELECT SUM(c_xy) FROM bg) AS n_bg),
+         |sc AS (
+         |  SELECT b.bigram, b.c_xy,
+         |    CAST(b.c_xy AS DOUBLE) * n_uni * n_uni /
+         |      (CAST(u1.c AS DOUBLE) * u2.c * n_bg) AS lift
+         |  FROM bg b
+         |  JOIN uni u1 ON u1.tok = split_part(b.bigram, ' ', 1)
+         |  JOIN uni u2 ON u2.tok = split_part(b.bigram, ' ', 2)
+         |  CROSS JOIN tot
+         |  WHERE b.c_xy >= 5)
+         |SELECT bigram, c_xy, round(lift, 6) AS lift FROM sc
+         |ORDER BY lift DESC, bigram LIMIT 20""".stripMargin,
+
     "d3_minhash_lsh" -> d3Sql,
 
     "d5_neardup_clusters" -> d5Sql,

@@ -42,8 +42,12 @@ object SparkEntry {
     "q14_promo" -> Analytics.q14Promo _,
     "q18_large_volume" -> Analytics.q18LargeVolume _,
     "q19_disjunctive" -> Analytics.q19Disjunctive _,
+    "q13_order_dist" -> Analytics.q13OrderDist _,
     "q20_topk_heap" -> Analytics.q20TopkHeap _,
     "q22_inactive_rich" -> Analytics.q22InactiveRich _,
+    "s1_kmv_distinct" -> operators.SketchOps.kmvDistinct _,
+    "s2_group_quantiles" -> operators.SketchOps.groupQuantiles _,
+    "s3_sample_stratified" -> operators.SketchOps.sampleStratified _,
     "d5_neardup_clusters" -> DedupOps.nearDupClusters _,
     "a1_asof_join" -> operators.JoinOps.asofJoin _,
     "a2_band_join" -> operators.JoinOps.bandJoin _,
@@ -53,6 +57,8 @@ object SparkEntry {
     "t3_langid" -> TextOps.langId _,
     "t4_fingerprint" -> TextOps.fingerprint _,
     "t5_tfidf_top" -> ((s: SparkSession, d: String) => TextOps.tfidfTop(s, d)),
+    "t6_redact" -> TextOps.redact _,
+    "t7_bigram_pmi" -> ((s: SparkSession, d: String) => TextOps.bigramPmi(s, d)),
     "e4_ann_multiprobe" -> ((s: SparkSession, d: String) => AnnOps.annMultiprobe(s, d)),
     "e5_ann_ivf" -> ((s: SparkSession, d: String) => AnnOps.annIvf(s, d)),
     "d1_dedup_exact" -> DedupOps.dedupExact _,

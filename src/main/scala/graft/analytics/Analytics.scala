@@ -266,6 +266,22 @@ object Analytics {
       .orderBy("n_name")
   }
 
+  /** q13 (TPC-H Q13): customer order-count distribution — LEFT OUTER
+    * join (customers with zero orders must appear at count 0) into a
+    * two-level aggregation: per-customer order counts, then the
+    * histogram of those counts. Both aggregations get map-side partial
+    * combine; the outer join shuffles on custkey with AQE. */
+  def q13OrderDist(spark: SparkSession, dir: String): DataFrame = {
+    val perCust = Tables.customer(spark, dir)
+      .join(Tables.orders(spark, dir).select(col("o_custkey"), col("o_orderkey")),
+        col("c_custkey") === col("o_custkey"), "left")
+      .groupBy("c_custkey")
+      .agg(count(col("o_orderkey")).as("c_count")) // count(col): nulls excluded
+    perCust.groupBy("c_count")
+      .agg(count(lit(1)).as("n_cust"))
+      .orderBy(col("n_cust").desc, col("c_count").desc)
+  }
+
   /** q19 (TPC-H Q19 shape): disjunctive brand/size/quantity predicate —
     * Catalyst extracts the common `l_partkey = p_partkey` equality so
     * this stays a hash join with the OR-of-ANDs applied post-join, and

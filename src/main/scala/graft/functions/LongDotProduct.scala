@@ -57,20 +57,27 @@ case class LongDotProduct(left: Expression, right: Expression)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (x, y) => {
+      // freshName, NOT fixed names: a query evaluating this expression
+      // more than once in the same stage (cosine = three dot products)
+      // would otherwise redeclare `i`/`n`/`acc`, fail Janino compilation,
+      // and silently drop the whole stage to interpreted execution
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      val i = ctx.freshName("i")
       s"""
          |if ($x.numElements() != $y.numElements()) {
          |  ${ev.isNull} = true;
          |} else {
-         |  int n = $x.numElements();
-         |  long acc = 0L;
-         |  for (int i = 0; i < n && !${ev.isNull}; i++) {
-         |    if ($x.isNullAt(i) || $y.isNullAt(i)) {
+         |  int $n = $x.numElements();
+         |  long $acc = 0L;
+         |  for (int $i = 0; $i < $n && !${ev.isNull}; $i++) {
+         |    if ($x.isNullAt($i) || $y.isNullAt($i)) {
          |      ${ev.isNull} = true;
          |    } else {
-         |      acc += $x.getLong(i) * $y.getLong(i);
+         |      $acc += $x.getLong($i) * $y.getLong($i);
          |    }
          |  }
-         |  ${ev.value} = acc;
+         |  ${ev.value} = $acc;
          |}
        """.stripMargin
     })

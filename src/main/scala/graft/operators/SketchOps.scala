@@ -1,0 +1,103 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.Tables
+import graft.functions.F._
+
+/** Sketch/sampling operators — the corpus-statistics stage of a
+  * training-data pipeline (vocabulary estimation, distribution
+  * summaries, deterministic down-sampling).
+  *
+  * Everything is md5-derived and integer/IEEE-exact, so the DuckDB
+  * oracle reproduces results bit-for-bit (graft.Oracles), and nothing
+  * depends on partitioning: the same answer at local[32] and on 1000
+  * executors.
+  */
+object SketchOps {
+
+  /** KMV sketch size. The synthetic corpus vocabulary is tiny (~31
+    * tokens), so k stays small; at real scale k=1024+ gives ~3% error
+    * and the plan shape below is unchanged. */
+  val KmvK = 16
+
+  /** 2^60 — the hash60 value range (see F.hash60). */
+  val HashRange: Double = 1152921504606846976.0
+
+  /** s1: distinct-count estimation via the K-Minimum-Values sketch —
+    * hash every token, keep the K smallest DISTINCT hash values, and
+    * estimate |distinct| = (K−1) · range / kth_min.
+    *
+    * Scale shape: the distinct() is a hash aggregation with map-side
+    * partial dedup (shuffle volume ≈ per-partition distinct hashes, not
+    * rows); the K-smallest is a TakeOrderedAndProject (per-partition
+    * top-K then a K·partitions driver merge — never a global sort). The
+    * exact count is included for error inspection; a 100 TB user would
+    * drop that column and with it nothing but the final count job. */
+  def kmvDistinct(spark: SparkSession, dir: String): DataFrame = {
+    val hashes = Tables.documents(spark, dir)
+      .select(explode(tokens(col("text"))).as("tok"))
+      .select(hash60(col("tok")).as("h"))
+      .distinct()
+    val kth = hashes.orderBy("h").limit(KmvK)
+      .agg(max("h").as("kth_min"))
+    kth.crossJoin(hashes.agg(count(lit(1)).as("n_exact")))
+      .select(
+        lit(KmvK).as("k"),
+        col("kth_min"),
+        (lit((KmvK - 1).toDouble) * lit(HashRange) / col("kth_min"))
+          .as("est_distinct"),
+        col("n_exact"))
+  }
+
+  /** Quantile points for s2. */
+  val Quantiles: Seq[Double] = Seq(0.25, 0.5, 0.75)
+
+  /** s2: EXACT distributed quantiles per group via rank arithmetic
+    * (percentile_disc semantics): within each key, rank rows by
+    * (value, tiebreak) and keep the row whose rank is
+    * floor((n−1)·q) + 1. One shuffle+sort per group key — the standard
+    * exact-quantile-by-key plan; no driver collection, no approximation,
+    * and (unlike approx_percentile) engine-independent, so the oracle
+    * matches exactly. */
+  def groupQuantiles(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("o_orderpriority")
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    val qs = Quantiles.map(q => struct(lit(q).as("q")))
+    Tables.orders(spark, dir)
+      .select(col("o_orderpriority"), col("o_totalprice"), col("o_orderkey"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("cnt", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("o_orderpriority")))
+      .withColumn("qv", explode(array(qs: _*)))
+      .withColumn("q", col("qv.q"))
+      .filter(col("rn") === floor((col("cnt") - 1) * col("q")).cast(LongType) + 1)
+      .select(col("o_orderpriority"), col("q"), col("o_totalprice").as("quantile_value"))
+      .orderBy("o_orderpriority", "q")
+  }
+
+  /** Per-stratum sampling rates (permille) for s3 — keep every signup,
+    * half the purchases, thin the high-volume click/view noise, drop
+    * errors: the shape of a real training-mix rebalance. */
+  val RatesPermille: Map[String, Int] =
+    Map("signup" -> 1000, "purchase" -> 500, "click" -> 100, "view" -> 50, "error" -> 0)
+
+  /** s3: DETERMINISTIC stratified Bernoulli sampling — keep a row iff
+    * md5-hash(salt + event_id) mod 1000 < rate(event_type). No RNG, no
+    * seed plumbing: the sample is a pure function of the row, so it is
+    * reproducible across engines, partitionings and reruns (re-running
+    * a 100 TB sample job yields the identical sample), and the
+    * per-stratum rates are exact in expectation. A codegen'd narrow
+    * filter — no shuffle at all. */
+  def sampleStratified(spark: SparkSession, dir: String): DataFrame = {
+    val rate = RatesPermille.foldLeft(lit(0)) { case (acc, (t, r)) =>
+      when(col("event_type") === t, lit(r)).otherwise(acc)
+    }
+    Tables.events(spark, dir)
+      .filter(hash60(concat(lit("sample_"), col("event_id").cast("string"))) % 1000 < rate)
+      .select(col("event_id"), col("event_type"))
+      .orderBy("event_id")
+  }
+}

@@ -137,4 +137,77 @@ object TextOps {
         col("tf"), col("df"), col("score"))
       .orderBy("doc_id", "rnk")
   }
+
+  /** PII patterns for t6 — simple enough that Java regex (Spark) and
+    * RE2 (DuckDB) match identically. */
+  val EmailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  val PhoneRe = "\\d{3}-\\d{4}"
+
+  /** t6: PII redaction — count and mask email/phone patterns. The
+    * testdata carries no PII, so the operator first APPENDS a
+    * deterministic synthetic PII surface per doc (same technique as
+    * p11/p12's rendered input surfaces: the scrub logic is what's under
+    * test, and it must be non-vacuous) and then redacts it. A narrow
+    * codegen'd projection — regex evaluation is embarrassingly parallel
+    * at any scale. Output carries md5(redacted) rather than the full
+    * redacted text so the verify artifact stays small. */
+  def redact(spark: SparkSession, dir: String): DataFrame = {
+    val ptext = concat(col("text"),
+      lit(" contact user"), col("doc_id").cast("string"),
+      lit("@mail.example.com or call 555-01"),
+      lpad((col("doc_id") % 100).cast("string"), 2, "0"), lit(" now"))
+    Tables.documents(spark, dir)
+      .withColumn("ptext", ptext)
+      .select(
+        col("doc_id"),
+        regexp_count(col("ptext"), lit(EmailRe)).as("n_emails"),
+        regexp_count(col("ptext"), lit(PhoneRe)).as("n_phones"),
+        md5(regexp_replace(regexp_replace(col("ptext"), EmailRe, "<EMAIL>"),
+          PhoneRe, "<PHONE>")).as("redacted_md5"),
+        length(regexp_replace(regexp_replace(col("ptext"), EmailRe, "<EMAIL>"),
+          PhoneRe, "<PHONE>")).as("redacted_len"))
+      .orderBy("doc_id")
+  }
+
+  /** Minimum bigram count to participate in t7 (kills noise pairs and
+    * bounds the join fan-in, the standard phrase-mining floor). */
+  val PmiMinCount = 5L
+
+  /** t7: collocation / phrase mining — corpus bigrams scored by
+    * pointwise-mutual-information LIFT p(xy)/(p(x)p(y)), top-20.
+    * Division of exact integer counts in IEEE doubles (no log), so both
+    * engines produce bit-identical scores with a (lift desc, bigram)
+    * total order.
+    *
+    * Scale shape: two hash aggregations with map-side partial combine
+    * (bigram counts, unigram counts), the count-floor applied BEFORE
+    * the unigram joins (candidate set shrinks first), corpus totals as
+    * a broadcast 1-row cross join, and a global top-k
+    * (TakeOrderedAndProject) — no sort of the full bigram space. */
+  def bigramPmi(spark: SparkSession, dir: String, k: Int = 20): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), toks.as("t"))
+    val uni = docs.select(explode(col("t")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("c"))
+    val bigramExpr = expr(
+      """CASE WHEN size(t) >= 2
+        |  THEN transform(sequence(0, size(t) - 2),
+        |    i -> concat(element_at(t, i + 1), ' ', element_at(t, i + 2)))
+        |  ELSE array() END""".stripMargin)
+    val bgAll = docs.select(explode(bigramExpr).as("bigram"))
+      .groupBy("bigram").agg(count(lit(1)).as("c_xy"))
+    val bg = bgAll.filter(col("c_xy") >= PmiMinCount)
+    val tot = uni.agg(sum("c").as("n_uni"))
+      .crossJoin(bgAll.agg(sum("c_xy").as("n_bg")))
+    bg.withColumn("w1", expr("split_part(bigram, ' ', 1)"))
+      .withColumn("w2", expr("split_part(bigram, ' ', 2)"))
+      .join(uni.select(col("tok").as("w1"), col("c").as("c1")), "w1")
+      .join(uni.select(col("tok").as("w2"), col("c").as("c2")), "w2")
+      .crossJoin(broadcast(tot))
+      .withColumn("lift",
+        (col("c_xy").cast(DoubleType) * col("n_uni") * col("n_uni")) /
+          (col("c1").cast(DoubleType) * col("c2") * col("n_bg")))
+      .orderBy(col("lift").desc, col("bigram"))
+      .limit(k)
+      .select(col("bigram"), col("c_xy"), round(col("lift"), 6).as("lift"))
+  }
 }

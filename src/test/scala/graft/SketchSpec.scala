@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.analytics.Analytics
+import graft.operators.{SketchOps, TextOps}
+
+/** Sketch/sampling/phrase-mining operators added in round 3. */
+class SketchSpec extends AnyFunSuite with SparkSpec {
+
+  test("s1 KMV estimate brackets the exact distinct count") {
+    val r = SketchOps.kmvDistinct(spark, Sf0001).collect()(0)
+    val est = r.getAs[Double]("est_distinct")
+    val exact = r.getAs[Long]("n_exact")
+    assert(exact > 0)
+    // k=16 on a ~31-token vocabulary: the estimator is coarse but must
+    // land the right order of magnitude
+    assert(est > exact / 3.0 && est < exact * 3.0, s"est=$est exact=$exact")
+    assert(r.getAs[Long]("kth_min") > 0L)
+  }
+
+  test("s2 group quantiles equal a driver-side percentile_disc recomputation") {
+    val got = SketchOps.groupQuantiles(spark, Sf0001).collect()
+      .map(r => (r.getString(0), r.getDouble(1)) -> r.getDouble(2)).toMap
+    val rows = Tables.orders(spark, Sf0001)
+      .select("o_orderpriority", "o_totalprice", "o_orderkey").collect()
+      .map(r => (r.getString(0), (r.getDouble(1), r.getLong(2))))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sortBy(identity).map(_._1)).toMap
+    for ((prio, sorted) <- rows; q <- SketchOps.Quantiles) {
+      val expected = sorted(math.floor((sorted.length - 1) * q).toInt)
+      assert(got((prio, q)) === expected, s"($prio, $q)")
+    }
+  }
+
+  test("s3 stratified sample is a pure row function: exact, deterministic, rate-correct") {
+    val s = SketchOps.sampleStratified(spark, Sf0001)
+    val byType = s.groupBy("event_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(!byType.contains("error"), "error stratum must be dropped entirely")
+    val totals = Tables.events(spark, Sf0001).filter(col("event_type") === "signup").count()
+    assert(byType("signup") === totals, "signup stratum must be kept entirely")
+    // deterministic under repartitioning: same sample, any partitioning
+    val ids1 = s.select("event_id").collect().map(_.getLong(0)).toSet
+    val ids2 = SketchOps.sampleStratified(spark, Sf0001)
+      .repartition(13).select("event_id").collect().map(_.getLong(0)).toSet
+    assert(ids1 === ids2)
+  }
+
+  test("s1 k-smallest plans as TakeOrderedAndProject, not a global sort") {
+    val df = SketchOps.kmvDistinct(spark, Sf0001)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
+  test("t6 redaction is non-vacuous and masks every injected pattern") {
+    val r = TextOps.redact(spark, Sf0001)
+    assert(r.filter(col("n_emails") < 1 || col("n_phones") < 1).count() === 0L,
+      "every doc gets at least the injected email+phone")
+    // independently recompute the redacted text and prove no residual match
+    val residual = Tables.documents(spark, Sf0001)
+      .select(regexp_replace(regexp_replace(
+          concat(col("text"), lit(" contact user"), col("doc_id").cast("string"),
+            lit("@mail.example.com or call 555-01"),
+            lpad((col("doc_id") % 100).cast("string"), 2, "0"), lit(" now")),
+          TextOps.EmailRe, "<EMAIL>"), TextOps.PhoneRe, "<PHONE>").as("rt"))
+      .filter(regexp_count(col("rt"), lit(TextOps.EmailRe)) > 0 ||
+        regexp_count(col("rt"), lit(TextOps.PhoneRe)) > 0)
+    assert(residual.count() === 0L)
+  }
+
+  test("t7 bigram PMI returns a full descending top-k above the count floor") {
+    val rows = TextOps.bigramPmi(spark, Sf0001).collect()
+    assert(rows.length === 20)
+    assert(rows.forall(_.getLong(1) >= TextOps.PmiMinCount))
+    val lifts = rows.map(_.getDouble(2)).toSeq
+    assert(lifts === lifts.sorted.reverse, "must be ordered by lift desc")
+    assert(lifts.head > 1.0, "top collocation should be positively associated")
+  }
+
+  test("q13 histogram accounts for every customer exactly once") {
+    val hist = Analytics.q13OrderDist(spark, Sf0001).collect()
+    val nCust = Tables.customer(spark, Sf0001).count()
+    assert(hist.map(_.getLong(1)).sum === nCust)
+    // customers without orders appear in the 0 bucket
+    val zeroBucket = hist.find(_.getLong(0) === 0L)
+    val withOrders = Tables.customer(spark, Sf0001)
+      .join(Tables.orders(spark, Sf0001),
+        col("c_custkey") === col("o_custkey"), "left_semi").count()
+    assert(zeroBucket.map(_.getLong(1)).getOrElse(0L) === nCust - withOrders)
+  }
+}
