@@ -496,6 +496,50 @@ object Oracles {
          |WHERE round(CAST(inter AS DOUBLE) / (sa.n_ng + sb.n_ng - inter), 6) >= 0.18
          |ORDER BY doc_a, doc_b""".stripMargin,
 
+    // p13: the stream-stream join's oracle is the equivalent batch join
+    "p13_stream_stream_join" ->
+      s"""WITH v AS (SELECT * FROM events WHERE $validCond)
+         |SELECT s.event_id AS s_event_id, p.event_id AS p_event_id, s.user_id,
+         |  s.ts AS s_ts, p.ts AS p_ts, p.value AS fare
+         |FROM (SELECT * FROM v WHERE event_type = 'signup') s
+         |JOIN (SELECT * FROM v WHERE event_type = 'purchase') p
+         |  ON s.user_id = p.user_id AND p.ts >= s.ts
+         |  AND p.ts <= s.ts + INTERVAL 7 DAY
+         |ORDER BY s_event_id, p_event_id""".stripMargin,
+
+    "q15_top_supplier" ->
+      """WITH rev AS (
+        |  SELECT l_suppkey,
+        |    SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS r
+        |  FROM lineitem
+        |  WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1996-04-01'
+        |  GROUP BY l_suppkey)
+        |SELECT s_suppkey, s_name, CAST(r AS DOUBLE) AS total_revenue
+        |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE r = (SELECT max(r) FROM rev) ORDER BY s_suppkey""".stripMargin,
+
+    "q16_supplier_counts" ->
+      """WITH links AS (
+        |  SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+        |  WHERE l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0))
+        |SELECT p_brand, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM links JOIN part ON l_partkey = p_partkey
+        |WHERE p_size BETWEEN 1 AND 25
+        |GROUP BY p_brand, p_size
+        |ORDER BY supplier_cnt DESC, p_brand, p_size""".stripMargin,
+
+    "q17_small_qty" ->
+      """WITH avgq AS (
+        |  SELECT l_partkey,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS avg_qty
+        |  FROM lineitem GROUP BY l_partkey)
+        |SELECT CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) / 7.0 AS avg_yearly,
+        |  COUNT(*) AS n_lines
+        |FROM lineitem l
+        |JOIN part p ON l.l_partkey = p.p_partkey AND p.p_brand = 'Brand#23'
+        |JOIN avgq a ON l.l_partkey = a.l_partkey
+        |WHERE l.l_quantity < 0.2 * a.avg_qty""".stripMargin,
+
     "q13_order_dist" ->
       """WITH oc AS (
         |  SELECT c.c_custkey, count(o.o_orderkey) AS c_count

@@ -28,6 +28,7 @@ object SparkEntry {
     "p10_kpi_sink" -> pipeline.SinkOps.kpiSinkRoundtrip _,
     "p11_ts_multiformat" -> TripPipeline.tsMultiFormat _,
     "p12_coerce_fields" -> TripPipeline.coerceFields _,
+    "p13_stream_stream_join" -> streaming.StreamPipeline.signupPurchaseJoinViaFileStream _,
     // B. analytics
     "q1_pricing" -> Analytics.q1Pricing _,
     "q3_shipping" -> Analytics.q3Shipping _,
@@ -43,6 +44,9 @@ object SparkEntry {
     "q18_large_volume" -> Analytics.q18LargeVolume _,
     "q19_disjunctive" -> Analytics.q19Disjunctive _,
     "q13_order_dist" -> Analytics.q13OrderDist _,
+    "q15_top_supplier" -> Analytics.q15TopSupplier _,
+    "q16_supplier_counts" -> Analytics.q16SupplierCounts _,
+    "q17_small_qty" -> Analytics.q17SmallQty _,
     "q20_topk_heap" -> Analytics.q20TopkHeap _,
     "q22_inactive_rich" -> Analytics.q22InactiveRich _,
     "s1_kmv_distinct" -> operators.SketchOps.kmvDistinct _,

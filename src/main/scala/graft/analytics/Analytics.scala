@@ -266,6 +266,64 @@ object Analytics {
       .orderBy("n_name")
   }
 
+  /** q15 (TPC-H Q15): top supplier by quarterly revenue — revenue
+    * aggregation with map-side partial combine, then the global max as a
+    * broadcast 1-row scalar joined back (the view+subquery of the
+    * original, decorrelated). DECIMAL-exact revenue makes the equality
+    * against the max reproducible at any partition count — a
+    * floating-point sum would make "== max" flaky. */
+  def q15TopSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val rev = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1996-01-01") && col("l_shipdate") < lit("1996-04-01"))
+      .groupBy("l_suppkey")
+      .agg(sum(revDec()).as("r"))
+    rev.crossJoin(broadcast(rev.agg(max("r").as("max_r"))))
+      .filter(col("r") === col("max_r"))
+      .join(Tables.supplier(spark, dir), col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"),
+        col("r").cast(DoubleType).as("total_revenue"))
+      .orderBy("s_suppkey")
+  }
+
+  /** q16 (TPC-H Q16 shape, adapted: no partsupp table in the driver
+    * schema, so lineitem provides the part↔supplier links and the
+    * "complaints" exclusion becomes negative-balance suppliers):
+    * supplier diversity per (brand, size) — NOT IN expressed as a
+    * left-anti join (never a row-multiplying join + filter), distinct
+    * links first so the count-distinct aggregation sees the minimal
+    * set. */
+  def q16SupplierCounts(spark: SparkSession, dir: String): DataFrame = {
+    val excluded = Tables.supplier(spark, dir)
+      .filter(col("s_acctbal") < 0).select("s_suppkey")
+    val links = Tables.lineitem(spark, dir)
+      .select("l_partkey", "l_suppkey").distinct()
+      .join(excluded, col("l_suppkey") === col("s_suppkey"), "left_anti")
+    links.join(Tables.part(spark, dir), col("l_partkey") === col("p_partkey"))
+      .filter(col("p_size").between(1, 25))
+      .groupBy("p_brand", "p_size")
+      .agg(countDistinct("l_suppkey").as("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_size"))
+  }
+
+  /** q17 (TPC-H Q17): small-quantity-order revenue — the correlated
+    * per-part scalar subquery (avg quantity of THIS part) decorrelated
+    * into a groupBy + equi-join back to the fact, which is how it must
+    * run at scale: one extra aggregation pass instead of a per-row
+    * subquery. Decimal-exact average so the 0.2·avg boundary comparison
+    * is engine-identical. */
+  def q17SmallQty(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val avgQ = li.groupBy(col("l_partkey").as("a_partkey"))
+      .agg(decAvg(col("l_quantity")).as("avg_qty"))
+    li.join(Tables.part(spark, dir).filter(col("p_brand") === "Brand#23"),
+        col("l_partkey") === col("p_partkey"))
+      .join(avgQ, col("l_partkey") === col("a_partkey"))
+      .filter(col("l_quantity") < lit(0.2) * col("avg_qty"))
+      .agg(
+        (decSum(col("l_extendedprice")) / lit(7.0)).as("avg_yearly"),
+        count(lit(1)).as("n_lines"))
+  }
+
   /** q13 (TPC-H Q13): customer order-count distribution — LEFT OUTER
     * join (customers with zero orders must appear at count 0) into a
     * two-level aggregation: per-customer order counts, then the

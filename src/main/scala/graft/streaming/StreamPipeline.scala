@@ -211,8 +211,18 @@ object StreamPipeline {
     * hash-matches the same DuckDB oracle as p5 — which is what promotes
     * the streaming operator from test-verified to oracle-verified. */
   def kpiDailyViaFileStream(spark: SparkSession, dir: String): DataFrame = {
-    // stage the events parquet as a file-source directory (per sf-dir,
-    // rerunnable: REPLACE_EXISTING makes re-staging idempotent)
+    val query = kpiDailyStream(spark, stagedEventsStream(spark, dir))
+      .writeStream.format("memory").queryName("graft_p9_kpi")
+      .outputMode("complete").start()
+    try query.processAllAvailable() finally query.stop()
+    spark.table("graft_p9_kpi").orderBy("date")
+  }
+
+  /** The events parquet staged behind a REAL file streaming source —
+    * the unbounded-input surface for the oracle-checked streaming
+    * operators (p9, p13). Staging is per sf-dir and idempotent
+    * (REPLACE_EXISTING), so reruns within a session are safe. */
+  private def stagedEventsStream(spark: SparkSession, dir: String): DataFrame = {
     val streamDir = java.nio.file.Paths.get(
       s"target/graft-p9-stream-${math.abs(dir.hashCode)}")
     java.nio.file.Files.createDirectories(streamDir)
@@ -222,13 +232,50 @@ object StreamPipeline {
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val rawSchema = spark.read.parquet(s"$dir/events.parquet").schema
-    val sdf = spark.readStream.schema(rawSchema).parquet(streamDir.toString)
+    spark.readStream.schema(rawSchema).parquet(streamDir.toString)
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-    val query = kpiDailyStream(spark, sdf)
-      .writeStream.format("memory").queryName("graft_p9_kpi")
-      .outputMode("complete").start()
+  }
+
+  /** How long after a signup a purchase still completes that trip in
+    * the p13 stream-stream join. */
+  val JoinWindow = "7 days"
+
+  /** p13: STREAM-STREAM inner join — every (signup, purchase) pair for
+    * a user with the purchase inside [signup, signup + 7 days]. Both
+    * sides are unbounded; the watermarks + the two-sided time-range
+    * predicate are what let Spark BOUND the join state (each side's
+    * rows are dropped once the other side's watermark passes the range
+    * end) — without them this join would buffer both streams forever.
+    * Inner-join matches emit immediately (append mode); state eviction
+    * only trails the watermark. One hash partitioning on user_id serves
+    * both sides. The oracle is the equivalent batch SQL join. */
+  def signupPurchaseJoin(spark: SparkSession, events: DataFrame): DataFrame = {
+    val valid = events.filter(TripPipeline.validCond)
+    val s = valid.filter(col("event_type") === "signup")
+      .select(col("event_id").as("s_event_id"), col("user_id"), col("ts").as("s_ts"))
+      .withWatermark("s_ts", "1 hour")
+    val p = valid.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_event_id"), col("user_id").as("p_user_id"),
+        col("ts").as("p_ts"), col("value").as("fare"))
+      .withWatermark("p_ts", "1 hour")
+    s.join(p,
+      col("user_id") === col("p_user_id") &&
+        col("p_ts") >= col("s_ts") &&
+        col("p_ts") <= col("s_ts") + expr(s"INTERVAL $JoinWindow"))
+  }
+
+  /** p13 as an oracle-checkable batch result (file streaming source →
+    * memory sink), like kpiDailyViaFileStream. */
+  def signupPurchaseJoinViaFileStream(spark: SparkSession, dir: String): DataFrame = {
+    val query = signupPurchaseJoin(spark, stagedEventsStream(spark, dir))
+      .writeStream.format("memory").queryName("graft_p13_ssj")
+      .outputMode("append").start()
     try query.processAllAvailable() finally query.stop()
-    spark.table("graft_p9_kpi").orderBy("date")
+    spark.table("graft_p13_ssj")
+      .select(col("s_event_id"), col("p_event_id"), col("user_id"),
+        col("s_ts").cast("timestamp_ntz").as("s_ts"),
+        col("p_ts").cast("timestamp_ntz").as("p_ts"), col("fare"))
+      .orderBy("s_event_id", "p_event_id")
   }
 
   /** Daily KPIs over the matched-trip stream — event-time 1-day window,

@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.analytics.Analytics
+
+/** Round-3 TPC-H shapes (q15/q16/q17) + the p13 stream-stream join. */
+class TpchShapesSpec extends AnyFunSuite with SparkSpec {
+
+  test("q15 returns exactly the arg-max suppliers of a window-rank recomputation") {
+    val got = Analytics.q15TopSupplier(spark, Sf0001).collect()
+    assert(got.nonEmpty)
+    // independent formulation: rank the same decimal revenue, keep rank 1
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("r").desc)
+    val viaRank = Tables.lineitem(spark, Sf0001)
+      .filter(col("l_shipdate") >= lit("1996-01-01") && col("l_shipdate") < lit("1996-04-01"))
+      .groupBy("l_suppkey")
+      .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .cast(org.apache.spark.sql.types.DecimalType(18, 6))).as("r"))
+      .withColumn("rk", rank().over(w)).filter(col("rk") === 1)
+      .select("l_suppkey").collect().map(_.getLong(0)).toSet
+    assert(got.map(_.getLong(0)).toSet === viaRank)
+  }
+
+  test("q16 anti join really excludes negative-balance suppliers") {
+    val negSupp = Tables.supplier(spark, Sf001)
+      .filter(col("s_acctbal") < 0).select("s_suppkey")
+      .collect().map(_.getLong(0)).toSet
+    assume(negSupp.nonEmpty, "fixture needs at least one excluded supplier")
+    // recount including the excluded suppliers: totals must differ for
+    // at least one (brand, size) group that an excluded supplier serves
+    val withEx = Tables.lineitem(spark, Sf001)
+      .select("l_partkey", "l_suppkey").distinct()
+      .join(Tables.part(spark, Sf001), col("l_partkey") === col("p_partkey"))
+      .filter(col("p_size").between(1, 25))
+      .groupBy("p_brand", "p_size")
+      .agg(countDistinct("l_suppkey").as("supplier_cnt"))
+    val got = Analytics.q16SupplierCounts(spark, Sf001)
+    val joined = got.select(col("p_brand"), col("p_size"), col("supplier_cnt").as("c_without"))
+      .join(withEx, Seq("p_brand", "p_size"))
+    assert(joined.filter(col("c_without") > col("supplier_cnt")).count() === 0L)
+    assert(joined.filter(col("c_without") < col("supplier_cnt")).count() > 0L,
+      "excluding suppliers must shrink at least one group")
+  }
+
+  test("q17 equals a driver-side recomputation of the decorrelated subquery") {
+    val r = Analytics.q17SmallQty(spark, Sf0001).collect()(0)
+    val li = Tables.lineitem(spark, Sf0001)
+      .select("l_partkey", "l_quantity", "l_extendedprice").collect()
+      .map(x => (x.getLong(0), x.getDouble(1), x.getDouble(2)))
+    val brandParts = Tables.part(spark, Sf0001)
+      .filter(col("p_brand") === "Brand#23").select("p_partkey")
+      .collect().map(_.getLong(0)).toSet
+    val avgQ = li.groupBy(_._1).view.mapValues { xs =>
+      xs.map(x => BigDecimal(x._2).setScale(6, BigDecimal.RoundingMode.HALF_UP))
+        .sum.toDouble / xs.length
+    }.toMap
+    val picked = li.filter(x => brandParts(x._1) && x._2 < 0.2 * avgQ(x._1))
+    assert(r.getLong(1) === picked.length.toLong)
+    val expected = picked.map(x => BigDecimal(x._3).setScale(6, BigDecimal.RoundingMode.HALF_UP))
+      .sum.toDouble / 7.0
+    assert(math.abs(r.getDouble(0) - expected) < 1e-6, s"${r.getDouble(0)} vs $expected")
+  }
+
+  test("p13 stream-stream join equals the batch join") {
+    val got = streaming.StreamPipeline
+      .signupPurchaseJoinViaFileStream(spark, Sf0001).collect()
+    val ev = Tables.events(spark, Sf0001).filter(pipeline.TripPipeline.validCond)
+    val s = ev.filter(col("event_type") === "signup")
+      .select(col("event_id").as("s_event_id"), col("user_id"), col("ts").as("s_ts"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_event_id"), col("user_id").as("pu"),
+        col("ts").as("p_ts"), col("value").as("fare"))
+    val batch = s.join(p,
+        col("user_id") === col("pu") && col("p_ts") >= col("s_ts") &&
+          col("p_ts") <= col("s_ts") + expr("INTERVAL 7 DAYS"))
+      .select(col("s_event_id"), col("p_event_id"), col("user_id"),
+        col("s_ts").cast("timestamp_ntz"), col("p_ts").cast("timestamp_ntz"), col("fare"))
+      .orderBy("s_event_id", "p_event_id").collect()
+    assert(got.length === batch.length)
+    assert(got.length > 0, "join must be non-vacuous")
+    got.zip(batch).foreach { case (g, e) => assert(g === e) }
+  }
+}
