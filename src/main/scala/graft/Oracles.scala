@@ -190,6 +190,20 @@ object Oracles {
          |  min(value) AS min_value
          |FROM events GROUP BY 1, 2 ORDER BY date, event_type""".stripMargin,
 
+    // p14: the partitioned-parquet roundtrip must preserve the by-type
+    // KPIs bit-exactly inside the pruned date window
+    "p14_partition_pruning" ->
+      s"""SELECT * FROM (
+         |  SELECT CAST(ts AS DATE) AS date, event_type,
+         |    COUNT(*) AS n_events,
+         |    ${dsum("value")} AS total_value,
+         |    ${davg("value")} AS avg_value,
+         |    max(value) AS max_value,
+         |    min(value) AS min_value
+         |  FROM events GROUP BY 1, 2) t
+         |WHERE date >= DATE '2024-01-03' AND date <= DATE '2024-01-06'
+         |ORDER BY date, event_type""".stripMargin,
+
     "p7_sessionize" ->
       s"""WITH x AS (
          |  SELECT *, lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us

@@ -26,6 +26,7 @@ object SparkEntry {
     "p8_props_agg" -> TripPipeline.propsAgg _,
     "p9_dedup_exact_stream" -> streaming.StreamPipeline.kpiDailyViaFileStream _,
     "p10_kpi_sink" -> pipeline.SinkOps.kpiSinkRoundtrip _,
+    "p14_partition_pruning" -> pipeline.SinkOps.partitionedParquetRoundtrip _,
     "p11_ts_multiformat" -> TripPipeline.tsMultiFormat _,
     "p12_coerce_fields" -> TripPipeline.coerceFields _,
     "p13_stream_stream_join" -> streaming.StreamPipeline.signupPurchaseJoinViaFileStream _,

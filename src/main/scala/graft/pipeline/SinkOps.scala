@@ -48,4 +48,33 @@ object SinkOps {
         col("count_trips"), col("average_fare"), col("max_fare"), col("min_fare"))
       .orderBy("date")
   }
+
+  /** Date window read back by p14 (chosen inside the testdata's event
+    * range so the pruned read is non-vacuous). */
+  val P14From = "2024-01-03"
+  val P14To = "2024-01-06"
+
+  /** p14: parquet lake layout + PARTITION PRUNING — the by-type daily
+    * KPIs written as `date=YYYY-MM-DD/` parquet, then read back with a
+    * date-range predicate that Spark resolves at the DIRECTORY level:
+    * the scan's PartitionFilters prune to the 4 matching partitions and
+    * the other days' files are never opened (pinned by PlanSpec). This
+    * is the access pattern that makes a 100 TB event lake queryable —
+    * predicate → partition directories, not a full scan; parquet (not
+    * JSON) also round-trips doubles bit-exactly with no re-parse. */
+  def partitionedParquetRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val out = "target/graft-sink/kpi_parquet_" + dir.replaceAll("[^A-Za-z0-9.]", "_")
+    writeKpiPartitioned(TripPipeline.kpiDailyByType(spark, dir), out, "parquet")
+    prunedKpiRead(spark, out)
+  }
+
+  /** The pruned read side of p14 (separate so the plan test can inspect
+    * exactly the plan the operator runs). */
+  def prunedKpiRead(spark: SparkSession, out: String): DataFrame =
+    spark.read.parquet(out)
+      .filter(col("date") >= lit(P14From) && col("date") <= lit(P14To))
+      .select(col("date").cast(DateType).as("date"), col("event_type"),
+        col("n_events"), col("total_value"), col("avg_value"),
+        col("max_value"), col("min_value"))
+      .orderBy("date", "event_type")
 }

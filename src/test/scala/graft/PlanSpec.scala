@@ -41,6 +41,21 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(exchanges <= 2, s"expected <= 2 exchanges, got $exchanges:\n$plan")
   }
 
+  test("p14 read-back prunes at the partition-directory level, not per row") {
+    import graft.pipeline.SinkOps
+    SinkOps.partitionedParquetRoundtrip(spark, Sf0001).collect() // writes the lake
+    val out = "target/graft-sink/kpi_parquet_" + Sf0001.replaceAll("[^A-Za-z0-9.]", "_")
+    val df = SinkOps.prunedKpiRead(spark, out)
+    assert(df.count() > 0, "pruned window must be non-vacuous")
+    val plan = finalPlan(df)
+    val scanLine = plan.linesIterator.find(_.contains("FileScan")).getOrElse("")
+    assert(scanLine.contains("PartitionFilters:") && scanLine.contains("date"),
+      s"date predicate must resolve to partition filters:\n$scanLine")
+    // the predicate must NOT degrade to a per-row data filter
+    assert(scanLine.contains("DataFilters: []"),
+      s"expected directory-level pruning only:\n$scanLine")
+  }
+
   test("text ops stay narrow: t4 has no shuffle besides the output sort") {
     val plan = finalPlan(graft.operators.TextOps.fingerprint(spark, Sf0001))
     val exchanges = "Exchange".r.findAllIn(plan).length
