@@ -37,6 +37,53 @@ class PropertySpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("group quantiles hit the percentile_disc rank on random data") {
+    import spark.implicits._
+    samples(3).foreach { rows =>
+      val df = rows.toDF("k", "id", "v").distinct()
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("k").orderBy(col("v"), col("id"))
+      val got = df
+        .withColumn("rn", row_number().over(w))
+        .withColumn("cnt", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy("k")))
+        .filter(col("rn") === floor((col("cnt") - 1) * 0.5)
+          .cast(org.apache.spark.sql.types.LongType) + 1)
+        .select("k", "v").collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+      val expected = rows.distinct.groupBy(_._1).view.mapValues { xs =>
+        val sorted = xs.map(x => (x._3, x._2)).sorted
+        sorted(math.floor((sorted.length - 1) * 0.5).toInt)._1
+      }.toMap
+      assert(got === expected)
+    }
+  }
+
+  test("stratified sample is a subset closed under the row-hash rule on random data") {
+    import spark.implicits._
+    samples(3).foreach { rows =>
+      val types = graft.operators.SketchOps.RatesPermille.keys.toVector
+      val ev = rows.zipWithIndex.map { case ((k, id, v), i) =>
+        (i.toLong, new java.sql.Timestamp(86400000L + i), id, types(k % types.size), math.abs(v), null: String)
+      }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      ev.createOrReplaceTempView("prop_events_tmp")
+      // apply the operator's rule inline on this frame (same expressions)
+      val rates = graft.operators.SketchOps.RatesPermille
+      val rate = rates.foldLeft(lit(0)) { case (acc, (t, r)) =>
+        when(col("event_type") === t, lit(r)).otherwise(acc)
+      }
+      val kept = ev.filter(graft.functions.F.hash60(
+          concat(lit("sample_"), col("event_id").cast("string"))) % 1000 < rate)
+        .select("event_id", "event_type").collect()
+      // every kept row independently satisfies the pure row predicate
+      kept.foreach { r =>
+        val h = graft.functions.F.hash60Driver("sample_" + r.getLong(0))
+        assert(h % 1000 < rates(r.getString(1)).toLong)
+      }
+      // and no error-stratum row survives
+      assert(kept.forall(_.getString(1) != "error"))
+    }
+  }
+
   test("salted join equals the plain join on random data") {
     import spark.implicits._
     samples(3).foreach { rows =>
