@@ -510,6 +510,34 @@ object Oracles {
          |WHERE round(CAST(inter AS DOUBLE) / (sa.n_ng + sb.n_ng - inter), 6) >= 0.18
          |ORDER BY doc_a, doc_b""".stripMargin,
 
+    // p15: streaming sessionization (flush-sentinel materialization) vs
+    // the batch gap rule, keyed by (user, session_start) since the
+    // streaming output carries no session index
+    "p15_sessionize_stream" ->
+      s"""WITH v AS (SELECT * FROM events WHERE $validCond),
+         |x AS (
+         |  SELECT *, lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+         |  FROM v),
+         |y AS (
+         |  SELECT *, CASE WHEN prev_us IS NULL OR epoch_us(ts) - prev_us > 1800000000
+         |    THEN 1 ELSE 0 END AS new_sess FROM x),
+         |z AS (
+         |  SELECT *, CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_idx FROM y)
+         |SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+         |  COUNT(*) AS n_events, ${dsum("value")} AS session_value
+         |FROM z GROUP BY user_id, session_idx ORDER BY user_id, session_start""".stripMargin,
+
+    "d6_fuzzy_names" ->
+      """WITH names AS (SELECT DISTINCT p_name FROM part)
+        |SELECT a.p_name AS name_a, b.p_name AS name_b,
+        |  levenshtein(a.p_name, b.p_name) AS edit_dist
+        |FROM names a JOIN names b
+        |  ON substr(a.p_name, 1, 2) = substr(b.p_name, 1, 2)
+        | AND a.p_name < b.p_name
+        |WHERE levenshtein(a.p_name, b.p_name) <= 4
+        |ORDER BY name_a, name_b""".stripMargin,
+
     // p13: the stream-stream join's oracle is the equivalent batch join
     "p13_stream_stream_join" ->
       s"""WITH v AS (SELECT * FROM events WHERE $validCond)

@@ -27,6 +27,7 @@ object SparkEntry {
     "p9_dedup_exact_stream" -> streaming.StreamPipeline.kpiDailyViaFileStream _,
     "p10_kpi_sink" -> pipeline.SinkOps.kpiSinkRoundtrip _,
     "p14_partition_pruning" -> pipeline.SinkOps.partitionedParquetRoundtrip _,
+    "p15_sessionize_stream" -> streaming.StreamPipeline.sessionizeViaFileStream _,
     "p11_ts_multiformat" -> TripPipeline.tsMultiFormat _,
     "p12_coerce_fields" -> TripPipeline.coerceFields _,
     "p13_stream_stream_join" -> streaming.StreamPipeline.signupPurchaseJoinViaFileStream _,
@@ -70,6 +71,7 @@ object SparkEntry {
     "d2_ngram_jaccard" -> ((s: SparkSession, d: String) => DedupOps.ngramJaccard(s, d)),
     "d3_minhash_lsh" -> ((s: SparkSession, d: String) => DedupOps.minhashLsh(s, d)),
     "d4_simhash" -> DedupOps.simhashPairs _,
+    "d6_fuzzy_names" -> ((s: SparkSession, d: String) => DedupOps.fuzzyNames(s, d)),
     "e1_ann_topk" -> ((s: SparkSession, d: String) => AnnOps.annTopk(s, d)),
     "e2_ann_lsh" -> ((s: SparkSession, d: String) => AnnOps.annLsh(s, d)),
     "e3_embed_neardup" -> ((s: SparkSession, d: String) => AnnOps.embedNearDup(s, d)),

@@ -235,6 +235,30 @@ object DedupOps {
     labels.select(col("doc_id"), col("label").as("cluster_id")).orderBy("doc_id")
   }
 
+  /** Max edit distance for d6 fuzzy matching. */
+  val MaxEditDist = 4
+
+  /** d6: fuzzy string matching — near-identical catalog names by edit
+    * distance, with prefix blocking. The vocabulary is deduplicated
+    * FIRST (distinct names), so the quadratic comparison runs on the
+    * distinct-name space, never on the row space: 2000 rows with 64
+    * distinct names compare 64×64-within-block, not 2000×2000. Blocking
+    * on the 2-char prefix makes the join an equality hash join with the
+    * edit-distance filter applied post-match; recall is by-design
+    * limited to pairs agreeing on the prefix (the standard
+    * blocked-matching trade — the oracle applies the identical rule).
+    * `levenshtein` is a codegen'd built-in in both engines. */
+  def fuzzyNames(spark: SparkSession, dir: String, maxDist: Int = MaxEditDist): DataFrame = {
+    val names = Tables.part(spark, dir).select("p_name").distinct()
+    names.select(col("p_name").as("name_a"))
+      .join(names.select(col("p_name").as("name_b")),
+        substring(col("name_a"), 1, 2) === substring(col("name_b"), 1, 2) &&
+          col("name_a") < col("name_b"))
+      .withColumn("edit_dist", levenshtein(col("name_a"), col("name_b")))
+      .filter(col("edit_dist") <= maxDist)
+      .orderBy("name_a", "name_b")
+  }
+
   /** SimHash geometry: 60-bit hashes (F.hash60), 4 blocking chunks of 15
     * bits — pigeonhole guarantees recall for hamming ≤ 3. */
   val SimBits = 60

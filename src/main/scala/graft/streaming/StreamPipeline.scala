@@ -185,6 +185,57 @@ object StreamPipeline {
         col("max_ts").cast("timestamp_ntz").as("session_end"),
         col("n_events"), col("session_value"))
 
+  /** Sentinel user for the p15 flush event (excluded from output). */
+  val FlushUser = 999999999999L
+
+  /** p15: streaming sessionization as an oracle-checkable batch result.
+    *
+    * session_window aggregations emit a session only once the watermark
+    * passes its end + gap, and the watermark itself trails the max seen
+    * event time — so over a FINITE file the last ~watermark+gap of
+    * sessions would stay open forever and the materialized result could
+    * never equal batch. The staging therefore appends one FLUSH
+    * SENTINEL event 3 h past the corpus max (far enough that
+    * sentinel − 1 h watermark clears every real session end + 30 min
+    * gap), which closes all real sessions; the sentinel user's own
+    * session is excluded from the output. On a real unbounded stream no
+    * sentinel is needed — late sessions close as the watermark
+    * advances; this is purely the finite-input materialization trick. */
+  def sessionizeViaFileStream(spark: SparkSession, dir: String): DataFrame = {
+    val streamDir = java.nio.file.Paths.get(
+      s"target/graft-p15-stream-${math.abs(dir.hashCode)}")
+    java.nio.file.Files.createDirectories(streamDir)
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/events.parquet"),
+      streamDir.resolve("events.parquet"),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+    val maxNs = raw.agg(max("ts")).head().getLong(0)
+    val sentinelNs = maxNs + 3L * 3600 * 1000000000L
+    // write the one-row sentinel into an underscore-prefixed dir (Spark
+    // file listings ignore those) and move its part file up as a real
+    // top-level file the stream source will pick up
+    val tmp = streamDir.resolve("_flush_tmp")
+    raw.sparkSession.createDataFrame(
+        java.util.List.of(org.apache.spark.sql.Row(
+          -1L, sentinelNs, FlushUser, "click", 0.0, null)), raw.schema)
+      .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    val part = java.nio.file.Files.list(tmp).filter(
+      _.getFileName.toString.endsWith(".parquet")).findFirst().get()
+    java.nio.file.Files.move(part, streamDir.resolve("flush.parquet"),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    val sdf = spark.readStream.schema(raw.schema).parquet(streamDir.toString)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val query = sessionizeStream(sdf)
+      .writeStream.format("memory").queryName("graft_p15_sessions")
+      .outputMode("append").start()
+    try query.processAllAvailable() finally query.stop()
+    spark.table("graft_p15_sessions")
+      .filter(col("user_id") =!= FlushUser)
+      .orderBy("user_id", "session_start")
+  }
+
   /** Streaming partitioned KPI sink: lands the daily KPIs under
     * `date=.../part-....json` via foreachBatch, same layout as the batch
     * SinkOps / the reference's Glue writer

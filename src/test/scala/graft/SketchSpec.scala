@@ -78,6 +78,24 @@ class SketchSpec extends AnyFunSuite with SparkSpec {
     assert(lifts.head > 1.0, "top collocation should be positively associated")
   }
 
+  test("d6 fuzzy pairs satisfy the edit-distance rule, checked off-engine") {
+    val rows = graft.operators.DedupOps.fuzzyNames(spark, Sf001).collect()
+    assert(rows.nonEmpty, "fuzzy matching must be non-vacuous on the part names")
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) => if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    rows.foreach { r =>
+      val (a, b) = (r.getString(0), r.getString(1))
+      assert(a < b && a.take(2) == b.take(2))
+      assert(r.getInt(2) === lev(a, b), s"($a, $b)")
+      assert(r.getInt(2) <= graft.operators.DedupOps.MaxEditDist)
+    }
+  }
+
   test("q13 histogram accounts for every customer exactly once") {
     val hist = Analytics.q13OrderDist(spark, Sf0001).collect()
     val nCust = Tables.customer(spark, Sf0001).count()

@@ -59,6 +59,17 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("p15 flush-sentinel materialization equals the batch gap rule end-to-end") {
+    val got = StreamPipeline.sessionizeViaFileStream(spark, Sf0001).collect()
+    val batch = TripPipeline.sessionize(spark, Sf0001)
+      .select(col("user_id"), col("session_start"), col("session_end"),
+        col("n_events"), col("session_value"))
+      .orderBy("user_id", "session_start").collect()
+    assert(got.length === batch.length)
+    assert(got.length > 0)
+    got.zip(batch).foreach { case (g, e) => assert(g === e) }
+  }
+
   test("streaming session_window sessionization equals the batch gap rule") {
     import java.sql.Timestamp
     val evDf = Tables.events(spark, Sf0001)
