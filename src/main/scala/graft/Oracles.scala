@@ -510,6 +510,27 @@ object Oracles {
          |WHERE round(CAST(inter AS DOUBLE) / (sa.n_ng + sb.n_ng - inter), 6) >= 0.18
          |ORDER BY doc_a, doc_b""".stripMargin,
 
+    // p16: the incremental merge must equal the FULL recompute — its
+    // oracle IS the kpi_daily SQL
+    "p16_incremental_kpi" ->
+      s"""WITH $tripCte
+         |SELECT CAST(end_ts AS DATE) AS date,
+         |  ${dsum("fare")} AS total_fare,
+         |  COUNT(*) AS count_trips,
+         |  ${davg("fare")} AS average_fare,
+         |  max(fare) AS max_fare,
+         |  min(fare) AS min_fare
+         |FROM trips GROUP BY CAST(end_ts AS DATE) ORDER BY date""".stripMargin,
+
+    "q12_pivot_daily" ->
+      """SELECT CAST(ts AS DATE) AS date,
+        |  COUNT(*) FILTER (WHERE event_type = 'signup') AS signup,
+        |  COUNT(*) FILTER (WHERE event_type = 'click') AS click,
+        |  COUNT(*) FILTER (WHERE event_type = 'view') AS view,
+        |  COUNT(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+        |  COUNT(*) FILTER (WHERE event_type = 'error') AS error
+        |FROM events GROUP BY 1 ORDER BY date""".stripMargin,
+
     // p15: streaming sessionization (flush-sentinel materialization) vs
     // the batch gap rule, keyed by (user, session_start) since the
     // streaming output carries no session index

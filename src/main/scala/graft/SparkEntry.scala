@@ -28,6 +28,7 @@ object SparkEntry {
     "p10_kpi_sink" -> pipeline.SinkOps.kpiSinkRoundtrip _,
     "p14_partition_pruning" -> pipeline.SinkOps.partitionedParquetRoundtrip _,
     "p15_sessionize_stream" -> streaming.StreamPipeline.sessionizeViaFileStream _,
+    "p16_incremental_kpi" -> TripPipeline.incrementalKpi _,
     "p11_ts_multiformat" -> TripPipeline.tsMultiFormat _,
     "p12_coerce_fields" -> TripPipeline.coerceFields _,
     "p13_stream_stream_join" -> streaming.StreamPipeline.signupPurchaseJoinViaFileStream _,
@@ -45,6 +46,7 @@ object SparkEntry {
     "q14_promo" -> Analytics.q14Promo _,
     "q18_large_volume" -> Analytics.q18LargeVolume _,
     "q19_disjunctive" -> Analytics.q19Disjunctive _,
+    "q12_pivot_daily" -> Analytics.q12PivotDaily _,
     "q13_order_dist" -> Analytics.q13OrderDist _,
     "q15_top_supplier" -> Analytics.q15TopSupplier _,
     "q16_supplier_counts" -> Analytics.q16SupplierCounts _,

@@ -266,6 +266,20 @@ object Analytics {
       .orderBy("n_name")
   }
 
+  /** q12: date × event-type PIVOT matrix — the relational-reshape API.
+    * The pivot values are EXPLICIT (the known type vocabulary), which is
+    * the scale-correct form: with inferred values Spark first runs a
+    * distinct scan over the pivot column; with explicit values the whole
+    * thing compiles to one pass of conditional aggregates (map-side
+    * partial) — exactly what the oracle spells out as FILTER clauses. */
+  def q12PivotDaily(spark: SparkSession, dir: String): DataFrame =
+    graft.Tables.events(spark, dir)
+      .groupBy(to_date(col("ts")).as("date"))
+      .pivot("event_type", graft.pipeline.TripPipeline.KnownTypes)
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .orderBy("date")
+
   /** q15 (TPC-H Q15): top supplier by quarterly revenue — revenue
     * aggregation with map-side partial combine, then the global max as a
     * broadcast 1-row scalar joined back (the view+subquery of the

@@ -112,6 +112,30 @@ class PipelineSpec extends AnyFunSuite with SparkSpec {
     assert(parts.length === direct.length)
   }
 
+  test("p16 incremental merge survives a late signup that MOVES a trip earlier") {
+    // user 5 base: signup day2, purchases day1+day3 → base trip ends day3.
+    // late signup day0 re-matches the day1 purchase → trip moves EARLIER.
+    // A date-level incremental scheme would miss day3's removal; the
+    // user-level scheme must equal the full recompute exactly.
+    def ts(d: Int) = Timestamp.valueOf(f"2024-01-0$d%d 10:00:00")
+    val rows: Seq[Row] = Seq(
+      Row(1L, ts(2), 5L, "signup", 1.0, null),
+      Row(2L, ts(1), 5L, "purchase", 10.0, null),
+      Row(3L, ts(3), 5L, "purchase", 30.0, null),
+      Row(10L, ts(1), 5L, "signup", 1.0, null), // LATE (id % 10 == 0), day1 morning
+      // an untouched user whose trip must carry forward unchanged
+      Row(4L, ts(1), 7L, "signup", 1.0, null),
+      Row(5L, ts(4), 7L, "purchase", 40.0, null))
+    val ev = spark.createDataFrame(rows.asJava, eventsSchema)
+    val isLate = col("event_id") % 10 === 0
+    val incremental = TripPipeline.incrementalKpiDf(ev, isLate).collect()
+    val full = TripPipeline.incrementalKpiDf(ev, lit(true)).collect() // all-late = full rematch
+    assert(incremental.toSeq === full.toSeq)
+    // and the moved trip really did move: day1 has user 5's trip now
+    val dates = incremental.map(_.getDate(0).toString)
+    assert(dates.contains("2024-01-01") && !dates.contains("2024-01-03"))
+  }
+
   test("multi-format datetime normalization parses both formats, null on garbage") {
     val parsed = TripPipeline.tsMultiFormat(spark, Sf0001)
     // every generated string (either format) must parse back
