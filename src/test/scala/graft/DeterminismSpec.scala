@@ -43,4 +43,12 @@ class DeterminismSpec extends AnyFunSuite with SparkSpec {
     assertStable("d4_simhash")(operators.DedupOps.simhashPairs(spark, Sf0001))
     assertStable("t5_tfidf_top")(operators.TextOps.tfidfTop(spark, Sf0001))
   }
+
+  test("round-3 sketch/sampling/phrase operators are partition-count independent") {
+    assertStable("s1_kmv_distinct")(operators.SketchOps.kmvDistinct(spark, Sf0001))
+    assertStable("s2_group_quantiles")(operators.SketchOps.groupQuantiles(spark, Sf0001))
+    assertStable("t7_bigram_pmi")(operators.TextOps.bigramPmi(spark, Sf0001))
+    assertStable("q15_top_supplier")(Analytics.q15TopSupplier(spark, Sf0001))
+    assertStable("p16_incremental_kpi")(TripPipeline.incrementalKpi(spark, Sf0001))
+  }
 }
