@@ -234,11 +234,15 @@ object TripPipeline {
     * adversarial late events — e.g. a signup that moves a trip to an
     * earlier date — through this). */
   def incrementalKpiDf(ev: DataFrame, isLate: org.apache.spark.sql.Column): DataFrame = {
+    // no broadcast hint on the delta user set: a correction batch is
+    // USUALLY small, but "usually small" is how fact-scale broadcasts
+    // sneak in (the q3/q5 lesson) — AQE broadcasts it when runtime
+    // sizes actually allow
     val affectedUsers = ev.filter(isLate).select("user_id").distinct()
     val carriedTrips = tripsOf(ev.filter(!isLate))
-      .join(broadcast(affectedUsers), Seq("user_id"), "left_anti")
+      .join(affectedUsers, Seq("user_id"), "left_anti")
     val rematchedTrips = tripsOf(
-      ev.join(broadcast(affectedUsers), Seq("user_id"), "left_semi"))
+      ev.join(affectedUsers, Seq("user_id"), "left_semi"))
     carriedTrips.unionByName(rematchedTrips)
       .groupBy(to_date(col("end_ts")).as("date"))
       .agg(
