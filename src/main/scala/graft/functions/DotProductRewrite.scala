@@ -1,0 +1,48 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.LongType
+
+/** Optimizer rule: rewrite the built-ins-only integer dot product
+  *
+  *   aggregate(zip_with(a, b, (x, y) -> x * y), 0L, (acc, x) -> acc + x)
+  *
+  * into the native codegen'd [[LongDotProduct]] — so code written
+  * against the portable formulation (graft.functions.F.dotQ, and any
+  * user code that spells the same pattern) gets the tight primitive
+  * loop automatically in sessions with GraftExtensions, without opting
+  * in per call site.
+  *
+  * The match is deliberately EXACT: int64 element types, literal 0L
+  * zero, multiply-merge, add-accumulate, identity finish — anything
+  * else (different zero, float math, extra lambda logic) is left
+  * untouched. Null semantics of the replacement are identical by
+  * construction (see LongDotProduct's scaladoc), so the rewrite can
+  * never change results — OperatorSpec asserts bit-equality and
+  * PlanSpec pins that the rewrite actually fires. */
+object DotProductRewrite extends Rule[LogicalPlan] {
+
+  private def sameVar(a: Expression, b: NamedLambdaVariable): Boolean = a match {
+    case v: NamedLambdaVariable => v.exprId == b.exprId
+    case _ => false
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformAllExpressions {
+    case ArrayAggregate(
+          ZipWith(a, b,
+            LambdaFunction(Multiply(mx, my, _), Seq(x: NamedLambdaVariable, y: NamedLambdaVariable), _)),
+          Literal(0L, LongType),
+          LambdaFunction(Add(macc, melem, _), Seq(acc: NamedLambdaVariable, elem: NamedLambdaVariable), _),
+          LambdaFunction(fin, Seq(fv: NamedLambdaVariable), _))
+        if a.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType] &&
+          a.dataType.asInstanceOf[org.apache.spark.sql.types.ArrayType].elementType == LongType &&
+          b.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType] &&
+          b.dataType.asInstanceOf[org.apache.spark.sql.types.ArrayType].elementType == LongType &&
+          sameVar(mx, x) && sameVar(my, y) &&
+          sameVar(macc, acc) && sameVar(melem, elem) &&
+          sameVar(fin, fv) =>
+      LongDotProduct(a, b)
+  }
+}

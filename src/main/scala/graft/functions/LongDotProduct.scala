@@ -107,5 +107,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[MinHashAgg].getName, "graft_minhash_agg"),
       (children: Seq[Expression]) => MinHashAgg(children.head)))
     ext.injectPlannerStrategy(_ => new graft.plans.TopKPerKeyStrategy)
+    // optimizer rule: auto-rewrite the portable aggregate(zip_with(...))
+    // dot product into the native codegen'd expression
+    ext.injectOptimizerRule(_ => DotProductRewrite)
   }
 }

