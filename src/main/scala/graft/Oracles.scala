@@ -522,6 +522,21 @@ object Oracles {
          |  min(fare) AS min_fare
          |FROM trips GROUP BY CAST(end_ts AS DATE) ORDER BY date""".stripMargin,
 
+    "a3_window_suite" ->
+      """WITH base AS (SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice
+        |  FROM orders WHERE o_custkey <= 200),
+        |w1 AS (
+        |  SELECT *,
+        |    lag(o_orderdate, 1) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev_date,
+        |    lead(o_totalprice, 1) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS next_price,
+        |    ntile(4) OVER (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey) AS quartile,
+        |    round(percent_rank() OVER (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey), 6) AS pct_rank
+        |  FROM base)
+        |SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
+        |  date_diff('day', CAST(prev_date AS DATE), CAST(o_orderdate AS DATE)) AS gap_days,
+        |  next_price, quartile, pct_rank
+        |FROM w1 ORDER BY o_custkey, o_orderkey""".stripMargin,
+
     "q12_pivot_daily" ->
       """SELECT CAST(ts AS DATE) AS date,
         |  COUNT(*) FILTER (WHERE event_type = 'signup') AS signup,

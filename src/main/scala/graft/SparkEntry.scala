@@ -59,6 +59,7 @@ object SparkEntry {
     "d5_neardup_clusters" -> DedupOps.nearDupClusters _,
     "a1_asof_join" -> operators.JoinOps.asofJoin _,
     "a2_band_join" -> operators.JoinOps.bandJoin _,
+    "a3_window_suite" -> Analytics.a3WindowSuite _,
     // C. text / dedup / ANN / multimodal
     "t1_token_count" -> TextOps.tokenCount _,
     "t2_quality" -> TextOps.quality _,

@@ -266,6 +266,30 @@ object Analytics {
       .orderBy("n_name")
   }
 
+  /** a3: the analytic window-function suite — lag (previous order
+    * date → gap days), lead (next order price), ntile quartiles and
+    * percent_rank, all per customer. The two ORDER BYs (date vs price)
+    * share ONE hash shuffle on the partition key; Catalyst plans one
+    * exchange + two sorts. Every ordering includes the order key, so
+    * ntile/percent_rank are deterministic under price ties. Bounded to
+    * a customer subset only to keep the verify artifact small — the
+    * plan is identical unbounded. */
+  def a3WindowSuite(spark: SparkSession, dir: String): DataFrame = {
+    val byDate = Window.partitionBy("o_custkey")
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    val byPrice = Window.partitionBy("o_custkey")
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    Tables.orders(spark, dir)
+      .filter(col("o_custkey") <= 200)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"), col("o_totalprice"))
+      .withColumn("gap_days",
+        datediff(col("o_orderdate"), lag(col("o_orderdate"), 1).over(byDate)))
+      .withColumn("next_price", lead(col("o_totalprice"), 1).over(byDate))
+      .withColumn("quartile", ntile(4).over(byPrice))
+      .withColumn("pct_rank", round(percent_rank().over(byPrice), 6))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
   /** q12: date × event-type PIVOT matrix — the relational-reshape API.
     * The pivot values are EXPLICIT (the known type vocabulary), which is
     * the scale-correct form: with inferred values Spark first runs a

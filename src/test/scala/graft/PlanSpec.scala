@@ -41,6 +41,12 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(exchanges <= 2, s"expected <= 2 exchanges, got $exchanges:\n$plan")
   }
 
+  test("a3's two window orderings share one hash shuffle on the partition key") {
+    val plan = finalPlan(Analytics.a3WindowSuite(spark, Sf0001))
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(hashEx === 1, s"expected one shared hash exchange, got $hashEx:\n$plan")
+  }
+
   test("p14 read-back prunes at the partition-directory level, not per row") {
     import graft.pipeline.SinkOps
     SinkOps.partitionedParquetRoundtrip(spark, Sf0001).collect() // writes the lake
