@@ -8,6 +8,13 @@ import graft.operators.{SketchOps, TextOps}
 /** Sketch/sampling/phrase-mining operators added in round 3. */
 class SketchSpec extends AnyFunSuite with SparkSpec {
 
+  test("driver contract: every query key has an oracle and vice versa") {
+    val q = SparkEntry.queries.keySet
+    val o = SparkEntry.oracleSql.keySet
+    assert((q -- o).isEmpty, s"queries without an oracle: ${(q -- o).toSeq.sorted}")
+    assert((o -- q).isEmpty, s"oracles without a query: ${(o -- q).toSeq.sorted}")
+  }
+
   test("s1 KMV estimate brackets the exact distinct count") {
     val r = SketchOps.kmvDistinct(spark, Sf0001).collect()(0)
     val est = r.getAs[Double]("est_distinct")
