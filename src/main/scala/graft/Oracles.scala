@@ -696,6 +696,39 @@ object Oracles {
          |SELECT bigram, c_xy, round(lift, 6) AS lift FROM sc
          |ORDER BY lift DESC, bigram LIMIT 20""".stripMargin,
 
+    // x1: the composite corpus clean replays the t2/t3/d1/d5 CTE chain
+    "x1_corpus_clean" ->
+      s"""WITH d AS (SELECT doc_id, lang, $TOK AS t FROM documents),
+         |qx AS (SELECT doc_id, len(t) AS n_tokens, len(list_distinct(t)) AS n_unique,
+         |  len(list_filter(t, x -> x IN ('the','a','of','and','to','in','is','on','for','with'))) AS n_stop
+         |  FROM d),
+         |q AS (SELECT doc_id FROM qx
+         |  WHERE round(0.3 * (CAST(n_unique AS DOUBLE) / n_tokens)
+         |      + 0.4 * (1.0 - CAST(n_stop AS DOUBLE) / n_tokens)
+         |      + 0.3 * least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0), 6) >= 0.66),
+         |sl AS (SELECT doc_id, lang,
+         |  CAST(len(list_filter(t, x -> x IN ('der','die','und','das','ist','nicht'))) AS BIGINT) AS s_de,
+         |  CAST(len(list_filter(t, x -> x IN ('the','and','of','to','in','is'))) AS BIGINT) AS s_en,
+         |  CAST(len(list_filter(t, x -> x IN ('el','la','de','que','y','los'))) AS BIGINT) AS s_es,
+         |  CAST(len(list_filter(t, x -> x IN ('le','la','de','et','les','des'))) AS BIGINT) AS s_fr,
+         |  CAST(len(list_filter(t, x -> x IN ('de5','shi4','le5','zai4','he2','you3'))) AS BIGINT) AS s_zh
+         |  FROM d),
+         |lp AS (SELECT doc_id FROM sl WHERE
+         |  CASE WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
+         |       WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+         |       WHEN s_es >= s_fr AND s_es >= s_zh THEN 'es'
+         |       WHEN s_fr >= s_zh THEN 'fr'
+         |       ELSE 'zh' END = lang),
+         |reps AS (SELECT min(doc_id) AS doc_id FROM (
+         |  SELECT doc_id, md5(array_to_string(t, ' ')) AS fp FROM d) f GROUP BY fp),
+         |drops AS (SELECT doc_id FROM ($d5Sql) c WHERE doc_id <> cluster_id)
+         |SELECT doc_id FROM documents
+         |WHERE doc_id IN (SELECT doc_id FROM q)
+         |  AND doc_id IN (SELECT doc_id FROM lp)
+         |  AND doc_id IN (SELECT doc_id FROM reps)
+         |  AND doc_id NOT IN (SELECT doc_id FROM drops)
+         |ORDER BY doc_id""".stripMargin,
+
     "d3_minhash_lsh" -> d3Sql,
 
     "d5_neardup_clusters" -> d5Sql,

@@ -1,0 +1,45 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Composite corpus-cleaning pipeline — the end-to-end training-mix
+  * materialization the individual operators exist for:
+  *
+  *   quality floor (t2) → language-consistency filter (t3: the
+  *   heuristic prediction must agree with the labeled language) →
+  *   exact-dedup representative (d1: min doc_id per fingerprint) →
+  *   near-dup cluster representative (d5: only each cluster's min
+  *   label survives).
+  *
+  * Every stage is a semi/anti join against an already-oracle-checked
+  * operator's output, so the composite stays declarative: Catalyst sees
+  * one plan, shares the documents scan, and orders the semi joins
+  * freely. At 100 TB the d1/d5 stages reuse their memoized substrates;
+  * nothing here adds a new shuffle class. The oracle replays the exact
+  * same CTE chain. */
+object CorpusOps {
+
+  /** Quality floor — calibrated to drop roughly the worst quartile of
+    * the synthetic corpus (the real knob a data curator would sweep). */
+  val MinQuality = 0.66
+
+  /** x1: the kept document set after all four stages. */
+  def corpusClean(spark: SparkSession, dir: String): DataFrame = {
+    val qualityPass = TextOps.quality(spark, dir)
+      .filter(col("quality_score") >= MinQuality).select("doc_id")
+    val langPass = TextOps.langId(spark, dir)
+      .filter(col("pred_lang") === col("labeled_lang")).select("doc_id")
+    val exactReps = DedupOps.dedupExact(spark, dir)
+      .select(col("keep_doc_id").as("doc_id"))
+    val clusterDrops = DedupOps.nearDupClusters(spark, dir)
+      .filter(col("doc_id") =!= col("cluster_id")).select("doc_id")
+    Tables.documents(spark, dir).select("doc_id")
+      .join(qualityPass, Seq("doc_id"), "left_semi")
+      .join(langPass, Seq("doc_id"), "left_semi")
+      .join(exactReps, Seq("doc_id"), "left_semi")
+      .join(clusterDrops, Seq("doc_id"), "left_anti")
+      .orderBy("doc_id")
+  }
+}

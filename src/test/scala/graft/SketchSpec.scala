@@ -103,6 +103,26 @@ class SketchSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("x1 composite clean is the intersection of its stages") {
+    import graft.operators.{CorpusOps, DedupOps, TextOps}
+    val kept = CorpusOps.corpusClean(spark, Sf001).collect().map(_.getLong(0)).toSet
+    assert(kept.nonEmpty)
+    val quality = TextOps.quality(spark, Sf001)
+      .filter(col("quality_score") >= CorpusOps.MinQuality)
+      .collect().map(_.getLong(0)).toSet
+    val lang = TextOps.langId(spark, Sf001)
+      .filter(col("pred_lang") === col("labeled_lang"))
+      .collect().map(_.getLong(0)).toSet
+    val reps = DedupOps.dedupExact(spark, Sf001)
+      .collect().map(_.getLong(1)).toSet // keep_doc_id is col 1
+    val drops = DedupOps.nearDupClusters(spark, Sf001)
+      .filter(col("doc_id") =!= col("cluster_id"))
+      .collect().map(_.getLong(0)).toSet
+    assert(kept === (quality & lang & reps) -- drops)
+    // and the pipeline actually filters at every stage
+    assert(quality.size < 500 && lang.size < 500, "stages must be non-trivial")
+  }
+
   test("q13 histogram accounts for every customer exactly once") {
     val hist = Analytics.q13OrderDist(spark, Sf0001).collect()
     val nCust = Tables.customer(spark, Sf0001).count()
