@@ -63,6 +63,25 @@ class TpchShapesSpec extends AnyFunSuite with SparkSpec {
     assert(math.abs(r.getDouble(0) - expected) < 1e-6, s"${r.getDouble(0)} vs $expected")
   }
 
+  test("the spark.sql surface over registered views matches the DataFrame plans") {
+    // users of the library can register the tables and write ANSI SQL;
+    // the declarative plans must agree with the DataFrame formulations
+    Tables.all.foreach { t =>
+      val df = if (t == "events") Tables.events(spark, Sf0001) else Tables(spark, Sf0001, t)
+      df.createOrReplaceTempView(t)
+    }
+    val viaSql = spark.sql(
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
+        |  COUNT(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= '2000-01-01'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin).collect()
+    val viaDf = Analytics.q1Pricing(spark, Sf0001)
+      .select("l_returnflag", "l_linestatus", "sum_qty", "count_order").collect()
+    assert(viaSql.toSeq === viaDf.toSeq)
+  }
+
   test("p13 stream-stream join equals the batch join") {
     val got = streaming.StreamPipeline
       .signupPurchaseJoinViaFileStream(spark, Sf0001).collect()
