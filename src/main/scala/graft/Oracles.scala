@@ -696,6 +696,28 @@ object Oracles {
          |SELECT bigram, c_xy, round(lift, 6) AS lift FROM sc
          |ORDER BY lift DESC, bigram LIMIT 20""".stripMargin,
 
+    // g1: replays the integer micro-unit rank rounds exactly (floor
+    // division — no float rounding semantics anywhere)
+    "g1_bipartite_rank" ->
+      """WITH edges AS (SELECT DISTINCT o_custkey AS cust, l_suppkey AS supp
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        |cdeg AS (SELECT cust, CAST(count(*) AS BIGINT) AS c_deg FROM edges GROUP BY cust),
+        |sdeg AS (SELECT supp, CAST(count(*) AS BIGINT) AS s_deg FROM edges GROUP BY supp),
+        |c0 AS (SELECT cust, CAST(1000000 AS BIGINT) AS c_rank_u, c_deg FROM cdeg),
+        |s1 AS (SELECT e.supp,
+        |    150000 + (850000 * SUM(c0.c_rank_u // c0.c_deg)) // 1000000 AS s_rank_u
+        |  FROM edges e JOIN c0 ON e.cust = c0.cust GROUP BY e.supp),
+        |s1d AS (SELECT s1.supp, s_rank_u, s_deg FROM s1 JOIN sdeg ON s1.supp = sdeg.supp),
+        |c1 AS (SELECT e.cust,
+        |    150000 + (850000 * SUM(s1d.s_rank_u // s1d.s_deg)) // 1000000 AS c_rank_u
+        |  FROM edges e JOIN s1d ON e.supp = s1d.supp GROUP BY e.cust),
+        |c1d AS (SELECT c1.cust, c_rank_u, c_deg FROM c1 JOIN cdeg USING (cust)),
+        |s2 AS (SELECT e.supp,
+        |    150000 + (850000 * SUM(c1d.c_rank_u // c1d.c_deg)) // 1000000 AS s_rank_u
+        |  FROM edges e JOIN c1d ON e.cust = c1d.cust GROUP BY e.supp)
+        |SELECT supp AS s_suppkey, CAST(s_rank_u AS DOUBLE) / 1e6 AS rank
+        |FROM s2 ORDER BY s_suppkey""".stripMargin,
+
     // x1: the composite corpus clean replays the t2/t3/d1/d5 CTE chain
     "x1_corpus_clean" ->
       s"""WITH d AS (SELECT doc_id, lang, $TOK AS t FROM documents),

@@ -79,6 +79,7 @@ object SparkEntry {
     "e2_ann_lsh" -> ((s: SparkSession, d: String) => AnnOps.annLsh(s, d)),
     "e3_embed_neardup" -> ((s: SparkSession, d: String) => AnnOps.embedNearDup(s, d)),
     "x1_corpus_clean" -> operators.CorpusOps.corpusClean _,
+    "g1_bipartite_rank" -> operators.GraphOps.bipartiteRank _,
     "m1_multimodal_meta" -> MultimodalOps.multimodalMeta _,
     "m2_frame_sample" -> MultimodalOps.frameSample _
   )

@@ -50,5 +50,7 @@ class DeterminismSpec extends AnyFunSuite with SparkSpec {
     assertStable("t7_bigram_pmi")(operators.TextOps.bigramPmi(spark, Sf0001))
     assertStable("q15_top_supplier")(Analytics.q15TopSupplier(spark, Sf0001))
     assertStable("p16_incremental_kpi")(TripPipeline.incrementalKpi(spark, Sf0001))
+    // integer micro-unit arithmetic is the determinism mechanism here
+    assertStable("g1_bipartite_rank")(operators.GraphOps.bipartiteRank(spark, Sf0001))
   }
 }
