@@ -50,16 +50,16 @@ object Bench {
       } catch { case _: Throwable => () }
     }
 
-    def runOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Boolean =
+    def runOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Boolean =
       try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
-      catch { case e: Throwable => System.err.println(s"[bench] FAILED: $e"); false }
+      catch { case e: Throwable => System.err.println(s"[bench] $name FAILED: $e"); false }
 
     val warmT0 = System.nanoTime()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val warmOk = runOnce(fn) // substrate/cache warm pass, untimed
+      val warmOk = runOnce(name, fn) // substrate/cache warm pass, untimed
       val samples = (1 to Reps).map { _ =>
         val t0 = System.nanoTime()
-        val ok = runOnce(fn)
+        val ok = runOnce(name, fn)
         ((System.nanoTime() - t0) / 1e9, ok)
       }
       val median = samples.map(_._1).sorted.apply(Reps / 2)

@@ -203,11 +203,16 @@ object TextOps {
       .join(uni.select(col("tok").as("w1"), col("c").as("c1")), "w1")
       .join(uni.select(col("tok").as("w2"), col("c").as("c2")), "w2")
       .crossJoin(broadcast(tot))
-      .withColumn("lift",
+      // round BEFORE ranking (the t5 rule): the top-k cutoff must be
+      // taken on the exact values both engines compare — DuckDB's
+      // ORDER BY lift binds to the rounded SELECT alias, and unrounded
+      // rational ratios sit on 1e-6 rounding boundaries where engines
+      // disagree
+      .withColumn("lift", round(
         (col("c_xy").cast(DoubleType) * col("n_uni") * col("n_uni")) /
-          (col("c1").cast(DoubleType) * col("c2") * col("n_bg")))
+          (col("c1").cast(DoubleType) * col("c2") * col("n_bg")), 6))
       .orderBy(col("lift").desc, col("bigram"))
       .limit(k)
-      .select(col("bigram"), col("c_xy"), round(col("lift"), 6).as("lift"))
+      .select(col("bigram"), col("c_xy"), col("lift"))
   }
 }

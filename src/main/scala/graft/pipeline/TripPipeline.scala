@@ -87,26 +87,36 @@ object TripPipeline {
     * Two filtered scans of the same source; the match is a shuffle join
     * on user_id (at scale: both sides hash-partitioned on the key, AQE
     * handles skew). */
-  def tripMatch(spark: SparkSession, dir: String): DataFrame = {
-    // only VALIDATED events participate in matching — reference
-    // semantics (invalid payloads never reach DynamoDB, so the Glue
-    // aggregation never sees them) and what keeps the streaming pipeline
-    // (which validates first) semantically equal to batch, not just
-    // equal on datasets that happen to contain no invalid rows.
-    val ev = Tables.events(spark, dir).filter(validCond)
-    val starts = ev.filter(col("event_type") === "signup")
-      .groupBy("user_id").agg(min("ts").as("start_ts"))
-    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
-    val ends = ev.filter(col("event_type") === "purchase")
-      .join(starts, "user_id")
-      .filter(col("ts") >= col("start_ts"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-    ends.select(col("user_id"),
+  def tripMatch(spark: SparkSession, dir: String): DataFrame =
+    tripsOf(Tables.events(spark, dir)).select(
+      col("user_id"),
       col("start_ts").cast("timestamp_ntz").as("start_ts"),
       ntz("ts").as("end_ts"),
       col("value").as("fare"),
       (unix_micros(col("ts")) - unix_micros(col("start_ts"))).as("duration_us"))
+
+  /** THE single definition of trip matching — raw matched rows
+    * (user_id, start_ts, ts, value); p4/p5 and the p16 incremental
+    * merge all build on this one method, so the matching semantics
+    * (min-signup start, first at-or-after purchase, (ts, event_id)
+    * tiebreak) cannot silently fork between them.
+    *
+    * Only VALIDATED events participate — reference semantics (invalid
+    * payloads never reach DynamoDB, so the Glue aggregation never sees
+    * them) and what keeps the streaming pipeline (which validates
+    * first) semantically equal to batch, not just equal on datasets
+    * that happen to contain no invalid rows. */
+  private[pipeline] def tripsOf(ev: DataFrame): DataFrame = {
+    val valid = ev.filter(validCond)
+    val starts = valid.filter(col("event_type") === "signup")
+      .groupBy("user_id").agg(min("ts").as("start_ts"))
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    valid.filter(col("event_type") === "purchase")
+      .join(starts, "user_id")
+      .filter(col("ts") >= col("start_ts"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("start_ts"), col("ts"), col("value"))
   }
 
   /** p5: daily KPIs over completed trips — the reference's headline
@@ -244,6 +254,7 @@ object TripPipeline {
     val rematchedTrips = tripsOf(
       ev.join(affectedUsers, Seq("user_id"), "left_semi"))
     carriedTrips.unionByName(rematchedTrips)
+      .select(col("user_id"), ntz("ts").as("end_ts"), col("value").as("fare"))
       .groupBy(to_date(col("end_ts")).as("date"))
       .agg(
         decSum(col("fare")).as("total_fare"),
@@ -252,21 +263,6 @@ object TripPipeline {
         max(col("fare")).as("max_fare"),
         min(col("fare")).as("min_fare"))
       .orderBy("date")
-  }
-
-  /** Matched trips (user_id, end_ts, fare) of an arbitrary events-shaped
-    * frame — the p4 semantics, reused by p16 on its base/delta splits. */
-  private def tripsOf(ev: DataFrame): DataFrame = {
-    val valid = ev.filter(validCond)
-    val starts = valid.filter(col("event_type") === "signup")
-      .groupBy("user_id").agg(min("ts").as("start_ts"))
-    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
-    valid.filter(col("event_type") === "purchase")
-      .join(starts, "user_id")
-      .filter(col("ts") >= col("start_ts"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("user_id"), ntz("ts").as("end_ts"), col("value").as("fare"))
   }
 
   /** p11: multi-format datetime normalization — the reference ingests

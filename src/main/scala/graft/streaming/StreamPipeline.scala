@@ -221,8 +221,10 @@ object StreamPipeline {
         java.util.List.of(org.apache.spark.sql.Row(
           -1L, sentinelNs, FlushUser, "click", 0.0, null)), raw.schema)
       .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-    val part = java.nio.file.Files.list(tmp).filter(
-      _.getFileName.toString.endsWith(".parquet")).findFirst().get()
+    val listing = java.nio.file.Files.list(tmp)
+    val part =
+      try listing.filter(_.getFileName.toString.endsWith(".parquet")).findFirst().get()
+      finally listing.close() // Files.list holds a directory handle open
     java.nio.file.Files.move(part, streamDir.resolve("flush.parquet"),
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     val sdf = spark.readStream.schema(raw.schema).parquet(streamDir.toString)
