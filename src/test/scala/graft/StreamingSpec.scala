@@ -59,6 +59,34 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("streaming quarantine equals the batch DLQ complement on injected invalid rows") {
+    import java.sql.Timestamp
+    val t0 = Timestamp.valueOf("2024-01-01 10:00:00")
+    val rows: Seq[Row] = Seq(
+      Row(1L, t0, 5L, "signup", 10.0, null), // valid
+      Row(2L, null, 5L, "click", 1.0, null), // null ts → DLQ
+      Row(3L, t0, -1L, "view", 1.0, null), //   negative user → DLQ
+      Row(4L, t0, 5L, "weird", 1.0, null), //   unknown type → DLQ
+      Row(5L, t0, 5L, "purchase", -2.0, null)) // negative value → DLQ
+    val evDf = Tables.events(spark, Sf0001)
+    implicit val enc = Encoders.row(evDf.schema)
+    val stream = MemoryStream[Row](enc, spark)
+    // quarantineDf is a pure filter+projection, so the SAME code runs
+    // on the unbounded frame — validation parity needs no streaming fork
+    val query = TripPipeline.quarantineDf(stream.toDF())
+      .writeStream.format("memory").queryName("dlq_stream")
+      .outputMode("append").start()
+    try {
+      stream.addData(rows); query.processAllAvailable()
+      val got = spark.table("dlq_stream").orderBy("event_id").collect()
+      val batch = TripPipeline.quarantineDf(
+          spark.createDataFrame(scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava, evDf.schema))
+        .orderBy("event_id").collect()
+      assert(got.length === 4 && batch.length === 4)
+      got.zip(batch).foreach { case (g, e) => assert(g === e) }
+    } finally query.stop()
+  }
+
   test("p15 flush-sentinel materialization equals the batch gap rule end-to-end") {
     val got = StreamPipeline.sessionizeViaFileStream(spark, Sf0001).collect()
     val batch = TripPipeline.sessionize(spark, Sf0001)
