@@ -673,6 +673,19 @@ object Oracles {
         |  len(rtext) AS redacted_len
         |FROM red ORDER BY doc_id""".stripMargin,
 
+    "t8_strip_markup" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |    '<p id="' || doc_id || '">' || text || '</p> <br/> <a href="https://example.com/' || doc_id || '">link</a>' AS marked
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id,
+        |    len(regexp_extract_all(marked, '<[^>]*>')) AS n_tags,
+        |    trim(regexp_replace(regexp_replace(marked, '<[^>]*>', ' ', 'g'), '\s+', ' ', 'g')) AS clean
+        |  FROM m)
+        |SELECT doc_id, n_tags, md5(clean) AS clean_md5, len(clean) AS clean_len
+        |FROM c ORDER BY doc_id""".stripMargin,
+
     "t7_bigram_pmi" ->
       s"""WITH docs AS (SELECT doc_id, $TOK AS t FROM documents),
          |uni AS (SELECT tok, count(*) AS c

@@ -67,6 +67,7 @@ object SparkEntry {
     "t4_fingerprint" -> TextOps.fingerprint _,
     "t5_tfidf_top" -> ((s: SparkSession, d: String) => TextOps.tfidfTop(s, d)),
     "t6_redact" -> TextOps.redact _,
+    "t8_strip_markup" -> TextOps.stripMarkup _,
     "t7_bigram_pmi" -> ((s: SparkSession, d: String) => TextOps.bigramPmi(s, d)),
     "e4_ann_multiprobe" -> ((s: SparkSession, d: String) => AnnOps.annMultiprobe(s, d)),
     "e5_ann_ivf" -> ((s: SparkSession, d: String) => AnnOps.annIvf(s, d)),

@@ -169,6 +169,34 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Markup pattern for t8 — simple enough for identical Java/RE2
+    * semantics. */
+  val TagRe = "<[^>]*>"
+
+  /** t8: markup stripping — the boilerplate-removal step of a web-crawl
+    * cleaning pipeline: drop tags, collapse whitespace, count what was
+    * removed. The testdata is plain text, so a deterministic markup
+    * surface is APPENDED first (the p11/p12/t6 rendered-input
+    * technique); the scrub itself is the unit under test. A narrow
+    * codegen'd regex projection; output carries md5(clean) to keep the
+    * verify artifact small. */
+  def stripMarkup(spark: SparkSession, dir: String): DataFrame = {
+    val marked = concat(
+      lit("<p id=\""), col("doc_id").cast("string"), lit("\">"), col("text"),
+      lit("</p> <br/> <a href=\"https://example.com/"),
+      col("doc_id").cast("string"), lit("\">link</a>"))
+    Tables.documents(spark, dir)
+      .withColumn("marked", marked)
+      .withColumn("clean",
+        trim(regexp_replace(regexp_replace(col("marked"), TagRe, " "), "\\s+", " ")))
+      .select(
+        col("doc_id"),
+        regexp_count(col("marked"), lit(TagRe)).as("n_tags"),
+        md5(col("clean")).as("clean_md5"),
+        length(col("clean")).as("clean_len"))
+      .orderBy("doc_id")
+  }
+
   /** Minimum bigram count to participate in t7 (kills noise pairs and
     * bounds the join fan-in, the standard phrase-mining floor). */
   val PmiMinCount = 5L

@@ -198,6 +198,41 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("checkpointed restart recovers matcher state and completes the KPIs") {
+    // the operational property a Step-Function retry gives the
+    // reference: kill the job mid-stream, restart from the checkpoint,
+    // end with the same answer. Half the events, stop, NEW query object
+    // over the SAME checkpoint + sink dir, rest of the events.
+    import java.nio.file.Files
+    val ckpt = Files.createTempDirectory("graft-ckpt").toString
+    val out = Files.createTempDirectory("graft-ckpt-out").toString
+    val evDf = Tables.events(spark, Sf0001)
+    implicit val enc = Encoders.row(evDf.schema)
+    val stream = MemoryStream[Row](enc, spark)
+    def start() = StreamPipeline.matchedTrips(spark, stream.toDF()).toDF()
+      .writeStream.format("parquet")
+      .option("checkpointLocation", ckpt).option("path", out)
+      .outputMode("append").start()
+    val half = orderedEvents.length / 2
+    val q1 = start()
+    try { stream.addData(orderedEvents.take(half)); q1.processAllAvailable() }
+    finally q1.stop()
+    val q2 = start() // fresh query, same checkpoint: state must recover
+    try { stream.addData(orderedEvents.drop(half)); q2.processAllAvailable() }
+    finally q2.stop()
+    val got = spark.read.parquet(out)
+      .orderBy("user_id").collect()
+    val batch = TripPipeline.tripMatch(spark, Sf0001)
+      .select(col("user_id"),
+        col("start_ts").cast("timestamp").as("start_ts"),
+        col("end_ts").cast("timestamp").as("end_ts"), col("fare"))
+      .orderBy("user_id").collect()
+    assert(got.length === batch.length, "restart must not lose or duplicate trips")
+    got.zip(batch).foreach { case (g, e) =>
+      assert(g.getLong(0) === e.getLong(0) && g.getDouble(3) === e.getDouble(3))
+    }
+  }
+
   test("at-least-once re-delivery of recent events does not change the KPIs") {
     val batch = TripPipeline.kpiDaily(spark, Sf0001).collect()
     val half = orderedEvents.length / 2
