@@ -537,6 +537,15 @@ object Oracles {
         |  next_price, quartile, pct_rank
         |FROM w1 ORDER BY o_custkey, o_orderkey""".stripMargin,
 
+    // b1: bucketing changes the physical layout, never the answer —
+    // the oracle is the plain join
+    "b1_bucketed_join" ->
+      s"""SELECT o_orderpriority,
+         |  ${dsum("l_extendedprice * (1.0 - l_discount)")} AS revenue,
+         |  COUNT(*) AS n_lines
+         |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
     "q12_pivot_daily" ->
       """SELECT CAST(ts AS DATE) AS date,
         |  COUNT(*) FILTER (WHERE event_type = 'signup') AS signup,

@@ -60,6 +60,7 @@ object SparkEntry {
     "a1_asof_join" -> operators.JoinOps.asofJoin _,
     "a2_band_join" -> operators.JoinOps.bandJoin _,
     "a3_window_suite" -> Analytics.a3WindowSuite _,
+    "b1_bucketed_join" -> operators.BucketOps.bucketedJoin _,
     // C. text / dedup / ANN / multimodal
     "t1_token_count" -> TextOps.tokenCount _,
     "t2_quality" -> TextOps.quality _,

@@ -1,0 +1,56 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.F._
+
+/** Bucketed-layout operators — the co-location strategy for REPEATED
+  * fact⋈fact joins at 100 TB: pay the shuffle once at write time
+  * (`bucketBy` + `sortBy` on the join key), then every subsequent join
+  * on that key reads co-located, pre-sorted buckets and runs with ZERO
+  * exchange on the key (BucketingSpec pins the exchange-free plan).
+  */
+object BucketOps {
+
+  val Buckets = 8
+
+  /** b1: build (idempotently) a bucketed orders/lineitem layout keyed
+    * on orderkey and run the canonical repeated-join workload over it —
+    * revenue by priority. The layout build is part of the operator on
+    * purpose: it IS the amortized cost being demonstrated, and
+    * rebuilding it keeps the operator self-contained and rerunnable in
+    * any session (the in-memory catalog forgets tables across JVMs but
+    * their directories persist, so both are cleaned first). Correctness
+    * is layout-independent — the oracle is the plain join SQL. */
+  def bucketedJoin(spark: SparkSession, dir: String): DataFrame = {
+    val suffix = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val ordT = s"graft_b_orders$suffix"
+    val liT = s"graft_b_lineitem$suffix"
+    Seq(ordT, liT).foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+        .stripPrefix("file:")
+      val d = new java.io.File(s"$wh/$t")
+      if (d.exists()) {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+        }
+        rm(d)
+      }
+    }
+    Tables.orders(spark, dir).write
+      .bucketBy(Buckets, "o_orderkey").sortBy("o_orderkey")
+      .format("parquet").mode("overwrite").saveAsTable(ordT)
+    Tables.lineitem(spark, dir).write
+      .bucketBy(Buckets, "l_orderkey").sortBy("l_orderkey")
+      .format("parquet").mode("overwrite").saveAsTable(liT)
+    spark.table(ordT)
+      .join(spark.table(liT), col("o_orderkey") === col("l_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(
+        decSum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"),
+        count(lit(1)).as("n_lines"))
+      .orderBy("o_orderpriority")
+  }
+}

@@ -54,4 +54,25 @@ class BucketingSpec extends AnyFunSuite with SparkSpec {
       conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", prevAqe)
     }
   }
+
+  test("b1 operator joins without any exchange on the bucket key") {
+    val conf = spark.conf
+    val prev = conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    val prevAqe = conf.get("spark.sql.adaptive.autoBroadcastJoinThreshold", prev)
+    try {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      val df = graft.operators.BucketOps.bucketedJoin(spark, Sf0001)
+      df.collect()
+      val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+      // the join key must never be shuffled — the only exchanges left
+      // are the priority aggregation and the presentation sort
+      assert(!plan.contains("hashpartitioning(o_orderkey") &&
+        !plan.contains("hashpartitioning(l_orderkey"),
+        s"bucketed layout did not remove the key shuffle:\n$plan")
+    } finally {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", prevAqe)
+    }
+  }
 }
