@@ -798,6 +798,39 @@ object Oracles {
          |FROM cand WHERE bit_count(xor(ha, hb)) <= 3
          |ORDER BY doc_a, doc_b""".stripMargin,
 
+    "e6_ann_pq" ->
+      s"""WITH ${annQ},
+         |cent AS (
+         |  SELECT CAST(m AS INTEGER) AS m, CAST(k AS INTEGER) AS k, CAST(d AS INTEGER) AS d,
+         |    ${h60("'pq_' || m || '_' || k || '_' || d")} % 2001 - 1000 AS c
+         |  FROM range(8) t1(m) CROSS JOIN range(16) t2(k) CROSS JOIN range(8) t3(d)),
+         |dist AS (
+         |  SELECT v.vec_id, ce.m, ce.k,
+         |    SUM((v.qv[ce.m * 8 + ce.d + 1] - ce.c) * (v.qv[ce.m * 8 + ce.d + 1] - ce.c)) AS dist
+         |  FROM q v CROSS JOIN cent ce
+         |  GROUP BY v.vec_id, ce.m, ce.k),
+         |codes AS (
+         |  SELECT vec_id, m, k AS code FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id, m ORDER BY dist, k) AS rn FROM dist) x
+         |  WHERE rn = 1),
+         |qdist AS (SELECT vec_id AS q_id, m, k, dist FROM dist WHERE vec_id % 25 = 0),
+         |adc AS (
+         |  SELECT qd.q_id, co.vec_id AS c_id, SUM(qd.dist) AS adc
+         |  FROM codes co JOIN qdist qd ON qd.m = co.m AND qd.k = co.code
+         |  WHERE qd.q_id <> co.vec_id
+         |  GROUP BY qd.q_id, co.vec_id),
+         |short AS (
+         |  SELECT q_id, c_id FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY adc, c_id) AS srn FROM adc) x
+         |  WHERE srn <= 40),
+         |rr AS (
+         |  SELECT s.q_id, s.c_id,
+         |    list_dot_product(a.qv, b.qv) / sqrt(list_dot_product(a.qv, a.qv) * list_dot_product(b.qv, b.qv)) AS score
+         |  FROM short s JOIN q a ON a.vec_id = s.q_id JOIN q b ON b.vec_id = s.c_id)
+         |SELECT q_id, rnk, c_id, round(score, 6) AS score FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY score DESC, c_id) AS rnk FROM rr) z
+         |WHERE rnk <= 3 ORDER BY q_id, rnk""".stripMargin,
+
     "e1_ann_topk" ->
       s"""WITH ${annQ},
          |p AS (SELECT a.vec_id AS q_id, b.vec_id AS c_id,

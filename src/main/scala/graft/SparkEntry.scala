@@ -72,6 +72,7 @@ object SparkEntry {
     "t7_bigram_pmi" -> ((s: SparkSession, d: String) => TextOps.bigramPmi(s, d)),
     "e4_ann_multiprobe" -> ((s: SparkSession, d: String) => AnnOps.annMultiprobe(s, d)),
     "e5_ann_ivf" -> ((s: SparkSession, d: String) => AnnOps.annIvf(s, d)),
+    "e6_ann_pq" -> ((s: SparkSession, d: String) => AnnOps.annPq(s, d)),
     "d1_dedup_exact" -> DedupOps.dedupExact _,
     "d2_ngram_jaccard" -> ((s: SparkSession, d: String) => DedupOps.ngramJaccard(s, d)),
     "d3_minhash_lsh" -> ((s: SparkSession, d: String) => DedupOps.minhashLsh(s, d)),

@@ -205,6 +205,82 @@ object AnnOps {
       .orderBy("q_id", "rnk")
   }
 
+  /** PQ geometry (e6): 64 dims split into SubSpaces=8 subvectors of
+    * SubDim=8; CodebookK=16 md5-derived centroids per subspace (fixed —
+    * no training pass, like the e2 hyperplanes); queries shortlist
+    * PqShortlist candidates by asymmetric distance before exact rerank. */
+  val SubSpaces = 8
+  val SubDim = 8
+  val CodebookK = 16
+  val PqShortlist = 40
+
+  /** Centroid d-th coordinate of codeword k in subspace m — md5-derived
+    * like every other coefficient, so the oracle regenerates it. */
+  private def pqC(m: Int, k: Int, d: Int): Long =
+    hash60Driver(s"pq_${m}_${k}_${d}") % 2001L - 1000L
+
+  /** Exact integer L2² between a vector's m-th subvector and codeword
+    * (m,k) — a literal-coefficient expression, evaluated map-side. */
+  private def pqDist(q: Column, m: Int, k: Int): Column =
+    (0 until SubDim).map { d =>
+      val diff = element_at(q, m * SubDim + d + 1) - lit(pqC(m, k, d))
+      diff * diff
+    }.reduce(_ + _)
+
+  /** Codeword of subspace m: argmin over the codebook with (dist, k)
+    * struct ordering — deterministic ties toward the smaller index. */
+  private def pqCode(q: Column, m: Int): Column =
+    array_sort(array((0 until CodebookK).map(k =>
+      struct(pqDist(q, m, k).as("d"), lit(k).as("k"))): _*))
+      .getItem(0).getField("k")
+
+  /** e6: PRODUCT-QUANTIZATION ANN — the memory-side of the ANN ladder:
+    * each corpus vector is compressed to SubSpaces small codes (computed
+    * map-side against literal codebooks — zero shuffle, like e2's
+    * buckets), each query materializes its 128-entry asymmetric-distance
+    * lookup table (also map-side), and the classic ADC score is a pure
+    * equality join on (subspace, code) + a sum — never a scan of the
+    * raw vectors. The ADC shortlist then reranks by exact cosine. At
+    * 100 TB the corpus side is |corpus|×8 tiny code rows (the compressed
+    * index) while full vectors are touched only for the shortlist —
+    * that asymmetry is the entire point of PQ. Integer arithmetic
+    * end-to-end, so codes, ADC sums and the shortlist cutoff are
+    * bit-identical in the oracle. */
+  def annPq(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    val cos = cosineWith(dotBest(spark)) _
+    val qv = quantized(spark, dir)
+    // compressed corpus index: (c_id, m, code), map-side
+    val codes = qv.select(col("vec_id").as("c_id"),
+      explode(array((0 until SubSpaces).map(m =>
+        struct(lit(m).as("m"), pqCode(col("q"), m).as("code"))): _*)).as("mc"))
+      .select(col("c_id"), col("mc.m").as("m"), col("mc.code").as("code"))
+    // per-query ADC lookup table: (q_id, m, k, dist), map-side
+    val qdist = qv.filter(col("vec_id") % QueryStride === 0)
+      .select(col("vec_id").as("q_id"),
+        explode(array((for (m <- 0 until SubSpaces; kk <- 0 until CodebookK) yield
+          struct(lit(m).as("m"), lit(kk).as("k"),
+            pqDist(col("q"), m, kk).as("dist"))): _*)).as("e"))
+      .select(col("q_id"), col("e.m").as("m"), col("e.k").as("k"), col("e.dist").as("dist"))
+    val adc = codes.join(qdist,
+        codes("m") === qdist("m") && codes("code") === qdist("k") &&
+          col("q_id") =!= col("c_id"))
+      .groupBy("q_id", "c_id").agg(sum("dist").as("adc"))
+    val sw = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(col("adc"), col("c_id"))
+    val short = adc.withColumn("srn", row_number().over(sw))
+      .filter(col("srn") <= PqShortlist).select("q_id", "c_id")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(col("score").desc, col("c_id"))
+    short
+      .join(qv.select(col("vec_id").as("q_id"), col("q").as("qq")), "q_id")
+      .join(qv.select(col("vec_id").as("c_id"), col("q").as("cq")), "c_id")
+      .withColumn("score", cos(col("qq"), col("cq")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col("rnk"), col("c_id"), round(col("score"), 6).as("score"))
+      .orderBy("q_id", "rnk")
+  }
+
   /** (vec_id, band, code) — Bands rows per vector, codes computed in the
     * same map-side projection then unpacked with one posexplode (no
     * joins). Persisted: both sides of the e3 candidate join read it. */

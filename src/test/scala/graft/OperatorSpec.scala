@@ -166,7 +166,8 @@ class OperatorSpec extends AnyFunSuite with SparkSpec {
       .select(col("q_id"), col("rnk"), col("score").as("exact_score"))
     Seq(AnnOps.annLsh(spark, Sf0001, k = 3),
         AnnOps.annMultiprobe(spark, Sf0001, k = 3),
-        AnnOps.annIvf(spark, Sf0001, k = 3)).foreach { approx =>
+        AnnOps.annIvf(spark, Sf0001, k = 3),
+        AnnOps.annPq(spark, Sf0001, k = 3)).foreach { approx =>
       val joined = approx.join(exact, Seq("q_id", "rnk"))
       assert(joined.filter(col("score") > col("exact_score") + 1e-9).count() === 0L)
       assert(approx.count() > 0L)
