@@ -249,18 +249,24 @@ object AnnOps {
   def annPq(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
     val cos = cosineWith(dotBest(spark)) _
     val qv = quantized(spark, dir)
-    // compressed corpus index: (c_id, m, code), map-side
-    val codes = qv.select(col("vec_id").as("c_id"),
-      explode(array((0 until SubSpaces).map(m =>
-        struct(lit(m).as("m"), pqCode(col("q"), m).as("code"))): _*)).as("mc"))
-      .select(col("c_id"), col("mc.m").as("m"), col("mc.code").as("code"))
+    // compressed corpus index: (c_id, m, code), map-side. Persisted like
+    // every other signature: the 128-distance evaluation per vector is
+    // the PQ build cost — paid once, amortized over every query batch
+    val codes = DedupOps.memoized(spark, "ann_pq_codes", dir) {
+      qv.select(col("vec_id").as("c_id"),
+        explode(array((0 until SubSpaces).map(m =>
+          struct(lit(m).as("m"), pqCode(col("q"), m).as("code"))): _*)).as("mc"))
+        .select(col("c_id"), col("mc.m").as("m"), col("mc.code").as("code"))
+    }
     // per-query ADC lookup table: (q_id, m, k, dist), map-side
-    val qdist = qv.filter(col("vec_id") % QueryStride === 0)
-      .select(col("vec_id").as("q_id"),
-        explode(array((for (m <- 0 until SubSpaces; kk <- 0 until CodebookK) yield
-          struct(lit(m).as("m"), lit(kk).as("k"),
-            pqDist(col("q"), m, kk).as("dist"))): _*)).as("e"))
-      .select(col("q_id"), col("e.m").as("m"), col("e.k").as("k"), col("e.dist").as("dist"))
+    val qdist = DedupOps.memoized(spark, "ann_pq_qdist", dir) {
+      qv.filter(col("vec_id") % QueryStride === 0)
+        .select(col("vec_id").as("q_id"),
+          explode(array((for (m <- 0 until SubSpaces; kk <- 0 until CodebookK) yield
+            struct(lit(m).as("m"), lit(kk).as("k"),
+              pqDist(col("q"), m, kk).as("dist"))): _*)).as("e"))
+        .select(col("q_id"), col("e.m").as("m"), col("e.k").as("k"), col("e.dist").as("dist"))
+    }
     val adc = codes.join(qdist,
         codes("m") === qdist("m") && codes("code") === qdist("k") &&
           col("q_id") =!= col("c_id"))
