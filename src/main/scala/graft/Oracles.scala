@@ -799,24 +799,41 @@ object Oracles {
          |ORDER BY doc_a, doc_b""".stripMargin,
 
     "e6_ann_pq" ->
-      s"""WITH ${annQ},
-         |cent AS (
+      s"""WITH ql AS (SELECT vec_id, $QV AS qv, label FROM embeddings),
+         |pcent AS (
          |  SELECT CAST(m AS INTEGER) AS m, CAST(k AS INTEGER) AS k, CAST(d AS INTEGER) AS d,
          |    ${h60("'pq_' || m || '_' || k || '_' || d")} % 2001 - 1000 AS c
          |  FROM range(8) t1(m) CROSS JOIN range(16) t2(k) CROSS JOIN range(8) t3(d)),
          |dist AS (
          |  SELECT v.vec_id, ce.m, ce.k,
          |    SUM((v.qv[ce.m * 8 + ce.d + 1] - ce.c) * (v.qv[ce.m * 8 + ce.d + 1] - ce.c)) AS dist
-         |  FROM q v CROSS JOIN cent ce
+         |  FROM ql v CROSS JOIN pcent ce
          |  GROUP BY v.vec_id, ce.m, ce.k),
          |codes AS (
          |  SELECT vec_id, m, k AS code FROM (
          |    SELECT *, row_number() OVER (PARTITION BY vec_id, m ORDER BY dist, k) AS rn FROM dist) x
          |  WHERE rn = 1),
+         |codesl AS (SELECT c.vec_id, l.label, c.m, c.code
+         |  FROM codes c JOIN ql l ON l.vec_id = c.vec_id),
+         |unp AS (SELECT label, generate_subscripts(qv, 1) - 1 AS d, unnest(qv) AS v FROM ql),
+         |cd AS (SELECT label, d, SUM(v) AS s, COUNT(*) AS n FROM unp GROUP BY 1, 2),
+         |icent AS (SELECT label, list(s ORDER BY d) AS s, min(n) AS n,
+         |    SUM(s * s) AS ss FROM cd GROUP BY label),
+         |qq AS (SELECT vec_id AS q_id, qv, list_dot_product(qv, qv) AS q2
+         |  FROM ql WHERE vec_id % 25 = 0),
+         |cdist AS (SELECT q.q_id, c.label,
+         |    c.n * c.n * q.q2 - 2 * c.n * list_dot_product(q.qv, c.s) + c.ss AS dist2
+         |  FROM qq q CROSS JOIN icent c),
+         |probe AS (SELECT q_id, label FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY dist2, label) AS crnk
+         |    FROM cdist) x
+         |  WHERE crnk <= 2),
          |qdist AS (SELECT vec_id AS q_id, m, k, dist FROM dist WHERE vec_id % 25 = 0),
          |adc AS (
          |  SELECT qd.q_id, co.vec_id AS c_id, SUM(qd.dist) AS adc
-         |  FROM codes co JOIN qdist qd ON qd.m = co.m AND qd.k = co.code
+         |  FROM probe p
+         |  JOIN codesl co ON co.label = p.label
+         |  JOIN qdist qd ON qd.q_id = p.q_id AND qd.m = co.m AND qd.k = co.code
          |  WHERE qd.q_id <> co.vec_id
          |  GROUP BY qd.q_id, co.vec_id),
          |short AS (
@@ -826,7 +843,7 @@ object Oracles {
          |rr AS (
          |  SELECT s.q_id, s.c_id,
          |    list_dot_product(a.qv, b.qv) / sqrt(list_dot_product(a.qv, a.qv) * list_dot_product(b.qv, b.qv)) AS score
-         |  FROM short s JOIN q a ON a.vec_id = s.q_id JOIN q b ON b.vec_id = s.c_id)
+         |  FROM short s JOIN ql a ON a.vec_id = s.q_id JOIN ql b ON b.vec_id = s.c_id)
          |SELECT q_id, rnk, c_id, round(score, 6) AS score FROM (
          |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY score DESC, c_id) AS rnk FROM rr) z
          |WHERE rnk <= 3 ORDER BY q_id, rnk""".stripMargin,

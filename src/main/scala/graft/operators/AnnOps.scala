@@ -234,29 +234,32 @@ object AnnOps {
       struct(pqDist(q, m, k).as("d"), lit(k).as("k"))): _*))
       .getItem(0).getField("k")
 
-  /** e6: PRODUCT-QUANTIZATION ANN — the memory-side of the ANN ladder:
-    * each corpus vector is compressed to SubSpaces small codes (computed
-    * map-side against literal codebooks — zero shuffle, like e2's
-    * buckets), each query materializes its 128-entry asymmetric-distance
-    * lookup table (also map-side), and the classic ADC score is a pure
-    * equality join on (subspace, code) + a sum — never a scan of the
-    * raw vectors. The ADC shortlist then reranks by exact cosine. At
-    * 100 TB the corpus side is |corpus|×8 tiny code rows (the compressed
-    * index) while full vectors are touched only for the shortlist —
-    * that asymmetry is the entire point of PQ. Integer arithmetic
-    * end-to-end, so codes, ADC sums and the shortlist cutoff are
-    * bit-identical in the oracle. */
-  def annPq(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
+  /** e6: IVF+PQ ANN — the production composition: the IVF coarse probe
+    * (e5's centroids) PRUNES candidate generation to the query's NProbe
+    * cells, and product quantization COMPRESSES what gets scored there:
+    * each corpus vector is 8 codewords (computed map-side against
+    * literal codebooks — zero shuffle, like e2's buckets), each query
+    * materializes its 128-entry asymmetric-distance lookup table (also
+    * map-side), and the classic ADC score is equality joins on (cell)
+    * then (subspace, code) + a sum. PQ alone would still score every
+    * pair (compression is not pruning — it shrinks bytes per candidate,
+    * not candidates); the IVF stage is what bounds candidate volume to
+    * ~NProbe/|cells| of the corpus, and raw vectors are only read to
+    * rerank the ADC shortlist. Integer arithmetic end-to-end, so codes,
+    * probes, ADC sums and the shortlist cutoff are bit-identical in the
+    * oracle. */
+  def annPq(spark: SparkSession, dir: String, k: Int = 3, nProbe: Int = NProbe): DataFrame = {
     val cos = cosineWith(dotBest(spark)) _
+    val dot = dotBest(spark)
     val qv = quantized(spark, dir)
-    // compressed corpus index: (c_id, m, code), map-side. Persisted like
-    // every other signature: the 128-distance evaluation per vector is
-    // the PQ build cost — paid once, amortized over every query batch
+    // compressed corpus index: (c_id, cell label, m, code), map-side.
+    // Persisted like every other signature: the 128-distance evaluation
+    // per vector is the PQ build cost — paid once per session+dir
     val codes = DedupOps.memoized(spark, "ann_pq_codes", dir) {
-      qv.select(col("vec_id").as("c_id"),
+      qv.select(col("vec_id").as("c_id"), col("label"),
         explode(array((0 until SubSpaces).map(m =>
           struct(lit(m).as("m"), pqCode(col("q"), m).as("code"))): _*)).as("mc"))
-        .select(col("c_id"), col("mc.m").as("m"), col("mc.code").as("code"))
+        .select(col("c_id"), col("label"), col("mc.m").as("m"), col("mc.code").as("code"))
     }
     // per-query ADC lookup table: (q_id, m, k, dist), map-side
     val qdist = DedupOps.memoized(spark, "ann_pq_qdist", dir) {
@@ -267,9 +270,25 @@ object AnnOps {
               pqDist(col("q"), m, kk).as("dist"))): _*)).as("e"))
         .select(col("q_id"), col("e.m").as("m"), col("e.k").as("k"), col("e.dist").as("dist"))
     }
-    val adc = codes.join(qdist,
-        codes("m") === qdist("m") && codes("code") === qdist("k") &&
-          col("q_id") =!= col("c_id"))
+    // IVF coarse probe (e5's exact-integer centroid ranking) → the
+    // query's NProbe cells: this is what PRUNES the ADC join
+    val probed = qv.filter(col("vec_id") % QueryStride === 0)
+      .select(col("vec_id").as("q_id"), col("q").as("qq"))
+      .crossJoin(broadcast(centroids(spark, dir)))
+      .withColumn("dist2",
+        col("n") * col("n") * dot(col("qq"), col("qq")) -
+          lit(2L) * col("n") * dot(col("qq"), col("s")) + col("ss"))
+      .withColumn("crnk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("q_id").orderBy(col("dist2"), col("label"))))
+      .filter(col("crnk") <= nProbe)
+      .select(col("q_id"), col("label"))
+    val qd = qdist.select(col("q_id").as("qd_qid"), col("m").as("qd_m"),
+      col("k"), col("dist"))
+    val adc = probed.join(codes, "label")
+      .filter(col("q_id") =!= col("c_id"))
+      .join(qd, col("q_id") === col("qd_qid") && col("m") === col("qd_m") &&
+        col("code") === col("k"))
       .groupBy("q_id", "c_id").agg(sum("dist").as("adc"))
     val sw = org.apache.spark.sql.expressions.Window
       .partitionBy("q_id").orderBy(col("adc"), col("c_id"))

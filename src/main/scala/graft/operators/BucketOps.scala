@@ -15,38 +15,50 @@ object BucketOps {
 
   val Buckets = 8
 
-  /** Layout builds completed this session — the write-time shuffle is
-    * paid ONCE per (session, dir) and every later call joins over the
-    * existing layout, which is precisely the amortization bucketing
-    * exists for (a bench's repeated runs measure the JOIN, the first
-    * call carries the build). */
-  private val built =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Unit]
+  /** Layout builds completed this JVM — keyed by the derived table
+    * suffix, NOT per session: the catalog tables are JVM-global (a
+    * second session sharing the catalog must not clobber a layout the
+    * first session is reading). Call [[clearBuilt]] to force rebuilds
+    * (tests do between JV-local experiments). */
+  private val built = scala.collection.concurrent.TrieMap.empty[String, Unit]
 
-  /** b1: build (once per session+dir) a bucketed orders/lineitem layout
+  /** Forget every completed layout build (the tables themselves stay in
+    * the catalog) — the lifecycle hook mirroring DedupOps.clearMemo. */
+  def clearBuilt(): Unit = built.clear()
+
+  /** Collision-proof table suffix for a data dir: the sanitized name
+    * keeps it readable, the md5-derived hash keeps two dirs that
+    * sanitize identically ("sf0.1" vs "sf0_1") from sharing tables. */
+  private def dirSuffix(dir: String): String =
+    dir.replaceAll("[^A-Za-z0-9]", "_") + "_" + (hash60Driver(dir) % 100000)
+
+  /** Drop a managed table AND its orphan warehouse directory. The
+    * in-memory catalog forgets tables across JVMs but their directories
+    * persist, and saveAsTable refuses an occupied location — so both
+    * must go. Uses the Hadoop FileSystem API, so it works for local,
+    * HDFS and object-store warehouses alike (java.io.File would
+    * silently skip remote paths and leave b1 permanently failing after
+    * a restart). Shared by the operator and BucketingSpec. */
+  private[graft] def dropTableAndDir(spark: SparkSession, table: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    val wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    val p = new org.apache.hadoop.fs.Path(wh, table)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true): Unit
+  }
+
+  /** b1: build (once per JVM+dir) a bucketed orders/lineitem layout
     * keyed on orderkey and run the canonical repeated-join workload over
-    * it — revenue by priority. The first call cleans any cross-JVM
-    * orphan directories (the in-memory catalog forgets tables across
-    * JVMs but their directories persist) and writes the layout;
-    * correctness is layout-independent — the oracle is the plain join
-    * SQL. */
+    * it — revenue by priority. The write-time shuffle is the amortized
+    * cost bucketing trades for: the first call pays it, every later
+    * call joins over the existing layout. Correctness is
+    * layout-independent — the oracle is the plain join SQL. */
   def bucketedJoin(spark: SparkSession, dir: String): DataFrame = {
-    val suffix = dir.replaceAll("[^A-Za-z0-9]", "_")
-    val ordT = s"graft_b_orders$suffix"
-    val liT = s"graft_b_lineitem$suffix"
-    built.getOrElseUpdate((spark, dir), {
-      Seq(ordT, liT).foreach { t =>
-        spark.sql(s"DROP TABLE IF EXISTS $t")
-        val wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
-          .stripPrefix("file:")
-        val d = new java.io.File(s"$wh/$t")
-        if (d.exists()) {
-          def rm(f: java.io.File): Unit = {
-            Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
-          }
-          rm(d)
-        }
-      }
+    val suffix = dirSuffix(dir)
+    val ordT = s"graft_b_orders_$suffix"
+    val liT = s"graft_b_lineitem_$suffix"
+    built.getOrElseUpdate(suffix, {
+      Seq(ordT, liT).foreach(dropTableAndDir(spark, _))
       Tables.orders(spark, dir).write
         .bucketBy(Buckets, "o_orderkey").sortBy("o_orderkey")
         .format("parquet").mode("overwrite").saveAsTable(ordT)

@@ -17,20 +17,10 @@ class BucketingSpec extends AnyFunSuite with SparkSpec {
     try {
       conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
       conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
-      spark.sql("DROP TABLE IF EXISTS b_orders")
-      spark.sql("DROP TABLE IF EXISTS b_customer")
       // the in-memory catalog forgets tables across JVMs but their
       // directories persist — remove orphans or CTAS refuses the location
-      Seq("b_orders", "b_customer").foreach { t =>
-        val dir = new java.io.File(s"target/spark-warehouse/$t")
-        if (dir.exists()) {
-          def rm(f: java.io.File): Unit = {
-            Option(f.listFiles()).foreach(_.foreach(rm))
-            f.delete(): Unit
-          }
-          rm(dir)
-        }
-      }
+      Seq("b_orders", "b_customer").foreach(
+        graft.operators.BucketOps.dropTableAndDir(spark, _))
       Tables.orders(spark, Sf0001).write
         .bucketBy(8, "o_custkey").sortBy("o_custkey")
         .format("parquet").mode("overwrite").saveAsTable("b_orders")

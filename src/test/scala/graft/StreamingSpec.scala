@@ -203,9 +203,12 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     // reference: kill the job mid-stream, restart from the checkpoint,
     // end with the same answer. Half the events, stop, NEW query object
     // over the SAME checkpoint + sink dir, rest of the events.
-    import java.nio.file.Files
-    val ckpt = Files.createTempDirectory("graft-ckpt").toString
-    val out = Files.createTempDirectory("graft-ckpt-out").toString
+    // under target/ so `sbt clean` reclaims the state dirs instead of
+    // accumulating them in the system tmp across runs
+    import java.nio.file.{Files, Paths}
+    Files.createDirectories(Paths.get("target/streams-tmp"))
+    val ckpt = Files.createTempDirectory(Paths.get("target/streams-tmp"), "ckpt").toString
+    val out = Files.createTempDirectory(Paths.get("target/streams-tmp"), "out").toString
     val evDf = Tables.events(spark, Sf0001)
     implicit val enc = Encoders.row(evDf.schema)
     val stream = MemoryStream[Row](enc, spark)
