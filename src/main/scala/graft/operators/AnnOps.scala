@@ -181,19 +181,8 @@ object AnnOps {
     * data's cluster structure and bounds the scanned fraction. */
   def annIvf(spark: SparkSession, dir: String, k: Int = 3, nProbe: Int = NProbe): DataFrame = {
     val cos = cosineWith(dotBest(spark)) _
-    val dot = dotBest(spark)
     val qv = quantized(spark, dir)
-    val queries = qv.filter(col("vec_id") % QueryStride === 0)
-      .select(col("vec_id").as("q_id"), col("q").as("qq"))
-    val probed = queries.crossJoin(broadcast(centroids(spark, dir)))
-      .withColumn("dist2",
-        col("n") * col("n") * dot(col("qq"), col("qq")) -
-          lit(2L) * col("n") * dot(col("qq"), col("s")) + col("ss"))
-      .withColumn("crnk", row_number().over(
-        org.apache.spark.sql.expressions.Window
-          .partitionBy("q_id").orderBy(col("dist2"), col("label"))))
-      .filter(col("crnk") <= nProbe)
-      .select(col("q_id"), col("qq"), col("label"))
+    val probed = probedCells(spark, dir, nProbe)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("q_id").orderBy(col("score").desc, col("c_id"))
     probed.join(qv.select(col("vec_id").as("c_id"), col("q").as("cq"), col("label")), "label")
@@ -203,6 +192,27 @@ object AnnOps {
       .filter(col("rnk") <= k)
       .select(col("q_id"), col("rnk"), col("c_id"), round(col("score"), 6).as("score"))
       .orderBy("q_id", "rnk")
+  }
+
+  /** The IVF coarse probe shared by e5 and e6: each query ranks the
+    * broadcast centroid table by the exact n-scaled distance identity
+    * (see [[centroids]]) and keeps its nProbe nearest cells →
+    * (q_id, qq, label). ONE definition: the dist2 identity and the
+    * (dist2, label) tie-break must stay bit-identical to both oracles,
+    * so neither operator carries its own copy. */
+  private def probedCells(spark: SparkSession, dir: String, nProbe: Int): DataFrame = {
+    val dot = dotBest(spark)
+    quantized(spark, dir).filter(col("vec_id") % QueryStride === 0)
+      .select(col("vec_id").as("q_id"), col("q").as("qq"))
+      .crossJoin(broadcast(centroids(spark, dir)))
+      .withColumn("dist2",
+        col("n") * col("n") * dot(col("qq"), col("qq")) -
+          lit(2L) * col("n") * dot(col("qq"), col("s")) + col("ss"))
+      .withColumn("crnk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("q_id").orderBy(col("dist2"), col("label"))))
+      .filter(col("crnk") <= nProbe)
+      .select(col("q_id"), col("qq"), col("label"))
   }
 
   /** PQ geometry (e6): 64 dims split into SubSpaces=8 subvectors of
@@ -250,7 +260,6 @@ object AnnOps {
     * oracle. */
   def annPq(spark: SparkSession, dir: String, k: Int = 3, nProbe: Int = NProbe): DataFrame = {
     val cos = cosineWith(dotBest(spark)) _
-    val dot = dotBest(spark)
     val qv = quantized(spark, dir)
     // compressed corpus index: (c_id, cell label, m, code), map-side.
     // Persisted like every other signature: the 128-distance evaluation
@@ -270,19 +279,9 @@ object AnnOps {
               pqDist(col("q"), m, kk).as("dist"))): _*)).as("e"))
         .select(col("q_id"), col("e.m").as("m"), col("e.k").as("k"), col("e.dist").as("dist"))
     }
-    // IVF coarse probe (e5's exact-integer centroid ranking) → the
-    // query's NProbe cells: this is what PRUNES the ADC join
-    val probed = qv.filter(col("vec_id") % QueryStride === 0)
-      .select(col("vec_id").as("q_id"), col("q").as("qq"))
-      .crossJoin(broadcast(centroids(spark, dir)))
-      .withColumn("dist2",
-        col("n") * col("n") * dot(col("qq"), col("qq")) -
-          lit(2L) * col("n") * dot(col("qq"), col("s")) + col("ss"))
-      .withColumn("crnk", row_number().over(
-        org.apache.spark.sql.expressions.Window
-          .partitionBy("q_id").orderBy(col("dist2"), col("label"))))
-      .filter(col("crnk") <= nProbe)
-      .select(col("q_id"), col("label"))
+    // IVF coarse probe (shared with e5) → the query's NProbe cells:
+    // this is what PRUNES the ADC join
+    val probed = probedCells(spark, dir, nProbe).select("q_id", "label")
     val qd = qdist.select(col("q_id").as("qd_qid"), col("m").as("qd_m"),
       col("k"), col("dist"))
     val adc = probed.join(codes, "label")

@@ -15,12 +15,16 @@ object BucketOps {
 
   val Buckets = 8
 
-  /** Layout builds completed this JVM — keyed by the derived table
-    * suffix, NOT per session: the catalog tables are JVM-global (a
-    * second session sharing the catalog must not clobber a layout the
-    * first session is reading). Call [[clearBuilt]] to force rebuilds
-    * (tests do between JV-local experiments). */
-  private val built = scala.collection.concurrent.TrieMap.empty[String, Unit]
+  /** Layout builds completed per CATALOG — keyed by (SparkContext,
+    * suffix): sessions sharing a context share the in-memory catalog,
+    * so one build serves them all and a second session cannot clobber a
+    * layout the first is reading; a NEW context starts with an empty
+    * catalog, so its key misses and the layout rebuilds (a plain
+    * JVM-global key would skip the rebuild and leave b1 reading tables
+    * that no longer exist). [[clearBuilt]] forces rebuilds — the
+    * BucketingSpec rebuild test exercises it. */
+  private val built =
+    scala.collection.concurrent.TrieMap.empty[(org.apache.spark.SparkContext, String), Unit]
 
   /** Forget every completed layout build (the tables themselves stay in
     * the catalog) — the lifecycle hook mirroring DedupOps.clearMemo. */
@@ -28,9 +32,12 @@ object BucketOps {
 
   /** Collision-proof table suffix for a data dir: the sanitized name
     * keeps it readable, the md5-derived hash keeps two dirs that
-    * sanitize identically ("sf0.1" vs "sf0_1") from sharing tables. */
+    * sanitize identically ("sf0.1" vs "sf0_1") from sharing tables.
+    * LOWERCASED: the catalog lowercases managed-table directory names,
+    * and a case-mismatched suffix would make the orphan-dir cleanup
+    * miss on case-sensitive filesystems. */
   private def dirSuffix(dir: String): String =
-    dir.replaceAll("[^A-Za-z0-9]", "_") + "_" + (hash60Driver(dir) % 100000)
+    (dir.replaceAll("[^A-Za-z0-9]", "_") + "_" + (hash60Driver(dir) % 100000)).toLowerCase
 
   /** Drop a managed table AND its orphan warehouse directory. The
     * in-memory catalog forgets tables across JVMs but their directories
@@ -42,7 +49,8 @@ object BucketOps {
   private[graft] def dropTableAndDir(spark: SparkSession, table: String): Unit = {
     spark.sql(s"DROP TABLE IF EXISTS $table")
     val wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
-    val p = new org.apache.hadoop.fs.Path(wh, table)
+    // the catalog lowercases managed-table directory names
+    val p = new org.apache.hadoop.fs.Path(wh, table.toLowerCase)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(p)) fs.delete(p, true): Unit
   }
@@ -57,7 +65,7 @@ object BucketOps {
     val suffix = dirSuffix(dir)
     val ordT = s"graft_b_orders_$suffix"
     val liT = s"graft_b_lineitem_$suffix"
-    built.getOrElseUpdate(suffix, {
+    built.getOrElseUpdate((spark.sparkContext, suffix), {
       Seq(ordT, liT).foreach(dropTableAndDir(spark, _))
       Tables.orders(spark, dir).write
         .bucketBy(Buckets, "o_orderkey").sortBy("o_orderkey")

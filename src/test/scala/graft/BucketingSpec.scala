@@ -45,6 +45,14 @@ class BucketingSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("clearBuilt forces a layout rebuild that answers identically") {
+    import graft.operators.BucketOps
+    val first = BucketOps.bucketedJoin(spark, Sf0001).collect()
+    BucketOps.clearBuilt() // next call must rebuild from scratch, not skip
+    val rebuilt = BucketOps.bucketedJoin(spark, Sf0001).collect()
+    assert(first.toSeq === rebuilt.toSeq)
+  }
+
   test("b1 operator joins without any exchange on the bucket key") {
     val conf = spark.conf
     val prev = conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
