@@ -11,6 +11,14 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass the forked process's stdout through UNWRAPPED. sbt's default
+// logs every child stdout line at info level ("[info] ..."), which
+// breaks any consumer that parses Bench's single JSON result line.
+run / outputStrategy := Some(StdoutOutput)
+// ...and keep sbt's "[success] Total time" epilogue off stdout, so the
+// benchmark's JSON line is the LAST line a consumer sees.
+Global / showSuccess := false
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

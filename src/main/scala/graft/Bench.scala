@@ -67,10 +67,21 @@ object Bench {
     }
     val wallTotal = (System.nanoTime() - warmT0) / 1e9
 
-    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    // One compact machine-readable line. Kept deliberately SHORT
+    // (2-decimal seconds, terse keys): consumers that retain only the
+    // last ~2 KB of process output must still see the whole line, and
+    // it must be the line itself that parses as JSON (no log prefix —
+    // see build.sbt's outputStrategy).
+    def r2(v: Double): String = String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
+    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + r2(v) }.mkString("{", ",", "}")
     val failed = results.collect { case (k, _, false) => "\"" + k + "\"" }.mkString("[", ",", "]")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir","reps":$Reps,"method":"median_of_${Reps}_substrate_warm","wall_sec":$wallTotal}""")
+    val line = s"""{"metric":"total","value":${r2(total)},"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir","reps":$Reps,"method":"median${Reps}_warm","wall_sec":${r2(wallTotal)}}"""
+    println(line)
+    // Also land the line as a repo file — stdout passes through sbt and
+    // whatever wrapper invoked it; the file is the unmediated record.
+    java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_SELF.json"),
+      (line + "\n").getBytes("UTF-8"))
     operators.DedupOps.clearMemo(spark, sfDir)
     spark.stop()
     if (results.exists(!_._3)) sys.exit(1)

@@ -22,6 +22,8 @@ object Oracles {
   /** DuckDB equivalent of F.quantize. */
   private val QV =
     "list_transform(embedding, x -> floor(CAST(x AS DOUBLE) * 1000.0 + 0.5))"
+  /** The s4 HLL α_m literal — one Scala constant feeds both engines. */
+  private val SketchOpsAlpha = graft.operators.SketchOps.HllAlpha
 
   private val validCond =
     """event_id IS NOT NULL AND ts IS NOT NULL
@@ -201,7 +203,8 @@ object Oracles {
          |    max(value) AS max_value,
          |    min(value) AS min_value
          |  FROM events GROUP BY 1, 2) t
-         |WHERE date >= DATE '2024-01-03' AND date <= DATE '2024-01-06'
+         |WHERE date >= (SELECT MIN(CAST(ts AS DATE)) FROM events) + 2
+         |  AND date <= (SELECT MIN(CAST(ts AS DATE)) FROM events) + 5
          |ORDER BY date, event_type""".stripMargin,
 
     "p7_sessionize" ->
@@ -962,6 +965,109 @@ object Oracles {
          |  ${h60("text || '_frame_' || i")} AS frame_sig
          |FROM documents CROSS JOIN range(30) t(i)
          |WHERE i < octet_length(encode(text)) % 30 + 1 AND i % 5 = 0
-         |ORDER BY doc_id, frame_idx""".stripMargin
+         |ORDER BY doc_id, frame_idx""".stripMargin,
+
+    // q21: late = shipped > 60 days after order date (the schema has no
+    // commit/receipt dates); same EXISTS / NOT-EXISTS topology as TPC-H Q21
+    "q21_waiting" ->
+      """WITH f AS (SELECT o_orderkey, o_orderdate FROM orders WHERE o_orderstatus = 'F'),
+        |latel AS (SELECT DISTINCT l.l_orderkey, l.l_suppkey
+        |          FROM lineitem l JOIN f ON l.l_orderkey = f.o_orderkey
+        |          WHERE l.l_shipdate > f.o_orderdate + INTERVAL 60 DAY),
+        |alls AS (SELECT DISTINCT l.l_orderkey, l.l_suppkey FROM lineitem l
+        |         JOIN f ON l.l_orderkey = f.o_orderkey),
+        |blamed AS (
+        |  SELECT d.l_orderkey, d.l_suppkey FROM latel d
+        |  WHERE EXISTS (SELECT 1 FROM alls a
+        |          WHERE a.l_orderkey = d.l_orderkey AND a.l_suppkey <> d.l_suppkey)
+        |    AND NOT EXISTS (SELECT 1 FROM latel x
+        |          WHERE x.l_orderkey = d.l_orderkey AND x.l_suppkey <> d.l_suppkey))
+        |SELECT s_name, n_name, COUNT(*) AS numwait
+        |FROM blamed JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |GROUP BY s_name, n_name ORDER BY numwait DESC, s_name LIMIT 25""".stripMargin,
+
+    "p17_scd2" ->
+      """WITH e AS (
+        |  SELECT user_id, ts, event_id,
+        |         try_cast(json_extract_string(props, '$.k') AS BIGINT) % 10 AS tier
+        |  FROM events
+        |  WHERE try_cast(json_extract_string(props, '$.k') AS BIGINT) IS NOT NULL),
+        |w AS (SELECT *, lag(tier) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_tier FROM e),
+        |ch AS (SELECT * FROM w WHERE prev_tier IS NULL OR tier <> prev_tier),
+        |v AS (SELECT user_id, tier, ts AS valid_from,
+        |        lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+        |        row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS version
+        |      FROM ch)
+        |SELECT user_id, version, tier, valid_from, valid_to,
+        |       (valid_to IS NULL) AS is_current
+        |FROM v ORDER BY user_id, version""".stripMargin,
+
+    // a4: the oracle runs the LITERAL inequality overlap join the
+    // operator re-expresses as a bucketed equality join
+    "a4_interval_overlap" ->
+      """WITH x AS (
+        |  SELECT *, lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+        |  FROM events),
+        |y AS (SELECT *, CASE WHEN prev_us IS NULL OR epoch_us(ts) - prev_us > 1800000000
+        |        THEN 1 ELSE 0 END AS new_sess FROM x),
+        |z AS (SELECT *, CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_idx FROM y),
+        |s AS (SELECT user_id, session_idx, min(ts) AS session_start, max(ts) AS session_end
+        |      FROM z GROUP BY user_id, session_idx),
+        |p AS (SELECT a.user_id, a.session_idx, COUNT(*) AS n_concurrent
+        |      FROM s a JOIN s b ON a.user_id <> b.user_id
+        |        AND a.session_start <= b.session_end AND b.session_start <= a.session_end
+        |      GROUP BY a.user_id, a.session_idx)
+        |SELECT s.user_id, s.session_idx, s.session_start, s.session_end,
+        |       COALESCE(p.n_concurrent, 0) AS n_concurrent
+        |FROM s LEFT JOIN p USING (user_id, session_idx)
+        |ORDER BY user_id, session_idx""".stripMargin,
+
+    // e7: replays both Lloyd rounds with the same integer arithmetic
+    // (floor of one exact-int IEEE division for centroid updates)
+    "e7_kmeans" ->
+      s"""WITH q AS (SELECT vec_id, $QV AS qv FROM embeddings),
+         |u AS (SELECT vec_id, generate_subscripts(qv, 1) - 1 AS d, unnest(qv) AS v FROM q),
+         |seeds AS (SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS cid
+         |          FROM embeddings WHERE vec_id % 5 = 0 ORDER BY vec_id LIMIT 8),
+         |c0 AS (SELECT s.cid, u.d, u.v AS cv FROM seeds s JOIN u USING (vec_id)),
+         |d1 AS (SELECT u.vec_id, c.cid, SUM((u.v - c.cv) * (u.v - c.cv)) AS dist
+         |       FROM u JOIN c0 c ON u.d = c.d GROUP BY 1, 2),
+         |a1 AS (SELECT vec_id, cid FROM (
+         |        SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+         |        FROM d1) t WHERE rn = 1),
+         |c1 AS (SELECT a.cid, u.d,
+         |         CAST(floor(CAST(SUM(u.v) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cv
+         |       FROM a1 a JOIN u USING (vec_id) GROUP BY a.cid, u.d),
+         |d2 AS (SELECT u.vec_id, c.cid, SUM((u.v - c.cv) * (u.v - c.cv)) AS dist
+         |       FROM u JOIN c1 c ON u.d = c.d GROUP BY 1, 2),
+         |a2 AS (SELECT vec_id, cid, dist FROM (
+         |        SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+         |        FROM d2) t WHERE rn = 1)
+         |SELECT vec_id, cid AS cluster, CAST(dist AS BIGINT) AS dist_sq
+         |FROM a2 ORDER BY vec_id""".stripMargin,
+
+    // s4: α_m and the 2^53 scale are shared literals with the Spark side
+    // (operators.SketchOps.HllAlpha) so both engines branch identically
+    "s4_hll_distinct" ->
+      s"""WITH h AS (SELECT ${h60("CAST(event_id AS VARCHAR)")} AS h FROM events),
+         |r AS (SELECT h % 256 AS bucket, h // 256 AS rest FROM h),
+         |rho AS (SELECT bucket,
+         |          MAX(CASE WHEN rest = 0 THEN 53 ELSE 53 - length(bin(rest)) END) AS rho
+         |        FROM r GROUP BY bucket),
+         |regs AS (SELECT t.b AS bucket, COALESCE(rho.rho, 0) AS rho
+         |         FROM range(256) t(b) LEFT JOIN rho ON t.b = rho.bucket),
+         |agg AS (SELECT CAST(SUM(CAST(1 AS BIGINT) << CAST(53 - rho AS INTEGER)) AS BIGINT) AS s,
+         |               CAST(SUM(CASE WHEN rho = 0 THEN 1 ELSE 0 END) AS BIGINT) AS v
+         |        FROM regs)
+         |SELECT CAST(256 AS BIGINT) AS m, s, v,
+         |  CASE WHEN CAST(${SketchOpsAlpha} AS DOUBLE) * 256 * 256 * 9007199254740992.0 / s <= 640.0
+         |            AND v > 0
+         |       THEN 256.0 * ln(256.0 / v)
+         |       ELSE CAST(${SketchOpsAlpha} AS DOUBLE) * 256 * 256 * 9007199254740992.0 / s END
+         |    AS est_distinct,
+         |  (SELECT COUNT(DISTINCT event_id) FROM events) AS n_exact
+         |FROM agg""".stripMargin
   )
 }

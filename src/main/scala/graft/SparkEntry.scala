@@ -52,7 +52,12 @@ object SparkEntry {
     "q16_supplier_counts" -> Analytics.q16SupplierCounts _,
     "q17_small_qty" -> Analytics.q17SmallQty _,
     "q20_topk_heap" -> Analytics.q20TopkHeap _,
+    "q21_waiting" -> Analytics.q21Waiting _,
     "q22_inactive_rich" -> Analytics.q22InactiveRich _,
+    "p17_scd2" -> pipeline.ScdOps.scdTiers _,
+    "a4_interval_overlap" -> operators.JoinOps.intervalOverlap _,
+    "s4_hll_distinct" -> operators.SketchOps.hllDistinct _,
+    "e7_kmeans" -> operators.ClusterOps.kmeans _,
     "s1_kmv_distinct" -> operators.SketchOps.kmvDistinct _,
     "s2_group_quantiles" -> operators.SketchOps.groupQuantiles _,
     "s3_sample_stratified" -> operators.SketchOps.sampleStratified _,

@@ -398,4 +398,49 @@ object Analytics {
         decSum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"),
         count(lit(1)).as("n_items"))
   }
+
+  /** q21 (TPC-H Q21 shape): suppliers who "kept finished orders
+    * waiting" — the hardest TPC-H join topology: a fact table semi- AND
+    * anti-joined against itself with a not-equal residual. The schema
+    * has no commit/receipt dates, so "late" is adapted to
+    * `l_shipdate > o_orderdate + 60 days` (ship lag), preserving the
+    * exact EXISTS / NOT-EXISTS structure: a supplier is blamed for a
+    * finished order when it shipped late, ANOTHER supplier contributed
+    * to the order, and NO other supplier was late on it.
+    *
+    * Scale design: everything hash-shuffles on l_orderkey — the late
+    * set, the all-suppliers set, and both the left-semi and left-anti
+    * self-joins reuse that one partitioning (no broadcast of anything
+    * SF-proportional; the `<>` supplier residual rides on the orderkey
+    * equality, so no nested loop). The per-(order,supplier) distinct
+    * collapses multi-line contributions BEFORE the self-joins, bounding
+    * their input to one row per order-supplier pair. supplier is
+    * SF-proportional → shuffle join; nation is constant → broadcast. */
+  def q21Waiting(spark: SparkSession, dir: String): DataFrame = {
+    val fOrders = Tables.orders(spark, dir)
+      .filter(col("o_orderstatus") === "F")
+      .select("o_orderkey", "o_orderdate")
+    val li = Tables.lineitem(spark, dir).select("l_orderkey", "l_suppkey", "l_shipdate")
+    // one row per (finished order, supplier): all contributors / late contributors
+    val allSupp = li.join(fOrders, col("l_orderkey") === col("o_orderkey"))
+      .select("l_orderkey", "l_suppkey").distinct()
+    val lateSupp = li.join(fOrders, col("l_orderkey") === col("o_orderkey"))
+      .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+      .select("l_orderkey", "l_suppkey").distinct()
+    val blamed = lateSupp.as("d")
+      .join(allSupp.as("a"),
+        col("d.l_orderkey") === col("a.l_orderkey") &&
+          col("d.l_suppkey") =!= col("a.l_suppkey"), "left_semi")
+      .join(lateSupp.as("x"),
+        col("d.l_orderkey") === col("x.l_orderkey") &&
+          col("d.l_suppkey") =!= col("x.l_suppkey"), "left_anti")
+    blamed
+      .join(Tables.supplier(spark, dir), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables.nation(spark, dir)),
+        col("s_nationkey") === col("n_nationkey"))
+      .groupBy("s_name", "n_name")
+      .agg(count(lit(1)).as("numwait"))
+      .orderBy(col("numwait").desc, col("s_name"))
+      .limit(25)
+  }
 }

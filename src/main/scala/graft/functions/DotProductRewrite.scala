@@ -18,10 +18,17 @@ import org.apache.spark.sql.types.LongType
   * The match is deliberately EXACT: int64 element types, literal 0L
   * zero, multiply-merge, add-accumulate, identity finish — anything
   * else (different zero, float math, extra lambda logic) is left
-  * untouched. Null semantics of the replacement are identical by
-  * construction (see LongDotProduct's scaladoc), so the rewrite can
-  * never change results — OperatorSpec asserts bit-equality and
-  * PlanSpec pins that the rewrite actually fires. */
+  * untouched. The EVAL MODE of the arithmetic is bound, not wildcarded:
+  * under ANSI mode (the Spark 4 default) `x * y` errors on int64
+  * overflow and under `try_*` it nulls, so a rewrite that silently
+  * wrapped would change overflow behavior. Instead the matched mode is
+  * PROPAGATED into [[LongDotProduct]], which implements all three
+  * (LEGACY wraps, ANSI throws, TRY nulls) — the rewrite fires whenever
+  * multiply and accumulate agree on a mode, and never changes overflow,
+  * null, or value semantics. Mixed-mode formulations (multiply ANSI,
+  * add TRY — not producible from a single session config) are left
+  * untouched. OperatorSpec asserts bit-equality and pins that the
+  * rewrite actually fires. */
 object DotProductRewrite extends Rule[LogicalPlan] {
 
   private def sameVar(a: Expression, b: NamedLambdaVariable): Boolean = a match {
@@ -32,17 +39,20 @@ object DotProductRewrite extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformAllExpressions {
     case ArrayAggregate(
           ZipWith(a, b,
-            LambdaFunction(Multiply(mx, my, _), Seq(x: NamedLambdaVariable, y: NamedLambdaVariable), _)),
+            LambdaFunction(Multiply(mx, my, mulMode), Seq(x: NamedLambdaVariable, y: NamedLambdaVariable), _)),
           Literal(0L, LongType),
-          LambdaFunction(Add(macc, melem, _), Seq(acc: NamedLambdaVariable, elem: NamedLambdaVariable), _),
+          LambdaFunction(Add(macc, melem, addMode), Seq(acc: NamedLambdaVariable, elem: NamedLambdaVariable), _),
           LambdaFunction(fin, Seq(fv: NamedLambdaVariable), _))
-        if a.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType] &&
+        // NumericEvalContext also carries allowDecimalPrecisionLoss,
+        // irrelevant to pure-Long arithmetic — only the eval mode matters
+        if mulMode.evalMode == addMode.evalMode &&
+          a.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType] &&
           a.dataType.asInstanceOf[org.apache.spark.sql.types.ArrayType].elementType == LongType &&
           b.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType] &&
           b.dataType.asInstanceOf[org.apache.spark.sql.types.ArrayType].elementType == LongType &&
           sameVar(mx, x) && sameVar(my, y) &&
           sameVar(macc, acc) && sameVar(melem, elem) &&
           sameVar(fin, fv) =>
-      LongDotProduct(a, b)
+      LongDotProduct(a, b, mulMode.evalMode)
   }
 }

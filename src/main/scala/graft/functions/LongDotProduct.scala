@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, EvalMode, Expression, ExpressionInfo}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
 
@@ -24,8 +24,18 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   * shorter side with nulls), or if any element is null (a null product
   * nulls the running sum) — so sessions with and without the extension
   * can never diverge.
+  *
+  * OVERFLOW behavior follows `mode`, mirroring the three eval modes the
+  * built-in arithmetic can carry: LEGACY wraps (Java long semantics),
+  * ANSI throws ArithmeticException, TRY yields null. The optimizer
+  * rewrite propagates the mode it matched, so a rewritten plan keeps
+  * the exact overflow semantics the user's formulation had. Direct
+  * `graft_dot_long(a, b)` calls default to LEGACY (wrapping) — the
+  * library's own callers keep magnitudes far inside int64 (documented
+  * per call site).
   */
-case class LongDotProduct(left: Expression, right: Expression)
+case class LongDotProduct(left: Expression, right: Expression,
+    mode: EvalMode.Value = EvalMode.LEGACY)
     extends BinaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult =
@@ -47,10 +57,23 @@ case class LongDotProduct(left: Expression, right: Expression)
     val n = x.numElements()
     var acc = 0L
     var i = 0
-    while (i < n) {
-      if (x.isNullAt(i) || y.isNullAt(i)) return null
-      acc += x.getLong(i) * y.getLong(i)
-      i += 1
+    if (mode == EvalMode.LEGACY) {
+      while (i < n) {
+        if (x.isNullAt(i) || y.isNullAt(i)) return null
+        acc += x.getLong(i) * y.getLong(i)
+        i += 1
+      }
+    } else {
+      try {
+        while (i < n) {
+          if (x.isNullAt(i) || y.isNullAt(i)) return null
+          acc = Math.addExact(acc, Math.multiplyExact(x.getLong(i), y.getLong(i)))
+          i += 1
+        }
+      } catch {
+        case e: ArithmeticException =>
+          if (mode == EvalMode.TRY) return null else throw e
+      }
     }
     acc
   }
@@ -64,20 +87,39 @@ case class LongDotProduct(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val acc = ctx.freshName("acc")
       val i = ctx.freshName("i")
+      val step =
+        if (mode == EvalMode.LEGACY)
+          s"$acc += $x.getLong($i) * $y.getLong($i);"
+        else
+          s"$acc = java.lang.Math.addExact($acc, java.lang.Math.multiplyExact($x.getLong($i), $y.getLong($i)));"
+      val loop =
+        s"""
+           |int $n = $x.numElements();
+           |long $acc = 0L;
+           |for (int $i = 0; $i < $n && !${ev.isNull}; $i++) {
+           |  if ($x.isNullAt($i) || $y.isNullAt($i)) {
+           |    ${ev.isNull} = true;
+           |  } else {
+           |    $step
+           |  }
+           |}
+           |${ev.value} = $acc;
+         """.stripMargin
+      val body =
+        if (mode == EvalMode.TRY)
+          s"""
+             |try {
+             |$loop
+             |} catch (ArithmeticException e) {
+             |  ${ev.isNull} = true;
+             |}
+           """.stripMargin
+        else loop
       s"""
          |if ($x.numElements() != $y.numElements()) {
          |  ${ev.isNull} = true;
          |} else {
-         |  int $n = $x.numElements();
-         |  long $acc = 0L;
-         |  for (int $i = 0; $i < $n && !${ev.isNull}; $i++) {
-         |    if ($x.isNullAt($i) || $y.isNullAt($i)) {
-         |      ${ev.isNull} = true;
-         |    } else {
-         |      $acc += $x.getLong($i) * $y.getLong($i);
-         |    }
-         |  }
-         |  ${ev.value} = $acc;
+         |$body
          |}
        """.stripMargin
     })

@@ -1,0 +1,85 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.F._
+
+/** Embedding clustering — the diversity/curation stage of a training-data
+  * pipeline (cluster-balanced sampling, near-duplicate cluster pruning,
+  * topic bucketing all start from a k-means pass over the corpus
+  * embeddings).
+  *
+  * Determinism discipline (same as g1): every coordinate is exact int64
+  * (milli-unit quantized embeddings), distances are exact integer sums,
+  * centroid updates are floor(sum/count) — one IEEE division of exact
+  * integers, identical in every engine — and argmin ties break on the
+  * lowest cluster id. The DuckDB oracle replays both Lloyd rounds
+  * bit-for-bit; results are partition-count-invariant by construction.
+  */
+object ClusterOps {
+
+  /** Cluster count. Kept deliberately small: centroids are a k×d table
+    * that must broadcast (k·d·8 bytes — 4 KB here, 2 MB at k=4096,
+    * d=64); beyond broadcast size you shard the assignment join on a
+    * centroid-block key instead. */
+  val K = 8
+
+  /** Lloyd rounds. Two is enough to demonstrate the iterate-refine loop
+    * (seed → assign → update → assign); production k-means iterates to
+    * movement-below-epsilon with the identical per-round plan. */
+  val Rounds = 2
+
+  /** e7: distributed k-means over the quantized embeddings.
+    *
+    * Plan per round: UNNESTED coordinates (vec_id, dim, value) join the
+    * broadcast k×d centroid table on `dim` — a map-side k-fan-out, no
+    * shuffle — then one partial-agg groupBy(vec_id, cid) computes exact
+    * integer distances; the argmin window runs on the (vec_id)-hash
+    * partitioning. Centroid update is one groupBy(cid, dim) over the
+    * assigned coordinates (k·d output rows), localCheckpoint'd so the
+    * next round's plan doesn't re-derive the previous round (the d5/g1
+    * iteration lesson). At 100 TB: corpus-side work is 2 shuffles per
+    * round (distance agg + update agg), broadcast traffic is k·d·8
+    * bytes per round — nothing SF-proportional ever sits on one node. */
+  def kmeans(spark: SparkSession, dir: String): DataFrame = {
+    val u = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), posexplode(quantize(col("embedding"))))
+      .toDF("vec_id", "d", "v")
+
+    // seeds: the K smallest vec_ids on a fixed stride — deterministic,
+    // engine-reproducible, and spread across the id space
+    val seeds = Tables.embeddings(spark, dir)
+      .filter(col("vec_id") % 5 === 0)
+      .select("vec_id").orderBy("vec_id").limit(K)
+      .withColumn("cid", (row_number().over(Window.orderBy("vec_id")) - 1).cast("long"))
+    val c0 = seeds.join(u, "vec_id").select(col("cid"), col("d"), col("v").as("cv"))
+
+    def assign(centroids: DataFrame): DataFrame = {
+      val byVec = Window.partitionBy("vec_id").orderBy(col("dist"), col("cid"))
+      u.join(broadcast(centroids), "d")
+        .groupBy("vec_id", "cid")
+        .agg(sum((col("v") - col("cv")) * (col("v") - col("cv"))).as("dist"))
+        .withColumn("rn", row_number().over(byVec))
+        .filter(col("rn") === 1)
+        .select("vec_id", "cid", "dist")
+    }
+    // floor over one exact-int IEEE division — NOT integer `div`, whose
+    // negative-operand semantics differ between engines
+    def update(assigned: DataFrame): DataFrame =
+      assigned.select("vec_id", "cid").join(u, "vec_id")
+        .groupBy("cid", "d")
+        .agg(floor(sum("v").cast("double") / count(lit(1))).cast("long").as("cv"))
+
+    var centroids = c0
+    var assigned = assign(centroids)
+    for (_ <- 2 to Rounds) {
+      centroids = update(assigned).localCheckpoint(eager = true)
+      assigned = assign(centroids)
+    }
+    assigned
+      .select(col("vec_id"), col("cid").as("cluster"), col("dist").as("dist_sq"))
+      .orderBy("vec_id")
+  }
+}

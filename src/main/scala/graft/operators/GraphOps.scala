@@ -10,11 +10,13 @@ import graft.functions.F._
   * d5 demonstrated bounded iteration on a tiny derived graph; g1 runs
   * the same localCheckpoint-per-round pattern on a REAL fact-scale edge
   * list (distinct customer↔supplier co-purchase links — lineitem-scale
-  * before dedup). Determinism at any partition count: every contribution
-  * is rounded to 6 dp before the exact decimal sum, and each rank is
-  * rounded on assignment, so the oracle replays the rounds bit-for-bit
-  * (the reason this is NOT plain floating PageRank: an unrounded double
-  * sum would be partition-order-dependent).
+  * before dedup). Determinism at any partition count: ALL rank math is
+  * int64 micro-units (rank × 10⁶) with floor division — integer sums
+  * are order-independent and `div` has one definition in every engine,
+  * so the oracle replays the rounds bit-for-bit (the reason this is
+  * NOT plain floating PageRank: an unrounded double sum would be
+  * partition-order-dependent, and rounded-double ratios sit on half-up
+  * boundaries where engines disagree at the last decimal).
   */
 object GraphOps {
 

@@ -75,4 +75,46 @@ object JoinOps {
         decSum(col("value")).as("total_value"))
       .orderBy("band")
   }
+
+  /** a4: INTERVAL OVERLAP self-join — for every user session (the p7
+    * gap-rule sessions), how many sessions of OTHER users were live at
+    * the same time. The naive formulation is an inequality θ-join
+    * (`a.start <= b.end AND b.start <= a.end`) — a nested-loop plan,
+    * O(n²) at any scale.
+    *
+    * Spark realization: time is cut into fixed 1-hour buckets; each
+    * interval explodes to the buckets it spans, candidates equality-join
+    * on the bucket, and the exact overlap predicate re-checks on the
+    * candidates. A pair sharing k buckets would count k times, so each
+    * pair is counted ONLY in the bucket where its overlap begins
+    * (`greatest(a.start, b.start)`'s bucket) — cheaper than a
+    * distinct-pair shuffle, same result. Join volume is
+    * Σ_bucket (live intervals)², i.e. bounded by actual temporal
+    * density, not by n²; the bucket width trades explode factor
+    * (long intervals span more buckets) against per-bucket density —
+    * 2× the median interval length is a good default. Zero-overlap
+    * sessions are kept via the final left join (count 0). */
+  def intervalOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val BucketUs = 3600L * 1000000 // 1 hour
+    val s = graft.pipeline.TripPipeline.sessionize(spark, dir)
+      .select(col("user_id"), col("session_idx"),
+        col("session_start"), col("session_end"),
+        unix_micros(col("session_start").cast("timestamp")).as("su"),
+        unix_micros(col("session_end").cast("timestamp")).as("eu"))
+    val exploded = s.withColumn("bucket",
+      explode(sequence(expr(s"su div $BucketUs"), expr(s"eu div $BucketUs"))))
+    val counts = exploded.as("a")
+      .join(exploded.as("b"),
+        col("a.bucket") === col("b.bucket") &&
+          col("a.user_id") =!= col("b.user_id") &&
+          col("a.su") <= col("b.eu") && col("b.su") <= col("a.eu") &&
+          col("a.bucket") === expr(s"greatest(a.su, b.su) div $BucketUs"))
+      .groupBy(col("a.user_id").as("user_id"), col("a.session_idx").as("session_idx"))
+      .agg(count(lit(1)).as("n_concurrent"))
+    s.join(counts, Seq("user_id", "session_idx"), "left")
+      .select(col("user_id"), col("session_idx"),
+        col("session_start"), col("session_end"),
+        coalesce(col("n_concurrent"), lit(0L)).as("n_concurrent"))
+      .orderBy("user_id", "session_idx")
+  }
 }

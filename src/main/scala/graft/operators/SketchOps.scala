@@ -78,6 +78,56 @@ object SketchOps {
       .orderBy("o_orderpriority", "q")
   }
 
+  /** HLL register count (2^8). Small enough that the register table is
+    * nothing, big enough for ~6.5% standard error; production would use
+    * 2^14 with the identical plan. */
+  val HllM = 256
+
+  /** HLL bias constant α_m for m=256 — single literal shared with the
+    * oracle SQL so both engines multiply the exact same double. */
+  val HllAlpha: Double = 0.7213 / (1 + 1.079 / 256)
+
+  /** s4: distinct-count estimation via a HYPERLOGLOG sketch, built from
+    * engine-portable primitives: md5-derived 60-bit hash → low 8 bits
+    * pick the register, the remaining 52 bits' leading-zero rank
+    * (computed EXACTLY via length(bin(x)) — no float log2) updates it.
+    * The register sum Σ2^-M runs as exact integer arithmetic scaled by
+    * 2^53 (max 256·2^53 = 2^61, inside int64), so everything up to the
+    * final estimate division is bit-deterministic and order-independent;
+    * the small-range linear-counting correction applies on the same
+    * branch condition in both engines.
+    *
+    * Scale shape vs s1 (KMV): ONE map-side-combining groupBy on an
+    * 8-bit key — 256 registers of shuffle traffic per partition, no
+    * distinct() pre-shuffle of the full value set, no TakeOrdered. This
+    * is the sketch you run at 100 TB; KMV's kth-smallest needs the
+    * distinct hash set first. Registers also merge associatively
+    * (max per bucket), so per-day sketches roll up without rescanning. */
+  def hllDistinct(spark: SparkSession, dir: String): DataFrame = {
+    val m = HllM
+    val regs = Tables.events(spark, dir)
+      .select(hash60(col("event_id")).as("h"))
+      .select((col("h") % m).as("bucket"), expr(s"h div $m").as("rest"))
+      .groupBy("bucket")
+      .agg(max(when(col("rest") === 0, lit(53))
+        .otherwise(lit(53) - length(bin(col("rest"))))).as("rho"))
+    val full = spark.range(m.toLong).select(col("id").as("bucket"))
+      .join(regs, Seq("bucket"), "left")
+      .withColumn("rho", coalesce(col("rho"), lit(0)))
+    val agg = full.agg(
+      sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(53 - rho AS INT))")).as("s"),
+      sum(when(col("rho") === 0, 1).otherwise(0)).cast("long").as("v"))
+    val raw = lit(HllAlpha) * m * m * lit(9007199254740992.0) / col("s")
+    agg.crossJoin(
+        Tables.events(spark, dir).agg(countDistinct(col("event_id")).as("n_exact")))
+      .select(
+        lit(m.toLong).as("m"), col("s"), col("v"),
+        when(raw <= lit(2.5 * m) && col("v") > 0,
+          lit(m.toDouble) * log(lit(m.toDouble) / col("v")))
+          .otherwise(raw).as("est_distinct"),
+        col("n_exact"))
+  }
+
   /** Per-stratum sampling rates (permille) for s3 — keep every signup,
     * half the purchases, thin the high-volume click/view noise, drop
     * errors: the shape of a real training-mix rebalance. */

@@ -1,0 +1,48 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Slowly-changing-dimension (SCD type 2) builds from the event log.
+  *
+  * The reference pipeline only ever lands the LATEST state of an
+  * attribute; a warehouse additionally needs its history — per entity,
+  * the validity interval of each attribute value. This is the classic
+  * "dimension from a change log" operator: detect changes with a lag
+  * window, close each interval with a lead window.
+  *
+  * Scale design: both windows partition by user_id — ONE hash shuffle
+  * (shared by the lag, the filter, the lead and the version number),
+  * the same (user_id) partitioning the dedup/sessionize/match stages
+  * use. The change filter runs BETWEEN the two windows, so the lead
+  * only scans change rows (a tiny fraction of the log); no join, no
+  * broadcast, nothing SF-proportional held on one node.
+  */
+object ScdOps {
+
+  /** p17: SCD2 "tier" dimension — each user's `k % 10` bucket from the
+    * JSON props, as validity intervals: one row per (user, tier change)
+    * with valid_from = the changing event's time, valid_to = the next
+    * change's time (null = still current), and a per-user version
+    * number. Events whose props lack a numeric `k` are not tier
+    * observations and do not open or close intervals (same try_cast
+    * discipline as p8/p12). */
+  def scdTiers(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val obs = Tables.events(spark, dir)
+      .withColumn("tier", expr("try_cast(get_json_object(props, '$.k') AS LONG) % 10"))
+      .filter(col("tier").isNotNull)
+    obs
+      .withColumn("prev_tier", lag(col("tier"), 1).over(byUser))
+      .filter(col("prev_tier").isNull || col("tier") =!= col("prev_tier"))
+      .withColumn("valid_from", col("ts").cast("timestamp_ntz"))
+      .withColumn("valid_to", lead(col("ts"), 1).over(byUser).cast("timestamp_ntz"))
+      .withColumn("version", row_number().over(byUser).cast("long"))
+      .select(col("user_id"), col("version"), col("tier"),
+        col("valid_from"), col("valid_to"),
+        col("valid_to").isNull.as("is_current"))
+      .orderBy("user_id", "version")
+  }
+}

@@ -49,11 +49,6 @@ object SinkOps {
       .orderBy("date")
   }
 
-  /** Date window read back by p14 (chosen inside the testdata's event
-    * range so the pruned read is non-vacuous). */
-  val P14From = "2024-01-03"
-  val P14To = "2024-01-06"
-
   /** p14: parquet lake layout + PARTITION PRUNING — the by-type daily
     * KPIs written as `date=YYYY-MM-DD/` parquet, then read back with a
     * date-range predicate that Spark resolves at the DIRECTORY level:
@@ -69,12 +64,24 @@ object SinkOps {
   }
 
   /** The pruned read side of p14 (separate so the plan test can inspect
-    * exactly the plan the operator runs). */
-  def prunedKpiRead(spark: SparkSession, out: String): DataFrame =
+    * exactly the plan the operator runs). The 4-day window is DERIVED
+    * from the layout — days [min+2, min+5] of the written partitions —
+    * so the pruned read can never be silently vacuous on a data dir
+    * whose dates differ from the original testdata (it is non-empty
+    * whenever the input spans ≥ 3 days past its first date). The min
+    * is resolved once, driver-side, into literal bounds, so the scan
+    * still prunes at the DIRECTORY level (PartitionFilters on
+    * literals), exactly as a hard-coded window would. */
+  def prunedKpiRead(spark: SparkSession, out: String): DataFrame = {
+    val minDate = spark.read.parquet(out)
+      .agg(min(col("date"))).head.getDate(0).toLocalDate
+    val from = java.sql.Date.valueOf(minDate.plusDays(2))
+    val to = java.sql.Date.valueOf(minDate.plusDays(5))
     spark.read.parquet(out)
-      .filter(col("date") >= lit(P14From) && col("date") <= lit(P14To))
+      .filter(col("date") >= lit(from) && col("date") <= lit(to))
       .select(col("date").cast(DateType).as("date"), col("event_type"),
         col("n_events"), col("total_value"), col("avg_value"),
         col("max_value"), col("min_value"))
       .orderBy("date", "event_type")
+  }
 }

@@ -202,8 +202,7 @@ object StreamPipeline {
     * sentinel is needed — late sessions close as the watermark
     * advances; this is purely the finite-input materialization trick. */
   def sessionizeViaFileStream(spark: SparkSession, dir: String): DataFrame = {
-    val streamDir = java.nio.file.Paths.get(
-      s"target/graft-p15-stream-${math.abs(dir.hashCode)}")
+    val streamDir = java.nio.file.Paths.get(stagingPath("p15", dir))
     java.nio.file.Files.createDirectories(streamDir)
     java.nio.file.Files.copy(
       java.nio.file.Paths.get(s"$dir/events.parquet"),
@@ -271,13 +270,24 @@ object StreamPipeline {
     spark.table("graft_p9_kpi").orderBy("date")
   }
 
+  /** Collision-proof staging dir per (operator, data dir): the
+    * sanitized dir name keeps it readable, the md5-derived hash keeps
+    * distinct dirs from ever sharing a staging area. `hashCode`-keyed
+    * names (the previous scheme) could collide across dirs — and
+    * `math.abs(Int.MinValue)` is negative — either of which would
+    * cross-contaminate two operators' streamed inputs. Same scheme as
+    * BucketOps' table suffixes. */
+  private def stagingPath(kind: String, dir: String): String =
+    s"target/graft-$kind-stream-" +
+      (dir.replaceAll("[^A-Za-z0-9]", "_") + "_" +
+        (graft.functions.F.hash60Driver(dir) % 100000)).toLowerCase
+
   /** The events parquet staged behind a REAL file streaming source —
     * the unbounded-input surface for the oracle-checked streaming
     * operators (p9, p13). Staging is per sf-dir and idempotent
     * (REPLACE_EXISTING), so reruns within a session are safe. */
   private def stagedEventsStream(spark: SparkSession, dir: String): DataFrame = {
-    val streamDir = java.nio.file.Paths.get(
-      s"target/graft-p9-stream-${math.abs(dir.hashCode)}")
+    val streamDir = java.nio.file.Paths.get(stagingPath("p9", dir))
     java.nio.file.Files.createDirectories(streamDir)
     java.nio.file.Files.copy(
       java.nio.file.Paths.get(s"$dir/events.parquet"),

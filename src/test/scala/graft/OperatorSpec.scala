@@ -73,6 +73,25 @@ class OperatorSpec extends AnyFunSuite with SparkSpec {
     val other = pairs.select(
       expr("aggregate(zip_with(a, b, (x, y) -> x * y), 1L, (acc, x) -> acc + x)").as("d"))
     assert(!other.queryExecution.optimizedPlan.toString.toLowerCase.contains("graft_dot_long"))
+    // overflow semantics survive the rewrite MODE-FOR-MODE. This session
+    // is ANSI (the Spark 4 default), so the plain formulation must still
+    // ERROR on int64 overflow after being rewritten...
+    assert(spark.conf.get("spark.sql.ansi.enabled").toBoolean,
+      "test assumes the session runs with the Spark 4 ANSI default")
+    // `+ id` keeps the arrays non-foldable: literal arrays would be
+    // constant-folded at optimize time, evaluating (and erroring) there
+    val big = spark.range(1).selectExpr(
+      "array(9223372036854775807L - id, 9223372036854775807L - id) AS a",
+      "array(2L + id, 2L + id) AS b")
+    val ansiDot = big.select(F.dotQ(col("a"), col("b")).as("d"))
+    assert(ansiDot.queryExecution.optimizedPlan.toString.toLowerCase.contains("graft_dot_long"))
+    intercept[Exception] { ansiDot.collect() }
+    // ...and the try_* formulation must still yield NULL, also rewritten
+    val tryDot = big.select(expr(
+      "aggregate(zip_with(a, b, (x, y) -> try_multiply(x, y)), 0L, (acc, x) -> try_add(acc, x))").as("d"))
+    assert(tryDot.queryExecution.optimizedPlan.toString.toLowerCase.contains("graft_dot_long"),
+      "try-mode formulation should rewrite too (modes match)")
+    assert(tryDot.collect().head.isNullAt(0), "TRY overflow must null, not wrap")
   }
 
   test("TopKPerKey fails fast with advice when a partition exceeds its key budget") {
