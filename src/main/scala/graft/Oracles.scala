@@ -1048,6 +1048,47 @@ object Oracles {
          |SELECT vec_id, cid AS cluster, CAST(dist AS BIGINT) AS dist_sq
          |FROM a2 ORDER BY vec_id""".stripMargin,
 
+    // d7: winnowing fingerprints — positional 3-gram hashes, min over a
+    // 4-wide sliding window (full windows only), distinct per doc,
+    // DF-capped inverted index, pair counts
+    "d7_winnow" ->
+      s"""WITH docs AS (SELECT doc_id, $TOK AS t FROM documents),
+         |nl AS (SELECT doc_id, CASE WHEN len(t) >= 3
+         |         THEN list_transform(range(1, len(t) - 1), i -> array_to_string(t[i:i+2], ' '))
+         |         ELSE [] END AS ngl FROM docs),
+         |pos AS (SELECT doc_id, generate_subscripts(ngl, 1) - 1 AS pos, unnest(ngl) AS ngram FROM nl),
+         |h AS (SELECT doc_id, pos, ${h60("ngram")} AS hv FROM pos),
+         |wmin AS (SELECT doc_id, pos,
+         |           MIN(hv) OVER (PARTITION BY doc_id ORDER BY pos
+         |             ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS fp
+         |         FROM h),
+         |fps AS (SELECT DISTINCT doc_id, fp FROM wmin WHERE pos >= 3),
+         |keep AS (SELECT fp FROM fps GROUP BY fp HAVING COUNT(*) <= 100),
+         |pf AS (SELECT f.doc_id, f.fp FROM fps f JOIN keep USING (fp))
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
+         |FROM pf a JOIN pf b ON a.fp = b.fp AND a.doc_id < b.doc_id
+         |GROUP BY 1, 2 HAVING COUNT(*) >= 2 ORDER BY doc_a, doc_b""".stripMargin,
+
+    // p18: the oracle runs the LITERAL interval join against the p17
+    // dimension; the operator uses the as-of window union instead
+    "p18_temporal_lookup" ->
+      """WITH e AS (
+        |  SELECT user_id, ts, event_id,
+        |         try_cast(json_extract_string(props, '$.k') AS BIGINT) % 10 AS tier
+        |  FROM events
+        |  WHERE try_cast(json_extract_string(props, '$.k') AS BIGINT) IS NOT NULL),
+        |w AS (SELECT *, lag(tier) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_tier FROM e),
+        |ch AS (SELECT * FROM w WHERE prev_tier IS NULL OR tier <> prev_tier),
+        |v AS (SELECT user_id, tier, ts AS valid_from,
+        |        lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+        |        row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS version
+        |      FROM ch),
+        |p AS (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase')
+        |SELECT p.event_id, p.user_id, p.ts, p.value, v.version, v.tier
+        |FROM p LEFT JOIN v ON p.user_id = v.user_id
+        |  AND p.ts >= v.valid_from AND (v.valid_to IS NULL OR p.ts < v.valid_to)
+        |ORDER BY p.event_id""".stripMargin,
+
     // s4: α_m and the 2^53 scale are shared literals with the Spark side
     // (operators.SketchOps.HllAlpha) so both engines branch identically
     "s4_hll_distinct" ->

@@ -55,6 +55,8 @@ object SparkEntry {
     "q21_waiting" -> Analytics.q21Waiting _,
     "q22_inactive_rich" -> Analytics.q22InactiveRich _,
     "p17_scd2" -> pipeline.ScdOps.scdTiers _,
+    "p18_temporal_lookup" -> pipeline.ScdOps.temporalLookup _,
+    "d7_winnow" -> ((s: SparkSession, d: String) => operators.DedupOps.winnowPairs(s, d)),
     "a4_interval_overlap" -> operators.JoinOps.intervalOverlap _,
     "s4_hll_distinct" -> operators.SketchOps.hllDistinct _,
     "e7_kmeans" -> operators.ClusterOps.kmeans _,

@@ -322,4 +322,53 @@ object DedupOps {
       .select("doc_a", "doc_b", "hamming")
       .orderBy("doc_a", "doc_b")
   }
+
+  /** Winnowing window size (w consecutive n-gram hashes per window) and
+    * the fingerprint document-frequency cap (same fan-out bound as d2's
+    * MaxNgramDf). */
+  val WinnowW = 4
+  val MaxFpDf = 100L
+
+  /** d7: WINNOWING document fingerprints (the MOSS algorithm family,
+    * Schleimer et al., SIGMOD 2003): hash every positional token 3-gram,
+    * slide a w-wide window over the hash sequence, keep each window's
+    * MINIMUM as a fingerprint — guaranteeing any shared run of
+    * w + 2 tokens between two documents shares at least one fingerprint
+    * (a positional-coverage guarantee MinHash's whole-document sampling
+    * does not give). Pairs sharing ≥ 2 fingerprints are emitted with
+    * their shared count.
+    *
+    * Scale shape: the windowed min is one (doc_id) shuffle; fingerprints
+    * per doc ≈ 2·n/w (and distinct-collapsed), so the inverted index is
+    * a FRACTION of d2's every-distinct-ngram index; the DF cap bounds
+    * the self-join fan-out exactly as in d2. Candidate generation is an
+    * equality join on the fingerprint value. */
+  /** The winnowed fingerprint set of a (doc_id, text) frame — exposed
+    * for the coverage-guarantee property test. */
+  private[graft] def winnowFps(docs: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos").rowsBetween(-(WinnowW - 1), 0)
+    docs
+      .withColumn("t", tokens(col("text")))
+      .filter(size(col("t")) >= 3)
+      .select(col("doc_id"), posexplode(ngramsExpr).as(Seq("pos", "ngram")))
+      .select(col("doc_id"), col("pos"), hash60(col("ngram")).as("hv"))
+      .withColumn("fp", min("hv").over(w))
+      .filter(col("pos") >= WinnowW - 1) // full windows only
+      .select("doc_id", "fp").distinct()
+  }
+
+  def winnowPairs(spark: SparkSession, dir: String): DataFrame = {
+    val fps = winnowFps(Tables.documents(spark, dir))
+    val keep = fps.groupBy("fp").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= MaxFpDf).select("fp")
+    val pf = fps.join(keep, "fp")
+    pf.as("a")
+      .join(pf.as("b"),
+        col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= 2)
+      .orderBy("doc_a", "doc_b")
+  }
 }

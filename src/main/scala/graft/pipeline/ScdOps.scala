@@ -45,4 +45,48 @@ object ScdOps {
         col("valid_to").isNull.as("is_current"))
       .orderBy("user_id", "version")
   }
+
+  /** p18: TEMPORAL DIMENSION LOOKUP — every purchase enriched with the
+    * tier version that was valid at its event time (the classic
+    * fact-against-SCD2 enrichment).
+    *
+    * The naive formulation is a range join (`ts >= valid_from AND
+    * ts < valid_to`) whose fan-out is every (user, version) pair before
+    * the filter. Spark realization: the a1 AS-OF trick instead — UNION
+    * the tier-change rows with the purchase rows, sort per user by
+    * (ts, side) with changes first at an equal instant, and carry
+    * `last(version/tier, ignoreNulls)` forward. ONE shuffle on user_id,
+    * no join at all, and a purchase that coincides with a change picks
+    * up the new version — exactly the half-open `[valid_from, valid_to)`
+    * interval semantics the oracle's literal range join computes.
+    * Purchases before a user's first observation keep null version/tier
+    * (left-join semantics). */
+  def temporalLookup(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val obs = Tables.events(spark, dir)
+      .withColumn("tier", expr("try_cast(get_json_object(props, '$.k') AS LONG) % 10"))
+      .filter(col("tier").isNotNull)
+      .withColumn("prev_tier", lag(col("tier"), 1).over(byUser))
+      .filter(col("prev_tier").isNull || col("tier") =!= col("prev_tier"))
+      .withColumn("version", row_number().over(byUser).cast("long"))
+      .select(col("user_id"), col("ts"), lit(0).as("side"),
+        col("version"), col("tier"),
+        lit(null).cast("long").as("event_id"), lit(null).cast("double").as("value"))
+    val purchases = Tables.events(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), lit(1).as("side"),
+        lit(null).cast("long").as("version"), lit(null).cast("long").as("tier"),
+        col("event_id"), col("value"))
+    val carry = Window.partitionBy("user_id")
+      .orderBy(col("ts"), col("side"), coalesce(col("version"), lit(0L)))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    obs.unionByName(purchases)
+      .withColumn("cur_version", last(col("version"), ignoreNulls = true).over(carry))
+      .withColumn("cur_tier", last(col("tier"), ignoreNulls = true).over(carry))
+      .filter(col("side") === 1)
+      .select(col("event_id"), col("user_id"),
+        col("ts").cast("timestamp_ntz").as("ts"), col("value"),
+        col("cur_version").as("version"), col("cur_tier").as("tier"))
+      .orderBy("event_id")
+  }
 }

@@ -1,0 +1,187 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.analytics.Analytics
+import graft.operators.{ClusterOps, JoinOps, SketchOps}
+
+/** Semantics + scale-shape checks for the round-4 operators
+  * (q21 / p17 / a4 / e7 / s4). */
+class NewOpsSpec extends AnyFunSuite with SparkSpec {
+
+  // --- q21: blame semantics on a constructed order set ------------------
+
+  test("q21 blames exactly the sole-late supplier on multi-supplier finished orders") {
+    import org.apache.spark.sql.expressions.Window
+    // order 1: suppliers 10 (late) + 11 (on time)  -> 10 blamed
+    // order 2: suppliers 10 (late) + 11 (late)     -> nobody (another late supplier)
+    // order 3: supplier 10 alone (late)            -> nobody (no other supplier)
+    // order 4: like order 1 but status 'O'         -> nobody (not finished)
+    val day0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def ship(days: Int) = java.sql.Timestamp.valueOf(s"2024-${if (days > 90) "05" else "01"}-01 00:00:00")
+    val orders = spark.createDataFrame(java.util.List.of(
+        Row(1L, "F", day0), Row(2L, "F", day0), Row(3L, "F", day0), Row(4L, "O", day0)),
+      StructType(Seq(StructField("o_orderkey", LongType), StructField("o_orderstatus", StringType),
+        StructField("o_orderdate", TimestampType))))
+    val li = spark.createDataFrame(java.util.List.of(
+        Row(1L, 10L, ship(120)), Row(1L, 11L, ship(1)),
+        Row(2L, 10L, ship(120)), Row(2L, 11L, ship(120)),
+        Row(3L, 10L, ship(120)),
+        Row(4L, 10L, ship(120)), Row(4L, 11L, ship(1))),
+      StructType(Seq(StructField("l_orderkey", LongType), StructField("l_suppkey", LongType),
+        StructField("l_shipdate", TimestampType))))
+    // replicate the operator's core (pre-supplier-join) on the fixture
+    val f = orders.filter(col("o_orderstatus") === "F").select("o_orderkey", "o_orderdate")
+    val joined = li.join(f, col("l_orderkey") === col("o_orderkey"))
+    val allSupp = joined.select("l_orderkey", "l_suppkey").distinct()
+    val lateSupp = joined
+      .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+      .select("l_orderkey", "l_suppkey").distinct()
+    val blamed = lateSupp.as("d")
+      .join(allSupp.as("a"), col("d.l_orderkey") === col("a.l_orderkey") &&
+        col("d.l_suppkey") =!= col("a.l_suppkey"), "left_semi")
+      .join(lateSupp.as("x"), col("d.l_orderkey") === col("x.l_orderkey") &&
+        col("d.l_suppkey") =!= col("x.l_suppkey"), "left_anti")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(blamed === Set((1L, 10L)))
+    val _ = Window // silence unused-import lint paths
+  }
+
+  test("q21 runs on the real tables with no SF-proportional broadcast") {
+    val conf = spark.conf
+    val prev = conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    val prevAqe = conf.get("spark.sql.adaptive.autoBroadcastJoinThreshold", prev)
+    try {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      val q = Analytics.q21Waiting(spark, Sf0001)
+      assert(q.count() > 0, "q21 must be non-vacuous at sf0.001")
+      val plan = q.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+      // only the 25-row nation dim is broadcast by the code
+      val nBroadcast = "BroadcastHashJoin".r.findAllIn(plan).length
+      assert(nBroadcast === 1, s"expected only the nation broadcast, plan:\n$plan")
+    } finally {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", prevAqe)
+    }
+  }
+
+  // --- p17: SCD2 interval invariants ------------------------------------
+
+  test("p17 intervals chain per user: contiguous, ordered, one current row") {
+    val scd = pipeline.ScdOps.scdTiers(spark, Sf0001).cache()
+    val n = scd.count()
+    assert(n > 0)
+    // exactly one open (is_current) interval per user
+    val users = scd.select("user_id").distinct().count()
+    val current = scd.filter(col("is_current")).count()
+    assert(current === users, "each user must have exactly one open interval")
+    // valid_from < valid_to on closed intervals; next version starts where
+    // the previous ended; tiers actually change between versions
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("version")
+    val bad = scd
+      .withColumn("next_from", lead("valid_from", 1).over(w))
+      .withColumn("next_tier", lead("tier", 1).over(w))
+      .filter(
+        (col("valid_to").isNotNull && col("valid_from") >= col("valid_to")) ||
+        (col("next_from").isNotNull && col("valid_to") =!= col("next_from")) ||
+        (col("next_tier").isNotNull && col("tier") === col("next_tier")))
+      .count()
+    assert(bad === 0L, "SCD2 invariants violated")
+    scd.unpersist()
+  }
+
+  // --- a4: bucketed overlap equals the literal inequality join ----------
+
+  test("a4 bucketed overlap join equals the naive theta-join") {
+    val s = pipeline.TripPipeline.sessionize(spark, Sf0001)
+      .select(col("user_id"), col("session_idx"),
+        col("session_start").cast("timestamp").as("ss"),
+        col("session_end").cast("timestamp").as("ee"))
+    val naive = s.as("a").join(s.as("b"),
+        col("a.user_id") =!= col("b.user_id") &&
+          col("a.ss") <= col("b.ee") && col("b.ss") <= col("a.ee"))
+      .groupBy(col("a.user_id"), col("a.session_idx")).count()
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    val bucketed = JoinOps.intervalOverlap(spark, Sf0001)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(4))).toMap
+    assert(bucketed.size >= naive.size) // bucketed keeps zero-overlap rows
+    naive.foreach { case (k, v) =>
+      assert(bucketed(k) === v, s"overlap count mismatch for $k") }
+    assert(bucketed.count(_._2 > 0) === naive.size)
+  }
+
+  // --- e7: determinism + assignment optimality ---------------------------
+
+  test("e7 k-means is partition-count invariant and assigns to the nearest centroid") {
+    def run(parts: Int): Array[Row] = {
+      val prev = spark.conf.get("spark.sql.shuffle.partitions")
+      try {
+        spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
+        ClusterOps.kmeans(spark, Sf0001).collect()
+      } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    }
+    val a = run(3); val b = run(13)
+    assert(a.toSeq === b.toSeq, "assignments must not depend on partitioning")
+    val clusters = a.map(_.getLong(1)).distinct
+    assert(clusters.length > 1 && clusters.length <= ClusterOps.K)
+    assert(a.forall(_.getLong(2) >= 0L))
+  }
+
+  // --- d7: winnowing coverage guarantee ----------------------------------
+
+  test("d7 winnowing: docs sharing a w+2-token run share a fingerprint") {
+    import spark.implicits._
+    // two docs sharing exactly a 6-token run (w=4 ⇒ guarantee threshold),
+    // surrounded by disjoint text; a third doc with no overlap
+    val shared = "alpha beta gamma delta epsilon zeta"
+    val docs = Seq(
+      (1L, s"one two three $shared four five six"),
+      (2L, s"seven eight nine $shared ten eleven twelve"),
+      (3L, "thirteen fourteen fifteen sixteen seventeen eighteen nineteen"))
+      .toDF("doc_id", "text")
+    val fps = operators.DedupOps.winnowFps(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val byDoc = fps.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert((byDoc(1L) intersect byDoc(2L)).nonEmpty,
+      "a shared w+2-token run must yield a shared fingerprint")
+    assert((byDoc(1L) intersect byDoc(3L)).isEmpty)
+    // fingerprint density: at most one per window position, far fewer
+    // after the distinct collapse
+    assert(byDoc(1L).size <= 12)
+  }
+
+  // --- p18: as-of window union equals the literal interval join ----------
+
+  test("p18 window-union lookup equals the literal SCD2 range join") {
+    val scd = pipeline.ScdOps.scdTiers(spark, Sf0001)
+    val purchases = Tables.events(spark, Sf0001)
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+    val literal = purchases.as("p").join(scd.as("v"),
+        col("p.user_id") === col("v.user_id") &&
+          col("p.ts").cast("timestamp_ntz") >= col("v.valid_from") &&
+          (col("v.valid_to").isNull || col("p.ts").cast("timestamp_ntz") < col("v.valid_to")),
+        "left")
+      .select(col("p.event_id"), col("v.version"), col("v.tier"))
+      .collect().map(r => (r.getLong(0), Option(r.get(1)), Option(r.get(2)))).toSet
+    val windowed = pipeline.ScdOps.temporalLookup(spark, Sf0001)
+      .select(col("event_id"), col("version"), col("tier"))
+      .collect().map(r => (r.getLong(0), Option(r.get(1)), Option(r.get(2)))).toSet
+    assert(windowed === literal)
+  }
+
+  // --- s4: HLL estimate lands inside its error envelope ------------------
+
+  test("s4 HLL estimate is within 4 standard errors of the exact count") {
+    val r = SketchOps.hllDistinct(spark, Sf0001).collect().head
+    val est = r.getDouble(r.fieldIndex("est_distinct"))
+    val exact = r.getLong(r.fieldIndex("n_exact"))
+    val se = 1.04 / math.sqrt(SketchOps.HllM.toDouble) // ~6.5% for m=256
+    assert(math.abs(est - exact) / exact <= 4 * se,
+      s"HLL estimate $est too far from exact $exact")
+  }
+}
