@@ -1089,6 +1089,43 @@ object Oracles {
         |  AND p.ts >= v.valid_from AND (v.valid_to IS NULL OR p.ts < v.valid_to)
         |ORDER BY p.event_id""".stripMargin,
 
+    "q23_cube" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         |  CAST(COUNT(*) AS BIGINT) AS n_items,
+         |  ${dsum("l_quantity")} AS sum_qty,
+         |  ${dsum("l_extendedprice")} AS sum_price
+         |FROM lineitem
+         |GROUP BY CUBE (l_returnflag, l_linestatus)
+         |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+
+    // x2: replays the e7 rounds, then the per-cluster deterministic
+    // md5-ranked top-N (the operator runs TopKPerKey instead of the sort)
+    "x2_cluster_sample" ->
+      s"""WITH q AS (SELECT vec_id, $QV AS qv FROM embeddings),
+         |u AS (SELECT vec_id, generate_subscripts(qv, 1) - 1 AS d, unnest(qv) AS v FROM q),
+         |seeds AS (SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS cid
+         |          FROM embeddings WHERE vec_id % 5 = 0 ORDER BY vec_id LIMIT 8),
+         |c0 AS (SELECT s.cid, u.d, u.v AS cv FROM seeds s JOIN u USING (vec_id)),
+         |d1 AS (SELECT u.vec_id, c.cid, SUM((u.v - c.cv) * (u.v - c.cv)) AS dist
+         |       FROM u JOIN c0 c ON u.d = c.d GROUP BY 1, 2),
+         |a1 AS (SELECT vec_id, cid FROM (
+         |        SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+         |        FROM d1) t WHERE rn = 1),
+         |c1 AS (SELECT a.cid, u.d,
+         |         CAST(floor(CAST(SUM(u.v) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cv
+         |       FROM a1 a JOIN u USING (vec_id) GROUP BY a.cid, u.d),
+         |d2 AS (SELECT u.vec_id, c.cid, SUM((u.v - c.cv) * (u.v - c.cv)) AS dist
+         |       FROM u JOIN c1 c ON u.d = c.d GROUP BY 1, 2),
+         |a2 AS (SELECT vec_id, cid FROM (
+         |        SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+         |        FROM d2) t WHERE rn = 1),
+         |rk AS (SELECT cid AS cluster, vec_id,
+         |         row_number() OVER (PARTITION BY cid
+         |           ORDER BY ${h60("'bal_' || vec_id")}, vec_id) AS rnk
+         |       FROM a2)
+         |SELECT cluster, CAST(rnk AS BIGINT) AS rnk, vec_id
+         |FROM rk WHERE rnk <= 20 ORDER BY cluster, rnk""".stripMargin,
+
     // s4: α_m and the 2^53 scale are shared literals with the Spark side
     // (operators.SketchOps.HllAlpha) so both engines branch identically
     "s4_hll_distinct" ->

@@ -53,6 +53,8 @@ object SparkEntry {
     "q17_small_qty" -> Analytics.q17SmallQty _,
     "q20_topk_heap" -> Analytics.q20TopkHeap _,
     "q21_waiting" -> Analytics.q21Waiting _,
+    "q23_cube" -> Analytics.q23Cube _,
+    "x2_cluster_sample" -> operators.ClusterOps.clusterBalancedSample _,
     "q22_inactive_rich" -> Analytics.q22InactiveRich _,
     "p17_scd2" -> pipeline.ScdOps.scdTiers _,
     "p18_temporal_lookup" -> pipeline.ScdOps.temporalLookup _,

@@ -399,6 +399,22 @@ object Analytics {
         count(lit(1)).as("n_items"))
   }
 
+  /** q23: full CUBE over (returnflag, linestatus) — all four grouping
+    * sets (detail, two marginals, grand total) in ONE pass: Spark's
+    * Expand operator replicates each input row per grouping set before
+    * the single partial-agg shuffle, so the lineitem scan happens once
+    * regardless of how many sets the cube spans (vs 4 separate
+    * aggregations = 4 scans). Completes the grouping-operator family
+    * next to q10's ROLLUP. */
+  def q23Cube(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .cube("l_returnflag", "l_linestatus")
+      .agg(
+        count(lit(1)).as("n_items"),
+        decSum(col("l_quantity")).as("sum_qty"),
+        decSum(col("l_extendedprice")).as("sum_price"))
+      .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+
   /** q21 (TPC-H Q21 shape): suppliers who "kept finished orders
     * waiting" — the hardest TPC-H join topology: a fact table semi- AND
     * anti-joined against itself with a not-equal residual. The schema

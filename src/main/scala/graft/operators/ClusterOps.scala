@@ -82,4 +82,39 @@ object ClusterOps {
       .select(col("vec_id"), col("cid").as("cluster"), col("dist").as("dist_sq"))
       .orderBy("vec_id")
   }
+
+  /** Per-cluster sample size for x2. */
+  val SampleN = 20
+
+  /** x2: CLUSTER-BALANCED SAMPLING — the diversity-sampling stage a
+    * training mix actually runs on the e7 clusters: from every cluster,
+    * keep the SampleN members with the smallest deterministic md5 rank
+    * (a reproducible "random" per-cluster sample — same discipline as
+    * s3: the sample is a pure function of the row, identical on rerun,
+    * any partitioning, any engine).
+    *
+    * Scale shape: the per-cluster top-N runs through the custom
+    * TopKPerKey physical operator when the extension is live — bounded
+    * per-key heaps after one hash shuffle, no per-cluster sort of the
+    * full corpus (the window fallback sorts each cluster's partition).
+    * The rank column is recomputed on the ≤ K·SampleN survivors —
+    * trivial by construction. */
+  def clusterBalancedSample(spark: SparkSession, dir: String): DataFrame = {
+    val withH = kmeans(spark, dir)
+      .select(col("vec_id"), col("cluster"))
+      .withColumn("h", hash60(concat(lit("bal_"), col("vec_id").cast("string"))))
+    val top =
+      if (spark.catalog.functionExists("graft_dot_long"))
+        graft.plans.TopKPerKey(withH, Seq("cluster"),
+          Seq(("h", true), ("vec_id", true)), SampleN)
+      else {
+        val w = Window.partitionBy("cluster").orderBy(col("h"), col("vec_id"))
+        withH.withColumn("rn", row_number().over(w)).filter(col("rn") <= SampleN).drop("rn")
+      }
+    top
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("cluster").orderBy(col("h"), col("vec_id"))).cast("long"))
+      .select(col("cluster"), col("rnk"), col("vec_id"))
+      .orderBy("cluster", "rnk")
+  }
 }

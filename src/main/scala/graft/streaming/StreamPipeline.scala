@@ -228,10 +228,12 @@ object StreamPipeline {
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     val sdf = spark.readStream.schema(raw.schema).parquet(streamDir.toString)
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-    val query = sessionizeStream(sdf)
-      .writeStream.format("memory").queryName("graft_p15_sessions")
-      .outputMode("append").start()
-    try query.processAllAvailable() finally query.stop()
+    withStatePartitions(spark, MaterializeStateParts) {
+      val query = sessionizeStream(sdf)
+        .writeStream.format("memory").queryName("graft_p15_sessions")
+        .outputMode("append").start()
+      try query.processAllAvailable() finally query.stop()
+    }
     spark.table("graft_p15_sessions")
       .filter(col("user_id") =!= FlushUser)
       .orderBy("user_id", "session_start")
@@ -263,12 +265,33 @@ object StreamPipeline {
     * hash-matches the same DuckDB oracle as p5 — which is what promotes
     * the streaming operator from test-verified to oracle-verified. */
   def kpiDailyViaFileStream(spark: SparkSession, dir: String): DataFrame = {
-    val query = kpiDailyStream(spark, stagedEventsStream(spark, dir))
-      .writeStream.format("memory").queryName("graft_p9_kpi")
-      .outputMode("complete").start()
-    try query.processAllAvailable() finally query.stop()
+    withStatePartitions(spark, MaterializeStateParts) {
+      val query = kpiDailyStream(spark, stagedEventsStream(spark, dir))
+        .writeStream.format("memory").queryName("graft_p9_kpi")
+        .outputMode("complete").start()
+      try query.processAllAvailable() finally query.stop()
+    }
     spark.table("graft_p9_kpi").orderBy("date")
   }
+
+  /** Runs `body` with the session's shuffle-partition count — which for
+    * streaming is also the STATE STORE count — scoped down to `n`.
+    * Stateful queries pay per-store fixed costs every micro-batch
+    * (store init, snapshot/delta commit I/O), so state partitioning is
+    * sized to state VOLUME, not to the session's scan parallelism: at
+    * this volume 8 stores beat 32 idle ones; a 100 TB deployment sizes
+    * it to aggregate state ÷ target-store-size instead. Results are
+    * partition-count-invariant (DeterminismSpec), so this changes cost,
+    * never content. Conf is restored even on failure. */
+  private def withStatePartitions[T](spark: SparkSession, n: Int)(body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, n.toString)
+    try body finally spark.conf.set(key, prev)
+  }
+
+  /** State partition count for the finite-input materializations. */
+  private val MaterializeStateParts = 8
 
   /** Collision-proof staging dir per (operator, data dir): the
     * sanitized dir name keeps it readable, the md5-derived hash keeps
@@ -330,10 +353,12 @@ object StreamPipeline {
   /** p13 as an oracle-checkable batch result (file streaming source →
     * memory sink), like kpiDailyViaFileStream. */
   def signupPurchaseJoinViaFileStream(spark: SparkSession, dir: String): DataFrame = {
-    val query = signupPurchaseJoin(spark, stagedEventsStream(spark, dir))
-      .writeStream.format("memory").queryName("graft_p13_ssj")
-      .outputMode("append").start()
-    try query.processAllAvailable() finally query.stop()
+    withStatePartitions(spark, MaterializeStateParts) {
+      val query = signupPurchaseJoin(spark, stagedEventsStream(spark, dir))
+        .writeStream.format("memory").queryName("graft_p13_ssj")
+        .outputMode("append").start()
+      try query.processAllAvailable() finally query.stop()
+    }
     spark.table("graft_p13_ssj")
       .select(col("s_event_id"), col("p_event_id"), col("user_id"),
         col("s_ts").cast("timestamp_ntz").as("s_ts"),
