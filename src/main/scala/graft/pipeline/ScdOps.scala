@@ -55,9 +55,11 @@ object ScdOps {
     * the filter. Spark realization: the a1 AS-OF trick instead — UNION
     * the tier-change rows with the purchase rows, sort per user by
     * (ts, side) with changes first at an equal instant, and carry
-    * `last(version/tier, ignoreNulls)` forward. ONE shuffle on user_id,
-    * no join at all, and a purchase that coincides with a change picks
-    * up the new version — exactly the half-open `[valid_from, valid_to)`
+    * `last(version/tier, ignoreNulls)` forward. Everything hash-
+    * partitions on user_id (the change-detection window, then the carry
+    * window over the union — two exchanges, zero joins, zero range
+    * fan-out), and a purchase that coincides with a change picks up
+    * the new version — exactly the half-open `[valid_from, valid_to)`
     * interval semantics the oracle's literal range join computes.
     * Purchases before a user's first observation keep null version/tier
     * (left-join semantics). */

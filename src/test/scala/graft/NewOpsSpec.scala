@@ -174,6 +174,23 @@ class NewOpsSpec extends AnyFunSuite with SparkSpec {
     assert(windowed === literal)
   }
 
+  test("p18 plans as windows only: no join, user_id exchanges shared") {
+    val df = pipeline.ScdOps.temporalLookup(spark, Sf0001)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(!plan.contains("Join"), s"p18 must not plan a join:\n$plan")
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(hashEx <= 2, s"expected at most 2 user_id exchanges, got $hashEx:\n$plan")
+  }
+
+  test("a4 plans the overlap as an equality join on the bucket, never a nested loop") {
+    val df = JoinOps.intervalOverlap(spark, Sf0001)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"the bucket rewrite must keep the join hashable:\n$plan")
+  }
+
   // --- s4: HLL estimate lands inside its error envelope ------------------
 
   test("s4 HLL estimate is within 4 standard errors of the exact count") {
