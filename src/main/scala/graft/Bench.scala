@@ -81,10 +81,13 @@ object Bench {
     // line must fit consumers that keep only the last ~2 KB of output
     val line = s"""{"metric":"total","value":${r2(total)},"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir","wall":${r2(wallTotal)}}"""
     println(line)
-    // Also land the line as a repo file — stdout passes through sbt and
-    // whatever wrapper invoked it; the file is the unmediated record.
-    java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_SELF.json"),
+    // Also land the line as a local file (gitignored) — stdout passes
+    // through sbt and whatever wrapper invoked it; the file is the
+    // unmediated record. Best-effort: a read-only or foreign cwd must
+    // not turn a successful bench into an IO failure.
+    try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_SELF.json"),
       (line + "\n").getBytes("UTF-8"))
+    catch { case _: java.io.IOException => () }
     operators.DedupOps.clearMemo(spark, sfDir)
     spark.stop()
     if (results.exists(!_._3)) sys.exit(1)

@@ -432,25 +432,31 @@ object Analytics {
     * collapses multi-line contributions BEFORE the self-joins, bounding
     * their input to one row per order-supplier pair. supplier is
     * SF-proportional → shuffle join; nation is constant → broadcast. */
-  def q21Waiting(spark: SparkSession, dir: String): DataFrame = {
-    val fOrders = Tables.orders(spark, dir)
+  /** The (order, supplier) blame core of q21 on ANY orders/lineitem
+    * shaped frames — extracted so the fixture-driven semantics test
+    * exercises the REAL join topology, not a copy of it. */
+  private[graft] def q21BlamedSet(orders: DataFrame, li: DataFrame): DataFrame = {
+    val fOrders = orders
       .filter(col("o_orderstatus") === "F")
       .select("o_orderkey", "o_orderdate")
-    val li = Tables.lineitem(spark, dir).select("l_orderkey", "l_suppkey", "l_shipdate")
+    val lines = li.select("l_orderkey", "l_suppkey", "l_shipdate")
     // one row per (finished order, supplier): all contributors / late contributors
-    val allSupp = li.join(fOrders, col("l_orderkey") === col("o_orderkey"))
+    val allSupp = lines.join(fOrders, col("l_orderkey") === col("o_orderkey"))
       .select("l_orderkey", "l_suppkey").distinct()
-    val lateSupp = li.join(fOrders, col("l_orderkey") === col("o_orderkey"))
+    val lateSupp = lines.join(fOrders, col("l_orderkey") === col("o_orderkey"))
       .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
       .select("l_orderkey", "l_suppkey").distinct()
-    val blamed = lateSupp.as("d")
+    lateSupp.as("d")
       .join(allSupp.as("a"),
         col("d.l_orderkey") === col("a.l_orderkey") &&
           col("d.l_suppkey") =!= col("a.l_suppkey"), "left_semi")
       .join(lateSupp.as("x"),
         col("d.l_orderkey") === col("x.l_orderkey") &&
           col("d.l_suppkey") =!= col("x.l_suppkey"), "left_anti")
-    blamed
+  }
+
+  def q21Waiting(spark: SparkSession, dir: String): DataFrame = {
+    q21BlamedSet(Tables.orders(spark, dir), Tables.lineitem(spark, dir))
       .join(Tables.supplier(spark, dir), col("l_suppkey") === col("s_suppkey"))
       .join(broadcast(Tables.nation(spark, dir)),
         col("s_nationkey") === col("n_nationkey"))

@@ -5,7 +5,8 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, EvalMode, Expression, ExpressionInfo}
-import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.util.{ArrayData, MathUtils}
+import org.apache.spark.sql.internal.SQLConf
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
 
 /** Exact int64 dot product of two array<bigint> columns as a native
@@ -27,12 +28,13 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   *
   * OVERFLOW behavior follows `mode`, mirroring the three eval modes the
   * built-in arithmetic can carry: LEGACY wraps (Java long semantics),
-  * ANSI throws ArithmeticException, TRY yields null. The optimizer
-  * rewrite propagates the mode it matched, so a rewritten plan keeps
-  * the exact overflow semantics the user's formulation had. Direct
-  * `graft_dot_long(a, b)` calls default to LEGACY (wrapping) — the
-  * library's own callers keep magnitudes far inside int64 (documented
-  * per call site).
+  * ANSI throws Spark's standard ARITHMETIC_OVERFLOW error (via
+  * MathUtils, so error-class matchers see the same SparkThrowable as
+  * for built-in `*`/`+`), TRY yields null. The optimizer rewrite
+  * propagates the mode it matched, and the SQL-function builder derives
+  * the mode from the session's ANSI conf at resolution time — so with
+  * or without the extension, rewritten or explicit, the same query has
+  * the same overflow semantics.
   */
 case class LongDotProduct(left: Expression, right: Expression,
     mode: EvalMode.Value = EvalMode.LEGACY)
@@ -67,7 +69,10 @@ case class LongDotProduct(left: Expression, right: Expression,
       try {
         while (i < n) {
           if (x.isNullAt(i) || y.isNullAt(i)) return null
-          acc = Math.addExact(acc, Math.multiplyExact(x.getLong(i), y.getLong(i)))
+          // MathUtils raises Spark's ARITHMETIC_OVERFLOW SparkThrowable
+          // (a java.lang.ArithmeticException subclass), matching what the
+          // built-in ANSI arithmetic raises
+          acc = MathUtils.addExact(MathUtils.multiplyExact(x.getLong(i), y.getLong(i)), acc)
           i += 1
         }
       } catch {
@@ -91,7 +96,7 @@ case class LongDotProduct(left: Expression, right: Expression,
         if (mode == EvalMode.LEGACY)
           s"$acc += $x.getLong($i) * $y.getLong($i);"
         else
-          s"$acc = java.lang.Math.addExact($acc, java.lang.Math.multiplyExact($x.getLong($i), $y.getLong($i)));"
+          s"$acc = org.apache.spark.sql.catalyst.util.MathUtils.addExact(org.apache.spark.sql.catalyst.util.MathUtils.multiplyExact($x.getLong($i), $y.getLong($i)), $acc);"
       val loop =
         s"""
            |int $n = $x.numElements();
@@ -139,7 +144,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       new FunctionIdentifier("graft_dot_long"),
       new ExpressionInfo(classOf[LongDotProduct].getName, "graft_dot_long"),
-      (children: Seq[Expression]) => LongDotProduct(children.head, children(1))))
+      // overflow mode follows the session's ANSI conf at resolution
+      // time, so graft_dot_long(a, b) and the built-in fallback
+      // formulation can never diverge on overflow (F.dotBest's
+      // "identical results either way" contract)
+      (children: Seq[Expression]) => LongDotProduct(children.head, children(1),
+        EvalMode.fromSQLConf(SQLConf.get))))
     ext.injectFunction((
       new FunctionIdentifier("graft_simhash_agg"),
       new ExpressionInfo(classOf[SimHashAgg].getName, "graft_simhash_agg"),

@@ -43,7 +43,19 @@ object ClusterOps {
     * iteration lesson). At 100 TB: corpus-side work is 2 shuffles per
     * round (distance agg + update agg), broadcast traffic is k·d·8
     * bytes per round — nothing SF-proportional ever sits on one node. */
-  def kmeans(spark: SparkSession, dir: String): DataFrame = {
+  def kmeans(spark: SparkSession, dir: String): DataFrame =
+    kmeansAssign(spark, dir)
+      .select(col("vec_id"), col("cid").as("cluster"), col("dist").as("dist_sq"))
+      .orderBy("vec_id")
+
+  /** The UNSORTED final-round assignment (vec_id, cid, dist) — the
+    * shared substrate for e7 and x2, memoized per (session, dir) like
+    * the dedup signatures so the Lloyd rounds run once, not once per
+    * consumer (the d3/d5 lesson). The e7 presentation sort is applied
+    * only at its own boundary: x2's next hop is a hash shuffle on the
+    * cluster key, which would discard a range sort anyway. */
+  private[graft] def kmeansAssign(spark: SparkSession, dir: String): DataFrame =
+    DedupOps.memoized(spark, "e7_assign", dir) {
     val u = Tables.embeddings(spark, dir)
       .select(col("vec_id"), posexplode(quantize(col("embedding"))))
       .toDF("vec_id", "d", "v")
@@ -79,8 +91,6 @@ object ClusterOps {
       assigned = assign(centroids)
     }
     assigned
-      .select(col("vec_id"), col("cid").as("cluster"), col("dist").as("dist_sq"))
-      .orderBy("vec_id")
   }
 
   /** Per-cluster sample size for x2. */
@@ -100,8 +110,8 @@ object ClusterOps {
     * The rank column is recomputed on the ≤ K·SampleN survivors —
     * trivial by construction. */
   def clusterBalancedSample(spark: SparkSession, dir: String): DataFrame = {
-    val withH = kmeans(spark, dir)
-      .select(col("vec_id"), col("cluster"))
+    val withH = kmeansAssign(spark, dir)
+      .select(col("vec_id"), col("cid").as("cluster"))
       .withColumn("h", hash60(concat(lit("bal_"), col("vec_id").cast("string"))))
     val top =
       if (spark.catalog.functionExists("graft_dot_long"))

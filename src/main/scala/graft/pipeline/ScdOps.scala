@@ -29,22 +29,30 @@ object ScdOps {
     * number. Events whose props lack a numeric `k` are not tier
     * observations and do not open or close intervals (same try_cast
     * discipline as p8/p12). */
-  def scdTiers(spark: SparkSession, dir: String): DataFrame = {
-    val byUser = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
-    val obs = Tables.events(spark, dir)
+  private def byUser = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+
+  /** The tier CHANGE rows — one definition shared by p17 (which closes
+    * them into intervals) and p18 (which carries them onto facts), so
+    * the change-detection semantics can never drift between the two
+    * (the p4/p5/p16 `tripsOf` lesson). Columns:
+    * (user_id, ts, event_id, tier, version). */
+  private def tierChanges(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
       .withColumn("tier", expr("try_cast(get_json_object(props, '$.k') AS LONG) % 10"))
       .filter(col("tier").isNotNull)
-    obs
       .withColumn("prev_tier", lag(col("tier"), 1).over(byUser))
       .filter(col("prev_tier").isNull || col("tier") =!= col("prev_tier"))
+      .withColumn("version", row_number().over(byUser).cast("long"))
+      .select(col("user_id"), col("ts"), col("event_id"), col("tier"), col("version"))
+
+  def scdTiers(spark: SparkSession, dir: String): DataFrame =
+    tierChanges(spark, dir)
       .withColumn("valid_from", col("ts").cast("timestamp_ntz"))
       .withColumn("valid_to", lead(col("ts"), 1).over(byUser).cast("timestamp_ntz"))
-      .withColumn("version", row_number().over(byUser).cast("long"))
       .select(col("user_id"), col("version"), col("tier"),
         col("valid_from"), col("valid_to"),
         col("valid_to").isNull.as("is_current"))
       .orderBy("user_id", "version")
-  }
 
   /** p18: TEMPORAL DIMENSION LOOKUP — every purchase enriched with the
     * tier version that was valid at its event time (the classic
@@ -64,13 +72,7 @@ object ScdOps {
     * Purchases before a user's first observation keep null version/tier
     * (left-join semantics). */
   def temporalLookup(spark: SparkSession, dir: String): DataFrame = {
-    val byUser = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
-    val obs = Tables.events(spark, dir)
-      .withColumn("tier", expr("try_cast(get_json_object(props, '$.k') AS LONG) % 10"))
-      .filter(col("tier").isNotNull)
-      .withColumn("prev_tier", lag(col("tier"), 1).over(byUser))
-      .filter(col("prev_tier").isNull || col("tier") =!= col("prev_tier"))
-      .withColumn("version", row_number().over(byUser).cast("long"))
+    val obs = tierChanges(spark, dir)
       .select(col("user_id"), col("ts"), lit(0).as("side"),
         col("version"), col("tier"),
         lit(null).cast("long").as("event_id"), lit(null).cast("double").as("value"))

@@ -73,15 +73,36 @@ object SinkOps {
     * still prunes at the DIRECTORY level (PartitionFilters on
     * literals), exactly as a hard-coded window would. */
   def prunedKpiRead(spark: SparkSession, out: String): DataFrame = {
-    val minDate = spark.read.parquet(out)
-      .agg(min(col("date"))).head.getDate(0).toLocalDate
+    // an empty input lands a partition-less lake (no files to infer
+    // from) or an all-null date min — both degrade to the empty result,
+    // not an exception (the old hard-coded window's graceful behavior)
+    val lake =
+      try spark.read.parquet(out)
+      catch { case _: org.apache.spark.sql.AnalysisException =>
+        return spark.createDataFrame(
+          java.util.List.of[org.apache.spark.sql.Row](), p14Schema) }
+    val minRow = lake.agg(min(col("date"))).head
+    if (minRow.isNullAt(0))
+      return spark.createDataFrame(
+        java.util.List.of[org.apache.spark.sql.Row](), p14Schema)
+    val minDate = minRow.getDate(0).toLocalDate
     val from = java.sql.Date.valueOf(minDate.plusDays(2))
     val to = java.sql.Date.valueOf(minDate.plusDays(5))
-    spark.read.parquet(out)
+    lake
       .filter(col("date") >= lit(from) && col("date") <= lit(to))
       .select(col("date").cast(DateType).as("date"), col("event_type"),
         col("n_events"), col("total_value"), col("avg_value"),
         col("max_value"), col("min_value"))
       .orderBy("date", "event_type")
   }
+
+  /** p14's output schema — also the shape of the empty-lake result. */
+  val p14Schema: StructType = StructType(Seq(
+    StructField("date", DateType),
+    StructField("event_type", StringType),
+    StructField("n_events", LongType),
+    StructField("total_value", DoubleType),
+    StructField("avg_value", DoubleType),
+    StructField("max_value", DoubleType),
+    StructField("min_value", DoubleType)))
 }

@@ -14,7 +14,6 @@ class NewOpsSpec extends AnyFunSuite with SparkSpec {
   // --- q21: blame semantics on a constructed order set ------------------
 
   test("q21 blames exactly the sole-late supplier on multi-supplier finished orders") {
-    import org.apache.spark.sql.expressions.Window
     // order 1: suppliers 10 (late) + 11 (on time)  -> 10 blamed
     // order 2: suppliers 10 (late) + 11 (late)     -> nobody (another late supplier)
     // order 3: supplier 10 alone (late)            -> nobody (no other supplier)
@@ -32,21 +31,10 @@ class NewOpsSpec extends AnyFunSuite with SparkSpec {
         Row(4L, 10L, ship(120)), Row(4L, 11L, ship(1))),
       StructType(Seq(StructField("l_orderkey", LongType), StructField("l_suppkey", LongType),
         StructField("l_shipdate", TimestampType))))
-    // replicate the operator's core (pre-supplier-join) on the fixture
-    val f = orders.filter(col("o_orderstatus") === "F").select("o_orderkey", "o_orderdate")
-    val joined = li.join(f, col("l_orderkey") === col("o_orderkey"))
-    val allSupp = joined.select("l_orderkey", "l_suppkey").distinct()
-    val lateSupp = joined
-      .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
-      .select("l_orderkey", "l_suppkey").distinct()
-    val blamed = lateSupp.as("d")
-      .join(allSupp.as("a"), col("d.l_orderkey") === col("a.l_orderkey") &&
-        col("d.l_suppkey") =!= col("a.l_suppkey"), "left_semi")
-      .join(lateSupp.as("x"), col("d.l_orderkey") === col("x.l_orderkey") &&
-        col("d.l_suppkey") =!= col("x.l_suppkey"), "left_anti")
+    // the fixture drives the operator's REAL blame core
+    val blamed = Analytics.q21BlamedSet(orders, li)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(blamed === Set((1L, 10L)))
-    val _ = Window // silence unused-import lint paths
   }
 
   test("q21 runs on the real tables with no SF-proportional broadcast") {
@@ -119,6 +107,9 @@ class NewOpsSpec extends AnyFunSuite with SparkSpec {
   test("e7 k-means is partition-count invariant and assigns to the nearest centroid") {
     def run(parts: Int): Array[Row] = {
       val prev = spark.conf.get("spark.sql.shuffle.partitions")
+      // drop the memoized assignment so each run really recomputes the
+      // Lloyd rounds at its own partitioning (not the cached persist)
+      operators.DedupOps.clearMemo(spark, Sf0001)
       try {
         spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
         ClusterOps.kmeans(spark, Sf0001).collect()
