@@ -1126,6 +1126,33 @@ object Oracles {
          |SELECT cluster, CAST(rnk AS BIGINT) AS rnk, vec_id
          |FROM rk WHERE rnk <= 20 ORDER BY cluster, rnk""".stripMargin,
 
+    // p19: the streaming-HLL materialization must equal the per-day
+    // batch sketch — same register math as s4, absent registers folded
+    // in as (m − present)·2^53 and counted into v
+    "p19_stream_distinct" ->
+      s"""WITH h AS (SELECT CAST(ts AS DATE) AS date,
+         |             ${h60("CAST(event_id AS VARCHAR)")} AS h FROM events),
+         |r AS (SELECT date, h % 256 AS bucket, h // 256 AS rest FROM h),
+         |rho AS (SELECT date, bucket,
+         |          MAX(CASE WHEN rest = 0 THEN 53 ELSE 53 - length(bin(rest)) END) AS rho
+         |        FROM r GROUP BY 1, 2),
+         |agg AS (SELECT date,
+         |  CAST(SUM(CAST(1 AS BIGINT) << CAST(53 - rho AS INTEGER))
+         |       + (256 - COUNT(*)) * 9007199254740992 AS BIGINT) AS s,
+         |  CAST(256 - COUNT(*) AS BIGINT) AS v
+         |  FROM rho GROUP BY date),
+         |ex AS (SELECT CAST(ts AS DATE) AS date,
+         |         CAST(COUNT(DISTINCT event_id) AS BIGINT) AS n_exact
+         |       FROM events GROUP BY 1)
+         |SELECT a.date, CAST(256 AS BIGINT) AS m, a.s, a.v,
+         |  CASE WHEN CAST(${SketchOpsAlpha} AS DOUBLE) * 256 * 256 * 9007199254740992.0 / a.s <= 640.0
+         |            AND a.v > 0
+         |       THEN 256.0 * ln(256.0 / a.v)
+         |       ELSE CAST(${SketchOpsAlpha} AS DOUBLE) * 256 * 256 * 9007199254740992.0 / a.s END
+         |    AS est_distinct,
+         |  ex.n_exact
+         |FROM agg a JOIN ex USING (date) ORDER BY a.date""".stripMargin,
+
     // s4: α_m and the 2^53 scale are shared literals with the Spark side
     // (operators.SketchOps.HllAlpha) so both engines branch identically
     "s4_hll_distinct" ->

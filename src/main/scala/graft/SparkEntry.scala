@@ -32,6 +32,7 @@ object SparkEntry {
     "p11_ts_multiformat" -> TripPipeline.tsMultiFormat _,
     "p12_coerce_fields" -> TripPipeline.coerceFields _,
     "p13_stream_stream_join" -> streaming.StreamPipeline.signupPurchaseJoinViaFileStream _,
+    "p19_stream_distinct" -> streaming.StreamPipeline.hllDistinctStream _,
     // B. analytics
     "q1_pricing" -> Analytics.q1Pricing _,
     "q3_shipping" -> Analytics.q3Shipping _,

@@ -366,6 +366,59 @@ object StreamPipeline {
       .orderBy("s_event_id", "p_event_id")
   }
 
+  /** Streaming HLL register maintenance: per (day, register) running
+    * MAX of the leading-zero rank — the streaming-aggregation form of
+    * the batch s4 sketch (operators.SketchOps.hllDistinct). State is
+    * BOUNDED at days × 256 registers regardless of stream volume, and
+    * register max is associative/idempotent, so re-delivered events
+    * cannot change it — the sketch is exactly-once by algebra even on
+    * an at-least-once stream. This is how a 100 TB deployment keeps
+    * live distinct-count dashboards: registers in state, estimates
+    * read off them at query time. */
+  def hllRegistersStream(events: DataFrame): DataFrame =
+    events
+      .select(to_date(col("ts")).as("date"),
+        graft.functions.F.hash60(col("event_id")).as("h"))
+      .select(col("date"), (col("h") % 256).as("bucket"),
+        expr("h div 256").as("rest"))
+      .withColumn("rho", when(col("rest") === 0, lit(53))
+        .otherwise(lit(53) - length(bin(col("rest")))))
+      .groupBy("date", "bucket")
+      .agg(max("rho").as("rho"))
+
+  /** p19: the streaming sketch as an oracle-checkable batch result —
+    * registers materialize through the file streaming source, then the
+    * FINALIZATION (register sum → estimate, identical math to s4
+    * including the absent-register 2^53 terms and the linear-counting
+    * branch) runs over the tiny materialized register table. n_exact
+    * joins in from a batch scan as the accuracy reference column. */
+  def hllDistinctStream(spark: SparkSession, dir: String): DataFrame = {
+    withStatePartitions(spark, MaterializeStateParts) {
+      val query = hllRegistersStream(stagedEventsStream(spark, dir))
+        .writeStream.format("memory").queryName("graft_p19_hll")
+        .outputMode("complete").start()
+      try query.processAllAvailable() finally query.stop()
+    }
+    val m = graft.operators.SketchOps.HllM
+    val regs = spark.table("graft_p19_hll")
+    val agg = regs.groupBy("date").agg(
+      (sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(53 - rho AS INT))")) +
+        (lit(m.toLong) - count(lit(1))) * lit(9007199254740992L)).as("s"),
+      (lit(m.toLong) - count(lit(1))).as("v"))
+    val raw = lit(graft.operators.SketchOps.HllAlpha) * m * m *
+      lit(9007199254740992.0) / col("s")
+    val exact = graft.Tables.events(spark, dir)
+      .groupBy(to_date(col("ts")).as("date"))
+      .agg(countDistinct(col("event_id")).as("n_exact"))
+    agg.join(exact, "date")
+      .select(col("date"), lit(m.toLong).as("m"), col("s"), col("v"),
+        when(raw <= lit(2.5 * m) && col("v") > 0,
+          lit(m.toDouble) * log(lit(m.toDouble) / col("v")))
+          .otherwise(raw).as("est_distinct"),
+        col("n_exact"))
+      .orderBy("date")
+  }
+
   /** Daily KPIs over the matched-trip stream — event-time 1-day window,
     * same decimal-exact aggregates as the batch kpiDaily. */
   def kpiDailyStream(spark: SparkSession, events: DataFrame): DataFrame =

@@ -236,6 +236,28 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("p19 HLL registers are idempotent under re-delivery and equal the batch registers") {
+    val evDf = Tables.events(spark, Sf0001)
+    implicit val enc = Encoders.row(evDf.schema)
+    val stream = MemoryStream[Row](enc, spark)
+    val query = StreamPipeline.hllRegistersStream(stream.toDF())
+      .writeStream.format("memory").queryName("p19_regs_test")
+      .outputMode("complete").start()
+    val regs = try {
+      val chunks = orderedEvents.grouped(orderedEvents.length / 3 + 1).toSeq
+      chunks.foreach { c => stream.addData(c); query.processAllAvailable() }
+      // re-deliver the LAST chunk wholesale (at-least-once delivery):
+      // register max is idempotent, so nothing may change
+      stream.addData(chunks.last)
+      query.processAllAvailable()
+      spark.table("p19_regs_test").orderBy("date", "bucket").collect()
+    } finally query.stop()
+    val batch = StreamPipeline.hllRegistersStream(evDf)
+      .orderBy("date", "bucket").collect()
+    assert(regs.toSeq === batch.toSeq,
+      "streamed registers must equal the batch registers exactly")
+  }
+
   test("at-least-once re-delivery of recent events does not change the KPIs") {
     val batch = TripPipeline.kpiDaily(spark, Sf0001).collect()
     val half = orderedEvents.length / 2
