@@ -359,7 +359,11 @@ object DedupOps {
   }
 
   def winnowPairs(spark: SparkSession, dir: String): DataFrame = {
-    val fps = winnowFps(Tables.documents(spark, dir))
+    // the fingerprint set feeds three arms (DF cap + both self-join
+    // sides) — persisted like the other signature substrates
+    val fps = memoized(spark, "d7_fps", dir) {
+      winnowFps(Tables.documents(spark, dir))
+    }
     val keep = fps.groupBy("fp").agg(count(lit(1)).as("df"))
       .filter(col("df") <= MaxFpDf).select("fp")
     val pf = fps.join(keep, "fp")

@@ -96,11 +96,15 @@ object JoinOps {
     * sessions are kept via the final left join (count 0). */
   def intervalOverlap(spark: SparkSession, dir: String): DataFrame = {
     val BucketUs = 3600L * 1000000 // 1 hour
+    // the session frame feeds THREE plan arms (both self-join sides and
+    // the final zero-keeping left join) — materialize it once instead
+    // of re-running the sessionization window per arm
     val s = graft.pipeline.TripPipeline.sessionize(spark, dir)
       .select(col("user_id"), col("session_idx"),
         col("session_start"), col("session_end"),
         unix_micros(col("session_start").cast("timestamp")).as("su"),
         unix_micros(col("session_end").cast("timestamp")).as("eu"))
+      .localCheckpoint(eager = true)
     val exploded = s.withColumn("bucket",
       explode(sequence(expr(s"su div $BucketUs"), expr(s"eu div $BucketUs"))))
     val counts = exploded.as("a")
