@@ -56,6 +56,47 @@ object Oracles {
   private def annQ =
     s"q AS (SELECT vec_id, $QV AS qv FROM embeddings)"
 
+  /** e1 / e5 as standalone statements — map entries AND the CTE legs of
+    * the e8 recall evaluation, so the evaluation always scores exactly
+    * what the e1/e5 rows contain. */
+  private lazy val e1Sql: String =
+    s"""WITH ${annQ},
+       |p AS (SELECT a.vec_id AS q_id, b.vec_id AS c_id,
+       |    list_dot_product(a.qv, b.qv) AS dot,
+       |    list_dot_product(a.qv, a.qv) AS na,
+       |    list_dot_product(b.qv, b.qv) AS nb
+       |  FROM q a JOIN q b ON a.vec_id % 25 = 0 AND a.vec_id <> b.vec_id),
+       |r AS (SELECT q_id, c_id, dot / sqrt(na * nb) AS score,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY dot / sqrt(na * nb) DESC, c_id) AS rnk
+       |  FROM p)
+       |SELECT q_id, rnk, c_id, round(score, 6) AS score
+       |FROM r WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin
+
+  private lazy val e5Sql: String =
+    s"""WITH ql AS (SELECT vec_id, $QV AS qv, label FROM embeddings),
+       |unp AS (SELECT label, generate_subscripts(qv, 1) - 1 AS d, unnest(qv) AS v FROM ql),
+       |cd AS (SELECT label, d, SUM(v) AS s, COUNT(*) AS n FROM unp GROUP BY 1, 2),
+       |cent AS (SELECT label, list(s ORDER BY d) AS s, min(n) AS n,
+       |    SUM(s * s) AS ss FROM cd GROUP BY label),
+       |qq AS (SELECT vec_id AS q_id, qv, list_dot_product(qv, qv) AS q2
+       |  FROM ql WHERE vec_id % 25 = 0),
+       |qd AS (SELECT q.q_id, q.qv, c.label,
+       |    c.n * c.n * q.q2 - 2 * c.n * list_dot_product(q.qv, c.s) + c.ss AS dist2
+       |  FROM qq q CROSS JOIN cent c),
+       |pr AS (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY dist2, label) AS crnk
+       |  FROM qd),
+       |cand AS (SELECT p.q_id, p.qv, c.vec_id AS c_id, c.qv AS cq
+       |  FROM pr p JOIN ql c ON c.label = p.label
+       |  WHERE p.crnk <= 2 AND c.vec_id <> p.q_id),
+       |r AS (SELECT q_id, c_id,
+       |    list_dot_product(qv, cq) / sqrt(list_dot_product(qv, qv) * list_dot_product(cq, cq)) AS score,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY
+       |      list_dot_product(qv, cq) / sqrt(list_dot_product(qv, qv) * list_dot_product(cq, cq)) DESC,
+       |      c_id) AS rnk
+       |  FROM cand)
+       |SELECT q_id, rnk, c_id, round(score, 6) AS score
+       |FROM r WHERE rnk <= 3 ORDER BY q_id, rnk""".stripMargin
+
   private val bucketCte =
     s"""planes AS (
        |  SELECT p, d, ${h60("'hp_' || p || '_' || d")} % 2001 - 1000 AS w
@@ -851,18 +892,7 @@ object Oracles {
          |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY score DESC, c_id) AS rnk FROM rr) z
          |WHERE rnk <= 3 ORDER BY q_id, rnk""".stripMargin,
 
-    "e1_ann_topk" ->
-      s"""WITH ${annQ},
-         |p AS (SELECT a.vec_id AS q_id, b.vec_id AS c_id,
-         |    list_dot_product(a.qv, b.qv) AS dot,
-         |    list_dot_product(a.qv, a.qv) AS na,
-         |    list_dot_product(b.qv, b.qv) AS nb
-         |  FROM q a JOIN q b ON a.vec_id % 25 = 0 AND a.vec_id <> b.vec_id),
-         |r AS (SELECT q_id, c_id, dot / sqrt(na * nb) AS score,
-         |    row_number() OVER (PARTITION BY q_id ORDER BY dot / sqrt(na * nb) DESC, c_id) AS rnk
-         |  FROM p)
-         |SELECT q_id, rnk, c_id, round(score, 6) AS score
-         |FROM r WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin,
+    "e1_ann_topk" -> e1Sql,
 
     "e2_ann_lsh" ->
       s"""WITH ${annQ},
@@ -884,30 +914,21 @@ object Oracles {
     // candidate when ANY band code matches.
     // e5 mirrors the n-scaled exact centroid distance:
     // n^2*q.q - 2n*(q.s) + s.s — magnitudes < 2^53, exact in doubles.
-    "e5_ann_ivf" ->
-      s"""WITH ql AS (SELECT vec_id, $QV AS qv, label FROM embeddings),
-         |unp AS (SELECT label, generate_subscripts(qv, 1) - 1 AS d, unnest(qv) AS v FROM ql),
-         |cd AS (SELECT label, d, SUM(v) AS s, COUNT(*) AS n FROM unp GROUP BY 1, 2),
-         |cent AS (SELECT label, list(s ORDER BY d) AS s, min(n) AS n,
-         |    SUM(s * s) AS ss FROM cd GROUP BY label),
-         |qq AS (SELECT vec_id AS q_id, qv, list_dot_product(qv, qv) AS q2
-         |  FROM ql WHERE vec_id % 25 = 0),
-         |qd AS (SELECT q.q_id, q.qv, c.label,
-         |    c.n * c.n * q.q2 - 2 * c.n * list_dot_product(q.qv, c.s) + c.ss AS dist2
-         |  FROM qq q CROSS JOIN cent c),
-         |pr AS (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY dist2, label) AS crnk
-         |  FROM qd),
-         |cand AS (SELECT p.q_id, p.qv, c.vec_id AS c_id, c.qv AS cq
-         |  FROM pr p JOIN ql c ON c.label = p.label
-         |  WHERE p.crnk <= 2 AND c.vec_id <> p.q_id),
-         |r AS (SELECT q_id, c_id,
-         |    list_dot_product(qv, cq) / sqrt(list_dot_product(qv, qv) * list_dot_product(cq, cq)) AS score,
-         |    row_number() OVER (PARTITION BY q_id ORDER BY
-         |      list_dot_product(qv, cq) / sqrt(list_dot_product(qv, qv) * list_dot_product(cq, cq)) DESC,
-         |      c_id) AS rnk
-         |  FROM cand)
-         |SELECT q_id, rnk, c_id, round(score, 6) AS score
-         |FROM r WHERE rnk <= 3 ORDER BY q_id, rnk""".stripMargin,
+    "e5_ann_ivf" -> e5Sql,
+
+    // e8: recall@3 of the IVF scale path against the exact baseline —
+    // both sides are the e1/e5 statements verbatim, composed as CTEs
+    "e8_ann_recall" ->
+      s"""WITH exact AS ($e1Sql),
+         |approx AS ($e5Sql),
+         |qs AS (SELECT DISTINCT q_id FROM exact),
+         |hit AS (SELECT e.q_id, CAST(COUNT(*) AS BIGINT) AS n_hit
+         |        FROM exact e JOIN approx a ON e.q_id = a.q_id AND e.c_id = a.c_id
+         |        WHERE e.rnk <= 3 AND a.rnk <= 3
+         |        GROUP BY e.q_id)
+         |SELECT qs.q_id, COALESCE(hit.n_hit, 0) AS n_hit,
+         |  round(CAST(COALESCE(hit.n_hit, 0) AS DOUBLE) / 3.0, 6) AS recall_at_3
+         |FROM qs LEFT JOIN hit USING (q_id) ORDER BY q_id""".stripMargin,
 
     // e4's probe set (own bucket + every 1-bit flip) hits exactly the
     // hamming<=1 code pairs, which the oracle states directly.

@@ -91,6 +91,7 @@ object SparkEntry {
     "e1_ann_topk" -> ((s: SparkSession, d: String) => AnnOps.annTopk(s, d)),
     "e2_ann_lsh" -> ((s: SparkSession, d: String) => AnnOps.annLsh(s, d)),
     "e3_embed_neardup" -> ((s: SparkSession, d: String) => AnnOps.embedNearDup(s, d)),
+    "e8_ann_recall" -> AnnOps.annRecall _,
     "x1_corpus_clean" -> operators.CorpusOps.corpusClean _,
     "g1_bipartite_rank" -> operators.GraphOps.bipartiteRank _,
     "m1_multimodal_meta" -> MultimodalOps.multimodalMeta _,

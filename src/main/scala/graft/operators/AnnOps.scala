@@ -336,4 +336,26 @@ object AnnOps {
       .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
       .orderBy("id_a", "id_b")
   }
+
+  /** e8: RECALL EVALUATION of the IVF scale path against the exact
+    * baseline — per query, how many of e5's top-3 are in e1's true
+    * top-3. This is the operator you run before trusting an ANN config
+    * at 100 TB: the exact side is computed once on a bounded query
+    * sample (e1's stride), the approximate side is the production
+    * configuration, and the output quantifies the recall the probe/
+    * band parameters actually buy. Zero-hit queries are kept (left
+    * join) — silently dropping them would inflate the metric. */
+  def annRecall(spark: SparkSession, dir: String): DataFrame = {
+    val exact = annTopk(spark, dir).filter(col("rnk") <= 3).select("q_id", "c_id")
+    val approx = annIvf(spark, dir).filter(col("rnk") <= 3).select("q_id", "c_id")
+    val hits = exact.join(approx, Seq("q_id", "c_id"))
+      .groupBy("q_id").agg(count(lit(1)).as("n_hit"))
+    exact.select("q_id").distinct()
+      .join(hits, Seq("q_id"), "left")
+      .select(col("q_id"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        round(coalesce(col("n_hit"), lit(0L)).cast(DoubleType) / lit(3.0), 6)
+          .as("recall_at_3"))
+      .orderBy("q_id")
+  }
 }
