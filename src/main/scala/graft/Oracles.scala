@@ -1069,6 +1069,49 @@ object Oracles {
          |SELECT vec_id, cid AS cluster, CAST(dist AS BIGINT) AS dist_sq
          |FROM a2 ORDER BY vec_id""".stripMargin,
 
+    "q24_market_share" ->
+      """WITH flat AS (
+        |  SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        |    CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6)) AS rev,
+        |    n2.n_name AS supp_nation
+        |  FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        |  JOIN region ON n1.n_regionkey = r_regionkey
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        |  JOIN part ON l_partkey = p_partkey
+        |  WHERE r_name = 'ASIA' AND p_type = 'STANDARD'
+        |    AND o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1998-01-01')
+        |SELECT o_year,
+        |  round(CAST(SUM(CASE WHEN supp_nation = 'NATION_7' THEN rev
+        |                      ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE)
+        |    / CAST(SUM(rev) AS DOUBLE), 6) AS mkt_share,
+        |  CAST(SUM(rev) AS DOUBLE) AS total_rev,
+        |  CAST(COUNT(*) AS BIGINT) AS n_items
+        |FROM flat GROUP BY o_year ORDER BY o_year""".stripMargin,
+
+    // d8: asymmetric containment on d2's pruned index; intersections
+    // computed once per unordered pair, mirrored into both directions
+    "d8_containment" ->
+      s"""WITH $ngramCte,
+         |keep AS (SELECT ngram FROM ng GROUP BY ngram HAVING COUNT(*) <= 100),
+         |pruned AS (SELECT g.doc_id, g.ngram FROM ng g JOIN keep USING (ngram)),
+         |sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_ng FROM pruned GROUP BY doc_id),
+         |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(COUNT(*) AS BIGINT) AS inter
+         |  FROM pruned a JOIN pruned b ON a.ngram = b.ngram AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |directed AS (
+         |  SELECT doc_a AS src, doc_b AS dst, inter FROM inter
+         |  UNION ALL
+         |  SELECT doc_b AS src, doc_a AS dst, inter FROM inter)
+         |SELECT d.src AS doc_a, d.dst AS doc_b, d.inter, s.n_ng AS n_src,
+         |  round(CAST(d.inter AS DOUBLE) / s.n_ng, 6) AS containment
+         |FROM directed d JOIN sizes s ON d.src = s.doc_id
+         |WHERE CAST(d.inter AS DOUBLE) / s.n_ng >= 0.6
+         |ORDER BY doc_a, doc_b""".stripMargin,
+
     // d7: winnowing fingerprints — positional 3-gram hashes, min over a
     // 4-wide sliding window (full windows only), distinct per doc,
     // DF-capped inverted index, pair counts

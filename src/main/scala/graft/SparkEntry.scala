@@ -55,6 +55,8 @@ object SparkEntry {
     "q20_topk_heap" -> Analytics.q20TopkHeap _,
     "q21_waiting" -> Analytics.q21Waiting _,
     "q23_cube" -> Analytics.q23Cube _,
+    "q24_market_share" -> Analytics.q24MarketShare _,
+    "d8_containment" -> ((s: SparkSession, d: String) => operators.DedupOps.containmentPairs(s, d)),
     "x2_cluster_sample" -> operators.ClusterOps.clusterBalancedSample _,
     "q22_inactive_rich" -> Analytics.q22InactiveRich _,
     "p17_scd2" -> pipeline.ScdOps.scdTiers _,

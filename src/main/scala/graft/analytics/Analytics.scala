@@ -399,6 +399,51 @@ object Analytics {
         count(lit(1)).as("n_items"))
   }
 
+  /** q24 (TPC-H Q8 shape): national market share — the one TPC-H
+    * topology not yet covered: the SAME dimension in TWO ROLES (nation
+    * keys off both the customer side and the supplier side of one fact
+    * row) feeding a conditional share aggregate. Share =
+    * decimal-exact Σ(rev where supplier ∈ NATION_7) / Σ(rev), one
+    * IEEE division per year.
+    *
+    * Scale design: both nation roles and the region filter are
+    * constant-size broadcasts (two independent broadcasts of the same
+    * 25-row table under different keys); customer/supplier/part join
+    * via shuffle with AQE; the date-range and p_type filters push to
+    * their scans BEFORE any join. */
+  def q24MarketShare(spark: SparkSession, dir: String): DataFrame = {
+    val n = Tables.nation(spark, dir)
+    val custNation = broadcast(n
+      .select(col("n_nationkey").as("cn_key"), col("n_regionkey").as("cn_region")))
+    val suppNation = broadcast(n
+      .select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation")))
+    val asia = broadcast(Tables.region(spark, dir)
+      .filter(col("r_name") === "ASIA").select(col("r_regionkey")))
+    val flat = Tables.lineitem(spark, dir)
+      .join(Tables.orders(spark, dir)
+        .filter(col("o_orderdate") >= lit("1996-01-01") &&
+          col("o_orderdate") < lit("1998-01-01")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
+      .join(custNation, col("c_nationkey") === col("cn_key"))
+      .join(asia, col("cn_region") === col("r_regionkey"))
+      .join(Tables.supplier(spark, dir), col("l_suppkey") === col("s_suppkey"))
+      .join(suppNation, col("s_nationkey") === col("sn_key"))
+      .join(Tables.part(spark, dir).filter(col("p_type") === "STANDARD")
+        .select("p_partkey"), col("l_partkey") === col("p_partkey"))
+      .withColumn("rev", revDec())
+    flat
+      .groupBy(year(col("o_orderdate")).cast(LongType).as("o_year"))
+      .agg(
+        round(
+          sum(when(col("supp_nation") === "NATION_7", col("rev"))
+            .otherwise(lit(0).cast(DecimalType(18, 6)))).cast(DoubleType) /
+            sum(col("rev")).cast(DoubleType), 6).as("mkt_share"),
+        sum(col("rev")).cast(DoubleType).as("total_rev"),
+        count(lit(1)).as("n_items"))
+      .orderBy("o_year")
+  }
+
   /** q23: full CUBE over (returnflag, linestatus) — all four grouping
     * sets (detail, two marginals, grand total) in ONE pass: Spark's
     * Expand operator replicates each input row per grouping set before

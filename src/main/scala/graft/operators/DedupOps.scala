@@ -94,14 +94,20 @@ object DedupOps {
     * distinct ngrams → DF-pruned inverted index → self-join on ngram →
     * |A∩B| via count, |A∪B| = |A|+|B|−|A∩B|. The pruned index feeds the
     * self-join (both sides) and the per-doc sizes, so it is persisted. */
-  def ngramJaccard(spark: SparkSession, dir: String, minJaccard: Double = 0.18): DataFrame = {
+  /** The DF-pruned inverted index — d2's candidate substrate, shared
+    * with d8 (containment), persisted once per session+dir. */
+  private def prunedIndex(spark: SparkSession, dir: String): DataFrame = {
     val ng = docNgrams(spark, dir)
-    val pruned = memoized(spark, "d2_pruned", dir) {
+    memoized(spark, "d2_pruned", dir) {
       ng.join(
         ng.groupBy("ngram").agg(count(lit(1)).as("df"))
           .filter(col("df") <= MaxNgramDf).select("ngram"),
         "ngram")
     }
+  }
+
+  def ngramJaccard(spark: SparkSession, dir: String, minJaccard: Double = 0.18): DataFrame = {
+    val pruned = prunedIndex(spark, dir)
     val sizes = pruned.groupBy("doc_id").agg(count(lit(1)).as("n_ng"))
     val a = pruned.select(col("doc_id").as("doc_a"), col("ngram"))
     val b = pruned.select(col("doc_id").as("doc_b"), col("ngram"))
@@ -320,6 +326,36 @@ object DedupOps {
     cand.withColumn("hamming", expr("bit_count(ha ^ hb)").cast(LongType))
       .filter(col("hamming") <= MaxHamming)
       .select("doc_a", "doc_b", "hamming")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** d8: CONTAINMENT near-dup pairs — the ASYMMETRIC companion to d2's
+    * Jaccard: containment(a→b) = |A∩B| / |A| finds documents mostly
+    * CONTAINED in another (quotes, excerpts, page-within-crawl), which
+    * symmetric Jaccard misses whenever the containing document is much
+    * larger. Reuses d2's DF-pruned inverted index (one substrate, two
+    * metrics): intersections are computed once per unordered pair on
+    * the a<b self-join, then MIRRORED into both directions — half the
+    * join work of a full a≠b self-join, identical result. */
+  def containmentPairs(spark: SparkSession, dir: String,
+      minContainment: Double = 0.6): DataFrame = {
+    val pruned = prunedIndex(spark, dir)
+    val sizes = pruned.groupBy("doc_id").agg(count(lit(1)).as("n_ng"))
+    val inter = pruned.select(col("doc_id").as("doc_a"), col("ngram"))
+      .join(pruned.select(col("doc_id").as("doc_b"), col("ngram")), "ngram")
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("inter"))
+    val directed = inter
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"), col("inter"))
+      .unionByName(inter
+        .select(col("doc_b").as("src"), col("doc_a").as("dst"), col("inter")))
+    directed
+      .join(sizes.select(col("doc_id").as("src"), col("n_ng").as("n_src")), "src")
+      .filter(col("inter").cast(DoubleType) / col("n_src") >= minContainment)
+      .select(col("src").as("doc_a"), col("dst").as("doc_b"),
+        col("inter"), col("n_src"),
+        round(col("inter").cast(DoubleType) / col("n_src"), 6).as("containment"))
       .orderBy("doc_a", "doc_b")
   }
 
