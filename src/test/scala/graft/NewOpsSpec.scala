@@ -182,6 +182,41 @@ class NewOpsSpec extends AnyFunSuite with SparkSpec {
       s"the bucket rewrite must keep the join hashable:\n$plan")
   }
 
+  test("e8/q24/d8 invariants: recall bounds, share bounds, containment direction") {
+    val rec = operators.AnnOps.annRecall(spark, Sf0001).collect()
+    assert(rec.nonEmpty)
+    rec.foreach { r =>
+      val hit = r.getLong(1)
+      assert(hit >= 0 && hit <= 3)
+      assert(math.abs(r.getDouble(2) - math.rint(hit / 3.0 * 1e6) / 1e6) < 1e-9)
+    }
+    val share = Analytics.q24MarketShare(spark, Sf0001).collect()
+    assert(share.nonEmpty)
+    share.foreach { r =>
+      assert(r.getDouble(1) >= 0.0 && r.getDouble(1) <= 1.0)
+      assert(r.getDouble(2) > 0.0)
+    }
+    val cont = operators.DedupOps.containmentPairs(spark, Sf0001).collect()
+    assert(cont.nonEmpty, "containment must be non-vacuous at sf0.001")
+    cont.foreach { r =>
+      val c = r.getDouble(4)
+      assert(c >= 0.6 - 1e-9 && c <= 1.0 + 1e-9)
+      assert(r.getLong(0) !== r.getLong(1))
+    }
+    // directionality of the DEFINITION: where both directions of a pair
+    // survive with different index sizes, their containments must
+    // differ by exactly the n_src ratio (containment = inter / n_src)
+    val byPair = cont.map(r =>
+      ((r.getLong(0), r.getLong(1)), (r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    byPair.foreach { case ((a, b), (inter, nSrc, c)) =>
+      assert(math.abs(c - math.rint(inter.toDouble / nSrc * 1e6) / 1e6) < 1e-9)
+      byPair.get((b, a)).foreach { case (inter2, nSrc2, c2) =>
+        assert(inter2 === inter, "intersection must be symmetric")
+        if (nSrc != nSrc2) assert(c !== c2, "containment must follow its own side's size")
+      }
+    }
+  }
+
   // --- s4: HLL estimate lands inside its error envelope ------------------
 
   test("s4 HLL estimate is within 4 standard errors of the exact count") {
