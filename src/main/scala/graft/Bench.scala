@@ -87,7 +87,7 @@ object Bench {
     // not turn a successful bench into an IO failure.
     try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_SELF.json"),
       (line + "\n").getBytes("UTF-8"))
-    catch { case _: java.io.IOException => () }
+    catch { case scala.util.control.NonFatal(_) => () }
     operators.DedupOps.clearMemo(spark, sfDir)
     spark.stop()
     if (results.exists(!_._3)) sys.exit(1)

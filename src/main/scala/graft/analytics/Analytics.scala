@@ -227,7 +227,7 @@ object Analytics {
       .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"), col("o_orderdate"))
     // same probe as every other extension-gated path (a session built
     // with .withExtensions(...) has the function but no conf entry)
-    val hasExt = spark.catalog.functionExists("graft_dot_long")
+    val hasExt = graft.functions.F.extensionLive(spark)
     val top =
       if (hasExt)
         graft.plans.TopKPerKey(base, Seq("o_orderpriority"),

@@ -81,12 +81,24 @@ object F {
   def dotQ(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
 
+  /** Is GraftExtensions live in this session? GraftExtensions installs
+    * its pieces ATOMICALLY (functions + TopKPerKeyStrategy + optimizer
+    * rule in one apply), so the presence of `graft_dot_long` is the one
+    * probe for all of them — in particular for paths that PLAN a
+    * TopKPerKey node, which needs the strategy, not just the function.
+    * This helper is the single place that assumption is stated; every
+    * extension-gated path must probe through it. A session that
+    * hand-registers the function without the strategy is outside the
+    * supported surface. */
+  def extensionLive(spark: org.apache.spark.sql.SparkSession): Boolean =
+    spark.catalog.functionExists("graft_dot_long")
+
   /** Best available integer dot product for this session: the native
     * codegen'd LongDotProduct when GraftExtensions is registered
     * (a tight primitive loop in the generated stage), the higher-order
     * built-ins otherwise. Identical results either way. */
   def dotBest(spark: org.apache.spark.sql.SparkSession): (Column, Column) => Column =
-    if (spark.catalog.functionExists("graft_dot_long"))
+    if (extensionLive(spark))
       (a, b) => call_function("graft_dot_long", a, b)
     else dotQ
 

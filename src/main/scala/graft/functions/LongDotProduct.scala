@@ -35,6 +35,17 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   * the mode from the session's ANSI conf at resolution time — so with
   * or without the extension, rewritten or explicit, the same query has
   * the same overflow semantics.
+  *
+  * The match is exact even on null-result inputs: zip_with is EAGER, so
+  * the built-in evaluates the product of every index where both
+  * elements are non-null below min(len) — a mismatched-length or
+  * null-containing pair of arrays whose OTHER pairs overflow still
+  * throws under ANSI. Non-LEGACY modes therefore keep multiplying past
+  * a seen null (accumulating only the prefix sums the built-in's
+  * left-fold would compute, since `null + x` is null without an
+  * overflow check) instead of short-circuiting; LEGACY, where wrapping
+  * arithmetic can never throw, keeps the early-out fast path — the
+  * null-vs-value result is identical either way there.
   */
 case class LongDotProduct(left: Expression, right: Expression,
     mode: EvalMode.Value = EvalMode.LEGACY)
@@ -55,30 +66,41 @@ case class LongDotProduct(left: Expression, right: Expression,
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    if (x.numElements() != y.numElements()) return null
-    val n = x.numElements()
+    val nx = x.numElements()
+    val ny = y.numElements()
     var acc = 0L
     var i = 0
     if (mode == EvalMode.LEGACY) {
-      while (i < n) {
+      // wrapping arithmetic never throws, so the early-out is invisible
+      if (nx != ny) return null
+      while (i < nx) {
         if (x.isNullAt(i) || y.isNullAt(i)) return null
         acc += x.getLong(i) * y.getLong(i)
         i += 1
       }
     } else {
+      // zip_with is eager: every both-non-null pair below min(len) is
+      // multiplied (and may overflow) even when the overall result is
+      // null; the left-fold sum only runs until the first null product
+      val n = math.min(nx, ny)
+      var nullSeen = false
       try {
         while (i < n) {
-          if (x.isNullAt(i) || y.isNullAt(i)) return null
-          // MathUtils raises Spark's ARITHMETIC_OVERFLOW SparkThrowable
-          // (a java.lang.ArithmeticException subclass), matching what the
-          // built-in ANSI arithmetic raises
-          acc = MathUtils.addExact(MathUtils.multiplyExact(x.getLong(i), y.getLong(i)), acc)
+          if (x.isNullAt(i) || y.isNullAt(i)) nullSeen = true
+          else {
+            // MathUtils raises Spark's ARITHMETIC_OVERFLOW SparkThrowable
+            // (a java.lang.ArithmeticException subclass), matching what the
+            // built-in ANSI arithmetic raises
+            val p = MathUtils.multiplyExact(x.getLong(i), y.getLong(i))
+            if (!nullSeen) acc = MathUtils.addExact(p, acc)
+          }
           i += 1
         }
       } catch {
         case e: ArithmeticException =>
           if (mode == EvalMode.TRY) return null else throw e
       }
+      if (nullSeen || nx != ny) return null
     }
     acc
   }
@@ -92,25 +114,51 @@ case class LongDotProduct(left: Expression, right: Expression,
       val n = ctx.freshName("n")
       val acc = ctx.freshName("acc")
       val i = ctx.freshName("i")
-      val step =
-        if (mode == EvalMode.LEGACY)
-          s"$acc += $x.getLong($i) * $y.getLong($i);"
-        else
-          s"$acc = org.apache.spark.sql.catalyst.util.MathUtils.addExact(org.apache.spark.sql.catalyst.util.MathUtils.multiplyExact($x.getLong($i), $y.getLong($i)), $acc);"
-      val loop =
+      if (mode == EvalMode.LEGACY) {
+        // wrapping arithmetic never throws → early-out is invisible
         s"""
-           |int $n = $x.numElements();
-           |long $acc = 0L;
-           |for (int $i = 0; $i < $n && !${ev.isNull}; $i++) {
-           |  if ($x.isNullAt($i) || $y.isNullAt($i)) {
-           |    ${ev.isNull} = true;
-           |  } else {
-           |    $step
+           |if ($x.numElements() != $y.numElements()) {
+           |  ${ev.isNull} = true;
+           |} else {
+           |  int $n = $x.numElements();
+           |  long $acc = 0L;
+           |  for (int $i = 0; $i < $n && !${ev.isNull}; $i++) {
+           |    if ($x.isNullAt($i) || $y.isNullAt($i)) {
+           |      ${ev.isNull} = true;
+           |    } else {
+           |      $acc += $x.getLong($i) * $y.getLong($i);
+           |    }
            |  }
+           |  ${ev.value} = $acc;
            |}
-           |${ev.value} = $acc;
          """.stripMargin
-      val body =
+      } else {
+        // eager-zip_with parity: multiply EVERY both-non-null pair below
+        // min(len) (overflow can still throw when the result is null);
+        // sum only the prefix before the first null product
+        val nx = ctx.freshName("nx")
+        val ny = ctx.freshName("ny")
+        val ns = ctx.freshName("nullSeen")
+        val p = ctx.freshName("p")
+        val mu = "org.apache.spark.sql.catalyst.util.MathUtils"
+        val loop =
+          s"""
+             |int $nx = $x.numElements();
+             |int $ny = $y.numElements();
+             |int $n = $nx < $ny ? $nx : $ny;
+             |long $acc = 0L;
+             |boolean $ns = false;
+             |for (int $i = 0; $i < $n; $i++) {
+             |  if ($x.isNullAt($i) || $y.isNullAt($i)) {
+             |    $ns = true;
+             |  } else {
+             |    long $p = $mu.multiplyExact($x.getLong($i), $y.getLong($i));
+             |    if (!$ns) $acc = $mu.addExact($p, $acc);
+             |  }
+             |}
+             |${ev.isNull} = $ns || $nx != $ny;
+             |${ev.value} = $acc;
+           """.stripMargin
         if (mode == EvalMode.TRY)
           s"""
              |try {
@@ -120,13 +168,7 @@ case class LongDotProduct(left: Expression, right: Expression,
              |}
            """.stripMargin
         else loop
-      s"""
-         |if ($x.numElements() != $y.numElements()) {
-         |  ${ev.isNull} = true;
-         |} else {
-         |$body
-         |}
-       """.stripMargin
+      }
     })
 
   override protected def withNewChildrenInternal(

@@ -114,7 +114,7 @@ object ClusterOps {
       .select(col("vec_id"), col("cid").as("cluster"))
       .withColumn("h", hash60(concat(lit("bal_"), col("vec_id").cast("string"))))
     val top =
-      if (spark.catalog.functionExists("graft_dot_long"))
+      if (graft.functions.F.extensionLive(spark))
         graft.plans.TopKPerKey(withH, Seq("cluster"),
           Seq(("h", true), ("vec_id", true)), SampleN)
       else {

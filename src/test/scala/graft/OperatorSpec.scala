@@ -94,6 +94,42 @@ class OperatorSpec extends AnyFunSuite with SparkSpec {
     assert(tryDot.collect().head.isNullAt(0), "TRY overflow must null, not wrap")
   }
 
+  test("graft_dot_long matches the eager built-in on null-result overflow inputs") {
+    import graft.functions.F
+    assert(spark.conf.get("spark.sql.ansi.enabled").toBoolean)
+    // zip_with is eager: a null element does NOT stop the other pairs'
+    // products from being evaluated, so an overflowing pair AFTER a null
+    // still throws under ANSI. The native expression must agree (it used
+    // to short-circuit to null on the first null). `+ id` defeats
+    // constant folding.
+    val nullThenOverflow = spark.range(1).selectExpr(
+      "array(CAST(NULL AS BIGINT), 9223372036854775807L - id) AS a",
+      "array(3L + id, 2L + id) AS b")
+    intercept[Exception] {
+      nullThenOverflow.select(call_function("graft_dot_long", col("a"), col("b"))).collect()
+    }
+    intercept[Exception] { // the built-in agrees
+      nullThenOverflow.select(F.dotQ(col("a"), col("b"))).collect()
+    }
+    // mismatched lengths: products below min(len) are still evaluated
+    val shortThenOverflow = spark.range(1).selectExpr(
+      "array(9223372036854775807L - id) AS a",
+      "array(2L + id, 5L + id) AS b")
+    intercept[Exception] {
+      shortThenOverflow.select(call_function("graft_dot_long", col("a"), col("b"))).collect()
+    }
+    intercept[Exception] {
+      shortThenOverflow.select(F.dotQ(col("a"), col("b"))).collect()
+    }
+    // and when nothing overflows, null inputs still yield null (both)
+    val nullNoOverflow = spark.range(1).selectExpr(
+      "array(1L + id, CAST(NULL AS BIGINT), 3L) AS a",
+      "array(2L, 3L, 4L + id) AS b")
+    assert(nullNoOverflow.select(call_function("graft_dot_long", col("a"), col("b")))
+      .collect().head.isNullAt(0))
+    assert(nullNoOverflow.select(F.dotQ(col("a"), col("b"))).collect().head.isNullAt(0))
+  }
+
   test("TopKPerKey fails fast with advice when a partition exceeds its key budget") {
     // 1000 distinct keys over 4 shuffle partitions ≈ 250 keys/partition;
     // a 50-key budget must trip the no-spill guard, not OOM silently
