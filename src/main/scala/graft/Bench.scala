@@ -54,8 +54,14 @@ object Bench {
       try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
       catch { case e: Throwable => System.err.println(s"[bench] $name FAILED: $e"); false }
 
+    // dev-only filter for isolating queries while iterating
+    // (SPARK_GRAFT_ONLY=d2_ngram_jaccard,d7_winnow); the driver sets no
+    // filter and benches everything
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
     val warmT0 = System.nanoTime()
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
       val warmOk = runOnce(name, fn) // substrate/cache warm pass, untimed
       val samples = (1 to Reps).map { _ =>
         val t0 = System.nanoTime()

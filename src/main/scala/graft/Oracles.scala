@@ -785,6 +785,39 @@ object Oracles {
         |FROM s2 ORDER BY s_suppkey""".stripMargin,
 
     // x1: the composite corpus clean replays the t2/t3/d1/d5 CTE chain
+    "t9_chunk" ->
+      s"""WITH d AS (SELECT doc_id, $TOK AS t FROM documents),
+         |c AS (SELECT doc_id, t, len(t) AS n,
+         |  CASE WHEN len(t) <= 32 THEN 1 ELSE (len(t) - 32 + 23) // 24 + 1 END AS n_chunks
+         |  FROM d)
+         |SELECT doc_id, u AS chunk_id,
+         |  len(t[u*24+1 : u*24+32]) AS n_tok,
+         |  md5(array_to_string(t[u*24+1 : u*24+32], ' ')) AS fp
+         |FROM c, unnest(range(0, n_chunks)) AS x(u)
+         |ORDER BY doc_id, chunk_id""".stripMargin,
+
+    "d9_passage_dedup" ->
+      s"""WITH d AS (SELECT doc_id, $TOK AS t FROM documents),
+         |p AS (SELECT doc_id, t[u*8+1 : u*8+8] AS w
+         |  FROM (SELECT doc_id, t, len(t) AS n FROM d),
+         |       unnest(range(0, (n + 7) // 8)) AS x(u))
+         |SELECT md5(array_to_string(w, ' ')) AS fp, count(*) AS n_occ,
+         |  count(DISTINCT doc_id) AS n_docs, min(doc_id) AS keep_doc_id
+         |FROM p WHERE len(w) = 8
+         |GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2
+         |ORDER BY fp""".stripMargin,
+
+    "x3_decontaminate" ->
+      s"""WITH d AS (SELECT doc_id, $TOK AS t FROM documents),
+         |g AS (SELECT DISTINCT doc_id, gram FROM (
+         |  SELECT doc_id, unnest(CASE WHEN len(t) >= 8
+         |    THEN list_transform(range(1, len(t) - 6), i -> array_to_string(t[i:i+7], ' '))
+         |    ELSE [] END) AS gram FROM d) u),
+         |ev AS (SELECT DISTINCT gram FROM g WHERE doc_id % 20 = 0)
+         |SELECT doc_id, count(*) AS n_shared FROM g
+         |WHERE doc_id % 20 != 0 AND gram IN (SELECT gram FROM ev)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
     "x1_corpus_clean" ->
       s"""WITH d AS (SELECT doc_id, lang, $TOK AS t FROM documents),
          |qx AS (SELECT doc_id, len(t) AS n_tokens, len(list_distinct(t)) AS n_unique,

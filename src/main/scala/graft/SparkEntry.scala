@@ -95,6 +95,9 @@ object SparkEntry {
     "e3_embed_neardup" -> ((s: SparkSession, d: String) => AnnOps.embedNearDup(s, d)),
     "e8_ann_recall" -> AnnOps.annRecall _,
     "x1_corpus_clean" -> operators.CorpusOps.corpusClean _,
+    "x3_decontaminate" -> operators.CorpusOps.decontaminate _,
+    "t9_chunk" -> TextOps.chunk _,
+    "d9_passage_dedup" -> DedupOps.passageDedup _,
     "g1_bipartite_rank" -> operators.GraphOps.bipartiteRank _,
     "m1_multimodal_meta" -> MultimodalOps.multimodalMeta _,
     "m2_frame_sample" -> MultimodalOps.frameSample _

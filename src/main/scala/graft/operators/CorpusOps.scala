@@ -42,4 +42,41 @@ object CorpusOps {
       .join(clusterDrops, Seq("doc_id"), "left_anti")
       .orderBy("doc_id")
   }
+
+  /** x3 contamination gram length (tokens) and the eval-set carve
+    * (doc_id % EvalMod == 0 stands in for a held-out benchmark). */
+  val ContamGram = 8
+  val EvalMod = 20
+
+  /** x3: BENCHMARK DECONTAMINATION — flag training documents that share
+    * at least one ContamGram-token n-gram with the evaluation set (the
+    * standard n-gram-overlap decontamination run before any training
+    * job, so eval answers don't leak into the training mix). Output:
+    * each contaminated doc with its count of distinct shared grams.
+    *
+    * Scale shape: the asymmetry IS the design. The eval side is a
+    * benchmark suite — constant-size, NOT corpus-scale — so its distinct
+    * gram set builds into a small table that reaches every executor
+    * (here it's carved from the corpus, so the join is left to AQE
+    * rather than hint-forced; in production the eval gram set is a
+    * genuine broadcast). The corpus side is one narrow explode+distinct
+    * feeding the semi-join-shaped inner join — per-doc output bounded by
+    * its distinct grams, never pairwise in documents. */
+  def decontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val g = ContamGram
+    val grams = Tables.documents(spark, dir)
+      .withColumn("t", graft.functions.F.tokens(col("text")))
+      .select(col("doc_id"), explode(expr(
+        s"""CASE WHEN size(t) >= $g
+           |  THEN transform(sequence(0, size(t) - $g), i -> array_join(slice(t, i + 1, $g), ' '))
+           |  ELSE array() END""".stripMargin)).as("gram"))
+      .distinct()
+    val evalGrams = grams.filter(col("doc_id") % EvalMod === 0)
+      .select("gram").distinct()
+    grams.filter(col("doc_id") % EvalMod =!= 0)
+      .join(evalGrams, "gram")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shared"))
+      .orderBy("doc_id")
+  }
 }

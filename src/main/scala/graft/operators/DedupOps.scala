@@ -411,4 +411,38 @@ object DedupOps {
       .filter(col("n_shared") >= 2)
       .orderBy("doc_a", "doc_b")
   }
+
+  /** d9 passage length in tokens. */
+  val PassageLen = 8
+
+  /** d9: PASSAGE-level exact dedup — the sub-document granularity d1
+    * misses: a boilerplate header or license block repeated across
+    * otherwise-distinct documents never trips whole-doc fingerprints.
+    * Documents are cut into consecutive non-overlapping 8-token
+    * passages; a passage whose md5 appears in ≥ 2 DISTINCT documents is
+    * reported with its occurrence/document counts and the lowest doc_id
+    * (the canonical copy a cleaning pass would keep). Partial tail
+    * passages (< 8 tokens) are excluded — they alias arbitrary prefixes.
+    *
+    * Scale shape: narrow explode (~n/8 rows per doc, no overlap blowup)
+    * → ONE hash groupBy on the passage fingerprint with map-side
+    * partial aggregation; count(DISTINCT doc_id) runs as the standard
+    * two-phase expand — no joins, no per-doc state. At 100 TB this is
+    * the same single-shuffle profile as d1 with 8× the row count. */
+  def passageDedup(spark: SparkSession, dir: String): DataFrame = {
+    val p = PassageLen
+    Tables.documents(spark, dir)
+      .withColumn("t", tokens(col("text")))
+      .select(col("doc_id"), explode(expr(
+        s"""transform(sequence(0, (size(t) + ${p - 1}) div $p - 1),
+           |          u -> slice(t, u * $p + 1, $p))""".stripMargin)).as("w"))
+      .filter(size(col("w")) === p) // full passages only
+      .select(col("doc_id"), md5(array_join(col("w"), " ")).as("fp"))
+      .groupBy("fp")
+      .agg(count(lit(1)).as("n_occ"),
+        countDistinct(col("doc_id")).as("n_docs"),
+        min("doc_id").as("keep_doc_id"))
+      .filter(col("n_docs") >= 2)
+      .orderBy("fp")
+  }
 }

@@ -243,4 +243,41 @@ object TextOps {
       .limit(k)
       .select(col("bigram"), col("c_xy"), col("lift"))
   }
+
+  /** t9 chunk geometry: window size / stride in tokens. Stride < size
+    * gives the 8-token overlap that keeps context across chunk
+    * boundaries (the standard LM-training window trick). */
+  val ChunkSize = 32
+  val ChunkStride = 24
+
+  /** t9: training-window chunking — split every document into
+    * fixed-size token windows (size 32, stride 24), the tokenize-and-
+    * window stage that turns a cleaned corpus into LM training rows.
+    * Start offsets are 0, S, 2S, ...; the last window starts at the
+    * smallest multiple of S covering the tail, so every token lands in
+    * at least one chunk and only the final chunk may run short.
+    *
+    * Scale shape: a narrow projection + explode — NO shuffle anywhere;
+    * each task streams its input rows into ~n/S output rows.
+    * Output carries md5(chunk) instead of the chunk text to keep the
+    * artifact small; chunk_id is the window ordinal within the doc. */
+  def chunk(spark: SparkSession, dir: String): DataFrame = {
+    val (c, s) = (ChunkSize, ChunkStride)
+    Tables.documents(spark, dir)
+      .withColumn("t", toks)
+      .withColumn("n", size(col("t")))
+      // ceil((n - C)/S) + 1 windows; positive ints so `div` floors the
+      // same in Spark and DuckDB
+      .withColumn("n_chunks",
+        when(col("n") <= c, lit(1L))
+          .otherwise(expr(s"(n - $c + ${s - 1}) div $s + 1")))
+      .select(col("doc_id"),
+        explode(sequence(lit(0L), col("n_chunks") - 1)).as("chunk_id"),
+        col("t"))
+      .withColumn("w", slice(col("t"), col("chunk_id") * s + 1, lit(c)))
+      .select(col("doc_id"), col("chunk_id"),
+        size(col("w")).cast(LongType).as("n_tok"),
+        md5(array_join(col("w"), " ")).as("fp"))
+      .orderBy("doc_id", "chunk_id")
+  }
 }

@@ -217,6 +217,81 @@ class NewOpsSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  // --- t9: chunk geometry covers every token exactly as specified --------
+
+  test("t9 chunks cover every token: stride layout, full windows, short tail only") {
+    import graft.operators.TextOps
+    val docs = Tables.documents(spark, Sf0001)
+      .select(col("doc_id"), size(graft.functions.F.tokens(col("text"))).as("n"))
+    val chunks = TextOps.chunk(spark, Sf0001)
+      .groupBy("doc_id").agg(
+        count(lit(1)).as("n_chunks"),
+        max("chunk_id").as("last_id"),
+        min("n_tok").as("min_tok"),
+        sum(when(col("n_tok") =!= TextOps.ChunkSize, 1L).otherwise(0L)).as("n_short"))
+    val joined = docs.join(chunks, "doc_id").collect()
+    assert(joined.nonEmpty)
+    joined.foreach { r =>
+      val n = r.getAs[Int]("n").toLong
+      val (nc, last, minTok, nShort) = (r.getAs[Long]("n_chunks"),
+        r.getAs[Long]("last_id"), r.getAs[Long]("min_tok"), r.getAs[Long]("n_short"))
+      assert(last === nc - 1, "chunk ids are dense ordinals")
+      // last window reaches the final token; the one before it doesn't
+      assert(last * TextOps.ChunkStride + TextOps.ChunkSize >= n)
+      if (nc > 1) assert((last - 1) * TextOps.ChunkStride + TextOps.ChunkSize < n)
+      assert(nShort <= 1, "only the final chunk may run short")
+      assert(minTok >= 1)
+    }
+  }
+
+  // --- d9: passage fingerprints vs a brute-force recount -----------------
+
+  test("d9 reported passages really occur in >=2 distinct docs (brute recount)") {
+    import graft.operators.DedupOps
+    val reported = DedupOps.passageDedup(spark, Sf001)
+    assert(reported.count() > 0, "sf0.01 must surface duplicated passages")
+    // recount occurrences of each reported fingerprint straight off the text
+    val p = DedupOps.PassageLen
+    val all = Tables.documents(spark, Sf001)
+      .withColumn("t", graft.functions.F.tokens(col("text")))
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(0, (size(t) + ${p - 1}) div $p - 1), u -> slice(t, u * $p + 1, $p))")).as("w"))
+      .filter(size(col("w")) === p)
+      .select(col("doc_id"), md5(array_join(col("w"), " ")).as("fp"))
+    val recount = all.groupBy("fp").agg(
+      countDistinct("doc_id").as("nd"), count(lit(1)).as("no"), min("doc_id").as("kd"))
+    val bad = reported.join(recount, "fp")
+      .filter(col("n_docs") =!= col("nd") || col("n_occ") =!= col("no") ||
+        col("keep_doc_id") =!= col("kd") || col("n_docs") < 2)
+    assert(bad.count() === 0L)
+  }
+
+  // --- x3: decontamination flags are sound and complete ------------------
+
+  test("x3 flags exactly the train docs sharing a gram with the eval set") {
+    import graft.operators.CorpusOps
+    val out = CorpusOps.decontaminate(spark, Sf001).collect()
+    assert(out.nonEmpty, "sf0.01 must surface contamination")
+    out.foreach { r =>
+      assert(r.getAs[Long]("doc_id") % CorpusOps.EvalMod != 0L, "eval docs never flagged")
+      assert(r.getAs[Long]("n_shared") > 0L)
+    }
+    // soundness+completeness vs an independent formulation: EXISTS semi
+    // join instead of inner-join+groupBy
+    val g = CorpusOps.ContamGram
+    val grams = Tables.documents(spark, Sf001)
+      .withColumn("t", graft.functions.F.tokens(col("text")))
+      .select(col("doc_id"), explode(expr(
+        s"""CASE WHEN size(t) >= $g
+           |  THEN transform(sequence(0, size(t) - $g), i -> array_join(slice(t, i + 1, $g), ' '))
+           |  ELSE array() END""".stripMargin)).as("gram")).distinct()
+    val ev = grams.filter(col("doc_id") % CorpusOps.EvalMod === 0).select("gram")
+    val expected = grams.filter(col("doc_id") % CorpusOps.EvalMod =!= 0)
+      .join(ev, Seq("gram"), "left_semi").select("doc_id").distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(out.map(_.getAs[Long]("doc_id")).toSet === expected)
+  }
+
   // --- s4: HLL estimate lands inside its error envelope ------------------
 
   test("s4 HLL estimate is within 4 standard errors of the exact count") {
