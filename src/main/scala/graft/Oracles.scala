@@ -785,6 +785,47 @@ object Oracles {
         |FROM s2 ORDER BY s_suppkey""".stripMargin,
 
     // x1: the composite corpus clean replays the t2/t3/d1/d5 CTE chain
+    "s5_countmin" ->
+      s"""WITH rows_d AS (
+         |  SELECT l_partkey, d,
+         |    ${h60("'cm' || CAST(d AS VARCHAR) || '_' || CAST(l_partkey AS VARCHAR)")} % 4096 AS cell
+         |  FROM lineitem, unnest([0,1,2,3]) AS t(d)),
+         |sketch AS (SELECT d, cell, count(*) AS cnt FROM rows_d GROUP BY 1, 2),
+         |truth AS (SELECT l_partkey, count(*) AS true_cnt FROM lineitem GROUP BY 1
+         |  ORDER BY true_cnt DESC, l_partkey LIMIT 10),
+         |cand AS (SELECT l_partkey, true_cnt, d,
+         |  ${h60("'cm' || CAST(d AS VARCHAR) || '_' || CAST(l_partkey AS VARCHAR)")} % 4096 AS cell
+         |  FROM truth, unnest([0,1,2,3]) AS t(d))
+         |SELECT c.l_partkey, max(c.true_cnt) AS true_cnt, min(s.cnt) AS est_cnt
+         |FROM cand c JOIN sketch s ON c.d = s.d AND c.cell = s.cell
+         |GROUP BY c.l_partkey ORDER BY true_cnt DESC, l_partkey""".stripMargin,
+
+    "q25_min_cost" ->
+      """WITH eusup AS (
+        |  SELECT s_suppkey, s_name, s_acctbal, n_name FROM supplier
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey AND r_name = 'EUROPE'),
+        |cost AS (
+        |  SELECT l_partkey, l_suppkey, min(l_extendedprice) AS cost FROM lineitem
+        |  WHERE l_suppkey IN (SELECT s_suppkey FROM eusup) GROUP BY 1, 2),
+        |best AS (SELECT l_partkey AS b_partkey, min(cost) AS min_cost FROM cost GROUP BY 1)
+        |SELECT s_acctbal, s_name, n_name, p_partkey, cost
+        |FROM cost
+        |JOIN best ON l_partkey = b_partkey AND cost = min_cost
+        |JOIN part ON p_partkey = l_partkey AND p_size <= 5
+        |JOIN eusup ON l_suppkey = s_suppkey
+        |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey LIMIT 100""".stripMargin,
+
+    "p20_stream_static_join" ->
+      s"""WITH v AS (SELECT * FROM events WHERE $validCond)
+         |SELECT CAST(ts AS DATE) AS date, n_name,
+         |  ${dsum("value")} AS revenue, COUNT(*) AS n_purchases
+         |FROM v
+         |JOIN customer ON user_id = c_custkey
+         |JOIN nation ON c_nationkey = n_nationkey
+         |WHERE event_type = 'purchase'
+         |GROUP BY 1, 2 ORDER BY date, n_name""".stripMargin,
+
     "t9_chunk" ->
       s"""WITH d AS (SELECT doc_id, $TOK AS t FROM documents),
          |c AS (SELECT doc_id, t, len(t) AS n,

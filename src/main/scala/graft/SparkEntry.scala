@@ -33,6 +33,7 @@ object SparkEntry {
     "p12_coerce_fields" -> TripPipeline.coerceFields _,
     "p13_stream_stream_join" -> streaming.StreamPipeline.signupPurchaseJoinViaFileStream _,
     "p19_stream_distinct" -> streaming.StreamPipeline.hllDistinctStream _,
+    "p20_stream_static_join" -> streaming.StreamPipeline.revenueByNationViaFileStream _,
     // B. analytics
     "q1_pricing" -> Analytics.q1Pricing _,
     "q3_shipping" -> Analytics.q3Shipping _,
@@ -56,6 +57,8 @@ object SparkEntry {
     "q21_waiting" -> Analytics.q21Waiting _,
     "q23_cube" -> Analytics.q23Cube _,
     "q24_market_share" -> Analytics.q24MarketShare _,
+    "q25_min_cost" -> Analytics.q25MinCost _,
+    "s5_countmin" -> operators.SketchOps.countMinTopk _,
     "d8_containment" -> ((s: SparkSession, d: String) => operators.DedupOps.containmentPairs(s, d)),
     "x2_cluster_sample" -> operators.ClusterOps.clusterBalancedSample _,
     "q22_inactive_rich" -> Analytics.q22InactiveRich _,

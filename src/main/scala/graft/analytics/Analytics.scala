@@ -510,4 +510,48 @@ object Analytics {
       .orderBy(col("numwait").desc, col("s_name"))
       .limit(25)
   }
+
+  /** q25 (TPC-H Q2 topology): minimum-cost supplier per part within one
+    * region — the correlated "cost = (SELECT min(cost) ... WHERE
+    * partkey = p_partkey AND supplier in region)" subquery, decorrelated
+    * the way an optimizer would: per-(part, supplier) cost from the
+    * fact table, a per-part min over the region's suppliers, and an
+    * equality join back on (partkey, cost). The schema has no partsupp,
+    * so supply cost is min(l_extendedprice) per (part, supplier) — the
+    * topology (subquery over a join tree shared with the outer query)
+    * is Q2's.
+    *
+    * Scale shape: the region's supplier set prunes lineitem FIRST via a
+    * left-semi join (constant-size nation/region broadcast into the
+    * supplier scan; the supplier side of the semi join is
+    * SF-proportional so it shuffles — q5's lesson); the two aggregations
+    * share the (l_partkey, l_suppkey) grouping's shuffle; `part` joins
+    * last, after the argmin has already collapsed the fact side. Top
+    * 100 by the tie-safe Q2 order via TakeOrderedAndProject. */
+  def q25MinCost(spark: SparkSession, dir: String): DataFrame = {
+    val eusup = Tables.supplier(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)
+          .join(Tables.region(spark, dir).filter(col("r_name") === "EUROPE"),
+            col("n_regionkey") === col("r_regionkey"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    val cost = Tables.lineitem(spark, dir)
+      .select("l_partkey", "l_suppkey", "l_extendedprice")
+      .join(eusup.select("s_suppkey"),
+        col("l_suppkey") === col("s_suppkey"), "left_semi")
+      .groupBy("l_partkey", "l_suppkey")
+      .agg(min("l_extendedprice").as("cost"))
+    val best = cost.groupBy(col("l_partkey").as("b_partkey"))
+      .agg(min("cost").as("min_cost"))
+    cost
+      .join(best, col("l_partkey") === col("b_partkey") &&
+        col("cost") === col("min_cost"))
+      .join(Tables.part(spark, dir).filter(col("p_size") <= 5),
+        col("l_partkey") === col("p_partkey"))
+      .join(eusup, col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_acctbal"), col("s_name"), col("n_name"),
+        col("p_partkey"), col("cost"))
+      .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"), col("p_partkey"))
+      .limit(100)
+  }
 }

@@ -150,4 +150,45 @@ object SketchOps {
       .select(col("event_id"), col("event_type"))
       .orderBy("event_id")
   }
+
+  /** Count-Min geometry: depth × width cells. Width 4096 keeps the
+    * expected collision mass (ε = e/w ≈ 0.07% of stream length) well
+    * under the heavy-hitter counts at the test SFs; at 100 TB you widen
+    * w, never restructure the plan. */
+  val CmDepth = 4
+  val CmWidth = 4096L
+
+  private def cmCell(key: org.apache.spark.sql.Column, d: org.apache.spark.sql.Column) =
+    hash60(concat(lit("cm"), d.cast(StringType), lit("_"), key.cast(StringType))) % CmWidth
+
+  /** s5: Count-Min frequency sketch over the lineitem partkey stream,
+    * evaluated on the true top-10 heavy hitters (estimate ≥ truth,
+    * within ε·N with probability 1 − (1/e)^depth — the mergeable
+    * fixed-size structure that answers "how often did key X appear"
+    * over a stream too large to count exactly per key).
+    *
+    * Scale shape: the sketch build is ONE map-combined groupBy on
+    * (depth, cell) — at most depth×width = 16 384 cells of partial
+    * state per task regardless of input size, and sketches from any
+    * partitioning/day/source merge by cell-wise addition. The exact
+    * per-key top-10 alongside it is the EVALUATION reference (a second
+    * groupBy + TakeOrderedAndProject); a production user queries the
+    * sketch for candidate keys without it. The probe joins 40
+    * candidate (depth, cell) rows against the 16 k-cell sketch —
+    * broadcast territory at any scale. */
+  def countMinTopk(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir).select("l_partkey")
+    val depths = explode(expr(s"sequence(0, ${CmDepth - 1})")).as("d")
+    val sketch = li.select(col("l_partkey"), depths)
+      .select(col("d"), cmCell(col("l_partkey"), col("d")).as("cell"))
+      .groupBy("d", "cell").agg(count(lit(1)).as("cnt"))
+    val truth = li.groupBy("l_partkey").agg(count(lit(1)).as("true_cnt"))
+      .orderBy(col("true_cnt").desc, col("l_partkey")).limit(10)
+    truth.select(col("l_partkey"), col("true_cnt"), depths)
+      .withColumn("cell", cmCell(col("l_partkey"), col("d")))
+      .join(sketch, Seq("d", "cell"))
+      .groupBy("l_partkey")
+      .agg(max("true_cnt").as("true_cnt"), min("cnt").as("est_cnt"))
+      .orderBy(col("true_cnt").desc, col("l_partkey"))
+  }
 }

@@ -366,6 +366,45 @@ object StreamPipeline {
       .orderBy("s_event_id", "p_event_id")
   }
 
+  /** p20: STREAM-STATIC enrichment join — the streaming purchase fact
+    * picks up the customer's nation from a BATCH dimension table, then
+    * feeds a streaming aggregation of decimal-exact revenue per
+    * (day, nation). This is the standard "enrich the stream with a
+    * warehouse dim" deployment: the static side is (re)read per
+    * micro-batch and requires NO join state — only the downstream
+    * aggregation is stateful, bounded at days × nations.
+    *
+    * Scale shape: the static side collapses to (c_custkey, n_name)
+    * before the join (nation broadcast into the customer scan); the
+    * stream⋈static join partitions the micro-batch like any batch join
+    * (AQE picks broadcast vs shuffle from the dim's actual size — the
+    * customer dim is SF-proportional, so no hard-coded hint). */
+  def revenueByNationStream(spark: SparkSession, events: DataFrame, dir: String): DataFrame = {
+    val dim = graft.Tables.customer(spark, dir)
+      .join(broadcast(graft.Tables.nation(spark, dir)),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("n_name"))
+    events.filter(TripPipeline.validCond)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("value").as("fare"))
+      .join(dim, col("user_id") === col("c_custkey"))
+      .groupBy(to_date(col("ts")).as("date"), col("n_name"))
+      .agg(decSum(col("fare")).as("revenue"),
+        count(lit(1)).as("n_purchases"))
+  }
+
+  /** p20 driver-facing materialization over the real events parquet
+    * via a file streaming source; oracle = the equivalent batch join. */
+  def revenueByNationViaFileStream(spark: SparkSession, dir: String): DataFrame = {
+    withStatePartitions(spark, MaterializeStateParts) {
+      val query = revenueByNationStream(spark, stagedEventsStream(spark, dir), dir)
+        .writeStream.format("memory").queryName("graft_p20_ssd")
+        .outputMode("complete").start()
+      try query.processAllAvailable() finally query.stop()
+    }
+    spark.table("graft_p20_ssd").orderBy("date", "n_name")
+  }
+
   /** Streaming HLL register maintenance: per (day, register) running
     * MAX of the leading-zero rank — the streaming-aggregation form of
     * the batch s4 sketch (operators.SketchOps.hllDistinct). State is

@@ -292,6 +292,72 @@ class NewOpsSpec extends AnyFunSuite with SparkSpec {
     assert(out.map(_.getAs[Long]("doc_id")).toSet === expected)
   }
 
+  // --- s5: Count-Min never undercounts and stays inside its envelope -----
+
+  test("s5 CMS estimates dominate the truth and respect the eps*N bound") {
+    val li = Tables.lineitem(spark, Sf001)
+    val n = li.count()
+    val rows = SketchOps.countMinTopk(spark, Sf001).collect()
+    assert(rows.length === 10)
+    val eps = math.E / SketchOps.CmWidth
+    rows.foreach { r =>
+      val (t, e) = (r.getAs[Long]("true_cnt"), r.getAs[Long]("est_cnt"))
+      assert(e >= t, "Count-Min can only overestimate")
+      // per-row the eps*N bound holds w.p. 1-(1/e)^depth; with depth 4
+      // and a deterministic hash family a violation means a real bug
+      assert(e - t <= (eps * n).ceil.toLong * 2, s"overestimate ${e - t} vs n=$n")
+    }
+  }
+
+  // --- q25: decorrelated argmin equals the literal correlated subquery ---
+
+  test("q25 equals the literal correlated-subquery formulation") {
+    import org.apache.spark.sql.expressions.Window
+    val out = Analytics.q25MinCost(spark, Sf0001)
+    // independent formulation: window-min over the same cost relation
+    val eusup = Tables.supplier(spark, Sf0001)
+      .join(Tables.nation(spark, Sf0001), col("s_nationkey") === col("n_nationkey"))
+      .join(Tables.region(spark, Sf0001).filter(col("r_name") === "EUROPE"),
+        col("n_regionkey") === col("r_regionkey"))
+      .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    val cost = Tables.lineitem(spark, Sf0001)
+      .join(eusup.select("s_suppkey"), col("l_suppkey") === col("s_suppkey"), "left_semi")
+      .groupBy("l_partkey", "l_suppkey").agg(min("l_extendedprice").as("cost"))
+    val viaWindow = cost
+      .withColumn("mc", min("cost").over(Window.partitionBy("l_partkey")))
+      .filter(col("cost") === col("mc"))
+      .join(Tables.part(spark, Sf0001).filter(col("p_size") <= 5),
+        col("l_partkey") === col("p_partkey"))
+      .join(eusup, col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_acctbal"), col("s_name"), col("n_name"), col("p_partkey"), col("cost"))
+      .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"), col("p_partkey"))
+      .limit(100)
+    assert(out.collect().toSeq === viaWindow.collect().toSeq)
+  }
+
+  // --- p20: stream-static enrichment equals the batch join ---------------
+
+  test("p20 streaming revenue-by-nation equals the batch formulation") {
+    import graft.streaming.StreamPipeline
+    import graft.pipeline.TripPipeline
+    val streamed = StreamPipeline.revenueByNationViaFileStream(spark, Sf0001)
+      .collect().map(_.toSeq).toSeq
+    val batch = Tables.events(spark, Sf0001)
+      .filter(TripPipeline.validCond)
+      .filter(col("event_type") === "purchase")
+      .join(Tables.customer(spark, Sf0001)
+          .join(Tables.nation(spark, Sf0001), col("c_nationkey") === col("n_nationkey"))
+          .select(col("c_custkey"), col("n_name")),
+        col("user_id") === col("c_custkey"))
+      .groupBy(to_date(col("ts")).as("date"), col("n_name"))
+      .agg(graft.functions.F.decSum(col("value")).as("revenue"),
+        count(lit(1)).as("n_purchases"))
+      .orderBy("date", "n_name")
+      .collect().map(_.toSeq).toSeq
+    assert(streamed === batch)
+    assert(streamed.nonEmpty)
+  }
+
   // --- s4: HLL estimate lands inside its error envelope ------------------
 
   test("s4 HLL estimate is within 4 standard errors of the exact count") {
