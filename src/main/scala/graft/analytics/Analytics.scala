@@ -524,10 +524,17 @@ object Analytics {
     * Scale shape: the region's supplier set prunes lineitem FIRST via a
     * left-semi join (constant-size nation/region broadcast into the
     * supplier scan; the supplier side of the semi join is
-    * SF-proportional so it shuffles — q5's lesson); the two aggregations
-    * share the (l_partkey, l_suppkey) grouping's shuffle; `part` joins
-    * last, after the argmin has already collapsed the fact side. Top
-    * 100 by the tie-safe Q2 order via TakeOrderedAndProject. */
+    * SF-proportional so it shuffles — q5's lesson). The per-part argmin
+    * is a WINDOW min over the aggregated cost relation rather than a
+    * second aggregation + join back: the join-back form plans the fact
+    * scan + (partkey, suppkey) aggregation TWICE (no exchange reuse —
+    * the two arms prune different columns), which doubles the dominant
+    * cost at 100 TB; the window form touches the fact table once and
+    * adds only an exchange on l_partkey over the already-collapsed
+    * ~|parts × suppliers-per-part| relation. `part` joins last, after
+    * the argmin has shrunk the fact side. Top 100 by the tie-safe Q2
+    * order via TakeOrderedAndProject. (The join-back formulation is the
+    * spec's independent cross-check.) */
   def q25MinCost(spark: SparkSession, dir: String): DataFrame = {
     val eusup = Tables.supplier(spark, dir)
       .join(broadcast(Tables.nation(spark, dir)
@@ -541,11 +548,10 @@ object Analytics {
         col("l_suppkey") === col("s_suppkey"), "left_semi")
       .groupBy("l_partkey", "l_suppkey")
       .agg(min("l_extendedprice").as("cost"))
-    val best = cost.groupBy(col("l_partkey").as("b_partkey"))
-      .agg(min("cost").as("min_cost"))
     cost
-      .join(best, col("l_partkey") === col("b_partkey") &&
-        col("cost") === col("min_cost"))
+      .withColumn("min_cost",
+        min("cost").over(Window.partitionBy("l_partkey")))
+      .filter(col("cost") === col("min_cost"))
       .join(Tables.part(spark, dir).filter(col("p_size") <= 5),
         col("l_partkey") === col("p_partkey"))
       .join(eusup, col("l_suppkey") === col("s_suppkey"))

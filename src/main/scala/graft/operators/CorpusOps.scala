@@ -64,16 +64,19 @@ object CorpusOps {
     * its distinct grams, never pairwise in documents. */
   def decontaminate(spark: SparkSession, dir: String): DataFrame = {
     val g = ContamGram
-    val grams = Tables.documents(spark, dir)
+    // per-side gram sets, each filtered BEFORE tokenize/explode so the
+    // eval arm reads only the benchmark-set sliver of the corpus
+    def gramsOf(docs: DataFrame): DataFrame = docs
       .withColumn("t", graft.functions.F.tokens(col("text")))
       .select(col("doc_id"), explode(expr(
         s"""CASE WHEN size(t) >= $g
            |  THEN transform(sequence(0, size(t) - $g), i -> array_join(slice(t, i + 1, $g), ' '))
            |  ELSE array() END""".stripMargin)).as("gram"))
       .distinct()
-    val evalGrams = grams.filter(col("doc_id") % EvalMod === 0)
+    val base = Tables.documents(spark, dir)
+    val evalGrams = gramsOf(base.filter(col("doc_id") % EvalMod === 0))
       .select("gram").distinct()
-    grams.filter(col("doc_id") % EvalMod =!= 0)
+    gramsOf(base.filter(col("doc_id") % EvalMod =!= 0))
       .join(evalGrams, "gram")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_shared"))

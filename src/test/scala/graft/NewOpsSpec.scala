@@ -311,10 +311,10 @@ class NewOpsSpec extends AnyFunSuite with SparkSpec {
 
   // --- q25: decorrelated argmin equals the literal correlated subquery ---
 
-  test("q25 equals the literal correlated-subquery formulation") {
-    import org.apache.spark.sql.expressions.Window
+  test("q25 equals the decorrelated join-back formulation") {
     val out = Analytics.q25MinCost(spark, Sf0001)
-    // independent formulation: window-min over the same cost relation
+    // independent formulation: second aggregation + equality join back
+    // (the shape the operator deliberately avoids — see its scaladoc)
     val eusup = Tables.supplier(spark, Sf0001)
       .join(Tables.nation(spark, Sf0001), col("s_nationkey") === col("n_nationkey"))
       .join(Tables.region(spark, Sf0001).filter(col("r_name") === "EUROPE"),
@@ -323,16 +323,22 @@ class NewOpsSpec extends AnyFunSuite with SparkSpec {
     val cost = Tables.lineitem(spark, Sf0001)
       .join(eusup.select("s_suppkey"), col("l_suppkey") === col("s_suppkey"), "left_semi")
       .groupBy("l_partkey", "l_suppkey").agg(min("l_extendedprice").as("cost"))
-    val viaWindow = cost
-      .withColumn("mc", min("cost").over(Window.partitionBy("l_partkey")))
-      .filter(col("cost") === col("mc"))
+    val best = cost.groupBy(col("l_partkey").as("b_partkey")).agg(min("cost").as("mc"))
+    val viaJoinBack = cost
+      .join(best, col("l_partkey") === col("b_partkey") && col("cost") === col("mc"))
       .join(Tables.part(spark, Sf0001).filter(col("p_size") <= 5),
         col("l_partkey") === col("p_partkey"))
       .join(eusup, col("l_suppkey") === col("s_suppkey"))
       .select(col("s_acctbal"), col("s_name"), col("n_name"), col("p_partkey"), col("cost"))
       .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"), col("p_partkey"))
       .limit(100)
-    assert(out.collect().toSeq === viaWindow.collect().toSeq)
+    assert(out.collect().toSeq === viaJoinBack.collect().toSeq)
+    // the operator's plan reads lineitem exactly once (split off AQE's
+    // "== Initial Plan ==" echo, which double-prints every scan)
+    val finalPlan = out.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    val scans = finalPlan.linesIterator.count(_.contains("lineitem.parquet"))
+    assert(scans === 1, "q25 must not re-scan the fact table for the argmin")
   }
 
   // --- p20: stream-static enrichment equals the batch join ---------------
