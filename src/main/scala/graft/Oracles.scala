@@ -826,6 +826,34 @@ object Oracles {
          |WHERE event_type = 'purchase'
          |GROUP BY 1, 2 ORDER BY date, n_name""".stripMargin,
 
+    "x4_weighted_mix" ->
+      s"""WITH d AS (SELECT doc_id, lang, len($TOK) AS n_tok FROM documents),
+         |lt AS (SELECT lang, CAST(sum(n_tok) AS BIGINT) AS tokens FROM d GROUP BY 1),
+         |tgt AS (SELECT min(tokens) AS target FROM lt),
+         |rates AS (SELECT lang, tokens,
+         |  CAST(least(1000000, target * 1000000 // tokens) AS BIGINT) AS rate_ppm
+         |  FROM lt, tgt),
+         |kept AS (SELECT d.doc_id, d.lang AS klang, d.n_tok
+         |  FROM d JOIN rates ON d.lang = rates.lang
+         |  WHERE ${h60("'mix_' || CAST(doc_id AS VARCHAR)")} % 1000000 < rate_ppm)
+         |SELECT r.lang, r.tokens AS tokens_before, r.rate_ppm,
+         |  count(k.doc_id) AS n_docs_kept,
+         |  CAST(coalesce(sum(k.n_tok), 0) AS BIGINT) AS tokens_kept
+         |FROM rates r LEFT JOIN kept k ON r.lang = k.klang
+         |GROUP BY 1, 2, 3 ORDER BY r.lang""".stripMargin,
+
+    "t10_lm_score" ->
+      s"""WITH d AS (SELECT doc_id, $TOK AS t FROM documents),
+         |bg AS (SELECT doc_id, bigram FROM (
+         |  SELECT doc_id, unnest(CASE WHEN len(t) >= 2
+         |    THEN list_transform(range(1, len(t)), i -> array_to_string(t[i:i+1], ' '))
+         |    ELSE [] END) AS bigram FROM d) u),
+         |cnt AS (SELECT bigram, count(*) AS c FROM bg GROUP BY 1)
+         |SELECT doc_id, count(*) AS n_bg, CAST(sum(c) AS BIGINT) AS sum_c,
+         |  CAST(sum(c) AS BIGINT) * 1000000 // count(*) AS score_micro
+         |FROM bg JOIN cnt ON bg.bigram = cnt.bigram
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
     "t9_chunk" ->
       s"""WITH d AS (SELECT doc_id, $TOK AS t FROM documents),
          |c AS (SELECT doc_id, t, len(t) AS n,

@@ -99,6 +99,8 @@ object SparkEntry {
     "e8_ann_recall" -> AnnOps.annRecall _,
     "x1_corpus_clean" -> operators.CorpusOps.corpusClean _,
     "x3_decontaminate" -> operators.CorpusOps.decontaminate _,
+    "x4_weighted_mix" -> operators.CorpusOps.weightedMix _,
+    "t10_lm_score" -> TextOps.lmScore _,
     "t9_chunk" -> TextOps.chunk _,
     "d9_passage_dedup" -> DedupOps.passageDedup _,
     "g1_bipartite_rank" -> operators.GraphOps.bipartiteRank _,

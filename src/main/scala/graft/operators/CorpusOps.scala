@@ -43,6 +43,50 @@ object CorpusOps {
       .orderBy("doc_id")
   }
 
+  /** x4: WEIGHTED MIX MATERIALIZATION — rebalance the corpus so every
+    * language contributes equal token mass (downsample-only: the
+    * smallest language's token count is the target; larger languages
+    * keep a deterministic md5-Bernoulli sample at rate
+    * target/actual). This is the mixing stage that turns "whatever the
+    * crawl contains" into the language (or source/domain) weights the
+    * training run was designed for. Output: one row per language with
+    * its pre-mix mass, applied rate, and kept doc/token counts —
+    * showing the masses landing on the target.
+    *
+    * Determinism: rates are ppm integers via floor division; the keep
+    * decision is a pure function of doc_id (same sample on any rerun,
+    * partitioning, or engine — the s3 discipline).
+    *
+    * Scale shape: per-language masses are ONE map-combined groupBy
+    * collapsing to #languages rows; the rate table (a genuine
+    * constant-size broadcast) joins back over the corpus; sampling is
+    * a codegen'd row predicate — no shuffle beyond the two tiny aggs.
+    * Swapping `lang` for any (source, domain, quality-bucket) key — or
+    * the rate formula for hand-set weights — changes nothing
+    * structural. */
+  def weightedMix(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.F.{hash60, tokens}
+    val d = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        size(tokens(col("text"))).cast("long").as("n_tok"))
+    val lt = d.groupBy("lang").agg(sum("n_tok").as("tokens"))
+    val rates = lt
+      .crossJoin(broadcast(lt.agg(min("tokens").as("target"))))
+      .withColumn("rate_ppm", expr("least(1000000, target * 1000000 div tokens)"))
+      .select("lang", "tokens", "rate_ppm")
+    val kept = d.join(broadcast(rates.select("lang", "rate_ppm")), "lang")
+      .filter(hash60(concat(lit("mix_"), col("doc_id").cast("string")))
+        % 1000000 < col("rate_ppm"))
+      .select(col("lang").as("klang"), col("doc_id"), col("n_tok"))
+    rates.join(kept, rates("lang") === kept("klang"), "left")
+      .groupBy("lang", "tokens", "rate_ppm")
+      .agg(count(col("doc_id")).as("n_docs_kept"),
+        coalesce(sum("n_tok"), lit(0L)).as("tokens_kept"))
+      .select(col("lang"), col("tokens").as("tokens_before"), col("rate_ppm"),
+        col("n_docs_kept"), col("tokens_kept"))
+      .orderBy("lang")
+  }
+
   /** x3 contamination gram length (tokens) and the eval-set carve
     * (doc_id % EvalMod == 0 stands in for a held-out benchmark). */
   val ContamGram = 8

@@ -201,6 +201,14 @@ object TextOps {
     * bounds the join fan-in, the standard phrase-mining floor). */
   val PmiMinCount = 5L
 
+  /** Adjacent-token bigram array over `t` — shared by t7 (corpus phrase
+    * mining) and t10 (per-doc commonness scoring). */
+  private def bigramsExpr: Column = expr(
+    """CASE WHEN size(t) >= 2
+      |  THEN transform(sequence(0, size(t) - 2),
+      |    i -> concat(element_at(t, i + 1), ' ', element_at(t, i + 2)))
+      |  ELSE array() END""".stripMargin)
+
   /** t7: collocation / phrase mining — corpus bigrams scored by
     * pointwise-mutual-information LIFT p(xy)/(p(x)p(y)), top-20.
     * Division of exact integer counts in IEEE doubles (no log), so both
@@ -216,12 +224,7 @@ object TextOps {
     val docs = Tables.documents(spark, dir).select(col("doc_id"), toks.as("t"))
     val uni = docs.select(explode(col("t")).as("tok"))
       .groupBy("tok").agg(count(lit(1)).as("c"))
-    val bigramExpr = expr(
-      """CASE WHEN size(t) >= 2
-        |  THEN transform(sequence(0, size(t) - 2),
-        |    i -> concat(element_at(t, i + 1), ' ', element_at(t, i + 2)))
-        |  ELSE array() END""".stripMargin)
-    val bgAll = docs.select(explode(bigramExpr).as("bigram"))
+    val bgAll = docs.select(explode(bigramsExpr).as("bigram"))
       .groupBy("bigram").agg(count(lit(1)).as("c_xy"))
     val bg = bgAll.filter(col("c_xy") >= PmiMinCount)
     val tot = uni.agg(sum("c").as("n_uni"))
@@ -242,6 +245,33 @@ object TextOps {
       .orderBy(col("lift").desc, col("bigram"))
       .limit(k)
       .select(col("bigram"), col("c_xy"), col("lift"))
+  }
+
+  /** t10: LM-free fluency proxy — score every document by the average
+    * corpus frequency of its adjacent-token bigrams (each POSITION
+    * scored, repeats included, exactly like a count-based language
+    * model): gibberish orders common words in rare sequences, so its
+    * bigrams are corpus-rare and its score low. The quality-filter
+    * signal that needs no trained model. All arithmetic is int64
+    * micro-units with floor division — bit-identical across engines
+    * and partitionings (rounded rational doubles are not).
+    *
+    * Scale shape: the (doc_id, bigram) occurrence substrate is built
+    * once (memoized — it feeds both the corpus count and the per-doc
+    * fold); bigram counts are one map-combined groupBy; the count join
+    * fans back over occurrences on the bigram key; the per-doc fold is
+    * a second map-combined groupBy. No self-joins, nothing pairwise. */
+  def lmScore(spark: SparkSession, dir: String): DataFrame = {
+    val bg = DedupOps.memoized(spark, "t10_bigrams", dir) {
+      Tables.documents(spark, dir).select(col("doc_id"), toks.as("t"))
+        .select(col("doc_id"), explode(bigramsExpr).as("bigram"))
+    }
+    val cnt = bg.groupBy("bigram").agg(count(lit(1)).as("c"))
+    bg.join(cnt, "bigram")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bg"), sum("c").as("sum_c"))
+      .withColumn("score_micro", expr("sum_c * 1000000 div n_bg"))
+      .orderBy("doc_id")
   }
 
   /** t9 chunk geometry: window size / stride in tokens. Stride < size

@@ -364,6 +364,47 @@ class NewOpsSpec extends AnyFunSuite with SparkSpec {
     assert(streamed.nonEmpty)
   }
 
+  // --- x4: mix rebalancing lands on the target and is deterministic ------
+
+  test("x4 downsamples every language toward the smallest language's token mass") {
+    import graft.operators.CorpusOps
+    val rows = CorpusOps.weightedMix(spark, Sf001).collect()
+    assert(rows.length >= 2)
+    val target = rows.map(_.getAs[Long]("tokens_before")).min
+    rows.foreach { r =>
+      val (before, ppm, kept) = (r.getAs[Long]("tokens_before"),
+        r.getAs[Long]("rate_ppm"), r.getAs[Long]("tokens_kept"))
+      assert(kept <= before)
+      if (ppm == 1000000L) assert(kept === before, "rate 1 must keep everything")
+      else {
+        assert(ppm === target * 1000000L / before)
+        // Bernoulli sample of ~60+ docs: kept mass within 25% of target
+        assert(math.abs(kept - target).toDouble / target <= 0.25,
+          s"lang ${r.getAs[String]("lang")}: kept $kept vs target $target")
+      }
+    }
+    // pure function of doc_id: a rerun is bit-identical
+    assert(CorpusOps.weightedMix(spark, Sf001).collect().toSeq === rows.toSeq)
+  }
+
+  // --- t10: positional bigram scoring is internally consistent -----------
+
+  test("t10 scores every multi-token doc with exact micro-unit arithmetic") {
+    import graft.operators.TextOps
+    val scored = TextOps.lmScore(spark, Sf001)
+    val toks = Tables.documents(spark, Sf001)
+      .select(col("doc_id"), size(graft.functions.F.tokens(col("text"))).as("n_tok"))
+    val joined = scored.join(toks, "doc_id").collect()
+    assert(joined.length === Tables.documents(spark, Sf001).count())
+    joined.foreach { r =>
+      val (nBg, sumC, score) = (r.getAs[Long]("n_bg"), r.getAs[Long]("sum_c"),
+        r.getAs[Long]("score_micro"))
+      assert(nBg === r.getAs[Int]("n_tok").toLong - 1, "one bigram per adjacent pair")
+      assert(score === sumC * 1000000L / nBg)
+      assert(sumC >= nBg, "each occurrence counts at least itself")
+    }
+  }
+
   // --- s4: HLL estimate lands inside its error envelope ------------------
 
   test("s4 HLL estimate is within 4 standard errors of the exact count") {
