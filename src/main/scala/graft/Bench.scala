@@ -73,26 +73,34 @@ object Bench {
     }
     val wallTotal = (System.nanoTime() - warmT0) / 1e9
 
-    // One compact machine-readable line. Kept deliberately SHORT
-    // (2-decimal seconds, terse keys): consumers that retain only the
-    // last ~2 KB of process output must still see the whole line, and
-    // it must be the line itself that parses as JSON (no log prefix —
-    // see build.sbt's outputStrategy).
+    // One compact machine-readable line. Kept deliberately SHORT:
+    // consumers that retain only the LAST ~2 KB of process output must
+    // still see the whole line, and it must be the line itself that
+    // parses as JSON (no log prefix — see build.sbt's outputStrategy).
+    // At 88 queries the full-name map broke 2 KB, so the stdout line
+    // keys queries by their SURVEY §2 SHORT ID (the unique prefix
+    // before the first underscore: q1, d2, t10, ...) — ~11 bytes per
+    // query, leaving room for rounds of growth. BENCH_SELF.json keeps
+    // the full-name map as the unmediated local record.
     def r2(v: Double): String = String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
-    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + r2(v) }.mkString("{", ",", "}")
+    def shortId(name: String): String = name.takeWhile(_ != '_')
+    require(results.map(r => shortId(r._1)).distinct.size == results.size,
+      "short query ids must stay unique — rename the clashing query")
+    def qmap(key: String => String) =
+      results.map { case (k, v, _) => "\"" + key(k) + "\":" + r2(v) }.mkString("{", ",", "}")
     val failed = results.collect { case (k, _, false) => "\"" + k + "\"" }.mkString("[", ",", "]")
     val total = results.map(_._2).sum
     // methodology (median of Reps substrate-warm runs) is documented in
-    // the scaladoc + round notes, not spent as line bytes: the whole
-    // line must fit consumers that keep only the last ~2 KB of output
-    val line = s"""{"metric":"total","value":${r2(total)},"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir","wall":${r2(wallTotal)}}"""
-    println(line)
-    // Also land the line as a local file (gitignored) — stdout passes
-    // through sbt and whatever wrapper invoked it; the file is the
-    // unmediated record. Best-effort: a read-only or foreign cwd must
-    // not turn a successful bench into an IO failure.
+    // the scaladoc + round notes, not spent as line bytes
+    def line(key: String => String) =
+      s"""{"metric":"total","value":${r2(total)},"unit":"sec","queries":${qmap(key)},"failed":$failed,"sf":"$sfDir","wall":${r2(wallTotal)}}"""
+    println(line(shortId))
+    // Also land the FULL-NAME line as a local file (gitignored) —
+    // stdout passes through sbt and whatever wrapper invoked it; the
+    // file is the unmediated record. Best-effort: a read-only or
+    // foreign cwd must not turn a successful bench into an IO failure.
     try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_SELF.json"),
-      (line + "\n").getBytes("UTF-8"))
+      (line(identity) + "\n").getBytes("UTF-8"))
     catch { case scala.util.control.NonFatal(_) => () }
     operators.DedupOps.clearMemo(spark, sfDir)
     spark.stop()

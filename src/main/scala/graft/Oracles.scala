@@ -786,16 +786,21 @@ object Oracles {
 
     // x1: the composite corpus clean replays the t2/t3/d1/d5 CTE chain
     "s5_countmin" ->
-      s"""WITH rows_d AS (
-         |  SELECT l_partkey, d,
-         |    ${h60("'cm' || CAST(d AS VARCHAR) || '_' || CAST(l_partkey AS VARCHAR)")} % 4096 AS cell
-         |  FROM lineitem, unnest([0,1,2,3]) AS t(d)),
+      s"""WITH perms AS (SELECT CAST(i AS INTEGER) AS d,
+         |  ${h60("'cm_a_' || i")} % 2147483646 + 1 AS pa,
+         |  ${h60("'cm_b_' || i")} % 2147483647 AS pb
+         |  FROM range(4) t(i)),
+         |h AS (SELECT l_partkey,
+         |  ${h60("'cm_' || CAST(l_partkey AS VARCHAR)")} % 2147483647 AS hm FROM lineitem),
+         |rows_d AS (SELECT l_partkey, d, ((pa * hm + pb) % 2147483647) % 4096 AS cell
+         |  FROM h CROSS JOIN perms),
          |sketch AS (SELECT d, cell, count(*) AS cnt FROM rows_d GROUP BY 1, 2),
          |truth AS (SELECT l_partkey, count(*) AS true_cnt FROM lineitem GROUP BY 1
          |  ORDER BY true_cnt DESC, l_partkey LIMIT 10),
-         |cand AS (SELECT l_partkey, true_cnt, d,
-         |  ${h60("'cm' || CAST(d AS VARCHAR) || '_' || CAST(l_partkey AS VARCHAR)")} % 4096 AS cell
-         |  FROM truth, unnest([0,1,2,3]) AS t(d))
+         |th AS (SELECT l_partkey, true_cnt,
+         |  ${h60("'cm_' || CAST(l_partkey AS VARCHAR)")} % 2147483647 AS hm FROM truth),
+         |cand AS (SELECT l_partkey, true_cnt, d, ((pa * hm + pb) % 2147483647) % 4096 AS cell
+         |  FROM th CROSS JOIN perms)
          |SELECT c.l_partkey, max(c.true_cnt) AS true_cnt, min(s.cnt) AS est_cnt
          |FROM cand c JOIN sketch s ON c.d = s.d AND c.cell = s.cell
          |GROUP BY c.l_partkey ORDER BY true_cnt DESC, l_partkey""".stripMargin,
@@ -815,6 +820,26 @@ object Oracles {
         |JOIN part ON p_partkey = l_partkey AND p_size <= 5
         |JOIN eusup ON l_suppkey = s_suppkey
         |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey LIMIT 100""".stripMargin,
+
+    "b2_salted_agg" ->
+      s"""SELECT event_type,
+         |  ${dsum("value")} AS total_value,
+         |  COUNT(*) AS n_events,
+         |  max(value) AS max_value
+         |FROM events WHERE value IS NOT NULL
+         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q26_returned_revenue" ->
+      """SELECT c_custkey, c_name, n_name,
+        |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE l_returnflag = 'R'
+        |GROUP BY 1, 2, 3
+        |ORDER BY SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) DESC, c_custkey
+        |LIMIT 20""".stripMargin,
 
     "p20_stream_static_join" ->
       s"""WITH v AS (SELECT * FROM events WHERE $validCond)

@@ -58,6 +58,7 @@ object SparkEntry {
     "q23_cube" -> Analytics.q23Cube _,
     "q24_market_share" -> Analytics.q24MarketShare _,
     "q25_min_cost" -> Analytics.q25MinCost _,
+    "q26_returned_revenue" -> Analytics.q26ReturnedRevenue _,
     "s5_countmin" -> operators.SketchOps.countMinTopk _,
     "d8_containment" -> ((s: SparkSession, d: String) => operators.DedupOps.containmentPairs(s, d)),
     "x2_cluster_sample" -> operators.ClusterOps.clusterBalancedSample _,
@@ -76,6 +77,7 @@ object SparkEntry {
     "a2_band_join" -> operators.JoinOps.bandJoin _,
     "a3_window_suite" -> Analytics.a3WindowSuite _,
     "b1_bucketed_join" -> operators.BucketOps.bucketedJoin _,
+    "b2_salted_agg" -> operators.SkewOps.saltedTypeAgg _,
     // C. text / dedup / ANN / multimodal
     "t1_token_count" -> TextOps.tokenCount _,
     "t2_quality" -> TextOps.quality _,

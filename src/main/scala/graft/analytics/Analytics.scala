@@ -511,6 +511,35 @@ object Analytics {
       .limit(25)
   }
 
+  /** q26 (TPC-H Q10 topology): returned-item revenue per customer — the
+    * "which customers returned the most" report: the returns slice of
+    * the fact table through orders to customer + nation, revenue summed
+    * decimal-exact per customer, top 20.
+    *
+    * Scale shape: the `l_returnflag = 'R'` predicate is PUSHED into the
+    * lineitem scan (quarter of the fact rows never leave the reader);
+    * order/customer joins shuffle on their keys (both sides
+    * SF-proportional — q5's lesson), the 25-row nation dim broadcasts,
+    * and the top-20 runs as TakeOrderedAndProject on the decimal sum
+    * BEFORE the double cast (the round-before-cutoff rule). */
+  def q26ReturnedRevenue(spark: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(spark, dir)
+      .filter(col("l_returnflag") === "R")
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+      .join(Tables.orders(spark, dir).select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(spark, dir).select("c_custkey", "c_name", "c_nationkey"),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(spark, dir)),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy("c_custkey", "c_name", "n_name")
+      .agg(sum(revDec()).as("rev_dec"))
+      .orderBy(col("rev_dec").desc, col("c_custkey"))
+      .limit(20)
+      .select(col("c_custkey"), col("c_name"), col("n_name"),
+        col("rev_dec").cast(DoubleType).as("revenue"))
+  }
+
   /** q25 (TPC-H Q2 topology): minimum-cost supplier per part within one
     * region — the correlated "cost = (SELECT min(cost) ... WHERE
     * partkey = p_partkey AND supplier in region)" subquery, decorrelated

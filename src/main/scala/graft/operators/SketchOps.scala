@@ -158,8 +158,26 @@ object SketchOps {
   val CmDepth = 4
   val CmWidth = 4096L
 
-  private def cmCell(key: org.apache.spark.sql.Column, d: org.apache.spark.sql.Column) =
-    hash60(concat(lit("cm"), d.cast(StringType), lit("_"), key.cast(StringType))) % CmWidth
+  /** Mersenne prime 2^31 − 1 for the Count-Min universal hash family
+    * (the MinHash permutation field: a·h + b stays under 2^62). */
+  val CmP = 2147483647L
+
+  /** The depth rows' (d, cell) struct array for a key's base hash —
+    * md5 is computed ONCE per row and the per-depth cells are
+    * md5-derived LITERAL-coefficient universal hashes (pa·hm + pb mod P
+    * mod W), the d3/MinHash recipe: 4 integer ops instead of 4 extra
+    * md5s per row, and the oracle regenerates the identical
+    * coefficients from the same strings. */
+  private def cmCells(key: org.apache.spark.sql.Column) = {
+    val hm = hash60(concat(lit("cm_"), key.cast(StringType))) % CmP
+    val cells = (0 until CmDepth).map { d =>
+      val pa = graft.functions.F.hash60Driver(s"cm_a_$d") % (CmP - 1) + 1
+      val pb = graft.functions.F.hash60Driver(s"cm_b_$d") % CmP
+      struct(lit(d).as("d"),
+        (((lit(pa) * hm + lit(pb)) % CmP) % CmWidth).as("cell"))
+    }
+    explode(array(cells: _*)).as("dc")
+  }
 
   /** s5: Count-Min frequency sketch over the lineitem partkey stream,
     * evaluated on the true top-10 heavy hitters (estimate ≥ truth,
@@ -170,7 +188,8 @@ object SketchOps {
     * Scale shape: the sketch build is ONE map-combined groupBy on
     * (depth, cell) — at most depth×width = 16 384 cells of partial
     * state per task regardless of input size, and sketches from any
-    * partitioning/day/source merge by cell-wise addition. The exact
+    * partitioning/day/source merge by cell-wise addition. Row cost is
+    * one md5 + depth integer universal hashes (see cmCells). The exact
     * per-key top-10 alongside it is the EVALUATION reference (a second
     * groupBy + TakeOrderedAndProject); a production user queries the
     * sketch for candidate keys without it. The probe joins 40
@@ -178,14 +197,14 @@ object SketchOps {
     * broadcast territory at any scale. */
   def countMinTopk(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(spark, dir).select("l_partkey")
-    val depths = explode(expr(s"sequence(0, ${CmDepth - 1})")).as("d")
-    val sketch = li.select(col("l_partkey"), depths)
-      .select(col("d"), cmCell(col("l_partkey"), col("d")).as("cell"))
+    val sketch = li.select(cmCells(col("l_partkey")))
+      .select(col("dc.d").as("d"), col("dc.cell").as("cell"))
       .groupBy("d", "cell").agg(count(lit(1)).as("cnt"))
     val truth = li.groupBy("l_partkey").agg(count(lit(1)).as("true_cnt"))
       .orderBy(col("true_cnt").desc, col("l_partkey")).limit(10)
-    truth.select(col("l_partkey"), col("true_cnt"), depths)
-      .withColumn("cell", cmCell(col("l_partkey"), col("d")))
+    truth.select(col("l_partkey"), col("true_cnt"), cmCells(col("l_partkey")))
+      .select(col("l_partkey"), col("true_cnt"),
+        col("dc.d").as("d"), col("dc.cell").as("cell"))
       .join(sketch, Seq("d", "cell"))
       .groupBy("l_partkey")
       .agg(max("true_cnt").as("true_cnt"), min("cnt").as("est_cnt"))

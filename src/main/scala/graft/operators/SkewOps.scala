@@ -51,4 +51,32 @@ object SkewOps {
       .groupBy(col(key))
       .agg(finalAgg.head, finalAgg.tail: _*)
   }
+
+  /** b2: the salted two-phase aggregation as a driver-checked query —
+    * per-event-type value stats over the events fact where
+    * `event_type` has only 5 values: EXACTLY the hot-key shape where a
+    * plain groupBy funnels 1/5th of 100 TB into one reducer task and
+    * AQE cannot split the aggregation's hash partition. Phase 1 fans
+    * each key over 32 deterministic salts (each task's slice bounded at
+    * ~1/32 of the key), phase 2 merges 5 × 32 partial rows — ALL
+    * aggregates chosen associative (decimal sum, count-as-sum, max), so
+    * the two-phase result is bit-equal to the plain groupBy the oracle
+    * runs. The salt is derived from the whole row, so retries/reruns
+    * salt identically. */
+  def saltedTypeAgg(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.{DecimalType, DoubleType}
+    val ev = graft.Tables.events(spark, dir)
+      .filter(col("value").isNotNull)
+      .select(col("event_type"), col("value"))
+    saltedAgg(ev, "event_type", 32,
+      partial = Seq(
+        sum(col("value").cast(DecimalType(18, 6))).as("s"),
+        count(lit(1)).as("c"),
+        max(col("value")).as("m")),
+      finalAgg = Seq(
+        sum(col("s")).cast(DoubleType).as("total_value"),
+        sum(col("c")).as("n_events"),
+        max(col("m")).as("max_value")))
+      .orderBy("event_type")
+  }
 }

@@ -33,6 +33,13 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"), plan)
   }
 
+  test("q26 pushes the returns slice into the fact scan and takes top-20 sort-free") {
+    val plan = finalPlan(Analytics.q26ReturnedRevenue(spark, Sf0001))
+    assert(plan.contains("EqualTo(l_returnflag,R)"),
+      s"returnflag predicate not pushed:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
   test("q1 aggregates map-side before its single shuffle") {
     val plan = finalPlan(Analytics.q1Pricing(spark, Sf0001))
     assert(plan.contains("partial_sum"), s"no partial aggregation:\n$plan")
