@@ -58,10 +58,18 @@ object Bench {
     // (SPARK_GRAFT_ONLY=d2_ngram_jaccard,d7_winnow); the driver sets no
     // filter and benches everything
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
-    val warmT0 = System.nanoTime()
-    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
-      .map { case (name, fn) =>
+    // fail BEFORE the timing loop, not after minutes of completed work:
+    // a misspelled filter must not masquerade as a successful 0-query
+    // bench, and a short-id clash must not discard the run's results
+    require(selected.nonEmpty,
+      s"SPARK_GRAFT_ONLY matched no queries: ${only.getOrElse(Set.empty).mkString(",")}")
+    def shortId(name: String): String = name.takeWhile(_ != '_')
+    require(selected.map(s => shortId(s._1)).distinct.size == selected.size,
+      "short query ids must stay unique — rename the clashing query")
+    val warmT0 = System.nanoTime()
+    val results = selected.map { case (name, fn) =>
       val warmOk = runOnce(name, fn) // substrate/cache warm pass, untimed
       val samples = (1 to Reps).map { _ =>
         val t0 = System.nanoTime()
@@ -83,17 +91,17 @@ object Bench {
     // query, leaving room for rounds of growth. BENCH_SELF.json keeps
     // the full-name map as the unmediated local record.
     def r2(v: Double): String = String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
-    def shortId(name: String): String = name.takeWhile(_ != '_')
-    require(results.map(r => shortId(r._1)).distinct.size == results.size,
-      "short query ids must stay unique — rename the clashing query")
     def qmap(key: String => String) =
       results.map { case (k, v, _) => "\"" + key(k) + "\":" + r2(v) }.mkString("{", ",", "}")
-    val failed = results.collect { case (k, _, false) => "\"" + k + "\"" }.mkString("[", ",", "]")
+    // failed uses the same key scheme as queries: a mass failure must
+    // not blow the tail window either
+    def failedArr(key: String => String) =
+      results.collect { case (k, _, false) => "\"" + key(k) + "\"" }.mkString("[", ",", "]")
     val total = results.map(_._2).sum
     // methodology (median of Reps substrate-warm runs) is documented in
     // the scaladoc + round notes, not spent as line bytes
     def line(key: String => String) =
-      s"""{"metric":"total","value":${r2(total)},"unit":"sec","queries":${qmap(key)},"failed":$failed,"sf":"$sfDir","wall":${r2(wallTotal)}}"""
+      s"""{"metric":"total","value":${r2(total)},"unit":"sec","queries":${qmap(key)},"failed":${failedArr(key)},"sf":"$sfDir","wall":${r2(wallTotal)}}"""
     println(line(shortId))
     // Also land the FULL-NAME line as a local file (gitignored) —
     // stdout passes through sbt and whatever wrapper invoked it; the

@@ -786,21 +786,19 @@ object Oracles {
 
     // x1: the composite corpus clean replays the t2/t3/d1/d5 CTE chain
     "s5_countmin" ->
-      s"""WITH perms AS (SELECT CAST(i AS INTEGER) AS d,
-         |  ${h60("'cm_a_' || i")} % 2147483646 + 1 AS pa,
-         |  ${h60("'cm_b_' || i")} % 2147483647 AS pb
-         |  FROM range(4) t(i)),
-         |h AS (SELECT l_partkey,
-         |  ${h60("'cm_' || CAST(l_partkey AS VARCHAR)")} % 2147483647 AS hm FROM lineitem),
-         |rows_d AS (SELECT l_partkey, d, ((pa * hm + pb) % 2147483647) % 4096 AS cell
-         |  FROM h CROSS JOIN perms),
+      s"""WITH h AS (SELECT l_partkey,
+         |  md5('cm_' || CAST(l_partkey AS VARCHAR)) AS mh FROM lineitem),
+         |rows_d AS (SELECT l_partkey, d,
+         |  CAST(('0x' || substr(mh, 1 + 8 * d, 8)) AS BIGINT) % 4096 AS cell
+         |  FROM h, range(4) t(d)),
          |sketch AS (SELECT d, cell, count(*) AS cnt FROM rows_d GROUP BY 1, 2),
          |truth AS (SELECT l_partkey, count(*) AS true_cnt FROM lineitem GROUP BY 1
          |  ORDER BY true_cnt DESC, l_partkey LIMIT 10),
          |th AS (SELECT l_partkey, true_cnt,
-         |  ${h60("'cm_' || CAST(l_partkey AS VARCHAR)")} % 2147483647 AS hm FROM truth),
-         |cand AS (SELECT l_partkey, true_cnt, d, ((pa * hm + pb) % 2147483647) % 4096 AS cell
-         |  FROM th CROSS JOIN perms)
+         |  md5('cm_' || CAST(l_partkey AS VARCHAR)) AS mh FROM truth),
+         |cand AS (SELECT l_partkey, true_cnt, d,
+         |  CAST(('0x' || substr(mh, 1 + 8 * d, 8)) AS BIGINT) % 4096 AS cell
+         |  FROM th, range(4) t(d))
          |SELECT c.l_partkey, max(c.true_cnt) AS true_cnt, min(s.cnt) AS est_cnt
          |FROM cand c JOIN sketch s ON c.d = s.d AND c.cell = s.cell
          |GROUP BY c.l_partkey ORDER BY true_cnt DESC, l_partkey""".stripMargin,

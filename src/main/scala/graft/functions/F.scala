@@ -85,10 +85,14 @@ object F {
     * its pieces ATOMICALLY (functions + TopKPerKeyStrategy + optimizer
     * rule in one apply), so the presence of `graft_dot_long` is the one
     * probe for all of them — in particular for paths that PLAN a
-    * TopKPerKey node, which needs the strategy, not just the function.
+    * TopKPerKey node, which needs the strategy, not just a function.
     * This helper is the single place that assumption is stated; every
-    * extension-gated path must probe through it. A session that
-    * hand-registers the function without the strategy is outside the
+    * path gated on the EXTENSION AS A WHOLE (the strategy, the rewrite
+    * rule, or this function) must probe through it. Paths that merely
+    * call one specific OTHER function (the minhash/simhash aggregates
+    * in DedupOps) probe that function's own existence directly — a
+    * more precise check that carries no strategy assumption. A session
+    * that hand-registers functions without the strategy is outside the
     * supported surface. */
   def extensionLive(spark: org.apache.spark.sql.SparkSession): Boolean =
     spark.catalog.functionExists("graft_dot_long")

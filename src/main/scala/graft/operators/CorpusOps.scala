@@ -66,13 +66,29 @@ object CorpusOps {
     * structural. */
   def weightedMix(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.F.{hash60, tokens}
-    val d = Tables.documents(spark, dir)
-      .select(col("doc_id"), col("lang"),
-        size(tokens(col("text"))).cast("long").as("n_tok"))
+    // the (doc_id, lang, n_tok) substrate feeds the mass agg AND the
+    // keep filter AND the report join — one corpus scan, not three
+    val d = DedupOps.memoized(spark, "x4_docTokens", dir) {
+      Tables.documents(spark, dir)
+        .select(col("doc_id"), col("lang"),
+          size(tokens(col("text"))).cast("long").as("n_tok"))
+    }
     val lt = d.groupBy("lang").agg(sum("n_tok").as("tokens"))
     val rates = lt
       .crossJoin(broadcast(lt.agg(min("tokens").as("target"))))
-      .withColumn("rate_ppm", expr("least(1000000, target * 1000000 div tokens)"))
+      // floor(target·10^6 / tokens) WITHOUT the 10^6 multiply that
+      // overflows int64 once a language holds > ~9.2e12 tokens (exactly
+      // the 100 TB corpus this stage exists for: ANSI would throw,
+      // legacy would wrap negative and silently drop the language).
+      // Exact two-step split: ×1000, floor-div, remainder ×1000,
+      // floor-div again — identity floor(a·10^6/b) = (a·10^3 div b)·10^3
+      // + ((a·10^3 mod b)·10^3) div b, int64-safe to ~9.2e15
+      // tokens/language (~4 PB of text). The oracle's HUGEINT
+      // `target * 1000000 // tokens` equals it exactly.
+      .withColumn("rate_ppm", expr(
+        """least(1000000,
+          |  (target * 1000 div tokens) * 1000 +
+          |  ((target * 1000 % tokens) * 1000) div tokens)""".stripMargin))
       .select("lang", "tokens", "rate_ppm")
     val kept = d.join(broadcast(rates.select("lang", "rate_ppm")), "lang")
       .filter(hash60(concat(lit("mix_"), col("doc_id").cast("string")))

@@ -158,23 +158,20 @@ object SketchOps {
   val CmDepth = 4
   val CmWidth = 4096L
 
-  /** Mersenne prime 2^31 − 1 for the Count-Min universal hash family
-    * (the MinHash permutation field: a·h + b stays under 2^62). */
-  val CmP = 2147483647L
-
-  /** The depth rows' (d, cell) struct array for a key's base hash —
-    * md5 is computed ONCE per row and the per-depth cells are
-    * md5-derived LITERAL-coefficient universal hashes (pa·hm + pb mod P
-    * mod W), the d3/MinHash recipe: 4 integer ops instead of 4 extra
-    * md5s per row, and the oracle regenerates the identical
-    * coefficients from the same strings. */
-  private def cmCells(key: org.apache.spark.sql.Column) = {
-    val hm = hash60(concat(lit("cm_"), key.cast(StringType))) % CmP
+  /** The depth rows' (d, cell) struct array for a key — md5 is computed
+    * ONCE per row (`mh` must be the materialized md5 column) and each
+    * depth takes its own DISJOINT 8-hex-char (32-bit) slice of the
+    * digest as its hash. Disjoint md5 slices are independent bits, so
+    * depths collide independently — deriving all depths from one shared
+    * base hash via a·h + b would make any base-hash collision collide
+    * at EVERY depth, voiding the 1−(1/e)^depth guarantee (a·h+b is
+    * injective in h per depth). One md5 per row, zero extra hashing,
+    * and the oracle mirrors the same slices. */
+  private def cmCells(mh: org.apache.spark.sql.Column) = {
+    require(CmDepth * 8 <= 32, "md5 has 32 hex chars — at most 4 disjoint 32-bit slices")
     val cells = (0 until CmDepth).map { d =>
-      val pa = graft.functions.F.hash60Driver(s"cm_a_$d") % (CmP - 1) + 1
-      val pb = graft.functions.F.hash60Driver(s"cm_b_$d") % CmP
       struct(lit(d).as("d"),
-        (((lit(pa) * hm + lit(pb)) % CmP) % CmWidth).as("cell"))
+        (conv(substring(mh, 1 + 8 * d, 8), 16, 10).cast("long") % CmWidth).as("cell"))
     }
     explode(array(cells: _*)).as("dc")
   }
@@ -197,12 +194,14 @@ object SketchOps {
     * broadcast territory at any scale. */
   def countMinTopk(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(spark, dir).select("l_partkey")
-    val sketch = li.select(cmCells(col("l_partkey")))
+    def withMd5(df: DataFrame): DataFrame =
+      df.withColumn("mh", md5(concat(lit("cm_"), col("l_partkey").cast(StringType))))
+    val sketch = withMd5(li).select(cmCells(col("mh")))
       .select(col("dc.d").as("d"), col("dc.cell").as("cell"))
       .groupBy("d", "cell").agg(count(lit(1)).as("cnt"))
     val truth = li.groupBy("l_partkey").agg(count(lit(1)).as("true_cnt"))
       .orderBy(col("true_cnt").desc, col("l_partkey")).limit(10)
-    truth.select(col("l_partkey"), col("true_cnt"), cmCells(col("l_partkey")))
+    withMd5(truth).select(col("l_partkey"), col("true_cnt"), cmCells(col("mh")))
       .select(col("l_partkey"), col("true_cnt"),
         col("dc.d").as("d"), col("dc.cell").as("cell"))
       .join(sketch, Seq("d", "cell"))
