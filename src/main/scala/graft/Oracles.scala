@@ -185,6 +185,19 @@ object Oracles {
          |  min(fare) AS min_fare
          |FROM trips GROUP BY CAST(end_ts AS DATE) ORDER BY date""".stripMargin,
 
+    // p21: the idempotent-sink round-trip must preserve the daily KPIs
+    // bit-for-bit — its oracle IS the p5 SQL (parquet round-trips the
+    // doubles exactly; the streaming agg is batch-equivalent like p9).
+    "p21_idempotent_sink" ->
+      s"""WITH $tripCte
+         |SELECT CAST(end_ts AS DATE) AS date,
+         |  ${dsum("fare")} AS total_fare,
+         |  COUNT(*) AS count_trips,
+         |  ${davg("fare")} AS average_fare,
+         |  max(fare) AS max_fare,
+         |  min(fare) AS min_fare
+         |FROM trips GROUP BY CAST(end_ts AS DATE) ORDER BY date""".stripMargin,
+
     // p9: the streaming pipeline is batch-equivalent on in-order input
     // (StreamingSpec), so its oracle IS the daily-KPI SQL — same CTE,
     // same decimal-exact aggregates as p5.

@@ -34,6 +34,7 @@ object SparkEntry {
     "p13_stream_stream_join" -> streaming.StreamPipeline.signupPurchaseJoinViaFileStream _,
     "p19_stream_distinct" -> streaming.StreamPipeline.hllDistinctStream _,
     "p20_stream_static_join" -> streaming.StreamPipeline.revenueByNationViaFileStream _,
+    "p21_idempotent_sink" -> streaming.StreamPipeline.idempotentKpiSink _,
     // B. analytics
     "q1_pricing" -> Analytics.q1Pricing _,
     "q3_shipping" -> Analytics.q3Shipping _,

@@ -44,6 +44,15 @@ class DeterminismSpec extends AnyFunSuite with SparkSpec {
     assertStable("t5_tfidf_top")(operators.TextOps.tfidfTop(spark, Sf0001))
   }
 
+  test("round-5 sketch/mix/dedup operators are partition-count independent") {
+    assertStable("s5_countmin")(operators.SketchOps.countMinTopk(spark, Sf0001))
+    assertStable("x4_weighted_mix")(operators.CorpusOps.weightedMix(spark, Sf0001))
+    assertStable("d9_passage_dedup")(operators.DedupOps.passageDedup(spark, Sf0001))
+    assertStable("t10_lm_score")(operators.TextOps.lmScore(spark, Sf0001))
+    assertStable("b2_salted_agg")(operators.SkewOps.saltedTypeAgg(spark, Sf0001))
+    assertStable("q25_min_cost")(Analytics.q25MinCost(spark, Sf0001))
+  }
+
   test("round-3 sketch/sampling/phrase operators are partition-count independent") {
     assertStable("s1_kmv_distinct")(operators.SketchOps.kmvDistinct(spark, Sf0001))
     assertStable("s2_group_quantiles")(operators.SketchOps.groupQuantiles(spark, Sf0001))

@@ -405,6 +405,19 @@ class NewOpsSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  // --- p21: the sink is idempotent under full re-delivery ----------------
+
+  test("p21 re-delivering the whole stream leaves the sink byte-identical") {
+    import graft.streaming.StreamPipeline
+    val first = StreamPipeline.idempotentKpiSink(spark, Sf0001).collect().map(_.toSeq).toSeq
+    assert(first.nonEmpty)
+    // run the ENTIRE pipeline again: a fresh query re-processes every
+    // event (at-least-once replay of all batches); dynamic partition
+    // overwrite must rewrite — not append — so rows must not double
+    val second = StreamPipeline.idempotentKpiSink(spark, Sf0001).collect().map(_.toSeq).toSeq
+    assert(second === first, "re-delivery must not change the sink")
+  }
+
   // --- s4: HLL estimate lands inside its error envelope ------------------
 
   test("s4 HLL estimate is within 4 standard errors of the exact count") {
