@@ -72,7 +72,10 @@ object Oracles {
        |SELECT q_id, rnk, c_id, round(score, 6) AS score
        |FROM r WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin
 
-  private lazy val e5Sql: String =
+  /** The e5 IVF statement with an optional extra candidate predicate —
+    * e9 (filtered ANN) is the same probe with the allowed-id semi join
+    * applied in the cand CTE (pre-filter: before scoring/ranking). */
+  private def ivfSqlWith(extraCandPred: String): String =
     s"""WITH ql AS (SELECT vec_id, $QV AS qv, label FROM embeddings),
        |unp AS (SELECT label, generate_subscripts(qv, 1) - 1 AS d, unnest(qv) AS v FROM ql),
        |cd AS (SELECT label, d, SUM(v) AS s, COUNT(*) AS n FROM unp GROUP BY 1, 2),
@@ -87,7 +90,7 @@ object Oracles {
        |  FROM qd),
        |cand AS (SELECT p.q_id, p.qv, c.vec_id AS c_id, c.qv AS cq
        |  FROM pr p JOIN ql c ON c.label = p.label
-       |  WHERE p.crnk <= 2 AND c.vec_id <> p.q_id),
+       |  WHERE p.crnk <= 2 AND c.vec_id <> p.q_id$extraCandPred),
        |r AS (SELECT q_id, c_id,
        |    list_dot_product(qv, cq) / sqrt(list_dot_product(qv, qv) * list_dot_product(cq, cq)) AS score,
        |    row_number() OVER (PARTITION BY q_id ORDER BY
@@ -96,6 +99,11 @@ object Oracles {
        |  FROM cand)
        |SELECT q_id, rnk, c_id, round(score, 6) AS score
        |FROM r WHERE rnk <= 3 ORDER BY q_id, rnk""".stripMargin
+
+  private lazy val e9Sql: String = ivfSqlWith(
+    "\n       AND c.vec_id IN (SELECT doc_id FROM documents WHERE lang = 'en')")
+
+  private lazy val e5Sql: String = ivfSqlWith("")
 
   private val bucketCte =
     s"""planes AS (
@@ -1053,6 +1061,10 @@ object Oracles {
     // e5 mirrors the n-scaled exact centroid distance:
     // n^2*q.q - 2n*(q.s) + s.s — magnitudes < 2^53, exact in doubles.
     "e5_ann_ivf" -> e5Sql,
+
+    // e9: the e5 probe with the language predicate applied to the
+    // candidates BEFORE scoring (pre-filtered vector search)
+    "e9_ann_filtered" -> e9Sql,
 
     // e8: recall@3 of the IVF scale path against the exact baseline —
     // both sides are the e1/e5 statements verbatim, composed as CTEs

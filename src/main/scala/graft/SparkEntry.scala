@@ -100,6 +100,7 @@ object SparkEntry {
     "e2_ann_lsh" -> ((s: SparkSession, d: String) => AnnOps.annLsh(s, d)),
     "e3_embed_neardup" -> ((s: SparkSession, d: String) => AnnOps.embedNearDup(s, d)),
     "e8_ann_recall" -> AnnOps.annRecall _,
+    "e9_ann_filtered" -> ((s: SparkSession, d: String) => AnnOps.annFiltered(s, d)),
     "x1_corpus_clean" -> operators.CorpusOps.corpusClean _,
     "x3_decontaminate" -> operators.CorpusOps.decontaminate _,
     "x4_weighted_mix" -> operators.CorpusOps.weightedMix _,

@@ -194,7 +194,41 @@ object AnnOps {
       .orderBy("q_id", "rnk")
   }
 
-  /** The IVF coarse probe shared by e5 and e6: each query ranks the
+  /** e9: FILTERED ANN — vector search under a metadata predicate
+    * ("nearest English documents"): the IVF probe of e5 with the
+    * predicate's allowed-id set applied to the candidates BEFORE
+    * scoring and ranking. Pre- vs post-filtering is the correctness
+    * fork every vector store faces: post-filtering ranks the global
+    * top-k and THEN drops non-matching rows, returning FEWER than k
+    * (possibly zero) results whenever the neighborhood is dominated by
+    * non-matching vectors; pre-filtering restricts the candidate set so
+    * every returned rank is the true k-th best WITHIN the predicate
+    * (proven against post-filtering in NewOpsSpec).
+    *
+    * Scale shape: e5's equality join on the probed cell ids, plus one
+    * left-semi join against the allowed-id relation — which a real
+    * deployment supplies as a pruned scan (partition/z-order on the
+    * metadata) or a broadcast id set; candidates shrink before the
+    * expensive exact rerank, never after. */
+  def annFiltered(spark: SparkSession, dir: String, k: Int = 3, nProbe: Int = NProbe): DataFrame = {
+    val cos = cosineWith(dotBest(spark)) _
+    val allowed = graft.Tables.documents(spark, dir)
+      .filter(col("lang") === "en").select(col("doc_id").as("c_id"))
+    val qv = quantized(spark, dir)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(col("score").desc, col("c_id"))
+    probedCells(spark, dir, nProbe)
+      .join(qv.select(col("vec_id").as("c_id"), col("q").as("cq"), col("label")), "label")
+      .filter(col("q_id") =!= col("c_id"))
+      .join(allowed, Seq("c_id"), "left_semi") // pre-filter: BEFORE rerank
+      .withColumn("score", cos(col("qq"), col("cq")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col("rnk"), col("c_id"), round(col("score"), 6).as("score"))
+      .orderBy("q_id", "rnk")
+  }
+
+  /** The IVF coarse probe shared by e5, e6, and e9: each query ranks the
     * broadcast centroid table by the exact n-scaled distance identity
     * (see [[centroids]]) and keeps its nProbe nearest cells →
     * (q_id, qq, label). ONE definition: the dist2 identity and the

@@ -405,6 +405,29 @@ class NewOpsSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  // --- e9: pre-filtering dominates post-filtering ------------------------
+
+  test("e9 pre-filtered ANN returns every result post-filtering can, and more") {
+    import graft.operators.AnnOps
+    val allowed = Tables.documents(spark, Sf001).filter(col("lang") === "en")
+      .select(col("doc_id").as("c_id"))
+    val pre = AnnOps.annFiltered(spark, Sf001)
+    // every e9 result satisfies the predicate
+    assert(pre.join(allowed, Seq("c_id"), "left_anti").count() === 0L)
+    // post-filtering = rank the UNfiltered e5 top-3 first, then drop
+    // non-matching rows — the naive vector-store composition
+    val post = AnnOps.annIvf(spark, Sf001).join(allowed, Seq("c_id"), "left_semi")
+    val preCnt = pre.groupBy("q_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val postCnt = post.groupBy("q_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // per query, post-filter can never return more than pre-filter...
+    postCnt.foreach { case (q, n) => assert(n <= preCnt.getOrElse(q, 0L)) }
+    // ...and somewhere it returns strictly fewer (the recall loss e9 fixes)
+    assert(postCnt.values.sum < preCnt.values.sum,
+      "expected post-filtering to lose results at this geometry")
+  }
+
   // --- p21: the sink is idempotent under full re-delivery ----------------
 
   test("p21 re-delivering the whole stream leaves the sink byte-identical") {
