@@ -254,6 +254,18 @@ object Oracles {
          |  min(value) AS min_value
          |FROM events GROUP BY 1, 2 ORDER BY date, event_type""".stripMargin,
 
+    // p22: the merged-schema read NULL-fills avg_value for v1-writer
+    // files (event types before 'p') and tags each row's writer version
+    "p22_schema_merge" ->
+      s"""SELECT CAST(ts AS DATE) AS date, event_type,
+         |  COUNT(*) AS n_events,
+         |  ${dsum("value")} AS total_value,
+         |  CASE WHEN event_type < 'p' THEN NULL ELSE ${davg("value")} END AS avg_value,
+         |  max(value) AS max_value,
+         |  min(value) AS min_value,
+         |  CASE WHEN event_type < 'p' THEN 1 ELSE 2 END AS writer_v
+         |FROM events GROUP BY 1, 2 ORDER BY date, event_type""".stripMargin,
+
     // p14: the partitioned-parquet roundtrip must preserve the by-type
     // KPIs bit-exactly inside the pruned date window
     "p14_partition_pruning" ->
@@ -897,6 +909,18 @@ object Oracles {
          |  CAST(sum(c) AS BIGINT) * 1000000 // count(*) AS score_micro
          |FROM bg JOIN cnt ON bg.bigram = cnt.bigram
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "t11_repetition" ->
+      s"""WITH d AS (SELECT doc_id, $TOK AS t FROM documents),
+         |g AS (SELECT doc_id, gram FROM (
+         |  SELECT doc_id, unnest(CASE WHEN len(t) >= 3
+         |    THEN list_transform(range(1, len(t) - 1), i -> array_to_string(t[i:i+2], ' '))
+         |    ELSE [] END) AS gram FROM d) u),
+         |pg AS (SELECT doc_id, gram, count(*) AS c FROM g GROUP BY 1, 2)
+         |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_grams, count(*) AS n_unique,
+         |  (CAST(sum(c) AS BIGINT) - count(*)) * 1000000 // CAST(sum(c) AS BIGINT) AS rep_micro,
+         |  CAST(max(c) AS BIGINT) * 1000000 // CAST(sum(c) AS BIGINT) AS top_micro
+         |FROM pg GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "t9_chunk" ->
       s"""WITH d AS (SELECT doc_id, $TOK AS t FROM documents),

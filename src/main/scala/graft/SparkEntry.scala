@@ -35,6 +35,7 @@ object SparkEntry {
     "p19_stream_distinct" -> streaming.StreamPipeline.hllDistinctStream _,
     "p20_stream_static_join" -> streaming.StreamPipeline.revenueByNationViaFileStream _,
     "p21_idempotent_sink" -> streaming.StreamPipeline.idempotentKpiSink _,
+    "p22_schema_merge" -> pipeline.SinkOps.schemaEvolutionRead _,
     // B. analytics
     "q1_pricing" -> Analytics.q1Pricing _,
     "q3_shipping" -> Analytics.q3Shipping _,
@@ -105,6 +106,7 @@ object SparkEntry {
     "x3_decontaminate" -> operators.CorpusOps.decontaminate _,
     "x4_weighted_mix" -> operators.CorpusOps.weightedMix _,
     "t10_lm_score" -> TextOps.lmScore _,
+    "t11_repetition" -> TextOps.repetition _,
     "t9_chunk" -> TextOps.chunk _,
     "d9_passage_dedup" -> DedupOps.passageDedup _,
     "g1_bipartite_rank" -> operators.GraphOps.bipartiteRank _,

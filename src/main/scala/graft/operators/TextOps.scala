@@ -274,6 +274,34 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** t11: WITHIN-DOCUMENT REPETITION scoring — the looping-text quality
+    * filter (the Gopher/MassiveText "duplicate n-gram fraction" family):
+    * degenerate generations and boilerplate loops repeat the same token
+    * runs, so two per-doc metrics expose them — the fraction of 3-gram
+    * POSITIONS occupied by repeats (rep_micro) and the share of the
+    * single most frequent 3-gram (top_micro), both int64 micro-units.
+    * A curation pass drops docs above thresholds; here the scores are
+    * the artifact.
+    *
+    * Scale shape: one narrow explode → a (doc_id, gram) count groupBy →
+    * a per-doc fold, both map-combined; no joins, nothing pairwise —
+    * the t1/t2 per-doc profile with one extra aggregation level. */
+  def repetition(spark: SparkSession, dir: String): DataFrame = {
+    val pg = Tables.documents(spark, dir)
+      .withColumn("t", toks)
+      .select(col("doc_id"), explode(expr(
+        """CASE WHEN size(t) >= 3
+          |  THEN transform(sequence(0, size(t) - 3), i -> array_join(slice(t, i + 1, 3), ' '))
+          |  ELSE array() END""".stripMargin)).as("gram"))
+      .groupBy("doc_id", "gram").agg(count(lit(1)).as("c"))
+    pg.groupBy("doc_id")
+      .agg(sum("c").as("n_grams"), count(lit(1)).as("n_unique"), max("c").as("top_c"))
+      .select(col("doc_id"), col("n_grams"), col("n_unique"),
+        expr("(n_grams - n_unique) * 1000000 div n_grams").as("rep_micro"),
+        expr("top_c * 1000000 div n_grams").as("top_micro"))
+      .orderBy("doc_id")
+  }
+
   /** t9 chunk geometry: window size / stride in tokens. Stride < size
     * gives the 8-token overlap that keeps context across chunk
     * boundaries (the standard LM-training window trick). */

@@ -105,4 +105,35 @@ object SinkOps {
     StructField("avg_value", DoubleType),
     StructField("max_value", DoubleType),
     StructField("min_value", DoubleType)))
+
+  /** p22: SCHEMA-EVOLUTION lake read — the reality of a long-lived
+    * lake: files written before a column existed sit next to files
+    * written after. Writer v1 landed the by-type KPIs WITHOUT
+    * `avg_value` (the column didn't exist yet); writer v2 landed later
+    * event types with it. `mergeSchema` unions the file schemas at read
+    * time and NULL-fills the missing column for v1 files — no rewrite
+    * of historical data, no reader crash, exactly the
+    * "validate-and-carry-on" discipline the reference applies to
+    * evolving payloads.
+    *
+    * Scale notes: schema merging reads FOOTERS, not data, and the
+    * writer-version split is directory-partitioned (`v=1/`, `v=2/`), so
+    * the merge cost is per-file metadata only; a production lake pins
+    * the merged schema in a catalog after migration instead of paying
+    * footer inspection per query. */
+  def schemaEvolutionRead(spark: SparkSession, dir: String): DataFrame = {
+    val out = "target/graft-sink/evolve_" + dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val kpi = TripPipeline.kpiDailyByType(spark, dir)
+    // v1 writer: early event types, no avg_value column yet
+    kpi.filter(col("event_type") < "p").drop("avg_value")
+      .write.mode("overwrite").parquet(s"$out/v=1")
+    // v2 writer: the rest, current schema
+    kpi.filter(col("event_type") >= "p")
+      .write.mode("overwrite").parquet(s"$out/v=2")
+    spark.read.option("mergeSchema", "true").parquet(out)
+      .select(col("date"), col("event_type"), col("n_events"),
+        col("total_value"), col("avg_value"), col("max_value"),
+        col("min_value"), col("v").cast(LongType).as("writer_v"))
+      .orderBy("date", "event_type")
+  }
 }

@@ -405,6 +405,38 @@ class NewOpsSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  // --- t11: repetition metrics are internally consistent -----------------
+
+  test("t11 repetition metrics respect their arithmetic bounds and find repeats") {
+    import graft.operators.TextOps
+    val rows = TextOps.repetition(spark, Sf001).collect()
+    assert(rows.length === 500)
+    rows.foreach { r =>
+      val (n, u, rep, top) = (r.getAs[Long]("n_grams"), r.getAs[Long]("n_unique"),
+        r.getAs[Long]("rep_micro"), r.getAs[Long]("top_micro"))
+      assert(u <= n && u >= 1)
+      assert(rep === (n - u) * 1000000L / n)
+      // the most frequent gram covers at least the average share
+      assert(top >= 1000000L / u)
+      assert(top <= 1000000L)
+    }
+    assert(rows.exists(_.getAs[Long]("rep_micro") > 0L),
+      "corpus must surface some within-doc repetition")
+  }
+
+  // --- p22: merged schema null-fills exactly the v1 files ----------------
+
+  test("p22 merged read null-fills avg_value exactly for v1-writer rows") {
+    val rows = pipeline.SinkOps.schemaEvolutionRead(spark, Sf001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val v1 = r.getAs[Long]("writer_v") == 1L
+      assert(r.isNullAt(r.fieldIndex("avg_value")) === v1,
+        s"avg_value nullity must track writer version: $r")
+      assert(v1 === (r.getAs[String]("event_type") < "p"))
+    }
+  }
+
   // --- e9: pre-filtering dominates post-filtering ------------------------
 
   test("e9 pre-filtered ANN returns every result post-filtering can, and more") {
