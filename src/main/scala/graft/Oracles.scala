@@ -860,6 +860,22 @@ object Oracles {
          |FROM events WHERE value IS NOT NULL
          |GROUP BY event_type ORDER BY event_type""".stripMargin,
 
+    "s6_hist_quantiles" ->
+      """WITH v AS (SELECT event_type, CAST(floor(value * 1000) AS BIGINT) AS mv
+        |  FROM events WHERE value IS NOT NULL AND value > 0),
+        |b AS (SELECT event_type, CAST(length(bin(mv)) AS BIGINT) AS bin, count(*) AS c
+        |  FROM v GROUP BY 1, 2),
+        |cum AS (SELECT event_type, bin, c,
+        |  CAST(sum(c) OVER (PARTITION BY event_type ORDER BY bin) AS BIGINT) AS cum_c,
+        |  CAST(sum(c) OVER (PARTITION BY event_type) AS BIGINT) AS n FROM b),
+        |q50 AS (SELECT event_type, min(bin) AS p50_bin FROM cum WHERE cum_c * 2 >= n GROUP BY 1),
+        |q95 AS (SELECT event_type, min(bin) AS p95_bin FROM cum WHERE cum_c * 100 >= n * 95 GROUP BY 1)
+        |SELECT c.event_type, max(n) AS n,
+        |  max(p50_bin) AS p50_bin, (CAST(1 AS BIGINT) << max(p50_bin)) AS p50_hi_milli,
+        |  max(p95_bin) AS p95_bin, (CAST(1 AS BIGINT) << max(p95_bin)) AS p95_hi_milli
+        |FROM cum c JOIN q50 USING (event_type) JOIN q95 USING (event_type)
+        |GROUP BY c.event_type ORDER BY c.event_type""".stripMargin,
+
     "q26_returned_revenue" ->
       """SELECT c_custkey, c_name, n_name,
         |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue

@@ -62,6 +62,7 @@ object SparkEntry {
     "q25_min_cost" -> Analytics.q25MinCost _,
     "q26_returned_revenue" -> Analytics.q26ReturnedRevenue _,
     "s5_countmin" -> operators.SketchOps.countMinTopk _,
+    "s6_hist_quantiles" -> operators.SketchOps.histQuantiles _,
     "d8_containment" -> ((s: SparkSession, d: String) => operators.DedupOps.containmentPairs(s, d)),
     "x2_cluster_sample" -> operators.ClusterOps.clusterBalancedSample _,
     "q22_inactive_rich" -> Analytics.q22InactiveRich _,

@@ -158,6 +158,46 @@ object SketchOps {
   val CmDepth = 4
   val CmWidth = 4096L
 
+  /** s6: LOG-BIN HISTOGRAM QUANTILES — the approximate-quantile sketch
+    * that complements s2's exact rank arithmetic the way s4 (HLL)
+    * complements s1 (KMV): s2 pays a full shuffle+sort of every row per
+    * key; this pays ONE map-combined groupBy collapsing each key to
+    * ≤ 64 power-of-two bins (value → exact milli-units → bin =
+    * length(bin(x)), s4's exact integer log2), then extracts p50/p95 as
+    * the first bin whose cumulative count crosses the rank — integer
+    * comparisons on a ≤ 64-rows-per-key relation, engine-exact, no
+    * floats anywhere. The price is resolution (a power-of-two bracket,
+    * reported as the exclusive upper bound); the win is that histograms
+    * merge bin-wise, so per-day/per-source rollups and streaming
+    * maintenance come free — the same argument as s4 vs s1.
+    *
+    * Scale shape: shuffle volume ≤ 64 bins × keys per task regardless
+    * of input; everything after the first groupBy runs on a
+    * keys × 64-row relation. */
+  def histQuantiles(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val b = Tables.events(spark, dir)
+      .filter(col("value").isNotNull && col("value") > 0)
+      .select(col("event_type"),
+        floor(col("value") * 1000).cast(LongType).as("mv"))
+      .withColumn("bin", length(bin(col("mv"))).cast(LongType))
+      .groupBy("event_type", "bin").agg(count(lit(1)).as("c"))
+    val cum = b
+      .withColumn("cum_c", sum("c").over(
+        Window.partitionBy("event_type").orderBy("bin")))
+      .withColumn("n", sum("c").over(Window.partitionBy("event_type")))
+    val q50 = cum.filter(col("cum_c") * 2 >= col("n"))
+      .groupBy("event_type").agg(min("bin").as("p50_bin"))
+    val q95 = cum.filter(col("cum_c") * 100 >= col("n") * 95)
+      .groupBy("event_type").agg(min("bin").as("p95_bin"))
+    cum.groupBy("event_type").agg(max("n").as("n"))
+      .join(q50, "event_type").join(q95, "event_type")
+      .select(col("event_type"), col("n"),
+        col("p50_bin"), expr("shiftleft(CAST(1 AS BIGINT), CAST(p50_bin AS INT))").as("p50_hi_milli"),
+        col("p95_bin"), expr("shiftleft(CAST(1 AS BIGINT), CAST(p95_bin AS INT))").as("p95_hi_milli"))
+      .orderBy("event_type")
+  }
+
   /** The depth rows' (d, cell) struct array for a key — md5 is computed
     * ONCE per row (`mh` must be the materialized md5 column) and each
     * depth takes its own DISJOINT 8-hex-char (32-bit) slice of the

@@ -53,6 +53,34 @@ class SketchSpec extends AnyFunSuite with SparkSpec {
     assert(ids1 === ids2)
   }
 
+  test("s6 histogram p50/p95 bins contain the exact order statistics") {
+    val got = SketchOps.histQuantiles(spark, Sf0001).collect()
+      .map(r => r.getString(0) -> r).toMap
+    // recompute off-engine: exact milli-unit values per event_type
+    val vals = Tables.events(spark, Sf0001)
+      .filter(col("value").isNotNull && col("value") > 0)
+      .select(col("event_type"), floor(col("value") * 1000).cast("long").as("mv"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    assert(got.keySet === vals.keySet)
+    def binOf(x: Long): Long = java.lang.Long.toBinaryString(x).length.toLong
+    for ((et, sorted) <- vals) {
+      val r = got(et)
+      val n = sorted.length
+      assert(r.getAs[Long]("n") === n.toLong, s"$et n")
+      // the query's rank definitions: first cum crossing n/2 resp. 0.95n
+      val p50 = sorted((n + 1) / 2 - 1)              // rank ceil(n/2)
+      val p95 = sorted((95 * n + 99) / 100 - 1)      // rank ceil(0.95 n)
+      assert(r.getAs[Long]("p50_bin") === binOf(p50), s"$et p50 bin")
+      assert(r.getAs[Long]("p95_bin") === binOf(p95), s"$et p95 bin")
+      // the reported power-of-two bracket (hi/2, hi] contains the statistic
+      val hi50 = r.getAs[Long]("p50_hi_milli")
+      val hi95 = r.getAs[Long]("p95_hi_milli")
+      assert(p50 <= hi50 && p50 > hi50 / 2, s"$et p50 bracket")
+      assert(p95 <= hi95 && p95 > hi95 / 2, s"$et p95 bracket")
+    }
+  }
+
   test("s1 k-smallest plans as TakeOrderedAndProject, not a global sort") {
     val df = SketchOps.kmvDistinct(spark, Sf0001)
     df.collect()
