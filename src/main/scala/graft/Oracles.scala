@@ -888,6 +888,44 @@ object Oracles {
         |ORDER BY SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) DESC, c_custkey
         |LIMIT 20""".stripMargin,
 
+    "q27_profit" ->
+      """SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year,
+        |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+        |    - l_quantity * p_retailprice * CAST(0.01 AS DOUBLE) AS DECIMAL(18,6))) AS DOUBLE) AS profit
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey AND p_name LIKE '%widget%'
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1, 2 ORDER BY nation, o_year DESC""".stripMargin,
+
+    "q28_important_stock" ->
+      """WITH v AS (
+        |  SELECT l_partkey,
+        |    SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS val
+        |  FROM lineitem
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  WHERE n_name IN ('NATION_1','NATION_2','NATION_3','NATION_4','NATION_5')
+        |  GROUP BY 1)
+        |SELECT l_partkey, CAST(val AS DOUBLE) AS value
+        |FROM v WHERE val * 200 > (SELECT SUM(val) FROM v)
+        |ORDER BY value DESC, l_partkey""".stripMargin,
+
+    "q29_part_promotion" ->
+      """WITH sq AS (
+        |  SELECT l_suppkey, l_partkey,
+        |    SUM(CASE WHEN l_shipdate >= '1997-01-01' AND l_shipdate < '1998-01-01'
+        |      THEN CAST(l_quantity AS DECIMAL(18,6)) ELSE CAST(0 AS DECIMAL(18,6)) END) AS qty_1997,
+        |    SUM(CAST(l_quantity AS DECIMAL(18,6))) AS qty_all
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey AND p_name LIKE '%bolt%'
+        |  GROUP BY 1, 2)
+        |SELECT DISTINCT s_suppkey, s_name, n_name
+        |FROM sq JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |WHERE qty_1997 * 2 > qty_all
+        |ORDER BY s_name""".stripMargin,
+
     "p20_stream_static_join" ->
       s"""WITH v AS (SELECT * FROM events WHERE $validCond)
          |SELECT CAST(ts AS DATE) AS date, n_name,

@@ -61,6 +61,9 @@ object SparkEntry {
     "q24_market_share" -> Analytics.q24MarketShare _,
     "q25_min_cost" -> Analytics.q25MinCost _,
     "q26_returned_revenue" -> Analytics.q26ReturnedRevenue _,
+    "q27_profit" -> Analytics.q27Profit _,
+    "q28_important_stock" -> Analytics.q28ImportantStock _,
+    "q29_part_promotion" -> Analytics.q29PartPromotion _,
     "s5_countmin" -> operators.SketchOps.countMinTopk _,
     "s6_hist_quantiles" -> operators.SketchOps.histQuantiles _,
     "d8_containment" -> ((s: SparkSession, d: String) => operators.DedupOps.containmentPairs(s, d)),

@@ -564,6 +564,121 @@ object Analytics {
     * the argmin has shrunk the fact side. Top 100 by the tie-safe Q2
     * order via TakeOrderedAndProject. (The join-back formulation is the
     * spec's independent cross-check.) */
+  /** q27 (TPC-H Q9 topology): product-line profit by supplier nation and
+    * order year — the widest join tree in the suite (lineitem against
+    * part, supplier, nation, orders) with a substring predicate on the
+    * part dimension. The schema has no partsupp, so the cost term is
+    * `l_quantity * p_retailprice / 100` in place of
+    * `ps_supplycost * l_quantity`; the topology (a 5-relation star whose
+    * fact side is filtered through a LIKE on one dimension) is Q9's.
+    * Reference for the join-tree shape: glue_jobs/KPI-Aggregator.py has
+    * no analog — this is TPC-H Q9.
+    *
+    * Scale shape: the part subset prunes lineitem FIRST (a `%widget%`
+    * LIKE keeps an SF-proportional slice of part, so no broadcast hint —
+    * q3's lesson: AQE picks broadcast at small SFs from runtime sizes
+    * and keeps the shuffle at 100 TB); then suppkey and orderkey shuffle
+    * joins; nation is the only constant-size dim and the only hinted
+    * broadcast (q5's lesson). Each join input is projected to exactly
+    * the columns the rest of the tree needs, so the shuffles carry the
+    * profit term, not whole rows. */
+  def q27Profit(spark: SparkSession, dir: String): DataFrame = {
+    val widgetParts = Tables.part(spark, dir)
+      .filter(col("p_name").contains("widget"))
+      .select("p_partkey", "p_retailprice")
+    val amount = (col("l_extendedprice") * (lit(1.0) - col("l_discount")) -
+      col("l_quantity") * col("p_retailprice") * lit(0.01))
+      .cast(DecimalType(18, 6))
+    Tables.lineitem(spark, dir)
+      .select("l_orderkey", "l_partkey", "l_suppkey",
+        "l_quantity", "l_extendedprice", "l_discount")
+      .join(widgetParts, col("l_partkey") === col("p_partkey"))
+      .join(Tables.supplier(spark, dir).select("s_suppkey", "s_nationkey"),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables.nation(spark, dir).select("n_nationkey", "n_name")),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("n_name"), col("l_orderkey"), amount.as("amount"))
+      .join(Tables.orders(spark, dir).select("o_orderkey", "o_orderdate"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("n_name").as("nation"), year(col("o_orderdate")).as("o_year"))
+      .agg(sum(col("amount")).cast(DoubleType).as("profit"))
+      .orderBy(col("nation"), col("o_year").desc)
+  }
+
+  /** q28 (TPC-H Q11 topology): "important stock" — per-part value held
+    * by a nation group's suppliers, kept only where the part's value
+    * exceeds a fixed fraction (1/200) of the GLOBAL sum: the
+    * scalar-subquery-over-the-same-relation shape. Decorrelated the way
+    * Q11 always is: build the per-part value relation v once, derive
+    * the global total BY RE-AGGREGATING v (never a second fact scan),
+    * and broadcast the 1-row total back across v.
+    *
+    * Scale shape: both arms share the identical scan→semi-filter→
+    * (l_partkey) exchange subtree, so Catalyst's ReuseExchange
+    * materializes the shuffle once and the total costs one extra
+    * reduce over the already-collapsed per-part relation (pinned by
+    * spec — this is the inverse of q25's lesson, where differing
+    * column pruning BROKE reuse). The threshold compare is decimal ×
+    * integer (val * 200 > total), exact in both engines — no float
+    * boundary. */
+  def q28ImportantStock(spark: SparkSession, dir: String): DataFrame = {
+    val natGroup = (1 to 5).map(i => s"NATION_$i")
+    val supp = Tables.supplier(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)
+          .filter(col("n_name").isin(natGroup: _*))),
+        col("s_nationkey") === col("n_nationkey"))
+      .select("s_suppkey")
+    val v = Tables.lineitem(spark, dir)
+      .select("l_partkey", "l_suppkey", "l_extendedprice", "l_discount")
+      .join(supp, col("l_suppkey") === col("s_suppkey"), "left_semi")
+      .groupBy("l_partkey")
+      .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .cast(DecimalType(18, 6))).as("val"))
+    v.join(broadcast(v.agg(sum("val").as("total"))))
+      .filter(col("val") * lit(200) > col("total"))
+      .select(col("l_partkey"), col("val").cast(DoubleType).as("value"))
+      .orderBy(col("value").desc, col("l_partkey"))
+  }
+
+  /** q29 (TPC-H Q20 topology): suppliers who shipped more than half of
+    * their all-time quantity of some `%bolt%` part inside one year —
+    * Q20's nested-IN chain (partkey IN name-filtered parts, suppkey IN
+    * a correlated half-quantity threshold). Decorrelated into ONE
+    * conditional aggregation: per (suppkey, partkey), the 1997 slice
+    * and the all-time total come from the same scan via
+    * sum(CASE WHEN in-window THEN qty END) — where the textbook plan
+    * correlates a subquery per pair and scans the fact table twice.
+    * The qualifying pair set then SEMI-joins supplier (never a row
+    * multiplier), and only nation broadcasts.
+    *
+    * Scale shape: one fact scan, one (suppkey, partkey) exchange, a
+    * pair relation that collapses to |suppliers × parts-per-supplier|
+    * before touching any dimension. Quantities sum as decimals so the
+    * half-threshold compare (qty_1997 * 2 > qty_all) is exact. */
+  def q29PartPromotion(spark: SparkSession, dir: String): DataFrame = {
+    val dec = DecimalType(18, 6)
+    val in1997 = col("l_shipdate") >= lit("1997-01-01") &&
+      col("l_shipdate") < lit("1998-01-01")
+    val qualifying = Tables.lineitem(spark, dir)
+      .select("l_partkey", "l_suppkey", "l_quantity", "l_shipdate")
+      .join(Tables.part(spark, dir).filter(col("p_name").contains("bolt"))
+          .select("p_partkey"),
+        col("l_partkey") === col("p_partkey"), "left_semi")
+      .groupBy("l_suppkey", "l_partkey")
+      .agg(
+        sum(when(in1997, col("l_quantity").cast(dec))
+          .otherwise(lit(0).cast(dec))).as("qty_1997"),
+        sum(col("l_quantity").cast(dec)).as("qty_all"))
+      .filter(col("qty_1997") * lit(2) > col("qty_all"))
+      .select("l_suppkey").distinct()
+    Tables.supplier(spark, dir)
+      .join(qualifying, col("s_suppkey") === col("l_suppkey"), "left_semi")
+      .join(broadcast(Tables.nation(spark, dir).select("n_nationkey", "n_name")),
+        col("s_nationkey") === col("n_nationkey"))
+      .select("s_suppkey", "s_name", "n_name")
+      .orderBy("s_name")
+  }
+
   def q25MinCost(spark: SparkSession, dir: String): DataFrame = {
     val eusup = Tables.supplier(spark, dir)
       .join(broadcast(Tables.nation(spark, dir)

@@ -63,6 +63,101 @@ class TpchShapesSpec extends AnyFunSuite with SparkSpec {
     assert(math.abs(r.getDouble(0) - expected) < 1e-6, s"${r.getDouble(0)} vs $expected")
   }
 
+  test("q27 profit equals an off-engine BigDecimal recomputation") {
+    val parts = Tables.part(spark, Sf0001).filter(col("p_name").contains("widget"))
+      .select("p_partkey", "p_retailprice").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val suppNat = Tables.supplier(spark, Sf0001)
+      .select(col("s_suppkey").cast("long"), col("s_nationkey").cast("long"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val natName = Tables.nation(spark, Sf0001)
+      .select(col("n_nationkey").cast("long"), col("n_name"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val ordYear = Tables.orders(spark, Sf0001)
+      .select(col("o_orderkey"), year(col("o_orderdate")).as("y"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val agg = scala.collection.mutable.Map.empty[(String, Int), BigDecimal]
+    Tables.lineitem(spark, Sf0001)
+      .select("l_orderkey", "l_partkey", "l_suppkey",
+        "l_quantity", "l_extendedprice", "l_discount")
+      .collect().foreach { r =>
+        parts.get(r.getLong(1)).foreach { rp =>
+          val k = (natName(suppNat(r.getLong(2))), ordYear(r.getLong(0)))
+          val amt = r.getDouble(4) * (1.0 - r.getDouble(5)) -
+            r.getDouble(3) * rp * 0.01
+          agg(k) = agg.getOrElse(k, BigDecimal(0)) +
+            BigDecimal(amt).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        }
+      }
+    val got = Analytics.q27Profit(spark, Sf0001).collect()
+      .map(r => (r.getString(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    assert(got.keySet === agg.keySet)
+    for ((k, v) <- agg) assert(got(k) === v.toDouble, k)
+  }
+
+  test("q28 keeps exactly the parts above 1/200 of the global value") {
+    val suppSet = Tables.supplier(spark, Sf0001)
+      .join(Tables.nation(spark, Sf0001)
+          .filter(col("n_name").isin((1 to 5).map(i => s"NATION_$i"): _*)),
+        col("s_nationkey") === col("n_nationkey"))
+      .select("s_suppkey").collect().map(_.getLong(0)).toSet
+    val byPart = scala.collection.mutable.Map.empty[Long, BigDecimal]
+    Tables.lineitem(spark, Sf0001)
+      .select("l_partkey", "l_suppkey", "l_extendedprice", "l_discount")
+      .collect().foreach { r =>
+        if (suppSet(r.getLong(1))) {
+          val v = BigDecimal(r.getDouble(2) * (1.0 - r.getDouble(3)))
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+          byPart(r.getLong(0)) = byPart.getOrElse(r.getLong(0), BigDecimal(0)) + v
+        }
+      }
+    val total = byPart.values.sum
+    val want = byPart.filter { case (_, v) => v * 200 > total }
+      .map { case (k, v) => k -> v.toDouble }
+    val got = Analytics.q28ImportantStock(spark, Sf0001).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got === want.toMap)
+  }
+
+  test("q28 computes the global total by re-aggregating v, not a second fact scan") {
+    val df = Analytics.q28ImportantStock(spark, Sf0001)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    // the scalar-total arm must reuse v's exchange: exactly one scan of
+    // the fact table in the executed plan
+    val scans = "Scan parquet".r.findAllIn(plan).count(_ => true)
+    val lineitemScans = plan.linesIterator.count(l =>
+      l.contains("Scan parquet") && l.contains("lineitem"))
+    assert(lineitemScans === 1, s"lineitem scanned $lineitemScans times (of $scans scans):\n$plan")
+  }
+
+  test("q29 equals the off-engine correlated-subquery recomputation") {
+    val boltParts = Tables.part(spark, Sf0001)
+      .filter(col("p_name").contains("bolt"))
+      .select("p_partkey").collect().map(_.getLong(0)).toSet
+    val pairs = scala.collection.mutable.Map.empty[(Long, Long), (BigDecimal, BigDecimal)]
+    Tables.lineitem(spark, Sf0001)
+      .select("l_suppkey", "l_partkey", "l_quantity", "l_shipdate")
+      .collect().foreach { r =>
+        if (boltParts(r.getLong(1))) {
+          val k = (r.getLong(0), r.getLong(1))
+          val q = BigDecimal(r.getDouble(2)).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+          val sd = r.getAs[java.time.LocalDateTime](3).toLocalDate
+          val in97 = !sd.isBefore(java.time.LocalDate.of(1997, 1, 1)) &&
+            sd.isBefore(java.time.LocalDate.of(1998, 1, 1))
+          val (a, b) = pairs.getOrElse(k, (BigDecimal(0), BigDecimal(0)))
+          pairs(k) = (if (in97) a + q else a, b + q)
+        }
+      }
+    val wantSupp = pairs.collect { case ((s, _), (q97, qall)) if q97 * 2 > qall => s }.toSet
+    val got = Analytics.q29PartPromotion(spark, Sf0001).collect()
+    assert(got.map(_.getLong(0)).toSet === wantSupp)
+    // the (name, nation) columns come from the right dimension rows
+    val suppName = Tables.supplier(spark, Sf0001).select("s_suppkey", "s_name")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    got.foreach(r => assert(r.getString(1) === suppName(r.getLong(0))))
+  }
+
   test("the spark.sql surface over registered views matches the DataFrame plans") {
     // users of the library can register the tables and write ANSI SQL;
     // the declarative plans must agree with the DataFrame formulations
