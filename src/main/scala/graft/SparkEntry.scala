@@ -66,6 +66,8 @@ object SparkEntry {
     "q29_part_promotion" -> Analytics.q29PartPromotion _,
     "s5_countmin" -> operators.SketchOps.countMinTopk _,
     "s6_hist_quantiles" -> operators.SketchOps.histQuantiles _,
+    "s7_bloom_join" -> operators.SketchOps.bloomJoin _,
+    "b3_salted_join" -> operators.SkewOps.saltedUserJoin _,
     "d8_containment" -> ((s: SparkSession, d: String) => operators.DedupOps.containmentPairs(s, d)),
     "x2_cluster_sample" -> operators.ClusterOps.clusterBalancedSample _,
     "q22_inactive_rich" -> Analytics.q22InactiveRich _,

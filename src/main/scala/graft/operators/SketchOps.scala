@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.Tables
@@ -248,5 +248,78 @@ object SketchOps {
       .groupBy("l_partkey")
       .agg(max("true_cnt").as("true_cnt"), min("cnt").as("est_cnt"))
       .orderBy(col("true_cnt").desc, col("l_partkey"))
+  }
+
+  /** Bloom filter geometry: 2^16 bits (1024 longs = 8 KB) × 4 hashes.
+    * For n inserted keys the false-positive rate is
+    * (1 − e^(−4n/65536))^4 — ≈ 8·10⁻⁴ at n = 3 000; for bigger key
+    * sets a production caller scales `BloomBits` (the 8 KB is
+    * per-QUERY constant, not per-row). */
+  val BloomBits = 1 << 16
+  val BloomHashes = 4
+  private val Pow2: Array[Long] = Array.tabulate(64)(i => 1L << i)
+
+  /** Build an 8 KB Bloom bitset over `keys` (one key column) and return
+    * the might-contain predicate for `probe`.
+    *
+    * Build shape: each key maps to `BloomHashes` bit positions
+    * (independent xxhash64 seeds via a literal salt arg); positions
+    * group to ≤ 1024 (word → bit_or mask) rows — a map-combined
+    * aggregate whose state is bounded by the bitset size, never the key
+    * count — then the 8 KB collects to the driver and re-enters the
+    * plan as an array LITERAL. That driver hop is size-constant and is
+    * exactly how engine-native runtime filters ship bloom state; at
+    * 100 TB the 8 KB literal broadcasts with the task binaries.
+    *
+    * Probe shape: pure row-local integer ops (2 xxhash64 + shift + mask
+    * per hash, the dynamic 1<<k done via a 64-entry literal lookup to
+    * stay inside codegen) — no false negatives by construction, so
+    * `fact.filter(pred).join(dim)` is exactly `fact.join(dim)` with the
+    * shuffle fed only might-match rows. */
+  def bloomPredicate(keys: DataFrame, keyCol: String, probe: Column): Column = {
+    val bits = (0 until BloomHashes).map(i =>
+      pmod(xxhash64(col(keyCol), lit(i)), lit(BloomBits.toLong)))
+    val words = keys
+      .select(explode(array(bits: _*)).as("bit"))
+      .select(shiftright(col("bit"), 6).cast("int").as("w"),
+        element_at(lit(Pow2), col("bit").bitwiseAND(lit(63L)).cast("int") + 1).as("m"))
+      .groupBy("w").agg(expr("bit_or(m)").as("mask"))
+      .collect()
+    val arr = new Array[Long](BloomBits / 64)
+    words.foreach(r => arr(r.getInt(0)) = r.getLong(1))
+    val bloom = lit(arr)
+    (0 until BloomHashes).map { i =>
+      val bit = pmod(xxhash64(probe, lit(i)), lit(BloomBits.toLong))
+      (element_at(bloom, shiftright(bit, 6).cast("int") + 1)
+        .bitwiseAND(element_at(lit(Pow2), bit.bitwiseAND(lit(63L)).cast("int") + 1))) =!= lit(0L)
+    }.reduce(_ && _)
+  }
+
+  /** s7: BLOOM-FILTER SEMI-JOIN REDUCTION — revenue of lineitems
+    * belonging to urgent orders, with the fact side pruned by an 8 KB
+    * Bloom filter over the urgent orderkeys BEFORE the join shuffle.
+    * This is the manual form of runtime filtering (Spark's own
+    * spark.sql.optimizer.runtime.bloomFilter does the same rewrite when
+    * its size thresholds fire): when the dim is too big to broadcast
+    * but its KEY SET sketches into kilobytes, shipping the sketch
+    * instead turns a full-fact shuffle into a might-match shuffle —
+    * here ~4/5 of lineitem never leaves the map side (1 − urgent
+    * fraction − ~8·10⁻⁴ false positives). The join after the filter
+    * removes false positives, so the result is EXACTLY the plain join
+    * the oracle runs. */
+  def bloomJoin(spark: SparkSession, dir: String): DataFrame = {
+    val urgent = Tables.orders(spark, dir)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select("o_orderkey")
+    val pred = bloomPredicate(urgent, "o_orderkey", col("l_orderkey"))
+    Tables.lineitem(spark, dir)
+      .select("l_orderkey", "l_returnflag", "l_extendedprice", "l_discount")
+      .filter(pred)
+      .join(urgent, col("l_orderkey") === col("o_orderkey"))
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast(DecimalType(18, 6))).cast(DoubleType).as("revenue"))
+      .orderBy("l_returnflag")
   }
 }

@@ -63,6 +63,32 @@ object SkewOps {
     * the two-phase result is bit-equal to the plain groupBy the oracle
     * runs. The salt is derived from the whole row, so retries/reruns
     * salt identically. */
+  /** b3: the salted replicate JOIN as a driver-checked query — events
+    * enriched with the customer's market segment where `user_id` has
+    * ~15 distinct values (each key ~7% of a 100 TB fact: one
+    * sort-merge task even after AQE splits, because splitting a
+    * single-key partition still replays the whole dim partition per
+    * split). saltedJoin spreads each hot key over 16 (key, salt) buckets —
+    * the fact side salts deterministically from the whole row, the dim
+    * side replicates 16× (|customer| × 16 stays dim-scale) — and the
+    * shuffle-hash hint pins the exercised path to a real shuffled join
+    * (at test SFs AQE would otherwise broadcast the tiny dim and hide
+    * the mechanics). The post-join aggregation uses decimal sums, so
+    * the result is bit-equal to the plain join the oracle runs. */
+  def saltedUserJoin(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.{DecimalType, DoubleType}
+    val ev = graft.Tables.events(spark, dir)
+      .select("event_id", "user_id", "event_type", "value")
+    val dim = graft.Tables.customer(spark, dir)
+      .select(col("c_custkey").as("user_id"), col("c_mktsegment"))
+      .hint("shuffle_hash")
+    saltedJoin(ev, dim, "user_id", 16)
+      .groupBy("c_mktsegment", "event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 6))).cast(DoubleType).as("sum_value"))
+      .orderBy("c_mktsegment", "event_type")
+  }
+
   def saltedTypeAgg(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.types.{DecimalType, DoubleType}
     val ev = graft.Tables.events(spark, dir)

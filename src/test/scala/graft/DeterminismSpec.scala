@@ -47,6 +47,8 @@ class DeterminismSpec extends AnyFunSuite with SparkSpec {
   test("round-5 sketch/mix/dedup operators are partition-count independent") {
     assertStable("s5_countmin")(operators.SketchOps.countMinTopk(spark, Sf0001))
     assertStable("s6_hist_quantiles")(operators.SketchOps.histQuantiles(spark, Sf0001))
+    assertStable("s7_bloom_join")(operators.SketchOps.bloomJoin(spark, Sf0001))
+    assertStable("b3_salted_join")(operators.SkewOps.saltedUserJoin(spark, Sf0001))
     assertStable("x4_weighted_mix")(operators.CorpusOps.weightedMix(spark, Sf0001))
     assertStable("d9_passage_dedup")(operators.DedupOps.passageDedup(spark, Sf0001))
     assertStable("t10_lm_score")(operators.TextOps.lmScore(spark, Sf0001))

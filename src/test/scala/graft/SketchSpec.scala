@@ -81,6 +81,24 @@ class SketchSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("s7 bloom predicate admits every matching row and prunes the rest") {
+    val urgent = Tables.orders(spark, Sf0001)
+      .filter(col("o_orderpriority") === "1-URGENT").select("o_orderkey")
+    val urgentSet = urgent.collect().map(_.getLong(0)).toSet
+    assume(urgentSet.nonEmpty)
+    val pred = SketchOps.bloomPredicate(urgent, "o_orderkey", col("l_orderkey"))
+    val keys = Tables.lineitem(spark, Sf0001).select("l_orderkey")
+    val passed = keys.filter(pred).collect().map(_.getLong(0))
+    val all = keys.collect().map(_.getLong(0))
+    // no false negatives: every truly-matching row passes the filter
+    assert(passed.count(urgentSet) === all.count(urgentSet))
+    // effective pruning: false positives ≤ 1% of the non-matching rows
+    val fp = passed.count(k => !urgentSet(k))
+    val nonMatching = all.count(k => !urgentSet(k))
+    assert(nonMatching > 0)
+    assert(fp.toDouble / nonMatching <= 0.01, s"fp=$fp of $nonMatching")
+  }
+
   test("s1 k-smallest plans as TakeOrderedAndProject, not a global sort") {
     val df = SketchOps.kmvDistinct(spark, Sf0001)
     df.collect()

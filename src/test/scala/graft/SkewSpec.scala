@@ -19,6 +19,29 @@ class SkewSpec extends AnyFunSuite with SparkSpec {
     assert(plain.exceptAll(salted).count() === 0L)
   }
 
+  test("b3 salted user join is bit-equal to the plain join and actually shuffles") {
+    val df = SkewOps.saltedUserJoin(spark, Sf0001)
+    val got = df.collect()
+    val plain = Tables.events(spark, Sf0001)
+      .select("user_id", "event_type", "value")
+      .join(Tables.customer(spark, Sf0001)
+          .select(col("c_custkey").as("user_id"), col("c_mktsegment")),
+        "user_id")
+      .groupBy("c_mktsegment", "event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 6)))
+          .cast(org.apache.spark.sql.types.DoubleType).as("sum_value"))
+      .orderBy("c_mktsegment", "event_type")
+      .collect()
+    assert(got.toSeq === plain.toSeq)
+    // the hint must pin the exercised path to a real shuffled join —
+    // at this SF AQE would otherwise broadcast the replicated dim and
+    // the salt mechanics would go untested
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(plan.contains("ShuffledHashJoin"), plan)
+    assert(!plan.contains("BroadcastHashJoin"), plan)
+  }
+
   test("salted two-phase aggregation equals the direct aggregation") {
     val ev = Tables.events(spark, Sf0001)
     val direct = ev.groupBy("event_type")
