@@ -888,6 +888,31 @@ object Oracles {
         |ORDER BY SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) DESC, c_custkey
         |LIMIT 20""".stripMargin,
 
+    "q30_nation_volume" ->
+      """SELECT n1.n_name AS cust_nation, n2.n_name AS supp_nation,
+        |  CAST(year(l_shipdate) AS INT) AS l_year,
+        |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS volume
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        |WHERE n1.n_name IN ('NATION_10', 'NATION_12')
+        |  AND n2.n_name IN ('NATION_10', 'NATION_12')
+        |  AND n1.n_name <> n2.n_name
+        |  AND l_shipdate >= '1996-01-01' AND l_shipdate < '1998-01-01'
+        |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+
+    "g2_neardup_triangles" ->
+      s"""WITH pairs AS (SELECT doc_a, doc_b FROM ($d3Sql) z)
+         |SELECT (SELECT count(*) FROM pairs) AS n_edges,
+         |  (SELECT count(*) FROM
+         |    (SELECT doc_a AS d FROM pairs UNION SELECT doc_b FROM pairs)) AS n_nodes,
+         |  (SELECT count(*) FROM pairs e1
+         |     JOIN pairs e2 ON e1.doc_b = e2.doc_a
+         |     JOIN pairs e3 ON e3.doc_a = e1.doc_a AND e3.doc_b = e2.doc_b) AS n_triangles""".stripMargin,
+
     "b3_salted_join" ->
       """SELECT c_mktsegment, event_type, count(*) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value

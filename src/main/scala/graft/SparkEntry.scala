@@ -68,6 +68,8 @@ object SparkEntry {
     "s6_hist_quantiles" -> operators.SketchOps.histQuantiles _,
     "s7_bloom_join" -> operators.SketchOps.bloomJoin _,
     "b3_salted_join" -> operators.SkewOps.saltedUserJoin _,
+    "q30_nation_volume" -> Analytics.q30NationVolume _,
+    "g2_neardup_triangles" -> operators.GraphOps.neardupTriangles _,
     "d8_containment" -> ((s: SparkSession, d: String) => operators.DedupOps.containmentPairs(s, d)),
     "x2_cluster_sample" -> operators.ClusterOps.clusterBalancedSample _,
     "q22_inactive_rich" -> Analytics.q22InactiveRich _,

@@ -679,6 +679,49 @@ object Analytics {
       .orderBy("s_name")
   }
 
+  /** q30 (TPC-H Q7 topology): bilateral trade volume between two
+    * nations by ship year — the one TPC-H shape where the SAME
+    * dimension (nation) joins in two roles (customer's and supplier's),
+    * and the pair predicate is a disjunction of the two orientations.
+    * With both names drawn from a two-element set, (A,B) OR (B,A)
+    * reduces to `cust_nation != supp_nation` AFTER both role joins —
+    * the filter the optimizer can't see through the OR form.
+    *
+    * Scale shape: each role reduces EARLY — supplier and customer are
+    * pre-joined against the 2-row filtered nation broadcast, so the
+    * fact side prunes to the two nations' suppliers right after the
+    * date filter (~2/25 of lineitem), BEFORE the orderkey shuffle; the
+    * customer role prunes orders the same way on the other side of that
+    * shuffle. No hint on the SF-proportional role slices (q3's
+    * lesson). */
+  def q30NationVolume(spark: SparkSession, dir: String): DataFrame = {
+    val pairNations = Seq("NATION_10", "NATION_12")
+    def role(as: String) = Tables.nation(spark, dir)
+      .filter(col("n_name").isin(pairNations: _*))
+      .select(col("n_nationkey"), col("n_name").as(as))
+    val supp = Tables.supplier(spark, dir)
+      .join(broadcast(role("supp_nation")),
+        col("s_nationkey") === col("n_nationkey"))
+      .select("s_suppkey", "supp_nation")
+    val cust = Tables.customer(spark, dir)
+      .join(broadcast(role("cust_nation")),
+        col("c_nationkey") === col("n_nationkey"))
+      .select("c_custkey", "cust_nation")
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1996-01-01") &&
+        col("l_shipdate") < lit("1998-01-01"))
+      .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount", "l_shipdate")
+      .join(supp, col("l_suppkey") === col("s_suppkey"))
+      .join(Tables.orders(spark, dir).select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .filter(col("cust_nation") =!= col("supp_nation"))
+      .groupBy(col("cust_nation"), col("supp_nation"),
+        year(col("l_shipdate")).as("l_year"))
+      .agg(sum(revDec()).cast(DoubleType).as("volume"))
+      .orderBy("cust_nation", "supp_nation", "l_year")
+  }
+
   def q25MinCost(spark: SparkSession, dir: String): DataFrame = {
     val eusup = Tables.supplier(spark, dir)
       .join(broadcast(Tables.nation(spark, dir)

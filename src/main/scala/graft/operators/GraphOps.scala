@@ -61,4 +61,35 @@ object GraphOps {
         (col("s_rank_u").cast(org.apache.spark.sql.types.DoubleType) / 1e6).as("rank"))
       .orderBy("s_suppkey")
   }
+
+  /** g2: triangle census of the near-duplicate pair graph — a dedup-QA
+    * metric: triangle-dense components are transitive duplicate
+    * families (safe to collapse to one representative), triangle-free
+    * chains are borderline pairs that need a second look before d5's
+    * label propagation merges them.
+    *
+    * Scale shape: the input is d3's MEMOIZED pair set (built once,
+    * shared with d5 — never a recompute of the LSH band joins), which
+    * is output-of-dedup-sized: orders of magnitude below the corpus.
+    * Each edge is oriented doc_a < doc_b, so the e1(a,b)⋈e2(b,c)⋈
+    * e3(a,c) closure counts every triangle exactly once with NO
+    * distinct and no orientation explosion — the id-ordering plays the
+    * role degree-ordering plays in the classic MapReduce triangle
+    * algorithm (it bounds each join's fan-out by the forward degree).
+    * Three equality hash joins on the edge relation; the census row
+    * (nodes, edges, triangles) falls out of two tiny aggregates. */
+  def neardupTriangles(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = DedupOps.minhashLsh(spark, dir).select("doc_a", "doc_b")
+    val nEdges = pairs.agg(count(lit(1)).as("n_edges"))
+    val nNodes = pairs.select(col("doc_a").as("d"))
+      .union(pairs.select(col("doc_b").as("d"))).distinct()
+      .agg(count(lit(1)).as("n_nodes"))
+    val tri = pairs.select(col("doc_a").as("a"), col("doc_b").as("b"))
+      .join(pairs.select(col("doc_a").as("b2"), col("doc_b").as("c")),
+        col("b") === col("b2"))
+      .join(pairs.select(col("doc_a").as("a3"), col("doc_b").as("c3")),
+        col("a") === col("a3") && col("c") === col("c3"))
+      .agg(count(lit(1)).as("n_triangles"))
+    nEdges.crossJoin(nNodes).crossJoin(tri)
+  }
 }

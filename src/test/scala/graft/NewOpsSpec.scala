@@ -13,6 +13,61 @@ class NewOpsSpec extends AnyFunSuite with SparkSpec {
 
   // --- q21: blame semantics on a constructed order set ------------------
 
+  test("q30 equals an off-engine recomputation of the bilateral volume") {
+    val natOf = Tables.nation(spark, Sf0001)
+      .select(col("n_nationkey").cast("long"), col("n_name"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val custNat = Tables.customer(spark, Sf0001)
+      .select(col("c_custkey").cast("long"), col("c_nationkey").cast("long"))
+      .collect().map(r => r.getLong(0) -> natOf(r.getLong(1))).toMap
+    val suppNat = Tables.supplier(spark, Sf0001)
+      .select(col("s_suppkey").cast("long"), col("s_nationkey").cast("long"))
+      .collect().map(r => r.getLong(0) -> natOf(r.getLong(1))).toMap
+    val ordCust = Tables.orders(spark, Sf0001)
+      .select(col("o_orderkey").cast("long"), col("o_custkey").cast("long"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val pair = Set("NATION_10", "NATION_12")
+    val agg = scala.collection.mutable.Map.empty[(String, String, Int), BigDecimal]
+    Tables.lineitem(spark, Sf0001)
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_extendedprice"),
+        col("l_discount"), col("l_shipdate"), year(col("l_shipdate")).as("y"))
+      .collect().foreach { r =>
+        val sd = r.getAs[java.time.LocalDateTime](4).toLocalDate
+        val inWindow = !sd.isBefore(java.time.LocalDate.of(1996, 1, 1)) &&
+          sd.isBefore(java.time.LocalDate.of(1998, 1, 1))
+        val cn = custNat(ordCust(r.getLong(0)))
+        val sn = suppNat(r.getLong(1))
+        if (inWindow && pair(cn) && pair(sn) && cn != sn) {
+          val k = (cn, sn, r.getInt(5))
+          agg(k) = agg.getOrElse(k, BigDecimal(0)) +
+            BigDecimal(r.getDouble(2) * (1.0 - r.getDouble(3)))
+              .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        }
+      }
+    assert(agg.nonEmpty, "fixture must have bilateral volume")
+    val got = Analytics.q30NationVolume(spark, Sf0001).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getInt(2)) -> r.getDouble(3)).toMap
+    assert(got.keySet === agg.keySet)
+    for ((k, v) <- agg) assert(got(k) === v.toDouble, k)
+  }
+
+  test("g2 triangle census equals a brute-force recount of the d3 pair graph") {
+    val pairs = operators.DedupOps.minhashLsh(spark, Sf0001)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val edgeSet = pairs.toSet
+    val nodes = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+    var triangles = 0L
+    for ((a, b) <- pairs; c <- nodes if b < c) {
+      if (edgeSet((b, c)) && edgeSet((a, c))) triangles += 1
+    }
+    val r = operators.GraphOps.neardupTriangles(spark, Sf0001).collect()(0)
+    assert(r.getAs[Long]("n_edges") === pairs.length.toLong)
+    assert(r.getAs[Long]("n_nodes") === nodes.length.toLong)
+    assert(r.getAs[Long]("n_triangles") === triangles)
+    assert(triangles > 0, "fixture must contain at least one duplicate family triangle")
+  }
+
   test("q21 blames exactly the sole-late supplier on multi-supplier finished orders") {
     // order 1: suppliers 10 (late) + 11 (on time)  -> 10 blamed
     // order 2: suppliers 10 (late) + 11 (late)     -> nobody (another late supplier)
