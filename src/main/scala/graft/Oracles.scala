@@ -1503,6 +1503,110 @@ object Oracles {
          |       ELSE CAST(${SketchOpsAlpha} AS DOUBLE) * 256 * 256 * 9007199254740992.0 / s END
          |    AS est_distinct,
          |  (SELECT COUNT(DISTINCT event_id) FROM events) AS n_exact
-         |FROM agg""".stripMargin
+         |FROM agg""".stripMargin,
+
+    // ---------- round 5 additions ----------
+
+    "q31_shipmode" ->
+      """SELECT l_returnflag AS ship_class,
+        |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+        |    THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_returnflag IN ('A','R')
+        |  AND l_shipdate >= '1996-01-01' AND l_shipdate < '1997-01-01'
+        |  AND datediff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)) > 30
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // a5: deliberately an INDEPENDENT formulation (per-step self-joins)
+    // of the Spark side's chained conditional-min windows
+    "a5_funnel" ->
+      """WITH f AS (
+        |  SELECT user_id, min(CASE WHEN event_type = 'signup' THEN ts END) AS t1
+        |  FROM events GROUP BY 1),
+        |s2 AS (
+        |  SELECT e.user_id, min(e.ts) AS t2
+        |  FROM events e JOIN f ON e.user_id = f.user_id
+        |  WHERE e.event_type = 'click' AND e.ts > f.t1
+        |    AND e.ts <= f.t1 + INTERVAL 14 DAY
+        |  GROUP BY 1),
+        |s3 AS (
+        |  SELECT e.user_id, min(e.ts) AS t3
+        |  FROM events e JOIN s2 ON e.user_id = s2.user_id
+        |  JOIN f ON e.user_id = f.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+        |    AND e.ts <= f.t1 + INTERVAL 14 DAY
+        |  GROUP BY 1)
+        |SELECT (SELECT count(t1) FROM f) AS n_signup,
+        |  (SELECT count(*) FROM s2) AS n_click_14d,
+        |  (SELECT count(*) FROM s3) AS n_purchase_14d""".stripMargin,
+
+    "a6_retention" ->
+      """WITH cohort AS (
+        |  SELECT user_id, min(ts) AS first_signup,
+        |    CAST(date_trunc('week', min(ts)) AS DATE) AS cohort_week
+        |  FROM events WHERE event_type = 'signup' GROUP BY 1)
+        |SELECT c.cohort_week,
+        |  CAST(datediff('day', c.cohort_week,
+        |    CAST(date_trunc('week', e.ts) AS DATE)) // 7 AS INTEGER) AS week_offset,
+        |  count(DISTINCT e.user_id) AS n_active
+        |FROM events e JOIN cohort c ON e.user_id = c.user_id
+        |WHERE e.ts >= c.first_signup
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "p23_cdc_upsert" ->
+      """WITH base AS (
+        |  SELECT c_custkey AS key, CAST(c_acctbal AS DOUBLE) AS val,
+        |    TIMESTAMP '1970-01-01 00:00:00' AS ts, CAST(-1 AS BIGINT) AS seq,
+        |    'U' AS op, CAST(0 AS BIGINT) AS is_change
+        |  FROM customer),
+        |chg AS (
+        |  SELECT user_id AS key,
+        |    CASE WHEN event_type = 'purchase' THEN value END AS val,
+        |    ts, event_id AS seq,
+        |    CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+        |    CAST(1 AS BIGINT) AS is_change
+        |  FROM events WHERE event_type IN ('purchase','error')),
+        |log AS (SELECT * FROM base UNION ALL SELECT * FROM chg),
+        |r AS (SELECT *,
+        |    row_number() OVER (PARTITION BY key ORDER BY ts DESC, seq DESC) AS rn,
+        |    CAST(SUM(is_change) OVER (PARTITION BY key) AS BIGINT) AS n_changes
+        |  FROM log)
+        |SELECT key, val AS final_val, n_changes
+        |FROM r WHERE rn = 1 AND op = 'U' ORDER BY key""".stripMargin,
+
+    // p24: the compaction round-trip must preserve the event log exactly
+    // — its oracle computes the same aggregate from the SOURCE table
+    "p24_compaction" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
+        |  min(event_id) AS min_id, max(event_id) AS max_id
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "d10_cross_neardup" ->
+      s"""WITH $ngramCte,
+         |h AS (SELECT doc_id, ${h60("ngram")} % 2147483647 AS h FROM ng),
+         |perms AS (SELECT CAST(i AS INTEGER) AS i,
+         |  ${h60("'perm_a_' || i")} % 2147483646 + 1 AS pa,
+         |  ${h60("'perm_b_' || i")} % 2147483647 AS pb
+         |  FROM range(16) t(i)),
+         |sig AS (SELECT doc_id, i, min((pa * h + pb) % 2147483647) AS mh
+         |  FROM h CROSS JOIN perms GROUP BY doc_id, i),
+         |bands AS (SELECT doc_id, CAST(floor(i / 4) AS INTEGER) AS band,
+         |  md5(string_agg(CAST(mh AS VARCHAR), ',' ORDER BY i)) AS bkey
+         |  FROM sig GROUP BY doc_id, CAST(floor(i / 4) AS INTEGER)),
+         |cand AS (SELECT DISTINCT t.doc_id AS train_doc, e.doc_id AS eval_doc
+         |  FROM bands t JOIN bands e
+         |    ON t.band = e.band AND t.bkey = e.bkey
+         |  WHERE t.doc_id % 20 <> 0 AND e.doc_id % 20 = 0)
+         |SELECT c.train_doc, c.eval_doc,
+         |  CAST(SUM(CASE WHEN st.mh = se.mh THEN 1 ELSE 0 END) AS DOUBLE) / 16 AS est_jaccard
+         |FROM cand c
+         |JOIN sig st ON st.doc_id = c.train_doc
+         |JOIN sig se ON se.doc_id = c.eval_doc AND se.i = st.i
+         |GROUP BY 1, 2
+         |HAVING CAST(SUM(CASE WHEN st.mh = se.mh THEN 1 ELSE 0 END) AS DOUBLE) / 16 >= 0.25
+         |ORDER BY train_doc, eval_doc""".stripMargin
   )
 }

@@ -119,7 +119,14 @@ object SparkEntry {
     "d9_passage_dedup" -> DedupOps.passageDedup _,
     "g1_bipartite_rank" -> operators.GraphOps.bipartiteRank _,
     "m1_multimodal_meta" -> MultimodalOps.multimodalMeta _,
-    "m2_frame_sample" -> MultimodalOps.frameSample _
+    "m2_frame_sample" -> MultimodalOps.frameSample _,
+    // round 5 additions
+    "q31_shipmode" -> Analytics.q31ShipMode _,
+    "a5_funnel" -> Analytics.a5Funnel _,
+    "a6_retention" -> Analytics.a6Retention _,
+    "p23_cdc_upsert" -> pipeline.ScdOps.cdcUpsert _,
+    "p24_compaction" -> pipeline.SinkOps.compactionRoundtrip _,
+    "d10_cross_neardup" -> ((s: SparkSession, d: String) => DedupOps.crossNearDup(s, d))
   )
 
   /** DuckDB oracle SQL per query key (see graft.Oracles). */

@@ -747,4 +747,110 @@ object Analytics {
       .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"), col("p_partkey"))
       .limit(100)
   }
+
+  /** q31 (TPC-H Q12 topology — the last of the 22): priority-class line
+    * counts for late shipments by return class. Q12's shape is a
+    * fact-side slice (shipmode IN two modes + receipt window) → one
+    * orderkey shuffle join → conditional counts of urgent vs non-urgent
+    * order priorities per fact attribute. The synthetic schema carries
+    * no shipmode/commitdate/receiptdate, so the slice adapts:
+    * `l_returnflag IN ('A','R')` stands in for the two-mode IN, the 1996
+    * ship-date window for the receipt window, and Q12's
+    * commit-vs-receipt lateness becomes ship-lag > 30 days — a predicate
+    * that CROSSES the join (l_shipdate vs o_orderdate), so it stays a
+    * post-join residual exactly like Q12's.
+    *
+    * Scale shape: both the IN and the date window push into the parquet
+    * scan (~2/3 × 1/6 of lineitem survives); the orderkey join shuffles
+    * only 3 fact columns; the CASE counts collapse map-side into ≤ 3
+    * groups. No broadcast hint — orders is fact-scale (q3's lesson). */
+  def q31ShipMode(spark: SparkSession, dir: String): DataFrame = {
+    val high = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    Tables.lineitem(spark, dir)
+      .filter(col("l_returnflag").isin("A", "R") &&
+        col("l_shipdate") >= lit("1996-01-01") &&
+        col("l_shipdate") < lit("1997-01-01"))
+      .select("l_orderkey", "l_returnflag", "l_shipdate")
+      .join(Tables.orders(spark, dir)
+          .select("o_orderkey", "o_orderdate", "o_orderpriority"),
+        col("l_orderkey") === col("o_orderkey"))
+      .filter(datediff(col("l_shipdate"), col("o_orderdate")) > 30)
+      .groupBy(col("l_returnflag").as("ship_class"))
+      .agg(
+        sum(when(high, 1L).otherwise(0L)).as("high_line_count"),
+        sum(when(high, 0L).otherwise(1L)).as("low_line_count"))
+      .orderBy("ship_class")
+  }
+
+  /** a5: ordered conversion funnel — users who signed up, then clicked,
+    * then purchased, each step strictly after the previous and all
+    * within 14 days of signup. The textbook formulation is a chain of
+    * self-joins (one per step, re-scanning the events table each time);
+    * here each step is a conditional-min WINDOW over the same user
+    * partition, so the THREE steps share ONE hash shuffle and one scan
+    * — step N's window reads step N-1's column. The per-user collapse
+    * that follows reuses the window's partitioning (no second
+    * exchange), and the final step counts are a 1-row global agg.
+    *
+    * Scale shape: one user_id shuffle regardless of funnel depth;
+    * adding a step adds a Window node, not a scan or a join. */
+  def a5Funnel(spark: SparkSession, dir: String): DataFrame =
+    funnelOf(Tables.events(spark, dir))
+
+  /** a5's core on any (user_id, ts, event_type) relation — separate so
+    * specs can drive constructed event sets through the exact plan. */
+  private[graft] def funnelOf(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id")
+    val deadline = col("t1") + expr("INTERVAL 14 DAYS")
+    events
+      .select("user_id", "ts", "event_type")
+      .withColumn("t1",
+        min(when(col("event_type") === "signup", col("ts"))).over(w))
+      .withColumn("t2",
+        min(when(col("event_type") === "click" &&
+          col("ts") > col("t1") && col("ts") <= deadline, col("ts"))).over(w))
+      .withColumn("t3",
+        min(when(col("event_type") === "purchase" &&
+          col("ts") > col("t2") && col("ts") <= deadline, col("ts"))).over(w))
+      .groupBy("user_id")
+      .agg(first("t1").as("t1"), first("t2").as("t2"), first("t3").as("t3"))
+      .agg(
+        count("t1").as("n_signup"),
+        count("t2").as("n_click_14d"),
+        count("t3").as("n_purchase_14d"))
+  }
+
+  /** a6: weekly cohort retention — users grouped by the week of their
+    * FIRST signup, counted as active in each later week they emit any
+    * event (at or after that first signup). The classic product-
+    * analytics triangle: (cohort_week, week_offset) → distinct users.
+    *
+    * Scale shape: the cohort relation is user-keyed (one shuffle, tiny
+    * output — one row per signed-up user) and joins events on the SAME
+    * key, so the join reuses the events shuffle partitioning; the
+    * distinct-user count then aggregates partial map-side. Week math is
+    * integer-exact in both engines: date_trunc to the Monday, day
+    * difference is always a multiple of 7. */
+  def a6Retention(spark: SparkSession, dir: String): DataFrame =
+    retentionOf(Tables.events(spark, dir))
+
+  /** a6's core on any (user_id, ts, event_type) relation (spec hook). */
+  private[graft] def retentionOf(events: DataFrame): DataFrame = {
+    val cohort = events
+      .filter(col("event_type") === "signup")
+      .groupBy("user_id")
+      .agg(min(col("ts")).as("first_signup"))
+      .withColumn("cohort_week", date_trunc("week", col("first_signup")).cast(DateType))
+    events
+      .select("user_id", "ts")
+      .join(cohort, "user_id")
+      .filter(col("ts") >= col("first_signup"))
+      .select(col("cohort_week"),
+        (datediff(date_trunc("week", col("ts")).cast(DateType), col("cohort_week"))
+          .cast(LongType) / lit(7)).cast(IntegerType).as("week_offset"),
+        col("user_id"))
+      .groupBy("cohort_week", "week_offset")
+      .agg(countDistinct("user_id").as("n_active"))
+      .orderBy("cohort_week", "week_offset")
+  }
 }

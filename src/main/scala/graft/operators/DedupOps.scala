@@ -174,15 +174,22 @@ object DedupOps {
     * memo the band build + band self-join + verification joins would
     * re-execute once per consumer — at sf0.1 that recompute was 46% of
     * the whole benchmark. With it, d3 and d5 share one materialization. */
+  /** LSH band signatures from a (doc_id, i, mh) signature relation —
+    * md5 over the band's minhashes in permutation order. Shared by d3
+    * (self-join) and d10 (cross-carve join) so the banding semantics
+    * can never drift between the two. */
+  private def bandsOf(sig: DataFrame): DataFrame =
+    sig.withColumn("band", floor(col("i") / BandRows).cast(IntegerType))
+      .groupBy("doc_id", "band")
+      .agg(md5(array_join(
+        transform(array_sort(collect_list(struct(col("i"), col("mh")))),
+          s => s.getField("mh").cast(StringType)),
+        ",")).as("bkey"))
+
   def minhashLsh(spark: SparkSession, dir: String, minEst: Double = 0.25): DataFrame =
     memoized(spark, s"d3_pairs:$minEst", dir) {
       val sig = minhashSig(spark, dir)
-      val bands = sig.withColumn("band", floor(col("i") / BandRows).cast(IntegerType))
-        .groupBy("doc_id", "band")
-        .agg(md5(array_join(
-          transform(array_sort(collect_list(struct(col("i"), col("mh")))),
-            s => s.getField("mh").cast(StringType)),
-          ",")).as("bkey"))
+      val bands = bandsOf(sig)
       val cand = bands.select(col("doc_id").as("doc_a"), col("band"), col("bkey"))
         .join(bands.select(col("doc_id").as("doc_b"), col("band"), col("bkey")),
           Seq("band", "bkey"))
@@ -197,6 +204,42 @@ object DedupOps {
           .cast(DoubleType) / K).as("est_jaccard"))
         .filter(col("est_jaccard") >= minEst)
     }.orderBy("doc_a", "doc_b")
+
+  /** d10: CROSS-DATASET near-dup decontamination — training documents
+    * that are near-duplicates of a held-out evaluation set (the x3
+    * carve: doc_id % 20 == 0 stands in for the benchmark), found by
+    * MinHash similarity rather than x3's exact n-gram overlap. Exact
+    * overlap catches verbatim contamination; this catches the
+    * paraphrased/reformatted copies that share most shingles but no
+    * single 8-gram.
+    *
+    * Scale shape — deliberately DIFFERENT from d3's self-join: the eval
+    * side is constant-size in production (a benchmark, not a crawl), so
+    * its band signatures BROADCAST and the corpus side never shuffles
+    * for the candidate join — band match is map-side. The signature
+    * substrate is the memoized d3 one (one MinHashAgg pass serves d3,
+    * d5, g2 and d10); only candidate verification touches the corpus
+    * signatures again, proportional to candidates, not corpus². */
+  def crossNearDup(spark: SparkSession, dir: String, minEst: Double = 0.25): DataFrame = {
+    val sig = minhashSig(spark, dir)
+    val bands = bandsOf(sig)
+    val evalB = bands.filter(col("doc_id") % 20 === 0)
+      .select(col("doc_id").as("eval_doc"), col("band"), col("bkey"))
+    val trainB = bands.filter(col("doc_id") % 20 =!= 0)
+      .select(col("doc_id").as("train_doc"), col("band"), col("bkey"))
+    val cand = trainB.join(broadcast(evalB), Seq("band", "bkey"))
+      .select("train_doc", "eval_doc").distinct()
+    cand
+      .join(sig.select(col("doc_id").as("train_doc"), col("i"), col("mh").as("mha")),
+        "train_doc")
+      .join(sig.select(col("doc_id").as("eval_doc"), col("i"), col("mh").as("mhb")),
+        Seq("eval_doc", "i"))
+      .groupBy("train_doc", "eval_doc")
+      .agg((sum(when(col("mha") === col("mhb"), 1L).otherwise(0L))
+        .cast(DoubleType) / K).as("est_jaccard"))
+      .filter(col("est_jaccard") >= minEst)
+      .orderBy("train_doc", "eval_doc")
+  }
 
   /** Label-propagation iterations for d5 (bounded — see scaladoc). */
   val ClusterIters = 3

@@ -93,4 +93,55 @@ object ScdOps {
         col("cur_version").as("version"), col("cur_tier").as("tier"))
       .orderBy("event_id")
   }
+
+  /** p23: CDC APPLY / latest-wins upsert (SCD type 1, the MERGE
+    * counterpart of p17's type 2) — a base snapshot plus a change log
+    * with UPDATE and DELETE semantics, collapsed to the final table
+    * state. Base = the customer snapshot (key, acctbal); change log =
+    * the events stream, where a `purchase` upserts the key's value and
+    * an `error` deletes the key (a key never seen in the base INSERTs —
+    * full MERGE semantics). The last operation per key in (ts, seq)
+    * order wins; a key whose last op is a delete is absent from the
+    * output.
+    *
+    * Spark realization: UNION the snapshot (with a sentinel epoch
+    * timestamp that sorts before every change) with the change rows,
+    * then ONE window over the key partition yields both the winner
+    * (row_number desc = 1) and the per-key change count — one hash
+    * shuffle total, no join. The naive MERGE-per-batch loop this
+    * replaces re-joins the snapshot once per change batch.
+    *
+    * Scale shape: one shuffle on the merge key; the snapshot and the
+    * log co-partition, so at 100 TB this is exactly the compaction pass
+    * a Delta/Iceberg MERGE runs. Ties (same ts) break on the change
+    * sequence number, so replays are deterministic. */
+  def cdcUpsert(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.customer(spark, dir)
+      .select(col("c_custkey").as("key"),
+        col("c_acctbal").cast("double").as("val"),
+        lit("1970-01-01 00:00:00").cast("timestamp").as("ts"),
+        lit(-1L).as("seq"), lit("U").as("op"), lit(0L).as("is_change"))
+    val changes = Tables.events(spark, dir)
+      .filter(col("event_type").isin("purchase", "error"))
+      .select(col("user_id").as("key"),
+        when(col("event_type") === "purchase", col("value")).as("val"),
+        col("ts"), col("event_id").as("seq"),
+        when(col("event_type") === "error", "D").otherwise("U").as("op"),
+        lit(1L).as("is_change"))
+    cdcApply(base.unionByName(changes))
+  }
+
+  /** p23's merge core on any (key, val, ts, seq, op, is_change) change
+    * log (spec hook): last (ts, seq) wins, last-op-delete removes the
+    * key. */
+  private[graft] def cdcApply(log: DataFrame): DataFrame = {
+    val byKey = Window.partitionBy("key")
+    val latest = Window.partitionBy("key").orderBy(col("ts").desc, col("seq").desc)
+    log
+      .withColumn("rn", row_number().over(latest))
+      .withColumn("n_changes", sum("is_change").over(byKey))
+      .filter(col("rn") === 1 && col("op") === "U")
+      .select(col("key"), col("val").as("final_val"), col("n_changes"))
+      .orderBy("key")
+  }
 }

@@ -3,6 +3,7 @@ package graft.pipeline
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
+import graft.Tables
 
 /** Partitioned-sink operator — the Spark counterpart of the reference's
   * KPI writer, which lands daily KPIs under `date=YYYY-MM-DD/` JSON
@@ -135,5 +136,45 @@ object SinkOps {
         col("total_value"), col("avg_value"), col("max_value"),
         col("min_value"), col("v").cast(LongType).as("writer_v"))
       .orderBy("date", "event_type")
+  }
+
+  /** p24: SMALL-FILE COMPACTION — the lake-maintenance pass every
+    * streaming/incremental sink eventually needs: a landing zone of many
+    * tiny files (here: the event log deliberately fragmented into 96
+    * splits, the shape a per-micro-batch writer leaves behind) rewritten
+    * into few right-sized files, then verified content-identical.
+    *
+    * Spark realization: the compaction read-rewrite uses `coalesce`, NOT
+    * `repartition` — coalesce merges input splits on the map side with
+    * ZERO shuffle (compaction moves bytes, it must not also pay a
+    * network pass), and `maxRecordsPerFile` caps file size from the
+    * other direction. The returned verification aggregate (per-type
+    * counts + decimal-exact value sum + id-range) comes from the
+    * COMPACTED lake, so the oracle (which computes the same from the
+    * source table) proves the rewrite lost and duplicated nothing.
+    *
+    * Scale notes: at 100 TB compaction runs per partition directory
+    * (date=.../), each directory coalescing independently —
+    * embarrassingly parallel, bounded memory (a writer task streams
+    * row groups). File COUNT bounds (96 → ≤ 8) are pinned by spec, not
+    * here: the query contract is content equality. */
+  def compactionRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val tag = dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val fragmented = s"target/graft-sink/frag_$tag"
+    val compacted = s"target/graft-sink/compact_$tag"
+    Tables.events(spark, dir)
+      .repartition(96) // the small-file landing zone a micro-batch writer leaves
+      .write.mode("overwrite").parquet(fragmented)
+    spark.read.parquet(fragmented)
+      .coalesce(8) // map-side merge, no shuffle
+      .write.mode("overwrite")
+      .option("maxRecordsPerFile", 2000000)
+      .parquet(compacted)
+    spark.read.parquet(compacted)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 6))).cast(DoubleType).as("sum_value"),
+        min("event_id").as("min_id"), max("event_id").as("max_id"))
+      .orderBy("event_type")
   }
 }

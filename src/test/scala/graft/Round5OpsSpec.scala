@@ -1,0 +1,191 @@
+package graft
+
+import java.sql.Timestamp
+import scala.jdk.CollectionConverters._
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.analytics.Analytics
+import graft.operators.DedupOps
+import graft.pipeline.{ScdOps, SinkOps}
+
+/** Semantics + scale-shape checks for the round-5 additions
+  * (q31 / a5 / a6 / p23 / p24 / d10). */
+class Round5OpsSpec extends AnyFunSuite with SparkSpec {
+
+  private val eventsSchema = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", TimestampType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  private def ev(rows: Seq[Row]) = spark.createDataFrame(rows.asJava, eventsSchema)
+  private def t(s: String) = Timestamp.valueOf(s)
+
+  // --- q31: recount the priority classes off-engine ---------------------
+
+  test("q31 equals an off-engine recount of late-shipment priority classes") {
+    val prio = Tables.orders(spark, Sf0001)
+      .select(col("o_orderkey").cast("long"), col("o_orderpriority"),
+        to_date(col("o_orderdate")).as("od"))
+      .collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getDate(2).toLocalDate.toEpochDay)).toMap
+    val expected = Tables.lineitem(spark, Sf0001)
+      .select(col("l_orderkey").cast("long"), col("l_returnflag"),
+        to_date(col("l_shipdate")).as("sd"))
+      .collect()
+      .filter { r =>
+        val flag = r.getString(1); val ship = r.getDate(2).toLocalDate
+        (flag == "A" || flag == "R") &&
+          !ship.isBefore(java.time.LocalDate.of(1996, 1, 1)) &&
+          ship.isBefore(java.time.LocalDate.of(1997, 1, 1)) &&
+          ship.toEpochDay - prio(r.getLong(0))._2 > 30
+      }
+      .groupBy(_.getString(1))
+      .view.mapValues { rs =>
+        val high = rs.count(r => Set("1-URGENT", "2-HIGH")(prio(r.getLong(0))._1))
+        (high.toLong, (rs.size - high).toLong)
+      }.toMap
+    val got = Analytics.q31ShipMode(spark, Sf0001).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got === expected)
+    assert(got.nonEmpty)
+  }
+
+  // --- a5: funnel ordering and deadline edges ----------------------------
+
+  test("a5 funnel enforces step order and the 14-day deadline") {
+    val rows = Seq(
+      // u1: full funnel in order, inside the window
+      Row(1L, t("2024-01-01 00:00:00"), 1L, "signup", 0.0, null),
+      Row(2L, t("2024-01-02 00:00:00"), 1L, "click", 0.0, null),
+      Row(3L, t("2024-01-03 00:00:00"), 1L, "purchase", 1.0, null),
+      // u2: click BEFORE signup does not count; later click does;
+      //     purchase before that click does not count
+      Row(4L, t("2024-01-01 00:00:00"), 2L, "click", 0.0, null),
+      Row(5L, t("2024-01-02 00:00:00"), 2L, "signup", 0.0, null),
+      Row(6L, t("2024-01-03 00:00:00"), 2L, "purchase", 1.0, null),
+      Row(7L, t("2024-01-04 00:00:00"), 2L, "click", 0.0, null),
+      // u3: click past the 14-day deadline does not count
+      Row(8L, t("2024-01-01 00:00:00"), 3L, "signup", 0.0, null),
+      Row(9L, t("2024-01-16 00:00:00"), 3L, "click", 0.0, null),
+      // u4: purchase inside the deadline but via a click AT the deadline
+      //     boundary (inclusive <=)
+      Row(10L, t("2024-01-01 00:00:00"), 4L, "signup", 0.0, null),
+      Row(11L, t("2024-01-15 00:00:00"), 4L, "click", 0.0, null),
+      // u5: no signup at all — contributes to no step
+      Row(12L, t("2024-01-01 00:00:00"), 5L, "click", 0.0, null),
+      Row(13L, t("2024-01-02 00:00:00"), 5L, "purchase", 1.0, null))
+    val r = Analytics.funnelOf(ev(rows)).head
+    assert(r.getLong(0) === 4L) // u1..u4 signed up
+    assert(r.getLong(1) === 3L) // u1, u2, u4 clicked in-window after signup
+    assert(r.getLong(2) === 1L) // only u1 purchased after its click
+  }
+
+  // --- a6: cohort weeks and offsets on constructed users ----------------
+
+  test("a6 retention buckets activity into Monday-based week offsets") {
+    val rows = Seq(
+      // u1 signs up Wed Jan 3 2024 (cohort week = Mon Jan 1); active the
+      // same week, then again 2 weeks later; pre-signup activity ignored
+      Row(1L, t("2024-01-02 00:00:00"), 1L, "click", 0.0, null), // before signup
+      Row(2L, t("2024-01-03 00:00:00"), 1L, "signup", 0.0, null),
+      Row(3L, t("2024-01-05 00:00:00"), 1L, "view", 0.0, null),
+      Row(4L, t("2024-01-16 00:00:00"), 1L, "purchase", 1.0, null),
+      // u2 signs up Mon Jan 8 (cohort week = Jan 8), active next week
+      Row(5L, t("2024-01-08 00:00:00"), 2L, "signup", 0.0, null),
+      Row(6L, t("2024-01-09 00:00:00"), 2L, "click", 0.0, null),
+      Row(7L, t("2024-01-15 00:00:00"), 2L, "click", 0.0, null))
+    val got = Analytics.retentionOf(ev(rows)).collect()
+      .map(r => (r.getDate(0).toString, r.getInt(1)) -> r.getLong(2)).toMap
+    assert(got === Map(
+      ("2024-01-01", 0) -> 1L, // u1: signup + view in cohort week
+      ("2024-01-01", 2) -> 1L, // u1: purchase two weeks later
+      ("2024-01-08", 0) -> 1L, // u2: signup + first click
+      ("2024-01-08", 1) -> 1L)) // u2: second click
+  }
+
+  // --- p23: merge semantics on a constructed change log ------------------
+
+  test("p23 CDC apply: last op wins, deletes remove, inserts appear") {
+    val logSchema = StructType(Seq(
+      StructField("key", LongType), StructField("val", DoubleType),
+      StructField("ts", TimestampType), StructField("seq", LongType),
+      StructField("op", StringType), StructField("is_change", LongType)))
+    val epoch = t("1970-01-01 00:00:00")
+    val rows = Seq(
+      // k1: base only → kept, 0 changes
+      Row(1L, 10.0, epoch, -1L, "U", 0L),
+      // k2: base, update, delete → gone
+      Row(2L, 20.0, epoch, -1L, "U", 0L),
+      Row(2L, 21.0, t("2024-01-01 00:00:00"), 10L, "U", 1L),
+      Row(2L, null, t("2024-01-02 00:00:00"), 11L, "D", 1L),
+      // k3: base, delete, later update → back with the new value
+      Row(3L, 30.0, epoch, -1L, "U", 0L),
+      Row(3L, null, t("2024-01-01 00:00:00"), 20L, "D", 1L),
+      Row(3L, 33.0, t("2024-01-02 00:00:00"), 21L, "U", 1L),
+      // k4: never in base — pure insert
+      Row(4L, 44.0, t("2024-01-01 00:00:00"), 30L, "U", 1L),
+      // k5: two updates at the SAME ts — higher seq wins
+      Row(5L, 50.0, epoch, -1L, "U", 0L),
+      Row(5L, 51.0, t("2024-01-01 00:00:00"), 40L, "U", 1L),
+      Row(5L, 52.0, t("2024-01-01 00:00:00"), 41L, "U", 1L))
+    val got = ScdOps.cdcApply(spark.createDataFrame(rows.asJava, logSchema))
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    assert(got === Map(
+      1L -> (10.0, 0L),
+      3L -> (33.0, 2L),
+      4L -> (44.0, 1L),
+      5L -> (52.0, 2L)))
+    assert(!got.contains(2L))
+  }
+
+  // --- p24: compaction shrinks files and loses nothing -------------------
+
+  test("p24 compaction cuts the file count and preserves content exactly") {
+    SinkOps.compactionRoundtrip(spark, Sf0001).collect() // runs the writes
+    val tag = Sf0001.replaceAll("[^A-Za-z0-9.]", "_")
+    def parquetFiles(p: String) =
+      new java.io.File(p).listFiles().count(_.getName.endsWith(".parquet"))
+    val nFrag = parquetFiles(s"target/graft-sink/frag_$tag")
+    val nComp = parquetFiles(s"target/graft-sink/compact_$tag")
+    assert(nFrag === 96)
+    assert(nComp <= 8 && nComp >= 1)
+    // content: the compacted lake holds exactly the source rows
+    val src = Tables.events(spark, Sf0001)
+    val back = spark.read.parquet(s"target/graft-sink/compact_$tag")
+    assert(back.count() === src.count())
+    assert(back.exceptAll(src).count() === 0L)
+    assert(src.exceptAll(back).count() === 0L)
+  }
+
+  test("p24 compaction plans no shuffle (coalesce, not repartition)") {
+    val tag = Sf0001.replaceAll("[^A-Za-z0-9.]", "_")
+    val frag = s"target/graft-sink/frag_$tag"
+    // the compaction read-rewrite plan: read → coalesce(8): no Exchange
+    val plan = spark.read.parquet(frag).coalesce(8)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"))
+  }
+
+  // --- d10: cross-carve equivalence with the d3 pair set -----------------
+
+  test("d10 equals the d3 pair set restricted to cross-carve pairs") {
+    val d3 = DedupOps.minhashLsh(spark, Sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val expected = d3.flatMap { case (a, b, est) =>
+      (a % 20 == 0, b % 20 == 0) match {
+        case (true, false) => Some((b, a, est)) // (train, eval)
+        case (false, true) => Some((a, b, est))
+        case _ => None
+      }
+    }.toSet
+    val got = DedupOps.crossNearDup(spark, Sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got === expected)
+    assert(got.nonEmpty) // non-vacuous at sf0.001
+  }
+}
