@@ -1607,6 +1607,63 @@ object Oracles {
          |JOIN sig se ON se.doc_id = c.eval_doc AND se.i = st.i
          |GROUP BY 1, 2
          |HAVING CAST(SUM(CASE WHEN st.mh = se.mh THEN 1 ELSE 0 END) AS DOUBLE) / 16 >= 0.25
-         |ORDER BY train_doc, eval_doc""".stripMargin
+         |ORDER BY train_doc, eval_doc""".stripMargin,
+
+    "x5_source_budget" ->
+      s"""WITH d AS (SELECT doc_id, source,
+         |    CAST(len($TOK) AS BIGINT) AS n_tok,
+         |    ${h60("'cap_' || CAST(doc_id AS VARCHAR)")} AS rank FROM documents),
+         |c AS (SELECT doc_id, source, n_tok,
+         |    CAST(COALESCE(SUM(n_tok) OVER (PARTITION BY source
+         |      ORDER BY rank, doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+         |      AS cum_before
+         |  FROM d)
+         |SELECT doc_id, source, n_tok, cum_before FROM c
+         |WHERE cum_before < ${graft.operators.CorpusOps.SourceBudget}
+         |ORDER BY source, doc_id""".stripMargin,
+
+    "s8_weighted_sample" ->
+      s"""WITH d AS (SELECT doc_id, CAST(len($TOK) AS BIGINT) AS n_tok FROM documents
+         |  WHERE len($TOK) > 0),
+         |h AS (SELECT doc_id, n_tok,
+         |    ${h60("'ws_' || CAST(doc_id AS VARCHAR) || '_' || CAST(j AS VARCHAR)")} AS h
+         |  FROM (SELECT doc_id, n_tok, unnest(range(n_tok)) AS j FROM d) u)
+         |SELECT doc_id, n_tok, min(h) AS min_h
+         |FROM h GROUP BY 1, 2
+         |ORDER BY min_h, doc_id LIMIT ${graft.operators.SketchOps.WsK}""".stripMargin,
+
+    "p25_dq_profile" ->
+      """SELECT 'event_id' AS col_name, count(*) AS n_rows,
+        |  count(*) - count(event_id) AS n_null,
+        |  count(DISTINCT event_id) AS n_distinct FROM events
+        |UNION ALL SELECT 'event_type', count(*), count(*) - count(event_type),
+        |  count(DISTINCT event_type) FROM events
+        |UNION ALL SELECT 'props', count(*), count(*) - count(props),
+        |  count(DISTINCT props) FROM events
+        |UNION ALL SELECT 'ts', count(*), count(*) - count(ts),
+        |  count(DISTINCT ts) FROM events
+        |UNION ALL SELECT 'user_id', count(*), count(*) - count(user_id),
+        |  count(DISTINCT user_id) FROM events
+        |UNION ALL SELECT 'value', count(*), count(*) - count(value),
+        |  count(DISTINCT value) FROM events
+        |ORDER BY col_name""".stripMargin,
+
+    "a7_kpi_anomaly" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS date, count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |t AS (SELECT event_type, date, n,
+        |    CAST(COALESCE(SUM(n) OVER w, 0) AS BIGINT) AS sum7,
+        |    CAST(COUNT(n) OVER w AS BIGINT) AS cnt7
+        |  FROM daily
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY date
+        |    ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING))
+        |SELECT event_type, date, n, sum7, cnt7,
+        |  CASE WHEN cnt7 < 3 THEN 'warmup'
+        |       WHEN n * 2 * cnt7 > sum7 * 3 THEN 'high'
+        |       WHEN n * 2 * cnt7 < sum7 THEN 'low'
+        |       ELSE 'normal' END AS flag
+        |FROM t ORDER BY event_type, date""".stripMargin
   )
 }

@@ -126,7 +126,11 @@ object SparkEntry {
     "a6_retention" -> Analytics.a6Retention _,
     "p23_cdc_upsert" -> pipeline.ScdOps.cdcUpsert _,
     "p24_compaction" -> pipeline.SinkOps.compactionRoundtrip _,
-    "d10_cross_neardup" -> ((s: SparkSession, d: String) => DedupOps.crossNearDup(s, d))
+    "d10_cross_neardup" -> ((s: SparkSession, d: String) => DedupOps.crossNearDup(s, d)),
+    "x5_source_budget" -> operators.CorpusOps.sourceBudgetCap _,
+    "s8_weighted_sample" -> operators.SketchOps.weightedSample _,
+    "p25_dq_profile" -> pipeline.ProfileOps.dqProfile _,
+    "a7_kpi_anomaly" -> Analytics.a7KpiAnomaly _
   )
 
   /** DuckDB oracle SQL per query key (see graft.Oracles). */

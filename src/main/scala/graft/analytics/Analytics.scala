@@ -853,4 +853,38 @@ object Analytics {
       .agg(countDistinct("user_id").as("n_active"))
       .orderBy("cohort_week", "week_offset")
   }
+
+  /** a7: KPI ANOMALY FLAGS — each (event_type, day)'s event count
+    * compared against the trailing window of its previous 7 OBSERVED
+    * days: `high` if n > 1.5 × trailing mean, `low` if n < 0.5 ×, with
+    * a warm-up guard below 3 trailing days. The detection rule is
+    * INTEGER-EXACT on purpose: n > 1.5·(sum7/cnt7) is evaluated as
+    * 2·n·cnt7 > 3·sum7 (and the low side as 2·n·cnt7 < sum7) — no
+    * float mean, no rounding boundary, identical verdicts in any
+    * engine (the round-3 cross-engine lesson applied to monitoring,
+    * where a flipped boundary IS a false page).
+    *
+    * Scale shape: the daily rollup is one map-combined groupBy
+    * (days × types rows out, regardless of SF); the trailing window
+    * sorts within each type's handful of days. Everything downstream
+    * of the first agg is constant-size. */
+  def a7KpiAnomaly(spark: SparkSession, dir: String): DataFrame =
+    anomalyOf(Tables.events(spark, dir))
+
+  /** a7's core on any (event_type, ts) relation (spec hook). */
+  private[graft] def anomalyOf(events: DataFrame): DataFrame = {
+    val trailing = Window.partitionBy("event_type").orderBy("date")
+      .rowsBetween(-7, -1)
+    events
+      .groupBy(col("event_type"), to_date(col("ts")).as("date"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("sum7", coalesce(sum("n").over(trailing), lit(0L)))
+      .withColumn("cnt7", count("n").over(trailing))
+      .withColumn("flag",
+        when(col("cnt7") < 3, "warmup")
+          .when(col("n") * 2 * col("cnt7") > col("sum7") * 3, "high")
+          .when(col("n") * 2 * col("cnt7") < col("sum7"), "low")
+          .otherwise("normal"))
+      .orderBy("event_type", "date")
+  }
 }

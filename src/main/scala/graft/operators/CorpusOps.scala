@@ -142,4 +142,43 @@ object CorpusOps {
       .agg(count(lit(1)).as("n_shared"))
       .orderBy("doc_id")
   }
+
+  /** x5 token budget per source (chosen to keep roughly half of each
+    * synthetic source's ~1300-token mass — the knob a curator sweeps). */
+  val SourceBudget = 700L
+
+  /** x5: PER-SOURCE TOKEN-BUDGET CAP — admit each source's documents in
+    * a deterministic md5-rank order until the source's token budget is
+    * exhausted (the doc that crosses the boundary is admitted; docs
+    * after it are dropped). This is the "cap any one domain's
+    * contribution" crawl-curation stage — by TOKEN MASS, not doc count,
+    * because a domain's influence on a training mix is its token share
+    * (x2 caps per-cluster COUNT; this caps per-source BUDGET — a
+    * running-sum admission, not a top-N).
+    *
+    * Determinism: the admission order is a pure md5 function of doc_id
+    * (ties impossible beyond doc_id itself), so the kept set is
+    * identical on any rerun, partitioning, or engine — the s3/x4
+    * discipline.
+    *
+    * Scale shape: ONE hash shuffle on source; the running sum is a
+    * cumulative window inside each source partition — no joins, no
+    * global sort (the final orderBy is presentation). A source's
+    * surviving prefix is bounded by budget/min_doc_tokens rows
+    * regardless of how hot the domain is, which is the point. */
+  def sourceBudgetCap(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.F.{hash60, tokens}
+    import org.apache.spark.sql.expressions.Window
+    val admission = Window.partitionBy("source")
+      .orderBy(col("rank"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        size(tokens(col("text"))).cast("long").as("n_tok"),
+        hash60(concat(lit("cap_"), col("doc_id").cast("string"))).as("rank"))
+      .withColumn("cum_before", coalesce(sum("n_tok").over(admission), lit(0L)))
+      .filter(col("cum_before") < SourceBudget)
+      .select("doc_id", "source", "n_tok", "cum_before")
+      .orderBy("source", "doc_id")
+  }
 }

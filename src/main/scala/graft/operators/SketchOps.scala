@@ -322,4 +322,38 @@ object SketchOps {
           .cast(DecimalType(18, 6))).cast(DoubleType).as("revenue"))
       .orderBy("l_returnflag")
   }
+
+  /** s8 sample size (documents drawn without replacement). */
+  val WsK = 50
+
+  /** s8: WEIGHTED SAMPLING WITHOUT REPLACEMENT, integer-exact — draw
+    * WsK documents with probability proportional to token count (the
+    * "sample training docs by mass, not count" stage; by-count sampling
+    * over-represents short boilerplate). The classic A-ES scheme ranks
+    * by u^(1/w) — transcendental, so the last-ulp of `ln`/`pow` can
+    * differ between engines and flip a top-K boundary (the round-3
+    * cross-engine lesson). This formulation is the DISCRETE equivalent:
+    * each doc draws one md5 hash per token and ranks by its MINIMUM —
+    * P(min of a hashes < min of b hashes) = a/(a+b), exactly
+    * proportional — so ranking is pure int64 compares and the oracle
+    * agrees bit-for-bit.
+    *
+    * Scale shape: the per-token explode is ∝ corpus token count (the
+    * same row class as tokenize t9); the per-doc min is ONE map-combined
+    * groupBy; the K-smallest is TakeOrderedAndProject (never a global
+    * sort). At 100 TB the explode can be replaced by a per-doc loop in
+    * a native expression without changing any downstream semantics. */
+  def weightedSample(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), size(tokens(col("text"))).cast(LongType).as("n_tok"))
+      .filter(col("n_tok") > 0)
+      .select(col("doc_id"), col("n_tok"),
+        explode(sequence(lit(0L), col("n_tok") - 1)).as("j"))
+      .select(col("doc_id"), col("n_tok"),
+        hash60(concat(lit("ws_"), col("doc_id").cast("string"),
+          lit("_"), col("j").cast("string"))).as("h"))
+      .groupBy("doc_id", "n_tok")
+      .agg(min("h").as("min_h"))
+      .orderBy(col("min_h"), col("doc_id"))
+      .limit(WsK)
 }

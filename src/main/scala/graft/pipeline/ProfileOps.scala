@@ -1,0 +1,44 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Data-quality profiling — the "know your lake" pass (Deequ-style)
+  * every ingestion pipeline runs before trusting a new drop: per-column
+  * row/null/distinct counts in ONE scan.
+  *
+  * Scale design: all 1 + 2·N aggregates evaluate in a single pass; the
+  * multi-column count-distinct plans as one Expand (×N) feeding a
+  * partially-aggregated shuffle — the standard Spark shape for exact
+  * multi-distinct. At 100 TB you swap the exact distincts for s4's HLL
+  * registers column-by-column (the plan collapses to a plain
+  * map-combined agg) without touching the output contract; the exact
+  * form is kept here because the oracle proves it exactly.
+  */
+object ProfileOps {
+
+  /** The profiled columns — the full events schema. */
+  val ProfiledCols: Seq[String] =
+    Seq("event_id", "ts", "user_id", "event_type", "value", "props")
+
+  /** p25: per-column profile of the event lake:
+    * (col_name, n_rows, n_null, n_distinct). */
+  def dqProfile(spark: SparkSession, dir: String): DataFrame =
+    profileOf(Tables.events(spark, dir), ProfiledCols)
+
+  /** The profiling core over any relation + column list (spec hook). */
+  private[graft] def profileOf(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val aggs =
+      count(lit(1)).as("n_rows") +:
+      cols.flatMap(c => Seq(
+        count(col(c)).as(s"nn_$c"),
+        countDistinct(col(c)).as(s"nd_$c")))
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val stackArgs = cols
+      .map(c => s"'$c', n_rows, n_rows - nn_$c, nd_$c").mkString(", ")
+    one.select(expr(
+        s"stack(${cols.size}, $stackArgs) AS (col_name, n_rows, n_null, n_distinct)"))
+      .orderBy("col_name")
+  }
+}

@@ -171,6 +171,89 @@ class Round5OpsSpec extends AnyFunSuite with SparkSpec {
     assert(!plan.contains("Exchange"))
   }
 
+  // --- x5: budget admission recomputed off-engine ------------------------
+
+  test("x5 admits docs in md5 order until each source's token budget") {
+    import graft.functions.F
+    val docs = Tables.documents(spark, Sf0001)
+      .select(col("doc_id").cast("long"), col("source"),
+        size(F.tokens(col("text"))).cast("long").as("n_tok"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val expected = docs.toSeq.groupBy(_._2).toSeq.flatMap { case (_, ds) =>
+      val ordered = ds.sortBy(d => (F.hash60Driver("cap_" + d._1), d._1))
+      val cums = ordered.scanLeft(0L)(_ + _._3).dropRight(1)
+      ordered.zip(cums).collect {
+        case ((id, src, n), cum) if cum < operators.CorpusOps.SourceBudget =>
+          (id, src, n, cum)
+      }
+    }.toSet
+    val got = operators.CorpusOps.sourceBudgetCap(spark, Sf0001).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got === expected)
+    assert(got.nonEmpty && got.size < docs.length) // caps something, keeps something
+  }
+
+  // --- s8: weighted sample equals the brute-force min-hash ranking -------
+
+  test("s8 weighted sample equals a driver-side min-hash recomputation") {
+    import graft.functions.F
+    val docs = Tables.documents(spark, Sf0001)
+      .select(col("doc_id").cast("long"),
+        size(F.tokens(col("text"))).cast("long").as("n_tok"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).filter(_._2 > 0)
+    val expected = docs.map { case (id, n) =>
+      val minH = (0L until n).map(j => F.hash60Driver(s"ws_${id}_$j")).min
+      (id, n, minH)
+    }.sortBy(t => (t._3, t._1)).take(operators.SketchOps.WsK).toSeq
+    val got = operators.SketchOps.weightedSample(spark, Sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got === expected)
+  }
+
+  // --- p25: profile on a constructed relation with known nulls/dupes -----
+
+  test("p25 profile counts rows, nulls and distincts per column") {
+    val rows = Seq(
+      Row(1L, t("2024-01-01 00:00:00"), 1L, "click", 1.0, null),
+      Row(2L, t("2024-01-01 00:00:00"), 1L, "click", null, "x"),
+      Row(null, null, 2L, "view", 2.0, "x"),
+      Row(3L, t("2024-01-02 00:00:00"), null, null, 1.0, null))
+    val got = pipeline.ProfileOps.profileOf(ev(rows),
+      pipeline.ProfileOps.ProfiledCols).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got === Map(
+      "event_id" -> (4L, 1L, 3L),
+      "ts" -> (4L, 1L, 2L),
+      "user_id" -> (4L, 1L, 2L),
+      "event_type" -> (4L, 1L, 2L),
+      "value" -> (4L, 1L, 2L),
+      "props" -> (4L, 2L, 1L)))
+  }
+
+  // --- a7: anomaly verdicts on constructed daily counts ------------------
+
+  test("a7 flags integer-exact highs/lows against the trailing window") {
+    def day(d: Int, typ: String, k: Int): Seq[Row] =
+      (0 until k).map(i =>
+        Row(d * 1000L + i, t(f"2024-02-$d%02d 12:00:00"), 1L, typ, 1.0, null))
+    val rows =
+      // click: 10/day for 7 days, then a 20 spike (2*20*7=280 > 3*70=210),
+      // then 2 (low: trailing now 10*6+20=80 over 7 days; 2*2*7=28 < 80)
+      (1 to 7).flatMap(day(_, "click", 10)) ++
+        day(8, "click", 20) ++ day(9, "click", 2) ++
+      // view: only two observed days — both warmup, flag never fires
+        day(1, "view", 1) ++ day(2, "view", 100)
+    val got = Analytics.anomalyOf(ev(rows)).collect()
+      .map(r => (r.getString(0), r.getDate(1).toString) -> r.getString(5)).toMap
+    assert(got(("click", "2024-02-01")) === "warmup")
+    assert(got(("click", "2024-02-02")) === "warmup")
+    assert(got(("click", "2024-02-04")) === "normal")
+    assert(got(("click", "2024-02-08")) === "high")
+    assert(got(("click", "2024-02-09")) === "low")
+    assert(got(("view", "2024-02-01")) === "warmup")
+    assert(got(("view", "2024-02-02")) === "warmup")
+  }
+
   // --- d10: cross-carve equivalence with the d3 pair set -----------------
 
   test("d10 equals the d3 pair set restricted to cross-carve pairs") {
