@@ -344,18 +344,28 @@ object Analytics {
   }
 
   /** q17 (TPC-H Q17): small-quantity-order revenue — the correlated
-    * per-part scalar subquery (avg quantity of THIS part) decorrelated
-    * into a groupBy + equi-join back to the fact, which is how it must
-    * run at scale: one extra aggregation pass instead of a per-row
-    * subquery. Decimal-exact average so the 0.2·avg boundary comparison
-    * is engine-identical. */
+    * per-part scalar subquery (avg quantity of THIS part). Two
+    * decorrelation lessons compound here:
+    *  - the avg is computed ONLY over the brand slice's parts (the
+    *    original form aggregated EVERY part — a full fact shuffle to
+    *    then discard 24/25 of the groups; at 100 TB that is the whole
+    *    lineitem shuffled for a 1/25 answer);
+    *  - the groupBy + join-back pair is a WINDOW over the same
+    *    partition key (the q25 lesson): one scan, ONE partkey shuffle,
+    *    no join — sum/count over the part's rows replicate decAvg
+    *    exactly (decimal sum, one IEEE division).
+    * The brand part list reaches the fact as a broadcast semi join, so
+    * the fact prunes map-side before the only shuffle. */
   def q17SmallQty(spark: SparkSession, dir: String): DataFrame = {
-    val li = Tables.lineitem(spark, dir)
-    val avgQ = li.groupBy(col("l_partkey").as("a_partkey"))
-      .agg(decAvg(col("l_quantity")).as("avg_qty"))
-    li.join(Tables.part(spark, dir).filter(col("p_brand") === "Brand#23"),
-        col("l_partkey") === col("p_partkey"))
-      .join(avgQ, col("l_partkey") === col("a_partkey"))
+    val byPart = Window.partitionBy("l_partkey")
+    Tables.lineitem(spark, dir)
+      .select("l_partkey", "l_quantity", "l_extendedprice")
+      .join(Tables.part(spark, dir).filter(col("p_brand") === "Brand#23")
+          .select("p_partkey"),
+        col("l_partkey") === col("p_partkey"), "left_semi")
+      .withColumn("avg_qty",
+        sum(col("l_quantity").cast(DecimalType(18, 6))).over(byPart)
+          .cast(DoubleType) / count(lit(1)).over(byPart))
       .filter(col("l_quantity") < lit(0.2) * col("avg_qty"))
       .agg(
         (decSum(col("l_extendedprice")) / lit(7.0)).as("avg_yearly"),

@@ -106,15 +106,33 @@ object DedupOps {
     }
   }
 
-  def ngramJaccard(spark: SparkSession, dir: String, minJaccard: Double = 0.18): DataFrame = {
+  /** Pairwise distinct-ngram intersection counts over the pruned index
+    * — the substrate BOTH d2 (symmetric Jaccard) and d8 (asymmetric
+    * containment) rank from. Memoized: the index self-join is the
+    * expensive half of both operators, and without the memo it ran once
+    * per consumer (the d3/d5 lesson applied to the inverted index). */
+  private def pairIntersections(spark: SparkSession, dir: String): DataFrame = {
     val pruned = prunedIndex(spark, dir)
-    val sizes = pruned.groupBy("doc_id").agg(count(lit(1)).as("n_ng"))
-    val a = pruned.select(col("doc_id").as("doc_a"), col("ngram"))
-    val b = pruned.select(col("doc_id").as("doc_b"), col("ngram"))
-    a.join(b, "ngram")
-      .filter(col("doc_a") < col("doc_b"))
-      .groupBy("doc_a", "doc_b")
-      .agg(count(lit(1)).as("inter"))
+    memoized(spark, "d2_inter", dir) {
+      pruned.select(col("doc_id").as("doc_a"), col("ngram"))
+        .join(pruned.select(col("doc_id").as("doc_b"), col("ngram")), "ngram")
+        .filter(col("doc_a") < col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(count(lit(1)).as("inter"))
+    }
+  }
+
+  /** Per-doc distinct pruned-ngram counts (the |A| denominators). */
+  private def prunedSizes(spark: SparkSession, dir: String): DataFrame = {
+    val pruned = prunedIndex(spark, dir)
+    memoized(spark, "d2_sizes", dir) {
+      pruned.groupBy("doc_id").agg(count(lit(1)).as("n_ng"))
+    }
+  }
+
+  def ngramJaccard(spark: SparkSession, dir: String, minJaccard: Double = 0.18): DataFrame = {
+    val sizes = prunedSizes(spark, dir)
+    pairIntersections(spark, dir)
       .join(sizes.select(col("doc_id").as("doc_a"), col("n_ng").as("na")), "doc_a")
       .join(sizes.select(col("doc_id").as("doc_b"), col("n_ng").as("nb")), "doc_b")
       .withColumn("uni", col("na") + col("nb") - col("inter"))
@@ -174,22 +192,26 @@ object DedupOps {
     * memo the band build + band self-join + verification joins would
     * re-execute once per consumer — at sf0.1 that recompute was 46% of
     * the whole benchmark. With it, d3 and d5 share one materialization. */
-  /** LSH band signatures from a (doc_id, i, mh) signature relation —
-    * md5 over the band's minhashes in permutation order. Shared by d3
-    * (self-join) and d10 (cross-carve join) so the banding semantics
-    * can never drift between the two. */
-  private def bandsOf(sig: DataFrame): DataFrame =
-    sig.withColumn("band", floor(col("i") / BandRows).cast(IntegerType))
-      .groupBy("doc_id", "band")
-      .agg(md5(array_join(
-        transform(array_sort(collect_list(struct(col("i"), col("mh")))),
-          s => s.getField("mh").cast(StringType)),
-        ",")).as("bkey"))
+  /** LSH band signatures — md5 over each band's minhashes in
+    * permutation order. Memoized and shared by d3 (self-join) and d10
+    * (cross-carve join) so the banding semantics can never drift
+    * between the two and the band build runs once per session. */
+  private def lshBands(spark: SparkSession, dir: String): DataFrame = {
+    val sig = minhashSig(spark, dir)
+    memoized(spark, "lshBands", dir) {
+      sig.withColumn("band", floor(col("i") / BandRows).cast(IntegerType))
+        .groupBy("doc_id", "band")
+        .agg(md5(array_join(
+          transform(array_sort(collect_list(struct(col("i"), col("mh")))),
+            s => s.getField("mh").cast(StringType)),
+          ",")).as("bkey"))
+    }
+  }
 
   def minhashLsh(spark: SparkSession, dir: String, minEst: Double = 0.25): DataFrame =
     memoized(spark, s"d3_pairs:$minEst", dir) {
       val sig = minhashSig(spark, dir)
-      val bands = bandsOf(sig)
+      val bands = lshBands(spark, dir)
       val cand = bands.select(col("doc_id").as("doc_a"), col("band"), col("bkey"))
         .join(bands.select(col("doc_id").as("doc_b"), col("band"), col("bkey")),
           Seq("band", "bkey"))
@@ -222,7 +244,7 @@ object DedupOps {
     * signatures again, proportional to candidates, not corpus². */
   def crossNearDup(spark: SparkSession, dir: String, minEst: Double = 0.25): DataFrame = {
     val sig = minhashSig(spark, dir)
-    val bands = bandsOf(sig)
+    val bands = lshBands(spark, dir)
     val evalB = bands.filter(col("doc_id") % 20 === 0)
       .select(col("doc_id").as("eval_doc"), col("band"), col("bkey"))
     val trainB = bands.filter(col("doc_id") % 20 =!= 0)
@@ -382,13 +404,8 @@ object DedupOps {
     * join work of a full a≠b self-join, identical result. */
   def containmentPairs(spark: SparkSession, dir: String,
       minContainment: Double = 0.6): DataFrame = {
-    val pruned = prunedIndex(spark, dir)
-    val sizes = pruned.groupBy("doc_id").agg(count(lit(1)).as("n_ng"))
-    val inter = pruned.select(col("doc_id").as("doc_a"), col("ngram"))
-      .join(pruned.select(col("doc_id").as("doc_b"), col("ngram")), "ngram")
-      .filter(col("doc_a") < col("doc_b"))
-      .groupBy("doc_a", "doc_b")
-      .agg(count(lit(1)).as("inter"))
+    val sizes = prunedSizes(spark, dir)
+    val inter = pairIntersections(spark, dir)
     val directed = inter
       .select(col("doc_a").as("src"), col("doc_b").as("dst"), col("inter"))
       .unionByName(inter
