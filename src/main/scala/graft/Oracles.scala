@@ -1649,6 +1649,45 @@ object Oracles {
         |  count(DISTINCT value) FROM events
         |ORDER BY col_name""".stripMargin,
 
+    // DuckDB's md5 takes VARCHAR and hashes its UTF-8 bytes — exactly
+    // the bytes Spark's md5(cast(text as binary)) hashes
+    "m3_blob_dedup" ->
+      """SELECT md5(text) AS sha,
+        |  min(doc_id) AS keep_doc_id, count(*) AS n_copies
+        |FROM documents GROUP BY 1 ORDER BY keep_doc_id""".stripMargin,
+
+    "x6_split_assign" ->
+      s"""WITH d AS (SELECT doc_id, lang, CAST(len($TOK) AS BIGINT) AS n_tok,
+         |    ${h60("'split_' || CAST(doc_id AS VARCHAR)")} % 1000000 AS u
+         |  FROM documents),
+         |s AS (SELECT lang, n_tok,
+         |    CASE WHEN u < ${graft.operators.CorpusOps.ValStartPpm} THEN 'train'
+         |         WHEN u < ${graft.operators.CorpusOps.TestStartPpm} THEN 'val'
+         |         ELSE 'test' END AS split
+         |  FROM d)
+         |SELECT lang, split, count(*) AS n_docs,
+         |  CAST(sum(n_tok) AS BIGINT) AS n_tokens
+         |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // p26: the streaming counts are exactly-once by the watermarked
+    // dedup, so the monitor's oracle IS a7's statement verbatim
+    "p26_stream_anomaly" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS date, count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |t AS (SELECT event_type, date, n,
+        |    CAST(COALESCE(SUM(n) OVER w, 0) AS BIGINT) AS sum7,
+        |    CAST(COUNT(n) OVER w AS BIGINT) AS cnt7
+        |  FROM daily
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY date
+        |    ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING))
+        |SELECT event_type, date, n, sum7, cnt7,
+        |  CASE WHEN cnt7 < 3 THEN 'warmup'
+        |       WHEN n * 2 * cnt7 > sum7 * 3 THEN 'high'
+        |       WHEN n * 2 * cnt7 < sum7 THEN 'low'
+        |       ELSE 'normal' END AS flag
+        |FROM t ORDER BY event_type, date""".stripMargin,
+
     "a7_kpi_anomaly" ->
       """WITH daily AS (
         |  SELECT event_type, CAST(ts AS DATE) AS date, count(*) AS n

@@ -166,6 +166,41 @@ object CorpusOps {
     * global sort (the final orderBy is presentation). A source's
     * surviving prefix is bounded by budget/min_doc_tokens rows
     * regardless of how hot the domain is, which is the point. */
+  /** x6 split fractions, in ppm of the md5 unit interval:
+    * train 98%, val 1%, test 1%. */
+  val ValStartPpm = 980000L
+  val TestStartPpm = 990000L
+
+  /** x6: TRAIN/VAL/TEST SPLIT MATERIALIZATION — every document assigned
+    * to a split by a pure md5 function of doc_id, reported as per
+    * (lang, split) doc and token masses. The properties that matter for
+    * a training pipeline are exactly the deterministic-sampling ones
+    * (s3/x4/x5 discipline): the assignment is REPRODUCIBLE (any rerun,
+    * any engine, any partitioning lands every doc in the same split —
+    * no random() leakage between runs), STABLE under corpus growth (a
+    * doc's split never changes when other docs arrive, unlike
+    * percentile-rank splits), and LEAK-FREE by construction (the three
+    * predicates partition the hash range; a doc cannot be in two
+    * splits). Output reports the realized masses so a curator can see
+    * the ppm targets landing.
+    *
+    * Scale shape: one narrow codegen'd projection (hash + bucket
+    * compare), one map-combined groupBy collapsing to
+    * langs × 3 rows. Nothing SF-proportional leaves the map side. */
+  def splitAssign(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.F.{hash60, tokens}
+    val u = hash60(concat(lit("split_"), col("doc_id").cast("string"))) % 1000000L
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        size(tokens(col("text"))).cast("long").as("n_tok"),
+        when(u < ValStartPpm, "train")
+          .when(u < TestStartPpm, "val")
+          .otherwise("test").as("split"))
+      .groupBy("lang", "split")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens"))
+      .orderBy("lang", "split")
+  }
+
   def sourceBudgetCap(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.F.{hash60, tokens}
     import org.apache.spark.sql.expressions.Window

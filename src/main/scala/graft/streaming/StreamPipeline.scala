@@ -492,6 +492,47 @@ object StreamPipeline {
       .orderBy("date")
   }
 
+  /** p26: STREAMING KPI ANOMALY MONITOR — a7's integer-exact
+    * high/low/warmup verdicts as a LIVE pipeline: the per-(event_type,
+    * day) counts are the streaming state (a watermarked dedup on
+    * event_id upstream keeps the counts exactly-once on an
+    * at-least-once source — p9's discipline; state is bounded at
+    * days × types rows), and the trailing-window comparison runs over
+    * the tiny materialized count table. The split is deliberate and is
+    * how a monitor deploys at 100 TB: counts accumulate in stream state
+    * (cheap, bounded, always current); verdict logic — which needs a
+    * 7-day ORDERED window and would otherwise hold every day in flight
+    * — reads the materialized counts at alert-evaluation time. The
+    * verdict math is the SAME integer cross-product rule as a7
+    * (2·n·cnt7 vs 3·sum7 / vs sum7), so a flipped boundary — a false
+    * page — cannot come from float drift; the oracle is a7's statement
+    * verbatim. */
+  def kpiAnomalyStream(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    withStatePartitions(spark, MaterializeStateParts) {
+      val counts = stagedEventsStream(spark, dir)
+        .withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark("event_id")
+        .groupBy(col("event_type"), to_date(col("ts")).as("date"))
+        .agg(count(lit(1)).as("n"))
+      val query = counts
+        .writeStream.format("memory").queryName("graft_p26_counts")
+        .outputMode("complete").start()
+      try query.processAllAvailable() finally query.stop()
+    }
+    val trailing = Window.partitionBy("event_type").orderBy("date")
+      .rowsBetween(-7, -1)
+    spark.table("graft_p26_counts")
+      .withColumn("sum7", coalesce(sum("n").over(trailing), lit(0L)))
+      .withColumn("cnt7", count("n").over(trailing))
+      .withColumn("flag",
+        when(col("cnt7") < 3, "warmup")
+          .when(col("n") * 2 * col("cnt7") > col("sum7") * 3, "high")
+          .when(col("n") * 2 * col("cnt7") < col("sum7"), "low")
+          .otherwise("normal"))
+      .orderBy("event_type", "date")
+  }
+
   /** Daily KPIs over the matched-trip stream — event-time 1-day window,
     * same decimal-exact aggregates as the batch kpiDaily. */
   def kpiDailyStream(spark: SparkSession, events: DataFrame): DataFrame =

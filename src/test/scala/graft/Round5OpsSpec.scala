@@ -254,6 +254,59 @@ class Round5OpsSpec extends AnyFunSuite with SparkSpec {
     assert(got(("view", "2024-02-02")) === "warmup")
   }
 
+  // --- m3: blob dedup on constructed duplicates --------------------------
+
+  test("m3 blob dedup keeps the min doc_id per identical payload") {
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("blob", BinaryType)))
+    val bytes = (s: String) => s.getBytes("UTF-8")
+    val rows = Seq(
+      Row(3L, bytes("alpha")), Row(1L, bytes("alpha")), Row(2L, bytes("alpha")),
+      Row(5L, bytes("beta")), Row(4L, bytes("beta")),
+      Row(6L, bytes("gamma")))
+    val got = operators.MultimodalOps
+      .blobDedupOf(spark.createDataFrame(rows.asJava, schema))
+      .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(got === Map(1L -> 3L, 4L -> 2L, 6L -> 1L))
+  }
+
+  // --- x6: split assignment is a partition and stable under growth -------
+
+  test("x6 split is an exact partition of docs and stable under growth") {
+    import graft.functions.F
+    val docs = Tables.documents(spark, Sf0001)
+      .select(col("doc_id").cast("long")).collect().map(_.getLong(0))
+    def splitOf(id: Long): String = {
+      val u = F.hash60Driver("split_" + id) % 1000000L
+      if (u < operators.CorpusOps.ValStartPpm) "train"
+      else if (u < operators.CorpusOps.TestStartPpm) "val" else "test"
+    }
+    // the reported (lang, split) doc counts must equal the per-doc replay
+    val got = operators.CorpusOps.splitAssign(spark, Sf0001).collect()
+      .map(r => r.getString(1) -> r.getLong(2))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    val expected = docs.groupBy(splitOf).view.mapValues(_.size.toLong).toMap
+    assert(got === expected)
+    assert(got.values.sum === docs.length.toLong) // exact partition
+    // stability: a doc's split is a pure function of its id — the
+    // assignment computed over the sf0.001 carve agrees with the same
+    // docs' assignments inside the larger sf0.01 corpus
+    val sf001ids = docs.toSet
+    val within = Tables.documents(spark, Sf001)
+      .select(col("doc_id").cast("long")).collect().map(_.getLong(0))
+      .filter(sf001ids).map(id => id -> splitOf(id)).toMap
+    assert(docs.forall(id => within.get(id).forall(_ === splitOf(id))))
+  }
+
+  // --- p26: streaming monitor equals the batch monitor -------------------
+
+  test("p26 streaming anomaly monitor hash-equals the batch a7") {
+    val stream = streaming.StreamPipeline.kpiAnomalyStream(spark, Sf0001).collect()
+    val batch = Analytics.a7KpiAnomaly(spark, Sf0001).collect()
+    assert(stream.map(_.toString).toSeq === batch.map(_.toString).toSeq)
+    assert(stream.nonEmpty)
+  }
+
   // --- d10: cross-carve equivalence with the d3 pair set -----------------
 
   test("d10 equals the d3 pair set restricted to cross-carve pairs") {
