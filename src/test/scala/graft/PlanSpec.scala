@@ -74,4 +74,47 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     val exchanges = "Exchange".r.findAllIn(plan).length
     assert(exchanges <= 1, s"text op should only shuffle for the final sort:\n$plan")
   }
+
+  test("q31 pushes the two-value IN and date window into the fact scan") {
+    val plan = finalPlan(Analytics.q31ShipMode(spark, Sf0001))
+    assert(plan.contains("In(l_returnflag, [A,R])"),
+      s"returnflag IN not pushed:\n$plan")
+    assert(plan.contains("GreaterThanOrEqual(l_shipdate"),
+      s"shipdate lower bound not pushed:\n$plan")
+    assert(plan.contains("LessThan(l_shipdate"),
+      s"shipdate upper bound not pushed:\n$plan")
+  }
+
+  test("q17 plans one scan, one hash shuffle, and no shuffle join") {
+    val plan = finalPlan(Analytics.q17SmallQty(spark, Sf0001))
+    // the window decorrelation must not reintroduce the join-back
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+      s"avg subquery must not shuffle-join back:\n$plan")
+    val liScans = plan.linesIterator.count(l =>
+      l.contains("FileScan") && l.contains("lineitem"))
+    assert(liScans === 1, s"expected a single fact scan, got $liScans:\n$plan")
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(hashEx === 1, s"expected one partkey shuffle, got $hashEx:\n$plan")
+  }
+
+  test("a5's three funnel steps share one user_id shuffle") {
+    val plan = finalPlan(Analytics.a5Funnel(spark, Sf0001))
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(hashEx === 1, s"expected one shared hash exchange, got $hashEx:\n$plan")
+    assert(!plan.contains("Join"), s"funnel must not self-join:\n$plan")
+  }
+
+  test("p23's merge pays one shuffle on the key and no join") {
+    val plan = finalPlan(graft.pipeline.ScdOps.cdcUpsert(spark, Sf0001))
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(hashEx === 1, s"expected one key exchange, got $hashEx:\n$plan")
+    assert(!plan.contains("Join"), s"CDC apply must not join:\n$plan")
+  }
+
+  test("x5's budget admission pays one shuffle on source") {
+    val plan = finalPlan(graft.operators.CorpusOps.sourceBudgetCap(spark, Sf0001))
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(hashEx === 1, s"expected one source exchange, got $hashEx:\n$plan")
+    assert(!plan.contains("Join"), s"budget cap must not join:\n$plan")
+  }
 }
