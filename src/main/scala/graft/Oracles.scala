@@ -1669,6 +1669,29 @@ object Oracles {
          |  CAST(sum(n_tok) AS BIGINT) AS n_tokens
          |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
+    // p27: the streaming materialized view is bit-equal to the batch
+    // merge, so its oracle IS p23's statement verbatim
+    "p27_stream_cdc" ->
+      """WITH base AS (
+        |  SELECT c_custkey AS key, CAST(c_acctbal AS DOUBLE) AS val,
+        |    TIMESTAMP '1970-01-01 00:00:00' AS ts, CAST(-1 AS BIGINT) AS seq,
+        |    'U' AS op, CAST(0 AS BIGINT) AS is_change
+        |  FROM customer),
+        |chg AS (
+        |  SELECT user_id AS key,
+        |    CASE WHEN event_type = 'purchase' THEN value END AS val,
+        |    ts, event_id AS seq,
+        |    CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+        |    CAST(1 AS BIGINT) AS is_change
+        |  FROM events WHERE event_type IN ('purchase','error')),
+        |log AS (SELECT * FROM base UNION ALL SELECT * FROM chg),
+        |r AS (SELECT *,
+        |    row_number() OVER (PARTITION BY key ORDER BY ts DESC, seq DESC) AS rn,
+        |    CAST(SUM(is_change) OVER (PARTITION BY key) AS BIGINT) AS n_changes
+        |  FROM log)
+        |SELECT key, val AS final_val, n_changes
+        |FROM r WHERE rn = 1 AND op = 'U' ORDER BY key""".stripMargin,
+
     // p26: the streaming counts are exactly-once by the watermarked
     // dedup, so the monitor's oracle IS a7's statement verbatim
     "p26_stream_anomaly" ->

@@ -533,6 +533,54 @@ object StreamPipeline {
       .orderBy("event_type", "date")
   }
 
+  /** p27: STREAMING CDC MATERIALIZED VIEW — p23's latest-wins upsert
+    * maintained live: the change stream collapses to one row of state
+    * per key via `max(struct(ts, seq, op, val))` — a struct max IS the
+    * "latest change" (lexicographic on the unique (ts, seq) prefix),
+    * and max is idempotent + associative, so the state merges correctly
+    * across micro-batches and re-deliveries (count is not idempotent,
+    * so exactly-once change counts ride on the upstream watermarked
+    * dedup — p9's discipline). The base snapshot joins in BATCH-side at
+    * read time (full outer on the key): a key with no changes keeps its
+    * base value, a key whose latest op is a delete disappears, a
+    * never-seen key inserts — bit-identical to the batch p23 (proven by
+    * spec; the oracle is p23's statement).
+    *
+    * Scale shape: state is ONE small struct per key — the minimum any
+    * keyed materialized view can hold — vs the per-batch MERGE loop's
+    * repeated snapshot joins. The final join shuffles on the merge key
+    * with AQE; in production the read side is a foreachBatch upsert
+    * into the serving store and the full-outer join is the store's
+    * lookup. */
+  def cdcUpsertStream(spark: SparkSession, dir: String): DataFrame = {
+    withStatePartitions(spark, MaterializeStateParts) {
+      val changes = stagedEventsStream(spark, dir)
+        .withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark("event_id")
+        .filter(col("event_type").isin("purchase", "error"))
+        .select(col("user_id").as("key"),
+          struct(col("ts"), col("event_id").as("seq"),
+            when(col("event_type") === "error", "D").otherwise("U").as("op"),
+            when(col("event_type") === "purchase", col("value")).as("val"))
+            .as("chg"))
+        .groupBy("key")
+        .agg(max("chg").as("last"), count(lit(1)).as("n_changes"))
+      val query = changes.writeStream.format("memory")
+        .queryName("graft_p27_cdc").outputMode("complete").start()
+      try query.processAllAvailable() finally query.stop()
+    }
+    val base = graft.Tables.customer(spark, dir)
+      .select(col("c_custkey").as("key"),
+        col("c_acctbal").cast("double").as("base_val"))
+    base.join(spark.table("graft_p27_cdc"), Seq("key"), "full_outer")
+      .filter(col("last").isNull || col("last.op") === "U")
+      .select(col("key"),
+        when(col("last").isNotNull, col("last.val"))
+          .otherwise(col("base_val")).as("final_val"),
+        coalesce(col("n_changes"), lit(0L)).as("n_changes"))
+      .orderBy("key")
+  }
+
   /** Daily KPIs over the matched-trip stream — event-time 1-day window,
     * same decimal-exact aggregates as the batch kpiDaily. */
   def kpiDailyStream(spark: SparkSession, events: DataFrame): DataFrame =

@@ -307,6 +307,15 @@ class Round5OpsSpec extends AnyFunSuite with SparkSpec {
     assert(stream.nonEmpty)
   }
 
+  // --- p27: streaming materialized view equals the batch merge -----------
+
+  test("p27 streaming CDC view hash-equals the batch p23 merge") {
+    val stream = streaming.StreamPipeline.cdcUpsertStream(spark, Sf0001).collect()
+    val batch = pipeline.ScdOps.cdcUpsert(spark, Sf0001).collect()
+    assert(stream.map(_.toString).toSeq === batch.map(_.toString).toSeq)
+    assert(stream.nonEmpty)
+  }
+
   // --- d10: cross-carve equivalence with the d3 pair set -----------------
 
   test("d10 equals the d3 pair set restricted to cross-carve pairs") {
