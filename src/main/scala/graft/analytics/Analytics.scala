@@ -455,19 +455,31 @@ object Analytics {
   }
 
   /** q23: full CUBE over (returnflag, linestatus) — all four grouping
-    * sets (detail, two marginals, grand total) in ONE pass: Spark's
-    * Expand operator replicates each input row per grouping set before
-    * the single partial-agg shuffle, so the lineitem scan happens once
-    * regardless of how many sets the cube spans (vs 4 separate
-    * aggregations = 4 scans). Completes the grouping-operator family
-    * next to q10's ROLLUP. */
+    * sets (detail, two marginals, grand total), computed as a TWO-LEVEL
+    * aggregation: a plain groupBy first collapses the fact to its ≤ 6
+    * base cells (flag × status), and the CUBE runs over that cell
+    * relation — sums of decimal sums and counts-as-sums are associative,
+    * so the re-aggregation is bit-equal to cubing the raw rows.
+    *
+    * The naive `.cube()` on the fact pushes every row through Expand ×4
+    * — the scan is shared, but the hash aggregate processes 4n rows (at
+    * 100 TB, 4× the corpus through the agg pipeline for an 18-row
+    * answer). Pre-collapsing pays ONE n-row map-combined agg, then
+    * expands 6 rows. The same trick generalizes to any
+    * CUBE/ROLLUP/GROUPING SETS whose base-cell count ≪ n — which is
+    * what makes cube reporting viable at scale. */
   def q23Cube(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("l_quantity").cast(DecimalType(18, 6))).as("q"),
+        sum(col("l_extendedprice").cast(DecimalType(18, 6))).as("p"))
       .cube("l_returnflag", "l_linestatus")
       .agg(
-        count(lit(1)).as("n_items"),
-        decSum(col("l_quantity")).as("sum_qty"),
-        decSum(col("l_extendedprice")).as("sum_price"))
+        sum("n").as("n_items"),
+        sum("q").cast(DoubleType).as("sum_qty"),
+        sum("p").cast(DoubleType).as("sum_price"))
       .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
 
   /** q21 (TPC-H Q21 shape): suppliers who "kept finished orders

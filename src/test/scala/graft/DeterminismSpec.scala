@@ -65,4 +65,16 @@ class DeterminismSpec extends AnyFunSuite with SparkSpec {
     // integer micro-unit arithmetic is the determinism mechanism here
     assertStable("g1_bipartite_rank")(operators.GraphOps.bipartiteRank(spark, Sf0001))
   }
+
+  test("round-5 sampling/merge/monitor operators are partition-count independent") {
+    // the md5-rank admission, the min-hash ranking and the md5 split
+    // each CLAIM reproducibility on any partitioning — execute it
+    assertStable("x5_source_budget")(operators.CorpusOps.sourceBudgetCap(spark, Sf0001))
+    assertStable("s8_weighted_sample")(operators.SketchOps.weightedSample(spark, Sf0001))
+    assertStable("x6_split_assign")(operators.CorpusOps.splitAssign(spark, Sf0001))
+    assertStable("p23_cdc_upsert")(pipeline.ScdOps.cdcUpsert(spark, Sf0001))
+    assertStable("a7_kpi_anomaly")(Analytics.a7KpiAnomaly(spark, Sf0001))
+    assertStable("a5_funnel")(Analytics.a5Funnel(spark, Sf0001))
+    assertStable("q23_cube")(Analytics.q23Cube(spark, Sf0001))
+  }
 }
