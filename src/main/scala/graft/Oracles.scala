@@ -1711,6 +1711,20 @@ object Oracles {
         |       ELSE 'normal' END AS flag
         |FROM t ORDER BY event_type, date""".stripMargin,
 
+    "a8_event_transitions" ->
+      """WITH seq AS (
+        |  SELECT user_id, event_type,
+        |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      AS prev_type
+        |  FROM events),
+        |cnt AS (
+        |  SELECT prev_type, event_type AS next_type, count(*) AS n
+        |  FROM seq WHERE prev_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT prev_type, next_type, n,
+        |  CAST(n * 1000000 // SUM(n) OVER (PARTITION BY prev_type) AS BIGINT)
+        |    AS p_ppm
+        |FROM cnt ORDER BY prev_type, next_type""".stripMargin,
+
     "a7_kpi_anomaly" ->
       """WITH daily AS (
         |  SELECT event_type, CAST(ts AS DATE) AS date, count(*) AS n

@@ -876,6 +876,36 @@ object Analytics {
       .orderBy("cohort_week", "week_offset")
   }
 
+  /** a8: EVENT TRANSITION MATRIX — corpus-wide counts of consecutive
+    * (prev_type → next_type) steps within each user's (ts, event_id)
+    * ordered stream, with transition probabilities in ppm integers
+    * (count·10⁶ div row-total — floor division, engine-exact; a float
+    * ratio here would be the s8/a7 rounding-boundary trap all over
+    * again). This is the session-flow / Markov-chain analysis behind
+    * "what do users do after X" product questions.
+    *
+    * Scale shape: ONE user_id hash shuffle for the lag window (the same
+    * partitioning p3/p7/p17 use), then a map-combined groupBy to
+    * ≤ types² rows; the ppm normalization is a types-sized window over
+    * that constant-size relation. */
+  def a8EventTransitions(spark: SparkSession, dir: String): DataFrame =
+    transitionsOf(Tables.events(spark, dir))
+
+  /** a8's core on any (user_id, ts, event_id, event_type) relation
+    * (spec hook). */
+  private[graft] def transitionsOf(events: DataFrame): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    events
+      .select("user_id", "ts", "event_id", "event_type")
+      .withColumn("prev_type", lag(col("event_type"), 1).over(byUser))
+      .filter(col("prev_type").isNotNull)
+      .groupBy(col("prev_type"), col("event_type").as("next_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("p_ppm",
+        expr("n * 1000000 div sum(n) over (partition by prev_type)"))
+      .orderBy("prev_type", "next_type")
+  }
+
   /** a7: KPI ANOMALY FLAGS — each (event_type, day)'s event count
     * compared against the trailing window of its previous 7 OBSERVED
     * days: `high` if n > 1.5 × trailing mean, `low` if n < 0.5 ×, with

@@ -307,6 +307,25 @@ class Round5OpsSpec extends AnyFunSuite with SparkSpec {
     assert(stream.nonEmpty)
   }
 
+  // --- a8: transition counts and ppm on a constructed stream -------------
+
+  test("a8 counts ordered per-user transitions with floor-div ppm") {
+    val rows = Seq(
+      Row(1L, t("2024-01-01 00:00:00"), 1L, "signup", 0.0, null),
+      Row(2L, t("2024-01-01 00:01:00"), 1L, "click", 0.0, null),
+      Row(3L, t("2024-01-01 00:02:00"), 1L, "click", 0.0, null),
+      Row(4L, t("2024-01-01 00:03:00"), 1L, "purchase", 1.0, null),
+      Row(5L, t("2024-01-01 00:00:00"), 2L, "click", 0.0, null),
+      Row(6L, t("2024-01-01 00:01:00"), 2L, "error", 0.0, null))
+    val got = Analytics.transitionsOf(ev(rows)).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(got === Map(
+      ("signup", "click") -> (1L, 1000000L),
+      ("click", "click") -> (1L, 333333L), // floor(10^6/3), exact in both engines
+      ("click", "purchase") -> (1L, 333333L),
+      ("click", "error") -> (1L, 333333L)))
+  }
+
   // --- p27: streaming materialized view equals the batch merge -----------
 
   test("p27 streaming CDC view hash-equals the batch p23 merge") {
