@@ -1711,6 +1711,27 @@ object Oracles {
         |       ELSE 'normal' END AS flag
         |FROM t ORDER BY event_type, date""".stripMargin,
 
+    "a9_gap_fill" ->
+      s"""WITH daily AS (
+         |  SELECT event_type, CAST(ts AS DATE) AS date,
+         |    count(*) AS n, ${dsum("value")} AS v
+         |  FROM events GROUP BY 1, 2),
+         |b AS (SELECT min(CAST(ts AS DATE)) AS dmin,
+         |             max(CAST(ts AS DATE)) AS dmax FROM events),
+         |spine AS (
+         |  SELECT t.event_type, CAST(u.d AS DATE) AS date
+         |  FROM (SELECT DISTINCT event_type FROM events) t
+         |  CROSS JOIN b,
+         |  LATERAL (SELECT unnest(generate_series(b.dmin, b.dmax,
+         |    INTERVAL 1 DAY)) AS d) u)
+         |SELECT s.event_type, s.date,
+         |  COALESCE(d.n, 0) AS n_events,
+         |  COALESCE(d.v, 0.0) AS total_value,
+         |  d.n IS NULL AS is_gap
+         |FROM spine s LEFT JOIN daily d
+         |  ON s.event_type = d.event_type AND s.date = d.date
+         |ORDER BY s.event_type, s.date""".stripMargin,
+
     "a8_event_transitions" ->
       """WITH seq AS (
         |  SELECT user_id, event_type,

@@ -906,6 +906,42 @@ object Analytics {
       .orderBy("prev_type", "next_type")
   }
 
+  /** a9: CALENDAR-SPINE GAP FILL — the daily KPI series densified so
+    * every (event_type, day) in the observed range exists, zero-filled
+    * where no events landed and flagged `is_gap`. Downstream consumers
+    * (dashboards, the a7 anomaly windows, forecasting) need a dense
+    * series; a missing day silently shifts every ROWS-based window.
+    *
+    * Spark realization: the spine is types × explode(sequence(min_day,
+    * max_day)) — the bounds come from ONE 1-row aggregate that
+    * broadcasts, so the spine build is map-side; the observed rollup
+    * left-joins onto it. Spine size = types × days (constant-ish),
+    * so the join broadcasts the spine side or shuffles the tiny rollup
+    * — either way nothing SF-proportional moves twice. */
+  def a9GapFill(spark: SparkSession, dir: String): DataFrame =
+    gapFillOf(Tables.events(spark, dir))
+
+  /** a9's core on any (user_id, ts, event_type, value) relation (spec
+    * hook — the driver testdata has no gaps, so the zero-fill branch is
+    * proven on constructed input). */
+  private[graft] def gapFillOf(events: DataFrame): DataFrame = {
+    val daily = events
+      .groupBy(col("event_type"), to_date(col("ts")).as("date"))
+      .agg(count(lit(1)).as("n"), decSum(col("value")).as("v"))
+    val bounds = events.agg(
+      min(to_date(col("ts"))).as("dmin"), max(to_date(col("ts"))).as("dmax"))
+    val spine = events.select("event_type").distinct()
+      .crossJoin(broadcast(bounds))
+      .select(col("event_type"),
+        explode(sequence(col("dmin"), col("dmax"))).as("date"))
+    spine.join(daily, Seq("event_type", "date"), "left")
+      .select(col("event_type"), col("date"),
+        coalesce(col("n"), lit(0L)).as("n_events"),
+        coalesce(col("v"), lit(0.0)).as("total_value"),
+        col("n").isNull.as("is_gap"))
+      .orderBy("event_type", "date")
+  }
+
   /** a7: KPI ANOMALY FLAGS — each (event_type, day)'s event count
     * compared against the trailing window of its previous 7 OBSERVED
     * days: `high` if n > 1.5 × trailing mean, `low` if n < 0.5 ×, with

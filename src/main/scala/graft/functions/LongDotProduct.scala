@@ -200,9 +200,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_minhash_agg"),
       new ExpressionInfo(classOf[MinHashAgg].getName, "graft_minhash_agg"),
       (children: Seq[Expression]) => MinHashAgg(children.head)))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_hash60"),
+      new ExpressionInfo(classOf[Hash60].getName, "graft_hash60"),
+      (children: Seq[Expression]) => Hash60(children.head)))
     ext.injectPlannerStrategy(_ => new graft.plans.TopKPerKeyStrategy)
-    // optimizer rule: auto-rewrite the portable aggregate(zip_with(...))
-    // dot product into the native codegen'd expression
+    // optimizer rules: auto-rewrite the portable aggregate(zip_with(...))
+    // dot product and the portable md5-hash60 chain into the native
+    // codegen'd expressions
     ext.injectOptimizerRule(_ => DotProductRewrite)
+    ext.injectOptimizerRule(_ => Hash60Rewrite)
   }
 }

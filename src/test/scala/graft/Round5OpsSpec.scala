@@ -326,6 +326,26 @@ class Round5OpsSpec extends AnyFunSuite with SparkSpec {
       ("click", "error") -> (1L, 333333L)))
   }
 
+  // --- a9: gap fill on a constructed sparse series -----------------------
+
+  test("a9 densifies the series and zero-fills flagged gaps") {
+    val rows = Seq(
+      Row(1L, t("2024-03-01 10:00:00"), 1L, "click", 2.0, null),
+      Row(2L, t("2024-03-04 10:00:00"), 1L, "click", 3.0, null), // 2 gap days
+      Row(3L, t("2024-03-02 10:00:00"), 1L, "view", 5.0, null))
+    val got = Analytics.gapFillOf(ev(rows)).collect()
+      .map(r => (r.getString(0), r.getDate(1).toString) ->
+        (r.getLong(2), r.getDouble(3), r.getBoolean(4))).toMap
+    // spine spans the GLOBAL range (Mar 1-4) for every observed type
+    assert(got.size === 8)
+    assert(got(("click", "2024-03-01")) === (1L, 2.0, false))
+    assert(got(("click", "2024-03-02")) === (0L, 0.0, true))
+    assert(got(("click", "2024-03-03")) === (0L, 0.0, true))
+    assert(got(("click", "2024-03-04")) === (1L, 3.0, false))
+    assert(got(("view", "2024-03-02")) === (1L, 5.0, false))
+    assert(got(("view", "2024-03-04")) === (0L, 0.0, true))
+  }
+
   // --- p27: streaming materialized view equals the batch merge -----------
 
   test("p27 streaming CDC view hash-equals the batch p23 merge") {
@@ -333,6 +353,49 @@ class Round5OpsSpec extends AnyFunSuite with SparkSpec {
     val batch = pipeline.ScdOps.cdcUpsert(spark, Sf0001).collect()
     assert(stream.map(_.toString).toSeq === batch.map(_.toString).toSeq)
     assert(stream.nonEmpty)
+  }
+
+  // --- native hash60: bit-equality and rewrite firing --------------------
+
+  test("native hash60 equals the driver mirror on corpus and edge strings") {
+    import graft.functions.F
+    // the driver mirror is the definition (it derives every md5
+    // coefficient) and can never be touched by the optimizer rewrite —
+    // so it is the ground truth both formulations must hit
+    val corpus = Tables.documents(spark, Sf0001)
+      .select(col("text"), F.hash60(col("text")).as("h")).collect()
+    corpus.foreach(r => assert(F.hash60Driver(r.getString(0)) === r.getLong(1)))
+    val edges = Seq("", "a", "héllo wörld ☃", " pad ", "0", "\t\n",
+      "ꙮ multibyte ꙮ", "a" * 1000)
+    import spark.implicits._
+    val viaSpark = edges.toDF("s")
+      .select(col("s"), F.hash60(col("s")).as("h"),
+        call_function("graft_hash60",
+          col("s").cast("string").cast("binary")).as("hn"))
+      .collect()
+    viaSpark.foreach { r =>
+      assert(r.getLong(1) === F.hash60Driver(r.getString(0)))
+      assert(r.getLong(2) === F.hash60Driver(r.getString(0)))
+    }
+    // null in, null out — same as the built-in chain
+    val nullRow = Seq(Tuple1(Option.empty[String])).toDF("s")
+      .select(F.hash60(col("s"))).head
+    assert(nullRow.isNullAt(0))
+  }
+
+  test("the hash60 optimizer rewrite fires on the portable chain") {
+    import graft.functions.F
+    val optimized = Tables.documents(spark, Sf0001)
+      .select(F.hash60(col("text")))
+      .queryExecution.optimizedPlan.toString
+    assert(optimized.contains("graft_hash60"),
+      s"portable hash60 chain not rewritten:\n$optimized")
+    // a different substring width is someone else's expression — untouched
+    val other = Tables.documents(spark, Sf0001)
+      .select(expr("cast(conv(substring(md5(cast(text as string)), 1, 14), 16, 10) as bigint)"))
+      .queryExecution.optimizedPlan.toString
+    assert(!other.contains("graft_hash60"),
+      s"rewrite over-matched a 14-char substring:\n$other")
   }
 
   // --- d10: cross-carve equivalence with the d3 pair set -----------------
