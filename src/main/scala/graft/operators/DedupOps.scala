@@ -263,6 +263,47 @@ object DedupOps {
       .orderBy("train_doc", "eval_doc")
   }
 
+  /** d11: INCREMENTAL-INGEST near-dup check — the daily-drop question:
+    * which documents of an incoming batch (doc_id % 4 == 0 stands in
+    * for today's crawl) are near-duplicates of the EXISTING corpus?
+    * Complements d10's architecture: there the small side (a benchmark)
+    * BROADCASTS; here the incoming batch is assumed too large to
+    * broadcast but its band-key set fits a BLOOM FILTER, so the
+    * existing corpus's bands prefilter MAP-SIDE (s7's runtime-filter
+    * machinery, reused) before the band equality join — the corpus
+    * rows that could never match (the overwhelming majority on a daily
+    * drop) never leave the map side. The bloom admits only false
+    * positives, and the join enforces exact band equality after it, so
+    * the result is EXACTLY the unfiltered join's (pinned by spec).
+    *
+    * Scale: existing-side shuffle volume ∝ bloom hit rate (≈ incoming
+    * band count / corpus band count + ε), not corpus size; signature
+    * and band substrates are the memoized d3 ones. */
+  def incrementalNearDup(spark: SparkSession, dir: String,
+      minEst: Double = 0.25): DataFrame = {
+    val sig = minhashSig(spark, dir)
+    val bands = lshBands(spark, dir)
+    val incoming = bands.filter(col("doc_id") % 4 === 0)
+    val existing = bands.filter(col("doc_id") % 4 =!= 0)
+    val pre = SketchOps.bloomPredicate(
+      incoming.select("bkey").distinct(), "bkey", col("bkey"))
+    val cand = existing.filter(pre)
+      .select(col("doc_id").as("existing_doc"), col("band"), col("bkey"))
+      .join(incoming.select(col("doc_id").as("incoming_doc"), col("band"), col("bkey")),
+        Seq("band", "bkey"))
+      .select("incoming_doc", "existing_doc").distinct()
+    cand
+      .join(sig.select(col("doc_id").as("incoming_doc"), col("i"), col("mh").as("mha")),
+        "incoming_doc")
+      .join(sig.select(col("doc_id").as("existing_doc"), col("i"), col("mh").as("mhb")),
+        Seq("existing_doc", "i"))
+      .groupBy("incoming_doc", "existing_doc")
+      .agg((sum(when(col("mha") === col("mhb"), 1L).otherwise(0L))
+        .cast(DoubleType) / K).as("est_jaccard"))
+      .filter(col("est_jaccard") >= minEst)
+      .orderBy("incoming_doc", "existing_doc")
+  }
+
   /** Label-propagation iterations for d5 (bounded — see scaladoc). */
   val ClusterIters = 3
 

@@ -355,6 +355,24 @@ class Round5OpsSpec extends AnyFunSuite with SparkSpec {
     assert(stream.nonEmpty)
   }
 
+  // --- d11: bloom prefilter is invisible to the join result --------------
+
+  test("d11 equals the unfiltered cross-carve band join (bloom transparent)") {
+    val d3 = DedupOps.minhashLsh(spark, Sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val expected = d3.flatMap { case (a, b, est) =>
+      (a % 4 == 0, b % 4 == 0) match {
+        case (true, false) => Some((a, b, est)) // (incoming, existing)
+        case (false, true) => Some((b, a, est))
+        case _ => None
+      }
+    }.toSet
+    val got = DedupOps.incrementalNearDup(spark, Sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got === expected)
+    assert(got.nonEmpty) // non-vacuous at sf0.001
+  }
+
   // --- native hash60: bit-equality and rewrite firing --------------------
 
   test("native hash60 equals the driver mirror on corpus and edge strings") {
