@@ -1739,6 +1739,33 @@ object Oracles {
         |       ELSE 'normal' END AS flag
         |FROM t ORDER BY event_type, date""".stripMargin,
 
+    "q32_grouping_sets" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         |  CAST(GROUPING(l_returnflag) AS INT) AS g_flag,
+         |  CAST(GROUPING(l_linestatus) AS INT) AS g_status,
+         |  count(*) AS n_items,
+         |  ${dsum("l_quantity")} AS sum_qty
+         |FROM lineitem
+         |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_linestatus))
+         |ORDER BY g_flag, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+
+    "a10_rfm" ->
+      s"""WITH p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+         |mx AS (SELECT max(CAST(ts AS DATE)) AS max_day FROM p),
+         |u AS (SELECT user_id, max(CAST(ts AS DATE)) AS last_day,
+         |    count(*) AS freq, ${dsum("value")} AS monetary
+         |  FROM p GROUP BY 1),
+         |q AS (SELECT u.*, datediff('day', last_day, max_day) AS recency_days
+         |  FROM u, mx),
+         |s AS (SELECT user_id, freq,
+         |    ntile(4) OVER (ORDER BY recency_days ASC, user_id) AS r,
+         |    ntile(4) OVER (ORDER BY freq DESC, user_id) AS f,
+         |    ntile(4) OVER (ORDER BY monetary DESC, user_id) AS m
+         |  FROM q)
+         |SELECT r * 100 + f * 10 + m AS rfm_segment, count(*) AS n_users,
+         |  CAST(sum(freq) AS BIGINT) AS total_purchases
+         |FROM s GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "a9_gap_fill" ->
       s"""WITH daily AS (
          |  SELECT event_type, CAST(ts AS DATE) AS date,

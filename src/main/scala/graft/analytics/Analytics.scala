@@ -906,6 +906,66 @@ object Analytics {
       .orderBy("prev_type", "next_type")
   }
 
+  /** q32: arbitrary GROUPING SETS with grouping markers — the grouping
+    * family's last member next to q10's ROLLUP and q23's CUBE: the set
+    * list ((flag, status), (status)) is NOT expressible as either (a
+    * status marginal beside the detail, no flag marginal, no grand
+    * total), and the `grouping(col)` flags disambiguate a SUBTOTAL null
+    * from a DATA null — the classic reporting bug when the grouping
+    * column itself is nullable (q23's documented caveat, closed).
+    *
+    * Scale shape: same Expand-before-partial-agg as cube, ×2 here, and
+    * the q23 pre-collapse trick applies verbatim if the set list ever
+    * multiplies a big fact. */
+  def q32GroupingSets(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupingSets(
+        Seq(Seq(col("l_returnflag"), col("l_linestatus")), Seq(col("l_linestatus"))),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        grouping(col("l_returnflag")).cast(IntegerType).as("g_flag"),
+        grouping(col("l_linestatus")).cast(IntegerType).as("g_status"),
+        count(lit(1)).as("n_items"),
+        decSum(col("l_quantity")).as("sum_qty"))
+      .orderBy(col("g_flag"), col("l_returnflag").asc_nulls_first,
+        col("l_linestatus").asc_nulls_first)
+
+  /** a10: RFM SEGMENTATION — every purchasing user scored on Recency
+    * (days since last purchase, against the corpus max day), Frequency
+    * (purchase count) and Monetary (decimal-exact spend), each quartiled
+    * with a TIE-SAFE total order (metric, then user_id — ntile over a
+    * partial order is partition-dependent, the §4 trap), then rolled up
+    * to segment sizes. The classic marketing-analytics operator.
+    *
+    * Scale shape: one user-level aggregation (map-combined), three
+    * ntile windows over the SAME unpartitioned relation — user-level,
+    * i.e. already collapsed, orders of magnitude smaller than the fact
+    * — then a tiny segment groupBy. The corpus max day broadcasts from
+    * a 1-row agg. At true scale the global ntile sort is the cost; its
+    * input is |users|, not |events|. */
+  def a10Rfm(spark: SparkSession, dir: String): DataFrame = {
+    val purchases = Tables.events(spark, dir)
+      .filter(col("event_type") === "purchase")
+    val maxDay = purchases.agg(max(to_date(col("ts"))).as("max_day"))
+    val perUser = purchases
+      .groupBy("user_id")
+      .agg(max(to_date(col("ts"))).as("last_day"),
+        count(lit(1)).as("freq"),
+        decSum(col("value")).as("monetary"))
+      .crossJoin(broadcast(maxDay))
+      .withColumn("recency_days", datediff(col("max_day"), col("last_day")))
+    def quartile(metric: Column, asc: Boolean) = ntile(4).over(
+      Window.orderBy(if (asc) metric.asc else metric.desc, col("user_id")))
+    perUser
+      .withColumn("r", quartile(col("recency_days"), asc = true)) // recent = best
+      .withColumn("f", quartile(col("freq"), asc = false))
+      .withColumn("m", quartile(col("monetary"), asc = false))
+      .groupBy((col("r") * 100 + col("f") * 10 + col("m")).as("rfm_segment"))
+      .agg(count(lit(1)).as("n_users"),
+        sum(col("freq")).as("total_purchases"))
+      .orderBy("rfm_segment")
+  }
+
   /** a9: CALENDAR-SPINE GAP FILL — the daily KPI series densified so
     * every (event_type, day) in the observed range exists, zero-filled
     * where no events landed and flagged `is_gap`. Downstream consumers
