@@ -1739,6 +1739,26 @@ object Oracles {
         |       ELSE 'normal' END AS flag
         |FROM t ORDER BY event_type, date""".stripMargin,
 
+    // p28: the streamed sketch must equal the batch-built one — the
+    // oracle recomputes s5's cell math over the events table
+    "p28_stream_cms" ->
+      s"""WITH h AS (SELECT user_id,
+         |  md5('cm_' || CAST(user_id AS VARCHAR)) AS mh FROM events),
+         |rows_d AS (SELECT user_id, d,
+         |  CAST(('0x' || substr(mh, 1 + 8 * d, 8)) AS BIGINT) % 4096 AS cell
+         |  FROM h, range(4) t(d)),
+         |sketch AS (SELECT d, cell, count(*) AS cnt FROM rows_d GROUP BY 1, 2),
+         |truth AS (SELECT user_id, count(*) AS true_cnt FROM events GROUP BY 1
+         |  ORDER BY true_cnt DESC, user_id LIMIT 10),
+         |th AS (SELECT user_id, true_cnt,
+         |  md5('cm_' || CAST(user_id AS VARCHAR)) AS mh FROM truth),
+         |cand AS (SELECT user_id, true_cnt, d,
+         |  CAST(('0x' || substr(mh, 1 + 8 * d, 8)) AS BIGINT) % 4096 AS cell
+         |  FROM th, range(4) t(d))
+         |SELECT c.user_id, max(c.true_cnt) AS true_cnt, min(s.cnt) AS est_cnt
+         |FROM cand c JOIN sketch s ON c.d = s.d AND c.cell = s.cell
+         |GROUP BY c.user_id ORDER BY true_cnt DESC, user_id""".stripMargin,
+
     "q32_grouping_sets" ->
       s"""SELECT l_returnflag, l_linestatus,
          |  CAST(GROUPING(l_returnflag) AS INT) AS g_flag,

@@ -207,7 +207,7 @@ object SketchOps {
     * at EVERY depth, voiding the 1−(1/e)^depth guarantee (a·h+b is
     * injective in h per depth). One md5 per row, zero extra hashing,
     * and the oracle mirrors the same slices. */
-  private def cmCells(mh: org.apache.spark.sql.Column) = {
+  private[graft] def cmCells(mh: org.apache.spark.sql.Column) = {
     require(CmDepth * 8 <= 32, "md5 has 32 hex chars — at most 4 disjoint 32-bit slices")
     val cells = (0 until CmDepth).map { d =>
       struct(lit(d).as("d"),

@@ -581,6 +581,49 @@ object StreamPipeline {
       .orderBy("key")
   }
 
+  /** p28: STREAMING COUNT-MIN heavy-hitter monitor — s5's sketch as
+    * live state: the per-(depth, cell) counters ARE the streaming
+    * aggregation state, bounded at depth × width = 16 384 rows
+    * REGARDLESS of stream volume — the entire point of sketching a
+    * stream (an exact per-key count state grows with |keys|; the
+    * sketch never does). Counter addition is the merge, so micro-batch
+    * accumulation is exact; exactly-once rides on the upstream
+    * watermarked dedup (counters, unlike p19's max-registers, are not
+    * idempotent). Evaluation (probe the true top-10 users against the
+    * materialized cells, est ≥ truth within ε·N) runs off-stream,
+    * identical math to s5 — and the oracle recomputes the same cells
+    * from the batch table, proving the streamed sketch equals the
+    * batch-built one bit-for-bit. */
+  def cmHeavyHittersStream(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.SketchOps
+    def cellsOf(df: DataFrame, key: org.apache.spark.sql.Column): DataFrame =
+      df.withColumn("mh", md5(concat(lit("cm_"), key.cast("string"))))
+        .select(col("*"), SketchOps.cmCells(col("mh")))
+        .select(col("*"), col("dc.d").as("d"), col("dc.cell").as("cell"))
+        .drop("dc", "mh")
+    withStatePartitions(spark, MaterializeStateParts) {
+      val cells = cellsOf(
+        stagedEventsStream(spark, dir)
+          .withWatermark("ts", "1 hour")
+          .dropDuplicatesWithinWatermark("event_id")
+          .select(col("ts"), col("event_id"), col("user_id")),
+        col("user_id"))
+        .groupBy("d", "cell").agg(count(lit(1)).as("cnt"))
+      val query = cells.writeStream.format("memory")
+        .queryName("graft_p28_cms").outputMode("complete").start()
+      try query.processAllAvailable() finally query.stop()
+    }
+    val sketch = spark.table("graft_p28_cms")
+    val truth = graft.Tables.events(spark, dir)
+      .groupBy("user_id").agg(count(lit(1)).as("true_cnt"))
+      .orderBy(col("true_cnt").desc, col("user_id")).limit(10)
+    cellsOf(truth, col("user_id"))
+      .join(sketch, Seq("d", "cell"))
+      .groupBy("user_id")
+      .agg(max("true_cnt").as("true_cnt"), min("cnt").as("est_cnt"))
+      .orderBy(col("true_cnt").desc, col("user_id"))
+  }
+
   /** Daily KPIs over the matched-trip stream — event-time 1-day window,
     * same decimal-exact aggregates as the batch kpiDaily. */
   def kpiDailyStream(spark: SparkSession, events: DataFrame): DataFrame =

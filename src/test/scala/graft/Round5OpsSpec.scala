@@ -355,6 +355,31 @@ class Round5OpsSpec extends AnyFunSuite with SparkSpec {
     assert(stream.nonEmpty)
   }
 
+  // --- p28: streamed CMS equals the batch-built sketch -------------------
+
+  test("p28 streamed Count-Min evaluation equals a batch rebuild") {
+    import graft.operators.SketchOps
+    val stream = streaming.StreamPipeline.cmHeavyHittersStream(spark, Sf0001)
+      .collect().map(_.toString).toSeq
+    def cellsOf(df: org.apache.spark.sql.DataFrame) =
+      df.withColumn("mh", md5(concat(lit("cm_"), col("user_id").cast("string"))))
+        .select(col("*"), SketchOps.cmCells(col("mh")))
+        .select(col("*"), col("dc.d").as("d"), col("dc.cell").as("cell"))
+        .drop("dc", "mh")
+    val ev = Tables.events(spark, Sf0001)
+    val sketch = cellsOf(ev.select("user_id"))
+      .groupBy("d", "cell").agg(count(lit(1)).as("cnt"))
+    val truth = ev.groupBy("user_id").agg(count(lit(1)).as("true_cnt"))
+      .orderBy(col("true_cnt").desc, col("user_id")).limit(10)
+    val batch = cellsOf(truth).join(sketch, Seq("d", "cell"))
+      .groupBy("user_id")
+      .agg(max("true_cnt").as("true_cnt"), min("cnt").as("est_cnt"))
+      .orderBy(col("true_cnt").desc, col("user_id"))
+      .collect().map(_.toString).toSeq
+    assert(stream === batch)
+    assert(stream.nonEmpty)
+  }
+
   // --- d11: bloom prefilter is invisible to the join result --------------
 
   test("d11 equals the unfiltered cross-carve band join (bloom transparent)") {
