@@ -1739,6 +1739,15 @@ object Oracles {
         |       ELSE 'normal' END AS flag
         |FROM t ORDER BY event_type, date""".stripMargin,
 
+    // p29: parsed rows must equal the source table exactly (JSON
+    // round-trips doubles via shortest-repr); the DLQ count is the 3
+    // payloads the operator itself injects — a constant by construction
+    "p29_json_ingest" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
+        |  CAST(3 AS BIGINT) AS n_dlq
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
     // p28: the streamed sketch must equal the batch-built one — the
     // oracle recomputes s5's cell math over the events table
     "p28_stream_cms" ->

@@ -83,4 +83,41 @@ object EventSources {
       .option("header", "true")
       .option("timestampFormat", CsvTsFormat)
       .csv(path)
+
+  /** The corrupt payloads p29 injects into its staged JSON landing zone
+    * — a truncated object, a non-JSON line, and a bare string. */
+  val InjectedCorrupt: Seq[String] = Seq(
+    """{"event_id": 1, "ts": """,
+    "not json at all",
+    "\"just a string\"")
+
+  /** p29: JSON INGESTION round-trip with a syntactic DLQ — the
+    * reference's actual wire format, oracle-checked: the event table
+    * lands as JSON lines (what Kinesis delivers), three corrupt
+    * payloads are injected, and the PERMISSIVE explicit-schema read
+    * splits parse-clean rows from the DLQ in ONE scan. The returned
+    * aggregate proves the round-trip end to end: per-type counts and a
+    * decimal-exact value sum over the PARSED rows (JSON round-trips
+    * doubles via shortest-repr — bit-exact), plus the DLQ count.
+    *
+    * Scale notes: explicit schema (inference = a full extra scan at
+    * 100 TB), corrupt rows quarantined declaratively (never a job
+    * failure — the reference's skip-never-crash rule), and the
+    * valid/DLQ split is two filters over one cached scan. */
+  def jsonIngestRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val out = "target/graft-sink/json_ingest_" + dir.replaceAll("[^A-Za-z0-9.]", "_")
+    graft.Tables.events(spark, dir)
+      .write.mode("overwrite").json(out)
+    // inject the corrupt payloads as one extra landing-zone file
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(out, "part-corrupt.json"),
+      InjectedCorrupt.mkString("", "\n", "\n").getBytes("UTF-8"))
+    val raw = readEventsJson(spark, out)
+    val dlq = parseDlq(raw).agg(count(lit(1)).as("n_dlq"))
+    parsed(raw).groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 6))).cast(DoubleType).as("sum_value"))
+      .crossJoin(broadcast(dlq)) // 1-row scalar, declarative — no action
+      .orderBy("event_type")
+  }
 }
