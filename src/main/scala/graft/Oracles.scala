@@ -162,6 +162,41 @@ object Oracles {
        |${lpRound("l2", "l3")}
        |SELECT doc_id, label AS cluster_id FROM l3 ORDER BY doc_id""".stripMargin
 
+  /** x1 as a standalone statement — the map entry AND the kept-set leg
+    * of x7's shard materialization, so the composite always filters on
+    * exactly what the x1 row contains. */
+  private lazy val x1Sql: String =
+    s"""WITH d AS (SELECT doc_id, lang, $TOK AS t FROM documents),
+         |qx AS (SELECT doc_id, len(t) AS n_tokens, len(list_distinct(t)) AS n_unique,
+         |  len(list_filter(t, x -> x IN ('the','a','of','and','to','in','is','on','for','with'))) AS n_stop
+         |  FROM d),
+         |q AS (SELECT doc_id FROM qx
+         |  WHERE round(0.3 * (CAST(n_unique AS DOUBLE) / n_tokens)
+         |      + 0.4 * (1.0 - CAST(n_stop AS DOUBLE) / n_tokens)
+         |      + 0.3 * least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0), 6) >= 0.66),
+         |sl AS (SELECT doc_id, lang,
+         |  CAST(len(list_filter(t, x -> x IN ('der','die','und','das','ist','nicht'))) AS BIGINT) AS s_de,
+         |  CAST(len(list_filter(t, x -> x IN ('the','and','of','to','in','is'))) AS BIGINT) AS s_en,
+         |  CAST(len(list_filter(t, x -> x IN ('el','la','de','que','y','los'))) AS BIGINT) AS s_es,
+         |  CAST(len(list_filter(t, x -> x IN ('le','la','de','et','les','des'))) AS BIGINT) AS s_fr,
+         |  CAST(len(list_filter(t, x -> x IN ('de5','shi4','le5','zai4','he2','you3'))) AS BIGINT) AS s_zh
+         |  FROM d),
+         |lp AS (SELECT doc_id FROM sl WHERE
+         |  CASE WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
+         |       WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+         |       WHEN s_es >= s_fr AND s_es >= s_zh THEN 'es'
+         |       WHEN s_fr >= s_zh THEN 'fr'
+         |       ELSE 'zh' END = lang),
+         |reps AS (SELECT min(doc_id) AS doc_id FROM (
+         |  SELECT doc_id, md5(array_to_string(t, ' ')) AS fp FROM d) f GROUP BY fp),
+         |drops AS (SELECT doc_id FROM ($d5Sql) c WHERE doc_id <> cluster_id)
+         |SELECT doc_id FROM documents
+         |WHERE doc_id IN (SELECT doc_id FROM q)
+         |  AND doc_id IN (SELECT doc_id FROM lp)
+         |  AND doc_id IN (SELECT doc_id FROM reps)
+         |  AND doc_id NOT IN (SELECT doc_id FROM drops)
+         |ORDER BY doc_id""".stripMargin
+
   val sql: Map[String, String] = Map(
 
     // ---------- A. pipeline ----------
@@ -1047,37 +1082,30 @@ object Oracles {
          |WHERE doc_id % 20 != 0 AND gram IN (SELECT gram FROM ev)
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
-    "x1_corpus_clean" ->
-      s"""WITH d AS (SELECT doc_id, lang, $TOK AS t FROM documents),
-         |qx AS (SELECT doc_id, len(t) AS n_tokens, len(list_distinct(t)) AS n_unique,
-         |  len(list_filter(t, x -> x IN ('the','a','of','and','to','in','is','on','for','with'))) AS n_stop
+    "x1_corpus_clean" -> x1Sql,
+
+    // x7: the capstone composite — x1's kept set, x6's split hash and
+    // t9's chunk geometry composed; the statement reuses x1Sql verbatim
+    // so the stage semantics can never drift from the checked pieces
+    "x7_training_shards" ->
+      s"""WITH kept AS (SELECT doc_id FROM ($x1Sql) k),
+         |d AS (SELECT doc_id, $TOK AS t FROM documents
+         |  WHERE doc_id IN (SELECT doc_id FROM kept)),
+         |c AS (SELECT doc_id, t, len(t) AS n,
+         |  CASE WHEN len(t) <= 32 THEN 1 ELSE (len(t) - 32 + 23) // 24 + 1 END AS n_chunks
          |  FROM d),
-         |q AS (SELECT doc_id FROM qx
-         |  WHERE round(0.3 * (CAST(n_unique AS DOUBLE) / n_tokens)
-         |      + 0.4 * (1.0 - CAST(n_stop AS DOUBLE) / n_tokens)
-         |      + 0.3 * least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0), 6) >= 0.66),
-         |sl AS (SELECT doc_id, lang,
-         |  CAST(len(list_filter(t, x -> x IN ('der','die','und','das','ist','nicht'))) AS BIGINT) AS s_de,
-         |  CAST(len(list_filter(t, x -> x IN ('the','and','of','to','in','is'))) AS BIGINT) AS s_en,
-         |  CAST(len(list_filter(t, x -> x IN ('el','la','de','que','y','los'))) AS BIGINT) AS s_es,
-         |  CAST(len(list_filter(t, x -> x IN ('le','la','de','et','les','des'))) AS BIGINT) AS s_fr,
-         |  CAST(len(list_filter(t, x -> x IN ('de5','shi4','le5','zai4','he2','you3'))) AS BIGINT) AS s_zh
-         |  FROM d),
-         |lp AS (SELECT doc_id FROM sl WHERE
-         |  CASE WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
-         |       WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
-         |       WHEN s_es >= s_fr AND s_es >= s_zh THEN 'es'
-         |       WHEN s_fr >= s_zh THEN 'fr'
-         |       ELSE 'zh' END = lang),
-         |reps AS (SELECT min(doc_id) AS doc_id FROM (
-         |  SELECT doc_id, md5(array_to_string(t, ' ')) AS fp FROM d) f GROUP BY fp),
-         |drops AS (SELECT doc_id FROM ($d5Sql) c WHERE doc_id <> cluster_id)
-         |SELECT doc_id FROM documents
-         |WHERE doc_id IN (SELECT doc_id FROM q)
-         |  AND doc_id IN (SELECT doc_id FROM lp)
-         |  AND doc_id IN (SELECT doc_id FROM reps)
-         |  AND doc_id NOT IN (SELECT doc_id FROM drops)
-         |ORDER BY doc_id""".stripMargin,
+         |ch AS (SELECT doc_id, u AS chunk_id,
+         |    len(t[u*24+1 : u*24+32]) AS n_tok
+         |  FROM c, unnest(range(0, n_chunks)) AS x(u)),
+         |sp AS (SELECT doc_id,
+         |    CASE WHEN ${h60("'split_' || CAST(doc_id AS VARCHAR)")} % 1000000 < 980000 THEN 'train'
+         |         WHEN ${h60("'split_' || CAST(doc_id AS VARCHAR)")} % 1000000 < 990000 THEN 'val'
+         |         ELSE 'test' END AS split
+         |  FROM kept)
+         |SELECT sp.split, count(DISTINCT ch.doc_id) AS n_docs,
+         |  count(*) AS n_chunks, CAST(sum(ch.n_tok) AS BIGINT) AS n_tokens
+         |FROM ch JOIN sp ON ch.doc_id = sp.doc_id
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "d3_minhash_lsh" -> d3Sql,
 

@@ -201,6 +201,41 @@ object CorpusOps {
       .orderBy("lang", "split")
   }
 
+  /** x7: TRAINING-SHARD MATERIALIZATION — the capstone composite: the
+    * cleaned corpus (x1) split train/val/test (x6's hash), chunked into
+    * LM training windows (t9), and LANDED as a `split=.../` partitioned
+    * parquet lake — the artifact a training run actually reads. The
+    * returned per-split doc/chunk/token masses come from READING THE
+    * LAKE BACK, so the oracle (which composes the x1/x6/t9 statements)
+    * proves the materialized shards, not just the plan.
+    *
+    * Scale shape: every stage reuses a checked operator's plan and its
+    * memoized substrates (x1's d1/d5 legs); the chunk join is
+    * doc-keyed; `partitionBy(split)` gives each split its own
+    * directory, so a training job reads its shard by pruning, never by
+    * filtering (p14's discipline). The 3-value partition key keeps the
+    * writer's file fan-out bounded; at 100 TB add a shard-number
+    * sub-key derived from the doc hash to bound per-file size. */
+  def trainingShards(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.F.hash60
+    val u = hash60(concat(lit("split_"), col("doc_id").cast("string"))) % 1000000L
+    val kept = corpusClean(spark, dir).select("doc_id")
+      .withColumn("split",
+        when(u < ValStartPpm, "train")
+          .when(u < TestStartPpm, "val")
+          .otherwise("test"))
+    val out = "target/graft-sink/shards_" + dir.replaceAll("[^A-Za-z0-9.]", "_")
+    TextOps.chunk(spark, dir).select("doc_id", "chunk_id", "n_tok")
+      .join(kept, "doc_id")
+      .write.mode("overwrite").partitionBy("split").parquet(out)
+    spark.read.parquet(out)
+      .groupBy("split")
+      .agg(countDistinct("doc_id").as("n_docs"),
+        count(lit(1)).as("n_chunks"),
+        sum("n_tok").as("n_tokens"))
+      .orderBy("split")
+  }
+
   def sourceBudgetCap(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.F.{hash60, tokens}
     import org.apache.spark.sql.expressions.Window

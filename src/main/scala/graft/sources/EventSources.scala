@@ -112,6 +112,10 @@ object EventSources {
     java.nio.file.Files.write(
       java.nio.file.Paths.get(out, "part-corrupt.json"),
       InjectedCorrupt.mkString("", "\n", "\n").getBytes("UTF-8"))
+    // a previous run over this path may have left a cache entry whose
+    // file list the overwrite above just deleted — refresh, or a rerun
+    // can hit FileNotFound on evicted blocks instead of re-reading
+    spark.catalog.refreshByPath(out)
     val raw = readEventsJson(spark, out)
     val dlq = parseDlq(raw).agg(count(lit(1)).as("n_dlq"))
     parsed(raw).groupBy("event_type")

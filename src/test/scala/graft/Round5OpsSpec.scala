@@ -355,6 +355,36 @@ class Round5OpsSpec extends AnyFunSuite with SparkSpec {
     assert(stream.nonEmpty)
   }
 
+  // --- x7: shard lake layout and composition ------------------------------
+
+  test("x7 lands a split-partitioned lake consistent with x1 and t9") {
+    val got = operators.CorpusOps.trainingShards(spark, Sf0001).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // the lake is physically partitioned by split
+    val out = "target/graft-sink/shards_" + Sf0001.replaceAll("[^A-Za-z0-9.]", "_")
+    val dirs = new java.io.File(out).listFiles().filter(_.isDirectory)
+      .map(_.getName).filter(_.startsWith("split=")).toSet
+    assert(dirs === got.keySet.map("split=" + _))
+    // composition: per-split doc counts re-derived from x1's kept set
+    // and x6's split hash
+    import graft.functions.F
+    val keptDocs = operators.CorpusOps.corpusClean(spark, Sf0001)
+      .collect().map(_.getLong(0))
+    def splitOf(id: Long): String = {
+      val u = F.hash60Driver("split_" + id) % 1000000L
+      if (u < operators.CorpusOps.ValStartPpm) "train"
+      else if (u < operators.CorpusOps.TestStartPpm) "val" else "test"
+    }
+    val expectedDocs = keptDocs.groupBy(splitOf).view.mapValues(_.length.toLong).toMap
+    assert(got.view.mapValues(_._1).toMap === expectedDocs)
+    // every kept doc's chunks are present: total chunk count matches t9
+    // restricted to the kept set
+    val keptSet = keptDocs.toSet
+    val t9Chunks = operators.TextOps.chunk(spark, Sf0001)
+      .collect().count(r => keptSet(r.getLong(0))).toLong
+    assert(got.values.map(_._2).sum === t9Chunks)
+  }
+
   // --- p28: streamed CMS equals the batch-built sketch -------------------
 
   test("p28 streamed Count-Min evaluation equals a batch rebuild") {
