@@ -10,10 +10,13 @@ import org.apache.spark.sql.SparkSession
   *  - each query then runs once UNTIMED (building any shared memoized
   *    substrates — docNgrams, signatures, buckets — so their one-off
   *    construction cost is not charged to whichever query happens to run
-  *    first) and `Reps` times TIMED, reporting the per-query MEDIAN.
-  *    On a ±30-50% noisy shared host a single sample cannot distinguish
-  *    a plan regression from background load; the median of 3 marginal
-  *    (substrate-warm) runs makes round-over-round deltas attributable;
+  *    first), then the whole suite runs `Reps` TIMED passes ROUND-ROBIN
+  *    (every query once per pass), reporting the per-query MEDIAN across
+  *    passes. On a ±30-50% noisy shared host a single sample cannot
+  *    distinguish a plan regression from background load, and
+  *    back-to-back reps let one sustained load spike own a query's whole
+  *    median window; interleaving spreads any spike across many queries'
+  *    single samples so the medians survive;
   *  - results are fully materialized through the `noop` sink (exercises
   *    the complete plan including final sorts/projections, unlike
   *    count() which lets Catalyst prune them);
@@ -69,15 +72,25 @@ object Bench {
     require(selected.map(s => shortId(s._1)).distinct.size == selected.size,
       "short query ids must stay unique — rename the clashing query")
     val warmT0 = System.nanoTime()
-    val results = selected.map { case (name, fn) =>
-      val warmOk = runOnce(name, fn) // substrate/cache warm pass, untimed
-      val samples = (1 to Reps).map { _ =>
+    // pass 0: substrate/cache warm pass over every query, untimed
+    val warmOks = selected.map { case (name, fn) => name -> runOnce(name, fn) }.toMap
+    // passes 1..Reps run ROUND-ROBIN — the whole suite once per pass,
+    // per-query median taken ACROSS passes. Back-to-back reps let a
+    // minutes-long background load spike sit inside one query's entire
+    // median window (round 5 charged 53 s to a 0.8 s query that way);
+    // interleaved, the same spike clips one sample from many queries
+    // and every median survives.
+    val passes = (1 to Reps).map { _ =>
+      selected.map { case (name, fn) =>
         val t0 = System.nanoTime()
         val ok = runOnce(name, fn)
-        ((System.nanoTime() - t0) / 1e9, ok)
-      }
+        name -> ((System.nanoTime() - t0) / 1e9, ok)
+      }.toMap
+    }
+    val results = selected.map { case (name, _) =>
+      val samples = passes.map(_(name))
       val median = samples.map(_._1).sorted.apply(Reps / 2)
-      (name, median, warmOk && samples.forall(_._2))
+      (name, median, warmOks(name) && samples.forall(_._2))
     }
     val wallTotal = (System.nanoTime() - warmT0) / 1e9
 

@@ -204,9 +204,29 @@ object Oracles {
       s"""SELECT event_id, ts, user_id, event_type, value, props FROM events
          |WHERE $validCond""".stripMargin,
 
+    // p2 checks the DLQ complement on a RENDERED invalid surface (five
+    // failure classes injected by event-id residue — the clean testdata
+    // would otherwise make this row vacuously 0=0)
     "p2_quarantine" ->
-      s"""SELECT event_id, ts, user_id, event_type, value, props FROM events
-         |WHERE NOT coalesce($validCond, false)""".stripMargin,
+      s"""WITH s AS (
+         |  SELECT event_id,
+         |    CASE WHEN event_id % 73 = 0 THEN NULL ELSE ts END AS ts,
+         |    CASE WHEN event_id % 83 = 0 THEN NULL ELSE user_id END AS user_id,
+         |    CASE WHEN event_id % 89 = 0 THEN 'teleport' ELSE event_type END AS event_type,
+         |    CASE WHEN event_id % 97 = 0 THEN -1.0
+         |         WHEN event_id % 79 = 0 THEN NULL ELSE value END AS value,
+         |    props
+         |  FROM events)
+         |SELECT event_id, ts, user_id, event_type, value, props,
+         |  CASE WHEN ts IS NULL THEN 'null_ts'
+         |       WHEN user_id IS NULL THEN 'null_user'
+         |       WHEN user_id < 0 THEN 'neg_user'
+         |       WHEN event_type NOT IN ('signup','click','view','purchase','error') THEN 'bad_type'
+         |       WHEN value IS NULL THEN 'null_value'
+         |       ELSE 'neg_value' END AS reason
+         |FROM s
+         |WHERE NOT coalesce($validCond, false)
+         |ORDER BY event_id""".stripMargin,
 
     "p3_dedup_first" ->
       """SELECT event_id, ts, user_id, event_type, value, props FROM (

@@ -937,13 +937,18 @@ object Analytics {
     * partial order is partition-dependent, the §4 trap), then rolled up
     * to segment sizes. The classic marketing-analytics operator.
     *
-    * Scale shape: one user-level aggregation (map-combined), three
-    * ntile windows over the SAME unpartitioned relation — user-level,
-    * i.e. already collapsed, orders of magnitude smaller than the fact
-    * — then a tiny segment groupBy. The corpus max day broadcasts from
-    * a 1-row agg. At true scale the global ntile sort is the cost; its
-    * input is |users|, not |events|. */
+    * Scale shape: one user-level aggregation (map-combined), then each
+    * quartile assignment runs as a DISTRIBUTED exact global rank
+    * ([[graft.operators.RankOps.withGlobalRank]]: range shuffle +
+    * per-partition row_number + broadcast offsets) with the ntile
+    * bucket recovered arithmetically from (rank, n). No `Window` in
+    * this plan is unpartitioned — the naive `ntile(4).over(Window
+    * .orderBy(...))` would funnel all |users| rows (billions at 100 TB,
+    * even though orders of magnitude below the fact) through ONE task's
+    * sort; this shape keeps every stage parallel. The corpus max day
+    * and the user count broadcast from 1-row aggs. */
   def a10Rfm(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.RankOps
     val purchases = Tables.events(spark, dir)
       .filter(col("event_type") === "purchase")
     val maxDay = purchases.agg(max(to_date(col("ts"))).as("max_day"))
@@ -954,12 +959,21 @@ object Analytics {
         decSum(col("value")).as("monetary"))
       .crossJoin(broadcast(maxDay))
       .withColumn("recency_days", datediff(col("max_day"), col("last_day")))
-    def quartile(metric: Column, asc: Boolean) = ntile(4).over(
-      Window.orderBy(if (asc) metric.asc else metric.desc, col("user_id")))
-    perUser
-      .withColumn("r", quartile(col("recency_days"), asc = true)) // recent = best
-      .withColumn("f", quartile(col("freq"), asc = false))
-      .withColumn("m", quartile(col("monetary"), asc = false))
+      // materialize the user rollup once: the count and all three rank
+      // passes read it, and the fact scan must not run four times
+      .localCheckpoint()
+    val nUsers = perUser.agg(count(lit(1)).as("_rfm_n"))
+    val ranked = Seq(
+      ("_rk_r", Seq(col("recency_days").asc, col("user_id").asc)), // recent = best
+      ("_rk_f", Seq(col("freq").desc, col("user_id").asc)),
+      ("_rk_m", Seq(col("monetary").desc, col("user_id").asc))
+    ).foldLeft(perUser) { case (d, (c, ord)) => RankOps.withGlobalRank(d, c, ord) }
+    def quartile(rank: Column) =
+      RankOps.ntileOfRank(rank, col("_rfm_n"), 4).cast(IntegerType)
+    ranked.crossJoin(broadcast(nUsers))
+      .withColumn("r", quartile(col("_rk_r")))
+      .withColumn("f", quartile(col("_rk_f")))
+      .withColumn("m", quartile(col("_rk_m")))
       .groupBy((col("r") * 100 + col("f") * 10 + col("m")).as("rfm_segment"))
       .agg(count(lit(1)).as("n_users"),
         sum(col("freq")).as("total_purchases"))

@@ -1,0 +1,79 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Distributed EXACT global ranking — the scalable replacement for
+  * `Window.orderBy(...)` with no `partitionBy` (which plans as a
+  * single-task sort of the whole relation: the one shape that cannot
+  * survive a 100× scale-up, however small the input looks today).
+  *
+  * The pattern (classic zipWithIndex, expressed relationally):
+  *   1. `repartitionByRange` on the total order — Spark's range
+  *      partitioner samples boundaries, so partition i's keys all sort
+  *      before partition i+1's. Tag each row with its partition id.
+  *   2. `localCheckpoint` the tagged relation ONCE. This is load-bearing
+  *      for correctness, not a cache hint: the partition-id column is
+  *      nondeterministic (range boundaries are re-sampled per
+  *      evaluation, and AQE may coalesce the two consuming stages
+  *      differently), so the per-pid counts and the per-pid row numbers
+  *      MUST be computed from the same materialized assignment.
+  *   3. Per-pid row_number (a PARTITIONED window — every task ranks one
+  *      pid) plus a broadcast per-pid offset = exact global rank. The
+  *      offsets come from a pid-count relation of exactly
+  *      `#shuffle-partitions` rows joined triangularly to itself — no
+  *      window at all, so the whole plan contains zero unpartitioned
+  *      Window nodes and zero single-partition exchanges on the ranked
+  *      relation.
+  *
+  * Cost at scale: one range shuffle + one materialization + one hash
+  * shuffle of the ranked relation, all fully parallel — vs. the global
+  * window's single task holding every row. */
+object RankOps {
+
+  /** Adds `rankCol` (1-based, dense over the TOTAL order given by
+    * `order` — callers must include a tie-break column making the order
+    * total, else ranks within a tie are partition-dependent). */
+  def withGlobalRank(df: DataFrame, rankCol: String, order: Seq[Column]): DataFrame = {
+    val p = df.sparkSession.sessionState.conf.numShufflePartitions
+    val tagged = df
+      .repartitionByRange(p, order: _*)
+      .withColumn("_gr_pid", spark_partition_id())
+      .localCheckpoint() // freeze the (nondeterministic) pid assignment
+    val counts = tagged.groupBy("_gr_pid").agg(count(lit(1)).as("_gr_n"))
+    // offset(pid) = Σ counts of strictly-lower pids: a triangular join on
+    // a #partitions-row relation (broadcast nested loop over ~32 rows).
+    val offsets = counts.as("a")
+      .join(counts.as("b"), col("b._gr_pid") < col("a._gr_pid"), "left")
+      .groupBy(col("a._gr_pid").as("_gr_pid"))
+      .agg(coalesce(sum(col("b._gr_n")), lit(0L)).as("_gr_off"))
+    tagged
+      .join(broadcast(offsets), "_gr_pid")
+      .withColumn(rankCol,
+        row_number().over(Window.partitionBy("_gr_pid").orderBy(order: _*))
+          .cast(LongType) + col("_gr_off"))
+      .drop("_gr_pid", "_gr_off")
+  }
+
+  /** The exact `ntile(buckets)` bucket of a row given its 1-based global
+    * `rank` and the relation's total row count `n` — SQL-standard
+    * semantics (both Spark and DuckDB): the first `n % buckets` buckets
+    * hold `n/buckets + 1` rows, the rest `n/buckets`. Pure arithmetic,
+    * so ntile needs no window once the rank exists. */
+  def ntileOfRank(rank: Column, n: Column, buckets: Int): Column = {
+    val base = n.cast(LongType) div buckets
+    val rem  = n.cast(LongType) % buckets
+    val fat  = rem * (base + 1) // rows covered by the size-(base+1) buckets
+    when(rank <= fat, (rank - 1).div(base + 1) + 1)
+      .otherwise(rem + (rank - fat - 1).div(base) + 1) // base>0 here: rank>fat forces n>buckets*... rem*(b+1)<n ⇒ base≥1
+  }
+
+  /** Integral division on positive long columns (Column./ is floating;
+    * casts back to long — exact below 2^52, far above any rank here). */
+  private implicit class DivCol(private val c: Column) {
+    def div(other: Column): Column = (c / other).cast(LongType)
+    def div(other: Long): Column = (c / lit(other)).cast(LongType)
+  }
+}

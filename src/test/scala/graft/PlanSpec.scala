@@ -111,6 +111,22 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(!plan.contains("Join"), s"CDC apply must not join:\n$plan")
   }
 
+  test("a10 quartiles run distributed: no ntile, no unpartitioned Window") {
+    val df = Analytics.a10Rfm(spark, Sf0001)
+    df.collect()
+    // the single-task global sort (ntile over an empty partitionBy) must
+    // never come back — every Window in the final plan is per-pid. The
+    // fold-internal windows run inside the localCheckpoint materializations
+    // with the same machinery, pinned by Round6OpsSpec's RankOps plan test.
+    val windows = planNodes(df).collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    windows.foreach(w =>
+      assert(w.partitionSpec.nonEmpty, s"unpartitioned window:\n$w"))
+    assert(!df.queryExecution.executedPlan.toString.contains("ntile("),
+      "ntile must stay arithmetic")
+  }
+
   test("x5's budget admission pays one shuffle on source") {
     val plan = finalPlan(graft.operators.CorpusOps.sourceBudgetCap(spark, Sf0001))
     val hashEx = "Exchange hashpartitioning".r.findAllIn(plan).length

@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.RankOps
+
+/** Semantics checks for the round-6 hardening work (RankOps, a10's
+  * distributed quartiles). */
+class Round6OpsSpec extends AnyFunSuite with SparkSpec {
+
+  test("withGlobalRank equals the single-task global row_number for every n") {
+    import spark.implicits._
+    // values with heavy ties so the user_id tie-break is load-bearing;
+    // sizes straddle the shuffle-partition count (4) incl. empty-partition
+    // and fewer-rows-than-partitions shapes
+    Seq(1, 3, 4, 5, 17, 100).foreach { n =>
+      val df = (1 to n).map(i => ((i * 7919) % 5, i.toLong)).toDF("v", "id")
+      val got = RankOps.withGlobalRank(df, "rk", Seq(col("v").desc, col("id").asc))
+      val want = df.withColumn("rk",
+        row_number().over(Window.orderBy(col("v").desc, col("id").asc)).cast("long"))
+      assert(got.select("v", "id", "rk").except(want.select("v", "id", "rk")).isEmpty
+        && want.select("v", "id", "rk").except(got.select("v", "id", "rk")).isEmpty,
+        s"rank mismatch at n=$n")
+    }
+  }
+
+  test("ntileOfRank reproduces ntile() exactly for every (n, buckets) shape") {
+    import spark.implicits._
+    for (n <- Seq(1, 2, 3, 4, 5, 6, 7, 8, 11, 25); b <- Seq(2, 3, 4, 5)) {
+      val df = (1 to n).map(_.toLong).toDF("rk")
+      val got = df.select(col("rk"),
+        RankOps.ntileOfRank(col("rk"), lit(n), b).cast("int").as("t")).as[(Long, Int)]
+        .collect().toMap
+      val want = df.select(col("rk"),
+        ntile(b).over(Window.orderBy("rk")).as("t")).as[(Long, Int)]
+        .collect().toMap
+      assert(got === want, s"ntile mismatch at n=$n b=$b")
+    }
+  }
+
+  test("p2's injected surface quarantines every failure class and nothing else") {
+    import graft.pipeline.TripPipeline
+    val q = TripPipeline.quarantineInjected(spark, Sf0001)
+    val byReason = q.groupBy("reason").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // all five injected failure classes must be non-vacuous
+    Seq("null_ts", "null_user", "bad_type", "null_value", "neg_value").foreach(r =>
+      assert(byReason.getOrElse(r, 0L) > 0, s"reason $r missing: $byReason"))
+    // the split stays an exact partition of the rendered surface:
+    // quarantined ids are exactly those hitting an injection residue
+    // (the driver data itself is clean), and none are valid
+    import spark.implicits._
+    val ids = q.select("event_id").as[Long].collect().toSet
+    val all = graft.Tables.events(spark, Sf0001)
+      .select("event_id").as[Long].collect().toSet
+    val expected = all.filter(i =>
+      Seq(73L, 83L, 89L, 97L, 79L).exists(k => i % k == 0))
+    assert(ids === expected)
+  }
+
+  test("withGlobalRank's own plan contains no unpartitioned Window") {
+    import spark.implicits._
+    val df = (1 to 50).map(i => (i % 3, i.toLong)).toDF("v", "id")
+    val ranked = RankOps.withGlobalRank(df, "rk", Seq(col("v").asc, col("id").asc))
+    ranked.collect()
+    val windows = planNodes(ranked).collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.nonEmpty, "expected the per-pid row_number window")
+    windows.foreach(w =>
+      assert(w.partitionSpec.nonEmpty, s"unpartitioned window:\n$w"))
+  }
+}

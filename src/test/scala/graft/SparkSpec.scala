@@ -22,4 +22,21 @@ trait SparkSpec { self: Suite =>
 
   val Sf0001 = "/root/testdata/sf0.001"
   val Sf001 = "/root/testdata/sf0.01"
+
+  /** Every physical node of an EXECUTED plan, descending through the
+    * AQE wrapper and materialized query stages (plain `.collect` on an
+    * AdaptiveSparkPlanExec sees only the wrapper). */
+  def planNodes(df: org.apache.spark.sql.DataFrame): Seq[org.apache.spark.sql.execution.SparkPlan] = {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def flatten(p: SparkPlan): Seq[SparkPlan] = {
+      val inner = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case s: QueryStageExec => Seq(s.plan)
+        case other => other.children
+      }
+      p +: inner.flatMap(flatten)
+    }
+    flatten(df.queryExecution.executedPlan)
+  }
 }
