@@ -105,6 +105,57 @@ object Oracles {
 
   private lazy val e5Sql: String = ivfSqlWith("")
 
+  private lazy val e6Sql: String =
+    s"""WITH ql AS (SELECT vec_id, $QV AS qv, label FROM embeddings),
+         |pcent AS (
+         |  SELECT CAST(m AS INTEGER) AS m, CAST(k AS INTEGER) AS k, CAST(d AS INTEGER) AS d,
+         |    ${h60("'pq_' || m || '_' || k || '_' || d")} % 2001 - 1000 AS c
+         |  FROM range(8) t1(m) CROSS JOIN range(16) t2(k) CROSS JOIN range(8) t3(d)),
+         |dist AS (
+         |  SELECT v.vec_id, ce.m, ce.k,
+         |    SUM((v.qv[ce.m * 8 + ce.d + 1] - ce.c) * (v.qv[ce.m * 8 + ce.d + 1] - ce.c)) AS dist
+         |  FROM ql v CROSS JOIN pcent ce
+         |  GROUP BY v.vec_id, ce.m, ce.k),
+         |codes AS (
+         |  SELECT vec_id, m, k AS code FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id, m ORDER BY dist, k) AS rn FROM dist) x
+         |  WHERE rn = 1),
+         |codesl AS (SELECT c.vec_id, l.label, c.m, c.code
+         |  FROM codes c JOIN ql l ON l.vec_id = c.vec_id),
+         |unp AS (SELECT label, generate_subscripts(qv, 1) - 1 AS d, unnest(qv) AS v FROM ql),
+         |cd AS (SELECT label, d, SUM(v) AS s, COUNT(*) AS n FROM unp GROUP BY 1, 2),
+         |icent AS (SELECT label, list(s ORDER BY d) AS s, min(n) AS n,
+         |    SUM(s * s) AS ss FROM cd GROUP BY label),
+         |qq AS (SELECT vec_id AS q_id, qv, list_dot_product(qv, qv) AS q2
+         |  FROM ql WHERE vec_id % 25 = 0),
+         |cdist AS (SELECT q.q_id, c.label,
+         |    c.n * c.n * q.q2 - 2 * c.n * list_dot_product(q.qv, c.s) + c.ss AS dist2
+         |  FROM qq q CROSS JOIN icent c),
+         |probe AS (SELECT q_id, label FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY dist2, label) AS crnk
+         |    FROM cdist) x
+         |  WHERE crnk <= 2),
+         |qdist AS (SELECT vec_id AS q_id, m, k, dist FROM dist WHERE vec_id % 25 = 0),
+         |adc AS (
+         |  SELECT qd.q_id, co.vec_id AS c_id, SUM(qd.dist) AS adc
+         |  FROM probe p
+         |  JOIN codesl co ON co.label = p.label
+         |  JOIN qdist qd ON qd.q_id = p.q_id AND qd.m = co.m AND qd.k = co.code
+         |  WHERE qd.q_id <> co.vec_id
+         |  GROUP BY qd.q_id, co.vec_id),
+         |short AS (
+         |  SELECT q_id, c_id FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY adc, c_id) AS srn FROM adc) x
+         |  WHERE srn <= 40),
+         |rr AS (
+         |  SELECT s.q_id, s.c_id,
+         |    list_dot_product(a.qv, b.qv) / sqrt(list_dot_product(a.qv, a.qv) * list_dot_product(b.qv, b.qv)) AS score
+         |  FROM short s JOIN ql a ON a.vec_id = s.q_id JOIN ql b ON b.vec_id = s.c_id)
+         |SELECT q_id, rnk, c_id, round(score, 6) AS score FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY score DESC, c_id) AS rnk FROM rr) z
+         |WHERE rnk <= 3 ORDER BY q_id, rnk""".stripMargin
+
+
   private val bucketCte =
     s"""planes AS (
        |  SELECT p, d, ${h60("'hp_' || p || '_' || d")} % 2001 - 1000 AS w
@@ -165,6 +216,17 @@ object Oracles {
   /** x1 as a standalone statement — the map entry AND the kept-set leg
     * of x7's shard materialization, so the composite always filters on
     * exactly what the x1 row contains. */
+  private lazy val x3Sql: String =
+    s"""WITH d AS (SELECT doc_id, $TOK AS t FROM documents),
+       |g AS (SELECT DISTINCT doc_id, gram FROM (
+       |  SELECT doc_id, unnest(CASE WHEN len(t) >= 8
+       |    THEN list_transform(range(1, len(t) - 6), i -> array_to_string(t[i:i+7], ' '))
+       |    ELSE [] END) AS gram FROM d) u),
+       |ev AS (SELECT DISTINCT gram FROM g WHERE doc_id % 20 = 0)
+       |SELECT doc_id, count(*) AS n_shared FROM g
+       |WHERE doc_id % 20 != 0 AND gram IN (SELECT gram FROM ev)
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   private lazy val x1Sql: String =
     s"""WITH d AS (SELECT doc_id, lang, $TOK AS t FROM documents),
          |qx AS (SELECT doc_id, len(t) AS n_tokens, len(list_distinct(t)) AS n_unique,
@@ -1091,24 +1153,20 @@ object Oracles {
          |GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2
          |ORDER BY fp""".stripMargin,
 
-    "x3_decontaminate" ->
-      s"""WITH d AS (SELECT doc_id, $TOK AS t FROM documents),
-         |g AS (SELECT DISTINCT doc_id, gram FROM (
-         |  SELECT doc_id, unnest(CASE WHEN len(t) >= 8
-         |    THEN list_transform(range(1, len(t) - 6), i -> array_to_string(t[i:i+7], ' '))
-         |    ELSE [] END) AS gram FROM d) u),
-         |ev AS (SELECT DISTINCT gram FROM g WHERE doc_id % 20 = 0)
-         |SELECT doc_id, count(*) AS n_shared FROM g
-         |WHERE doc_id % 20 != 0 AND gram IN (SELECT gram FROM ev)
-         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "x3_decontaminate" -> x3Sql,
 
     "x1_corpus_clean" -> x1Sql,
 
-    // x7: the capstone composite — x1's kept set, x6's split hash and
-    // t9's chunk geometry composed; the statement reuses x1Sql verbatim
-    // so the stage semantics can never drift from the checked pieces
+    // x7: the capstone composite — x1's kept set MINUS x3's
+    // contaminated docs (the decon anti-join every production mix runs),
+    // then x6's split hash and t9's chunk geometry; the statement reuses
+    // x1Sql/x3Sql verbatim so the stage semantics can never drift from
+    // the checked pieces
     "x7_training_shards" ->
-      s"""WITH kept AS (SELECT doc_id FROM ($x1Sql) k),
+      s"""WITH kept0 AS (SELECT doc_id FROM ($x1Sql) k),
+         |contam AS (SELECT doc_id FROM ($x3Sql) c),
+         |kept AS (SELECT doc_id FROM kept0
+         |  WHERE doc_id NOT IN (SELECT doc_id FROM contam)),
          |d AS (SELECT doc_id, $TOK AS t FROM documents
          |  WHERE doc_id IN (SELECT doc_id FROM kept)),
          |c AS (SELECT doc_id, t, len(t) AS n,
@@ -1152,55 +1210,12 @@ object Oracles {
          |FROM cand WHERE bit_count(xor(ha, hb)) <= 3
          |ORDER BY doc_a, doc_b""".stripMargin,
 
-    "e6_ann_pq" ->
-      s"""WITH ql AS (SELECT vec_id, $QV AS qv, label FROM embeddings),
-         |pcent AS (
-         |  SELECT CAST(m AS INTEGER) AS m, CAST(k AS INTEGER) AS k, CAST(d AS INTEGER) AS d,
-         |    ${h60("'pq_' || m || '_' || k || '_' || d")} % 2001 - 1000 AS c
-         |  FROM range(8) t1(m) CROSS JOIN range(16) t2(k) CROSS JOIN range(8) t3(d)),
-         |dist AS (
-         |  SELECT v.vec_id, ce.m, ce.k,
-         |    SUM((v.qv[ce.m * 8 + ce.d + 1] - ce.c) * (v.qv[ce.m * 8 + ce.d + 1] - ce.c)) AS dist
-         |  FROM ql v CROSS JOIN pcent ce
-         |  GROUP BY v.vec_id, ce.m, ce.k),
-         |codes AS (
-         |  SELECT vec_id, m, k AS code FROM (
-         |    SELECT *, row_number() OVER (PARTITION BY vec_id, m ORDER BY dist, k) AS rn FROM dist) x
-         |  WHERE rn = 1),
-         |codesl AS (SELECT c.vec_id, l.label, c.m, c.code
-         |  FROM codes c JOIN ql l ON l.vec_id = c.vec_id),
-         |unp AS (SELECT label, generate_subscripts(qv, 1) - 1 AS d, unnest(qv) AS v FROM ql),
-         |cd AS (SELECT label, d, SUM(v) AS s, COUNT(*) AS n FROM unp GROUP BY 1, 2),
-         |icent AS (SELECT label, list(s ORDER BY d) AS s, min(n) AS n,
-         |    SUM(s * s) AS ss FROM cd GROUP BY label),
-         |qq AS (SELECT vec_id AS q_id, qv, list_dot_product(qv, qv) AS q2
-         |  FROM ql WHERE vec_id % 25 = 0),
-         |cdist AS (SELECT q.q_id, c.label,
-         |    c.n * c.n * q.q2 - 2 * c.n * list_dot_product(q.qv, c.s) + c.ss AS dist2
-         |  FROM qq q CROSS JOIN icent c),
-         |probe AS (SELECT q_id, label FROM (
-         |    SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY dist2, label) AS crnk
-         |    FROM cdist) x
-         |  WHERE crnk <= 2),
-         |qdist AS (SELECT vec_id AS q_id, m, k, dist FROM dist WHERE vec_id % 25 = 0),
-         |adc AS (
-         |  SELECT qd.q_id, co.vec_id AS c_id, SUM(qd.dist) AS adc
-         |  FROM probe p
-         |  JOIN codesl co ON co.label = p.label
-         |  JOIN qdist qd ON qd.q_id = p.q_id AND qd.m = co.m AND qd.k = co.code
-         |  WHERE qd.q_id <> co.vec_id
-         |  GROUP BY qd.q_id, co.vec_id),
-         |short AS (
-         |  SELECT q_id, c_id FROM (
-         |    SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY adc, c_id) AS srn FROM adc) x
-         |  WHERE srn <= 40),
-         |rr AS (
-         |  SELECT s.q_id, s.c_id,
-         |    list_dot_product(a.qv, b.qv) / sqrt(list_dot_product(a.qv, a.qv) * list_dot_product(b.qv, b.qv)) AS score
-         |  FROM short s JOIN ql a ON a.vec_id = s.q_id JOIN ql b ON b.vec_id = s.c_id)
-         |SELECT q_id, rnk, c_id, round(score, 6) AS score FROM (
-         |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY score DESC, c_id) AS rnk FROM rr) z
-         |WHERE rnk <= 3 ORDER BY q_id, rnk""".stripMargin,
+    "e6_ann_pq" -> e6Sql,
+
+    // e10: the persisted-index serving path must reproduce the
+    // in-memory e6 answer EXACTLY — its oracle is e6's verbatim, which
+    // is also the lossless-round-trip proof for the landed artifacts
+    "e10_ann_persisted" -> e6Sql,
 
     "e1_ann_topk" -> e1Sql,
 
@@ -1288,7 +1303,7 @@ object Oracles {
     "m1_multimodal_meta" ->
       """SELECT doc_id,
         |  octet_length(encode(text)) AS byte_len,
-        |  md5(text) AS sha,
+        |  md5(text) AS content_md5,
         |  lower(hex(encode(substring(text, 1, 4)))) AS magic,
         |  octet_length(encode(text)) % 30 + 1 AS n_frames
         |FROM documents ORDER BY doc_id""".stripMargin,
@@ -1727,8 +1742,10 @@ object Oracles {
 
     // DuckDB's md5 takes VARCHAR and hashes its UTF-8 bytes — exactly
     // the bytes Spark's md5(cast(text as binary)) hashes
+    // m3's identity key is sha2-256 (collision-resistant, unlike md5);
+    // DuckDB's sha256() hashes the same UTF-8 bytes to the same hex
     "m3_blob_dedup" ->
-      """SELECT md5(text) AS sha,
+      """SELECT sha256(text) AS sha,
         |  min(doc_id) AS keep_doc_id, count(*) AS n_copies
         |FROM documents GROUP BY 1 ORDER BY keep_doc_id""".stripMargin,
 

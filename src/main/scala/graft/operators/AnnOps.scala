@@ -234,11 +234,18 @@ object AnnOps {
     * (q_id, qq, label). ONE definition: the dist2 identity and the
     * (dist2, label) tie-break must stay bit-identical to both oracles,
     * so neither operator carries its own copy. */
-  private def probedCells(spark: SparkSession, dir: String, nProbe: Int): DataFrame = {
+  private def probedCells(spark: SparkSession, dir: String, nProbe: Int): DataFrame =
+    probedCellsWith(spark, dir, nProbe, centroids(spark, dir))
+
+  /** probedCells against an EXPLICIT centroid relation — e5/e6/e9 pass
+    * the session-memoized build, e10 passes the parquet read-back of the
+    * persisted index; the probe logic itself must not fork. */
+  private def probedCellsWith(spark: SparkSession, dir: String, nProbe: Int,
+      cent: DataFrame): DataFrame = {
     val dot = dotBest(spark)
     quantized(spark, dir).filter(col("vec_id") % QueryStride === 0)
       .select(col("vec_id").as("q_id"), col("q").as("qq"))
-      .crossJoin(broadcast(centroids(spark, dir)))
+      .crossJoin(broadcast(cent))
       .withColumn("dist2",
         col("n") * col("n") * dot(col("qq"), col("qq")) -
           lit(2L) * col("n") * dot(col("qq"), col("s")) + col("ss"))
@@ -292,18 +299,30 @@ object AnnOps {
     * rerank the ADC shortlist. Integer arithmetic end-to-end, so codes,
     * probes, ADC sums and the shortlist cutoff are bit-identical in the
     * oracle. */
-  def annPq(spark: SparkSession, dir: String, k: Int = 3, nProbe: Int = NProbe): DataFrame = {
-    val cos = cosineWith(dotBest(spark)) _
-    val qv = quantized(spark, dir)
-    // compressed corpus index: (c_id, cell label, m, code), map-side.
-    // Persisted like every other signature: the 128-distance evaluation
-    // per vector is the PQ build cost — paid once per session+dir
-    val codes = DedupOps.memoized(spark, "ann_pq_codes", dir) {
-      qv.select(col("vec_id").as("c_id"), col("label"),
-        explode(array((0 until SubSpaces).map(m =>
-          struct(lit(m).as("m"), pqCode(col("q"), m).as("code"))): _*)).as("mc"))
+  def annPq(spark: SparkSession, dir: String, k: Int = 3, nProbe: Int = NProbe): DataFrame =
+    pqAnswer(spark, dir, centroids(spark, dir), pqCodes(spark, dir), k, nProbe)
+
+  /** The compressed corpus index (c_id, cell label, m, code), map-side.
+    * Persisted like every other signature: the 128-distance evaluation
+    * per vector is the PQ build cost — paid once per session+dir. */
+  private def pqCodes(spark: SparkSession, dir: String): DataFrame =
+    DedupOps.memoized(spark, "ann_pq_codes", dir) {
+      quantized(spark, dir)
+        .select(col("vec_id").as("c_id"), col("label"),
+          explode(array((0 until SubSpaces).map(m =>
+            struct(lit(m).as("m"), pqCode(col("q"), m).as("code"))): _*)).as("mc"))
         .select(col("c_id"), col("label"), col("mc.m").as("m"), col("mc.code").as("code"))
     }
+
+  /** The e6 query pipeline against EXPLICIT index relations (centroids +
+    * PQ codes) — e6 passes the session-memoized build, e10 the parquet
+    * read-back of the persisted index. ONE definition of probe → ADC →
+    * shortlist → exact rerank, so the in-memory and persisted paths
+    * cannot drift. */
+  private def pqAnswer(spark: SparkSession, dir: String, cent: DataFrame,
+      codes: DataFrame, k: Int, nProbe: Int): DataFrame = {
+    val cos = cosineWith(dotBest(spark)) _
+    val qv = quantized(spark, dir)
     // per-query ADC lookup table: (q_id, m, k, dist), map-side
     val qdist = DedupOps.memoized(spark, "ann_pq_qdist", dir) {
       qv.filter(col("vec_id") % QueryStride === 0)
@@ -315,7 +334,7 @@ object AnnOps {
     }
     // IVF coarse probe (shared with e5) → the query's NProbe cells:
     // this is what PRUNES the ADC join
-    val probed = probedCells(spark, dir, nProbe).select("q_id", "label")
+    val probed = probedCellsWith(spark, dir, nProbe, cent).select("q_id", "label")
     val qd = qdist.select(col("q_id").as("qd_qid"), col("m").as("qd_m"),
       col("k"), col("dist"))
     val adc = probed.join(codes, "label")
@@ -337,6 +356,43 @@ object AnnOps {
       .filter(col("rnk") <= k)
       .select(col("q_id"), col("rnk"), col("c_id"), round(col("score"), 6).as("score"))
       .orderBy("q_id", "rnk")
+  }
+
+  /** e10: the PERSISTED vector index — a production vector search does
+    * not rebuild its index per session: the IVF centroid table and the
+    * PQ code inverted file are LAKE ARTIFACTS, built once and read by
+    * every serving job. This operator lands both as parquet — the code
+    * file partitioned `label=<cell>/` so a probe's candidate fetch
+    * prunes at the DIRECTORY level (p14's discipline: the inverted
+    * file IS the partitioning) — reads them back, and answers the e6
+    * query from the landed artifacts through the SAME pqAnswer
+    * pipeline. Its oracle is e6's oracle verbatim: the persisted path
+    * must reproduce the in-memory answer exactly, which also proves
+    * the index round-trips losslessly (integer codes and centroid
+    * sums; parquet is exact on int64).
+    *
+    * Scale notes: index build cost is paid once per corpus version,
+    * amortized across every query job; serving reads only
+    * `centroids/` (tiny, broadcast) + the probed `label=` directories.
+    * Incremental corpora append new cell directories; re-clustering is
+    * a rebuild, as in any IVF system. */
+  def annPersistedIndex(spark: SparkSession, dir: String, k: Int = 3,
+      nProbe: Int = NProbe): DataFrame = {
+    val out = graft.functions.F.sinkPath("annindex", dir)
+    centroids(spark, dir).write.mode("overwrite").parquet(s"$out/centroids")
+    pqCodes(spark, dir).write.mode("overwrite")
+      .partitionBy("label").parquet(s"$out/codes")
+    // a previous run's cached file listing would point at deleted files
+    // after the overwrite (the p29 lesson)
+    spark.catalog.refreshByPath(s"$out/centroids")
+    spark.catalog.refreshByPath(s"$out/codes")
+    val cent = spark.read.parquet(s"$out/centroids")
+    val codes = spark.read.parquet(s"$out/codes")
+      // partition-column discovery re-infers label's type; pin it back
+      // to the corpus type so the probe join never re-casts the big side
+      .select(col("c_id"), col("label").cast(IntegerType).as("label"),
+        col("m"), col("code"))
+    pqAnswer(spark, dir, cent, codes, k, nProbe)
   }
 
   /** (vec_id, band, code) — Bands rows per vector, codes computed in the

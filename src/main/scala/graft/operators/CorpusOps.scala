@@ -202,7 +202,9 @@ object CorpusOps {
   }
 
   /** x7: TRAINING-SHARD MATERIALIZATION — the capstone composite: the
-    * cleaned corpus (x1) split train/val/test (x6's hash), chunked into
+    * cleaned corpus (x1) with eval-contaminated docs REMOVED (x3's
+    * n-gram-overlap anti-join — no production mix trains on benchmark
+    * leakage), split train/val/test (x6's hash), chunked into
     * LM training windows (t9), and LANDED as a `split=.../` partitioned
     * parquet lake — the artifact a training run actually reads. The
     * returned per-split doc/chunk/token masses come from READING THE
@@ -220,11 +222,17 @@ object CorpusOps {
     import graft.functions.F.hash60
     val u = hash60(concat(lit("split_"), col("doc_id").cast("string"))) % 1000000L
     val kept = corpusClean(spark, dir).select("doc_id")
+      // decon anti-join: eval-contaminated docs (x3's n-gram overlap
+      // flag) never reach the training lake — the production mix rule.
+      // Anti-join, not filter: the contaminated set is corpus-derived
+      // here but external (benchmark suite) in production, and AQE
+      // broadcasts it either way when small
+      .join(decontaminate(spark, dir).select("doc_id"), Seq("doc_id"), "left_anti")
       .withColumn("split",
         when(u < ValStartPpm, "train")
           .when(u < TestStartPpm, "val")
           .otherwise("test"))
-    val out = "target/graft-sink/shards_" + dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val out = graft.functions.F.sinkPath("shards", dir)
     TextOps.chunk(spark, dir).select("doc_id", "chunk_id", "n_tok")
       .join(kept, "doc_id")
       .write.mode("overwrite").partitionBy("split").parquet(out)

@@ -42,7 +42,13 @@ object MultimodalOps {
     * proves the identity case). */
   private[graft] def blobDedupOf(docs: DataFrame): DataFrame =
     docs
-      .select(md5(col("blob")).as("sha"), col("doc_id"))
+      // sha2-256 for CONTENT IDENTITY: md5 collisions are practically
+      // constructable, so on an adversarial media corpus two distinct
+      // blobs could silently merge and a document would be dropped;
+      // 256-bit collision resistance is the identity-key standard
+      // (md5 stays only where cross-engine hash60 compatibility needs
+      // it — coefficients, not identity)
+      .select(sha2(col("blob"), 256).as("sha"), col("doc_id"))
       .groupBy("sha")
       .agg(min("doc_id").as("keep_doc_id"), count(lit(1)).as("n_copies"))
       .orderBy("keep_doc_id")
@@ -56,7 +62,9 @@ object MultimodalOps {
       .select(
         col("doc_id"),
         octet_length(col("blob")).as("byte_len"),
-        md5(col("blob")).as("sha"),
+        // an md5 FINGERPRINT (cheap per-blob metadata, honest name —
+        // content-identity decisions go through m3's sha2-256 instead)
+        md5(col("blob")).as("content_md5"),
         lower(hex(expr("substring(blob, 1, 4)"))).as("magic"),
         // --- stubbed decode: deterministic fake frame count ---
         (octet_length(col("blob")) % 30 + 1).as("n_frames"))

@@ -254,9 +254,29 @@ object SketchOps {
     * For n inserted keys the false-positive rate is
     * (1 − e^(−4n/65536))^4 — ≈ 8·10⁻⁴ at n = 3 000; for bigger key
     * sets a production caller scales `BloomBits` (the 8 KB is
-    * per-QUERY constant, not per-row). */
+    * per-QUERY constant, not per-row).
+    *
+    * Sizing rule (k = 4 hashes; fp ≈ (1 − e^(−k·n/m))^k):
+    * {{{
+    *   n keys     m for fp ≈ 1e-3    bitset size
+    *   3 000      2^16               8 KB      (this default)
+    *   1 000 000  2^25               4 MB
+    *   100 M      2^31..2^32         256-512 MB — use Spark's
+    *              spark.sql.optimizer.runtime.bloomFilter / a
+    *              broadcast variable instead of a literal
+    * }}}
+    * The build ships the bitset into the plan as an array LITERAL,
+    * which is only sane while it stays kilobytes — `bloomPredicate`
+    * enforces the ceiling below. */
   val BloomBits = 1 << 16
   val BloomHashes = 4
+
+  /** Hard ceiling for the literal-embedding strategy (2^20 bits =
+    * 128 KB). Beyond this the bitset must travel as a broadcast
+    * variable or through Spark's native runtime filter, not inside the
+    * expression tree — a multi-MB literal bloats every serialized task
+    * and can break codegen's constant-pool limits. */
+  val MaxLiteralBloomBits = 1 << 20
   private val Pow2: Array[Long] = Array.tabulate(64)(i => 1L << i)
 
   /** Build an 8 KB Bloom bitset over `keys` (one key column) and return
@@ -277,6 +297,10 @@ object SketchOps {
     * `fact.filter(pred).join(dim)` is exactly `fact.join(dim)` with the
     * shuffle fed only might-match rows. */
   def bloomPredicate(keys: DataFrame, keyCol: String, probe: Column): Column = {
+    require(BloomBits <= MaxLiteralBloomBits,
+      s"BloomBits=$BloomBits exceeds the literal-embedding ceiling " +
+        s"($MaxLiteralBloomBits bits = 128 KB): ship the bitset as a " +
+        "broadcast variable or use spark.sql.optimizer.runtime.bloomFilter")
     val bits = (0 until BloomHashes).map(i =>
       pmod(xxhash64(col(keyCol), lit(i)), lit(BloomBits.toLong)))
     val words = keys

@@ -42,7 +42,7 @@ object SinkOps {
     * re-read result (so the oracle can verify the round-trip preserved
     * every value bit-for-bit). */
   def kpiSinkRoundtrip(spark: SparkSession, dir: String): DataFrame = {
-    val out = "target/graft-sink/kpi_daily_" + dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val out = graft.functions.F.sinkPath("kpi_daily", dir)
     writeKpiPartitioned(TripPipeline.kpiDaily(spark, dir), out)
     spark.read.schema(kpiDataSchema).json(out)
       .select(col("date").cast(DateType).as("date"), col("total_fare"),
@@ -59,7 +59,7 @@ object SinkOps {
     * predicate → partition directories, not a full scan; parquet (not
     * JSON) also round-trips doubles bit-exactly with no re-parse. */
   def partitionedParquetRoundtrip(spark: SparkSession, dir: String): DataFrame = {
-    val out = "target/graft-sink/kpi_parquet_" + dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val out = graft.functions.F.sinkPath("kpi_parquet", dir)
     writeKpiPartitioned(TripPipeline.kpiDailyByType(spark, dir), out, "parquet")
     prunedKpiRead(spark, out)
   }
@@ -123,7 +123,7 @@ object SinkOps {
     * the merged schema in a catalog after migration instead of paying
     * footer inspection per query. */
   def schemaEvolutionRead(spark: SparkSession, dir: String): DataFrame = {
-    val out = "target/graft-sink/evolve_" + dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val out = graft.functions.F.sinkPath("evolve", dir)
     val kpi = TripPipeline.kpiDailyByType(spark, dir)
     // v1 writer: early event types, no avg_value column yet
     kpi.filter(col("event_type") < "p").drop("avg_value")
@@ -159,9 +159,8 @@ object SinkOps {
     * row groups). File COUNT bounds (96 → ≤ 8) are pinned by spec, not
     * here: the query contract is content equality. */
   def compactionRoundtrip(spark: SparkSession, dir: String): DataFrame = {
-    val tag = dir.replaceAll("[^A-Za-z0-9.]", "_")
-    val fragmented = s"target/graft-sink/frag_$tag"
-    val compacted = s"target/graft-sink/compact_$tag"
+    val fragmented = graft.functions.F.sinkPath("frag", dir)
+    val compacted = graft.functions.F.sinkPath("compact", dir)
     Tables.events(spark, dir)
       .repartition(96) // the small-file landing zone a micro-batch writer leaves
       .write.mode("overwrite").parquet(fragmented)

@@ -105,13 +105,18 @@ object EventSources {
     * failure — the reference's skip-never-crash rule), and the
     * valid/DLQ split is two filters over one cached scan. */
   def jsonIngestRoundtrip(spark: SparkSession, dir: String): DataFrame = {
-    val out = "target/graft-sink/json_ingest_" + dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val out = graft.functions.F.sinkPath("json_ingest", dir)
     graft.Tables.events(spark, dir)
       .write.mode("overwrite").json(out)
-    // inject the corrupt payloads as one extra landing-zone file
-    java.nio.file.Files.write(
-      java.nio.file.Paths.get(out, "part-corrupt.json"),
-      InjectedCorrupt.mkString("", "\n", "\n").getBytes("UTF-8"))
+    // inject the corrupt payloads as one extra landing-zone file —
+    // through the Hadoop FileSystem resolved from the OUTPUT path, not
+    // java.nio: a local-FS-only write would silently miss an HDFS/S3
+    // sink and the DLQ count would fail confusingly far from the cause
+    val outPath = new org.apache.hadoop.fs.Path(out, "part-corrupt.json")
+    val fs = outPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val os = fs.create(outPath, true)
+    try os.write(InjectedCorrupt.mkString("", "\n", "\n").getBytes("UTF-8"))
+    finally os.close()
     // a previous run over this path may have left a cache entry whose
     // file list the overwrite above just deleted — refresh, or a rerun
     // can hit FileNotFound on evicted blocks instead of re-reading

@@ -290,6 +290,14 @@ object StreamPipeline {
     try body finally spark.conf.set(key, prev)
   }
 
+  /** Session-global memory-sink name per (operator, data dir) — same
+    * collision-proof tag as stagingPath: a fixed name would make two
+    * invocations for different dirs (or a concurrent Verify/Bench
+    * sharing the session) read each other's materialization. */
+  private def memSinkName(kind: String, dir: String): String =
+    s"graft_${kind}_" + (dir.replaceAll("[^A-Za-z0-9]", "_") + "_" +
+      (graft.functions.F.hash60Driver(dir) % 100000)).toLowerCase
+
   /** State partition count for the finite-input materializations. */
   private val MaterializeStateParts = 8
 
@@ -516,13 +524,13 @@ object StreamPipeline {
         .groupBy(col("event_type"), to_date(col("ts")).as("date"))
         .agg(count(lit(1)).as("n"))
       val query = counts
-        .writeStream.format("memory").queryName("graft_p26_counts")
+        .writeStream.format("memory").queryName(memSinkName("p26", dir))
         .outputMode("complete").start()
       try query.processAllAvailable() finally query.stop()
     }
     val trailing = Window.partitionBy("event_type").orderBy("date")
       .rowsBetween(-7, -1)
-    spark.table("graft_p26_counts")
+    spark.table(memSinkName("p26", dir))
       .withColumn("sum7", coalesce(sum("n").over(trailing), lit(0L)))
       .withColumn("cnt7", count("n").over(trailing))
       .withColumn("flag",
@@ -566,13 +574,13 @@ object StreamPipeline {
         .groupBy("key")
         .agg(max("chg").as("last"), count(lit(1)).as("n_changes"))
       val query = changes.writeStream.format("memory")
-        .queryName("graft_p27_cdc").outputMode("complete").start()
+        .queryName(memSinkName("p27", dir)).outputMode("complete").start()
       try query.processAllAvailable() finally query.stop()
     }
     val base = graft.Tables.customer(spark, dir)
       .select(col("c_custkey").as("key"),
         col("c_acctbal").cast("double").as("base_val"))
-    base.join(spark.table("graft_p27_cdc"), Seq("key"), "full_outer")
+    base.join(spark.table(memSinkName("p27", dir)), Seq("key"), "full_outer")
       .filter(col("last").isNull || col("last.op") === "U")
       .select(col("key"),
         when(col("last").isNotNull, col("last.val"))
@@ -610,10 +618,10 @@ object StreamPipeline {
         col("user_id"))
         .groupBy("d", "cell").agg(count(lit(1)).as("cnt"))
       val query = cells.writeStream.format("memory")
-        .queryName("graft_p28_cms").outputMode("complete").start()
+        .queryName(memSinkName("p28", dir)).outputMode("complete").start()
       try query.processAllAvailable() finally query.stop()
     }
-    val sketch = spark.table("graft_p28_cms")
+    val sketch = spark.table(memSinkName("p28", dir))
     val truth = graft.Tables.events(spark, dir)
       .groupBy("user_id").agg(count(lit(1)).as("true_cnt"))
       .orderBy(col("true_cnt").desc, col("user_id")).limit(10)

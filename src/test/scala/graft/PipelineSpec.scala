@@ -107,7 +107,7 @@ class PipelineSpec extends AnyFunSuite with SparkSpec {
     }
     // the sink really is partitioned by date on disk
     val out = new java.io.File(
-      "target/graft-sink/kpi_daily_" + Sf0001.replaceAll("[^A-Za-z0-9.]", "_"))
+      graft.functions.F.sinkPath("kpi_daily", Sf0001))
     val parts = out.listFiles().filter(_.getName.startsWith("date="))
     assert(parts.length === direct.length)
   }

@@ -57,7 +57,7 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
   test("p14 read-back prunes at the partition-directory level, not per row") {
     import graft.pipeline.SinkOps
     SinkOps.partitionedParquetRoundtrip(spark, Sf0001).collect() // writes the lake
-    val out = "target/graft-sink/kpi_parquet_" + Sf0001.replaceAll("[^A-Za-z0-9.]", "_")
+    val out = graft.functions.F.sinkPath("kpi_parquet", Sf0001)
     val df = SinkOps.prunedKpiRead(spark, out)
     assert(df.count() > 0, "pruned window must be non-vacuous")
     val plan = finalPlan(df)

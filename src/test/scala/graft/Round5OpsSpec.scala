@@ -147,24 +147,22 @@ class Round5OpsSpec extends AnyFunSuite with SparkSpec {
 
   test("p24 compaction cuts the file count and preserves content exactly") {
     SinkOps.compactionRoundtrip(spark, Sf0001).collect() // runs the writes
-    val tag = Sf0001.replaceAll("[^A-Za-z0-9.]", "_")
     def parquetFiles(p: String) =
       new java.io.File(p).listFiles().count(_.getName.endsWith(".parquet"))
-    val nFrag = parquetFiles(s"target/graft-sink/frag_$tag")
-    val nComp = parquetFiles(s"target/graft-sink/compact_$tag")
+    val nFrag = parquetFiles(graft.functions.F.sinkPath("frag", Sf0001))
+    val nComp = parquetFiles(graft.functions.F.sinkPath("compact", Sf0001))
     assert(nFrag === 96)
     assert(nComp <= 8 && nComp >= 1)
     // content: the compacted lake holds exactly the source rows
     val src = Tables.events(spark, Sf0001)
-    val back = spark.read.parquet(s"target/graft-sink/compact_$tag")
+    val back = spark.read.parquet(graft.functions.F.sinkPath("compact", Sf0001))
     assert(back.count() === src.count())
     assert(back.exceptAll(src).count() === 0L)
     assert(src.exceptAll(back).count() === 0L)
   }
 
   test("p24 compaction plans no shuffle (coalesce, not repartition)") {
-    val tag = Sf0001.replaceAll("[^A-Za-z0-9.]", "_")
-    val frag = s"target/graft-sink/frag_$tag"
+    val frag = graft.functions.F.sinkPath("frag", Sf0001)
     // the compaction read-rewrite plan: read → coalesce(8): no Exchange
     val plan = spark.read.parquet(frag).coalesce(8)
       .queryExecution.executedPlan.toString
@@ -361,15 +359,18 @@ class Round5OpsSpec extends AnyFunSuite with SparkSpec {
     val got = operators.CorpusOps.trainingShards(spark, Sf0001).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
     // the lake is physically partitioned by split
-    val out = "target/graft-sink/shards_" + Sf0001.replaceAll("[^A-Za-z0-9.]", "_")
+    val out = graft.functions.F.sinkPath("shards", Sf0001)
     val dirs = new java.io.File(out).listFiles().filter(_.isDirectory)
       .map(_.getName).filter(_.startsWith("split=")).toSet
     assert(dirs === got.keySet.map("split=" + _))
     // composition: per-split doc counts re-derived from x1's kept set
-    // and x6's split hash
+    // minus x3's contaminated docs, and x6's split hash
     import graft.functions.F
+    val contam = operators.CorpusOps.decontaminate(spark, Sf0001)
+      .collect().map(_.getLong(0)).toSet
+    assert(contam.nonEmpty, "decon leg must be non-vacuous at this SF")
     val keptDocs = operators.CorpusOps.corpusClean(spark, Sf0001)
-      .collect().map(_.getLong(0))
+      .collect().map(_.getLong(0)).filterNot(contam)
     def splitOf(id: Long): String = {
       val u = F.hash60Driver("split_" + id) % 1000000L
       if (u < operators.CorpusOps.ValStartPpm) "train"

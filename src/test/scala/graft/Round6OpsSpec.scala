@@ -59,6 +59,24 @@ class Round6OpsSpec extends AnyFunSuite with SparkSpec {
     assert(ids === expected)
   }
 
+  test("e10's persisted index is cell-partitioned and reproduces e6 exactly") {
+    import graft.operators.AnnOps
+    val fromLake = AnnOps.annPersistedIndex(spark, Sf0001).collect().toSeq
+    val inMemory = AnnOps.annPq(spark, Sf0001).collect().toSeq
+    assert(fromLake === inMemory, "persisted-index answer must equal the in-memory answer")
+    // the code inverted file is physically laid out one directory per
+    // IVF cell — a probe reads only its cells' directories
+    val codesDir = new java.io.File(
+      graft.functions.F.sinkPath("annindex", Sf0001) + "/codes")
+    val cells = codesDir.listFiles().filter(_.isDirectory)
+      .map(_.getName).filter(_.startsWith("label=")).toSet
+    assert(cells.nonEmpty, s"expected label= cell directories in $codesDir")
+    import spark.implicits._
+    val labels = graft.Tables.embeddings(spark, Sf0001)
+      .select("label").distinct().as[Int].collect().toSet
+    assert(cells === labels.map("label=" + _))
+  }
+
   test("withGlobalRank's own plan contains no unpartitioned Window") {
     import spark.implicits._
     val df = (1 to 50).map(i => (i % 3, i.toLong)).toDF("v", "id")

@@ -42,6 +42,65 @@ class SkewSpec extends AnyFunSuite with SparkSpec {
     assert(!plan.contains("BroadcastHashJoin"), plan)
   }
 
+  test("AQE splits a skewed sort-merge join partition at runtime") {
+    // Documents WHEN the manual salting above is actually needed: AQE's
+    // skew-join handling splits oversized partitions of a shuffled join
+    // on its own — salting earns its complexity only where AQE can't
+    // reach (aggregations, or joins whose skew hides below the
+    // thresholds). This constructs a join skewed enough to trip the
+    // (lowered) thresholds and asserts the runtime split actually fired.
+    import spark.implicits._
+    val conf = Seq(
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      // thresholds sized to the COMPRESSED shuffle bytes of the hot
+      // partition (the zero-heavy pad compresses ~50×): 8KB/4KB puts
+      // the ~190k-row partition well past the skew bar while the
+      // median stays under it
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "8KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "4KB",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1")
+    val saved = conf.map { case (k, _) => k -> spark.conf.getOption(k) }
+    conf.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      // one hot key owning ~95% of the left side, padded so the hot
+      // shuffle partition's bytes dwarf the median partition's
+      val left = spark.range(200000)
+        .select(when(col("id") % 20 === 0, col("id") % 50 + 1).otherwise(lit(0L)).as("k"),
+          concat(lit("x"), lpad(col("id").cast("string"), 200, "0")).as("pad"))
+      val right = spark.range(51).select(col("id").as("k"), (col("id") * 2).as("w"))
+      // global agg downstream, NOT a groupBy on the join key: a
+      // downstream hash requirement on k would make the split introduce
+      // an extra shuffle and AQE would (correctly) decline to apply it —
+      // itself a documented boundary of when salting is still needed
+      val joined = left.join(right, "k")
+        .agg(count(lit(1)).as("n"), sum("w").as("sw"))
+      val row = joined.collect().head
+      // correctness first: 190k hot rows (w=0) + ids ≡ 0 (mod 20) on
+      // keys {1,11,21,31,41} (2000 rows each, w=2k →
+      // 2000·2·(1+11+21+31+41) = 420000)
+      assert(row.getLong(0) === 200000L)
+      assert(row.getLong(1) === 420000L)
+      val smjs = planNodes(joined).collect {
+        case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+        case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec => j
+      }
+      assert(smjs.nonEmpty, "expected a shuffled join")
+      val skewFired = smjs.exists {
+        case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j.isSkewJoin
+        case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec => j.isSkewJoin
+      }
+      assert(skewFired,
+        "AQE skew split did not fire:\n" + joined.queryExecution.executedPlan)
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("salted two-phase aggregation equals the direct aggregation") {
     val ev = Tables.events(spark, Sf0001)
     val direct = ev.groupBy("event_type")
