@@ -1217,6 +1217,11 @@ object Oracles {
     // is also the lossless-round-trip proof for the landed artifacts
     "e10_ann_persisted" -> e6Sql,
 
+    // e11: the delta-maintained index must answer exactly like a full
+    // rebuild — centroid state is associative, codes are per-vector —
+    // so its oracle is also e6's statement verbatim
+    "e11_ann_incremental" -> e6Sql,
+
     "e1_ann_topk" -> e1Sql,
 
     "e2_ann_lsh" ->

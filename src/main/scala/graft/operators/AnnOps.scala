@@ -160,15 +160,22 @@ object AnnOps {
     * 53-bit doubles. */
   private def centroids(spark: SparkSession, dir: String): DataFrame =
     DedupOps.memoized(spark, "ann_centroids", dir) {
-      quantized(spark, dir)
-        .select(col("label"), posexplode(col("q")).as(Seq("d", "v")))
-        .groupBy("label", "d").agg(sum("v").as("s"), count(lit(1)).as("n"))
-        .groupBy("label").agg(
-          transform(array_sort(collect_list(struct(col("d"), col("s")))),
-            x => x.getField("s")).as("s"),
-          min("n").as("n"))
-        .withColumn("ss", dotQ(col("s"), col("s")))
+      centroidStateOf(quantized(spark, dir))
     }
+
+  /** The per-cell centroid STATE (label, per-dim sum vector s, member
+    * count n, ss = s·s) of any quantized slice. (s, n) is the additive
+    * part — states of disjoint slices merge by element-wise s addition
+    * and n addition (ss re-derives) — which is what makes e11's
+    * delta-only index maintenance exact. */
+  private def centroidStateOf(qv: DataFrame): DataFrame =
+    qv.select(col("label"), posexplode(col("q")).as(Seq("d", "v")))
+      .groupBy("label", "d").agg(sum("v").as("s"), count(lit(1)).as("n"))
+      .groupBy("label").agg(
+        transform(array_sort(collect_list(struct(col("d"), col("s")))),
+          x => x.getField("s")).as("s"),
+        min("n").as("n"))
+      .withColumn("ss", dotQ(col("s"), col("s")))
 
   /** e5: IVF (inverted-file) ANN — the classic coarse-quantize-then-probe
     * architecture: each query ranks the (tiny, broadcast) centroid table
@@ -390,6 +397,63 @@ object AnnOps {
     val codes = spark.read.parquet(s"$out/codes")
       // partition-column discovery re-infers label's type; pin it back
       // to the corpus type so the probe join never re-casts the big side
+      .select(col("c_id"), col("label").cast(IntegerType).as("label"),
+        col("m"), col("code"))
+    pqAnswer(spark, dir, cent, codes, k, nProbe)
+  }
+
+  /** e11: INCREMENTAL INDEX MAINTENANCE — a vector lake ingests new
+    * embeddings continuously; rebuilding the index per batch would
+    * rescan the whole corpus. This operator proves the delta-only
+    * update is EXACT: the base corpus (vec_id % 10 ≠ 0) lands its index
+    * (centroid state + PQ codes, as in e10); the delta batch
+    * (vec_id % 10 = 0) then (a) PQ-encodes itself — codes are a pure
+    * per-vector function of the fixed codebooks, so they simply land as
+    * new files in the cell directories — and (b) merges its own
+    * centroid state into the persisted one by element-wise sum-vector
+    * addition + count addition (ss re-derived), which is exact because
+    * the state is ASSOCIATIVE (see [[centroidStateOf]]). The answer
+    * from the maintained index equals the full-rebuild answer
+    * bit-for-bit — the oracle is e6's statement verbatim.
+    *
+    * Scale shape: the update reads the 100 TB base corpus ZERO times —
+    * only the delta (encoded map-side) and the kilobyte centroid state.
+    * The delta's code files land beside the base's in the same
+    * `label=<cell>/` layout (written here to a sibling dir for
+    * idempotent reruns; appending files into the cell dirs is the same
+    * operation). Deletes would decrement the same state; re-clustering
+    * (new cell geometry) is the one event that forces a rebuild. */
+  def annIncrementalIndex(spark: SparkSession, dir: String, k: Int = 3,
+      nProbe: Int = NProbe): DataFrame = {
+    val out = graft.functions.F.sinkPath("annincr", dir)
+    val isDelta = col("c_id") % 10 === 0
+    // ---- base ingest: index state of the initial corpus ----
+    centroidStateOf(quantized(spark, dir).filter(col("vec_id") % 10 =!= 0))
+      .write.mode("overwrite").parquet(s"$out/centroids_v1")
+    pqCodes(spark, dir).filter(!isDelta)
+      .write.mode("overwrite").partitionBy("label").parquet(s"$out/codes_base")
+    // ---- delta ingest: encode + merge, never rescanning the base ----
+    pqCodes(spark, dir).filter(isDelta)
+      .write.mode("overwrite").partitionBy("label").parquet(s"$out/codes_delta")
+    spark.catalog.refreshByPath(s"$out/centroids_v1")
+    val deltaState = centroidStateOf(quantized(spark, dir).filter(col("vec_id") % 10 === 0))
+      .select(col("label"), col("s").as("sd"), col("n").as("nd"))
+    spark.read.parquet(s"$out/centroids_v1")
+      .select(col("label"), col("s").as("sb"), col("n").as("nb"))
+      .join(deltaState, Seq("label"), "full_outer") // cells new to either side survive
+      .select(col("label"),
+        when(col("sb").isNull, col("sd"))
+          .when(col("sd").isNull, col("sb"))
+          .otherwise(zip_with(col("sb"), col("sd"), (a, b) => a + b)).as("s"),
+        (coalesce(col("nb"), lit(0L)) + coalesce(col("nd"), lit(0L))).as("n"))
+      .withColumn("ss", dotQ(col("s"), col("s")))
+      .write.mode("overwrite").parquet(s"$out/centroids_v2")
+    // ---- serve from the maintained index ----
+    Seq("centroids_v2", "codes_base", "codes_delta")
+      .foreach(p => spark.catalog.refreshByPath(s"$out/$p"))
+    val cent = spark.read.parquet(s"$out/centroids_v2")
+    val codes = spark.read.parquet(s"$out/codes_base")
+      .unionByName(spark.read.parquet(s"$out/codes_delta"))
       .select(col("c_id"), col("label").cast(IntegerType).as("label"),
         col("m"), col("code"))
     pqAnswer(spark, dir, cent, codes, k, nProbe)

@@ -77,6 +77,21 @@ class Round6OpsSpec extends AnyFunSuite with SparkSpec {
     assert(cells === labels.map("label=" + _))
   }
 
+  test("e11's delta-maintained index answers bit-equal to a full rebuild") {
+    import graft.operators.AnnOps
+    import graft.functions.F
+    val incr = AnnOps.annIncrementalIndex(spark, Sf0001).collect().toSeq
+    val full = AnnOps.annPq(spark, Sf0001).collect().toSeq
+    assert(incr === full, "maintained index must reproduce the rebuild answer")
+    // the merged centroid STATE itself (not just the answer) equals the
+    // full-corpus build landed by e10 — associativity, row for row
+    AnnOps.annPersistedIndex(spark, Sf0001).collect()
+    val v2 = spark.read.parquet(F.sinkPath("annincr", Sf0001) + "/centroids_v2")
+    val fullState = spark.read.parquet(F.sinkPath("annindex", Sf0001) + "/centroids")
+    assert(v2.count() === fullState.count())
+    assert(v2.exceptAll(fullState).isEmpty, "merged state drifted from rebuild state")
+  }
+
   test("withGlobalRank's own plan contains no unpartitioned Window") {
     import spark.implicits._
     val df = (1 to 50).map(i => (i % 3, i.toLong)).toDF("v", "id")
