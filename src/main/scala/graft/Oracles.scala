@@ -1222,6 +1222,14 @@ object Oracles {
     // so its oracle is also e6's statement verbatim
     "e11_ann_incremental" -> e6Sql,
 
+    // e12: the single-request serving path is e6 restricted to the one
+    // served query — pruning the code lake to the probed cells must
+    // change nothing about that query's answer
+    "e12_ann_serve" ->
+      s"""SELECT * FROM ($e6Sql) t
+         |WHERE q_id = ${graft.operators.AnnOps.ServeQueryId}
+         |ORDER BY rnk""".stripMargin,
+
     "e1_ann_topk" -> e1Sql,
 
     "e2_ann_lsh" ->

@@ -383,8 +383,10 @@ object AnnOps {
     * `centroids/` (tiny, broadcast) + the probed `label=` directories.
     * Incremental corpora append new cell directories; re-clustering is
     * a rebuild, as in any IVF system. */
-  def annPersistedIndex(spark: SparkSession, dir: String, k: Int = 3,
-      nProbe: Int = NProbe): DataFrame = {
+  /** Lands the e10 index artifacts (idempotent overwrite) and returns
+    * the index root — shared by the batch-serving e10 and the
+    * single-request e12 paths. */
+  private def buildPersistedIndex(spark: SparkSession, dir: String): String = {
     val out = graft.functions.F.sinkPath("annindex", dir)
     centroids(spark, dir).write.mode("overwrite").parquet(s"$out/centroids")
     pqCodes(spark, dir).write.mode("overwrite")
@@ -393,6 +395,12 @@ object AnnOps {
     // after the overwrite (the p29 lesson)
     spark.catalog.refreshByPath(s"$out/centroids")
     spark.catalog.refreshByPath(s"$out/codes")
+    out
+  }
+
+  def annPersistedIndex(spark: SparkSession, dir: String, k: Int = 3,
+      nProbe: Int = NProbe): DataFrame = {
+    val out = buildPersistedIndex(spark, dir)
     val cent = spark.read.parquet(s"$out/centroids")
     val codes = spark.read.parquet(s"$out/codes")
       // partition-column discovery re-infers label's type; pin it back
@@ -400,6 +408,35 @@ object AnnOps {
       .select(col("c_id"), col("label").cast(IntegerType).as("label"),
         col("m"), col("code"))
     pqAnswer(spark, dir, cent, codes, k, nProbe)
+  }
+
+  /** e12's served query — a stride query id present at every SF. */
+  val ServeQueryId = 50L
+
+  /** e12: SINGLE-REQUEST SERVING from the persisted index — how a
+    * vector store answers ONE query: resolve the request's NProbe
+    * cells against the kilobyte centroid table (a constant-size driver
+    * step, the analog of an index-metadata lookup — same discipline as
+    * the s7 bloom hop), then scan ONLY those `label=` directories of
+    * the code lake. The cell ids enter the read as LITERALS, so the
+    * big-side scan carries directory-level PartitionFilters: at 100 TB
+    * the request opens NProbe cells' files and nothing else (pinned in
+    * spec). The batch path (e10) evaluates every stride query in one
+    * plan instead; this path is the per-request latency shape. */
+  def annServeOne(spark: SparkSession, dir: String, qId: Long = ServeQueryId,
+      k: Int = 3, nProbe: Int = NProbe): DataFrame = {
+    val out = buildPersistedIndex(spark, dir)
+    val cent = spark.read.parquet(s"$out/centroids")
+    val cells = probedCellsWith(spark, dir, nProbe, cent)
+      .filter(col("q_id") === qId)
+      .select("label").collect().map(_.getInt(0)).toSeq
+    require(cells.nonEmpty, s"query $qId resolved no cells — not a stride query?")
+    val codes = spark.read.parquet(s"$out/codes")
+      .filter(col("label").isin(cells: _*)) // literal → directory pruning
+      .select(col("c_id"), col("label").cast(IntegerType).as("label"),
+        col("m"), col("code"))
+    pqAnswer(spark, dir, cent, codes, k, nProbe)
+      .filter(col("q_id") === qId)
   }
 
   /** e11: INCREMENTAL INDEX MAINTENANCE — a vector lake ingests new

@@ -92,6 +92,30 @@ class Round6OpsSpec extends AnyFunSuite with SparkSpec {
     assert(v2.exceptAll(fullState).isEmpty, "merged state drifted from rebuild state")
   }
 
+  test("e12 serves one query reading only its probed cell directories") {
+    import graft.operators.AnnOps
+    spark.conf.set("spark.sql.maxToStringFields", "200")
+    spark.conf.set("spark.sql.maxMetadataStringLength", "2000") // full Location paths
+    val served = AnnOps.annServeOne(spark, Sf0001)
+    // answer = e6 restricted to the served query
+    val expected = AnnOps.annPq(spark, Sf0001)
+      .filter(col("q_id") === AnnOps.ServeQueryId).collect().toSeq
+    assert(served.collect().toSeq === expected)
+    // the code-lake scan must prune at the DIRECTORY level: the probed
+    // cell ids arrive as LITERAL PartitionFilters (label IN (...)); any
+    // label predicate in DataFilters would mean per-row filtering
+    val plan = served.queryExecution.executedPlan.toString
+    val codeScan = plan.linesIterator
+      .find(l => l.contains("FileScan") && l.contains("annindex") && l.contains("/codes"))
+      .getOrElse(fail(s"no code-lake scan in plan:\n$plan"))
+    val partFilters = codeScan.split("PartitionFilters:")(1).split("PushedFilters:")(0)
+    assert(partFilters.contains("label") && partFilters.contains(" IN ("),
+      s"probed cells must resolve to literal partition filters:\n$codeScan")
+    val dataFilters = codeScan.split("DataFilters:")(1).split(", Format:")(0)
+    assert(!dataFilters.contains("label"),
+      s"label must never degrade to a per-row data filter:\n$codeScan")
+  }
+
   test("withGlobalRank's own plan contains no unpartitioned Window") {
     import spark.implicits._
     val df = (1 to 50).map(i => (i % 3, i.toLong)).toDF("v", "id")
