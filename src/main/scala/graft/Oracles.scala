@@ -105,6 +105,27 @@ object Oracles {
 
   private lazy val e5Sql: String = ivfSqlWith("")
 
+  private lazy val s4Sql: String =
+    s"""WITH h AS (SELECT ${h60("CAST(event_id AS VARCHAR)")} AS h FROM events),
+         |r AS (SELECT h % 256 AS bucket, h // 256 AS rest FROM h),
+         |rho AS (SELECT bucket,
+         |          MAX(CASE WHEN rest = 0 THEN 53 ELSE 53 - length(bin(rest)) END) AS rho
+         |        FROM r GROUP BY bucket),
+         |regs AS (SELECT t.b AS bucket, COALESCE(rho.rho, 0) AS rho
+         |         FROM range(256) t(b) LEFT JOIN rho ON t.b = rho.bucket),
+         |agg AS (SELECT CAST(SUM(CAST(1 AS BIGINT) << CAST(53 - rho AS INTEGER)) AS BIGINT) AS s,
+         |               CAST(SUM(CASE WHEN rho = 0 THEN 1 ELSE 0 END) AS BIGINT) AS v
+         |        FROM regs)
+         |SELECT CAST(256 AS BIGINT) AS m, s, v,
+         |  CASE WHEN CAST(${SketchOpsAlpha} AS DOUBLE) * 256 * 256 * 9007199254740992.0 / s <= 640.0
+         |            AND v > 0
+         |       THEN 256.0 * ln(256.0 / v)
+         |       ELSE CAST(${SketchOpsAlpha} AS DOUBLE) * 256 * 256 * 9007199254740992.0 / s END
+         |    AS est_distinct,
+         |  (SELECT COUNT(DISTINCT event_id) FROM events) AS n_exact
+         |FROM agg""".stripMargin
+
+
   private lazy val e6Sql: String =
     s"""WITH ql AS (SELECT vec_id, $QV AS qv, label FROM embeddings),
          |pcent AS (
@@ -1561,25 +1582,12 @@ object Oracles {
 
     // s4: α_m and the 2^53 scale are shared literals with the Spark side
     // (operators.SketchOps.HllAlpha) so both engines branch identically
-    "s4_hll_distinct" ->
-      s"""WITH h AS (SELECT ${h60("CAST(event_id AS VARCHAR)")} AS h FROM events),
-         |r AS (SELECT h % 256 AS bucket, h // 256 AS rest FROM h),
-         |rho AS (SELECT bucket,
-         |          MAX(CASE WHEN rest = 0 THEN 53 ELSE 53 - length(bin(rest)) END) AS rho
-         |        FROM r GROUP BY bucket),
-         |regs AS (SELECT t.b AS bucket, COALESCE(rho.rho, 0) AS rho
-         |         FROM range(256) t(b) LEFT JOIN rho ON t.b = rho.bucket),
-         |agg AS (SELECT CAST(SUM(CAST(1 AS BIGINT) << CAST(53 - rho AS INTEGER)) AS BIGINT) AS s,
-         |               CAST(SUM(CASE WHEN rho = 0 THEN 1 ELSE 0 END) AS BIGINT) AS v
-         |        FROM regs)
-         |SELECT CAST(256 AS BIGINT) AS m, s, v,
-         |  CASE WHEN CAST(${SketchOpsAlpha} AS DOUBLE) * 256 * 256 * 9007199254740992.0 / s <= 640.0
-         |            AND v > 0
-         |       THEN 256.0 * ln(256.0 / v)
-         |       ELSE CAST(${SketchOpsAlpha} AS DOUBLE) * 256 * 256 * 9007199254740992.0 / s END
-         |    AS est_distinct,
-         |  (SELECT COUNT(DISTINCT event_id) FROM events) AS n_exact
-         |FROM agg""".stripMargin,
+    "s4_hll_distinct" -> s4Sql,
+
+    // s9: per-day registers max-merged must estimate BIT-IDENTICALLY to
+    // the one-pass corpus sketch (register merge is associative) — the
+    // oracle is s4's statement verbatim
+    "s9_hll_merge" -> s4Sql,
 
     // ---------- round 5 additions ----------
 

@@ -103,14 +103,28 @@ object SketchOps {
     * is the sketch you run at 100 TB; KMV's kth-smallest needs the
     * distinct hash set first. Registers also merge associatively
     * (max per bucket), so per-day sketches roll up without rescanning. */
-  def hllDistinct(spark: SparkSession, dir: String): DataFrame = {
+  def hllDistinct(spark: SparkSession, dir: String): DataFrame =
+    hllEstimateOf(spark, dir,
+      hllRegistersOf(Tables.events(spark, dir).select(hash60(col("event_id")).as("h"))))
+
+  /** The (bucket, rho) register relation of a hashed-id slice — the HLL
+    * STATE. Registers merge associatively by per-bucket max, which is
+    * what makes s9's per-day roll-up exact. */
+  private def hllRegistersOf(hashed: DataFrame): DataFrame = {
     val m = HllM
-    val regs = Tables.events(spark, dir)
-      .select(hash60(col("event_id")).as("h"))
+    hashed
       .select((col("h") % m).as("bucket"), expr(s"h div $m").as("rest"))
       .groupBy("bucket")
       .agg(max(when(col("rest") === 0, lit(53))
         .otherwise(lit(53) - length(bin(col("rest"))))).as("rho"))
+  }
+
+  /** The HLL estimator over any register relation (densified to all m
+    * buckets, integer-exact register sum, linear-counting branch) —
+    * ONE definition, shared by s4 and the s9 merge so the estimate
+    * arithmetic cannot fork. */
+  private def hllEstimateOf(spark: SparkSession, dir: String, regs: DataFrame): DataFrame = {
+    val m = HllM
     val full = spark.range(m.toLong).select(col("id").as("bucket"))
       .join(regs, Seq("bucket"), "left")
       .withColumn("rho", coalesce(col("rho"), lit(0)))
@@ -126,6 +140,29 @@ object SketchOps {
           lit(m.toDouble) * log(lit(m.toDouble) / col("v")))
           .otherwise(raw).as("est_distinct"),
         col("n_exact"))
+  }
+
+  /** s9: HLL SKETCH ROLL-UP — the operational form every 100 TB
+    * distinct-count deployment actually uses: per-DAY register sets
+    * (built independently, e.g. by a daily job) max-merged into the
+    * corpus sketch, then estimated. Register max-merge is associative
+    * and idempotent, so the rolled-up estimate is BIT-IDENTICAL to
+    * building one sketch over the whole corpus — the oracle is s4's
+    * statement verbatim; no re-scan of history when a new day lands,
+    * and re-merging a day changes nothing (at-least-once safe).
+    *
+    * Scale shape: per-day state is m=256 rows; merging D days is a
+    * groupBy over D×256 rows. The fact scan happens once per day, ever. */
+  def hllMergeDaily(spark: SparkSession, dir: String): DataFrame = {
+    val m = HllM
+    val daily = Tables.events(spark, dir)
+      .select(to_date(col("ts")).as("day"), hash60(col("event_id")).as("h"))
+      .select(col("day"), (col("h") % m).as("bucket"), expr(s"h div $m").as("rest"))
+      .groupBy("day", "bucket")
+      .agg(max(when(col("rest") === 0, lit(53))
+        .otherwise(lit(53) - length(bin(col("rest"))))).as("rho"))
+    // the MERGE: associative per-bucket max across the day sketches
+    hllEstimateOf(spark, dir, daily.groupBy("bucket").agg(max("rho").as("rho")))
   }
 
   /** Per-stratum sampling rates (permille) for s3 — keep every signup,

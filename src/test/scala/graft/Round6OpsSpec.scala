@@ -116,6 +116,13 @@ class Round6OpsSpec extends AnyFunSuite with SparkSpec {
       s"label must never degrade to a per-row data filter:\n$codeScan")
   }
 
+  test("s9's per-day HLL roll-up is bit-identical to the one-pass sketch") {
+    import graft.operators.SketchOps
+    val merged = SketchOps.hllMergeDaily(spark, Sf0001).collect().toSeq
+    val onePass = SketchOps.hllDistinct(spark, Sf0001).collect().toSeq
+    assert(merged === onePass, "register max-merge must not change the estimate")
+  }
+
   test("withGlobalRank's own plan contains no unpartitioned Window") {
     import spark.implicits._
     val df = (1 to 50).map(i => (i % 3, i.toLong)).toDF("v", "id")
