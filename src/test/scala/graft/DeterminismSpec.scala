@@ -56,6 +56,15 @@ class DeterminismSpec extends AnyFunSuite with SparkSpec {
     assertStable("q25_min_cost")(Analytics.q25MinCost(spark, Sf0001))
   }
 
+  test("round-6 rank/index/sketch operators are partition-count independent") {
+    // a10's distributed global ranks: rank is a property of the TOTAL
+    // order, so the ntile buckets must not care how many partitions the
+    // range shuffle used (3 vs 13 also exercises empty partitions)
+    assertStable("a10_rfm")(Analytics.a10Rfm(spark, Sf0001))
+    assertStable("s9_hll_merge")(operators.SketchOps.hllMergeDaily(spark, Sf0001))
+    assertStable("e11_ann_incremental")(operators.AnnOps.annIncrementalIndex(spark, Sf0001))
+  }
+
   test("round-3 sketch/sampling/phrase operators are partition-count independent") {
     assertStable("s1_kmv_distinct")(operators.SketchOps.kmvDistinct(spark, Sf0001))
     assertStable("s2_group_quantiles")(operators.SketchOps.groupQuantiles(spark, Sf0001))
