@@ -234,9 +234,9 @@ object Oracles {
        |${lpRound("l2", "l3")}
        |SELECT doc_id, label AS cluster_id FROM l3 ORDER BY doc_id""".stripMargin
 
-  /** x1 as a standalone statement — the map entry AND the kept-set leg
-    * of x7's shard materialization, so the composite always filters on
-    * exactly what the x1 row contains. */
+  /** x3 as a standalone statement — the map entry AND the contaminated-set
+    * leg of x7's decon anti-join, so the composite always removes exactly
+    * what the x3 row flags. */
   private lazy val x3Sql: String =
     s"""WITH d AS (SELECT doc_id, $TOK AS t FROM documents),
        |g AS (SELECT DISTINCT doc_id, gram FROM (
@@ -248,6 +248,9 @@ object Oracles {
        |WHERE doc_id % 20 != 0 AND gram IN (SELECT gram FROM ev)
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** x1 as a standalone statement — the map entry AND the kept-set leg
+    * of x7's shard materialization, so the composite always filters on
+    * exactly what the x1 row contains. */
   private lazy val x1Sql: String =
     s"""WITH d AS (SELECT doc_id, lang, $TOK AS t FROM documents),
          |qx AS (SELECT doc_id, len(t) AS n_tokens, len(list_distinct(t)) AS n_unique,

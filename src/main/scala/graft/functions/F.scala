@@ -36,17 +36,23 @@ object F {
   def hash60Driver(s: String): Long =
     hash60With(java.security.MessageDigest.getInstance("MD5"), s)
 
-  /** Collision-proof local sink dir per (operator kind, data dir): the
-    * sanitized dir name keeps the path readable, the md5-derived suffix
-    * keeps DISTINCT dirs from ever sharing a sink — `replaceAll` alone
-    * maps two dirs differing only in non-alphanumeric chars to the same
-    * name, silently cross-contaminating their materializations (the
-    * StreamPipeline stagingPath lesson). Single definition: every
-    * batch sink (p10/p14/p22/p24/p29/x7/e10) derives its path here. */
+  /** Collision-proof per-data-dir tag: the sanitized dir name keeps it
+    * readable, the md5-derived suffix keeps DISTINCT dirs from ever
+    * sharing a name — `replaceAll` alone maps two dirs differing only
+    * in non-alphanumeric chars to the same string, silently
+    * cross-contaminating their materializations. Identifier-safe (no
+    * dots — a '.' inside a memory-sink table name would parse as
+    * db.table). THE single definition of the scheme: sink paths,
+    * streaming staging dirs and memory-sink names all derive from it. */
+  def dirTag(dir: String): String =
+    (dir.replaceAll("[^A-Za-z0-9]", "_") + "_" +
+      (hash60Driver(dir) % 100000)).toLowerCase
+
+  /** Collision-proof local sink dir per (operator kind, data dir) —
+    * every batch sink (p10/p14/p22/p24/p29/x7/e10/e11) derives its
+    * path here. */
   def sinkPath(kind: String, dir: String): String =
-    s"target/graft-sink/${kind}_" +
-      (dir.replaceAll("[^A-Za-z0-9.]", "_") + "_" +
-        (hash60Driver(dir) % 100000)).toLowerCase
+    s"target/graft-sink/${kind}_" + dirTag(dir)
 
   /** hash60 over a CALLER-OWNED MessageDigest — the per-partition hot
     * path (m2 frame sampling) hoists one instance per partition and

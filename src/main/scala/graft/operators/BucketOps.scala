@@ -30,14 +30,11 @@ object BucketOps {
     * the catalog) — the lifecycle hook mirroring DedupOps.clearMemo. */
   def clearBuilt(): Unit = built.clear()
 
-  /** Collision-proof table suffix for a data dir: the sanitized name
-    * keeps it readable, the md5-derived hash keeps two dirs that
-    * sanitize identically ("sf0.1" vs "sf0_1") from sharing tables.
-    * LOWERCASED: the catalog lowercases managed-table directory names,
-    * and a case-mismatched suffix would make the orphan-dir cleanup
-    * miss on case-sensitive filesystems. */
-  private def dirSuffix(dir: String): String =
-    (dir.replaceAll("[^A-Za-z0-9]", "_") + "_" + (hash60Driver(dir) % 100000)).toLowerCase
+  /** Collision-proof table suffix for a data dir — the shared
+    * `F.dirTag` scheme. LOWERCASED there too: the catalog lowercases
+    * managed-table directory names, and a case-mismatched suffix would
+    * make the orphan-dir cleanup miss on case-sensitive filesystems. */
+  private def dirSuffix(dir: String): String = graft.functions.F.dirTag(dir)
 
   /** Drop a managed table AND its orphan warehouse directory. The
     * in-memory catalog forgets tables across JVMs but their directories

@@ -236,6 +236,9 @@ object CorpusOps {
     TextOps.chunk(spark, dir).select("doc_id", "chunk_id", "n_tok")
       .join(kept, "doc_id")
       .write.mode("overwrite").partitionBy("split").parquet(out)
+    // a previous run's cached file listing would point at deleted files
+    // after the overwrite (the p29 lesson)
+    spark.catalog.refreshByPath(out)
     spark.read.parquet(out)
       .groupBy("split")
       .agg(countDistinct("doc_id").as("n_docs"),

@@ -79,9 +79,10 @@ object TripPipeline {
     * missing/negative ids, unknown event type, missing/negative fare)
     * injected deterministically by event-id residue onto the clean
     * events — then routes it through the EXACT `quarantineDf` complement
-    * and labels each row with the first validation rule it broke. Still
-    * a narrow codegen'd projection + filter: nothing shuffles, the
-    * injection is per-row arithmetic the scan pipeline absorbs. */
+    * and labels each row with the first validation rule it broke. The
+    * injection + complement stay a narrow codegen'd projection + filter
+    * the scan pipeline absorbs; the only exchange is the final
+    * presentation orderBy the oracle comparison wants. */
   def quarantineInjected(spark: SparkSession, dir: String): DataFrame = {
     val surface = Tables.events(spark, dir).select(
       col("event_id"),

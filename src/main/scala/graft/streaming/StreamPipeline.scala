@@ -290,28 +290,23 @@ object StreamPipeline {
     try body finally spark.conf.set(key, prev)
   }
 
-  /** Session-global memory-sink name per (operator, data dir) — same
-    * collision-proof tag as stagingPath: a fixed name would make two
+  /** Session-global memory-sink name per (operator, data dir) — the
+    * shared collision-proof tag: a fixed name would make two
     * invocations for different dirs (or a concurrent Verify/Bench
     * sharing the session) read each other's materialization. */
   private def memSinkName(kind: String, dir: String): String =
-    s"graft_${kind}_" + (dir.replaceAll("[^A-Za-z0-9]", "_") + "_" +
-      (graft.functions.F.hash60Driver(dir) % 100000)).toLowerCase
+    s"graft_${kind}_" + graft.functions.F.dirTag(dir)
 
   /** State partition count for the finite-input materializations. */
   private val MaterializeStateParts = 8
 
-  /** Collision-proof staging dir per (operator, data dir): the
-    * sanitized dir name keeps it readable, the md5-derived hash keeps
-    * distinct dirs from ever sharing a staging area. `hashCode`-keyed
-    * names (the previous scheme) could collide across dirs — and
-    * `math.abs(Int.MinValue)` is negative — either of which would
-    * cross-contaminate two operators' streamed inputs. Same scheme as
-    * BucketOps' table suffixes. */
+  /** Collision-proof staging dir per (operator, data dir) — the shared
+    * `F.dirTag` scheme. (`hashCode`-keyed names, the original scheme,
+    * could collide across dirs — and `math.abs(Int.MinValue)` is
+    * negative — either of which would cross-contaminate two operators'
+    * streamed inputs.) */
   private def stagingPath(kind: String, dir: String): String =
-    s"target/graft-$kind-stream-" +
-      (dir.replaceAll("[^A-Za-z0-9]", "_") + "_" +
-        (graft.functions.F.hash60Driver(dir) % 100000)).toLowerCase
+    s"target/graft-$kind-stream-" + graft.functions.F.dirTag(dir)
 
   /** The events parquet staged behind a REAL file streaming source —
     * the unbounded-input surface for the oracle-checked streaming
