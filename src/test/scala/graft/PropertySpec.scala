@@ -84,6 +84,26 @@ class PropertySpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("distributed rank + arithmetic ntile equal the global window on random data") {
+    import spark.implicits._
+    import graft.operators.RankOps
+    samples(3).foreach { rows =>
+      // duplicate (k, v) pairs are common in the generator output, so
+      // the id tie-break genuinely carries the total order
+      val df = rows.toDF("k", "id", "v").distinct()
+      val order = Seq(col("v").desc, col("id").asc, col("k").asc)
+      val n = df.count()
+      val got = RankOps.withGlobalRank(df, "rk", order)
+        .select(col("k"), col("id"), col("v"), col("rk"),
+          RankOps.ntileOfRank(col("rk"), lit(n), 4).cast("int").as("t"))
+      val w = org.apache.spark.sql.expressions.Window.orderBy(order: _*)
+      val want = df.select(col("k"), col("id"), col("v"),
+        row_number().over(w).cast("long").as("rk"),
+        ntile(4).over(w).as("t"))
+      assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+    }
+  }
+
   test("salted join equals the plain join on random data") {
     import spark.implicits._
     samples(3).foreach { rows =>
