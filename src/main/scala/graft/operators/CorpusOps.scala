@@ -133,14 +133,19 @@ object CorpusOps {
            |  THEN transform(sequence(0, size(t) - $g), i -> array_join(slice(t, i + 1, $g), ' '))
            |  ELSE array() END""".stripMargin)).as("gram"))
       .distinct()
-    val base = Tables.documents(spark, dir)
-    val evalGrams = gramsOf(base.filter(col("doc_id") % EvalMod === 0))
-      .select("gram").distinct()
-    gramsOf(base.filter(col("doc_id") % EvalMod =!= 0))
-      .join(evalGrams, "gram")
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_shared"))
-      .orderBy("doc_id")
+    // memoized per (session, dir): the corpus-side gram explode is the
+    // cost, and BOTH the x3 row and x7's decon anti-join consume this
+    // (tiny) contaminated-doc relation — the d2/d8 shared-substrate
+    // discipline
+    DedupOps.memoized(spark, "x3_contaminated", dir) {
+      val base = Tables.documents(spark, dir)
+      val evalGrams = gramsOf(base.filter(col("doc_id") % EvalMod === 0))
+        .select("gram").distinct()
+      gramsOf(base.filter(col("doc_id") % EvalMod =!= 0))
+        .join(evalGrams, "gram")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_shared"))
+    }.orderBy("doc_id")
   }
 
   /** x5 token budget per source (chosen to keep roughly half of each
