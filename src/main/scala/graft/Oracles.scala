@@ -1766,6 +1766,28 @@ object Oracles {
 
     // DuckDB's md5 takes VARCHAR and hashes its UTF-8 bytes — exactly
     // the bytes Spark's md5(cast(text as binary)) hashes
+    // m4: the stub feature extractor regenerates identically in SQL
+    // (per-dim md5-derived ints), so the whole extract→score→top-k
+    // chain is integer-exact cross-engine
+    "m4_blob_embed_sim" ->
+      s"""WITH emb AS (SELECT doc_id,
+         |    [${(0 until graft.operators.MultimodalOps.EmbDims)
+                .map(d => h60(s"text || '_emb_' || $d") + " % 2001 - 1000")
+                .mkString(", ")}] AS v
+         |  FROM documents),
+         |pr AS (SELECT q.doc_id AS q_id, c.doc_id AS c_id,
+         |    list_dot_product(q.v, c.v) AS dot,
+         |    list_dot_product(q.v, q.v) AS na,
+         |    list_dot_product(c.v, c.v) AS nb
+         |  FROM emb q JOIN emb c
+         |    ON q.doc_id % 25 = 0 AND q.doc_id <> c.doc_id),
+         |r AS (SELECT q_id, c_id, dot / sqrt(na * nb) AS score,
+         |    row_number() OVER (PARTITION BY q_id
+         |      ORDER BY dot / sqrt(na * nb) DESC, c_id) AS rnk
+         |  FROM pr)
+         |SELECT q_id, rnk, c_id, round(score, 6) AS score
+         |FROM r WHERE rnk <= 3 ORDER BY q_id, rnk""".stripMargin,
+
     // m3's identity key is sha2-256 (collision-resistant, unlike md5);
     // DuckDB's sha256() hashes the same UTF-8 bytes to the same hex
     "m3_blob_dedup" ->

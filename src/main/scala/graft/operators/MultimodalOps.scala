@@ -70,6 +70,41 @@ object MultimodalOps {
         (octet_length(col("blob")) % 30 + 1).as("n_frames"))
       .orderBy("doc_id")
 
+  /** m4 embedding width (stub feature extractor). */
+  val EmbDims = 16
+
+  /** m4: FEATURE EXTRACTION → SIMILARITY — the multimodal-to-vector
+    * bridge: each blob maps to an embedding and every query blob
+    * retrieves its top-k most similar blobs by exact integer cosine —
+    * the stage that turns a media corpus into a searchable vector lake.
+    * The MODEL CALL is stubbed deterministically (dim d =
+    * hash60(payload ++ "_emb_d") % 2001 − 1000 — no vision/audio models
+    * in this environment; swapping in a real encoder is the one-line
+    * m2 discipline), while everything Spark-side is real: the feature
+    * projection is map-side (EmbDims md5s per blob, zero shuffle), the
+    * scoring is the e1 broadcast-queries shape on the derived vectors,
+    * and at scale the e2/e5 bucketed paths apply to these vectors
+    * UNCHANGED — that composability is the point of landing features
+    * as plain `array<long>` columns. */
+  def blobEmbedSim(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    import graft.functions.F.{cosineWith, dotBest, hash60}
+    val cos = cosineWith(dotBest(spark)) _
+    val emb = Tables.documents(spark, dir).select(col("doc_id"),
+      array((0 until EmbDims).map(d =>
+        hash60(concat(col("text"), lit(s"_emb_$d"))) % 2001L - 1000L): _*).as("v"))
+    val queries = emb.filter(col("doc_id") % 25 === 0)
+      .select(col("doc_id").as("q_id"), col("v").as("qv"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(col("score").desc, col("c_id"))
+    emb.select(col("doc_id").as("c_id"), col("v").as("cv"))
+      .join(broadcast(queries), col("q_id") =!= col("c_id"))
+      .withColumn("score", cos(col("qv"), col("cv")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col("rnk"), col("c_id"), round(col("score"), 6).as("score"))
+      .orderBy("q_id", "rnk")
+  }
+
   /** One sampled "frame" of a media blob (see frameSample). */
   case class FrameRow(doc_id: Long, frame_idx: Int, frame_sig: Long)
 
