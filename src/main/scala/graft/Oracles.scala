@@ -1772,7 +1772,7 @@ object Oracles {
     "m4_blob_embed_sim" ->
       s"""WITH emb AS (SELECT doc_id,
          |    [${(0 until graft.operators.MultimodalOps.EmbDims)
-                .map(d => h60(s"text || '_emb_' || $d") + " % 2001 - 1000")
+                .map(d => h60(s"md5(text) || '_emb_' || $d") + " % 2001 - 1000")
                 .mkString(", ")}] AS v
          |  FROM documents),
          |pr AS (SELECT q.doc_id AS q_id, c.doc_id AS c_id,
