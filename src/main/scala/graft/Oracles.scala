@@ -1780,13 +1780,15 @@ object Oracles {
          |    list_dot_product(q.v, q.v) AS na,
          |    list_dot_product(c.v, c.v) AS nb
          |  FROM emb q JOIN emb c
-         |    ON q.doc_id % 25 = 0 AND q.doc_id <> c.doc_id),
+         |    ON q.doc_id % ${graft.operators.MultimodalOps.EmbQueryStride} = 0
+         |    AND q.doc_id <> c.doc_id),
          |r AS (SELECT q_id, c_id, dot / sqrt(na * nb) AS score,
          |    row_number() OVER (PARTITION BY q_id
          |      ORDER BY dot / sqrt(na * nb) DESC, c_id) AS rnk
          |  FROM pr)
          |SELECT q_id, rnk, c_id, round(score, 6) AS score
-         |FROM r WHERE rnk <= 3 ORDER BY q_id, rnk""".stripMargin,
+         |FROM r WHERE rnk <= ${graft.operators.MultimodalOps.EmbTopK}
+         |ORDER BY q_id, rnk""".stripMargin,
 
     // m3's identity key is sha2-256 (collision-resistant, unlike md5);
     // DuckDB's sha256() hashes the same UTF-8 bytes to the same hex

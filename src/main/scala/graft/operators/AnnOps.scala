@@ -73,16 +73,32 @@ object AnnOps {
     * Deliberately bounded: |queries| = |corpus| / QueryStride. At scale
     * this stays a broadcast of the small query side against a single
     * corpus scan; the unbounded scale path is e2. */
-  def annTopk(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
-    val cos = cosineWith(dotBest(spark)) _
-    val corpus = quantized(spark, dir)
-    val queries = corpus.filter(col("vec_id") % QueryStride === 0)
-      .select(col("vec_id").as("q_id"), col("q").as("qq"))
+  def annTopk(spark: SparkSession, dir: String, k: Int = 5): DataFrame =
+    cosineTopkOf(spark, quantized(spark, dir), "vec_id", "q", QueryStride, k)
+
+  /** THE exact-cosine top-k scoring chain — e1 and m4 (blob-embedding
+    * similarity) both run through this one definition, so the shared
+    * discipline (stride-selected broadcast queries, (score desc, c_id)
+    * tie-break, round-6 presentation) cannot fork between the two
+    * exactness baselines. Norms are precomputed per ROW (n2 = v·v on
+    * the corpus relation), so the pair loop pays ONE dot product, not
+    * three — the exact doubles are unchanged (norms are the same exact
+    * integers, cast and multiplied in the same order as the oracle's
+    * `dot / sqrt(na * nb)`). */
+  private[operators] def cosineTopkOf(spark: SparkSession, rel: DataFrame,
+      idCol: String, vCol: String, stride: Int, k: Int): DataFrame = {
+    val dot = dotBest(spark)
+    val withN = rel.select(col(idCol).as("_id"), col(vCol).as("_v"))
+      .withColumn("_n2", dot(col("_v"), col("_v")).cast(DoubleType))
+    val queries = withN
+      .select(col("_id").as("q_id"), col("_v").as("qv"), col("_n2").as("qn2"))
+      .filter(col("q_id") % stride === 0)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("q_id").orderBy(col("score").desc, col("c_id"))
-    corpus.select(col("vec_id").as("c_id"), col("q").as("cq"))
+    withN.select(col("_id").as("c_id"), col("_v").as("cv"), col("_n2").as("cn2"))
       .join(broadcast(queries), col("q_id") =!= col("c_id"))
-      .withColumn("score", cos(col("qq"), col("cq")))
+      .withColumn("score",
+        dot(col("qv"), col("cv")).cast(DoubleType) / sqrt(col("qn2") * col("cn2")))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
       .select(col("q_id"), col("rnk"), col("c_id"), round(col("score"), 6).as("score"))

@@ -73,6 +73,12 @@ object MultimodalOps {
   /** m4 embedding width (stub feature extractor). */
   val EmbDims = 16
 
+  /** m4 query selection stride and top-k — named once; the oracle
+    * interpolates BOTH (the EmbDims discipline: a Spark-side retune
+    * must break the compile, not the oracle gate). */
+  val EmbQueryStride = 25
+  val EmbTopK = 3
+
   /** m4: FEATURE EXTRACTION → SIMILARITY — the multimodal-to-vector
     * bridge: each blob maps to an embedding and every query blob
     * retrieves its top-k most similar blobs by exact integer cosine —
@@ -86,9 +92,9 @@ object MultimodalOps {
     * and at scale the e2/e5 bucketed paths apply to these vectors
     * UNCHANGED — that composability is the point of landing features
     * as plain `array<long>` columns. */
-  def blobEmbedSim(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
-    import graft.functions.F.{cosineWith, dotBest, hash60}
-    val cos = cosineWith(dotBest(spark)) _
+  def blobEmbedSim(spark: SparkSession, dir: String,
+      k: Int = EmbTopK): DataFrame = {
+    import graft.functions.F.hash60
     // the payload is digested ONCE per blob and the dims derive from
     // the (fixed-width) digest — 1 full-payload hash + EmbDims short
     // hashes per row, not EmbDims full-payload hashes; memoized like
@@ -100,17 +106,8 @@ object MultimodalOps {
           array((0 until EmbDims).map(d =>
             hash60(concat(col("h"), lit(s"_emb_$d"))) % 2001L - 1000L): _*).as("v"))
     }
-    val queries = emb.filter(col("doc_id") % 25 === 0)
-      .select(col("doc_id").as("q_id"), col("v").as("qv"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("q_id").orderBy(col("score").desc, col("c_id"))
-    emb.select(col("doc_id").as("c_id"), col("v").as("cv"))
-      .join(broadcast(queries), col("q_id") =!= col("c_id"))
-      .withColumn("score", cos(col("qv"), col("cv")))
-      .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= k)
-      .select(col("q_id"), col("rnk"), col("c_id"), round(col("score"), 6).as("score"))
-      .orderBy("q_id", "rnk")
+    // the e1 scoring chain, verbatim — one shared definition
+    AnnOps.cosineTopkOf(spark, emb, "doc_id", "v", EmbQueryStride, k)
   }
 
   /** One sampled "frame" of a media blob (see frameSample). */
