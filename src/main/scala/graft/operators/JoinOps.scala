@@ -76,49 +76,101 @@ object JoinOps {
       .orderBy("band")
   }
 
-  /** a4: INTERVAL OVERLAP self-join — for every user session (the p7
+  /** a4: INTERVAL OVERLAP counting — for every user session (the p7
     * gap-rule sessions), how many sessions of OTHER users were live at
-    * the same time. The naive formulation is an inequality θ-join
-    * (`a.start <= b.end AND b.start <= a.end`) — a nested-loop plan,
-    * O(n²) at any scale.
+    * the same time (inclusive overlap: `a.start <= b.end AND
+    * b.start <= a.end`). The naive formulation is an inequality θ-join —
+    * a nested loop, O(n²) at any scale. The previous formulation
+    * bucketed time into hours and self-joined on the bucket — correct,
+    * and bounded by temporal density, but a flash-crowd hour (launch
+    * day, an outage spike) concentrates (live sessions)² candidate
+    * pairs in ONE task, and AQE can split the join but not shrink the
+    * quadratic candidate set.
     *
-    * Spark realization: time is cut into fixed 1-hour buckets; each
-    * interval explodes to the buckets it spans, candidates equality-join
-    * on the bucket, and the exact overlap predicate re-checks on the
-    * candidates. A pair sharing k buckets would count k times, so each
-    * pair is counted ONLY in the bucket where its overlap begins
-    * (`greatest(a.start, b.start)`'s bucket) — cheaper than a
-    * distinct-pair shuffle, same result. Join volume is
-    * Σ_bucket (live intervals)², i.e. bounded by actual temporal
-    * density, not by n²; the bucket width trades explode factor
-    * (long intervals span more buckets) against per-bucket density —
-    * 2× the median interval length is a good default. Zero-overlap
-    * sessions are kept via the final left join (count 0). */
-  def intervalOverlap(spark: SparkSession, dir: String): DataFrame = {
-    val BucketUs = 3600L * 1000000 // 1 hour
-    // the session frame feeds THREE plan arms (both self-join sides and
-    // the final zero-keeping left join) — materialize it once instead
-    // of re-running the sessionization window per arm
-    val s = graft.pipeline.TripPipeline.sessionize(spark, dir)
-      .select(col("user_id"), col("session_idx"),
-        col("session_start"), col("session_end"),
-        unix_micros(col("session_start").cast("timestamp")).as("su"),
-        unix_micros(col("session_end").cast("timestamp")).as("eu"))
+    * Because a4 needs COUNTS, not the pairs themselves, no pair
+    * enumeration is needed at all:
+    *
+    *   overlaps(i)  [including self and same-user sessions]
+    *     = |{j : s_j <= e_i}| − |{j : e_j < s_i}|
+    *
+    * Both terms are rank queries against the 2n-row boundary multiset,
+    * ordered by (time, kind) with starts BEFORE ends at equal time —
+    * which encodes exactly the inclusive `<=` / strict `<` pair above.
+    * With R = global rank in the combined multiset and RS / RE = global
+    * rank among starts / ends alone (identical tie-break columns, so
+    * the subset order is the restriction of the combined order):
+    *
+    *   |{j : s_j <= e_i}| = R(end_i)   − RE(i)   (starts before end_i)
+    *   |{j : e_j <  s_i}| = R(start_i) − RS(i)   (ends before start_i)
+    *
+    * The same inclusion–exclusion evaluated WITHIN each user via
+    * partitioned windows yields that user's own overlap count
+    * (including self), which subtracts out to leave other-users-only.
+    * Cost: three RankOps.withGlobalRank passes (range shuffle +
+    * partitioned window each) + per-user windows + (user, session)
+    * equality joins — O(n log n) REGARDLESS of temporal density; the
+    * flash-crowd hour costs the same as a quiet one, and nothing in the
+    * plan is a self-join whose volume grows with per-hour density. The
+    * oracle stays the literal inequality join (Oracles.scala), and the
+    * flash-crowd equivalence is pinned in Round7OpsSpec. */
+  def intervalOverlap(spark: SparkSession, dir: String): DataFrame =
+    intervalOverlapCounts(
+      graft.pipeline.TripPipeline.sessionize(spark, dir)
+        .select("user_id", "session_idx", "session_start", "session_end"))
+
+  /** The counting core over an explicit session relation
+    * (user_id, session_idx, session_start, session_end) — the seam the
+    * flash-crowd spec drives with constructed inputs. Handles ANY
+    * interval layout (the per-user correction is the same rank identity
+    * partitioned by user, not a disjointness assumption). */
+  private[graft] def intervalOverlapCounts(sessions: DataFrame): DataFrame = {
+    // the session frame feeds five plan arms (combined boundary set,
+    // two subset-rank passes, the final join) — materialize it once
+    val s = sessions
+      .withColumn("su", unix_micros(col("session_start").cast("timestamp")))
+      .withColumn("eu", unix_micros(col("session_end").cast("timestamp")))
       .localCheckpoint(eager = true)
-    val exploded = s.withColumn("bucket",
-      explode(sequence(expr(s"su div $BucketUs"), expr(s"eu div $BucketUs"))))
-    val counts = exploded.as("a")
-      .join(exploded.as("b"),
-        col("a.bucket") === col("b.bucket") &&
-          col("a.user_id") =!= col("b.user_id") &&
-          col("a.su") <= col("b.eu") && col("b.su") <= col("a.eu") &&
-          col("a.bucket") === expr(s"greatest(a.su, b.su) div $BucketUs"))
-      .groupBy(col("a.user_id").as("user_id"), col("a.session_idx").as("session_idx"))
-      .agg(count(lit(1)).as("n_concurrent"))
-    s.join(counts, Seq("user_id", "session_idx"), "left")
+    val starts = s.select(col("user_id"), col("session_idx"), col("su").as("t"))
+      .withColumn("kind", lit(0))
+    val ends = s.select(col("user_id"), col("session_idx"), col("eu").as("t"))
+      .withColumn("kind", lit(1))
+    // kind=0 (starts) sorts before kind=1 (ends) at equal t: encodes
+    // s_j <= e_i inclusive and e_j < s_i strict in one total order
+    val order = Seq(col("t"), col("kind"), col("user_id"), col("session_idx"))
+    val uAll = Window.partitionBy("user_id")
+      .orderBy(col("t"), col("kind"), col("session_idx"))
+    val uKind = Window.partitionBy("user_id", "kind")
+      .orderBy(col("t"), col("session_idx"))
+    // per-record: gr = combined global rank; (ugr − usub) = how many of
+    // THIS user's opposite-kind boundaries precede this record — the
+    // per-user leg of the same inclusion–exclusion
+    val combined = RankOps.withGlobalRank(starts.union(ends), "gr", order)
+      .withColumn("uxk",
+        (row_number().over(uAll) - row_number().over(uKind)).cast(LongType))
+    val startSide = combined.filter(col("kind") === 0)
+      .select(col("user_id"), col("session_idx"),
+        col("gr").as("gr_s"), col("uxk").as("u_ends_lt_start"))
+    val endSide = combined.filter(col("kind") === 1)
+      .select(col("user_id"), col("session_idx"),
+        col("gr").as("gr_e"), col("uxk").as("u_starts_le_end"))
+    val rs = RankOps.withGlobalRank(
+        s.select(col("user_id"), col("session_idx"), col("su").as("t")),
+        "rs", Seq(col("t"), col("user_id"), col("session_idx")))
+      .select(col("user_id"), col("session_idx"), col("rs"))
+    val re = RankOps.withGlobalRank(
+        s.select(col("user_id"), col("session_idx"), col("eu").as("t")),
+        "re", Seq(col("t"), col("user_id"), col("session_idx")))
+      .select(col("user_id"), col("session_idx"), col("re"))
+    s.join(startSide, Seq("user_id", "session_idx"))
+      .join(endSide, Seq("user_id", "session_idx"))
+      .join(rs, Seq("user_id", "session_idx"))
+      .join(re, Seq("user_id", "session_idx"))
       .select(col("user_id"), col("session_idx"),
         col("session_start"), col("session_end"),
-        coalesce(col("n_concurrent"), lit(0L)).as("n_concurrent"))
+        // A − B − (same-user A − same-user B); the same-user term
+        // includes self, so no +1/−1 fixup is needed anywhere
+        ((col("gr_e") - col("re")) - (col("gr_s") - col("rs")) -
+          (col("u_starts_le_end") - col("u_ends_lt_start"))).as("n_concurrent"))
       .orderBy("user_id", "session_idx")
   }
 }

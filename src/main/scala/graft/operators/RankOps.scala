@@ -22,15 +22,24 @@ import org.apache.spark.sql.types.LongType
   *      MUST be computed from the same materialized assignment.
   *   3. Per-pid row_number (a PARTITIONED window — every task ranks one
   *      pid) plus a broadcast per-pid offset = exact global rank. The
-  *      offsets come from a pid-count relation of exactly
-  *      `#shuffle-partitions` rows joined triangularly to itself — no
-  *      window at all, so the whole plan contains zero unpartitioned
-  *      Window nodes and zero single-partition exchanges on the ranked
-  *      relation.
+  *      offsets are a running sum over the pid-count relation of exactly
+  *      `#shuffle-partitions` rows — O(p), materialized inside its own
+  *      localCheckpoint job, so the consumer plan still contains zero
+  *      unpartitioned Window nodes and zero single-partition exchanges
+  *      on the RANKED relation (the p-row offset window is single-task
+  *      by design: constant-size input, never SF-proportional).
   *
   * Cost at scale: one range shuffle + one materialization + one hash
   * shuffle of the ranked relation, all fully parallel — vs. the global
-  * window's single task holding every row. */
+  * window's single task holding every row.
+  *
+  * Fault-tolerance caveat: localCheckpoint blocks are NOT recomputable —
+  * on a real cluster an executor loss during the consuming stage fails
+  * the job (retry restarts the operator; determinism makes the retry
+  * byte-identical). A long-running distributed deployment that must
+  * survive executor loss mid-query swaps the localCheckpoint for
+  * `checkpoint()` against reliable storage or a persisted parquet write —
+  * same plan shape, durable blocks. */
 object RankOps {
 
   /** Adds `rankCol` (1-based, dense over the TOTAL order given by
@@ -43,12 +52,17 @@ object RankOps {
       .withColumn("_gr_pid", spark_partition_id())
       .localCheckpoint() // freeze the (nondeterministic) pid assignment
     val counts = tagged.groupBy("_gr_pid").agg(count(lit(1)).as("_gr_n"))
-    // offset(pid) = Σ counts of strictly-lower pids: a triangular join on
-    // a #partitions-row relation (broadcast nested loop over ~32 rows).
-    val offsets = counts.as("a")
-      .join(counts.as("b"), col("b._gr_pid") < col("a._gr_pid"), "left")
-      .groupBy(col("a._gr_pid").as("_gr_pid"))
-      .agg(coalesce(sum(col("b._gr_n")), lit(0L)).as("_gr_off"))
+    // offset(pid) = Σ counts of strictly-lower pids: a running sum over
+    // the #partitions-row counts relation — O(p). The unpartitioned
+    // window is deliberate and safe here (constant-size input: p rows,
+    // never SF-proportional) and runs inside this localCheckpoint's own
+    // job, so consumer plans stay free of unpartitioned Window nodes.
+    val offsets = counts
+      .withColumn("_gr_off", coalesce(
+        sum("_gr_n").over(Window.orderBy("_gr_pid")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("_gr_pid", "_gr_off")
+      .localCheckpoint(eager = true)
     tagged
       .join(broadcast(offsets), "_gr_pid")
       .withColumn(rankCol,
@@ -70,10 +84,11 @@ object RankOps {
       .otherwise(rem + (rank - fat - 1).div(base) + 1) // base>0 here: rank>fat forces n>buckets*... rem*(b+1)<n ⇒ base≥1
   }
 
-  /** Integral division on positive long columns (Column./ is floating;
-    * casts back to long — exact below 2^52, far above any rank here). */
+  /** EXACT integral division on long columns — Catalyst's IntegralDivide
+    * (the SQL `div` operator), never the double-division-plus-cast
+    * shortcut, which silently misbuckets once operands pass ~2^52. */
   private implicit class DivCol(private val c: Column) {
-    def div(other: Column): Column = (c / other).cast(LongType)
-    def div(other: Long): Column = (c / lit(other)).cast(LongType)
+    def div(other: Column): Column = call_function("div", c, other)
+    def div(other: Long): Column = call_function("div", c, lit(other))
   }
 }

@@ -1,0 +1,128 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{JoinOps, RankOps}
+
+/** Semantics checks for the round-7 work: a4's rank-based interval
+  * overlap counting (the quadratic hot-bucket self-join is gone), exact
+  * integral division in RankOps. */
+class Round7OpsSpec extends AnyFunSuite with SparkSpec {
+
+  /** Constructed session relation: (user, idx, [startSec, endSec]). */
+  private def sessionsOf(rows: Seq[(Long, Long, Long, Long)]): DataFrame = {
+    import spark.implicits._
+    rows.toDF("user_id", "session_idx", "su_s", "eu_s")
+      .select(col("user_id"), col("session_idx"),
+        timestamp_seconds(col("su_s")).cast("timestamp_ntz").as("session_start"),
+        timestamp_seconds(col("eu_s")).cast("timestamp_ntz").as("session_end"))
+  }
+
+  /** The literal θ-join the operator re-expresses — brute force, only
+    * ever run on constructed inputs here. */
+  private def bruteForce(s: DataFrame): Seq[(Long, Long, Long)] = {
+    val a = s.select(col("user_id"), col("session_idx"),
+      col("session_start").as("sa"), col("session_end").as("ea"))
+    val b = s.select(col("user_id").as("ub"),
+      col("session_start").as("sb"), col("session_end").as("eb"))
+    a.join(b, col("user_id") =!= col("ub") &&
+        col("sa") <= col("eb") && col("sb") <= col("ea"), "left")
+      .groupBy("user_id", "session_idx")
+      .agg(count(col("ub")).as("n_concurrent"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq.sorted
+  }
+
+  private def ranked(s: DataFrame): Seq[(Long, Long, Long)] =
+    JoinOps.intervalOverlapCounts(s)
+      .select("user_id", "session_idx", "n_concurrent")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq.sorted
+
+  test("a4 counting equals the literal overlap join on a flash-crowd input") {
+    // >= 50% of all sessions live inside ONE hour (the shape that made
+    // the bucketed self-join quadratic in one task), plus edge shapes:
+    // touching endpoints, identical intervals across users, containment,
+    // zero-overlap loners, multiple disjoint sessions per user
+    val h = 3600L
+    val flash = (0 until 60).map { i =>
+      (100L + i, 1L, 10 * h + (i % 7) * 60, 10 * h + 1800 + (i % 11) * 120)
+    }
+    val edges = Seq(
+      (1L, 1L, 0L, h),            // touches (2,1) at t=h exactly
+      (2L, 1L, h, 2 * h),         // inclusive-boundary pair
+      (3L, 1L, 0L, 10 * h),       // contains the flash crowd's start
+      (4L, 1L, 50 * h, 51 * h),   // zero-overlap loner
+      (5L, 1L, 10 * h, 10 * h),   // zero-length interval inside the crowd
+      (5L, 2L, 20 * h, 21 * h),   // second session, same user
+      (6L, 1L, 10 * h + 600, 10 * h + 900),  // nested inside the crowd
+      (7L, 1L, 2 * h, 2 * h)      // zero-length touching (2,1)'s end
+    )
+    val s = sessionsOf(flash ++ edges)
+    assert(ranked(s) === bruteForce(s))
+  }
+
+  test("a4 counting handles same-user OVERLAPPING intervals (no disjointness assumption)") {
+    // p7 sessions are disjoint per user, but the counting core must not
+    // depend on that: the per-user correction is the same rank identity
+    val s = sessionsOf(Seq(
+      (1L, 1L, 0L, 100L), (1L, 2L, 50L, 150L), (1L, 3L, 140L, 200L),
+      (2L, 1L, 40L, 60L), (2L, 2L, 55L, 160L),
+      (3L, 1L, 90L, 95L)))
+    assert(ranked(s) === bruteForce(s))
+  }
+
+  test("a4's plan has no nested-loop join, no explode, no SF-proportional self-join") {
+    val df = JoinOps.intervalOverlap(spark, Sf0001)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("NestedLoop") && !plan.contains("Cartesian"),
+      s"non-equi join survived the rewrite:\n$plan")
+    assert(!plan.contains("Explode") && !plan.contains("sequence("),
+      s"bucket explode survived the rewrite:\n$plan")
+    // every remaining window is partitioned (the offset windows run
+    // inside RankOps' checkpoint jobs, not this plan)
+    planNodes(df).collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }.foreach(w => assert(w.partitionSpec.nonEmpty, s"unpartitioned window:\n$w"))
+  }
+
+  test("a4 against the real sf0.001 sessions matches the bucketed-era results") {
+    // regression net: same output contract as the oracle-checked rows
+    val got = JoinOps.intervalOverlap(spark, Sf0001)
+    val sess = graft.pipeline.TripPipeline.sessionize(spark, Sf0001)
+      .select("user_id", "session_idx", "session_start", "session_end")
+    assert(got.select("user_id", "session_idx", "n_concurrent")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq.sorted
+      === bruteForce(sess))
+  }
+
+  test("RankOps div is exact past 2^52") {
+    import spark.implicits._
+    // (rank, n) shapes the double-division shortcut misbuckets: operands
+    // chosen so a/b in IEEE double rounds to the wrong integer
+    val big = (1L << 60) + 1L
+    val got = Seq((big, 7L)).toDF("a", "b")
+      .select(call_function("div", col("a"), col("b")).as("q"))
+      .as[Long].head()
+    assert(got === big / 7L)
+    // the old shortcut is provably wrong on this input — guards against
+    // someone "simplifying" back to it
+    val wrong = Seq((big, 7L)).toDF("a", "b")
+      .select((col("a") / col("b")).cast("long").as("q")).as[Long].head()
+    assert(wrong !== big / 7L, "if this starts passing, the sentinel input needs updating")
+  }
+
+  test("ntileOfRank still matches ntile() after the exact-div swap") {
+    import spark.implicits._
+    for (n <- Seq(1, 5, 17, 100); b <- Seq(3, 4, 7)) {
+      val df = (1 to n).map(_.toLong).toDF("rk")
+      val got = df.select(col("rk"), RankOps.ntileOfRank(col("rk"), lit(n), b)
+        .cast("int").as("t")).as[(Long, Int)].collect().toMap
+      val want = df.select(col("rk"), ntile(b).over(Window.orderBy("rk")).as("t"))
+        .as[(Long, Int)].collect().toMap
+      assert(got === want, s"ntile mismatch at n=$n b=$b")
+    }
+  }
+}
