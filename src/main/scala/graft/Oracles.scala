@@ -126,8 +126,15 @@ object Oracles {
          |FROM agg""".stripMargin
 
 
-  private lazy val e6Sql: String =
-    s"""WITH ql AS (SELECT vec_id, $QV AS qv, label FROM embeddings),
+  private lazy val e6Sql: String = e6SqlWhere("")
+
+  /** The e6 IVF+PQ statement with an optional corpus restriction — e13
+    * (delete maintenance) is the SAME statement over the surviving
+    * vectors only: restricting ql restricts queries, codes and centroid
+    * state uniformly, which is exactly what "answers like a full rebuild
+    * on the surviving corpus" means. */
+  private def e6SqlWhere(pred: String): String =
+    s"""WITH ql AS (SELECT vec_id, $QV AS qv, label FROM embeddings$pred),
          |pcent AS (
          |  SELECT CAST(m AS INTEGER) AS m, CAST(k AS INTEGER) AS k, CAST(d AS INTEGER) AS d,
          |    ${h60("'pq_' || m || '_' || k || '_' || d")} % 2001 - 1000 AS c
@@ -1245,6 +1252,12 @@ object Oracles {
     // rebuild — centroid state is associative, codes are per-vector —
     // so its oracle is also e6's statement verbatim
     "e11_ann_incremental" -> e6Sql,
+
+    // e13: delete maintenance must answer exactly like a full rebuild
+    // on the SURVIVING corpus — e6's statement with the tombstoned
+    // slice removed (queries included: deleted vectors stop asking)
+    "e13_ann_delete" -> e6SqlWhere(
+      s" WHERE vec_id % 10 <> ${graft.operators.AnnOps.DeleteSlice}"),
 
     // e12: the single-request serving path is e6 restricted to the one
     // served query — pruning the code lake to the probed cells must

@@ -405,17 +405,27 @@ object AnnOps {
     * SERVING path the scaladocs claim, not the build. The artifacts are
     * a deterministic function of the dir, so skipping can only ever
     * skip an identical rewrite. */
-  private val landed = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private val landed = new java.util.concurrent.ConcurrentHashMap[String, AnyRef]()
 
-  private def landOnce(key: String)(build: => Unit): Unit =
-    if (!landed.contains(key)) { build; landed.add(key) }
+  /** Runs `build` at most once per JVM per key — ATOMICALLY
+    * (computeIfAbsent: a second concurrent caller blocks instead of
+    * racing a duplicate overwrite into the same directory) — and again
+    * if `artifact` (a directory the build must land) has been cleaned
+    * from disk since, so a wiped target/ heals instead of serving a
+    * missing path. A build that throws leaves no mapping: the next
+    * caller retries. */
+  private def landOnce(key: String, artifact: String)(build: => Unit): Unit = {
+    if (!new java.io.File(artifact).exists()) landed.remove(key)
+    landed.computeIfAbsent(key, _ => { build; java.lang.Boolean.TRUE })
+    ()
+  }
 
   /** Lands the e10 index artifacts (first call per JVM per dir) and
     * returns the index root — shared by the batch-serving e10 and the
     * single-request e12 paths. */
   private def buildPersistedIndex(spark: SparkSession, dir: String): String = {
     val out = graft.functions.F.sinkPath("annindex", dir)
-    landOnce(out) {
+    landOnce(out, s"$out/codes") {
       centroids(spark, dir).write.mode("overwrite").parquet(s"$out/centroids")
       pqCodes(spark, dir).write.mode("overwrite")
         .partitionBy("label").parquet(s"$out/codes")
@@ -487,8 +497,9 @@ object AnnOps {
     * The delta's code files land beside the base's in the same
     * `label=<cell>/` layout (written here to a sibling dir for
     * idempotent reruns; appending files into the cell dirs is the same
-    * operation). Deletes would decrement the same state; re-clustering
-    * (new cell geometry) is the one event that forces a rebuild. */
+    * operation). Deletes decrement the same state — the e13 leg;
+    * re-clustering (new cell geometry) is the one event that forces a
+    * rebuild. */
   def annIncrementalIndex(spark: SparkSession, dir: String, k: Int = 3,
       nProbe: Int = NProbe): DataFrame = {
     val out = graft.functions.F.sinkPath("annincr", dir)
@@ -496,7 +507,7 @@ object AnnOps {
     // ---- base ingest: index state of the initial corpus (once per
     // JVM per dir — repeated calls measure the MAINTENANCE op below,
     // which is the operator) ----
-    landOnce(s"$out/base") {
+    landOnce(s"$out/base", s"$out/codes_base") {
       centroidStateOf(quantized(spark, dir).filter(col("vec_id") % 10 =!= 0))
         .write.mode("overwrite").parquet(s"$out/centroids_v1")
       pqCodes(spark, dir).filter(!isDelta)
@@ -527,6 +538,89 @@ object AnnOps {
       .select(col("c_id"), col("label").cast(IntegerType).as("label"),
         col("m"), col("code"))
     pqAnswer(spark, dir, cent, codes, k, nProbe)
+  }
+
+  /** The tombstoned slice for e13 (vec_id % 10 == DeleteSlice). Chosen
+    * to intersect the query stride (odd multiples of 25 are ≡ 5 mod 10),
+    * so the delete also removes QUERIES — the output must lose those
+    * q_id groups, not just candidate rows. */
+  val DeleteSlice = 5L
+
+  /** e13: INDEX DELETE MAINTENANCE — the fourth lifecycle leg
+    * (build e10 / add e11 / serve e12 / delete e13). A vector lake
+    * deletes continuously (takedowns, retention, corpus re-curation);
+    * rebuilding per delete batch would rescan the whole corpus. The
+    * delta-only delete is EXACT, the mirror image of e11's add:
+    *
+    *  - the tombstone batch DECREMENTS the persisted centroid state —
+    *    the (sum-vector, count) state is a group under element-wise
+    *    addition, so subtraction is as exact as e11's addition; int64
+    *    arithmetic makes v_full − v_deleted bit-equal to a direct
+    *    rebuild's v_surviving. Cells whose count hits zero leave the
+    *    index (their directory is compacted away in production);
+    *  - the tombstoned ids are ANTI-JOINED out of the code lake at
+    *    serve time (the standard tombstone-then-compact pattern: logical
+    *    delete now, physical file rewrite on the next compaction —
+    *    p24's operator is exactly that rewrite);
+    *  - tombstoned vectors also stop being QUERIES: their q_id groups
+    *    disappear from the answer.
+    *
+    * The maintained index answers bit-for-bit like a full rebuild on
+    * the surviving corpus (pinned in Round7OpsSpec); the oracle is e6's
+    * statement restricted to surviving vectors. Scale shape: the delete
+    * reads the base corpus ZERO times — only the tombstone batch
+    * (encoded map-side) and the kilobyte centroid state; the anti-join
+    * ships only the tombstone id set (broadcast at any realistic delete
+    * batch size). */
+  def annDeleteIndex(spark: SparkSession, dir: String, k: Int = 3,
+      nProbe: Int = NProbe): DataFrame = {
+    val out = graft.functions.F.sinkPath("anndel", dir)
+    val deleted = col("vec_id") % 10 === DeleteSlice
+    // ---- the pre-delete index (once per JVM per dir — repeated calls
+    // measure the DELETE maintenance below, which is the operator) ----
+    landOnce(s"$out/full", s"$out/codes_full") {
+      centroids(spark, dir).write.mode("overwrite").parquet(s"$out/centroids_v1")
+      pqCodes(spark, dir).write.mode("overwrite")
+        .partitionBy("label").parquet(s"$out/codes_full")
+      spark.catalog.refreshByPath(s"$out/centroids_v1")
+      spark.catalog.refreshByPath(s"$out/codes_full")
+    }
+    // ---- tombstone ingest: decrement state, never rescanning the base ----
+    val delState = centroidStateOf(quantized(spark, dir).filter(deleted))
+      .select(col("label"), col("s").as("sd"), col("n").as("nd"))
+    spark.read.parquet(s"$out/centroids_v1")
+      .select(col("label"), col("s").as("sb"), col("n").as("nb"))
+      .join(delState, Seq("label"), "left")
+      .select(col("label"),
+        when(col("sd").isNull, col("sb"))
+          .otherwise(zip_with(col("sb"), col("sd"), (a, b) => a - b)).as("s"),
+        (col("nb") - coalesce(col("nd"), lit(0L))).as("n"))
+      .filter(col("n") > 0) // fully-deleted cells leave the index
+      .withColumn("ss", dotQ(col("s"), col("s")))
+      .write.mode("overwrite").parquet(s"$out/centroids_v2")
+    // ---- serve from the maintained index, tombstones anti-joined ----
+    Seq("centroids_v2", "codes_full")
+      .foreach(p => spark.catalog.refreshByPath(s"$out/$p"))
+    val tombstones = quantized(spark, dir).filter(deleted)
+      .select(col("vec_id").as("c_id"))
+    val codes = spark.read.parquet(s"$out/codes_full")
+      .join(broadcast(tombstones), Seq("c_id"), "left_anti")
+      .select(col("c_id"), col("label").cast(IntegerType).as("label"),
+        col("m"), col("code"))
+    pqAnswer(spark, dir, spark.read.parquet(s"$out/centroids_v2"), codes, k, nProbe)
+      .filter(col("q_id") % 10 =!= DeleteSlice)
+  }
+
+  /** The full-rebuild reference for e13's bit-equality spec: the same
+    * pqAnswer pipeline over an index built DIRECTLY from the surviving
+    * corpus (no decrement, no anti-join). Test-only seam. */
+  private[graft] def annDeleteRebuildReference(spark: SparkSession, dir: String,
+      k: Int = 3, nProbe: Int = NProbe): DataFrame = {
+    val survives = col("vec_id") % 10 =!= DeleteSlice
+    val cent = centroidStateOf(quantized(spark, dir).filter(survives))
+    val codes = pqCodes(spark, dir).filter(col("c_id") % 10 =!= DeleteSlice)
+    pqAnswer(spark, dir, cent, codes, k, nProbe)
+      .filter(col("q_id") % 10 =!= DeleteSlice)
   }
 
   /** (vec_id, band, code) — Bands rows per vector, codes computed in the

@@ -98,6 +98,21 @@ class Round7OpsSpec extends AnyFunSuite with SparkSpec {
       === bruteForce(sess))
   }
 
+  test("e13's delta delete answers bit-identically to a full rebuild") {
+    import graft.operators.AnnOps
+    val maintained = AnnOps.annDeleteIndex(spark, Sf0001).collect().toSeq
+    val rebuilt = AnnOps.annDeleteRebuildReference(spark, Sf0001).collect().toSeq
+    assert(maintained === rebuilt, "decrement+anti-join must equal direct rebuild")
+    assert(maintained.nonEmpty)
+    // tombstoned vectors stopped being queries...
+    assert(!maintained.exists(_.getLong(0) % 10 == AnnOps.DeleteSlice))
+    // ...and the check is non-vacuous: the pre-delete answer HAD such queries
+    val preDelete = AnnOps.annPq(spark, Sf0001)
+      .select("q_id").distinct().collect().map(_.getLong(0))
+    assert(preDelete.exists(_ % 10 == AnnOps.DeleteSlice),
+      "DeleteSlice must intersect the query stride or the query-removal leg is untested")
+  }
+
   test("RankOps div is exact past 2^52") {
     import spark.implicits._
     // (rank, n) shapes the double-division shortcut misbuckets: operands
