@@ -56,6 +56,30 @@ object Oracles {
   private def annQ =
     s"q AS (SELECT vec_id, $QV AS qv FROM embeddings)"
 
+  /** The e7 Lloyd rounds as a reusable CTE chain (ends at `a2`:
+    * (vec_id, cid, dist) — the final assignment). Shared by e7 and
+    * d12 so the semantic-dedup oracle replays the EXACT clustering the
+    * e7 rows are checked against. */
+  private lazy val e7Cte: String =
+    s"""q AS (SELECT vec_id, $QV AS qv FROM embeddings),
+       |u AS (SELECT vec_id, generate_subscripts(qv, 1) - 1 AS d, unnest(qv) AS v FROM q),
+       |seeds AS (SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS cid
+       |          FROM embeddings WHERE vec_id % 5 = 0 ORDER BY vec_id LIMIT 8),
+       |c0 AS (SELECT s.cid, u.d, u.v AS cv FROM seeds s JOIN u USING (vec_id)),
+       |d1 AS (SELECT u.vec_id, c.cid, SUM((u.v - c.cv) * (u.v - c.cv)) AS dist
+       |       FROM u JOIN c0 c ON u.d = c.d GROUP BY 1, 2),
+       |a1 AS (SELECT vec_id, cid FROM (
+       |        SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+       |        FROM d1) t WHERE rn = 1),
+       |c1 AS (SELECT a.cid, u.d,
+       |         CAST(floor(CAST(SUM(u.v) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cv
+       |       FROM a1 a JOIN u USING (vec_id) GROUP BY a.cid, u.d),
+       |d2 AS (SELECT u.vec_id, c.cid, SUM((u.v - c.cv) * (u.v - c.cv)) AS dist
+       |       FROM u JOIN c1 c ON u.d = c.d GROUP BY 1, 2),
+       |a2 AS (SELECT vec_id, cid, dist FROM (
+       |        SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+       |        FROM d2) t WHERE rn = 1)""".stripMargin
+
   /** e1 / e5 as standalone statements — map entries AND the CTE legs of
     * the e8 recall evaluation, so the evaluation always scores exactly
     * what the e1/e5 rows contain. */
@@ -1427,26 +1451,31 @@ object Oracles {
     // e7: replays both Lloyd rounds with the same integer arithmetic
     // (floor of one exact-int IEEE division for centroid updates)
     "e7_kmeans" ->
-      s"""WITH q AS (SELECT vec_id, $QV AS qv FROM embeddings),
-         |u AS (SELECT vec_id, generate_subscripts(qv, 1) - 1 AS d, unnest(qv) AS v FROM q),
-         |seeds AS (SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS cid
-         |          FROM embeddings WHERE vec_id % 5 = 0 ORDER BY vec_id LIMIT 8),
-         |c0 AS (SELECT s.cid, u.d, u.v AS cv FROM seeds s JOIN u USING (vec_id)),
-         |d1 AS (SELECT u.vec_id, c.cid, SUM((u.v - c.cv) * (u.v - c.cv)) AS dist
-         |       FROM u JOIN c0 c ON u.d = c.d GROUP BY 1, 2),
-         |a1 AS (SELECT vec_id, cid FROM (
-         |        SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
-         |        FROM d1) t WHERE rn = 1),
-         |c1 AS (SELECT a.cid, u.d,
-         |         CAST(floor(CAST(SUM(u.v) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cv
-         |       FROM a1 a JOIN u USING (vec_id) GROUP BY a.cid, u.d),
-         |d2 AS (SELECT u.vec_id, c.cid, SUM((u.v - c.cv) * (u.v - c.cv)) AS dist
-         |       FROM u JOIN c1 c ON u.d = c.d GROUP BY 1, 2),
-         |a2 AS (SELECT vec_id, cid, dist FROM (
-         |        SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
-         |        FROM d2) t WHERE rn = 1)
+      s"""WITH $e7Cte
          |SELECT vec_id, cid AS cluster, CAST(dist AS BIGINT) AS dist_sq
          |FROM a2 ORDER BY vec_id""".stripMargin,
+
+    // d12: the e7 rounds verbatim (one shared CTE chain — the cluster
+    // assignment can never drift from the checked e7 rows), then the
+    // within-cluster priority rule: priority = (dist, vec_id), a vector
+    // is removed iff a strictly-higher-priority cluster-mate has
+    // cosine >= tau, dup_of = the highest-priority witness
+    "d12_semantic_dedup" ->
+      s"""WITH $e7Cte,
+         |m AS (SELECT a.vec_id, a.cid, a.dist, q.qv FROM a2 a JOIN q USING (vec_id)),
+         |cand AS (SELECT a.vec_id, b.vec_id AS b_id, b.dist AS b_dist,
+         |    list_dot_product(a.qv, b.qv) /
+         |      sqrt(list_dot_product(a.qv, a.qv) * list_dot_product(b.qv, b.qv)) AS c
+         |  FROM m a JOIN m b ON a.cid = b.cid
+         |    AND (b.dist < a.dist OR (b.dist = a.dist AND b.vec_id < a.vec_id))),
+         |hit AS (SELECT vec_id, b_id, c,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY b_dist, b_id) AS rn
+         |  FROM cand WHERE c >= ${graft.operators.DedupOps.SemDedupTau}),
+         |best AS (SELECT vec_id, b_id AS dup_of, round(c, 6) AS sim
+         |  FROM hit WHERE rn = 1)
+         |SELECT m.vec_id, m.cid AS cluster, (best.dup_of IS NULL) AS is_kept,
+         |  best.dup_of, best.sim
+         |FROM m LEFT JOIN best USING (vec_id) ORDER BY m.vec_id""".stripMargin,
 
     "q24_market_share" ->
       """WITH flat AS (

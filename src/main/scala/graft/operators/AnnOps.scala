@@ -63,7 +63,7 @@ object AnnOps {
 
   /** Quantized corpus, persisted once per session+dir: e1's two sides,
     * e2/e3's bucket builds and candidate recheck all read it. */
-  private def quantized(spark: SparkSession, dir: String): DataFrame =
+  private[operators] def quantized(spark: SparkSession, dir: String): DataFrame =
     DedupOps.memoized(spark, "ann_quantized", dir) {
       Tables.embeddings(spark, dir)
         .select(col("vec_id"), quantize(col("embedding")).as("q"), col("label"))

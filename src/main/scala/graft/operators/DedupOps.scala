@@ -546,4 +546,59 @@ object DedupOps {
       .filter(col("n_docs") >= 2)
       .orderBy("fp")
   }
+
+  /** d12 cosine threshold: picked against the testdata's within-cluster
+    * cosine distribution (p97 ≈ 0.28, max ≈ 0.47) so the dedup removes a
+    * real ~16% slice while keeping the bulk — the knob a production run
+    * tunes per corpus. */
+  val SemDedupTau = 0.35
+
+  /** d12: SEMANTIC DEDUP (SemDeDup-style) — near-duplicate pruning in
+    * EMBEDDING space, the modern LLM-curation complement to the lexical
+    * tiers d1–d11: paraphrases and re-renderings that share almost no
+    * n-grams still land on near-identical embeddings. The classic
+    * recipe (Abbas et al. 2023, arXiv:2303.09540): k-means-cluster the
+    * corpus embeddings, then compare ONLY within each cluster —
+    * candidate generation is the cluster assignment itself, never
+    * all-pairs — and within a cluster keep the highest-priority member
+    * of every near-dup neighborhood.
+    *
+    * Determinism discipline: priority = (distance-to-centroid asc,
+    * vec_id asc) — medoid-first, total order, no randomness. A vector
+    * is REMOVED iff some strictly-higher-priority member of its cluster
+    * has cosine ≥ τ with it; `dup_of` reports the highest-priority such
+    * witness. Cosines are exact-int dot products over the e7-memoized
+    * quantized embeddings (one IEEE division — bit-identical in the
+    * oracle, which replays the Lloyd rounds and this rule verbatim).
+    *
+    * Scale shape: reuses the memoized e7 assignment (zero extra Lloyd
+    * passes); the self-join is an EQUALITY join on the cluster id with
+    * the priority predicate as a post-join filter, so the shuffle is
+    * one hash partitioning by cluster and the pair volume is
+    * Σ_c n_c² — bounded by cluster granularity, which a production run
+    * scales with the corpus (k ∝ n keeps per-cluster size flat; K here
+    * is the e7 demo constant). */
+  def semanticDedup(spark: SparkSession, dir: String,
+      tau: Double = SemDedupTau): DataFrame = {
+    val cos = cosineWith(dotBest(spark)) _
+    val m = ClusterOps.kmeansAssign(spark, dir)
+      .join(AnnOps.quantized(spark, dir), "vec_id")
+      .select(col("vec_id"), col("cid"), col("dist"), col("q"))
+    val higher = m.select(col("cid"), col("vec_id").as("b_id"),
+      col("dist").as("b_dist"), col("q").as("b_q"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("vec_id").orderBy(col("b_dist"), col("b_id"))
+    val best = m.join(higher, Seq("cid"))
+      .filter(col("b_dist") < col("dist") ||
+        (col("b_dist") === col("dist") && col("b_id") < col("vec_id")))
+      .withColumn("c", cos(col("q"), col("b_q")))
+      .filter(col("c") >= tau)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("b_id").as("dup_of"), round(col("c"), 6).as("sim"))
+    m.select("vec_id", "cid").join(best, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cid").as("cluster"),
+        col("dup_of").isNull.as("is_kept"), col("dup_of"), col("sim"))
+      .orderBy("vec_id")
+  }
 }

@@ -113,6 +113,23 @@ class Round7OpsSpec extends AnyFunSuite with SparkSpec {
       "DeleteSlice must intersect the query stride or the query-removal leg is untested")
   }
 
+  test("d12 removes a real slice; every witness has strictly higher priority") {
+    import graft.operators.{ClusterOps, DedupOps}
+    val out = DedupOps.semanticDedup(spark, Sf0001).collect()
+    val removed = out.filter(!_.getBoolean(2))
+    assert(removed.nonEmpty, "tau must remove something or the operator is vacuous")
+    assert(removed.length < out.length / 2, "tau must not gut the corpus")
+    val prio = ClusterOps.kmeansAssign(spark, Sf0001).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    removed.foreach { r =>
+      val (vec, dup) = (r.getLong(0), r.getLong(3))
+      val ((cidV, dV), (cidD, dD)) = (prio(vec), prio(dup))
+      assert(cidV === cidD, s"witness $dup not in $vec's cluster")
+      assert(dD < dV || (dD == dV && dup < vec),
+        s"witness $dup must out-prioritize $vec (medoid-first order)")
+    }
+  }
+
   test("RankOps div is exact past 2^52") {
     import spark.implicits._
     // (rank, n) shapes the double-division shortcut misbuckets: operands
