@@ -130,6 +130,35 @@ class Round7OpsSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("d6's length-band blocking is lossless and bounds hot-prefix blocks") {
+    import graft.operators.DedupOps
+    import spark.implicits._
+    // >= 30% of the vocabulary shares one 2-char prefix, lengths spread
+    // so the band split actually divides the hot block; includes pairs
+    // straddling band boundaries (len diff <= 4 across a band edge)
+    val hot = (0 until 60).map(i => "AB" + ("x" * (i % 15)) + s"_$i")
+    val cold = (0 until 120).map(i => f"N$i%03d" + ("y" * (i % 9)))
+    val names = (hot ++ cold).toDF("p_name")
+    val banded = DedupOps.fuzzyNamesOf(names, 4)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2))).toSet
+    val plain = names.select(col("p_name").as("name_a"))
+      .join(names.select(col("p_name").as("name_b")),
+        substring(col("name_a"), 1, 2) === substring(col("name_b"), 1, 2) &&
+          col("name_a") < col("name_b"))
+      .withColumn("edit_dist", levenshtein(col("name_a"), col("name_b")))
+      .filter(col("edit_dist") <= 4)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2))).toSet
+    assert(banded === plain, "banding must be lossless (triangle bound)")
+    assert(plain.nonEmpty, "constructed input must produce matches")
+    // fan-out bound: no (prefix, band) block holds the whole hot prefix
+    val blocks = names
+      .select(substring(col("p_name"), 1, 2).as("pfx"),
+        expr("CAST(length(p_name) div 5 AS INT)").as("band"))
+      .groupBy("pfx", "band").count().collect().map(_.getLong(2))
+    assert(blocks.max < hot.size,
+      s"a single block still holds the hot prefix: max=${blocks.max}")
+  }
+
   test("RankOps div is exact past 2^52") {
     import spark.implicits._
     // (rank, n) shapes the double-division shortcut misbuckets: operands
