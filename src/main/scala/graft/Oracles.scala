@@ -56,6 +56,19 @@ object Oracles {
   private def annQ =
     s"q AS (SELECT vec_id, $QV AS qv FROM embeddings)"
 
+  /** The streaming daily-KPI statement — shared by p9 (file-source
+    * materialization) and p30 (Kafka-wire materialization): the source
+    * plumbing must never change the answer. */
+  private lazy val kpiDailyStreamSql: String =
+    s"""WITH $tripCte
+       |SELECT CAST(end_ts AS DATE) AS date,
+       |  ${dsum("fare")} AS total_fare,
+       |  COUNT(*) AS count_trips,
+       |  ${davg("fare")} AS average_fare,
+       |  max(fare) AS max_fare,
+       |  min(fare) AS min_fare
+       |FROM trips GROUP BY CAST(end_ts AS DATE) ORDER BY date""".stripMargin
+
   /** The e7 Lloyd rounds as a reusable CTE chain (ends at `a2`:
     * (vec_id, cid, dist) — the final assignment). Shared by e7 and
     * d12 so the semantic-dedup oracle replays the EXACT clustering the
@@ -381,15 +394,12 @@ object Oracles {
     // p9: the streaming pipeline is batch-equivalent on in-order input
     // (StreamingSpec), so its oracle IS the daily-KPI SQL — same CTE,
     // same decimal-exact aggregates as p5.
-    "p9_dedup_exact_stream" ->
-      s"""WITH $tripCte
-         |SELECT CAST(end_ts AS DATE) AS date,
-         |  ${dsum("fare")} AS total_fare,
-         |  COUNT(*) AS count_trips,
-         |  ${davg("fare")} AS average_fare,
-         |  max(fare) AS max_fare,
-         |  min(fare) AS min_fare
-         |FROM trips GROUP BY CAST(end_ts AS DATE) ORDER BY date""".stripMargin,
+    "p9_dedup_exact_stream" -> kpiDailyStreamSql,
+
+    // p30: the SAME daily-KPI statement — the wire decode (Kafka record
+    // shape, JSON payload with epoch-micros ts, corrupt records
+    // skipped) must be invisible to the result
+    "p30_kafka_wire" -> kpiDailyStreamSql,
 
     "p12_coerce_fields" ->
       """WITH r AS (

@@ -1,0 +1,115 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Message-bus ingestion seam — the reference's real-time entry point is
+  * a Kinesis stream of JSON event records
+  * (lambdas/TripStartProcessor/TripStartProcessor.py:47-58); the
+  * Spark-native equivalent is Structured Streaming's Kafka source. The
+  * pipeline itself is already source-agnostic: every streaming operator
+  * (StreamPipeline.kpiDailyStream etc.) takes an events DataFrame and
+  * never asks where it came from, so a message bus is ONE decode away —
+  * this object is that decode.
+  *
+  * Design split, so the untestable part is a one-liner:
+  *  - [[decodeEvents]]/[[decodeDlq]]: the WIRE-FORMAT boundary — Kafka's
+  *    fixed source schema (key/value binary, topic, partition, offset,
+  *    timestamp) to typed event rows. Pure column logic: works
+  *    identically over the real Kafka source, a file-staged stream in
+  *    wire shape (how p30 oracle-checks it end to end), or a batch scan.
+  *  - [[eventsFromKafka]]: binds `.format("kafka")` + the decode. The
+  *    Kafka connector is a separate public artifact
+  *    (org.apache.spark:spark-sql-kafka-0-10) not present in this
+  *    sandbox, so this function is exercised in deployments only; its
+  *    entire untested surface is the options dictionary.
+  *
+  * Payload contract: one JSON object per record with `ts_us` as UNIX
+  * MICROSECONDS — a long round-trips exactly; an ISO-8601 string invites
+  * format/precision drift between producers (the reference's Lambda
+  * consumers parse epoch fields for the same reason). Unparseable
+  * payloads are skipped into a DLQ, never a crash — the reference's
+  * skip-never-crash rule (TripStartProcessor.py:29-45). */
+object KafkaEvents {
+
+  /** The Kafka source's fixed output schema (what `.format("kafka")`
+    * emits per record) — also the staging contract for wire-shaped
+    * test/verify inputs. */
+  val kafkaWireSchema: StructType = StructType(Seq(
+    StructField("key", BinaryType),
+    StructField("value", BinaryType),
+    StructField("topic", StringType),
+    StructField("partition", IntegerType),
+    StructField("offset", LongType),
+    StructField("timestamp", TimestampType),
+    StructField("timestampType", IntegerType)))
+
+  /** The JSON payload carried in `value`. */
+  val payloadSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts_us", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** Wire records → typed event rows in the SAME shape every graft
+    * streaming operator consumes. from_json yields an all-null struct
+    * for malformed payloads; those rows (and payloads missing the
+    * mandatory event_id/ts_us) are skipped here — [[decodeDlq]] is
+    * their preserved-verbatim counterpart. Map-side only: no shuffle,
+    * no state, safe in any streaming plan. */
+  def decodeEvents(wire: DataFrame): DataFrame =
+    wire.select(from_json(col("value").cast(StringType), payloadSchema).as("e"))
+      .filter(col("e.event_id").isNotNull && col("e.ts_us").isNotNull)
+      .select(
+        col("e.event_id").as("event_id"),
+        timestamp_micros(col("e.ts_us")).as("ts"),
+        col("e.user_id").as("user_id"),
+        col("e.event_type").as("event_type"),
+        col("e.value").as("value"),
+        col("e.props").as("props"))
+
+  /** The syntactic DLQ over the same wire relation: raw payload bytes of
+    * records [[decodeEvents]] skipped, verbatim for replay — plus the
+    * (topic, partition, offset) coordinates that make the replay
+    * addressable. */
+  def decodeDlq(wire: DataFrame): DataFrame =
+    wire.withColumn("e", from_json(col("value").cast(StringType), payloadSchema))
+      .filter(col("e.event_id").isNull || col("e.ts_us").isNull)
+      .select(col("topic"), col("partition"), col("offset"),
+        col("value").cast(StringType).as("raw_payload"))
+
+  /** The production entry point: subscribe + decode. Requires the
+    * public spark-sql-kafka-0-10 connector on the classpath (deploy-time
+    * artifact; see object scaladoc). Everything downstream of `load()`
+    * is [[decodeEvents]] — the code path p30 oracle-checks. */
+  def eventsFromKafka(spark: SparkSession, bootstrapServers: String,
+      topic: String, startingOffsets: String = "earliest"): DataFrame =
+    decodeEvents(spark.readStream
+      .format("kafka")
+      .option("kafka.bootstrap.servers", bootstrapServers)
+      .option("subscribe", topic)
+      .option("startingOffsets", startingOffsets)
+      .load())
+
+  /** Events → wire shape (the inverse boundary): how a graft job
+    * PRODUCES to the bus, and how verify/bench stage wire-shaped
+    * inputs. Key = user_id bytes (the partitioning key the whole
+    * pipeline shuffles on — same-user ordering is preserved per Kafka
+    * partition, which is what the stateful matcher's per-user in-order
+    * assumption needs); offset stands in as the staging file's record
+    * id. */
+  def toWire(events: DataFrame, topic: String, nPartitions: Int): DataFrame =
+    events.select(
+      col("user_id").cast(StringType).cast(BinaryType).as("key"),
+      to_json(struct(
+        col("event_id"), unix_micros(col("ts")).as("ts_us"), col("user_id"),
+        col("event_type"), col("value"), col("props"))).cast(BinaryType).as("value"),
+      lit(topic).as("topic"),
+      (col("user_id") % nPartitions).cast(IntegerType).as("partition"),
+      col("event_id").as("offset"),
+      col("ts").as("timestamp"),
+      lit(0).as("timestampType"))
+}

@@ -325,6 +325,55 @@ object StreamPipeline {
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
   }
 
+  /** Wire partition count for the p30 staged Kafka-shaped input. */
+  val WirePartitions = 8
+
+  /** The events table in Kafka WIRE SHAPE (plus three injected corrupt
+    * payloads proving skip-never-crash), staged behind a file streaming
+    * source with the Kafka source's exact output schema. The decode and
+    * everything downstream is identical to what runs against a real
+    * broker — only `.format("kafka")` itself is swapped for the staged
+    * file source (the connector artifact is deploy-time; see
+    * graft.sources.KafkaEvents). */
+  private def stagedWireStream(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.KafkaEvents
+    val streamDir = stagingPath("p30", dir)
+    val corrupt = spark.range(3).select(
+      lit(null).cast("binary").as("key"),
+      concat(lit("not json #"), col("id").cast("string")).cast("binary").as("value"),
+      lit("events").as("topic"),
+      lit(0).cast("int").as("partition"),
+      (col("id") + 1000000000L).as("offset"),
+      timestamp_micros(lit(0L)).as("timestamp"),
+      lit(0).as("timestampType"))
+    KafkaEvents.toWire(graft.Tables.events(spark, dir), "events", WirePartitions)
+      .unionByName(corrupt)
+      .write.mode("overwrite").parquet(streamDir)
+    spark.catalog.refreshByPath(streamDir)
+    spark.readStream.schema(KafkaEvents.kafkaWireSchema).parquet(streamDir)
+  }
+
+  /** p30: the full KPI chain over a MESSAGE-BUS wire format — the
+    * reference's Kinesis ingestion re-expressed: events arrive as JSON
+    * payloads in Kafka's record shape, the wire decode
+    * (KafkaEvents.decodeEvents — the same column logic the real Kafka
+    * source feeds) parses them, corrupt payloads are skipped
+    * (never crash), and the UNCHANGED validate → dedup → match → KPI
+    * chain (kpiDailyStream) runs downstream — proving the pipeline is
+    * source-agnostic in code, not just in claim. Oracle: p5/p9's daily
+    * KPI statement verbatim; the staged input includes corrupt records,
+    * so a decode that crashed or leaked them could not stay green. */
+  def kpiDailyViaKafkaWire(spark: SparkSession, dir: String): DataFrame = {
+    withStatePartitions(spark, MaterializeStateParts) {
+      val query = kpiDailyStream(spark,
+        graft.sources.KafkaEvents.decodeEvents(stagedWireStream(spark, dir)))
+        .writeStream.format("memory").queryName(memSinkName("p30", dir))
+        .outputMode("complete").start()
+      try query.processAllAvailable() finally query.stop()
+    }
+    spark.table(memSinkName("p30", dir)).orderBy("date")
+  }
+
   /** How long after a signup a purchase still completes that trip in
     * the p13 stream-stream join. */
   val JoinWindow = "7 days"

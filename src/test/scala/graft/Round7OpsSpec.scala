@@ -159,6 +159,32 @@ class Round7OpsSpec extends AnyFunSuite with SparkSpec {
       s"a single block still holds the hot prefix: max=${blocks.max}")
   }
 
+  test("p30: the Kafka-wire chain equals the batch pipeline; corrupt records hit the DLQ") {
+    import graft.sources.KafkaEvents
+    import graft.streaming.StreamPipeline
+    val streamed = StreamPipeline.kpiDailyViaKafkaWire(spark, Sf0001).collect().toSeq
+    val batch = graft.pipeline.TripPipeline.kpiDaily(spark, Sf0001).collect().toSeq
+    assert(streamed === batch,
+      "wire decode + streaming chain must reproduce the batch KPIs exactly")
+    assert(streamed.nonEmpty)
+    // round-trip fidelity: decode(toWire(events)) is the identity on events
+    val ev = Tables.events(spark, Sf0001)
+    val wire = KafkaEvents.toWire(ev, "events", 8)
+    assert(KafkaEvents.decodeEvents(wire).exceptAll(ev).isEmpty &&
+      ev.exceptAll(KafkaEvents.decodeEvents(wire)).isEmpty,
+      "toWire/decodeEvents must round-trip every event row bit-for-bit")
+    // the injected corrupt records are skipped into the DLQ, not lost
+    val corrupt = spark.range(3).select(
+      lit(null).cast("binary").as("key"),
+      concat(lit("junk"), col("id").cast("string")).cast("binary").as("value"),
+      lit("events").as("topic"), lit(0).cast("int").as("partition"),
+      col("id").as("offset"), timestamp_micros(lit(0L)).as("timestamp"),
+      lit(0).as("timestampType"))
+    val dlq = KafkaEvents.decodeDlq(wire.unionByName(corrupt))
+    assert(dlq.count() === 3)
+    assert(dlq.select("raw_payload").collect().map(_.getString(0)).forall(_.startsWith("junk")))
+  }
+
   test("RankOps div is exact past 2^52") {
     import spark.implicits._
     // (rank, n) shapes the double-division shortcut misbuckets: operands
