@@ -9,6 +9,13 @@ import graft.pipeline.TripPipeline
   * counts — this is what makes a local run, the DuckDB oracle, and a
   * 1000-executor cluster agree. Decimal-exact sums and total tie orders
   * are what's actually under test. */
+object DeterminismSpec {
+  /** Fired-fault evidence for the transient-failure test (static: local
+    * mode runs executors in the test JVM; accumulators can't carry this
+    * because failed-task updates are discarded). */
+  val faultsInjected = new java.util.concurrent.atomic.AtomicInteger(0)
+}
+
 class DeterminismSpec extends AnyFunSuite with SparkSpec {
 
   private def underPartitions[T](n: Int)(f: => T): T = {
@@ -85,5 +92,44 @@ class DeterminismSpec extends AnyFunSuite with SparkSpec {
     assertStable("a7_kpi_anomaly")(Analytics.a7KpiAnomaly(spark, Sf0001))
     assertStable("a5_funnel")(Analytics.a5Funnel(spark, Sf0001))
     assertStable("q23_cube")(Analytics.q23Cube(spark, Sf0001))
+  }
+
+  test("a transient task failure + Spark retry yields bit-identical output") {
+    // closes the exactly-once claim under Spark's OWN retry machinery
+    // (complementing partition-count and re-delivery equivalence): one
+    // partition's first attempt throws, the retried attempt (enabled by
+    // SparkSpec's local[4, 2] master) recomputes it, and the operator's
+    // output must not change in any byte. Driven through a4's counting
+    // core — range shuffle, localCheckpoint, windows, joins: the exact
+    // machinery whose determinism the 100 TB claims lean on.
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val base = (1 to 200).map { i =>
+      (i.toLong % 23, i.toLong / 23 + 1, 1000L * (i % 17), 1000L * (i % 17) + 1700)
+    }.toDF("user_id", "session_idx", "su_s", "eu_s")
+      .select(col("user_id"), col("session_idx"),
+        timestamp_seconds(col("su_s")).cast("timestamp_ntz").as("session_start"),
+        timestamp_seconds(col("eu_s")).cast("timestamp_ntz").as("session_end"))
+      .repartition(4)
+    // a JVM-static counter, NOT an accumulator: Spark discards
+    // accumulator updates from failed tasks, which is exactly the
+    // attempt we need evidence of (local mode shares the JVM)
+    DeterminismSpec.faultsInjected.set(0)
+    val flaky = base.mapPartitions { it =>
+      val tc = org.apache.spark.TaskContext.get()
+      if (tc != null && tc.partitionId() == 0 && tc.attemptNumber() == 0) {
+        DeterminismSpec.faultsInjected.incrementAndGet()
+        throw new RuntimeException("injected transient fault (test)")
+      }
+      it
+    }(Encoders.row(base.schema))
+    def result(in: org.apache.spark.sql.DataFrame): Seq[Row] =
+      operators.JoinOps.intervalOverlapCounts(in).collect().toSeq
+    val got = result(flaky.toDF())
+    val want = result(base)
+    assert(DeterminismSpec.faultsInjected.get() >= 1,
+      "the fault never fired — the test proved nothing")
+    assert(got === want, "retried computation must be byte-identical")
   }
 }

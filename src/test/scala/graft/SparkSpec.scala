@@ -8,7 +8,11 @@ import org.scalatest.Suite
 trait SparkSpec { self: Suite =>
   lazy val spark: SparkSession = {
     val s = SparkSession.builder()
-      .master("local[4]")
+      // local[threads, maxFailures]: 2 attempts per task, so the
+      // transient-fault injection test (DeterminismSpec) exercises
+      // Spark's REAL retry machinery instead of failing the job —
+      // behavior is identical to local[4] unless a task throws
+      .master("local[4, 2]")
       .appName("graft-test")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
