@@ -94,32 +94,31 @@ class Round6OpsSpec extends AnyFunSuite with SparkSpec {
 
   test("e12 serves one query reading only its probed cell directories") {
     import graft.operators.AnnOps
-    val confs = Seq("spark.sql.maxToStringFields" -> "200",
-      "spark.sql.maxMetadataStringLength" -> "2000") // full Location paths
-    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
-    confs.foreach { case (k, v) => spark.conf.set(k, v) }
-    try {
-      val served = AnnOps.annServeOne(spark, Sf0001)
-      // answer = e6 restricted to the served query
-      val expected = AnnOps.annPq(spark, Sf0001)
-        .filter(col("q_id") === AnnOps.ServeQueryId).collect().toSeq
-      assert(served.collect().toSeq === expected)
-      // the code-lake scan must prune at the DIRECTORY level: the probed
-      // cell ids arrive as LITERAL PartitionFilters (label IN (...)); any
-      // label predicate in DataFilters would mean per-row filtering
-      val plan = served.queryExecution.executedPlan.toString
-      val codeScan = plan.linesIterator
-        .find(l => l.contains("FileScan") && l.contains("annindex") && l.contains("/codes"))
-        .getOrElse(fail(s"no code-lake scan in plan:\n$plan"))
-      val partFilters = codeScan.split("PartitionFilters:")(1).split("PushedFilters:")(0)
-      assert(partFilters.contains("label") && partFilters.contains(" IN ("),
-        s"probed cells must resolve to literal partition filters:\n$codeScan")
-      val dataFilters = codeScan.split("DataFilters:")(1).split(", Format:")(0)
-      assert(!dataFilters.contains("label"),
-        s"label must never degrade to a per-row data filter:\n$codeScan")
-    } finally saved.foreach {
-      case (k, Some(v)) => spark.conf.set(k, v)
-      case (k, None) => spark.conf.unset(k)
+    val served = AnnOps.annServeOne(spark, Sf0001)
+    // answer = e6 restricted to the served query
+    val expected = AnnOps.annPq(spark, Sf0001)
+      .filter(col("q_id") === AnnOps.ServeQueryId).collect().toSeq
+    assert(served.collect().toSeq === expected)
+    // the code-lake scan must prune at the DIRECTORY level: the probed
+    // cell ids arrive as LITERAL PartitionFilters (label IN (...)); any
+    // label predicate in DataFilters would mean per-row filtering.
+    // Inspected PROGRAMMATICALLY (FileSourceScanExec fields), not by
+    // parsing the plan string — a formatting change or a truncated scan
+    // line must fail readably, not with ArrayIndexOutOfBounds
+    val scans = planNodes(served).collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec
+          if s.relation.location.rootPaths.exists(p =>
+            p.toString.contains("annindex") && p.toString.contains("/codes")) => s
+    }
+    assert(scans.nonEmpty,
+      s"no code-lake scan in plan:\n${served.queryExecution.executedPlan}")
+    scans.foreach { s =>
+      val pf = s.partitionFilters.map(_.sql).mkString(" AND ")
+      assert(pf.contains("label") && pf.contains("IN"),
+        s"probed cells must resolve to literal partition filters, got: $pf")
+      val df = s.dataFilters.map(_.sql).mkString(" AND ")
+      assert(!df.contains("label"),
+        s"label must never degrade to a per-row data filter, got: $df")
     }
   }
 
