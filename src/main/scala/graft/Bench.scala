@@ -111,10 +111,17 @@ object Bench {
     def failedArr(key: String => String) =
       results.collect { case (k, _, false) => "\"" + key(k) + "\"" }.mkString("[", ",", "]")
     val total = results.map(_._2).sum
+    // per-streaming-query scheduling/materialization floor (sec) from
+    // the last timed pass — micro-batch trigger + commit-log + state-
+    // store overhead, reported SEPARATELY so a regression in actual
+    // compute can't hide inside (or be mistaken for) the ~2-3 s floor.
+    // Keys are already short ids (p9, p13, ...).
+    val floorMap = streaming.StreamPipeline.streamFloors.toSeq.sorted
+      .map { case (k, v) => "\"" + k + "\":" + r2(v) }.mkString("{", ",", "}")
     // methodology (median of Reps substrate-warm runs) is documented in
     // the scaladoc + round notes, not spent as line bytes
     def line(key: String => String) =
-      s"""{"metric":"total","value":${r2(total)},"unit":"sec","queries":${qmap(key)},"failed":${failedArr(key)},"sf":"$sfDir","wall":${r2(wallTotal)}}"""
+      s"""{"metric":"total","value":${r2(total)},"unit":"sec","queries":${qmap(key)},"failed":${failedArr(key)},"stream_floor":$floorMap,"sf":"$sfDir","wall":${r2(wallTotal)}}"""
     println(line(shortId))
     // Also land the FULL-NAME line as a local file (gitignored) —
     // stdout passes through sbt and whatever wrapper invoked it; the

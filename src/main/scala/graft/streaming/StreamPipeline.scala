@@ -3,7 +3,7 @@ package graft.streaming
 import java.sql.Timestamp
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery}
 import graft.functions.F._
 import graft.pipeline.TripPipeline
 
@@ -232,7 +232,8 @@ object StreamPipeline {
       val query = sessionizeStream(sdf)
         .writeStream.format("memory").queryName("graft_p15_sessions")
         .outputMode("append").start()
-      try query.processAllAvailable() finally query.stop()
+      try query.processAllAvailable()
+      finally { recordFloor("p15", query); query.stop() }
     }
     spark.table("graft_p15_sessions")
       .filter(col("user_id") =!= FlushUser)
@@ -269,7 +270,8 @@ object StreamPipeline {
       val query = kpiDailyStream(spark, stagedEventsStream(spark, dir))
         .writeStream.format("memory").queryName("graft_p9_kpi")
         .outputMode("complete").start()
-      try query.processAllAvailable() finally query.stop()
+      try query.processAllAvailable()
+      finally { recordFloor("p9", query); query.stop() }
     }
     spark.table("graft_p9_kpi").orderBy("date")
   }
@@ -288,6 +290,31 @@ object StreamPipeline {
     val prev = spark.conf.get(key)
     spark.conf.set(key, n.toString)
     try body finally spark.conf.set(key, prev)
+  }
+
+  /** Per-operator streaming FLOOR (seconds) observed by the most recent
+    * materialization in this JVM: Σ over micro-batches of
+    * (triggerExecution − addBatch) — trigger scheduling, offset/commit
+    * log writes, state-store init/snapshot — the time a streaming query
+    * pays regardless of its compute. Bench attaches it per streaming
+    * query so a regression in actual COMPUTE cannot hide inside (or be
+    * mistaken for) the ~2-3 s materialization floor. */
+  private val floors = scala.collection.concurrent.TrieMap.empty[String, Double]
+
+  /** Snapshot for Bench: streaming-query short id → floor seconds. */
+  def streamFloors: Map[String, Double] = floors.toMap
+
+  /** Reads the finished query's progress buffer; call before stop().
+    * recentProgress holds the last ~100 batches — far above any finite
+    * materialization here. */
+  private def recordFloor(kind: String, q: StreamingQuery): Unit = {
+    val secs = q.recentProgress.toSeq.map { p =>
+      val d = p.durationMs
+      val trig = Option(d.get("triggerExecution")).map(_.longValue).getOrElse(0L)
+      val add = Option(d.get("addBatch")).map(_.longValue).getOrElse(0L)
+      math.max(0L, trig - add)
+    }.sum / 1000.0
+    floors.put(kind, secs): Unit
   }
 
   /** Session-global memory-sink name per (operator, data dir) — the
@@ -369,7 +396,8 @@ object StreamPipeline {
         graft.sources.KafkaEvents.decodeEvents(stagedWireStream(spark, dir)))
         .writeStream.format("memory").queryName(memSinkName("p30", dir))
         .outputMode("complete").start()
-      try query.processAllAvailable() finally query.stop()
+      try query.processAllAvailable()
+      finally { recordFloor("p30", query); query.stop() }
     }
     spark.table(memSinkName("p30", dir)).orderBy("date")
   }
@@ -409,7 +437,8 @@ object StreamPipeline {
       val query = signupPurchaseJoin(spark, stagedEventsStream(spark, dir))
         .writeStream.format("memory").queryName("graft_p13_ssj")
         .outputMode("append").start()
-      try query.processAllAvailable() finally query.stop()
+      try query.processAllAvailable()
+      finally { recordFloor("p13", query); query.stop() }
     }
     spark.table("graft_p13_ssj")
       .select(col("s_event_id"), col("p_event_id"), col("user_id"),
@@ -452,7 +481,8 @@ object StreamPipeline {
       val query = revenueByNationStream(spark, stagedEventsStream(spark, dir), dir)
         .writeStream.format("memory").queryName("graft_p20_ssd")
         .outputMode("complete").start()
-      try query.processAllAvailable() finally query.stop()
+      try query.processAllAvailable()
+      finally { recordFloor("p20", query); query.stop() }
     }
     spark.table("graft_p20_ssd").orderBy("date", "n_name")
   }
@@ -483,7 +513,8 @@ object StreamPipeline {
             .partitionBy("date").parquet(out)
         }
         .start()
-      try query.processAllAvailable() finally query.stop()
+      try query.processAllAvailable()
+      finally { recordFloor("p21", query); query.stop() }
     }
     spark.read.schema(graft.pipeline.SinkOps.kpiDataSchema).parquet(out)
       .select(col("date").cast("date").as("date"), col("total_fare"),
@@ -522,7 +553,8 @@ object StreamPipeline {
       val query = hllRegistersStream(stagedEventsStream(spark, dir))
         .writeStream.format("memory").queryName("graft_p19_hll")
         .outputMode("complete").start()
-      try query.processAllAvailable() finally query.stop()
+      try query.processAllAvailable()
+      finally { recordFloor("p19", query); query.stop() }
     }
     val m = graft.operators.SketchOps.HllM
     val regs = spark.table("graft_p19_hll")
@@ -570,7 +602,8 @@ object StreamPipeline {
       val query = counts
         .writeStream.format("memory").queryName(memSinkName("p26", dir))
         .outputMode("complete").start()
-      try query.processAllAvailable() finally query.stop()
+      try query.processAllAvailable()
+      finally { recordFloor("p26", query); query.stop() }
     }
     val trailing = Window.partitionBy("event_type").orderBy("date")
       .rowsBetween(-7, -1)
@@ -619,7 +652,8 @@ object StreamPipeline {
         .agg(max("chg").as("last"), count(lit(1)).as("n_changes"))
       val query = changes.writeStream.format("memory")
         .queryName(memSinkName("p27", dir)).outputMode("complete").start()
-      try query.processAllAvailable() finally query.stop()
+      try query.processAllAvailable()
+      finally { recordFloor("p27", query); query.stop() }
     }
     val base = graft.Tables.customer(spark, dir)
       .select(col("c_custkey").as("key"),
@@ -663,7 +697,8 @@ object StreamPipeline {
         .groupBy("d", "cell").agg(count(lit(1)).as("cnt"))
       val query = cells.writeStream.format("memory")
         .queryName(memSinkName("p28", dir)).outputMode("complete").start()
-      try query.processAllAvailable() finally query.stop()
+      try query.processAllAvailable()
+      finally { recordFloor("p28", query); query.stop() }
     }
     val sketch = spark.table(memSinkName("p28", dir))
     val truth = graft.Tables.events(spark, dir)
