@@ -122,55 +122,74 @@ object JoinOps {
     * (user_id, session_idx, session_start, session_end) — the seam the
     * flash-crowd spec drives with constructed inputs. Handles ANY
     * interval layout (the per-user correction is the same rank identity
-    * partitioned by user, not a disjointness assumption). */
+    * partitioned by user, not a disjointness assumption).
+    *
+    * All three rank quantities come from ONE range shuffle of the
+    * boundary multiset (RankOps' zipWithIndex discipline, specialized):
+    * per-pid row_number windows give within-partition positions, the
+    * checkpointed O(p) offset relation carries per-pid AND per-kind
+    * running totals, and `gxk = (combined rank) − (rank among own
+    * kind)` is exactly the count of opposite-kind boundaries preceding
+    * the record. The same difference under user-partitioned windows
+    * (`uxk`) is the per-user leg. Per record, v = gxk − uxk counts
+    * OTHER-user opposite-kind boundaries before it, and
+    * n_concurrent = v(end) − v(start) — one groupBy, one join, no pair
+    * enumeration anywhere. */
   private[graft] def intervalOverlapCounts(sessions: DataFrame): DataFrame = {
-    // the session frame feeds five plan arms (combined boundary set,
-    // two subset-rank passes, the final join) — materialize it once
     val s = sessions
       .withColumn("su", unix_micros(col("session_start").cast("timestamp")))
       .withColumn("eu", unix_micros(col("session_end").cast("timestamp")))
       .localCheckpoint(eager = true)
-    val starts = s.select(col("user_id"), col("session_idx"), col("su").as("t"))
-      .withColumn("kind", lit(0))
-    val ends = s.select(col("user_id"), col("session_idx"), col("eu").as("t"))
-      .withColumn("kind", lit(1))
     // kind=0 (starts) sorts before kind=1 (ends) at equal t: encodes
     // s_j <= e_i inclusive and e_j < s_i strict in one total order
+    val bounds = s.select(col("user_id"), col("session_idx"), col("su").as("t"))
+      .withColumn("kind", lit(0))
+      .union(s.select(col("user_id"), col("session_idx"), col("eu").as("t"))
+        .withColumn("kind", lit(1)))
     val order = Seq(col("t"), col("kind"), col("user_id"), col("session_idx"))
+    val p = sessions.sparkSession.sessionState.conf.numShufflePartitions
+    // ONE range shuffle; the checkpoint freezes the nondeterministic
+    // pid column so counts and row numbers read the same assignment
+    val tagged = bounds.repartitionByRange(p, order: _*)
+      .withColumn("_pid", spark_partition_id())
+      .localCheckpoint(eager = true)
+    // O(p) running offsets — total and kind-0 (kind-1 = difference) —
+    // single-task over a constant-size relation, inside its own
+    // checkpoint job (RankOps' discipline)
+    val wOff = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = tagged.groupBy("_pid").agg(
+        count(lit(1)).as("n"),
+        sum(when(col("kind") === 0, 1L).otherwise(0L)).as("n0"))
+      .withColumn("_off", coalesce(sum("n").over(wOff), lit(0L)))
+      .withColumn("_off0", coalesce(sum("n0").over(wOff), lit(0L)))
+      .select(col("_pid"), col("_off"), col("_off0"),
+        (col("_off") - col("_off0")).as("_off1"))
+      .localCheckpoint(eager = true)
+    val wAll = Window.partitionBy("_pid").orderBy(order: _*)
+    val wKind = Window.partitionBy("_pid", "kind").orderBy(order: _*)
     val uAll = Window.partitionBy("user_id")
       .orderBy(col("t"), col("kind"), col("session_idx"))
     val uKind = Window.partitionBy("user_id", "kind")
       .orderBy(col("t"), col("session_idx"))
-    // per-record: gr = combined global rank; (ugr − usub) = how many of
-    // THIS user's opposite-kind boundaries precede this record — the
-    // per-user leg of the same inclusion–exclusion
-    val combined = RankOps.withGlobalRank(starts.union(ends), "gr", order)
+    val scored = tagged.join(broadcast(offsets), "_pid")
+      // gxk: opposite-kind boundaries before this record, globally
+      .withColumn("gxk",
+        (row_number().over(wAll).cast(LongType) + col("_off")) -
+          (row_number().over(wKind).cast(LongType) +
+            when(col("kind") === 0, col("_off0")).otherwise(col("_off1"))))
+      // uxk: the same count restricted to THIS user's boundaries
       .withColumn("uxk",
         (row_number().over(uAll) - row_number().over(uKind)).cast(LongType))
-    val startSide = combined.filter(col("kind") === 0)
+      .withColumn("v", col("gxk") - col("uxk"))
+    // v(end) = |{j other-user : s_j <= e_i}|, v(start) = |{j other-user
+    // : e_j < s_i}|; their difference is the overlap count (self and
+    // same-user sessions cancel inside uxk — no +1/−1 fixup anywhere)
+    val counts = scored.groupBy("user_id", "session_idx")
+      .agg(sum(when(col("kind") === 1, col("v")).otherwise(-col("v")))
+        .as("n_concurrent"))
+    s.join(counts, Seq("user_id", "session_idx"))
       .select(col("user_id"), col("session_idx"),
-        col("gr").as("gr_s"), col("uxk").as("u_ends_lt_start"))
-    val endSide = combined.filter(col("kind") === 1)
-      .select(col("user_id"), col("session_idx"),
-        col("gr").as("gr_e"), col("uxk").as("u_starts_le_end"))
-    val rs = RankOps.withGlobalRank(
-        s.select(col("user_id"), col("session_idx"), col("su").as("t")),
-        "rs", Seq(col("t"), col("user_id"), col("session_idx")))
-      .select(col("user_id"), col("session_idx"), col("rs"))
-    val re = RankOps.withGlobalRank(
-        s.select(col("user_id"), col("session_idx"), col("eu").as("t")),
-        "re", Seq(col("t"), col("user_id"), col("session_idx")))
-      .select(col("user_id"), col("session_idx"), col("re"))
-    s.join(startSide, Seq("user_id", "session_idx"))
-      .join(endSide, Seq("user_id", "session_idx"))
-      .join(rs, Seq("user_id", "session_idx"))
-      .join(re, Seq("user_id", "session_idx"))
-      .select(col("user_id"), col("session_idx"),
-        col("session_start"), col("session_end"),
-        // A − B − (same-user A − same-user B); the same-user term
-        // includes self, so no +1/−1 fixup is needed anywhere
-        ((col("gr_e") - col("re")) - (col("gr_s") - col("rs")) -
-          (col("u_starts_le_end") - col("u_ends_lt_start"))).as("n_concurrent"))
+        col("session_start"), col("session_end"), col("n_concurrent"))
       .orderBy("user_id", "session_idx")
   }
 }

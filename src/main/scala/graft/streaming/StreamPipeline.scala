@@ -362,21 +362,32 @@ object StreamPipeline {
     * broker — only `.format("kafka")` itself is swapped for the staged
     * file source (the connector artifact is deploy-time; see
     * graft.sources.KafkaEvents). */
+  /** Wire dirs already staged by THIS JVM — the staging is test/verify
+    * scaffolding (a deterministic function of the dir), not the
+    * operator; repeated p30 calls should measure the INGESTION, not a
+    * rewrite of the same parquet. Same discipline as AnnOps.landOnce:
+    * atomic, and heals a cleaned target/. */
+  private val wireStaged = new java.util.concurrent.ConcurrentHashMap[String, AnyRef]()
+
   private def stagedWireStream(spark: SparkSession, dir: String): DataFrame = {
     import graft.sources.KafkaEvents
     val streamDir = stagingPath("p30", dir)
-    val corrupt = spark.range(3).select(
-      lit(null).cast("binary").as("key"),
-      concat(lit("not json #"), col("id").cast("string")).cast("binary").as("value"),
-      lit("events").as("topic"),
-      lit(0).cast("int").as("partition"),
-      (col("id") + 1000000000L).as("offset"),
-      timestamp_micros(lit(0L)).as("timestamp"),
-      lit(0).as("timestampType"))
-    KafkaEvents.toWire(graft.Tables.events(spark, dir), "events", WirePartitions)
-      .unionByName(corrupt)
-      .write.mode("overwrite").parquet(streamDir)
-    spark.catalog.refreshByPath(streamDir)
+    if (!new java.io.File(streamDir).exists()) wireStaged.remove(streamDir)
+    wireStaged.computeIfAbsent(streamDir, _ => {
+      val corrupt = spark.range(3).select(
+        lit(null).cast("binary").as("key"),
+        concat(lit("not json #"), col("id").cast("string")).cast("binary").as("value"),
+        lit("events").as("topic"),
+        lit(0).cast("int").as("partition"),
+        (col("id") + 1000000000L).as("offset"),
+        timestamp_micros(lit(0L)).as("timestamp"),
+        lit(0).as("timestampType"))
+      KafkaEvents.toWire(graft.Tables.events(spark, dir), "events", WirePartitions)
+        .unionByName(corrupt)
+        .write.mode("overwrite").parquet(streamDir)
+      spark.catalog.refreshByPath(streamDir)
+      java.lang.Boolean.TRUE
+    })
     spark.readStream.schema(KafkaEvents.kafkaWireSchema).parquet(streamDir)
   }
 
