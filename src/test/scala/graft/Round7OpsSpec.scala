@@ -185,6 +185,25 @@ class Round7OpsSpec extends AnyFunSuite with SparkSpec {
     assert(dlq.select("raw_payload").collect().map(_.getString(0)).forall(_.startsWith("junk")))
   }
 
+  test("d12's candidate join is equality-only; e13 broadcasts the tombstone anti-join") {
+    import graft.operators.{AnnOps, DedupOps}
+    val d12 = DedupOps.semanticDedup(spark, Sf0001)
+    d12.collect()
+    val p1 = d12.queryExecution.executedPlan.toString
+    assert(!p1.contains("NestedLoop") && !p1.contains("Cartesian"),
+      s"d12's within-cluster join degraded to all-pairs:\n$p1")
+    val e13 = AnnOps.annDeleteIndex(spark, Sf0001)
+    e13.collect()
+    val p2 = e13.queryExecution.executedPlan.toString
+    // (the constant-size centroid probe is a documented broadcast cross
+    // join — shared with e5/e6 — so no blanket NestedLoop assertion here)
+    assert(p2.contains("LeftAnti"),
+      s"tombstone anti-join missing from the serve plan:\n$p2")
+    assert("BroadcastHashJoin.*LeftAnti".r.findFirstIn(p2).nonEmpty ||
+      "LeftAnti, BuildRight".r.findFirstIn(p2).nonEmpty,
+      s"tombstones must broadcast, not shuffle the code lake:\n$p2")
+  }
+
   test("RankOps div is exact past 2^52") {
     import spark.implicits._
     // (rank, n) shapes the double-division shortcut misbuckets: operands
