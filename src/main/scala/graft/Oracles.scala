@@ -401,6 +401,35 @@ object Oracles {
     // skipped) must be invisible to the result
     "p30_kafka_wire" -> kpiDailyStreamSql,
 
+    // p31: job-health streaks over the deterministic run ledger —
+    // gaps-and-islands (seq − per-outcome seq) replayed verbatim;
+    // alert = a failure streak ≥ 2 (the reference's retry-exhausted
+    // Catch condition)
+    "p31_job_health" ->
+      s"""WITH ledger AS (
+         |  SELECT event_type AS job, CAST(ts AS DATE) AS run_date, COUNT(*) AS n_events,
+         |    (${h60("event_type || '_' || CAST(CAST(ts AS DATE) AS VARCHAR)")} % 5 = 0) AS failed
+         |  FROM events GROUP BY 1, 2),
+         |runs AS (SELECT *,
+         |    row_number() OVER (PARTITION BY job ORDER BY run_date) AS seq,
+         |    row_number() OVER (PARTITION BY job, failed ORDER BY run_date) AS oseq
+         |  FROM ledger),
+         |agg AS (SELECT job, COUNT(*) AS n_runs,
+         |    CAST(SUM(CASE WHEN failed THEN 1 ELSE 0 END) AS BIGINT) AS n_failed,
+         |    max(CASE WHEN NOT failed THEN run_date END) AS last_success,
+         |    CAST(max(seq) - COALESCE(max(CASE WHEN NOT failed THEN seq END), 0) AS BIGINT)
+         |      AS current_fail_streak
+         |  FROM runs GROUP BY job),
+         |isl AS (SELECT job, CAST(MAX(cnt) AS BIGINT) AS max_fail_streak FROM (
+         |    SELECT job, seq - oseq AS island, COUNT(*) AS cnt
+         |    FROM runs WHERE failed GROUP BY job, seq - oseq) i
+         |  GROUP BY job)
+         |SELECT agg.job, agg.n_runs, agg.n_failed, agg.last_success,
+         |  agg.current_fail_streak,
+         |  COALESCE(isl.max_fail_streak, CAST(0 AS BIGINT)) AS max_fail_streak,
+         |  (COALESCE(isl.max_fail_streak, CAST(0 AS BIGINT)) >= 2) AS alert
+         |FROM agg LEFT JOIN isl USING (job) ORDER BY agg.job""".stripMargin,
+
     "p12_coerce_fields" ->
       """WITH r AS (
         |  SELECT event_id,

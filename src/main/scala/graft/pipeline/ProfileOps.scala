@@ -3,6 +3,7 @@ package graft.pipeline
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
+import graft.functions.F.hash60
 
 /** Data-quality profiling — the "know your lake" pass (Deequ-style)
   * every ingestion pipeline runs before trusting a new drop: per-column
@@ -40,5 +41,56 @@ object ProfileOps {
     one.select(expr(
         s"stack(${cols.size}, $stackArgs) AS (col_name, n_rows, n_null, n_distinct)"))
       .orderBy("col_name")
+  }
+
+  /** p31: JOB-HEALTH observability — the reference's orchestration
+    * retry/catch leg (stepfunction/stepfn.json:1-67 wraps the Glue job
+    * in Retry ×1 + Catch → SNS failure routing). graft's CORRECTNESS
+    * answer to retries is idempotence by construction; this operator is
+    * the missing OBSERVABILITY counterpart: given a run ledger
+    * (job, run date, failed?), report per job the failure totals,
+    * last success, the trailing consecutive-failure streak, the
+    * longest streak, and the alert verdict — `max_fail_streak >= 2`,
+    * i.e. "a retry was exhausted": exactly when the reference's Catch
+    * (one Retry) would have fired and paged.
+    *
+    * Streaks are gaps-and-islands: island id = (seq − per-outcome seq)
+    * over the per-job date order — two partitioned windows + one
+    * re-aggregation, all over a jobs × days relation (constant-size
+    * after the first map-combined rollup; at 100 TB the ledger is an
+    * append-only run log, never the data itself). The ledger here
+    * derives deterministically from the events table (one run per
+    * (event_type, day), failure = md5 residue — a reproducible
+    * stand-in for exit codes that the oracle replays exactly); a
+    * deployment feeds its own ledger relation through the same
+    * query. */
+  def jobHealth(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ledger = Tables.events(spark, dir)
+      .groupBy(col("event_type").as("job"), to_date(col("ts")).as("run_date"))
+      .agg(count(lit(1)).as("n_events"))
+      .withColumn("failed",
+        hash60(concat(col("job"), lit("_"), col("run_date").cast("string"))) % 5 === 0)
+    val byJob = Window.partitionBy("job").orderBy("run_date")
+    val byOutcome = Window.partitionBy("job", "failed").orderBy("run_date")
+    val runs = ledger
+      .withColumn("seq", row_number().over(byJob).cast("long"))
+      .withColumn("island", col("seq") - row_number().over(byOutcome).cast("long"))
+    val agg = runs.groupBy("job").agg(
+      count(lit(1)).as("n_runs"),
+      sum(when(col("failed"), 1L).otherwise(0L)).as("n_failed"),
+      max(when(!col("failed"), col("run_date"))).as("last_success"),
+      (max(col("seq")) -
+        coalesce(max(when(!col("failed"), col("seq"))), lit(0L)))
+        .as("current_fail_streak"))
+    val islands = runs.filter(col("failed"))
+      .groupBy("job", "island").agg(count(lit(1)).as("len"))
+      .groupBy("job").agg(max("len").as("max_fail_streak"))
+    agg.join(islands, Seq("job"), "left")
+      .select(col("job"), col("n_runs"), col("n_failed"), col("last_success"),
+        col("current_fail_streak"),
+        coalesce(col("max_fail_streak"), lit(0L)).as("max_fail_streak"),
+        (coalesce(col("max_fail_streak"), lit(0L)) >= 2).as("alert"))
+      .orderBy("job")
   }
 }

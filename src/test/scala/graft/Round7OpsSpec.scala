@@ -204,6 +204,19 @@ class Round7OpsSpec extends AnyFunSuite with SparkSpec {
       s"tombstones must broadcast, not shuffle the code lake:\n$p2")
   }
 
+  test("p31's alert branch is non-vacuous and streak arithmetic is self-consistent") {
+    val rows = graft.pipeline.ProfileOps.jobHealth(spark, Sf0001).collect()
+    assert(rows.exists(_.getBoolean(6)) && rows.exists(!_.getBoolean(6)),
+      "alert must fire for some jobs and not others, or the verdict is untested")
+    rows.foreach { r =>
+      val (nRuns, nFailed, cur, mx) =
+        (r.getLong(1), r.getLong(2), r.getLong(4), r.getLong(5))
+      assert(mx >= cur, "the trailing streak is itself an island")
+      assert(nFailed >= mx && nRuns >= nFailed)
+      assert(r.getBoolean(6) === (mx >= 2))
+    }
+  }
+
   test("RankOps div is exact past 2^52") {
     import spark.implicits._
     // (rank, n) shapes the double-division shortcut misbuckets: operands
