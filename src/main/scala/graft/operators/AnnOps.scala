@@ -399,26 +399,15 @@ object AnnOps {
     * `centroids/` (tiny, broadcast) + the probed `label=` directories.
     * Incremental corpora append new cell directories; re-clustering is
     * a rebuild, as in any IVF system. */
-  /** Index roots already landed by THIS JVM. The build is once per
-    * corpus version (here: per data dir); serving calls after the first
-    * skip the rewrite, so e10/e12's repeated bench passes measure the
-    * SERVING path the scaladocs claim, not the build. The artifacts are
-    * a deterministic function of the dir, so skipping can only ever
-    * skip an identical rewrite. */
-  private val landed = new java.util.concurrent.ConcurrentHashMap[String, AnyRef]()
-
-  /** Runs `build` at most once per JVM per key — ATOMICALLY
-    * (computeIfAbsent: a second concurrent caller blocks instead of
-    * racing a duplicate overwrite into the same directory) — and again
-    * if `artifact` (a directory the build must land) has been cleaned
-    * from disk since, so a wiped target/ heals instead of serving a
-    * missing path. A build that throws leaves no mapping: the next
-    * caller retries. */
-  private def landOnce(key: String, artifact: String)(build: => Unit): Unit = {
-    if (!new java.io.File(artifact).exists()) landed.remove(key)
-    landed.computeIfAbsent(key, _ => { build; java.lang.Boolean.TRUE })
-    ()
-  }
+  /** Index builds are once per corpus version (here: per data dir);
+    * serving calls after the first skip the rewrite, so e10/e12's
+    * repeated bench passes measure the SERVING path the scaladocs
+    * claim, not the build. The artifacts are a deterministic function
+    * of the dir, so skipping can only ever skip an identical rewrite.
+    * (The once-per-JVM machinery itself is [[graft.functions.F.landOnce]],
+    * shared with p32's lake landing.) */
+  private def landOnce(key: String, artifact: String)(build: => Unit): Unit =
+    graft.functions.F.landOnce(key, artifact)(build)
 
   /** Lands the e10 index artifacts (first call per JVM per dir) and
     * returns the index root — shared by the batch-serving e10 and the
@@ -586,17 +575,8 @@ object AnnOps {
       spark.catalog.refreshByPath(s"$out/codes_full")
     }
     // ---- tombstone ingest: decrement state, never rescanning the base ----
-    val delState = centroidStateOf(quantized(spark, dir).filter(deleted))
-      .select(col("label"), col("s").as("sd"), col("n").as("nd"))
-    spark.read.parquet(s"$out/centroids_v1")
-      .select(col("label"), col("s").as("sb"), col("n").as("nb"))
-      .join(delState, Seq("label"), "left")
-      .select(col("label"),
-        when(col("sd").isNull, col("sb"))
-          .otherwise(zip_with(col("sb"), col("sd"), (a, b) => a - b)).as("s"),
-        (col("nb") - coalesce(col("nd"), lit(0L))).as("n"))
-      .filter(col("n") > 0) // fully-deleted cells leave the index
-      .withColumn("ss", dotQ(col("s"), col("s")))
+    decrementedState(spark.read.parquet(s"$out/centroids_v1"),
+        centroidStateOf(quantized(spark, dir).filter(deleted)))
       .write.mode("overwrite").parquet(s"$out/centroids_v2")
     // ---- serve from the maintained index, tombstones anti-joined ----
     Seq("centroids_v2", "codes_full")
@@ -605,6 +585,71 @@ object AnnOps {
       .select(col("vec_id").as("c_id"))
     val codes = spark.read.parquet(s"$out/codes_full")
       .join(broadcast(tombstones), Seq("c_id"), "left_anti")
+      .select(col("c_id"), col("label").cast(IntegerType).as("label"),
+        col("m"), col("code"))
+    pqAnswer(spark, dir, spark.read.parquet(s"$out/centroids_v2"), codes, k, nProbe)
+      .filter(col("q_id") % 10 =!= DeleteSlice)
+  }
+
+  /** base centroid state minus the tombstone batch's state — the exact
+    * int64 group inverse of e11's merge; cells whose count hits zero
+    * leave the index. Shared by e13 (per-call decrement — the measured
+    * maintenance op) and e14's landed pre-state. */
+  private def decrementedState(base: DataFrame, del: DataFrame): DataFrame =
+    base.select(col("label"), col("s").as("sb"), col("n").as("nb"))
+      .join(del.select(col("label"), col("s").as("sd"), col("n").as("nd")),
+        Seq("label"), "left")
+      .select(col("label"),
+        when(col("sd").isNull, col("sb"))
+          .otherwise(zip_with(col("sb"), col("sd"), (a, b) => a - b)).as("s"),
+        (col("nb") - coalesce(col("nd"), lit(0L))).as("n"))
+      .filter(col("n") > 0) // fully-deleted cells leave the index
+      .withColumn("ss", dotQ(col("s"), col("s")))
+
+  /** e14: INDEX COMPACTION — tombstone RETIREMENT as a physical rewrite
+    * (p24's discipline applied to the vector lake). e13 serves
+    * correctly by anti-joining the tombstone set out of every read:
+    * right for the delete moment, but each serve pays that anti-join
+    * forever and the lake keeps dead rows. Compaction rewrites the code
+    * lake ONCE — tombstoned ids dropped, the `label=<cell>/` layout
+    * preserved, emptied cells leaving PHYSICALLY (no surviving rows →
+    * no directory written) — after which serving needs no tombstone set
+    * at all: the plan is e10's pure probed-cell scan again, with ZERO
+    * anti-joins (pinned in spec). Answers bit-equal to e13's maintained
+    * index and to a full rebuild on the surviving corpus.
+    *
+    * Scale shape: the rewrite streams the code lake once with the
+    * tombstone ids broadcast (delete batches are small relative to the
+    * corpus by construction), writing only survivors — embarrassingly
+    * parallel per cell directory, and the raw vectors are read ZERO
+    * times (codes are already encoded). In production this runs on the
+    * compaction cadence (p24), amortized across every subsequent serve;
+    * the tombstone anti-join tax disappears from the read path. */
+  def annCompactIndex(spark: SparkSession, dir: String, k: Int = 3,
+      nProbe: Int = NProbe): DataFrame = {
+    val out = graft.functions.F.sinkPath("anncompact", dir)
+    val deleted = col("vec_id") % 10 === DeleteSlice
+    // ---- the tombstoned index this compaction retires (e13's state,
+    // landed once per JVM per dir — the COMPACTION below is the
+    // measured operator) ----
+    landOnce(s"$out/pre", s"$out/codes_full") {
+      pqCodes(spark, dir).write.mode("overwrite")
+        .partitionBy("label").parquet(s"$out/codes_full")
+      decrementedState(centroids(spark, dir),
+          centroidStateOf(quantized(spark, dir).filter(deleted)))
+        .write.mode("overwrite").parquet(s"$out/centroids_v2")
+      spark.catalog.refreshByPath(s"$out/codes_full")
+      spark.catalog.refreshByPath(s"$out/centroids_v2")
+    }
+    // ---- the compaction rewrite: drop tombstoned rows, keep layout ----
+    val tombstones = quantized(spark, dir).filter(deleted)
+      .select(col("vec_id").as("c_id"))
+    spark.read.parquet(s"$out/codes_full")
+      .join(broadcast(tombstones), Seq("c_id"), "left_anti")
+      .write.mode("overwrite").partitionBy("label").parquet(s"$out/codes_v2")
+    spark.catalog.refreshByPath(s"$out/codes_v2")
+    // ---- serve from the COMPACTED lake: no tombstone set anywhere ----
+    val codes = spark.read.parquet(s"$out/codes_v2")
       .select(col("c_id"), col("label").cast(IntegerType).as("label"),
         col("m"), col("code"))
     pqAnswer(spark, dir, spark.read.parquet(s"$out/centroids_v2"), codes, k, nProbe)

@@ -267,4 +267,76 @@ object CorpusOps {
       .select("doc_id", "source", "n_tok", "cum_before")
       .orderBy("source", "doc_id")
   }
+
+  /** x8: DATASET CARD — the per-(lang, split) composition report every
+    * corpus release ships (a "datasheet for datasets": doc/token
+    * masses, boilerplate incidence, quality profile, length extremes).
+    * Composes already-checked rules — x6's split hash, t1's tokenizer,
+    * t2's quality formula, d9's shared-passage fingerprint — into one
+    * rollup, entirely in INTEGER units so the card is bit-identical on
+    * any engine and at any partition count:
+    *
+    *  - `mean_q_micro`: t2's quality score in millionths, derived with
+    *    integer arithmetic only (floor div on int64 ratios — no float
+    *    summation order anywhere);
+    *  - `boiler_ppm`: docs carrying ≥ 1 full 8-token passage shared
+    *    with another doc (d9's rule — repeated headers/license blocks),
+    *    per million docs of the group. Exact-dup rate would be the
+    *    d1 analog, but the synthetic corpus has none — a vacuous
+    *    column proves nothing, so the card reports the incidence that
+    *    actually exists in the data.
+    *
+    * Scale shape: the per-doc quantities are map-side off one
+    * documents scan; the boilerplate flag costs d9's passage-fp
+    * groupBy plus a doc-id semi-join (both map-combined, the card's
+    * only data-proportional shuffles); the final rollup collapses
+    * map-side to langs × 3 rows. */
+  def datasetCard(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.F.{hash60, tokens}
+    val u = hash60(concat(lit("split_"), col("doc_id").cast("string"))) % 1000000L
+    val stopArr = array(TextOps.Stopwords.map(lit): _*)
+    val perDoc = Tables.documents(spark, dir)
+      .withColumn("t", tokens(col("text")))
+      .withColumn("n", size(col("t")).cast("long"))
+      .select(col("doc_id"), col("lang"),
+        when(u < ValStartPpm, "train")
+          .when(u < TestStartPpm, "val")
+          .otherwise("test").as("split"),
+        col("n"),
+        // t2's 0.3·unique/n + 0.4·(1 − stop/n) + 0.3·min(n,100)/100 in
+        // exact millionths: (300000·u + 400000·(n − s)) div n + 3000·min(n,100)
+        (call_function("div",
+          lit(300000L) * size(array_distinct(col("t"))).cast("long") +
+            lit(400000L) * (col("n") -
+              size(filter(col("t"), x => array_contains(stopArr, x))).cast("long")),
+          col("n")) + lit(3000L) * least(col("n"), lit(100L))).as("q_micro"))
+    // d9's passage fingerprints → docs containing ≥ 1 shared passage
+    val p = DedupOps.PassageLen
+    val pass = Tables.documents(spark, dir)
+      .withColumn("t", tokens(col("text")))
+      .select(col("doc_id"), explode(expr(
+        s"""transform(sequence(0, (size(t) + ${p - 1}) div $p - 1),
+           |          u -> slice(t, u * $p + 1, $p))""".stripMargin)).as("w"))
+      .filter(size(col("w")) === p)
+      .select(col("doc_id"), md5(array_join(col("w"), " ")).as("fp"))
+    val sharedFps = pass.groupBy("fp")
+      .agg(countDistinct("doc_id").as("nd")).filter(col("nd") >= 2).select("fp")
+    val boilerDocs = pass.join(sharedFps, "fp").select("doc_id").distinct()
+      .withColumn("is_boiler", lit(1L))
+    perDoc.join(boilerDocs, Seq("doc_id"), "left")
+      .withColumn("is_boiler", coalesce(col("is_boiler"), lit(0L)))
+      .groupBy("lang", "split")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n").as("n_tokens"),
+        sum("is_boiler").as("n_boiler_docs"),
+        sum("q_micro").as("sum_q"),
+        min("n").as("min_tok"),
+        max("n").as("max_tok"))
+      .select(col("lang"), col("split"), col("n_docs"), col("n_tokens"),
+        col("n_boiler_docs"),
+        call_function("div", col("n_boiler_docs") * 1000000L, col("n_docs")).as("boiler_ppm"),
+        call_function("div", col("sum_q"), col("n_docs")).as("mean_q_micro"),
+        col("min_tok"), col("max_tok"))
+      .orderBy("lang", "split")
+  }
 }

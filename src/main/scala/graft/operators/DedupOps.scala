@@ -499,24 +499,31 @@ object DedupOps {
     * does not give). Pairs sharing ≥ 2 fingerprints are emitted with
     * their shared count.
     *
-    * Scale shape: the windowed min is one (doc_id) shuffle; fingerprints
-    * per doc ≈ 2·n/w (and distinct-collapsed), so the inverted index is
-    * a FRACTION of d2's every-distinct-ngram index; the DF cap bounds
-    * the self-join fan-out exactly as in d2. Candidate generation is an
-    * equality join on the fingerprint value. */
+    * Scale shape: the hash sequence and its sliding-window minima are
+    * PER-DOCUMENT quantities, so they are computed inside one narrow
+    * projection with array higher-order functions — no posexplode of
+    * 3n positional rows, no (doc_id) shuffle, no window sort; the only
+    * exploded rows are the ≈ 2·n/w distinct fingerprints themselves
+    * (a FRACTION of d2's every-distinct-ngram index). At 100 TB the
+    * substrate build is a pure map over the scan. The DF cap bounds
+    * the self-join fan-out exactly as in d2; candidate generation is
+    * an equality join on the fingerprint value. */
   /** The winnowed fingerprint set of a (doc_id, text) frame — exposed
-    * for the coverage-guarantee property test. */
+    * for the coverage-guarantee property test and the formulation-
+    * equality spec (HOF sliding min vs the literal windowed min). */
   private[graft] def winnowFps(docs: DataFrame): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("doc_id").orderBy("pos").rowsBetween(-(WinnowW - 1), 0)
+    val w = WinnowW
+    // window ending at 0-based hash position i covers hv[i-w+1 .. i] —
+    // slice is 1-based, so start = i - (w - 2); docs with fewer than w
+    // n-grams have no full window and contribute nothing
+    val fpArr = array_distinct(transform(
+      sequence(lit(w - 1), size(col("hv")) - 1),
+      i => array_min(slice(col("hv"), i - (w - 2), lit(w)))))
     docs
       .withColumn("t", tokens(col("text")))
-      .filter(size(col("t")) >= 3)
-      .select(col("doc_id"), posexplode(ngramsExpr).as(Seq("pos", "ngram")))
-      .select(col("doc_id"), col("pos"), hash60(col("ngram")).as("hv"))
-      .withColumn("fp", min("hv").over(w))
-      .filter(col("pos") >= WinnowW - 1) // full windows only
-      .select("doc_id", "fp").distinct()
+      .filter(size(col("t")) >= w + 2) // < w+2 tokens ⇒ < w n-grams
+      .withColumn("hv", transform(ngramsExpr, g => hash60(g)))
+      .select(col("doc_id"), explode(fpArr).as("fp"))
   }
 
   def winnowPairs(spark: SparkSession, dir: String): DataFrame = {

@@ -158,6 +158,60 @@ object SinkOps {
     * embarrassingly parallel, bounded memory (a writer task streams
     * row groups). File COUNT bounds (96 → ≤ 8) are pinned by spec, not
     * here: the query contract is content equality. */
+  /** p32: PARTITION BACKFILL — the reprocessing pass every production
+    * lake eventually needs: a bug (or late data) invalidates a date
+    * RANGE, and the fix recomputes THAT RANGE from the source and
+    * overwrites only its partition directories — dynamic partition
+    * overwrite — leaving every other partition's files physically
+    * untouched (pinned by spec via the untouched files' mtimes).
+    *
+    * The landing deliberately POISONS the window (total_value = −1 on
+    * the to-be-backfilled days), so the oracle can only stay green if
+    * the backfill actually repaired those partitions: the read-back
+    * must equal the clean full recompute value-for-value. The window
+    * is derived from the data (days [min+2, min+5] — p14's
+    * discipline), never hard-coded.
+    *
+    * Scale shape: the recompute aggregates only the window's rows; on
+    * a date-partitioned event lake the window predicate prunes the
+    * SOURCE read at the directory level too, and `partitionOverwriteMode
+    * = dynamic` resolves the overwritten directories from the data
+    * being written, not the table root — so backfilling 4 days of a
+    * 10-year lake reads and writes 4 days, not 10 years. Untouched
+    * history is never opened. */
+  def backfillPartitions(spark: SparkSession, dir: String): DataFrame = {
+    val out = graft.functions.F.sinkPath("kpi_backfill", dir)
+    val full = TripPipeline.kpiDailyByType(spark, dir)
+    val minRow = full.agg(min(col("date"))).head
+    if (minRow.isNullAt(0)) // empty source → empty lake, not a crash
+      return spark.createDataFrame(
+        java.util.List.of[org.apache.spark.sql.Row](), p14Schema)
+    val minDate = minRow.getDate(0).toLocalDate
+    val from = java.sql.Date.valueOf(minDate.plusDays(2))
+    val to = java.sql.Date.valueOf(minDate.plusDays(5))
+    val inWindow = col("date") >= lit(from) && col("date") <= lit(to)
+    // ---- landing (once per JVM per dir): the lake with the window
+    // poisoned — the state a real backfill is called to repair ----
+    graft.functions.F.landOnce(out, out) {
+      full.withColumn("total_value",
+          when(inWindow, lit(-1.0)).otherwise(col("total_value")))
+        .write.mode("overwrite").partitionBy("date").parquet(out)
+      spark.catalog.refreshByPath(out)
+    }
+    // ---- the measured backfill: recompute ONLY the window, overwrite
+    // ONLY its partition directories ----
+    full.filter(inWindow)
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("date").parquet(out)
+    spark.catalog.refreshByPath(out)
+    spark.read.parquet(out)
+      .select(col("date").cast(DateType).as("date"), col("event_type"),
+        col("n_events"), col("total_value"), col("avg_value"),
+        col("max_value"), col("min_value"))
+      .orderBy("date", "event_type")
+  }
+
   def compactionRoundtrip(spark: SparkSession, dir: String): DataFrame = {
     val fragmented = graft.functions.F.sinkPath("frag", dir)
     val compacted = graft.functions.F.sinkPath("compact", dir)

@@ -113,6 +113,31 @@ class Round7OpsSpec extends AnyFunSuite with SparkSpec {
       "DeleteSlice must intersect the query stride or the query-removal leg is untested")
   }
 
+  test("e14's compacted lake answers exactly like e13; serving drops the anti-join") {
+    import graft.operators.AnnOps
+    val compacted = AnnOps.annCompactIndex(spark, Sf0001)
+    val got = compacted.collect().toSeq
+    assert(got === AnnOps.annDeleteIndex(spark, Sf0001).collect().toSeq,
+      "compaction must change nothing about the answers")
+    assert(got === AnnOps.annDeleteRebuildReference(spark, Sf0001).collect().toSeq)
+    // the whole point of compacting: the serve plan carries NO
+    // tombstone anti-join — the dead rows are physically gone
+    val plan = compacted.queryExecution.executedPlan.toString
+    assert(!plan.contains("LeftAnti"),
+      s"tombstone anti-join survived compaction:\n$plan")
+    // and the lake itself holds no tombstoned row and no emptied cell
+    val lake = spark.read.parquet(
+      graft.functions.F.sinkPath("anncompact", Sf0001) + "/codes_v2")
+    assert(lake.filter(col("c_id") % 10 === AnnOps.DeleteSlice).count() === 0L)
+    val cells = spark.read.parquet(
+        graft.functions.F.sinkPath("anncompact", Sf0001) + "/centroids_v2")
+      .select("label").collect().map(_.getInt(0)).toSet
+    val lakeCells = lake.select("label").distinct().collect()
+      .map(_.getInt(0)).toSet
+    assert(lakeCells.subsetOf(cells),
+      s"emptied cells must leave the lake: ${lakeCells -- cells}")
+  }
+
   test("d12 removes a real slice; every witness has strictly higher priority") {
     import graft.operators.{ClusterOps, DedupOps}
     val out = DedupOps.semanticDedup(spark, Sf0001).collect()
@@ -243,5 +268,98 @@ class Round7OpsSpec extends AnyFunSuite with SparkSpec {
         .as[(Long, Int)].collect().toMap
       assert(got === want, s"ntile mismatch at n=$n b=$b")
     }
+  }
+
+  test("p32 heals the poisoned window and rewrites ONLY its partition directories") {
+    import graft.pipeline.{SinkOps, TripPipeline}
+    val first = SinkOps.backfillPartitions(spark, Sf0001).collect().toSeq
+    // the lake was landed POISONED (window total_value = −1); after the
+    // backfill it must equal the clean full recompute
+    val want = TripPipeline.kpiDailyByType(spark, Sf0001)
+      .orderBy("date", "event_type").collect().toSeq
+    assert(first === want, "backfill must repair the poisoned window")
+    // window dirs = [min+2, min+5]; everything else must be untouched
+    val minDate = want.map(_.getDate(0).toLocalDate).min(
+      Ordering.by((d: java.time.LocalDate) => d.toEpochDay))
+    val window = (2 to 5).map(d => s"date=${minDate.plusDays(d)}").toSet
+    val root = new java.io.File(graft.functions.F.sinkPath("kpi_backfill", Sf0001))
+    def listing(dirs: Set[String]) = root.listFiles().filter(_.isDirectory)
+      .filter(f => dirs.contains(f.getName))
+      .flatMap(_.listFiles()).map(f => f.getPath -> ((f.lastModified, f.length))).toMap
+    val dirNames = root.listFiles().filter(_.isDirectory).map(_.getName).toSet
+    assert(window.subsetOf(dirNames), s"window $window must exist in $dirNames")
+    val outside = dirNames -- window
+    assert(outside.nonEmpty, "the spec needs untouched partitions to observe")
+    val outsideBefore = listing(outside)
+    val windowBefore = listing(window)
+    SinkOps.backfillPartitions(spark, Sf0001).collect()
+    assert(listing(outside) === outsideBefore,
+      "backfill must not touch partitions outside the window")
+    assert(listing(window).keySet !== windowBefore.keySet,
+      "the window's directories must actually be rewritten")
+  }
+
+  test("x8 card masses reconcile with x6; boilerplate and quality legs are non-vacuous") {
+    import graft.operators.CorpusOps
+    val card = CorpusOps.datasetCard(spark, Sf0001).collect()
+    val x6 = CorpusOps.splitAssign(spark, Sf0001).collect()
+    val cardMass = card.map(r =>
+      (r.getString(0), r.getString(1)) -> ((r.getLong(2), r.getLong(3)))).toMap
+    val x6Mass = x6.map(r =>
+      (r.getString(0), r.getString(1)) -> ((r.getLong(2), r.getLong(3)))).toMap
+    assert(cardMass === x6Mass, "doc/token masses must replay x6 exactly")
+    assert(card.map(_.getLong(4)).sum > 0, "boilerplate leg must flag real docs")
+    assert(card.forall(r => r.getLong(6) > 0 && r.getLong(6) <= 1000000L),
+      "mean quality must stay in (0, 1] millionths")
+  }
+
+  // --- d7: the HOF sliding-min substrate vs the literal windowed min ------
+
+  /** The pre-rewrite formulation (posexplode → per-doc windowed min) —
+    * kept here as the reference the shuffle-free substrate must equal. */
+  private def winnowFpsLiteral(docs: DataFrame): DataFrame = {
+    val wW = operators.DedupOps.WinnowW
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+      .rowsBetween(-(wW - 1), 0)
+    docs
+      .withColumn("t", graft.functions.F.tokens(col("text")))
+      .filter(size(col("t")) >= 3)
+      .select(col("doc_id"), posexplode(expr(
+        """CASE WHEN size(t) >= 3
+          |  THEN transform(sequence(0, size(t) - 3), i -> array_join(slice(t, i + 1, 3), ' '))
+          |  ELSE array() END""".stripMargin)).as(Seq("pos", "ngram")))
+      .select(col("doc_id"), col("pos"),
+        graft.functions.F.hash60(col("ngram")).as("hv"))
+      .withColumn("fp", min("hv").over(w))
+      .filter(col("pos") >= wW - 1)
+      .select("doc_id", "fp").distinct()
+  }
+
+  test("d7's shuffle-free fingerprint substrate equals the windowed-min formulation") {
+    import spark.implicits._
+    // real corpus + constructed edges: doc with exactly w n-grams (one
+    // full window), doc one short of a full window (must vanish), empty
+    val edges = Seq(
+      (90001L, "a b c d e f"),       // 6 tokens = 4 n-grams = exactly one window
+      (90002L, "a b c d e"),         // 3 n-grams < w → no fingerprints
+      (90003L, "")).toDF("doc_id", "text")
+    val docs = Tables.documents(spark, Sf0001).select("doc_id", "text")
+      .unionByName(edges)
+    val got = operators.DedupOps.winnowFps(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = winnowFpsLiteral(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === want)
+    assert(got.exists(_._1 == 90001L) && !got.exists(_._1 == 90002L))
+  }
+
+  test("d7's substrate plan is a narrow map: no exchange, no window, no posexplode blowup") {
+    val df = operators.DedupOps.winnowFps(
+      Tables.documents(spark, Sf0001).select("doc_id", "text"))
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"substrate shuffled:\n$plan")
+    assert(!plan.contains("Window"), s"windowed min survived the rewrite:\n$plan")
+    assert(!plan.contains("PosExplode"), s"positional explode survived:\n$plan")
   }
 }
