@@ -94,6 +94,17 @@ class DeterminismSpec extends AnyFunSuite with SparkSpec {
     assertStable("q23_cube")(Analytics.q23Cube(spark, Sf0001))
   }
 
+  test("round-7 dedup/card/overlap operators are partition-count independent") {
+    // a4's rank-based counting claims partition-count-free global
+    // ranks; d7's HOF substrate is per-doc (nothing to vary); x8's
+    // integer-unit card and d12's exact-int cosines execute their
+    // bit-identical claims here
+    assertStable("a4_interval_overlap")(operators.JoinOps.intervalOverlap(spark, Sf0001))
+    assertStable("d7_winnow")(operators.DedupOps.winnowPairs(spark, Sf0001))
+    assertStable("x8_dataset_card")(operators.CorpusOps.datasetCard(spark, Sf0001))
+    assertStable("d12_semantic_dedup")(operators.DedupOps.semanticDedup(spark, Sf0001))
+  }
+
   test("a transient task failure + Spark retry yields bit-identical output") {
     // closes the exactly-once claim under Spark's OWN retry machinery
     // (complementing partition-count and re-delivery equivalence): one
