@@ -1339,6 +1339,20 @@ object Oracles {
     "e14_ann_compact" -> e6SqlWhere(
       s" WHERE vec_id % 10 <> ${graft.operators.AnnOps.DeleteSlice}"),
 
+    // e15: cell stats + FAISS's imbalance factor in exact ppm; HUGEINT
+    // mirrors the Spark side's DECIMAL(38,0) (Σnᵢ² overflows int64 at
+    // ~1e12 vectors)
+    "e15_index_health" ->
+      """WITH s AS (SELECT label, count(*) AS n_members FROM embeddings GROUP BY 1),
+        |t AS (SELECT CAST(sum(n_members) AS HUGEINT) AS n,
+        |             CAST(sum(CAST(n_members AS HUGEINT) * n_members) AS HUGEINT) AS ss,
+        |             count(*) AS k FROM s)
+        |SELECT s.label, s.n_members,
+        |  CAST((CAST(s.n_members AS HUGEINT) * 1000000) // t.n AS BIGINT) AS share_ppm,
+        |  s.n_members * t.k * 10 > 11 * t.n AS over_110,
+        |  CAST((t.k * t.ss * 1000000) // (t.n * t.n) AS BIGINT) AS imbalance_ppm
+        |FROM s, t ORDER BY s.label""".stripMargin,
+
     // e12: the single-request serving path is e6 restricted to the one
     // served query — pruning the code lake to the probed cells must
     // change nothing about that query's answer

@@ -656,6 +656,40 @@ object AnnOps {
       .filter(col("q_id") % 10 =!= DeleteSlice)
   }
 
+  /** e15: INDEX HEALTH — the observability leg of the lifecycle (the
+    * vector-lake analog of p31's job health): per-cell member counts,
+    * share of corpus, and the classic IVF imbalance factor
+    * η = k·Σnᵢ²/n² (FAISS's metric: expected number of ideal-cell-loads
+    * a random probe scans; 1.0 = perfectly balanced). η drifting up is
+    * THE signal that ingest (e11) has skewed the cell geometry and the
+    * one rebuild-forcing event — re-clustering — is due; `over_110`
+    * flags cells ≥ 1.1× ideal share (the watch threshold a production
+    * config tunes).
+    *
+    * Determinism discipline: every ratio is an integer floor-div in
+    * ppm; the squared sums run in DECIMAL(38,0) because Σnᵢ² overflows
+    * int64 at ~10¹² vectors — the card stays exact at any corpus size
+    * an int64 row count can name. Scale shape: one map-combined
+    * groupBy to k rows, a 1-row broadcast total, per-cell arithmetic —
+    * the health report of a 100 TB index costs one count pass. */
+  def indexHealth(spark: SparkSession, dir: String): DataFrame = {
+    val d38 = DecimalType(38, 0)
+    val stats = quantized(spark, dir)
+      .groupBy("label").agg(count(lit(1)).as("n_members"))
+    val totals = stats.agg(
+      sum(col("n_members")).as("n"),
+      sum(col("n_members").cast(d38) * col("n_members").cast(d38)).as("ss"),
+      count(lit(1)).as("k"))
+    stats.crossJoin(broadcast(totals))
+      .select(col("label"), col("n_members"),
+        call_function("div", col("n_members") * 1000000L, col("n")).as("share_ppm"),
+        (col("n_members") * col("k") * 10L > col("n") * 11L).as("over_110"),
+        call_function("div",
+          col("k").cast(d38) * col("ss") * lit(1000000L).cast(d38),
+          col("n").cast(d38) * col("n").cast(d38)).as("imbalance_ppm"))
+      .orderBy("label")
+  }
+
   /** The full-rebuild reference for e13's bit-equality spec: the same
     * pqAnswer pipeline over an index built DIRECTLY from the surviving
     * corpus (no decrement, no anti-join). Test-only seam. */

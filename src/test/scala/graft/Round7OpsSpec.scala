@@ -138,6 +138,21 @@ class Round7OpsSpec extends AnyFunSuite with SparkSpec {
       s"emptied cells must leave the lake: ${lakeCells -- cells}")
   }
 
+  test("e15 health report reconciles: masses, Cauchy-Schwarz floor, watch flags") {
+    import graft.operators.AnnOps
+    val h = AnnOps.indexHealth(spark, Sf0001).collect()
+    val total = h.map(_.getLong(1)).sum
+    assert(total === Tables.embeddings(spark, Sf0001).count())
+    // η = k·Σn²/n² ≥ 1 exactly when any cell is non-ideal (Cauchy-Schwarz)
+    assert(h.forall(_.getLong(4) >= 1000000L))
+    assert(h.map(_.getLong(4)).distinct.length === 1, "η is a global quantity")
+    // over_110 must match the share definition row by row
+    val k = h.length
+    h.foreach { r =>
+      assert(r.getBoolean(3) === (r.getLong(1) * k * 10 > 11 * total))
+    }
+  }
+
   test("d12 removes a real slice; every witness has strictly higher priority") {
     import graft.operators.{ClusterOps, DedupOps}
     val out = DedupOps.semanticDedup(spark, Sf0001).collect()
