@@ -311,14 +311,8 @@ object CorpusOps {
               size(filter(col("t"), x => array_contains(stopArr, x))).cast("long")),
           col("n")) + lit(3000L) * least(col("n"), lit(100L))).as("q_micro"))
     // d9's passage fingerprints → docs containing ≥ 1 shared passage
-    val p = DedupOps.PassageLen
-    val pass = Tables.documents(spark, dir)
-      .withColumn("t", tokens(col("text")))
-      .select(col("doc_id"), explode(expr(
-        s"""transform(sequence(0, (size(t) + ${p - 1}) div $p - 1),
-           |          u -> slice(t, u * $p + 1, $p))""".stripMargin)).as("w"))
-      .filter(size(col("w")) === p)
-      .select(col("doc_id"), md5(array_join(col("w"), " ")).as("fp"))
+    // (the memoized substrate — one documents scan serves d9 and x8)
+    val pass = DedupOps.passageFps(spark, dir)
     val sharedFps = pass.groupBy("fp")
       .agg(countDistinct("doc_id").as("nd")).filter(col("nd") >= 2).select("fp")
     val boilerDocs = pass.join(sharedFps, "fp").select("doc_id").distinct()

@@ -561,15 +561,22 @@ object DedupOps {
     * partial aggregation; count(DISTINCT doc_id) runs as the standard
     * two-phase expand — no joins, no per-doc state. At 100 TB this is
     * the same single-shuffle profile as d1 with 8× the row count. */
+  /** The (doc_id, passage-md5) relation — d9's substrate, shared with
+    * x8's boilerplate-incidence leg (one documents scan serves both). */
+  private[operators] def passageFps(spark: SparkSession, dir: String): DataFrame =
+    memoized(spark, "d9_passages", dir) {
+      val p = PassageLen
+      Tables.documents(spark, dir)
+        .withColumn("t", tokens(col("text")))
+        .select(col("doc_id"), explode(expr(
+          s"""transform(sequence(0, (size(t) + ${p - 1}) div $p - 1),
+             |          u -> slice(t, u * $p + 1, $p))""".stripMargin)).as("w"))
+        .filter(size(col("w")) === p) // full passages only
+        .select(col("doc_id"), md5(array_join(col("w"), " ")).as("fp"))
+    }
+
   def passageDedup(spark: SparkSession, dir: String): DataFrame = {
-    val p = PassageLen
-    Tables.documents(spark, dir)
-      .withColumn("t", tokens(col("text")))
-      .select(col("doc_id"), explode(expr(
-        s"""transform(sequence(0, (size(t) + ${p - 1}) div $p - 1),
-           |          u -> slice(t, u * $p + 1, $p))""".stripMargin)).as("w"))
-      .filter(size(col("w")) === p) // full passages only
-      .select(col("doc_id"), md5(array_join(col("w"), " ")).as("fp"))
+    passageFps(spark, dir)
       .groupBy("fp")
       .agg(count(lit(1)).as("n_occ"),
         countDistinct(col("doc_id")).as("n_docs"),
