@@ -1289,6 +1289,29 @@ object Oracles {
          |FROM ch JOIN sp ON ch.doc_id = sp.doc_id
          |GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    // x9: the loader's step order — x7's kept/chunk CTEs restricted to
+    // the train split, ranked by the derived-randomness hash; the
+    // distributed rank must equal DuckDB's single row_number exactly
+    "x9_train_manifest" ->
+      s"""WITH kept0 AS (SELECT doc_id FROM ($x1Sql) k),
+         |contam AS (SELECT doc_id FROM ($x3Sql) c),
+         |kept AS (SELECT doc_id FROM kept0
+         |  WHERE doc_id NOT IN (SELECT doc_id FROM contam)
+         |    AND ${h60("'split_' || CAST(doc_id AS VARCHAR)")} % 1000000 < ${graft.operators.CorpusOps.ValStartPpm}),
+         |d AS (SELECT doc_id, $TOK AS t FROM documents
+         |  WHERE doc_id IN (SELECT doc_id FROM kept)),
+         |c AS (SELECT doc_id, t, len(t) AS n,
+         |  CASE WHEN len(t) <= 32 THEN 1 ELSE (len(t) - 32 + 23) // 24 + 1 END AS n_chunks
+         |  FROM d),
+         |ch AS (SELECT doc_id, u AS chunk_id,
+         |    len(t[u*24+1 : u*24+32]) AS n_tok
+         |  FROM c, unnest(range(0, n_chunks)) AS x(u))
+         |SELECT row_number() OVER (ORDER BY
+         |    ${h60("'order_' || CAST(doc_id AS VARCHAR) || '_' || CAST(chunk_id AS VARCHAR)")},
+         |    doc_id, chunk_id) AS step,
+         |  doc_id, chunk_id, CAST(n_tok AS BIGINT) AS n_tok
+         |FROM ch ORDER BY step""".stripMargin,
+
     "d3_minhash_lsh" -> d3Sql,
 
     "d5_neardup_clusters" -> d5Sql,

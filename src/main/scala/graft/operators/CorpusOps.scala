@@ -268,6 +268,38 @@ object CorpusOps {
       .orderBy("source", "doc_id")
   }
 
+  /** x9: TRAINING-ORDER MANIFEST — the reproducibility artifact a
+    * training run reads AFTER x7's shards land: every train-split chunk
+    * assigned one global step in a deterministic pseudo-random order
+    * (md5 of "order_<doc>_<chunk>" — the same derived-randomness rule
+    * as x6's splits, so re-running the job on any cluster regenerates
+    * the identical schedule; a resumed run seeks to step N and sees the
+    * same data). A plain ORDER BY rand() would be neither reproducible
+    * nor distributed-rankable; a single-task global sort would be the
+    * a10 wall. Instead the step is [[RankOps.withGlobalRank]] over the
+    * hash key — one range shuffle + partitioned row_numbers + O(p)
+    * offsets, parallel at any corpus size.
+    *
+    * Scale shape: reuses x1/x3's memoized decontamination substrates
+    * and t9's chunk plan; the only new cost is the rank's range
+    * shuffle. Output is chunk-count rows — in production it lands
+    * beside the shards as the loader's index. */
+  def trainManifest(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.F.hash60
+    val u = hash60(concat(lit("split_"), col("doc_id").cast("string"))) % 1000000L
+    val kept = corpusClean(spark, dir).select("doc_id")
+      .join(decontaminate(spark, dir).select("doc_id"), Seq("doc_id"), "left_anti")
+      .filter(u < ValStartPpm) // the train split (x6's hash rule)
+    val chunks = TextOps.chunk(spark, dir).select("doc_id", "chunk_id", "n_tok")
+      .join(kept, "doc_id")
+      .withColumn("ok", hash60(concat(lit("order_"), col("doc_id").cast("string"),
+        lit("_"), col("chunk_id").cast("string"))))
+    RankOps.withGlobalRank(chunks, "step",
+        Seq(col("ok"), col("doc_id"), col("chunk_id")))
+      .select(col("step"), col("doc_id"), col("chunk_id"), col("n_tok"))
+      .orderBy("step")
+  }
+
   /** x8: DATASET CARD — the per-(lang, split) composition report every
     * corpus release ships (a "datasheet for datasets": doc/token
     * masses, boilerplate incidence, quality profile, length extremes).

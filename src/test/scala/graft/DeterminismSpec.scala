@@ -103,6 +103,9 @@ class DeterminismSpec extends AnyFunSuite with SparkSpec {
     assertStable("d7_winnow")(operators.DedupOps.winnowPairs(spark, Sf0001))
     assertStable("x8_dataset_card")(operators.CorpusOps.datasetCard(spark, Sf0001))
     assertStable("d12_semantic_dedup")(operators.DedupOps.semanticDedup(spark, Sf0001))
+    // the manifest's whole contract is schedule reproducibility — the
+    // distributed rank must not leak the partition count into the order
+    assertStable("x9_train_manifest")(operators.CorpusOps.trainManifest(spark, Sf0001))
   }
 
   test("a transient task failure + Spark retry yields bit-identical output") {

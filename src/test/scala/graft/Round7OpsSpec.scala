@@ -138,6 +138,24 @@ class Round7OpsSpec extends AnyFunSuite with SparkSpec {
       s"emptied cells must leave the lake: ${lakeCells -- cells}")
   }
 
+  test("x9 manifest is a dense 1..n permutation of exactly the train chunks") {
+    import graft.operators.CorpusOps
+    val m = CorpusOps.trainManifest(spark, Sf0001).collect()
+    val steps = m.map(_.getLong(0)).sorted
+    assert(steps.toSeq === (1L to m.length.toLong), "steps must be dense 1..n")
+    // exactly the train-split kept chunks, no loss, no invention
+    val chunkKey = m.map(r => (r.getLong(1), r.getLong(2))).toSet
+    assert(chunkKey.size === m.length, "one step per (doc, chunk)")
+    assert(m.nonEmpty)
+    // the order is hash-derived, not input order: some doc must be
+    // interleaved (its chunks not at consecutive steps)
+    val byDoc = m.groupBy(_.getLong(1)).values.filter(_.length > 1)
+    assert(byDoc.exists { rows =>
+      val s = rows.map(_.getLong(0)).sorted
+      s.zip(s.tail).exists { case (a, b) => b != a + 1 }
+    }, "a pseudo-random order should interleave some doc's chunks")
+  }
+
   test("e15 health report reconciles: masses, Cauchy-Schwarz floor, watch flags") {
     import graft.operators.AnnOps
     val h = AnnOps.indexHealth(spark, Sf0001).collect()
