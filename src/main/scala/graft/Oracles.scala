@@ -1223,6 +1223,20 @@ object Oracles {
          |FROM bg JOIN cnt ON bg.bigram = cnt.bigram
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
+    // t12: the tokenizer-fitting corpus pass — type frequencies →
+    // weighted adjacent char-pair counts → top-K under the total
+    // (count desc, pair asc) order
+    "t12_bpe_pairs" ->
+      s"""WITH w AS (SELECT tok, count(*) AS wf FROM (
+         |    SELECT unnest($TOK) AS tok FROM documents) u GROUP BY 1),
+         |p AS (SELECT substr(tok, i, 2) AS pair, wf
+         |  FROM w, unnest(range(1, len(tok))) AS x(i)
+         |  WHERE len(tok) >= 2)
+         |SELECT row_number() OVER (ORDER BY sum(wf) DESC, pair) AS rnk, pair,
+         |  CAST(sum(wf) AS BIGINT) AS n
+         |FROM p GROUP BY pair
+         |ORDER BY rnk LIMIT ${graft.operators.TextOps.BpeTopK}""".stripMargin,
+
     "t11_repetition" ->
       s"""WITH d AS (SELECT doc_id, $TOK AS t FROM documents),
          |g AS (SELECT doc_id, gram FROM (

@@ -338,4 +338,38 @@ object TextOps {
         md5(array_join(col("w"), " ")).as("fp"))
       .orderBy("doc_id", "chunk_id")
   }
+
+  /** Merge candidates reported by t12. */
+  val BpeTopK = 20
+
+  /** t12: BPE-PAIR STATISTICS — the corpus pass of tokenizer fitting.
+    * Real BPE/unigram trainers (SentencePiece, the HF tokenizers) run
+    * exactly ONE distributed pass over the corpus: collapse it to the
+    * word-TYPE frequency table; the merge loop then iterates over that
+    * bounded table in memory. This operator materializes the
+    * distributed part — token-type frequencies, adjacent character-pair
+    * counts weighted by type frequency, and the first round's top-K
+    * merge ranking under a total order (count desc, pair asc — the
+    * deterministic tie-break a reproducible vocab build needs).
+    *
+    * Scale shape: one map-combined groupBy to the type table (the
+    * 100 TB-proportional stage — everything after is bounded by
+    * |vocab|), a narrow per-type pair explode, a second map-combined
+    * groupBy, top-K via TakeOrdered. The final row_number runs over
+    * the K-row result — a constant-size relation (the ClusterOps seed
+    * precedent), never the corpus. */
+  def bpePairs(spark: SparkSession, dir: String): DataFrame = {
+    val words = Tables.documents(spark, dir)
+      .select(explode(toks).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("wf"))
+    val pairs = words.filter(length(col("tok")) >= 2)
+      .select(col("wf"), explode(expr(
+        "transform(sequence(1, length(tok) - 1), i -> substring(tok, i, 2))")).as("pair"))
+      .groupBy("pair").agg(sum("wf").as("n"))
+    pairs.orderBy(col("n").desc, col("pair")).limit(BpeTopK)
+      .withColumn("rnk", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("n").desc, col("pair"))))
+      .select(col("rnk").cast(LongType).as("rnk"), col("pair"), col("n"))
+      .orderBy("rnk")
+  }
 }

@@ -156,6 +156,16 @@ class Round7OpsSpec extends AnyFunSuite with SparkSpec {
     }, "a pseudo-random order should interleave some doc's chunks")
   }
 
+  test("x9's plan keeps the rank distributed: no unpartitioned Window") {
+    val df = graft.operators.CorpusOps.trainManifest(spark, Sf0001)
+    df.collect()
+    // RankOps' offset window runs inside its own localCheckpoint job;
+    // the consumer plan must only carry partitioned windows
+    planNodes(df).collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }.foreach(w => assert(w.partitionSpec.nonEmpty, s"unpartitioned window:\n$w"))
+  }
+
   test("e15 health report reconciles: masses, Cauchy-Schwarz floor, watch flags") {
     import graft.operators.AnnOps
     val h = AnnOps.indexHealth(spark, Sf0001).collect()
