@@ -223,20 +223,27 @@ object CorpusOps {
     * filtering (p14's discipline). The 3-value partition key keeps the
     * writer's file fan-out bounded; at 100 TB add a shard-number
     * sub-key derived from the doc hash to bound per-file size. */
+  /** The decontaminated kept set with its x6 split — the substrate
+    * x7's shard write and x9's manifest share (memoized: the clean +
+    * decon joins are the expensive half of both).
+    *
+    * Decon as an anti-join, not a filter: the contaminated set is
+    * corpus-derived here but external (benchmark suite) in production,
+    * and AQE broadcasts it either way when small. */
+  private def keptWithSplit(spark: SparkSession, dir: String): DataFrame =
+    DedupOps.memoized(spark, "x7_kept_split", dir) {
+      import graft.functions.F.hash60
+      val u = hash60(concat(lit("split_"), col("doc_id").cast("string"))) % 1000000L
+      corpusClean(spark, dir).select("doc_id")
+        .join(decontaminate(spark, dir).select("doc_id"), Seq("doc_id"), "left_anti")
+        .withColumn("split",
+          when(u < ValStartPpm, "train")
+            .when(u < TestStartPpm, "val")
+            .otherwise("test"))
+    }
+
   def trainingShards(spark: SparkSession, dir: String): DataFrame = {
-    import graft.functions.F.hash60
-    val u = hash60(concat(lit("split_"), col("doc_id").cast("string"))) % 1000000L
-    val kept = corpusClean(spark, dir).select("doc_id")
-      // decon anti-join: eval-contaminated docs (x3's n-gram overlap
-      // flag) never reach the training lake — the production mix rule.
-      // Anti-join, not filter: the contaminated set is corpus-derived
-      // here but external (benchmark suite) in production, and AQE
-      // broadcasts it either way when small
-      .join(decontaminate(spark, dir).select("doc_id"), Seq("doc_id"), "left_anti")
-      .withColumn("split",
-        when(u < ValStartPpm, "train")
-          .when(u < TestStartPpm, "val")
-          .otherwise("test"))
+    val kept = keptWithSplit(spark, dir)
     val out = graft.functions.F.sinkPath("shards", dir)
     TextOps.chunk(spark, dir).select("doc_id", "chunk_id", "n_tok")
       .join(kept, "doc_id")
@@ -286,10 +293,8 @@ object CorpusOps {
     * beside the shards as the loader's index. */
   def trainManifest(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.F.hash60
-    val u = hash60(concat(lit("split_"), col("doc_id").cast("string"))) % 1000000L
-    val kept = corpusClean(spark, dir).select("doc_id")
-      .join(decontaminate(spark, dir).select("doc_id"), Seq("doc_id"), "left_anti")
-      .filter(u < ValStartPpm) // the train split (x6's hash rule)
+    val kept = keptWithSplit(spark, dir)
+      .filter(col("split") === "train").select("doc_id")
     val chunks = TextOps.chunk(spark, dir).select("doc_id", "chunk_id", "n_tok")
       .join(kept, "doc_id")
       .withColumn("ok", hash60(concat(lit("order_"), col("doc_id").cast("string"),
