@@ -1498,6 +1498,19 @@ object Oracles {
          |WHERE i < octet_length(encode(text)) % 30 + 1 AND i % 5 = 0
          |ORDER BY doc_id, frame_idx""".stripMargin,
 
+    // m5: the resize stub keeps every 2nd character (chars standing in
+    // for decoded pixels/samples), so the derivative's md5 replays
+    // exactly — corrupted/reordered/truncated payload plumbing cannot
+    // stay green
+    "m5_resize" ->
+      """WITH r AS (SELECT doc_id, len(text) AS in_len,
+        |    coalesce(array_to_string(list_transform(
+        |      range(1, len(text) + 1, 2), i -> substr(text, i, 1)), ''), '') AS half
+        |  FROM documents WHERE text IS NOT NULL)
+        |SELECT doc_id, CAST(in_len AS BIGINT) AS in_len,
+        |  CAST(len(half) AS BIGINT) AS out_len, md5(half) AS out_md5
+        |FROM r ORDER BY doc_id""".stripMargin,
+
     // q21: late = shipped > 60 days after order date (the schema has no
     // commit/receipt dates); same EXISTS / NOT-EXISTS topology as TPC-H Q21
     "q21_waiting" ->

@@ -149,4 +149,53 @@ object MultimodalOps {
       .toDF()
       .orderBy("doc_id", "frame_idx")
   }
+
+  /** One resized blob's record (see resizeBlobs). */
+  case class ResizedRow(doc_id: Long, in_len: Long, out_len: Long, out_md5: String)
+
+  /** m5 downsample factor: every `ResizeStep`-th unit survives. */
+  val ResizeStep = 2
+
+  /** m5: RESIZE / TRANSCODE — the remaining batch-media stage after
+    * metadata (m1), frame sampling (m2), dedup (m3) and features (m4):
+    * re-encode every payload to a smaller derivative (thumbnailing,
+    * audio downsampling, transcoding) and refresh its metadata. The
+    * shape matches m2's imperative escape hatch exactly: typed
+    * `mapPartitions`, per-partition codec context (here the MD5
+    * instance), rows streaming through without collecting — the
+    * payload-proportional work happens inside the task and only the
+    * derivative's metadata (length + content hash) leaves it.
+    *
+    * The RESIZE itself is stubbed deterministically — keep every 2nd
+    * decoded unit (chars standing in for pixels/samples; no codecs in
+    * this environment) — so the oracle can replay the derivative's
+    * content hash exactly: a plumbing bug that corrupted, reordered or
+    * truncated payloads could not stay green. Swapping a real decoder +
+    * scaler in is the same one-expression change as m2's.
+    *
+    * Scale shape: zero shuffles — a narrow per-row transform whose cost
+    * is payload-proportional; at 100 TB this is the embarrassingly
+    * parallel bulk stage run right after m3's dedup (one representative
+    * per content hash ever reaches it), and the output parquet carries
+    * the new blob + metadata columns. */
+  def resizeBlobs(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.flatMap { case (id, text) =>
+          if (text == null) Iterator.empty // undecodable blob: no output
+          else {
+            val units = text.toCharArray
+            val half = new String(Array.tabulate((units.length + ResizeStep - 1) / ResizeStep)(
+              i => units(i * ResizeStep)))
+            val hex = md.digest(half.getBytes("UTF-8")).map("%02x".format(_)).mkString
+            Iterator.single(ResizedRow(id, units.length.toLong, half.length.toLong, hex))
+          }
+        }
+      }
+      .toDF()
+      .orderBy("doc_id")
+  }
 }
