@@ -53,6 +53,21 @@ object Bench {
       } catch { case _: Throwable => () }
     }
 
+    // Calibration probe: a FIXED deterministic CPU-bound job (the same
+    // shape as the warm-up above, so it is fully JIT/codegen-warm when
+    // timed). Probed 3× before and 3× after the timed passes; the
+    // median of all 6 is reported as "cal" in the JSON line. The
+    // round-7 driver bench was 1.85× inflated by host load and only
+    // manual re-runs proved it — with this token any consumer can
+    // normalize (or flag) a contended run mechanically: idle-host cal
+    // is ~0.10-0.15 s at 32 threads (NOTES_r08); a cal 2× that means
+    // the per-query numbers carry the same contention factor.
+    def calOnce(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(1L << 23).selectExpr("sum(id * (id % 7))", "count(distinct id % 1024)").collect()
+      (System.nanoTime() - t0) / 1e9
+    }
+
     def runOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Boolean =
       try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
       catch { case e: Throwable => System.err.println(s"[bench] $name FAILED: $e"); false }
@@ -71,6 +86,7 @@ object Bench {
     def shortId(name: String): String = name.takeWhile(_ != '_')
     require(selected.map(s => shortId(s._1)).distinct.size == selected.size,
       "short query ids must stay unique — rename the clashing query")
+    val calPre = Seq.fill(3)(calOnce())
     val warmT0 = System.nanoTime()
     // pass 0: substrate/cache warm pass over every query, untimed
     val warmOks = selected.map { case (name, fn) => name -> runOnce(name, fn) }.toMap
@@ -93,6 +109,9 @@ object Bench {
       (name, median, warmOks(name) && samples.forall(_._2))
     }
     val wallTotal = (System.nanoTime() - warmT0) / 1e9
+    // post-passes probes bracket the timed window, so contention that
+    // arrived mid-run still moves the median
+    val cal = (calPre ++ Seq.fill(3)(calOnce())).sorted.apply(3)
 
     // One compact machine-readable line. Kept deliberately SHORT:
     // consumers that retain only the LAST ~2 KB of process output must
@@ -121,7 +140,7 @@ object Bench {
     // methodology (median of Reps substrate-warm runs) is documented in
     // the scaladoc + round notes, not spent as line bytes
     def line(key: String => String) =
-      s"""{"metric":"total","value":${r2(total)},"unit":"sec","queries":${qmap(key)},"failed":${failedArr(key)},"stream_floor":$floorMap,"sf":"$sfDir","wall":${r2(wallTotal)}}"""
+      s"""{"metric":"total","value":${r2(total)},"unit":"sec","queries":${qmap(key)},"failed":${failedArr(key)},"stream_floor":$floorMap,"sf":"$sfDir","wall":${r2(wallTotal)},"cal":${r2(cal)}}"""
     println(line(shortId))
     // Also land the FULL-NAME line as a local file (gitignored) —
     // stdout passes through sbt and whatever wrapper invoked it; the

@@ -69,29 +69,59 @@ object Oracles {
        |  min(fare) AS min_fare
        |FROM trips GROUP BY CAST(end_ts AS DATE) ORDER BY date""".stripMargin
 
-  /** The e7 Lloyd rounds as a reusable CTE chain (ends at `a2`:
-    * (vec_id, cid, dist) — the final assignment). Shared by e7 and
-    * d12 so the semantic-dedup oracle replays the EXACT clustering the
-    * e7 rows are checked against. */
-  private lazy val e7Cte: String =
-    s"""q AS (SELECT vec_id, $QV AS qv FROM embeddings),
-       |u AS (SELECT vec_id, generate_subscripts(qv, 1) - 1 AS d, unnest(qv) AS v FROM q),
-       |seeds AS (SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS cid
-       |          FROM embeddings WHERE vec_id % 5 = 0 ORDER BY vec_id LIMIT 8),
-       |c0 AS (SELECT s.cid, u.d, u.v AS cv FROM seeds s JOIN u USING (vec_id)),
-       |d1 AS (SELECT u.vec_id, c.cid, SUM((u.v - c.cv) * (u.v - c.cv)) AS dist
-       |       FROM u JOIN c0 c ON u.d = c.d GROUP BY 1, 2),
-       |a1 AS (SELECT vec_id, cid FROM (
-       |        SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
-       |        FROM d1) t WHERE rn = 1),
-       |c1 AS (SELECT a.cid, u.d,
-       |         CAST(floor(CAST(SUM(u.v) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cv
-       |       FROM a1 a JOIN u USING (vec_id) GROUP BY a.cid, u.d),
-       |d2 AS (SELECT u.vec_id, c.cid, SUM((u.v - c.cv) * (u.v - c.cv)) AS dist
-       |       FROM u JOIN c1 c ON u.d = c.d GROUP BY 1, 2),
-       |a2 AS (SELECT vec_id, cid, dist FROM (
-       |        SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
-       |        FROM d2) t WHERE rn = 1)""".stripMargin
+  /** The Lloyd rounds as a parameterized CTE chain (q/u/seeds/c0, then
+    * d_r/a_r[/c_r] per round, ending at `a<rounds>`: (vec_id, cid,
+    * dist)) — ONE round definition replayed by e7 (2 rounds), d12
+    * (e7's chain verbatim) and e16 (MaxRounds + the stopping-rule
+    * derivation), so the variants cannot drift in SQL any more than
+    * they can in Spark (shared assignTo/updateFrom). */
+  private def kmeansCte(rounds: Int): String = {
+    val head =
+      s"""q AS (SELECT vec_id, $QV AS qv FROM embeddings),
+         |u AS (SELECT vec_id, generate_subscripts(qv, 1) - 1 AS d, unnest(qv) AS v FROM q),
+         |seeds AS (SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS cid
+         |          FROM embeddings WHERE vec_id % 5 = 0 ORDER BY vec_id LIMIT ${graft.operators.ClusterOps.K}),
+         |c0 AS (SELECT s.cid, u.d, u.v AS cv FROM seeds s JOIN u USING (vec_id))""".stripMargin
+    val roundCtes = (1 to rounds).map { r =>
+      val assignCte =
+        s"""d$r AS (SELECT u.vec_id, c.cid, SUM((u.v - c.cv) * (u.v - c.cv)) AS dist
+           |       FROM u JOIN c${r - 1} c ON u.d = c.d GROUP BY 1, 2),
+           |a$r AS (SELECT vec_id, cid, dist FROM (
+           |        SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+           |        FROM d$r) t WHERE rn = 1)""".stripMargin
+      val updateCte =
+        s""",
+           |c$r AS (SELECT a.cid, u.d,
+           |         CAST(floor(CAST(SUM(u.v) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cv
+           |       FROM a$r a JOIN u USING (vec_id) GROUP BY a.cid, u.d)""".stripMargin
+      if (r < rounds) assignCte + updateCte else assignCte
+    }
+    (head +: roundCtes).mkString(",\n")
+  }
+
+  /** The e7 chain (ends at `a2`). Shared by e7 and d12 so the
+    * semantic-dedup oracle replays the EXACT clustering the e7 rows
+    * are checked against. */
+  private lazy val e7Cte: String = kmeansCte(graft.operators.ClusterOps.Rounds)
+
+  /** e16: replay a FIXED MaxRounds rounds (the fixpoint property makes
+    * Spark's early stop invisible to the assignment) and derive
+    * stable_round independently as min{r : a_r = a_(r-1)}, else the
+    * cap — verifying the stopping rule itself, not just the geometry. */
+  private lazy val e16Sql: String = {
+    val mr = graft.operators.ClusterOps.MaxRounds
+    val stability = (2 to mr).map(r =>
+      s"""SELECT $r AS r WHERE NOT EXISTS (
+         |    SELECT 1 FROM a$r x JOIN a${r - 1} y USING (vec_id) WHERE x.cid <> y.cid)""".stripMargin)
+      .mkString("\n  UNION ALL\n  ")
+    s"""WITH ${kmeansCte(mr)},
+       |st AS (SELECT COALESCE(MIN(r), $mr) AS sr FROM (
+       |  $stability
+       |) s)
+       |SELECT vec_id, cid AS cluster, CAST(dist AS BIGINT) AS dist_sq,
+       |  CAST((SELECT sr FROM st) AS BIGINT) AS stable_round
+       |FROM a$mr ORDER BY vec_id""".stripMargin
+  }
 
   /** e1 / e5 as standalone statements — map entries AND the CTE legs of
     * the e8 recall evaluation, so the evaluation always scores exactly
@@ -1575,6 +1605,8 @@ object Oracles {
          |SELECT vec_id, cid AS cluster, CAST(dist AS BIGINT) AS dist_sq
          |FROM a2 ORDER BY vec_id""".stripMargin,
 
+    "e16_kmeans_stable" -> e16Sql,
+
     // d12: the e7 rounds verbatim (one shared CTE chain — the cluster
     // assignment can never drift from the checked e7 rows), then the
     // within-cluster priority rule: priority = (dist, vec_id), a vector
@@ -1981,7 +2013,8 @@ object Oracles {
          |shared AS (SELECT fp FROM pf GROUP BY fp HAVING count(DISTINCT doc_id) >= 2),
          |boiler AS (SELECT DISTINCT doc_id FROM pf WHERE fp IN (SELECT fp FROM shared)),
          |f AS (SELECT lang, split, n,
-         |    (300000 * n_unique + 400000 * (n - n_stop)) // n + 3000 * least(n, 100) AS q_micro,
+         |    CASE WHEN n > 0 THEN (300000 * n_unique + 400000 * (n - n_stop)) // n + 3000 * least(n, 100)
+         |         ELSE 0 END AS q_micro,
          |    CASE WHEN doc_id IN (SELECT doc_id FROM boiler) THEN 1 ELSE 0 END AS is_boiler
          |  FROM x)
          |SELECT lang, split,

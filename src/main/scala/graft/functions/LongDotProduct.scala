@@ -204,6 +204,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_hash60"),
       new ExpressionInfo(classOf[Hash60].getName, "graft_hash60"),
       (children: Seq[Expression]) => Hash60(children.head)))
+    // PQ codec: constant-size generated loops for the e6/e10-e14 encode
+    // and ADC-table stages (vs. the literal-expansion formulation that
+    // blew janino's method limit and fell out of codegen)
+    ext.injectFunction((
+      new FunctionIdentifier("graft_pq_encode"),
+      new ExpressionInfo(classOf[PqEncode].getName, "graft_pq_encode"),
+      (children: Seq[Expression]) => PqEncode(children.head, children(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_pq_adc"),
+      new ExpressionInfo(classOf[PqAdcDists].getName, "graft_pq_adc"),
+      (children: Seq[Expression]) => PqAdcDists(children.head, children(1))))
     ext.injectPlannerStrategy(_ => new graft.plans.TopKPerKeyStrategy)
     // optimizer rules: auto-rewrite the portable aggregate(zip_with(...))
     // dot product and the portable md5-hash60 chain into the native

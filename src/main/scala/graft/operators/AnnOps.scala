@@ -293,20 +293,58 @@ object AnnOps {
   private def pqC(m: Int, k: Int, d: Int): Long =
     hash60Driver(s"pq_${m}_${k}_${d}") % 2001L - 1000L
 
-  /** Exact integer L2² between a vector's m-th subvector and codeword
-    * (m,k) — a literal-coefficient expression, evaluated map-side. */
-  private def pqDist(q: Column, m: Int, k: Int): Column =
-    (0 until SubDim).map { d =>
-      val diff = element_at(q, m * SubDim + d + 1) - lit(pqC(m, k, d))
-      diff * diff
-    }.reduce(_ + _)
+  /** The full codebook [m][k][d] as one constant-folded literal — the
+    * second argument of the native PQ codec expressions and the
+    * indexable table of the built-ins fallback. */
+  private lazy val codebook: Seq[Seq[Seq[Long]]] =
+    (0 until SubSpaces).map(m => (0 until CodebookK).map(k =>
+      (0 until SubDim).map(d => pqC(m, k, d))))
+  private def cbLit: Column = typedlit(codebook)
 
-  /** Codeword of subspace m: argmin over the codebook with (dist, k)
-    * struct ordering — deterministic ties toward the smaller index. */
-  private def pqCode(q: Column, m: Int): Column =
-    array_sort(array((0 until CodebookK).map(k =>
-      struct(pqDist(q, m, k).as("d"), lit(k).as("k"))): _*))
-      .getItem(0).getField("k")
+  /** All CodebookK exact L2² distances of a vector's m-th subvector,
+    * built-ins only (HOFs over the codebook literal — small expression
+    * trees that Spark evaluates via clean CodegenFallback, vs. the old
+    * literal expansion whose thousands of inlined nodes blew janino's
+    * method limit and silently dropped the stage to interpreted
+    * execution). Extension sessions never run this: the native codec
+    * below generates a constant-size loop instead. */
+  private def pqDistsHof(q: Column, m: Int): Column =
+    transform(element_at(cbLit, m + 1), cv =>
+      aggregate(zip_with(slice(q, m * SubDim + 1, SubDim), cv,
+        (x, y) => (x - y) * (x - y)), lit(0L), (acc, x) => acc + x))
+
+  /** Codeword of subspace m, built-ins only: first index of the minimum
+    * distance — ties toward the smaller k, identical to the native
+    * expression's strict-< scan and the oracle's (dist, k) struct-min. */
+  private def pqCodeHof(q: Column, m: Int): Column = {
+    val ds = pqDistsHof(q, m)
+    (array_position(ds, array_min(ds)) - 1).cast(IntegerType)
+  }
+
+  /** Codes array (length SubSpaces) of one vector: the native
+    * constant-size-codegen expression when GraftExtensions is live
+    * (the 100 TB path — the encode is THE corpus-proportional pass of
+    * the index build and must stay inside whole-stage codegen, pinned
+    * by CodegenHealthSpec), the portable built-ins otherwise.
+    * Identical values either way (spec-pinned). */
+  private def pqCodesCol(spark: SparkSession, q: Column): Column =
+    if (extensionLive(spark)) call_function("graft_pq_encode", q, cbLit)
+    else array((0 until SubSpaces).map(m => pqCodeHof(q, m)): _*)
+
+  /** Flat ADC table (length SubSpaces·CodebookK, (m·K + k) order) of one
+    * query vector — same native-vs-portable split as [[pqCodesCol]]. */
+  private def pqDistsFlatCol(spark: SparkSession, q: Column): Column =
+    if (extensionLive(spark)) call_function("graft_pq_adc", q, cbLit)
+    else flatten(array((0 until SubSpaces).map(m => pqDistsHof(q, m)): _*))
+
+  /** Test hook for the "identical results either way" contract:
+    * (native codes, fallback codes, native ADC, fallback ADC) over the
+    * same vector column — CodegenHealthSpec asserts bit-equality. */
+  private[graft] def pqCodecColumnsForTest(q: Column): (Column, Column, Column, Column) =
+    (call_function("graft_pq_encode", q, cbLit),
+      array((0 until SubSpaces).map(m => pqCodeHof(q, m)): _*),
+      call_function("graft_pq_adc", q, cbLit),
+      flatten(array((0 until SubSpaces).map(m => pqDistsHof(q, m)): _*)))
 
   /** e6: IVF+PQ ANN — the production composition: the IVF coarse probe
     * (e5's centroids) PRUNES candidate generation to the query's NProbe
@@ -325,17 +363,37 @@ object AnnOps {
   def annPq(spark: SparkSession, dir: String, k: Int = 3, nProbe: Int = NProbe): DataFrame =
     pqAnswer(spark, dir, centroids(spark, dir), pqCodes(spark, dir), k, nProbe)
 
+  /** The un-memoized encode plan — one map-side projection (zero
+    * shuffle: codes are a per-row function of the vector), exploded to
+    * the (c_id, label, m, code) inverted-file shape. Exposed to the
+    * codegen-health spec, which asserts the projection compiles and
+    * stays inside whole-stage codegen. */
+  private[graft] def pqEncodePlan(spark: SparkSession, dir: String): DataFrame =
+    quantized(spark, dir)
+      .select(col("vec_id").as("c_id"), col("label"),
+        posexplode(pqCodesCol(spark, col("q"))).as(Seq("m", "code")))
+      .select("c_id", "label", "m", "code")
+
   /** The compressed corpus index (c_id, cell label, m, code), map-side.
-    * Persisted like every other signature: the 128-distance evaluation
-    * per vector is the PQ build cost — paid once per session+dir. */
+    * Persisted like every other signature: the per-vector codeword
+    * search is the PQ build cost — paid once per session+dir. */
   private def pqCodes(spark: SparkSession, dir: String): DataFrame =
-    DedupOps.memoized(spark, "ann_pq_codes", dir) {
-      quantized(spark, dir)
-        .select(col("vec_id").as("c_id"), col("label"),
-          explode(array((0 until SubSpaces).map(m =>
-            struct(lit(m).as("m"), pqCode(col("q"), m).as("code"))): _*)).as("mc"))
-        .select(col("c_id"), col("label"), col("mc.m").as("m"), col("mc.code").as("code"))
-    }
+    DedupOps.memoized(spark, "ann_pq_codes", dir)(pqEncodePlan(spark, dir))
+
+  /** The un-memoized per-query ADC-table plan: one flat distance array
+    * per query vector, posexploded to (q_id, m, k, dist) with
+    * m = pos div K, k = pos mod K. Map-side like the encode; exposed to
+    * the codegen-health spec (the old 128-struct literal expansion was
+    * the janino blowup site). */
+  private[graft] def pqAdcPlan(spark: SparkSession, dir: String): DataFrame =
+    quantized(spark, dir)
+      .filter(col("vec_id") % QueryStride === 0)
+      .select(col("vec_id").as("q_id"),
+        posexplode(pqDistsFlatCol(spark, col("q"))).as(Seq("pos", "dist")))
+      .select(col("q_id"),
+        (col("pos") / lit(CodebookK)).cast(IntegerType).as("m"),
+        (col("pos") % lit(CodebookK)).as("k"),
+        col("dist"))
 
   /** The e6 query pipeline against EXPLICIT index relations (centroids +
     * PQ codes) — e6 passes the session-memoized build, e10 the parquet
@@ -347,14 +405,7 @@ object AnnOps {
     val cos = cosineWith(dotBest(spark)) _
     val qv = quantized(spark, dir)
     // per-query ADC lookup table: (q_id, m, k, dist), map-side
-    val qdist = DedupOps.memoized(spark, "ann_pq_qdist", dir) {
-      qv.filter(col("vec_id") % QueryStride === 0)
-        .select(col("vec_id").as("q_id"),
-          explode(array((for (m <- 0 until SubSpaces; kk <- 0 until CodebookK) yield
-            struct(lit(m).as("m"), lit(kk).as("k"),
-              pqDist(col("q"), m, kk).as("dist"))): _*)).as("e"))
-        .select(col("q_id"), col("e.m").as("m"), col("e.k").as("k"), col("e.dist").as("dist"))
-    }
+    val qdist = DedupOps.memoized(spark, "ann_pq_qdist", dir)(pqAdcPlan(spark, dir))
     // IVF coarse probe (shared with e5) → the query's NProbe cells:
     // this is what PRUNES the ADC join
     val probed = probedCellsWith(spark, dir, nProbe, cent).select("q_id", "label")
@@ -406,15 +457,15 @@ object AnnOps {
     * of the dir, so skipping can only ever skip an identical rewrite.
     * (The once-per-JVM machinery itself is [[graft.functions.F.landOnce]],
     * shared with p32's lake landing.) */
-  private def landOnce(key: String, artifact: String)(build: => Unit): Unit =
-    graft.functions.F.landOnce(key, artifact)(build)
+  private def landOnce(key: String, artifacts: Seq[String])(build: => Unit): Unit =
+    graft.functions.F.landOnce(key, artifacts)(build)
 
   /** Lands the e10 index artifacts (first call per JVM per dir) and
     * returns the index root — shared by the batch-serving e10 and the
     * single-request e12 paths. */
   private def buildPersistedIndex(spark: SparkSession, dir: String): String = {
     val out = graft.functions.F.sinkPath("annindex", dir)
-    landOnce(out, s"$out/codes") {
+    landOnce(out, Seq(s"$out/centroids", s"$out/codes")) {
       centroids(spark, dir).write.mode("overwrite").parquet(s"$out/centroids")
       pqCodes(spark, dir).write.mode("overwrite")
         .partitionBy("label").parquet(s"$out/codes")
@@ -496,7 +547,7 @@ object AnnOps {
     // ---- base ingest: index state of the initial corpus (once per
     // JVM per dir — repeated calls measure the MAINTENANCE op below,
     // which is the operator) ----
-    landOnce(s"$out/base", s"$out/codes_base") {
+    landOnce(s"$out/base", Seq(s"$out/centroids_v1", s"$out/codes_base")) {
       centroidStateOf(quantized(spark, dir).filter(col("vec_id") % 10 =!= 0))
         .write.mode("overwrite").parquet(s"$out/centroids_v1")
       pqCodes(spark, dir).filter(!isDelta)
@@ -567,7 +618,7 @@ object AnnOps {
     val deleted = col("vec_id") % 10 === DeleteSlice
     // ---- the pre-delete index (once per JVM per dir — repeated calls
     // measure the DELETE maintenance below, which is the operator) ----
-    landOnce(s"$out/full", s"$out/codes_full") {
+    landOnce(s"$out/full", Seq(s"$out/centroids_v1", s"$out/codes_full")) {
       centroids(spark, dir).write.mode("overwrite").parquet(s"$out/centroids_v1")
       pqCodes(spark, dir).write.mode("overwrite")
         .partitionBy("label").parquet(s"$out/codes_full")
@@ -632,7 +683,7 @@ object AnnOps {
     // ---- the tombstoned index this compaction retires (e13's state,
     // landed once per JVM per dir — the COMPACTION below is the
     // measured operator) ----
-    landOnce(s"$out/pre", s"$out/codes_full") {
+    landOnce(s"$out/pre", Seq(s"$out/codes_full", s"$out/centroids_v2")) {
       pqCodes(spark, dir).write.mode("overwrite")
         .partitionBy("label").parquet(s"$out/codes_full")
       decrementedState(centroids(spark, dir),

@@ -55,43 +55,117 @@ object ClusterOps {
     * only at its own boundary: x2's next hop is a hash shuffle on the
     * cluster key, which would discard a range sort anyway. */
   private[graft] def kmeansAssign(spark: SparkSession, dir: String): DataFrame =
-    DedupOps.memoized(spark, "e7_assign", dir) {
-    val u = Tables.embeddings(spark, dir)
+    DedupOps.memoized(spark, "e7_assign", dir)(kmeansFixedAssign(spark, dir, Rounds))
+
+  /** Exactly `rounds` Lloyd rounds — e7's body (rounds = Rounds), and
+    * the replay harness the e16 spec uses to prove the early stop is
+    * invisible (converged assignment ≡ the fixed-MaxRounds replay). */
+  private[graft] def kmeansFixedAssign(spark: SparkSession, dir: String, rounds: Int): DataFrame = {
+    val u = unpivoted(spark, dir)
+    var centroids = seedCentroids(spark, dir, u)
+    var assigned = assignTo(u, centroids)
+    for (_ <- 2 to rounds) {
+      centroids = updateFrom(u, assigned).localCheckpoint(eager = true)
+      assigned = assignTo(u, centroids)
+    }
+    assigned
+  }
+
+  /** The UNNESTED coordinate relation (vec_id, dim, value) every Lloyd
+    * stage joins — shared by the fixed-round e7 and the
+    * converge-or-cap e16 so the two variants cannot drift in geometry
+    * derivation. */
+  private def unpivoted(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
       .select(col("vec_id"), posexplode(quantize(col("embedding"))))
       .toDF("vec_id", "d", "v")
 
-    // seeds: the K smallest vec_ids on a fixed stride — deterministic,
-    // engine-reproducible, and spread across the id space
+  /** Seeds: the K smallest vec_ids on a fixed stride — deterministic,
+    * engine-reproducible, and spread across the id space. */
+  private def seedCentroids(spark: SparkSession, dir: String, u: DataFrame): DataFrame = {
     val seeds = Tables.embeddings(spark, dir)
       .filter(col("vec_id") % 5 === 0)
       .select("vec_id").orderBy("vec_id").limit(K)
       .withColumn("cid", (row_number().over(Window.orderBy("vec_id")) - 1).cast("long"))
-    val c0 = seeds.join(u, "vec_id").select(col("cid"), col("d"), col("v").as("cv"))
-
-    def assign(centroids: DataFrame): DataFrame = {
-      val byVec = Window.partitionBy("vec_id").orderBy(col("dist"), col("cid"))
-      u.join(broadcast(centroids), "d")
-        .groupBy("vec_id", "cid")
-        .agg(sum((col("v") - col("cv")) * (col("v") - col("cv"))).as("dist"))
-        .withColumn("rn", row_number().over(byVec))
-        .filter(col("rn") === 1)
-        .select("vec_id", "cid", "dist")
-    }
-    // floor over one exact-int IEEE division — NOT integer `div`, whose
-    // negative-operand semantics differ between engines
-    def update(assigned: DataFrame): DataFrame =
-      assigned.select("vec_id", "cid").join(u, "vec_id")
-        .groupBy("cid", "d")
-        .agg(floor(sum("v").cast("double") / count(lit(1))).cast("long").as("cv"))
-
-    var centroids = c0
-    var assigned = assign(centroids)
-    for (_ <- 2 to Rounds) {
-      centroids = update(assigned).localCheckpoint(eager = true)
-      assigned = assign(centroids)
-    }
-    assigned
+    seeds.join(u, "vec_id").select(col("cid"), col("d"), col("v").as("cv"))
   }
+
+  /** One assignment pass: exact integer argmin distance per vector,
+    * ties toward the lower cluster id. */
+  private def assignTo(u: DataFrame, centroids: DataFrame): DataFrame = {
+    val byVec = Window.partitionBy("vec_id").orderBy(col("dist"), col("cid"))
+    u.join(broadcast(centroids), "d")
+      .groupBy("vec_id", "cid")
+      .agg(sum((col("v") - col("cv")) * (col("v") - col("cv"))).as("dist"))
+      .withColumn("rn", row_number().over(byVec))
+      .filter(col("rn") === 1)
+      .select("vec_id", "cid", "dist")
+  }
+
+  /** One centroid update: floor over one exact-int IEEE division — NOT
+    * integer `div`, whose negative-operand semantics differ between
+    * engines. */
+  private def updateFrom(u: DataFrame, assigned: DataFrame): DataFrame =
+    assigned.select("vec_id", "cid").join(u, "vec_id")
+      .groupBy("cid", "d")
+      .agg(floor(sum("v").cast("double") / count(lit(1))).cast("long").as("cv"))
+
+  /** Round cap for the convergence-aware variant (e16). Lloyd over this
+    * synthetic geometry stabilizes well inside the cap (spec-pinned);
+    * the cap bounds the rare oscillation case (integer floor centroids
+    * can 2-cycle) so the job can never loop unboundedly. */
+  val MaxRounds = 8
+
+  /** e16: CONVERGENCE-AWARE k-means — production Lloyd: iterate the
+    * identical exact-integer round (assignTo/updateFrom — the same
+    * single definitions e7 runs) until the ASSIGNMENT is stable
+    * (a_r == a_{r-1}; integer-exact, so stability is a fixpoint: the
+    * centroid update of an unchanged assignment is unchanged, hence
+    * every later round is the identity) or MaxRounds caps it. The
+    * per-round stability probe is a bounded existence check (first
+    * changed row), and each round's assignment is localCheckpoint'd so
+    * plan lineage stays one round deep — the d5/g1 iteration
+    * discipline.
+    *
+    * Oracle strategy: the fixpoint property makes the early stop
+    * INVISIBLE to the result — stopping at r < MaxRounds yields exactly
+    * the round-MaxRounds assignment — so the DuckDB oracle replays a
+    * FIXED MaxRounds rounds and independently derives stable_round as
+    * min{r : a_r = a_{r-1}} (else MaxRounds), verifying both the
+    * geometry and the stopping rule.
+    *
+    * Scale shape: identical per-round plan to e7 (2 shuffles per round,
+    * k·d·8-byte broadcast); convergence typically lands in single-digit
+    * rounds, and the stability probe adds one bounded vec_id-keyed
+    * join per round — nothing SF-proportional beyond the rounds
+    * themselves. */
+  def kmeansStable(spark: SparkSession, dir: String): DataFrame =
+    kmeansStableAssign(spark, dir)
+      .select(col("vec_id"), col("cid").as("cluster"), col("dist").as("dist_sq"),
+        col("stable_round"))
+      .orderBy("vec_id")
+
+  /** The memoized converge-or-cap assignment with its realized
+    * stable_round column. */
+  private[graft] def kmeansStableAssign(spark: SparkSession, dir: String): DataFrame =
+    DedupOps.memoized(spark, "e16_assign", dir) {
+      val u = unpivoted(spark, dir)
+      var centroids = seedCentroids(spark, dir, u)
+      var assigned = assignTo(u, centroids).localCheckpoint(eager = true)
+      var round = 1
+      var stable = false
+      while (!stable && round < MaxRounds) {
+        centroids = updateFrom(u, assigned).localCheckpoint(eager = true)
+        val next = assignTo(u, centroids).localCheckpoint(eager = true)
+        round += 1
+        stable = next
+          .join(assigned.select(col("vec_id"), col("cid").as("_pcid")), "vec_id")
+          .filter(col("cid") =!= col("_pcid")).isEmpty
+        assigned = next
+      }
+      assigned.withColumn("stable_round",
+        lit(if (stable) round else MaxRounds).cast("long"))
+    }
 
   /** Per-cluster sample size for x2. */
   val SampleN = 20

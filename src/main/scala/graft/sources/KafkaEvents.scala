@@ -81,18 +81,31 @@ object KafkaEvents {
       .select(col("topic"), col("partition"), col("offset"),
         col("value").cast(StringType).as("raw_payload"))
 
+  /** The exact options dictionary of the production subscribe — THE
+    * unit-testable surface of the connector binding (with `.load()`
+    * needing a deploy-time artifact, an option-KEY typo is the entire
+    * shippable risk here; the spec pins these literal keys). */
+  def kafkaSourceOptions(bootstrapServers: String, topic: String,
+      startingOffsets: String = "earliest"): Map[String, String] = Map(
+    "kafka.bootstrap.servers" -> bootstrapServers,
+    "subscribe" -> topic,
+    "startingOffsets" -> startingOffsets)
+
+  /** The configured (format, options) reader, pre-`load()` — split out
+    * so SourcesSpec can assert the wiring reaches the DataStreamReader
+    * without a broker on the classpath. */
+  def kafkaReader(spark: SparkSession, bootstrapServers: String,
+      topic: String, startingOffsets: String = "earliest") =
+    spark.readStream.format("kafka")
+      .options(kafkaSourceOptions(bootstrapServers, topic, startingOffsets))
+
   /** The production entry point: subscribe + decode. Requires the
     * public spark-sql-kafka-0-10 connector on the classpath (deploy-time
     * artifact; see object scaladoc). Everything downstream of `load()`
     * is [[decodeEvents]] — the code path p30 oracle-checks. */
   def eventsFromKafka(spark: SparkSession, bootstrapServers: String,
       topic: String, startingOffsets: String = "earliest"): DataFrame =
-    decodeEvents(spark.readStream
-      .format("kafka")
-      .option("kafka.bootstrap.servers", bootstrapServers)
-      .option("subscribe", topic)
-      .option("startingOffsets", startingOffsets)
-      .load())
+    decodeEvents(kafkaReader(spark, bootstrapServers, topic, startingOffsets).load())
 
   /** Events → wire shape (the inverse boundary): how a graft job
     * PRODUCES to the bus, and how verify/bench stage wire-shaped
@@ -108,7 +121,10 @@ object KafkaEvents {
         col("event_id"), unix_micros(col("ts")).as("ts_us"), col("user_id"),
         col("event_type"), col("value"), col("props"))).cast(BinaryType).as("value"),
       lit(topic).as("topic"),
-      (col("user_id") % nPartitions).cast(IntegerType).as("partition"),
+      // pmod, not %: a negative user_id must still land in
+      // [0, nPartitions) — % would emit an invalid negative Kafka
+      // partition number at the produce-side wire boundary
+      pmod(col("user_id"), lit(nPartitions)).cast(IntegerType).as("partition"),
       col("event_id").as("offset"),
       col("ts").as("timestamp"),
       lit(0).as("timestampType"))

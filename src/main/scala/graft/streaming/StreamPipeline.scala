@@ -362,18 +362,15 @@ object StreamPipeline {
     * broker — only `.format("kafka")` itself is swapped for the staged
     * file source (the connector artifact is deploy-time; see
     * graft.sources.KafkaEvents). */
-  /** Wire dirs already staged by THIS JVM — the staging is test/verify
-    * scaffolding (a deterministic function of the dir), not the
-    * operator; repeated p30 calls should measure the INGESTION, not a
-    * rewrite of the same parquet. Same discipline as AnnOps.landOnce:
-    * atomic, and heals a cleaned target/. */
-  private val wireStaged = new java.util.concurrent.ConcurrentHashMap[String, AnyRef]()
-
+  /** The staging is test/verify scaffolding (a deterministic function
+    * of the dir), not the operator; repeated p30 calls should measure
+    * the INGESTION, not a rewrite of the same parquet — so the landing
+    * runs under the shared F.landOnce discipline (once per JVM per dir,
+    * atomic, heals a cleaned target/). */
   private def stagedWireStream(spark: SparkSession, dir: String): DataFrame = {
     import graft.sources.KafkaEvents
     val streamDir = stagingPath("p30", dir)
-    if (!new java.io.File(streamDir).exists()) wireStaged.remove(streamDir)
-    wireStaged.computeIfAbsent(streamDir, _ => {
+    graft.functions.F.landOnce(streamDir, streamDir) {
       val corrupt = spark.range(3).select(
         lit(null).cast("binary").as("key"),
         concat(lit("not json #"), col("id").cast("string")).cast("binary").as("value"),
@@ -386,8 +383,7 @@ object StreamPipeline {
         .unionByName(corrupt)
         .write.mode("overwrite").parquet(streamDir)
       spark.catalog.refreshByPath(streamDir)
-      java.lang.Boolean.TRUE
-    })
+    }
     spark.readStream.schema(KafkaEvents.kafkaWireSchema).parquet(streamDir)
   }
 

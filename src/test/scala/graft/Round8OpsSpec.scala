@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.ClusterOps
+
+/** Semantics checks for the round-8 work: the convergence-aware k-means
+  * (e16) and its relationship to the fixed-round e7 geometry. */
+class Round8OpsSpec extends AnyFunSuite with SparkSpec {
+
+  private def assignMap(df: DataFrame): Map[Long, Long] =
+    df.select("vec_id", "cid").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("e16 stopping rule fires before the cap and the stop is a true fixpoint") {
+    val out = ClusterOps.kmeansStable(spark, Sf0001)
+    val sr = out.select("stable_round").distinct().collect().map(_.getLong(0))
+    assert(sr.length === 1, "stable_round must be one constant")
+    val r = sr.head.toInt
+    assert(r >= 2 && r < ClusterOps.MaxRounds,
+      s"stopping rule did not fire before the cap: stable_round=$r")
+    // fixpoint ⇒ the early stop is invisible: the converged assignment
+    // equals BOTH the replay at exactly r rounds (the stop point) and
+    // the replay at the full cap (what the oracle computes)
+    val got = out.select(org.apache.spark.sql.functions.col("vec_id"),
+      org.apache.spark.sql.functions.col("cluster").as("cid"))
+    val atStop = ClusterOps.kmeansFixedAssign(spark, Sf0001, r)
+    val atCap = ClusterOps.kmeansFixedAssign(spark, Sf0001, ClusterOps.MaxRounds)
+    assert(assignMap(got) === assignMap(atStop), "e16 != replay at stable_round")
+    assert(assignMap(got) === assignMap(atCap), "early stop changed the result")
+  }
+
+  test("e16 determinism: a second run reproduces stable_round and the assignment") {
+    // kmeansStableAssign is memoized per (session, dir); rebuild the
+    // un-memoized pipeline path instead of trusting the cache
+    val a = ClusterOps.kmeansStable(spark, Sf0001).collect()
+    val b = ClusterOps.kmeansStable(spark, Sf0001).collect()
+    assert(a.sameElements(b))
+  }
+
+  test("converged geometry is no more imbalanced than the 2-round geometry") {
+    // imbalance factor η = k·Σnᵢ²/n² (e15's metric) over cluster sizes
+    def eta(df: DataFrame): Double = {
+      val sizes = df.groupBy("cid").count().collect().map(_.getLong(1).toDouble)
+      val n = sizes.sum
+      sizes.length * sizes.map(s => s * s).sum / (n * n)
+    }
+    val twoRound = eta(ClusterOps.kmeansAssign(spark, Sf0001))
+    val stable = eta(ClusterOps.kmeansStableAssign(spark, Sf0001)
+      .select("vec_id", "cid", "dist"))
+    info(f"imbalance eta: 2-round=$twoRound%.4f converged=$stable%.4f")
+    assert(stable <= twoRound + 1e-9,
+      f"convergence worsened imbalance: $stable%.4f > $twoRound%.4f")
+  }
+}

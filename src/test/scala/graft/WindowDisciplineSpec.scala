@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.{CollectLimitExec, GlobalLimitExec, LocalLimitExec, SparkPlan, TakeOrderedAndProjectExec}
+import org.apache.spark.sql.execution.window.WindowExec
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Unpartitioned-window discipline over the ENTIRE query surface.
+  *
+  * `Window.orderBy(...)` with no partitionBy plans as a single-partition
+  * exchange — the one shape that cannot scale past one task. The repo's
+  * deliberate uses are all bounded (t12's top-K ranking over a
+  * LIMIT-K relation; RankOps' O(p) offset relation runs inside its own
+  * localCheckpoint job and never reaches a consumer plan), but dozens
+  * of benign WindowExec warnings in the logs would mask a NEW
+  * SF-proportional site the day someone adds one (the round-7 verdict
+  * finding). So: walk every SparkEntry query's physical plan and fail
+  * on any unpartitioned WindowExec whose input subtree is NOT provably
+  * bounded by a limit-class node (GlobalLimit / TakeOrderedAndProject /
+  * CollectLimit — the physical forms of `.limit(k)` and
+  * `.orderBy().limit(k)`). Boundedness-by-limit is the principled
+  * criterion: it whitelists today's sites without name-coupling and
+  * admits future bounded uses, while any window over an unlimited
+  * relation fails loudly. */
+class WindowDisciplineSpec extends AnyFunSuite with SparkSpec {
+
+  private def boundedByLimit(p: SparkPlan): Boolean =
+    p.collectFirst {
+      case g: GlobalLimitExec => g
+      case l: LocalLimitExec => l
+      case t: TakeOrderedAndProjectExec => t
+      case c: CollectLimitExec => c
+    }.nonEmpty
+
+  /** Unpartitioned WindowExec nodes with no limit bound beneath. */
+  private def violations(df: DataFrame): Seq[String] =
+    planNodes(df).collect {
+      case w: WindowExec if w.partitionSpec.isEmpty && !boundedByLimit(w.child) =>
+        w.simpleStringWithNodeId() + " over " + w.child.nodeName
+    }
+
+  test("every SparkEntry query plan is free of unbounded unpartitioned windows") {
+    val bad = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      violations(fn(spark, Sf0001)).map(v => s"$name: $v")
+    }
+    assert(bad.isEmpty, s"new unpartitioned-window site(s):\n${bad.mkString("\n")}")
+  }
+
+  test("the assertion rejects a new unbounded unpartitioned window site") {
+    val df = Tables.documents(spark, Sf0001)
+      .withColumn("r", row_number().over(Window.orderBy("doc_id")))
+    assert(violations(df).nonEmpty,
+      "a corpus-wide unpartitioned window was not flagged — the whitelist is too loose")
+  }
+}
