@@ -44,9 +44,9 @@ object Bench {
     // readers, charged to no query.
     spark.range(1L << 22).selectExpr("sum(id)", "count(distinct id % 1024)").collect()
     Tables.all.foreach { t =>
-      // events needs its nanos-ts conversion — the generic reader throws
-      // on TIMESTAMP(NANOS) and the events warm-up would silently no-op,
-      // charging the cold read to the first events query instead
+      // events goes through its schema-adaptive reader (ns/µs parquet
+      // variants, Tables.normalizeEventsTs) so the warm-up exercises
+      // the same read path the queries use
       try {
         val df = if (t == "events") Tables.events(spark, sfDir) else Tables(spark, sfDir, t)
         df.limit(16).collect()
@@ -72,6 +72,26 @@ object Bench {
       try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
       catch { case e: Throwable => System.err.println(s"[bench] $name FAILED: $e"); false }
 
+    // JVM telemetry for the timed window: cumulative GC time and peak
+    // heap. The r8→r9 "cal" token swung 0.46→3.62 s on identical code
+    // with nothing to attribute it to; gc_s/heap_mb in the line give
+    // any consumer the missing denominator (a high-cal run with high
+    // gc_s is memory pressure; high cal with flat gc_s is external
+    // host contention).
+    import java.lang.management.{ManagementFactory, MemoryType}
+    import scala.jdk.CollectionConverters._
+    def gcMillis(): Long =
+      ManagementFactory.getGarbageCollectorMXBeans.asScala.map(_.getCollectionTime max 0L).sum
+    def heapPools() = ManagementFactory.getMemoryPoolMXBeans.asScala
+      .filter(_.getType == MemoryType.HEAP)
+    // Untimed GC between queries (timed samples bracket it, so pauses
+    // are charged to no query): lets the ContextCleaner reclaim stale
+    // broadcast/shuffle blocks from the previous query instead of
+    // letting them pressure the next one's memory — the round-9
+    // natural experiment showed late-suite queries run ~3× slower
+    // under accumulated suite context. Opt out: SPARK_GRAFT_GC_EACH=0.
+    val gcEach = sys.env.getOrElse("SPARK_GRAFT_GC_EACH", "1") == "1"
+
     // dev-only filter for isolating queries while iterating
     // (SPARK_GRAFT_ONLY=d2_ngram_jaccard,d7_winnow); the driver sets no
     // filter and benches everything
@@ -90,6 +110,10 @@ object Bench {
     val warmT0 = System.nanoTime()
     // pass 0: substrate/cache warm pass over every query, untimed
     val warmOks = selected.map { case (name, fn) => name -> runOnce(name, fn) }.toMap
+    // telemetry window = the timed passes only (warm-pass substrate
+    // builds are charged to no query, so their GC isn't either)
+    heapPools().foreach(_.resetPeakUsage())
+    val gc0 = gcMillis()
     // passes 1..Reps run ROUND-ROBIN — the whole suite once per pass,
     // per-query median taken ACROSS passes. Back-to-back reps let a
     // minutes-long background load spike sit inside one query's entire
@@ -98,6 +122,7 @@ object Bench {
     // and every median survives.
     val passes = (1 to Reps).map { _ =>
       selected.map { case (name, fn) =>
+        if (gcEach) System.gc()
         val t0 = System.nanoTime()
         val ok = runOnce(name, fn)
         name -> ((System.nanoTime() - t0) / 1e9, ok)
@@ -108,10 +133,15 @@ object Bench {
       val median = samples.map(_._1).sorted.apply(Reps / 2)
       (name, median, warmOks(name) && samples.forall(_._2))
     }
+    val gcSec = (gcMillis() - gc0) / 1e3
+    val heapMb = heapPools().map(_.getPeakUsage.getUsed).sum / (1024L * 1024L)
     val wallTotal = (System.nanoTime() - warmT0) / 1e9
     // post-passes probes bracket the timed window, so contention that
-    // arrived mid-run still moves the median
-    val cal = (calPre ++ Seq.fill(3)(calOnce())).sorted.apply(3)
+    // arrived mid-run still moves the median; true 6-sample median
+    // (mean of the two middle order statistics — index 3 alone is the
+    // UPPER median and biased high)
+    val calSorted = (calPre ++ Seq.fill(3)(calOnce())).sorted
+    val cal = (calSorted(2) + calSorted(3)) / 2
 
     // One compact machine-readable line. Kept deliberately SHORT:
     // consumers that retain only the LAST ~2 KB of process output must
@@ -140,7 +170,7 @@ object Bench {
     // methodology (median of Reps substrate-warm runs) is documented in
     // the scaladoc + round notes, not spent as line bytes
     def line(key: String => String) =
-      s"""{"metric":"total","value":${r2(total)},"unit":"sec","queries":${qmap(key)},"failed":${failedArr(key)},"stream_floor":$floorMap,"sf":"$sfDir","wall":${r2(wallTotal)},"cal":${r2(cal)}}"""
+      s"""{"metric":"total","value":${r2(total)},"unit":"sec","queries":${qmap(key)},"failed":${failedArr(key)},"stream_floor":$floorMap,"sf":"$sfDir","wall":${r2(wallTotal)},"cal":${r2(cal)},"gc_s":${r2(gcSec)},"heap_mb":$heapMb}"""
     println(line(shortId))
     // Also land the FULL-NAME line as a local file (gitignored) —
     // stdout passes through sbt and whatever wrapper invoked it; the

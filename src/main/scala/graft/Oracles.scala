@@ -76,22 +76,28 @@ object Oracles {
     * derivation), so the variants cannot drift in SQL any more than
     * they can in Spark (shared assignTo/updateFrom). */
   private def kmeansCte(rounds: Int): String = {
+    // every CTE is MATERIALIZED: the chain is recursive (a_r ← c_{r-1}
+    // ← a_{r-1} ← …) and each node is referenced 2-4×, so DuckDB's
+    // default inlining would expand the base scan exponentially in
+    // `rounds` (fd exhaustion at MaxRounds=32); materialization makes
+    // the replay linear, which is also what Spark's localCheckpoint
+    // per round does
     val head =
-      s"""q AS (SELECT vec_id, $QV AS qv FROM embeddings),
-         |u AS (SELECT vec_id, generate_subscripts(qv, 1) - 1 AS d, unnest(qv) AS v FROM q),
-         |seeds AS (SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS cid
+      s"""q AS MATERIALIZED (SELECT vec_id, $QV AS qv FROM embeddings),
+         |u AS MATERIALIZED (SELECT vec_id, generate_subscripts(qv, 1) - 1 AS d, unnest(qv) AS v FROM q),
+         |seeds AS MATERIALIZED (SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS cid
          |          FROM embeddings WHERE vec_id % 5 = 0 ORDER BY vec_id LIMIT ${graft.operators.ClusterOps.K}),
-         |c0 AS (SELECT s.cid, u.d, u.v AS cv FROM seeds s JOIN u USING (vec_id))""".stripMargin
+         |c0 AS MATERIALIZED (SELECT s.cid, u.d, u.v AS cv FROM seeds s JOIN u USING (vec_id))""".stripMargin
     val roundCtes = (1 to rounds).map { r =>
       val assignCte =
-        s"""d$r AS (SELECT u.vec_id, c.cid, SUM((u.v - c.cv) * (u.v - c.cv)) AS dist
+        s"""d$r AS MATERIALIZED (SELECT u.vec_id, c.cid, SUM((u.v - c.cv) * (u.v - c.cv)) AS dist
            |       FROM u JOIN c${r - 1} c ON u.d = c.d GROUP BY 1, 2),
-           |a$r AS (SELECT vec_id, cid, dist FROM (
+           |a$r AS MATERIALIZED (SELECT vec_id, cid, dist FROM (
            |        SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
            |        FROM d$r) t WHERE rn = 1)""".stripMargin
       val updateCte =
         s""",
-           |c$r AS (SELECT a.cid, u.d,
+           |c$r AS MATERIALIZED (SELECT a.cid, u.d,
            |         CAST(floor(CAST(SUM(u.v) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cv
            |       FROM a$r a JOIN u USING (vec_id) GROUP BY a.cid, u.d)""".stripMargin
       if (r < rounds) assignCte + updateCte else assignCte
@@ -104,23 +110,36 @@ object Oracles {
     * are checked against. */
   private lazy val e7Cte: String = kmeansCte(graft.operators.ClusterOps.Rounds)
 
-  /** e16: replay a FIXED MaxRounds rounds (the fixpoint property makes
-    * Spark's early stop invisible to the assignment) and derive
-    * stable_round independently as min{r : a_r = a_(r-1)}, else the
-    * cap — verifying the stopping rule itself, not just the geometry. */
+  /** e16: replay a FIXED MaxRounds rounds and derive the stop
+    * independently — stable_round = min{r : a_r = a_(r-1) [fixpoint]
+    * or a_r = a_(r-2) [period-2 cycle]}, else the cap — then output
+    * the assignment AT that round (the later phase of a cycle, exactly
+    * what Spark reports). This verifies the stopping rule itself —
+    * which round fires and which assignment ships — not just the
+    * geometry. */
   private lazy val e16Sql: String = {
     val mr = graft.operators.ClusterOps.MaxRounds
-    val stability = (2 to mr).map(r =>
-      s"""SELECT $r AS r WHERE NOT EXISTS (
-         |    SELECT 1 FROM a$r x JOIN a${r - 1} y USING (vec_id) WHERE x.cid <> y.cid)""".stripMargin)
+    val probes =
+      (2 to mr).map(r =>
+        s"""SELECT $r AS r WHERE NOT EXISTS (
+           |    SELECT 1 FROM a$r x JOIN a${r - 1} y USING (vec_id) WHERE x.cid <> y.cid)""".stripMargin) ++
+      (3 to mr).map(r =>
+        s"""SELECT $r AS r WHERE NOT EXISTS (
+           |    SELECT 1 FROM a$r x JOIN a${r - 2} y USING (vec_id) WHERE x.cid <> y.cid)""".stripMargin)
+    val stability = probes.mkString("\n  UNION ALL\n  ")
+    val pick = (2 to mr).map(r =>
+      s"SELECT vec_id, cid, dist FROM a$r WHERE (SELECT sr FROM st) = $r")
       .mkString("\n  UNION ALL\n  ")
     s"""WITH ${kmeansCte(mr)},
        |st AS (SELECT COALESCE(MIN(r), $mr) AS sr FROM (
        |  $stability
-       |) s)
+       |) s),
+       |fin AS (
+       |  $pick
+       |)
        |SELECT vec_id, cid AS cluster, CAST(dist AS BIGINT) AS dist_sq,
        |  CAST((SELECT sr FROM st) AS BIGINT) AS stable_round
-       |FROM a$mr ORDER BY vec_id""".stripMargin
+       |FROM fin ORDER BY vec_id""".stripMargin
   }
 
   /** e1 / e5 as standalone statements — map entries AND the CTE legs of
@@ -1957,6 +1976,55 @@ object Oracles {
         |UNION ALL SELECT 'value', count(*), count(*) - count(value),
         |  count(DISTINCT value) FROM events
         |ORDER BY col_name""".stripMargin,
+
+    // p33: the per-column HLL profile replayed register-for-register —
+    // same canonicalization (epoch-µs for ts, ×10⁶ half-up integer for
+    // value: engine-portable IEEE arithmetic, unlike double/timestamp
+    // string formatting), same md5 hash60, same 2^53-scaled estimator
+    // as s4, so est_distinct matches bit-for-bit
+    "p33_dq_profile_hll" ->
+      s"""WITH st AS MATERIALIZED (
+         |  SELECT 'event_id' AS col_name, CAST(event_id AS VARCHAR) AS v FROM events
+         |  UNION ALL SELECT 'ts', CAST(epoch_us(ts) AS VARCHAR) FROM events
+         |  UNION ALL SELECT 'user_id', CAST(user_id AS VARCHAR) FROM events
+         |  UNION ALL SELECT 'event_type', event_type FROM events
+         |  UNION ALL SELECT 'value',
+         |    CAST(CAST(floor(value * 1000000.0 + 0.5) AS BIGINT) AS VARCHAR) FROM events
+         |  UNION ALL SELECT 'props', props FROM events),
+         |hh AS (SELECT col_name,
+         |    CASE WHEN v IS NULL THEN -1 ELSE ${h60("v")} % 256 END AS bucket,
+         |    CASE WHEN v IS NULL THEN NULL ELSE ${h60("v")} // 256 END AS rest
+         |  FROM st),
+         |regs0 AS (SELECT col_name, bucket, COUNT(*) AS cnt,
+         |    MAX(CASE WHEN rest = 0 THEN 53 ELSE 53 - length(bin(rest)) END) AS rho
+         |  FROM hh GROUP BY 1, 2),
+         |counts AS (SELECT col_name, CAST(SUM(cnt) AS BIGINT) AS n_rows,
+         |    CAST(SUM(CASE WHEN bucket = -1 THEN cnt ELSE 0 END) AS BIGINT) AS n_null
+         |  FROM regs0 GROUP BY 1),
+         |names AS (SELECT DISTINCT col_name FROM st),
+         |dense AS (SELECT n.col_name, t.b AS bucket, COALESCE(r.rho, 0) AS rho
+         |  FROM names n CROSS JOIN range(256) t(b)
+         |  LEFT JOIN regs0 r ON r.col_name = n.col_name AND r.bucket = t.b),
+         |agg AS (SELECT col_name,
+         |    CAST(SUM(CAST(1 AS BIGINT) << CAST(53 - rho AS INTEGER)) AS BIGINT) AS s,
+         |    CAST(SUM(CASE WHEN rho = 0 THEN 1 ELSE 0 END) AS BIGINT) AS v
+         |  FROM dense GROUP BY 1),
+         |ex AS (
+         |  SELECT 'event_id' AS col_name, COUNT(DISTINCT event_id) AS n_exact FROM events
+         |  UNION ALL SELECT 'ts', COUNT(DISTINCT ts) FROM events
+         |  UNION ALL SELECT 'user_id', COUNT(DISTINCT user_id) FROM events
+         |  UNION ALL SELECT 'event_type', COUNT(DISTINCT event_type) FROM events
+         |  UNION ALL SELECT 'value', COUNT(DISTINCT value) FROM events
+         |  UNION ALL SELECT 'props', COUNT(DISTINCT props) FROM events)
+         |SELECT a.col_name, c.n_rows, c.n_null,
+         |  CASE WHEN CAST($SketchOpsAlpha AS DOUBLE) * 256 * 256 * 9007199254740992.0 / a.s <= 640.0
+         |            AND a.v > 0
+         |       THEN 256.0 * ln(256.0 / a.v)
+         |       ELSE CAST($SketchOpsAlpha AS DOUBLE) * 256 * 256 * 9007199254740992.0 / a.s END
+         |    AS est_distinct,
+         |  ex.n_exact
+         |FROM agg a JOIN counts c USING (col_name) JOIN ex USING (col_name)
+         |ORDER BY col_name""".stripMargin,
 
     // DuckDB's md5 takes VARCHAR and hashes its UTF-8 bytes — exactly
     // the bytes Spark's md5(cast(text as binary)) hashes

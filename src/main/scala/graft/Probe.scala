@@ -58,8 +58,8 @@ object Probe {
       streamDir.resolve("events.parquet"),
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     val rawSchema = spark.read.parquet(s"$d/events.parquet").schema
-    val sdf = spark.readStream.schema(rawSchema).parquet(streamDir.toString)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val sdf = Tables.normalizeEventsTs(
+      spark.readStream.schema(rawSchema).parquet(streamDir.toString))
     val query = streaming.StreamPipeline.kpiDailyStream(spark, sdf)
       .writeStream.format("memory").queryName("probe_kpi").outputMode("complete").start()
     query.processAllAvailable()

@@ -1,6 +1,8 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, expr}
+import org.apache.spark.sql.types.{LongType, StructType, TimestampNTZType, TimestampType}
 
 /** Readers for the driver-generated parquet tables (TESTDATA.md).
   *
@@ -25,15 +27,44 @@ object Tables {
   def orders(s: SparkSession, d: String): DataFrame = apply(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = apply(s, d, "lineitem")
 
-  /** `events.ts` is parquet TIMESTAMP(NANOS) which Spark cannot read
-    * natively; read it as int64 nanos and truncate to micros
-    * (`ts div 1000` floors for positive epochs — exactly what DuckDB's
-    * ns→µs conversion does, keeping the oracle comparable).
-    */
+  /** Normalize an events frame to a TimestampType(µs) `ts`, whatever
+    * physical type the parquet shipped with. The driver has generated
+    * `events.ts` both as TIMESTAMP(NANOS) — unreadable natively by
+    * Spark, so it arrives as int64 under `nanosAsLong` and is floored
+    * to µs (`ts div 1000`, exactly DuckDB's ns→µs cast, keeping the
+    * oracle comparable) — and as TIMESTAMP(MICROS) with
+    * isAdjustedToUTC=false, which reads as TIMESTAMP_NTZ and is cast to
+    * TimestampType (identical instant under the UTC session zone every
+    * entry point pins; watermarks and unix_micros require TIMESTAMP).
+    * The format branch lives HERE and nowhere else; works on batch and
+    * streaming frames alike (the dispatch is on the read schema, not
+    * the data). */
+  def normalizeEventsTs(df: DataFrame): DataFrame =
+    df.schema("ts").dataType match {
+      case LongType         => df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+      case _                => df
+    }
+
+  /** A `ts` literal worth `micros` epoch-µs in the PHYSICAL type of
+    * `rawSchema` — for sentinel rows that must round-trip through a
+    * file sharing the raw events schema (p15 flush). */
+  def tsLiteral(rawSchema: StructType, micros: Long): Any =
+    rawSchema("ts").dataType match {
+      case LongType => micros * 1000L // int64 epoch-ns
+      case TimestampNTZType => java.time.LocalDateTime.ofEpochSecond(
+        micros / 1000000L, ((micros % 1000000L) * 1000L).toInt,
+        java.time.ZoneOffset.UTC)
+      case _ => java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(
+        micros / 1000000L, (micros % 1000000L) * 1000L))
+    }
+
+  /** Events reader. `nanosAsLong` is a no-op for µs-typed files, so it
+    * is always safe to set; the ns→µs conversion applies only when the
+    * file really was nanos (see [[normalizeEventsTs]]). */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    apply(s, d, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+    normalizeEventsTs(apply(s, d, "events"))
   }
   def documents(s: SparkSession, d: String): DataFrame = apply(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = apply(s, d, "embeddings")

@@ -110,33 +110,43 @@ object ClusterOps {
       .groupBy("cid", "d")
       .agg(floor(sum("v").cast("double") / count(lit(1))).cast("long").as("cv"))
 
-  /** Round cap for the convergence-aware variant (e16). Lloyd over this
-    * synthetic geometry stabilizes well inside the cap (spec-pinned);
-    * the cap bounds the rare oscillation case (integer floor centroids
-    * can 2-cycle) so the job can never loop unboundedly. */
-  val MaxRounds = 8
+  /** Round cap for the convergence-aware variant (e16). Measured
+    * fixpoints for this seed/quantization (identical in DuckDB and
+    * Spark — the exact-integer discipline): a_13=a_12 at sf0.001,
+    * a_19=a_18 at sf0.01, a_29=a_28 at sf0.1 — so 32 leaves headroom
+    * at every tested SF while the stopping rule (fixpoint OR period-2
+    * cycle, see [[kmeansStable]]) keeps the loop from ever paying the
+    * cap; the cap is the unconditional bound that makes the job
+    * provably terminating even on a geometry with a longer orbit. */
+  val MaxRounds = 32
 
   /** e16: CONVERGENCE-AWARE k-means — production Lloyd: iterate the
     * identical exact-integer round (assignTo/updateFrom — the same
-    * single definitions e7 runs) until the ASSIGNMENT is stable
-    * (a_r == a_{r-1}; integer-exact, so stability is a fixpoint: the
-    * centroid update of an unchanged assignment is unchanged, hence
-    * every later round is the identity) or MaxRounds caps it. The
-    * per-round stability probe is a bounded existence check (first
-    * changed row), and each round's assignment is localCheckpoint'd so
+    * single definitions e7 runs) until the ASSIGNMENT stops producing
+    * new states, detected as either
+    *   - a FIXPOINT  (a_r == a_{r-1}: the centroid update of an
+    *     unchanged assignment is unchanged, so every later round is the
+    *     identity), or
+    *   - a PERIOD-2 CYCLE (a_r == a_{r-2}: integer-floor centroids can
+    *     oscillate between two assignments forever — real Lloyd over
+    *     quantized coordinates does this; iterating further can only
+    *     replay the orbit, so we stop and deterministically report a_r,
+    *     the later phase of the cycle, at the detection round),
+    * or MaxRounds caps it. Each probe is a bounded existence check
+    * (first changed row) on localCheckpoint'd per-round assignments, so
     * plan lineage stays one round deep — the d5/g1 iteration
     * discipline.
     *
-    * Oracle strategy: the fixpoint property makes the early stop
-    * INVISIBLE to the result — stopping at r < MaxRounds yields exactly
-    * the round-MaxRounds assignment — so the DuckDB oracle replays a
-    * FIXED MaxRounds rounds and independently derives stable_round as
-    * min{r : a_r = a_{r-1}} (else MaxRounds), verifying both the
-    * geometry and the stopping rule.
+    * Oracle strategy: the DuckDB oracle replays a FIXED MaxRounds
+    * rounds, independently derives stable_round as
+    * min{r : a_r = a_{r-1} or a_r = a_{r-2}} (else MaxRounds), and
+    * outputs the assignment AT that round — verifying the stopping
+    * rule itself (which round fires and which phase is reported), not
+    * just the geometry.
     *
     * Scale shape: identical per-round plan to e7 (2 shuffles per round,
-    * k·d·8-byte broadcast); convergence typically lands in single-digit
-    * rounds, and the stability probe adds one bounded vec_id-keyed
+    * k·d·8-byte broadcast); the stop typically lands in single-digit
+    * rounds, and each stability probe adds one bounded vec_id-keyed
     * join per round — nothing SF-proportional beyond the rounds
     * themselves. */
   def kmeansStable(spark: SparkSession, dir: String): DataFrame =
@@ -148,24 +158,34 @@ object ClusterOps {
   /** The memoized converge-or-cap assignment with its realized
     * stable_round column. */
   private[graft] def kmeansStableAssign(spark: SparkSession, dir: String): DataFrame =
-    DedupOps.memoized(spark, "e16_assign", dir) {
-      val u = unpivoted(spark, dir)
-      var centroids = seedCentroids(spark, dir, u)
-      var assigned = assignTo(u, centroids).localCheckpoint(eager = true)
-      var round = 1
-      var stable = false
-      while (!stable && round < MaxRounds) {
-        centroids = updateFrom(u, assigned).localCheckpoint(eager = true)
-        val next = assignTo(u, centroids).localCheckpoint(eager = true)
-        round += 1
-        stable = next
-          .join(assigned.select(col("vec_id"), col("cid").as("_pcid")), "vec_id")
-          .filter(col("cid") =!= col("_pcid")).isEmpty
-        assigned = next
-      }
-      assigned.withColumn("stable_round",
-        lit(if (stable) round else MaxRounds).cast("long"))
+    DedupOps.memoized(spark, "e16_assign", dir)(kmeansStableCompute(spark, dir))
+
+  /** The un-memoized converge-or-cap loop — split out so the
+    * determinism spec can rerun the REAL pipeline instead of reading
+    * the memo back. */
+  private[graft] def kmeansStableCompute(spark: SparkSession, dir: String): DataFrame = {
+    def sameAssignment(a: DataFrame, b: DataFrame): Boolean =
+      a.join(b.select(col("vec_id"), col("cid").as("_pcid")), "vec_id")
+        .filter(col("cid") =!= col("_pcid")).isEmpty
+    val u = unpivoted(spark, dir)
+    var centroids = seedCentroids(spark, dir, u)
+    var prev: DataFrame = null // a_{r-2}, for the period-2 probe
+    var assigned = assignTo(u, centroids).localCheckpoint(eager = true)
+    var round = 1
+    var stoppedAt = 0
+    while (stoppedAt == 0 && round < MaxRounds) {
+      centroids = updateFrom(u, assigned).localCheckpoint(eager = true)
+      val next = assignTo(u, centroids).localCheckpoint(eager = true)
+      round += 1
+      val fixpoint = sameAssignment(next, assigned)
+      val cycle = !fixpoint && prev != null && sameAssignment(next, prev)
+      if (fixpoint || cycle) stoppedAt = round
+      prev = assigned
+      assigned = next
     }
+    assigned.withColumn("stable_round",
+      lit(if (stoppedAt > 0) stoppedAt else MaxRounds).cast("long"))
+  }
 
   /** Per-cluster sample size for x2. */
   val SampleN = 20

@@ -24,9 +24,101 @@ object ProfileOps {
     Seq("event_id", "ts", "user_id", "event_type", "value", "props")
 
   /** p25: per-column profile of the event lake:
-    * (col_name, n_rows, n_null, n_distinct). */
-  def dqProfile(spark: SparkSession, dir: String): DataFrame =
-    profileOf(Tables.events(spark, dir), ProfiledCols)
+    * (col_name, n_rows, n_null, n_distinct).
+    *
+    * `approx = true` is the 100 TB form promised above: n_distinct
+    * comes from per-column HLL registers (p33 / [[dqProfileHll]])
+    * instead of the exact multi-distinct Expand. */
+  def dqProfile(spark: SparkSession, dir: String, approx: Boolean = false): DataFrame =
+    if (approx)
+      dqProfileHll(spark, dir)
+        .select(col("col_name"), col("n_rows"), col("n_null"),
+          // the estimator is a double; the profile contract is a count
+          round(col("est_distinct")).cast("long").as("n_distinct"))
+        .orderBy("col_name")
+    else profileOf(Tables.events(spark, dir), ProfiledCols)
+
+  /** Engine-portable canonical string per profiled column — what the
+    * per-column HLL hashes. Longs/strings hash their natural form; ts
+    * hashes its epoch-µs integer and value a ×10⁶ half-up integer
+    * quantization, because double→string and timestamp→string
+    * formatting differ across engines while IEEE floor/multiply and
+    * epoch extraction do not (the QV discipline). Injective on any
+    * corpus with ≤6 decimal places, and an estimator doesn't need more. */
+  private def canonCols: Seq[(String, org.apache.spark.sql.Column)] = Seq(
+    "event_id" -> col("event_id"),
+    "ts" -> unix_micros(col("ts")),
+    "user_id" -> col("user_id"),
+    "event_type" -> col("event_type"),
+    "value" -> floor(col("value") * lit(1000000.0) + lit(0.5)).cast("long"),
+    "props" -> col("props"))
+
+  /** p33: the SCALE form of the p25 profile — per-column HLL
+    * distinct-count registers (s4's m=256 sketch, one per column) built
+    * in ONE scan: each row explodes into (col_name, canonical value),
+    * then a single map-combined groupBy(col_name, bucket) carries row
+    * count, null count AND the register max together — the shuffle is
+    * ≤ cols×(m+1) combiner rows per partition, versus the exact
+    * multi-distinct's Expand whose shuffle is proportional to the
+    * distinct-value volume. n_exact (the exact multi-distinct) is kept
+    * as a comparison column because the oracle proves the estimator
+    * against it; the 100 TB deployment drops that column and keeps the
+    * register pass.
+    *
+    * Every register update is the s4 arithmetic (md5 hash60, exact
+    * integer rho, 2^53-scaled register sum, linear-counting branch), so
+    * DuckDB replays the estimate bit-for-bit. */
+  def dqProfileHll(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val m = graft.operators.SketchOps.HllM
+    val alpha = graft.operators.SketchOps.HllAlpha
+    val events = Tables.events(spark, dir)
+    val pairs = canonCols.map { case (n, c) =>
+      struct(lit(n).as("col_name"), c.cast("string").as("v")) }
+    val stacked = events
+      .select(explode(array(pairs: _*)).as("p"))
+      .select(col("p.col_name").as("col_name"), col("p.v").as("v"))
+      .withColumn("h", hash60(col("v")))
+    // one combined pass: bucket -1 carries the null rows, real buckets
+    // carry their row counts and register max
+    val regs = stacked
+      .select(col("col_name"),
+        coalesce(col("h") % m, lit(-1L)).as("bucket"),
+        expr(s"h div $m").as("rest"))
+      .groupBy("col_name", "bucket")
+      .agg(count(lit(1)).as("cnt"),
+        max(when(col("rest") === 0, lit(53))
+          .otherwise(lit(53) - length(bin(col("rest"))))).as("rho"))
+    val counts = regs.groupBy("col_name").agg(
+      sum("cnt").as("n_rows"),
+      sum(when(col("bucket") === -1, col("cnt")).otherwise(0L)).as("n_null"))
+    // densify to all m buckets per column, then the s4 estimator per col
+    val names = canonCols.map(_._1).toDF("col_name")
+    val dense = names.crossJoin(spark.range(m.toLong).select(col("id").as("bucket")))
+      .join(regs.filter(col("bucket") =!= -1).select("col_name", "bucket", "rho"),
+        Seq("col_name", "bucket"), "left")
+      .withColumn("rho", coalesce(col("rho"), lit(0)))
+    val est = dense.groupBy("col_name").agg(
+      sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(53 - rho AS INT))")).as("s"),
+      sum(when(col("rho") === 0, 1).otherwise(0)).cast("long").as("v"))
+    val raw = lit(alpha) * m * m * lit(9007199254740992.0) / col("s")
+    val exact = {
+      val aggs = canonCols.map { case (n, _) => countDistinct(col(n)).as(s"nd_$n") }
+      val one = events.agg(aggs.head, aggs.tail: _*)
+      val exPairs = canonCols.map { case (n, _) =>
+        struct(lit(n).as("col_name"), col(s"nd_$n").as("n_exact")) }
+      one.select(explode(array(exPairs: _*)).as("p"))
+        .select(col("p.col_name").as("col_name"), col("p.n_exact").as("n_exact"))
+    }
+    est
+      .withColumn("est_distinct",
+        when(raw <= lit(2.5 * m) && col("v") > 0,
+          lit(m.toDouble) * log(lit(m.toDouble) / col("v"))).otherwise(raw))
+      .join(counts, "col_name").join(exact, "col_name")
+      .select(col("col_name"), col("n_rows"), col("n_null"),
+        col("est_distinct"), col("n_exact"))
+      .orderBy("col_name")
+  }
 
   /** The profiling core over any relation + column list (spec hook). */
   private[graft] def profileOf(df: DataFrame, cols: Seq[String]): DataFrame = {

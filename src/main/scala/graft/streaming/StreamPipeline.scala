@@ -210,15 +210,19 @@ object StreamPipeline {
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = spark.read.parquet(s"$dir/events.parquet")
-    val maxNs = raw.agg(max("ts")).head().getLong(0)
-    val sentinelNs = maxNs + 3L * 3600 * 1000000000L
+    // typed max via the shared normalizer — the raw physical ts type is
+    // Tables' concern, not ours (graft.Tables.normalizeEventsTs)
+    val maxMicros = graft.Tables.normalizeEventsTs(raw)
+      .agg(max(unix_micros(col("ts")))).head().getLong(0)
+    val sentinelMicros = maxMicros + 3L * 3600 * 1000000L
     // write the one-row sentinel into an underscore-prefixed dir (Spark
     // file listings ignore those) and move its part file up as a real
     // top-level file the stream source will pick up
     val tmp = streamDir.resolve("_flush_tmp")
     raw.sparkSession.createDataFrame(
         java.util.List.of(org.apache.spark.sql.Row(
-          -1L, sentinelNs, FlushUser, "click", 0.0, null)), raw.schema)
+          -1L, graft.Tables.tsLiteral(raw.schema, sentinelMicros),
+          FlushUser, "click", 0.0, null)), raw.schema)
       .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
     val listing = java.nio.file.Files.list(tmp)
     val part =
@@ -226,8 +230,8 @@ object StreamPipeline {
       finally listing.close() // Files.list holds a directory handle open
     java.nio.file.Files.move(part, streamDir.resolve("flush.parquet"),
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-    val sdf = spark.readStream.schema(raw.schema).parquet(streamDir.toString)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val sdf = graft.Tables.normalizeEventsTs(
+      spark.readStream.schema(raw.schema).parquet(streamDir.toString))
     withStatePartitions(spark, MaterializeStateParts) {
       val query = sessionizeStream(sdf)
         .writeStream.format("memory").queryName("graft_p15_sessions")
@@ -348,8 +352,8 @@ object StreamPipeline {
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val rawSchema = spark.read.parquet(s"$dir/events.parquet").schema
-    spark.readStream.schema(rawSchema).parquet(streamDir.toString)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    graft.Tables.normalizeEventsTs(
+      spark.readStream.schema(rawSchema).parquet(streamDir.toString))
   }
 
   /** Wire partition count for the p30 staged Kafka-shaped input. */

@@ -1,0 +1,71 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.pipeline.ProfileOps
+
+/** Round-10 semantics checks: the p33 HLL profile (p25's 100 TB form)
+  * against the exact profile, and the schema-adaptive events reader. */
+class Round10OpsSpec extends AnyFunSuite with SparkSpec {
+
+  test("p33 HLL estimates land within the m=256 error envelope of the exact counts") {
+    val rows = ProfileOps.dqProfileHll(spark, Sf001).collect()
+    assert(rows.map(_.getString(0)).toSeq == ProfileOps.ProfiledCols.sorted,
+      "one profile row per events column")
+    rows.foreach { r =>
+      val (name, est, exact) = (r.getString(0), r.getDouble(3), r.getLong(4))
+      // m=256 → standard error 1.04/√256 ≈ 6.5%; 3σ ≈ 20% (plus an
+      // absolute floor for tiny cardinalities where the linear-counting
+      // branch quantizes)
+      val tol = math.max(0.20 * exact, 3.0)
+      assert(math.abs(est - exact) <= tol,
+        f"$name: est=$est%.1f vs exact=$exact (tol ±$tol%.1f)")
+    }
+  }
+
+  test("p33 exact columns agree with the exact p25 profile") {
+    val exact = ProfileOps.dqProfile(spark, Sf001).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    ProfileOps.dqProfileHll(spark, Sf001).collect().foreach { r =>
+      val (nRows, nNull, nDistinct) = exact(r.getString(0))
+      assert(r.getLong(1) === nRows, s"${r.getString(0)}: n_rows drifted")
+      assert(r.getLong(2) === nNull, s"${r.getString(0)}: n_null drifted")
+      assert(r.getLong(4) === nDistinct, s"${r.getString(0)}: n_exact drifted")
+    }
+  }
+
+  test("the approx flag swaps only the distinct estimator, not the contract") {
+    val approx = ProfileOps.dqProfile(spark, Sf001, approx = true)
+    assert(approx.columns.toSeq ===
+      ProfileOps.dqProfile(spark, Sf001).columns.toSeq,
+      "flagged profile must keep the exact profile's schema")
+    assert(approx.count() === ProfileOps.ProfiledCols.size.toLong)
+  }
+
+  test("events reader adapts to both parquet ts physical types") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.{LongType, TimestampType, TimestampNTZType}
+    val df = Tables.events(spark, Sf0001)
+    assert(df.schema("ts").dataType === TimestampType,
+      "normalized events.ts must be TIMESTAMP whatever the file stored")
+    // the normalizer is a no-op on an already-normalized frame and
+    // converts a synthetic int64-nanos frame to the same instants
+    assert(Tables.normalizeEventsTs(df).schema("ts").dataType === TimestampType)
+    val asNanos = df.withColumn("ts", unix_micros(col("ts")) * lit(1000L))
+    assert(asNanos.schema("ts").dataType === LongType)
+    val back = Tables.normalizeEventsTs(asNanos)
+    assert(back.schema("ts").dataType === TimestampType)
+    val drift = back.select(col("event_id"), col("ts").as("ts2"))
+      .join(df.select(col("event_id"), col("ts")), "event_id")
+      .filter(col("ts2") =!= col("ts")).count()
+    assert(drift === 0L, "ns round-trip changed instants")
+    // and the ntz branch: an NTZ frame casts to the same instants under
+    // the UTC session zone
+    val asNtz = df.withColumn("ts", col("ts").cast(TimestampNTZType))
+    val backNtz = Tables.normalizeEventsTs(asNtz)
+    assert(backNtz.schema("ts").dataType === TimestampType)
+    val driftNtz = backNtz.select(col("event_id"), col("ts").as("ts2"))
+      .join(df.select(col("event_id"), col("ts")), "event_id")
+      .filter(col("ts2") =!= col("ts")).count()
+    assert(driftNtz === 0L, "ntz cast changed instants")
+  }
+}

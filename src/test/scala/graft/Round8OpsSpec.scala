@@ -4,52 +4,77 @@ import org.apache.spark.sql.DataFrame
 import org.scalatest.funsuite.AnyFunSuite
 import graft.operators.ClusterOps
 
-/** Semantics checks for the round-8 work: the convergence-aware k-means
-  * (e16) and its relationship to the fixed-round e7 geometry. */
+/** Semantics checks for the convergence-aware k-means (e16): the stop
+  * fires before the cap, the stopping event is genuine (fixpoint or
+  * period-2 cycle, verified by independent fixed-round replays), and
+  * the pipeline is deterministic without leaning on the memo. */
 class Round8OpsSpec extends AnyFunSuite with SparkSpec {
 
   private def assignMap(df: DataFrame): Map[Long, Long] =
     df.select("vec_id", "cid").collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
 
-  test("e16 stopping rule fires before the cap and the stop is a true fixpoint") {
+  test("e16 stopping rule fires before the cap at a genuine stopping event") {
     val out = ClusterOps.kmeansStable(spark, Sf0001)
     val sr = out.select("stable_round").distinct().collect().map(_.getLong(0))
     assert(sr.length === 1, "stable_round must be one constant")
     val r = sr.head.toInt
     assert(r >= 2 && r < ClusterOps.MaxRounds,
       s"stopping rule did not fire before the cap: stable_round=$r")
-    // fixpoint ⇒ the early stop is invisible: the converged assignment
-    // equals BOTH the replay at exactly r rounds (the stop point) and
-    // the replay at the full cap (what the oracle computes)
-    val got = out.select(org.apache.spark.sql.functions.col("vec_id"),
-      org.apache.spark.sql.functions.col("cluster").as("cid"))
-    val atStop = ClusterOps.kmeansFixedAssign(spark, Sf0001, r)
-    val atCap = ClusterOps.kmeansFixedAssign(spark, Sf0001, ClusterOps.MaxRounds)
-    assert(assignMap(got) === assignMap(atStop), "e16 != replay at stable_round")
-    assert(assignMap(got) === assignMap(atCap), "early stop changed the result")
-  }
-
-  test("e16 determinism: a second run reproduces stable_round and the assignment") {
-    // kmeansStableAssign is memoized per (session, dir); rebuild the
-    // un-memoized pipeline path instead of trusting the cache
-    val a = ClusterOps.kmeansStable(spark, Sf0001).collect()
-    val b = ClusterOps.kmeansStable(spark, Sf0001).collect()
-    assert(a.sameElements(b))
-  }
-
-  test("converged geometry is no more imbalanced than the 2-round geometry") {
-    // imbalance factor η = k·Σnᵢ²/n² (e15's metric) over cluster sizes
-    def eta(df: DataFrame): Double = {
-      val sizes = df.groupBy("cid").count().collect().map(_.getLong(1).toDouble)
-      val n = sizes.sum
-      sizes.length * sizes.map(s => s * s).sum / (n * n)
+    // the reported assignment is exactly the fixed-round replay at the
+    // stop round (Spark ships a_r, the later phase of a cycle)
+    val got = assignMap(out.select(org.apache.spark.sql.functions.col("vec_id"),
+      org.apache.spark.sql.functions.col("cluster").as("cid")))
+    val aR = assignMap(ClusterOps.kmeansFixedAssign(spark, Sf0001, r))
+    assert(got === aR, "e16 != replay at stable_round")
+    // the stopping event really holds at r: a_r == a_{r-1} (fixpoint)
+    // or a_r == a_{r-2} (period-2 cycle) — via independent replays
+    val aPrev = assignMap(ClusterOps.kmeansFixedAssign(spark, Sf0001, r - 1))
+    val fixpoint = aR == aPrev
+    val cycle = !fixpoint && r >= 3 &&
+      aR == assignMap(ClusterOps.kmeansFixedAssign(spark, Sf0001, r - 2))
+    assert(fixpoint || cycle,
+      s"stable_round=$r is neither a fixpoint nor a period-2 cycle")
+    info(s"stopped at round $r (${if (fixpoint) "fixpoint" else "period-2 cycle"})")
+    // and it is the FIRST such event: no earlier round qualifies
+    val replays = (1 to r).map(k =>
+      assignMap(ClusterOps.kmeansFixedAssign(spark, Sf0001, k)))
+    for (k <- 2 until r) {
+      val earlierFix = replays(k - 1) == replays(k - 2)
+      val earlierCyc = k >= 3 && replays(k - 1) == replays(k - 3)
+      assert(!earlierFix && !earlierCyc,
+        s"an earlier stopping event at round $k was missed")
     }
-    val twoRound = eta(ClusterOps.kmeansAssign(spark, Sf0001))
-    val stable = eta(ClusterOps.kmeansStableAssign(spark, Sf0001)
-      .select("vec_id", "cid", "dist"))
-    info(f"imbalance eta: 2-round=$twoRound%.4f converged=$stable%.4f")
-    assert(stable <= twoRound + 1e-9,
-      f"convergence worsened imbalance: $stable%.4f > $twoRound%.4f")
+  }
+
+  test("e16 determinism: the un-memoized pipeline reproduces the memoized run") {
+    // kmeansStable reads through the per-(session, dir) memo; rerun the
+    // REAL loop via kmeansStableCompute so this exercises the pipeline,
+    // not the cache
+    val a = ClusterOps.kmeansStable(spark, Sf0001)
+      .collect().map(_.toSeq).toSeq
+    val b = ClusterOps.kmeansStableCompute(spark, Sf0001)
+      .select(org.apache.spark.sql.functions.col("vec_id"),
+        org.apache.spark.sql.functions.col("cid").as("cluster"),
+        org.apache.spark.sql.functions.col("dist").as("dist_sq"),
+        org.apache.spark.sql.functions.col("stable_round"))
+      .orderBy("vec_id").collect().map(_.toSeq).toSeq
+    assert(a === b)
+  }
+
+  test("a cycle stop is a real orbit: the next round replays the earlier phase") {
+    val r = ClusterOps.kmeansStable(spark, Sf0001)
+      .select("stable_round").head().getLong(0).toInt
+    val aR = assignMap(ClusterOps.kmeansFixedAssign(spark, Sf0001, r))
+    val aPrev = assignMap(ClusterOps.kmeansFixedAssign(spark, Sf0001, r - 1))
+    if (aR == aPrev) {
+      // fixpoint: one more round must be the identity
+      val aNext = assignMap(ClusterOps.kmeansFixedAssign(spark, Sf0001, r + 1))
+      assert(aNext === aR, "fixpoint did not persist one round past the stop")
+    } else {
+      // period-2 cycle: the next round must return to the earlier phase
+      val aNext = assignMap(ClusterOps.kmeansFixedAssign(spark, Sf0001, r + 1))
+      assert(aNext === aPrev, "declared cycle did not replay its earlier phase")
+    }
   }
 }

@@ -26,13 +26,24 @@ import org.scalatest.funsuite.AnyFunSuite
   * relation fails loudly. */
 class WindowDisciplineSpec extends AnyFunSuite with SparkSpec {
 
-  private def boundedByLimit(p: SparkPlan): Boolean =
-    p.collectFirst {
-      case g: GlobalLimitExec => g
-      case l: LocalLimitExec => l
-      case t: TakeOrderedAndProjectExec => t
-      case c: CollectLimitExec => c
-    }.nonEmpty
+  /** Provable row-count bound on the window's ACTUAL input chain — not
+    * `collectFirst` over the whole subtree, which would whitelist a
+    * window whose driving side is unbounded just because a limit exists
+    * somewhere else beneath it (e.g. on the small side of a join). A
+    * node is bounded iff it is a limit-class node, a global (no
+    * grouping keys) aggregate, or ALL its inputs are bounded — so a
+    * join/union is bounded only when every leg is, and any path to an
+    * unlimited scan fails. */
+  private def boundedByLimit(p: SparkPlan): Boolean = p match {
+    case _: GlobalLimitExec | _: LocalLimitExec |
+         _: TakeOrderedAndProjectExec | _: CollectLimitExec => true
+    case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+        if a.groupingExpressions.isEmpty => true
+    case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
+      boundedByLimit(r.child)
+    case n if n.children.nonEmpty => n.children.forall(boundedByLimit)
+    case _ => false
+  }
 
   /** Unpartitioned WindowExec nodes with no limit bound beneath. */
   private def violations(df: DataFrame): Seq[String] =
