@@ -105,19 +105,42 @@ object Oracles {
     (head +: roundCtes).mkString(",\n")
   }
 
-  /** The e7 chain (ends at `a2`). Shared by e7 and d12 so the
-    * semantic-dedup oracle replays the EXACT clustering the e7 rows
-    * are checked against. */
+  /** The e7 chain (ends at `a2`) — the fixed-2-round contract. The
+    * converged consumers (d12, x2) replay [[stableCte]] instead. */
   private lazy val e7Cte: String = kmeansCte(graft.operators.ClusterOps.Rounds)
 
-  /** e16: replay a FIXED MaxRounds rounds and derive the stop
-    * independently — stable_round = min{r : a_r = a_(r-1) [fixpoint]
-    * or a_r = a_(r-2) [period-2 cycle]}, else the cap — then output
-    * the assignment AT that round (the later phase of a cycle, exactly
-    * what Spark reports). This verifies the stopping rule itself —
-    * which round fires and which assignment ships — not just the
-    * geometry. */
-  private lazy val e16Sql: String = {
+  /** The kept train-split chunk chain (ends at `ch`: doc_id, chunk_id,
+    * n_tok) — x1's keep rule minus x3's contamination, x6's split hash,
+    * t9's chunk geometry. Shared by x9 (step manifest) and x10
+    * (sequence packing) so the packing order IS the manifest order. */
+  private lazy val trainChunksCte: String =
+    s"""kept0 AS (SELECT doc_id FROM ($x1Sql) k),
+       |contam AS (SELECT doc_id FROM ($x3Sql) c),
+       |kept AS (SELECT doc_id FROM kept0
+       |  WHERE doc_id NOT IN (SELECT doc_id FROM contam)
+       |    AND ${h60("'split_' || CAST(doc_id AS VARCHAR)")} % 1000000 < ${graft.operators.CorpusOps.ValStartPpm}),
+       |d AS (SELECT doc_id, $TOK AS t FROM documents
+       |  WHERE doc_id IN (SELECT doc_id FROM kept)),
+       |c AS (SELECT doc_id, t, len(t) AS n,
+       |  CASE WHEN len(t) <= 32 THEN 1 ELSE (len(t) - 32 + 23) // 24 + 1 END AS n_chunks
+       |  FROM d),
+       |ch AS (SELECT doc_id, u AS chunk_id,
+       |    len(t[u*24+1 : u*24+32]) AS n_tok
+       |  FROM c, unnest(range(0, n_chunks)) AS x(u))""".stripMargin
+
+  /** The manifest's total order (x9 rank = x10 concatenation order). */
+  private lazy val trainOrderBy: String =
+    s"""${h60("'order_' || CAST(doc_id AS VARCHAR) || '_' || CAST(chunk_id AS VARCHAR)")},
+       |    doc_id, chunk_id""".stripMargin
+
+  /** The CONVERGED chain: kmeansCte(MaxRounds) + the independent stop
+    * derivation — stable_round = min{r : a_r = a_(r-1) [fixpoint] or
+    * a_r = a_(r-2) [period-2 cycle]}, else the cap (`st.sr`) — + the
+    * assignment AT that round (`fin`: vec_id, cid, dist — the later
+    * phase of a cycle, exactly what Spark reports). Shared by e16 and
+    * its downstream consumers (d12, x2), so they replay the EXACT
+    * converged geometry the e16 rows are checked against. */
+  private lazy val stableCte: String = {
     val mr = graft.operators.ClusterOps.MaxRounds
     val probes =
       (2 to mr).map(r =>
@@ -130,17 +153,23 @@ object Oracles {
     val pick = (2 to mr).map(r =>
       s"SELECT vec_id, cid, dist FROM a$r WHERE (SELECT sr FROM st) = $r")
       .mkString("\n  UNION ALL\n  ")
-    s"""WITH ${kmeansCte(mr)},
-       |st AS (SELECT COALESCE(MIN(r), $mr) AS sr FROM (
+    s"""${kmeansCte(mr)},
+       |st AS MATERIALIZED (SELECT COALESCE(MIN(r), $mr) AS sr FROM (
        |  $stability
        |) s),
-       |fin AS (
+       |fin AS MATERIALIZED (
        |  $pick
-       |)
+       |)""".stripMargin
+  }
+
+  /** e16: the converged chain's verdict — verifies the stopping rule
+    * itself (which round fires and which assignment ships), not just
+    * the geometry. */
+  private lazy val e16Sql: String =
+    s"""WITH $stableCte
        |SELECT vec_id, cid AS cluster, CAST(dist AS BIGINT) AS dist_sq,
        |  CAST((SELECT sr FROM st) AS BIGINT) AS stable_round
        |FROM fin ORDER BY vec_id""".stripMargin
-  }
 
   /** e1 / e5 as standalone statements — map entries AND the CTE legs of
     * the e8 recall evaluation, so the evaluation always scores exactly
@@ -1356,24 +1385,25 @@ object Oracles {
     // the train split, ranked by the derived-randomness hash; the
     // distributed rank must equal DuckDB's single row_number exactly
     "x9_train_manifest" ->
-      s"""WITH kept0 AS (SELECT doc_id FROM ($x1Sql) k),
-         |contam AS (SELECT doc_id FROM ($x3Sql) c),
-         |kept AS (SELECT doc_id FROM kept0
-         |  WHERE doc_id NOT IN (SELECT doc_id FROM contam)
-         |    AND ${h60("'split_' || CAST(doc_id AS VARCHAR)")} % 1000000 < ${graft.operators.CorpusOps.ValStartPpm}),
-         |d AS (SELECT doc_id, $TOK AS t FROM documents
-         |  WHERE doc_id IN (SELECT doc_id FROM kept)),
-         |c AS (SELECT doc_id, t, len(t) AS n,
-         |  CASE WHEN len(t) <= 32 THEN 1 ELSE (len(t) - 32 + 23) // 24 + 1 END AS n_chunks
-         |  FROM d),
-         |ch AS (SELECT doc_id, u AS chunk_id,
-         |    len(t[u*24+1 : u*24+32]) AS n_tok
-         |  FROM c, unnest(range(0, n_chunks)) AS x(u))
-         |SELECT row_number() OVER (ORDER BY
-         |    ${h60("'order_' || CAST(doc_id AS VARCHAR) || '_' || CAST(chunk_id AS VARCHAR)")},
-         |    doc_id, chunk_id) AS step,
+      s"""WITH $trainChunksCte
+         |SELECT row_number() OVER (ORDER BY $trainOrderBy) AS step,
          |  doc_id, chunk_id, CAST(n_tok AS BIGINT) AS n_tok
          |FROM ch ORDER BY step""".stripMargin,
+
+    // x10: concat-and-cut packing over x9's exact chain — the
+    // distributed prefix sum must equal DuckDB's single running
+    // SUM ... ROWS UNBOUNDED PRECEDING TO 1 PRECEDING exactly
+    "x10_seq_pack" ->
+      s"""WITH $trainChunksCte,
+         |o AS (SELECT doc_id, chunk_id, n_tok,
+         |    COALESCE(SUM(n_tok) OVER (ORDER BY $trainOrderBy
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+         |  FROM ch)
+         |SELECT CAST(cum // ${graft.operators.CorpusOps.SeqLen} AS BIGINT) AS seq_id,
+         |  CAST(cum % ${graft.operators.CorpusOps.SeqLen} AS BIGINT) AS seq_off,
+         |  doc_id, chunk_id, CAST(n_tok AS BIGINT) AS n_tok,
+         |  (cum % ${graft.operators.CorpusOps.SeqLen} + n_tok > ${graft.operators.CorpusOps.SeqLen}) AS cut
+         |FROM o ORDER BY seq_id, seq_off""".stripMargin,
 
     "d3_minhash_lsh" -> d3Sql,
 
@@ -1626,14 +1656,14 @@ object Oracles {
 
     "e16_kmeans_stable" -> e16Sql,
 
-    // d12: the e7 rounds verbatim (one shared CTE chain — the cluster
-    // assignment can never drift from the checked e7 rows), then the
+    // d12: the CONVERGED chain verbatim (stableCte — the cluster
+    // assignment can never drift from the checked e16 rows), then the
     // within-cluster priority rule: priority = (dist, vec_id), a vector
     // is removed iff a strictly-higher-priority cluster-mate has
     // cosine >= tau, dup_of = the highest-priority witness
     "d12_semantic_dedup" ->
-      s"""WITH $e7Cte,
-         |m AS (SELECT a.vec_id, a.cid, a.dist, q.qv FROM a2 a JOIN q USING (vec_id)),
+      s"""WITH $stableCte,
+         |m AS (SELECT a.vec_id, a.cid, a.dist, q.qv FROM fin a JOIN q USING (vec_id)),
          |cand AS (SELECT a.vec_id, b.vec_id AS b_id, b.dist AS b_dist,
          |    list_dot_product(a.qv, b.qv) /
          |      sqrt(list_dot_product(a.qv, a.qv) * list_dot_product(b.qv, b.qv)) AS c
@@ -1743,29 +1773,15 @@ object Oracles {
 
     // x2: replays the e7 rounds, then the per-cluster deterministic
     // md5-ranked top-N (the operator runs TopKPerKey instead of the sort)
+    // x2: per-cluster deterministic top-20 over the CONVERGED (e16)
+    // assignment — the chain is stableCte verbatim, so the sample is
+    // checked against the exact geometry the e16 rows verify
     "x2_cluster_sample" ->
-      s"""WITH q AS (SELECT vec_id, $QV AS qv FROM embeddings),
-         |u AS (SELECT vec_id, generate_subscripts(qv, 1) - 1 AS d, unnest(qv) AS v FROM q),
-         |seeds AS (SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS cid
-         |          FROM embeddings WHERE vec_id % 5 = 0 ORDER BY vec_id LIMIT 8),
-         |c0 AS (SELECT s.cid, u.d, u.v AS cv FROM seeds s JOIN u USING (vec_id)),
-         |d1 AS (SELECT u.vec_id, c.cid, SUM((u.v - c.cv) * (u.v - c.cv)) AS dist
-         |       FROM u JOIN c0 c ON u.d = c.d GROUP BY 1, 2),
-         |a1 AS (SELECT vec_id, cid FROM (
-         |        SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
-         |        FROM d1) t WHERE rn = 1),
-         |c1 AS (SELECT a.cid, u.d,
-         |         CAST(floor(CAST(SUM(u.v) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cv
-         |       FROM a1 a JOIN u USING (vec_id) GROUP BY a.cid, u.d),
-         |d2 AS (SELECT u.vec_id, c.cid, SUM((u.v - c.cv) * (u.v - c.cv)) AS dist
-         |       FROM u JOIN c1 c ON u.d = c.d GROUP BY 1, 2),
-         |a2 AS (SELECT vec_id, cid FROM (
-         |        SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
-         |        FROM d2) t WHERE rn = 1),
+      s"""WITH $stableCte,
          |rk AS (SELECT cid AS cluster, vec_id,
          |         row_number() OVER (PARTITION BY cid
          |           ORDER BY ${h60("'bal_' || vec_id")}, vec_id) AS rnk
-         |       FROM a2)
+         |       FROM fin)
          |SELECT cluster, CAST(rnk AS BIGINT) AS rnk, vec_id
          |FROM rk WHERE rnk <= 20 ORDER BY cluster, rnk""".stripMargin,
 

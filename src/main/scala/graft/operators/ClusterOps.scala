@@ -48,12 +48,12 @@ object ClusterOps {
       .select(col("vec_id"), col("cid").as("cluster"), col("dist").as("dist_sq"))
       .orderBy("vec_id")
 
-  /** The UNSORTED final-round assignment (vec_id, cid, dist) — the
-    * shared substrate for e7 and x2, memoized per (session, dir) like
-    * the dedup signatures so the Lloyd rounds run once, not once per
-    * consumer (the d3/d5 lesson). The e7 presentation sort is applied
-    * only at its own boundary: x2's next hop is a hash shuffle on the
-    * cluster key, which would discard a range sort anyway. */
+  /** The UNSORTED fixed-2-round assignment (vec_id, cid, dist) — e7's
+    * substrate, memoized per (session, dir) like the dedup signatures
+    * so the Lloyd rounds run once, not once per consumer (the d3/d5
+    * lesson). Downstream consumers (d12, x2) read the CONVERGED
+    * [[kmeansStableAssign]] instead — e7 keeps the fixed-round form
+    * because its contract is "exactly `Rounds` rounds". */
   private[graft] def kmeansAssign(spark: SparkSession, dir: String): DataFrame =
     DedupOps.memoized(spark, "e7_assign", dir)(kmeansFixedAssign(spark, dir, Rounds))
 
@@ -191,7 +191,7 @@ object ClusterOps {
   val SampleN = 20
 
   /** x2: CLUSTER-BALANCED SAMPLING — the diversity-sampling stage a
-    * training mix actually runs on the e7 clusters: from every cluster,
+    * training mix actually runs on the CONVERGED (e16) clusters: from every cluster,
     * keep the SampleN members with the smallest deterministic md5 rank
     * (a reproducible "random" per-cluster sample — same discipline as
     * s3: the sample is a pure function of the row, identical on rerun,
@@ -204,7 +204,7 @@ object ClusterOps {
     * The rank column is recomputed on the ≤ K·SampleN survivors —
     * trivial by construction. */
   def clusterBalancedSample(spark: SparkSession, dir: String): DataFrame = {
-    val withH = kmeansAssign(spark, dir)
+    val withH = kmeansStableAssign(spark, dir)
       .select(col("vec_id"), col("cid").as("cluster"))
       .withColumn("h", hash60(concat(lit("bal_"), col("vec_id").cast("string"))))
     val top =

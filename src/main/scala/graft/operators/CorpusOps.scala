@@ -297,18 +297,57 @@ object CorpusOps {
     * and t9's chunk plan; the only new cost is the rank's range
     * shuffle. Output is chunk-count rows — in production it lands
     * beside the shards as the loader's index. */
-  def trainManifest(spark: SparkSession, dir: String): DataFrame = {
-    import graft.functions.F.hash60
-    val kept = keptWithSplit(spark, dir)
-      .filter(col("split") === "train").select("doc_id")
-    val chunks = TextOps.chunk(spark, dir).select("doc_id", "chunk_id", "n_tok")
-      .join(kept, "doc_id")
-      .withColumn("ok", hash60(concat(lit("order_"), col("doc_id").cast("string"),
-        lit("_"), col("chunk_id").cast("string"))))
-    RankOps.withGlobalRank(chunks, "step",
+  def trainManifest(spark: SparkSession, dir: String): DataFrame =
+    RankOps.withGlobalRank(orderedTrainChunks(spark, dir), "step",
         Seq(col("ok"), col("doc_id"), col("chunk_id")))
       .select(col("step"), col("doc_id"), col("chunk_id"), col("n_tok"))
       .orderBy("step")
+
+  /** The kept train-split chunk relation with its deterministic
+    * pseudo-random order key `ok` — the shared substrate of x9 (the
+    * step manifest) and x10 (sequence packing), so the packing's
+    * concatenation order IS the manifest's step order by construction. */
+  private def orderedTrainChunks(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.F.hash60
+    val kept = keptWithSplit(spark, dir)
+      .filter(col("split") === "train").select("doc_id")
+    TextOps.chunk(spark, dir).select("doc_id", "chunk_id", "n_tok")
+      .join(kept, "doc_id")
+      .withColumn("ok", hash60(concat(lit("order_"), col("doc_id").cast("string"),
+        lit("_"), col("chunk_id").cast("string"))))
+  }
+
+  /** Tokens per packed training sequence (x10). */
+  val SeqLen = 256L
+
+  /** x10: TRAINING-SEQUENCE PACKING (concat-and-cut) — the step a
+    * loader otherwise does on the fly, precomputed: concatenate the
+    * train chunks in x9's deterministic step order and cut every
+    * [[SeqLen]] tokens. Each chunk lands at
+    * `(seq_id, seq_off) = (cum div SeqLen, cum mod SeqLen)` where `cum`
+    * is the EXCLUSIVE global running token sum before it; `cut` marks
+    * chunks crossing a sequence boundary (they contribute to two
+    * sequences — standard concat-and-cut semantics, no padding waste).
+    * Every sequence except the last is exactly SeqLen tokens dense by
+    * construction.
+    *
+    * Scale shape: the global prefix sum is
+    * [[RankOps.withGlobalRankAndPrefixSum]] — ONE range shuffle +
+    * per-partition running sums + O(p) broadcast offsets; the global
+    * concatenation order never passes through a single-task window.
+    * Output is chunk-count rows; in production it lands beside the
+    * shards as the loader's cut index. */
+  def sequencePack(spark: SparkSession, dir: String): DataFrame = {
+    val ranked = RankOps.withGlobalRankAndPrefixSum(
+      orderedTrainChunks(spark, dir), "step",
+      Some(("cum", col("n_tok"))),
+      Seq(col("ok"), col("doc_id"), col("chunk_id")))
+    ranked.select(
+        call_function("div", col("cum"), lit(SeqLen)).as("seq_id"),
+        (col("cum") % SeqLen).as("seq_off"),
+        col("doc_id"), col("chunk_id"), col("n_tok"),
+        (col("cum") % SeqLen + col("n_tok") > SeqLen).as("cut"))
+      .orderBy("seq_id", "seq_off")
   }
 
   /** x8: DATASET CARD — the per-(lang, split) composition report every

@@ -605,12 +605,14 @@ object DedupOps {
     * vec_id asc) — medoid-first, total order, no randomness. A vector
     * is REMOVED iff some strictly-higher-priority member of its cluster
     * has cosine ≥ τ with it; `dup_of` reports the highest-priority such
-    * witness. Cosines are exact-int dot products over the e7-memoized
+    * witness. Cosines are exact-int dot products over the memoized
     * quantized embeddings (one IEEE division — bit-identical in the
     * oracle, which replays the Lloyd rounds and this rule verbatim).
     *
-    * Scale shape: reuses the memoized e7 assignment (zero extra Lloyd
-    * passes); the self-join is an EQUALITY join on the cluster id with
+    * Scale shape: reuses the memoized CONVERGED e16 assignment (zero
+    * extra Lloyd passes — the converge-or-cap loop runs once per
+    * (session, dir) and semantic dedup wants settled clusters, not the
+    * 2-round demo geometry); the self-join is an EQUALITY join on the cluster id with
     * the priority predicate as a post-join filter, so the shuffle is
     * one hash partitioning by cluster and the pair volume is
     * Σ_c n_c² — bounded by cluster granularity, which a production run
@@ -619,7 +621,8 @@ object DedupOps {
   def semanticDedup(spark: SparkSession, dir: String,
       tau: Double = SemDedupTau): DataFrame = {
     val cos = cosineWith(dotBest(spark)) _
-    val m = ClusterOps.kmeansAssign(spark, dir)
+    val m = ClusterOps.kmeansStableAssign(spark, dir)
+      .select("vec_id", "cid", "dist")
       .join(AnnOps.quantized(spark, dir), "vec_id")
       .select(col("vec_id"), col("cid"), col("dist"), col("q"))
     val higher = m.select(col("cid"), col("vec_id").as("b_id"),

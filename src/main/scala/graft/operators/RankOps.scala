@@ -45,30 +45,56 @@ object RankOps {
   /** Adds `rankCol` (1-based, dense over the TOTAL order given by
     * `order` — callers must include a tie-break column making the order
     * total, else ranks within a tie are partition-dependent). */
-  def withGlobalRank(df: DataFrame, rankCol: String, order: Seq[Column]): DataFrame = {
+  def withGlobalRank(df: DataFrame, rankCol: String, order: Seq[Column]): DataFrame =
+    withGlobalRankAndPrefixSum(df, rankCol, None, order)
+
+  /** [[withGlobalRank]] plus, when `prefix` is given, an EXCLUSIVE
+    * global running sum `(cumCol, valueExpr)` over the same total
+    * order — the distributed prefix-sum (scan) primitive: x10's
+    * concat-and-cut sequence packing is `floor(cum / seqLen)`. Same
+    * machinery, same cost: the per-pid totals relation carries a sum
+    * next to the count, the O(p) offset window produces both offsets
+    * in one pass, and the per-row leg is a PARTITIONED (per-pid)
+    * running sum — zero unpartitioned windows on the data relation. */
+  def withGlobalRankAndPrefixSum(
+      df: DataFrame,
+      rankCol: String,
+      prefix: Option[(String, Column)],
+      order: Seq[Column]): DataFrame = {
     val p = df.sparkSession.sessionState.conf.numShufflePartitions
+    val value = prefix.map(_._2).getOrElse(lit(0L))
     val tagged = df
       .repartitionByRange(p, order: _*)
       .withColumn("_gr_pid", spark_partition_id())
+      .withColumn("_gr_v", value.cast(LongType))
       .localCheckpoint() // freeze the (nondeterministic) pid assignment
-    val counts = tagged.groupBy("_gr_pid").agg(count(lit(1)).as("_gr_n"))
-    // offset(pid) = Σ counts of strictly-lower pids: a running sum over
-    // the #partitions-row counts relation — O(p). The unpartitioned
-    // window is deliberate and safe here (constant-size input: p rows,
-    // never SF-proportional) and runs inside this localCheckpoint's own
-    // job, so consumer plans stay free of unpartitioned Window nodes.
+    val counts = tagged.groupBy("_gr_pid")
+      .agg(count(lit(1)).as("_gr_n"), sum("_gr_v").as("_gr_s"))
+    // offset(pid) = Σ counts/sums of strictly-lower pids: a running sum
+    // over the #partitions-row counts relation — O(p). The
+    // unpartitioned window is deliberate and safe here (constant-size
+    // input: p rows, never SF-proportional) and runs inside this
+    // localCheckpoint's own job, so consumer plans stay free of
+    // unpartitioned Window nodes.
+    val byPid = Window.orderBy("_gr_pid")
+      .rowsBetween(Window.unboundedPreceding, -1)
     val offsets = counts
-      .withColumn("_gr_off", coalesce(
-        sum("_gr_n").over(Window.orderBy("_gr_pid")
-          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .select("_gr_pid", "_gr_off")
+      .withColumn("_gr_off", coalesce(sum("_gr_n").over(byPid), lit(0L)))
+      .withColumn("_gr_soff", coalesce(sum("_gr_s").over(byPid), lit(0L)))
+      .select("_gr_pid", "_gr_off", "_gr_soff")
       .localCheckpoint(eager = true)
-    tagged
+    val inPid = Window.partitionBy("_gr_pid").orderBy(order: _*)
+    val ranked = tagged
       .join(broadcast(offsets), "_gr_pid")
       .withColumn(rankCol,
-        row_number().over(Window.partitionBy("_gr_pid").orderBy(order: _*))
-          .cast(LongType) + col("_gr_off"))
-      .drop("_gr_pid", "_gr_off")
+        row_number().over(inPid).cast(LongType) + col("_gr_off"))
+    prefix.map { case (cumCol, _) =>
+      ranked.withColumn(cumCol,
+        coalesce(sum("_gr_v").over(
+          inPid.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)) +
+          col("_gr_soff"))
+    }.getOrElse(ranked)
+      .drop("_gr_pid", "_gr_off", "_gr_soff", "_gr_v")
   }
 
   /** The exact `ntile(buckets)` bucket of a row given its 1-based global

@@ -41,6 +41,61 @@ class Round10OpsSpec extends AnyFunSuite with SparkSpec {
     assert(approx.count() === ProfileOps.ProfiledCols.size.toLong)
   }
 
+  test("d12 dup pairs live inside the converged e16 clusters with the priority rule intact") {
+    import org.apache.spark.sql.functions._
+    val assign = graft.operators.ClusterOps.kmeansStable(spark, Sf0001)
+      .select(col("vec_id"), col("cluster"), col("dist_sq"))
+    val d12 = graft.operators.DedupOps.semanticDedup(spark, Sf0001)
+    // every vector's reported cluster IS the converged assignment
+    assert(d12.select(col("vec_id"), col("cluster"))
+      .exceptAll(assign.select(col("vec_id"), col("cluster"))).isEmpty,
+      "d12 clusters drifted from the converged geometry")
+    // every dup witness is a same-cluster member of strictly higher
+    // priority ((dist, vec_id) lexicographic)
+    val pairs = d12.filter(col("dup_of").isNotNull)
+      .select(col("vec_id"), col("cluster"), col("dup_of"))
+      .join(assign.select(col("vec_id"), col("dist_sq").as("v_dist")), "vec_id")
+      .join(assign.select(col("vec_id").as("dup_of"), col("cluster").as("w_cluster"),
+        col("dist_sq").as("w_dist")), "dup_of")
+    assert(pairs.filter(col("cluster") =!= col("w_cluster")).isEmpty,
+      "a dup witness crossed clusters")
+    assert(pairs.filter(!(col("w_dist") < col("v_dist") ||
+      (col("w_dist") === col("v_dist") && col("dup_of") < col("vec_id")))).isEmpty,
+      "a dup witness does not have strictly higher priority")
+    assume(pairs.count() > 0, "fixture should produce at least one dup pair")
+  }
+
+  test("x10 packing conserves tokens, fills every non-final sequence exactly, and matches x9's order") {
+    import org.apache.spark.sql.functions._
+    val packed = graft.operators.CorpusOps.sequencePack(spark, Sf001)
+    packed.persist()
+    val seqLen = graft.operators.CorpusOps.SeqLen
+    val rows = packed.collect()
+    assert(rows.nonEmpty)
+    // conservation: cumulative reconstruction — cum(i) = seq_id*SeqLen + seq_off
+    // must be the running sum of all earlier chunks' n_tok
+    var cum = 0L
+    rows.foreach { r =>
+      val (seqId, off, nTok) = (r.getLong(0), r.getLong(1), r.getLong(4))
+      assert(seqId * seqLen + off === cum,
+        s"chunk at seq=$seqId off=$off breaks the running sum (expected cum=$cum)")
+      cum += nTok
+    }
+    // density: every sequence except the last is exactly SeqLen tokens
+    val lastSeq = rows.map(_.getLong(0)).max
+    assert(lastSeq >= 1, "fixture should span multiple sequences")
+    // cut flags mark exactly the boundary-crossing chunks
+    rows.foreach { r =>
+      assert(r.getBoolean(5) === (r.getLong(1) + r.getLong(4) > seqLen))
+    }
+    // the packing order IS x9's manifest order (same substrate)
+    val manifest = graft.operators.CorpusOps.trainManifest(spark, Sf001)
+      .orderBy("step").select("doc_id", "chunk_id").collect().map(_.toSeq).toSeq
+    assert(rows.map(r => Seq(r.get(2), r.get(3))).toSeq === manifest,
+      "packing order drifted from the x9 manifest")
+    packed.unpersist()
+  }
+
   test("events reader adapts to both parquet ts physical types") {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.types.{LongType, TimestampType, TimestampNTZType}

@@ -177,6 +177,52 @@ class TpchShapesSpec extends AnyFunSuite with SparkSpec {
     assert(viaSql.toSeq === viaDf.toSeq)
   }
 
+  test("q25 shares its lineitem subtree via ReuseExchange (and loses it when reuse is off)") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+    def shape(df: org.apache.spark.sql.DataFrame): (Int, Map[String, Int]) = {
+      df.collect() // AQE: reuse materializes in the FINAL plan only
+      val nodes = planNodes(df)
+      (nodes.count(_.isInstanceOf[ReusedExchangeExec]),
+        nodes.collect { case f: FileSourceScanExec =>
+          f.relation.location.rootPaths.headOption.map(_.getName).getOrElse("?")
+        }.groupBy(identity).view.mapValues(_.size).toMap)
+    }
+    // the fact table is scanned ONCE (cost feeds the window min without
+    // a re-derive), and the shared broadcast subtree is a real
+    // ReusedExchange (it covers the region dim leg of eusup)
+    val (reused, scans) = shape(Analytics.q25MinCost(spark, Sf001))
+    assert(reused >= 1, "q25 lost its ReusedExchange")
+    assert(scans.getOrElse("lineitem.parquet", 0) === 1,
+      s"q25 must scan lineitem once, saw $scans")
+    // deliberate perturbation: with exchange reuse disabled the reused
+    // broadcast degrades to a duplicated region leg — proving the
+    // assertion above is sensitive, not vacuously green
+    val key = "spark.sql.exchange.reuse"
+    spark.conf.set(key, "false")
+    try {
+      val (reusedOff, scansOff) = shape(Analytics.q25MinCost(spark, Sf001))
+      assert(reusedOff === 0, "reuse-off run still reported a ReusedExchange")
+      assert(scansOff.getOrElse("region.parquet", 0) >
+        scans.getOrElse("region.parquet", 0),
+        s"reuse-off run should duplicate the region leg ($scans -> $scansOff)")
+    } finally spark.conf.unset(key)
+  }
+
+  test("q29's decorrelated conditional aggregation keeps ONE fact scan") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val df = Analytics.q29PartPromotion(spark, Sf001)
+    df.collect()
+    val liScans = planNodes(df).count {
+      case f: FileSourceScanExec =>
+        f.relation.location.rootPaths.exists(_.getName == "lineitem.parquet")
+      case _ => false
+    }
+    // the textbook Q20 correlated-subquery form scans the fact table
+    // twice; the sum(CASE WHEN) decorrelation is the whole point
+    assert(liScans === 1, s"q29 must scan lineitem once, saw $liScans")
+  }
+
   test("p13 stream-stream join equals the batch join") {
     val got = streaming.StreamPipeline
       .signupPurchaseJoinViaFileStream(spark, Sf0001).collect()
