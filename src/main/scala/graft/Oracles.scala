@@ -1410,6 +1410,31 @@ object Oracles {
     "d5_neardup_clusters" -> d5Sql,
 
 
+    // m6: d4's SimHash chain verbatim over BYTE 8-gram shingles (as
+    // 16-char windows of the blob's hex — DuckDB 1.0 has no BLOB
+    // substring, and hex is the engine-portable shingle domain for
+    // arbitrary bytes), unit votes (DISTINCT shingles)
+    "m6_blob_fuzzy" ->
+      s"""WITH b AS (SELECT doc_id, CAST(text AS BLOB) AS blob FROM documents),
+         |bh AS (SELECT doc_id, octet_length(blob) AS n, lower(hex(blob)) AS hx FROM b),
+         |shg AS (SELECT DISTINCT doc_id, substr(hx, u * 2 + 1, ${graft.operators.MultimodalOps.FuzzyShingleBytes * 2}) AS s
+         |  FROM bh, unnest(range(0, n - ${graft.operators.MultimodalOps.FuzzyShingleBytes - 1})) AS x(u)),
+         |th AS (SELECT doc_id, 1 AS c, ${h60("s")} AS h FROM shg),
+         |bv AS (SELECT doc_id, b, SUM(c * (((h >> b) & 1) * 2 - 1)) AS s
+         |  FROM th CROSS JOIN (SELECT CAST(i AS INTEGER) AS b FROM range(60) t(i)) bits
+         |  GROUP BY doc_id, b),
+         |sh AS (SELECT doc_id,
+         |  CAST(SUM((CASE WHEN s > 0 THEN CAST(1 AS BIGINT) ELSE 0 END) << b) AS BIGINT) AS simhash
+         |  FROM bv GROUP BY doc_id),
+         |ch AS (SELECT doc_id, simhash, j, (simhash >> (j * 15)) & 32767 AS chunk
+         |  FROM sh CROSS JOIN (SELECT CAST(i AS INTEGER) AS j FROM range(4) t(i)) js),
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |    a.simhash AS ha, b.simhash AS hb
+         |  FROM ch a JOIN ch b ON a.j = b.j AND a.chunk = b.chunk AND a.doc_id < b.doc_id)
+         |SELECT doc_a, doc_b, CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
+         |FROM cand WHERE bit_count(xor(ha, hb)) <= 3
+         |ORDER BY doc_a, doc_b""".stripMargin,
+
     "d4_simhash" ->
       s"""WITH tc AS (SELECT doc_id, tok, count(*) AS c FROM (
          |    SELECT doc_id, unnest($TOK) AS tok FROM documents) u

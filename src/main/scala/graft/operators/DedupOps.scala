@@ -408,22 +408,36 @@ object DedupOps {
       .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
       .withColumn("h", hash60(col("tok")))
 
-  /** Per-doc 60-bit SimHash: token-frequency-weighted bit votes.
+  /** 60-bit SimHash of any (doc_id, c, h) vote relation — ONE
+    * definition shared by d4 (token-frequency votes) and m6 (distinct
+    * byte-shingle votes), so the two fuzzy sketches cannot drift.
     *
     * Preferred path: the graft_simhash_agg imperative aggregate — one
     * 60-slot buffer updated in a tight loop, ONE shuffle with map-side
     * partial aggregation and a constant-size plan. Fallback: the same
     * votes as 60 declarative sum expressions in one groupBy (identical
-    * result, much larger generated code). Persisted because the chunk
-    * self-join below reads it from both sides. */
-  private[graft] def simhashSig(spark: SparkSession, dir: String): DataFrame =
-    memoized(spark, "simhashSig", dir) {
-      if (spark.catalog.functionExists("graft_simhash_agg"))
-        tokCounts(spark, dir)
-          .groupBy("doc_id")
-          .agg(call_function("graft_simhash_agg", col("c"), col("h")).as("simhash"))
-      else simhashSigDeclarative(spark, dir)
+    * result, much larger generated code). */
+  private[graft] def simhashOf(spark: SparkSession, votes0: DataFrame): DataFrame =
+    if (spark.catalog.functionExists("graft_simhash_agg"))
+      votes0.groupBy("doc_id")
+        .agg(call_function("graft_simhash_agg", col("c"), col("h")).as("simhash"))
+    else {
+      val votes = (0 until SimBits).map(b =>
+        sum(col("c") * (expr(s"shiftright(h, $b) & 1") * 2L - 1L)).as(s"s$b"))
+      votes0.groupBy("doc_id")
+        .agg(votes.head, votes.tail: _*)
+        .select(col("doc_id"),
+          (0 until SimBits).map(b =>
+            when(col(s"s$b") > 0, lit(1L << b)).otherwise(lit(0L))).reduce(_ + _)
+            .as("simhash"))
     }
+
+  /** Per-doc 60-bit SimHash: token-frequency-weighted bit votes.
+    * Persisted because the chunk self-join below reads it from both
+    * sides. */
+  private[graft] def simhashSig(spark: SparkSession, dir: String): DataFrame =
+    memoized(spark, "simhashSig", dir)(
+      simhashOf(spark, tokCounts(spark, dir)))
 
   /** Built-ins-only SimHash (oracle-mirroring fallback). */
   private[graft] def simhashSigDeclarative(spark: SparkSession, dir: String): DataFrame = {
@@ -441,8 +455,13 @@ object DedupOps {
   /** d4: SimHash near-dup pairs — chunk-equality blocking then exact
     * hamming via bit_count(xor). The blocking join's two sides both read
     * the persisted signature (K rows/doc, tiny). */
-  def simhashPairs(spark: SparkSession, dir: String): DataFrame = {
-    val sig = simhashSig(spark, dir)
+  def simhashPairs(spark: SparkSession, dir: String): DataFrame =
+    simhashPairsOf(simhashSig(spark, dir))
+
+  /** The 4×15-bit pigeonhole blocking + exact-hamming filter over any
+    * (doc_id, simhash) signature — shared by d4 and m6 (the pigeonhole
+    * guarantee is a property of the geometry, not the substrate). */
+  private[graft] def simhashPairsOf(sig: DataFrame): DataFrame = {
     val chunkArr = array((0 until SimBits / ChunkBits).map(j =>
       expr(s"shiftright(simhash, ${j * ChunkBits}) & ${(1 << ChunkBits) - 1}")): _*)
     val chunks = sig.select(col("doc_id"), col("simhash"),

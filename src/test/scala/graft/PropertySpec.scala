@@ -104,6 +104,36 @@ class PropertySpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("distributed prefix sum equals the global running sum at any partition count") {
+    import spark.implicits._
+    import graft.operators.RankOps
+    samples(3).foreach { rows =>
+      val df = rows.toDF("k", "id", "v").distinct()
+        // non-negative weights, like token counts
+        .withColumn("w", abs(col("v") % 97).cast("long"))
+      val order = Seq(col("v").asc, col("id").asc, col("k").asc)
+      val win = org.apache.spark.sql.expressions.Window.orderBy(order: _*)
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      val want = df.select(col("id"), col("k"),
+        row_number().over(
+          org.apache.spark.sql.expressions.Window.orderBy(order: _*)).cast("long").as("rk"),
+        coalesce(sum("w").over(win), lit(0L)).as("cum"))
+      // the scan must be exact AND partition-count-invariant — run the
+      // distributed form under two different shuffle widths
+      for (parts <- Seq("2", "7")) {
+        val old = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", parts)
+        try {
+          val got = RankOps.withGlobalRankAndPrefixSum(
+              df, "rk", Some(("cum", col("w"))), order)
+            .select("id", "k", "rk", "cum")
+          assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+            s"prefix sum drifted at shuffle.partitions=$parts")
+        } finally spark.conf.set("spark.sql.shuffle.partitions", old)
+      }
+    }
+  }
+
   test("salted join equals the plain join on random data") {
     import spark.implicits._
     samples(3).foreach { rows =>

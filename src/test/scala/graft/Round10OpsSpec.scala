@@ -96,6 +96,28 @@ class Round10OpsSpec extends AnyFunSuite with SparkSpec {
     packed.unpersist()
   }
 
+  test("m6 fuzzy hash is near-dup sensitive on constructed byte variants") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    import graft.operators.{DedupOps, MultimodalOps}
+    // long NON-repetitive base so the distinct-shingle set is large and
+    // a single-point edit moves only a handful of votes
+    val base = (0 until 120).map(i => s"sentence $i carries words alpha$i beta$i").mkString(". ")
+    val variant = base.replaceFirst("alpha60", "gamma60") // one-point edit
+    val unrelated = (0 until 120).map(i => s"totally different stream item $i with zeta$i").mkString("; ")
+    val docs = Seq((1L, base), (2L, variant), (3L, unrelated))
+      .toDF("doc_id", "text").withColumn("blob", col("text").cast("binary"))
+    val pairs = DedupOps.simhashPairsOf(
+        MultimodalOps.fuzzySigOf(spark, docs))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)), "few-byte variant must pair with its original")
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L),
+      "unrelated content must not pair")
+    // and the corpus-native run is non-vacuous with real (0 < h <= 3) pairs
+    val native = MultimodalOps.blobFuzzyDedup(spark, Sf0001).collect()
+    native.foreach(r => assert(r.getLong(2) <= DedupOps.MaxHamming))
+  }
+
   test("events reader adapts to both parquet ts physical types") {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.types.{LongType, TimestampType, TimestampNTZType}
