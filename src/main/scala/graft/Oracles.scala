@@ -187,33 +187,69 @@ object Oracles {
        |SELECT q_id, rnk, c_id, round(score, 6) AS score
        |FROM r WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin
 
-  /** The e5 IVF statement with an optional extra candidate predicate —
-    * e9 (filtered ANN) is the same probe with the allowed-id semi join
-    * applied in the cand CTE (pre-filter: before scoring/ranking). */
-  private def ivfSqlWith(extraCandPred: String): String =
-    s"""WITH ql AS (SELECT vec_id, $QV AS qv, label FROM embeddings),
+  /** The shared IVF coarse-probe chain (ends at `pr`: q_id, qv, label,
+    * dist2, crnk) — the statement prefix of e5/e9 and the e17 sweep,
+    * so the probe order cannot fork between the per-config branches. */
+  private lazy val ivfProbeCte: String =
+    s"""ql AS MATERIALIZED (SELECT vec_id, $QV AS qv, label FROM embeddings),
        |unp AS (SELECT label, generate_subscripts(qv, 1) - 1 AS d, unnest(qv) AS v FROM ql),
        |cd AS (SELECT label, d, SUM(v) AS s, COUNT(*) AS n FROM unp GROUP BY 1, 2),
-       |cent AS (SELECT label, list(s ORDER BY d) AS s, min(n) AS n,
+       |cent AS MATERIALIZED (SELECT label, list(s ORDER BY d) AS s, min(n) AS n,
        |    SUM(s * s) AS ss FROM cd GROUP BY label),
        |qq AS (SELECT vec_id AS q_id, qv, list_dot_product(qv, qv) AS q2
        |  FROM ql WHERE vec_id % 25 = 0),
        |qd AS (SELECT q.q_id, q.qv, c.label,
        |    c.n * c.n * q.q2 - 2 * c.n * list_dot_product(q.qv, c.s) + c.ss AS dist2
        |  FROM qq q CROSS JOIN cent c),
-       |pr AS (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY dist2, label) AS crnk
-       |  FROM qd),
-       |cand AS (SELECT p.q_id, p.qv, c.vec_id AS c_id, c.qv AS cq
+       |pr AS MATERIALIZED (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY dist2, label) AS crnk
+       |  FROM qd)""".stripMargin
+
+  /** One IVF rerank leg at a given nProbe (CTE body ending in a
+    * (q_id, rnk, c_id, score) relation named `$name`). */
+  private def ivfRerankCte(name: String, nProbe: Int, extraCandPred: String): String =
+    s"""${name}_cand AS (SELECT p.q_id, p.qv, c.vec_id AS c_id, c.qv AS cq
        |  FROM pr p JOIN ql c ON c.label = p.label
-       |  WHERE p.crnk <= 2 AND c.vec_id <> p.q_id$extraCandPred),
-       |r AS (SELECT q_id, c_id,
+       |  WHERE p.crnk <= $nProbe AND c.vec_id <> p.q_id$extraCandPred),
+       |$name AS (SELECT q_id, c_id,
        |    list_dot_product(qv, cq) / sqrt(list_dot_product(qv, qv) * list_dot_product(cq, cq)) AS score,
        |    row_number() OVER (PARTITION BY q_id ORDER BY
        |      list_dot_product(qv, cq) / sqrt(list_dot_product(qv, qv) * list_dot_product(cq, cq)) DESC,
        |      c_id) AS rnk
-       |  FROM cand)
+       |  FROM ${name}_cand)""".stripMargin
+
+  /** The e5 IVF statement with an optional extra candidate predicate —
+    * e9 (filtered ANN) is the same probe with the allowed-id semi join
+    * applied in the cand CTE (pre-filter: before scoring/ranking). */
+  private def ivfSqlWith(extraCandPred: String): String =
+    s"""WITH $ivfProbeCte,
+       |${ivfRerankCte("r", graft.operators.AnnOps.NProbe, extraCandPred)}
        |SELECT q_id, rnk, c_id, round(score, 6) AS score
        |FROM r WHERE rnk <= 3 ORDER BY q_id, rnk""".stripMargin
+
+  /** e17: the sweep — per swept nProbe, aggregate recall@3 of the IVF
+    * leg against e1's exact top-3 plus the probe cost (Σ probed cell
+    * sizes) from the SAME pr chain, one row per config. */
+  private lazy val e17Sql: String = {
+    val legs = graft.operators.AnnOps.SweepProbes
+      .map(np => ivfRerankCte(s"r$np", np, "")).mkString(",\n")
+    val rows = graft.operators.AnnOps.SweepProbes.map { np =>
+      s"""SELECT CAST($np AS BIGINT) AS nprobe,
+         |  (SELECT CAST(COUNT(DISTINCT q_id) AS BIGINT) FROM exact) AS n_q,
+         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM exact e
+         |     JOIN r$np a ON e.q_id = a.q_id AND e.c_id = a.c_id WHERE a.rnk <= 3) AS n_hit,
+         |  round((SELECT CAST(COUNT(*) AS DOUBLE) FROM exact e
+         |     JOIN r$np a ON e.q_id = a.q_id AND e.c_id = a.c_id WHERE a.rnk <= 3)
+         |    / ((SELECT COUNT(DISTINCT q_id) FROM exact) * 3.0), 6) AS recall_at_3,
+         |  (SELECT CAST(SUM(c.n) AS BIGINT) FROM pr p JOIN cent c USING (label)
+         |     WHERE p.crnk <= $np) AS candidates_scanned""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH exact0 AS ($e1Sql),
+       |exact AS (SELECT q_id, c_id FROM exact0 WHERE rnk <= 3),
+       |$ivfProbeCte,
+       |$legs
+       |$rows
+       |ORDER BY nprobe""".stripMargin
+  }
 
   private lazy val e9Sql: String = ivfSqlWith(
     "\n       AND c.vec_id IN (SELECT doc_id FROM documents WHERE lang = 'en')")
@@ -1532,6 +1568,12 @@ object Oracles {
 
     // e8: recall@3 of the IVF scale path against the exact baseline —
     // both sides are the e1/e5 statements verbatim, composed as CTEs
+    // e17: per-config aggregate of e8's metric + the probe's cost —
+    // both sides derive from the SAME pr probe chain, so the sweep
+    // verifies the probe ORDER (which cells each extra nProbe adds)
+    // as well as the recall arithmetic
+    "e17_ann_sweep" -> e17Sql,
+
     "e8_ann_recall" ->
       s"""WITH exact AS ($e1Sql),
          |approx AS ($e5Sql),

@@ -806,4 +806,43 @@ object AnnOps {
           .as("recall_at_3"))
       .orderBy("q_id")
   }
+
+  /** Swept nProbe values for e17 (the tuning curve's x-axis). */
+  val SweepProbes: Seq[Int] = Seq(1, 2, 4)
+
+  /** e17: the RECALL-vs-COST TUNING SWEEP — the evaluation an ANN
+    * deployment runs to CHOOSE nProbe before committing the index
+    * config at 100 TB: for each swept nProbe, the aggregate recall@3
+    * of the e5 probe against e1's exact top-3 (e8's metric, rolled up)
+    * next to the probe's COST — `candidates_scanned`, the total cell
+    * membership the rerank touches (Σ over queries of the probed
+    * cells' sizes, from the broadcast centroid state — no extra corpus
+    * pass to price a config). One row per config; reading the curve
+    * top-down shows exactly what each extra probe buys and costs.
+    *
+    * Scale shape: the swept branches are unions of the SAME memoized
+    * substrates (quantized corpus, centroid state, exact top-k runs
+    * once); each branch adds one probed-cells broadcast join and two
+    * 1-row aggregates. Sweeping P configs costs P reranks of the
+    * probed fraction — the evaluation is itself the bounded-query
+    * discipline of e8 (exact side on the query stride only). */
+  def annSweep(spark: SparkSession, dir: String): DataFrame = {
+    val exact = annTopk(spark, dir).filter(col("rnk") <= 3).select("q_id", "c_id")
+    val cellSizes = centroids(spark, dir).select(col("label"), col("n"))
+    val branches = SweepProbes.map { np =>
+      val approx = annIvf(spark, dir, 3, np).select("q_id", "c_id")
+      val hits = exact.join(approx, Seq("q_id", "c_id"))
+        .agg(count(lit(1)).as("n_hit"))
+      val nq = exact.select("q_id").distinct().agg(count(lit(1)).as("n_q"))
+      val cost = probedCells(spark, dir, np)
+        .join(broadcast(cellSizes), "label")
+        .agg(sum("n").as("candidates_scanned"))
+      hits.crossJoin(nq).crossJoin(cost)
+        .select(lit(np.toLong).as("nprobe"), col("n_q"), col("n_hit"),
+          round(col("n_hit").cast(DoubleType) / (col("n_q") * lit(3.0)), 6)
+            .as("recall_at_3"),
+          col("candidates_scanned"))
+    }
+    branches.reduce(_ unionByName _).orderBy("nprobe")
+  }
 }

@@ -118,6 +118,24 @@ class Round10OpsSpec extends AnyFunSuite with SparkSpec {
     native.foreach(r => assert(r.getLong(2) <= DedupOps.MaxHamming))
   }
 
+  test("e17 sweep: recall and cost are both non-decreasing in nProbe") {
+    val rows = graft.operators.AnnOps.annSweep(spark, Sf001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getLong(4)))
+    assert(rows.map(_._1).toSeq ===
+      graft.operators.AnnOps.SweepProbes.map(_.toLong))
+    assert(rows.map(_._2).distinct.length === 1, "n_q must be config-invariant")
+    rows.sliding(2).foreach { case Array(lo, hi) =>
+      // a superset of probed cells can only add candidates — recall and
+      // cost are monotone in nProbe by construction; a violation means
+      // the probe order forked between branches
+      assert(hi._3 >= lo._3, s"recall fell: $lo -> $hi")
+      assert(hi._5 > lo._5, s"cost did not grow: $lo -> $hi")
+    }
+    assert(rows.last._4 > rows.head._4,
+      "the sweep should show recall actually bought by extra probes")
+  }
+
   test("events reader adapts to both parquet ts physical types") {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.types.{LongType, TimestampType, TimestampNTZType}
