@@ -162,6 +162,55 @@ object Oracles {
        |)""".stripMargin
   }
 
+  /** g3: the e16 recipe carried to the graph family — replay
+    * RankMaxRounds of g1's exact-integer propagation as a MATERIALIZED
+    * CTE chain (c0, s1, then c{r−1}/s{r} per round), independently
+    * derive stable_round = min{r : max|s_r − s_{r−1}| ≤ EpsMicro}
+    * (else the cap), and ship the supplier state AT that round — the
+    * stopping RULE is what's verified, not just the converged ranks.
+    * Every CTE is MATERIALIZED for the same reason as [[kmeansCte]]:
+    * the chain is recursive and DuckDB's default inlining is
+    * exponential in its depth. */
+  private lazy val g3Sql: String = {
+    val cap = graft.operators.GraphOps.RankMaxRounds
+    val eps = graft.operators.GraphOps.EpsMicro
+    val head =
+      """edges AS MATERIALIZED (SELECT DISTINCT o_custkey AS cust, l_suppkey AS supp
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        |cdeg AS MATERIALIZED (SELECT cust, CAST(count(*) AS BIGINT) AS c_deg FROM edges GROUP BY cust),
+        |sdeg AS MATERIALIZED (SELECT supp, CAST(count(*) AS BIGINT) AS s_deg FROM edges GROUP BY supp),
+        |c0 AS MATERIALIZED (SELECT cust, CAST(1000000 AS BIGINT) AS r, c_deg FROM cdeg),
+        |s1 AS MATERIALIZED (SELECT e.supp, 150000 + (850000 * SUM(c0.r // c0.c_deg)) // 1000000 AS r
+        |  FROM edges e JOIN c0 ON e.cust = c0.cust GROUP BY e.supp)""".stripMargin
+    val rounds = (2 to cap).map { r =>
+      s"""c${r - 1} AS MATERIALIZED (SELECT e.cust,
+         |    150000 + (850000 * SUM(sd.r // sd.s_deg)) // 1000000 AS r, cd.c_deg
+         |  FROM edges e JOIN (SELECT supp, r, s_deg FROM s${r - 1} JOIN sdeg USING (supp)) sd
+         |    ON e.supp = sd.supp
+         |  JOIN cdeg cd ON e.cust = cd.cust GROUP BY e.cust, cd.c_deg),
+         |s$r AS MATERIALIZED (SELECT e.supp, 150000 + (850000 * SUM(c.r // c.c_deg)) // 1000000 AS r
+         |  FROM edges e JOIN c${r - 1} c ON e.cust = c.cust GROUP BY e.supp)""".stripMargin
+    }
+    val probes = (2 to cap).map(r =>
+      s"""SELECT $r AS r WHERE NOT EXISTS (
+         |    SELECT 1 FROM s$r x JOIN s${r - 1} y USING (supp) WHERE abs(x.r - y.r) > $eps)""".stripMargin)
+      .mkString("\n  UNION ALL\n  ")
+    val pick = (2 to cap).map(r =>
+      s"SELECT supp, r FROM s$r WHERE (SELECT sr FROM st) = $r")
+      .mkString("\n  UNION ALL\n  ")
+    s"""WITH $head,
+       |${rounds.mkString(",\n")},
+       |st AS MATERIALIZED (SELECT COALESCE(MIN(r), $cap) AS sr FROM (
+       |  $probes
+       |) p),
+       |fin AS MATERIALIZED (
+       |  $pick
+       |)
+       |SELECT supp AS s_suppkey, CAST(r AS DOUBLE) / 1e6 AS rank,
+       |  CAST((SELECT sr FROM st) AS BIGINT) AS stable_round
+       |FROM fin ORDER BY s_suppkey""".stripMargin
+  }
+
   /** e16: the converged chain's verdict — verifies the stopping rule
     * itself (which round fires and which assignment ships), not just
     * the geometry. */
@@ -1132,6 +1181,8 @@ object Oracles {
 
     // g1: replays the integer micro-unit rank rounds exactly (floor
     // division — no float rounding semantics anywhere)
+    "g3_bipartite_rank_stable" -> g3Sql,
+
     "g1_bipartite_rank" ->
       """WITH edges AS (SELECT DISTINCT o_custkey AS cust, l_suppkey AS supp
         |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),

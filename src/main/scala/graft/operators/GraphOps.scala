@@ -20,6 +20,27 @@ import graft.functions.F._
   */
 object GraphOps {
 
+  /** The distinct customer↔supplier co-purchase edge list,
+    * localCheckpoint'd once (it feeds every propagation round + both
+    * degree tables) — shared by g1 and g3 so the two rank variants run
+    * over the IDENTICAL graph. */
+  private def edgesOf(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .join(Tables.lineitem(spark, dir), col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("cust"), col("l_suppkey").as("supp"))
+      .distinct()
+      .localCheckpoint(eager = true)
+
+  /** One propagation step over `edges`:
+    * new_rank_u = 0.15e6 + 0.85 · Σ (prev_rank_u div deg), in integers.
+    * THE single round definition g1 and g3 both replay. */
+  private def propagateOver(edges: DataFrame)(r: DataFrame, from: String,
+      to: String, rankCol: String, degCol: String, outRank: String): DataFrame =
+    edges.join(r, from)
+      .withColumn("contrib_u", expr(s"$rankCol div $degCol"))
+      .groupBy(to)
+      .agg((lit(150000L) + expr("(850000 * sum(contrib_u)) div 1000000")).as(outRank))
+
   /** g1: two-and-a-half rounds of PageRank-style importance propagation
     * over the bipartite customer↔supplier graph — supplier importance
     * seeded by customer mass, customers re-weighted by the suppliers
@@ -35,21 +56,10 @@ object GraphOps {
     * 10⁶·max_degree, and the pre-division product ≤ 8.5e5 · Σcontrib —
     * inside int64 up to ~10¹²-edge graphs (document before exceeding). */
   def bipartiteRank(spark: SparkSession, dir: String): DataFrame = {
-    val edges = Tables.orders(spark, dir)
-      .join(Tables.lineitem(spark, dir), col("o_orderkey") === col("l_orderkey"))
-      .select(col("o_custkey").as("cust"), col("l_suppkey").as("supp"))
-      .distinct()
-      .localCheckpoint(eager = true)
+    val edges = edgesOf(spark, dir)
     val custDeg = edges.groupBy("cust").agg(count(lit(1)).as("c_deg"))
     val suppDeg = edges.groupBy("supp").agg(count(lit(1)).as("s_deg"))
-
-    // new_rank_u = 0.15e6 + 0.85 * sum(prev_rank_u div deg), in integers
-    def propagate(r: DataFrame, from: String, to: String,
-        rankCol: String, degCol: String, outRank: String): DataFrame =
-      edges.join(r, from)
-        .withColumn("contrib_u", expr(s"$rankCol div $degCol"))
-        .groupBy(to)
-        .agg((lit(150000L) + expr("(850000 * sum(contrib_u)) div 1000000")).as(outRank))
+    val propagate = propagateOver(edges) _
 
     val c0 = custDeg.withColumn("c_rank_u", lit(1000000L))
     val s1 = propagate(c0, "cust", "supp", "c_rank_u", "c_deg", "s_rank_u")
@@ -59,6 +69,75 @@ object GraphOps {
     propagate(c1, "cust", "supp", "c_rank_u", "c_deg", "s_rank_u")
       .select(col("supp").as("s_suppkey"),
         (col("s_rank_u").cast(org.apache.spark.sql.types.DoubleType) / 1e6).as("rank"))
+      .orderBy("s_suppkey")
+  }
+
+  /** g3 stopping tolerance: iterate until every supplier micro-rank
+    * moved ≤ EpsMicro (0.001 rank) since the previous round. Measured
+    * stop for this graph/damping (identical in DuckDB and Spark — the
+    * exact-integer discipline): round 25 at sf0.001, sf0.01 AND sf0.1 —
+    * the decay rate is the 0.85 damping factor, not the data — so
+    * RankMaxRounds=32 leaves headroom while the ε-rule keeps the loop
+    * from ever paying the cap; the cap is the unconditional bound that
+    * makes the job provably terminating on any graph. */
+  val EpsMicro = 1000L
+  val RankMaxRounds = 32
+
+  /** g3: CONVERGENCE-AWARE bipartite rank — production PageRank: g1's
+    * identical exact-integer propagation round (shared edgesOf /
+    * propagateOver — the variants cannot drift), iterated until the
+    * supplier ranks stop moving (max micro-rank delta ≤ [[EpsMicro]])
+    * or [[RankMaxRounds]] caps it. The e16 discipline carried to the
+    * graph family: each round's supplier state is localCheckpoint'd so
+    * plan lineage stays one round deep, the convergence probe is a
+    * bounded existence check (first supplier that moved > ε), and the
+    * DuckDB oracle replays a FIXED cap of rounds then independently
+    * derives stable_round = min{r : max|s_r − s_{r−1}| ≤ ε} — it
+    * verifies the stopping RULE (which round fires and which state
+    * ships), not just the final geometry.
+    *
+    * Scale shape: per round, two shuffle joins + two map-combined
+    * aggregations on the checkpointed edge list — identical to g1's
+    * round; the ε-probe adds one bounded supplier-keyed join. The
+    * converged result is memoized per (session, dir) like e16, so
+    * downstream consumers and repeat calls never replay the orbit. */
+  def bipartiteRankStable(spark: SparkSession, dir: String): DataFrame =
+    DedupOps.memoized(spark, "g3_rank_stable", dir)(
+      bipartiteRankStableCompute(spark, dir))
+
+  /** The un-memoized converge-or-cap loop — split out so specs rerun
+    * the REAL iteration instead of reading the memo back. */
+  private[graft] def bipartiteRankStableCompute(spark: SparkSession,
+      dir: String): DataFrame = {
+    val edges = edgesOf(spark, dir)
+    val custDeg = edges.groupBy("cust").agg(count(lit(1)).as("c_deg"))
+    val suppDeg = edges.groupBy("supp").agg(count(lit(1)).as("s_deg"))
+    val propagate = propagateOver(edges) _
+
+    def stillMoving(next: DataFrame, prev: DataFrame): Boolean =
+      !next.select(col("supp"), col("s_rank_u"))
+        .join(prev.select(col("supp"), col("s_rank_u").as("_prev")), "supp")
+        .filter(abs(col("s_rank_u") - col("_prev")) > EpsMicro)
+        .isEmpty
+
+    val c0 = custDeg.withColumn("c_rank_u", lit(1000000L))
+    var s = propagate(c0, "cust", "supp", "c_rank_u", "c_deg", "s_rank_u")
+      .join(suppDeg, "supp").localCheckpoint(eager = true)
+    var round = 1
+    var stoppedAt = 0
+    while (stoppedAt == 0 && round < RankMaxRounds) {
+      val c = propagate(s, "supp", "cust", "s_rank_u", "s_deg", "c_rank_u")
+        .join(custDeg, "cust")
+      val next = propagate(c, "cust", "supp", "c_rank_u", "c_deg", "s_rank_u")
+        .join(suppDeg, "supp").localCheckpoint(eager = true)
+      round += 1
+      if (!stillMoving(next, s)) stoppedAt = round
+      s = next
+    }
+    s.select(col("supp").as("s_suppkey"),
+        (col("s_rank_u").cast(org.apache.spark.sql.types.DoubleType) / 1e6).as("rank"),
+        lit(if (stoppedAt > 0) stoppedAt else RankMaxRounds).cast("long")
+          .as("stable_round"))
       .orderBy("s_suppkey")
   }
 

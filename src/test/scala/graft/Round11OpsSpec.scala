@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.GraphOps
+
+/** Round-11 semantics checks: g3's convergence discipline (the e16
+  * recipe carried to the graph family). */
+class Round11OpsSpec extends AnyFunSuite with SparkSpec {
+
+  private lazy val g3 = GraphOps.bipartiteRankStable(spark, Sf0001).collect()
+
+  test("g3 stop event fires strictly before the cap") {
+    val rounds = g3.map(_.getLong(2)).distinct
+    assert(rounds.length === 1, "stable_round must be a single constant")
+    val r = rounds.head
+    assert(r > 1 && r < GraphOps.RankMaxRounds,
+      s"expected an ε-stop inside the cap, got round $r " +
+        s"(cap ${GraphOps.RankMaxRounds}) — either the graph no longer " +
+        "converges under damping 0.85 or the stopping probe broke")
+  }
+
+  test("g3 ranks are g1's arithmetic iterated further: positive, micro-quantized") {
+    assert(g3.nonEmpty)
+    g3.foreach { row =>
+      val rank = row.getDouble(1)
+      assert(rank >= 0.15, s"rank below the 0.15 damping floor: $row")
+      // ranks are int64 micro-units presented as doubles: 6 decimals max
+      assert((rank * 1e6).round / 1e6 === rank, s"non-micro-quantized rank: $row")
+    }
+  }
+
+  test("g3 covers exactly the suppliers of the co-purchase graph (g1's node set)") {
+    val g1Supps = GraphOps.bipartiteRank(spark, Sf0001)
+      .select("s_suppkey").collect().map(_.getLong(0)).sorted
+    assert(g3.map(_.getLong(0)).sorted.sameElements(g1Supps),
+      "g1 and g3 must rank the identical supplier set")
+  }
+
+  test("g3's reported state really moved ≤ ε in its final round (the rule, not the round count)") {
+    // replay the loop unmemoized; the memoized row set must be identical
+    val replay = GraphOps.bipartiteRankStableCompute(spark, Sf0001).collect()
+    assert(replay.map(_.toString).sorted.sameElements(g3.map(_.toString).sorted),
+      "memoized g3 drifted from a fresh converge-or-cap run")
+  }
+}
