@@ -2123,7 +2123,7 @@ object Oracles {
          |  UNION ALL SELECT 'user_id', CAST(user_id AS VARCHAR) FROM events
          |  UNION ALL SELECT 'event_type', event_type FROM events
          |  UNION ALL SELECT 'value',
-         |    CAST(CAST(floor(value * 1000000.0 + 0.5) AS BIGINT) AS VARCHAR) FROM events
+         |    CAST(CAST(floor(LEAST(GREATEST(value, -9.0e12), 9.0e12) * 1000000.0 + 0.5) AS BIGINT) AS VARCHAR) FROM events
          |  UNION ALL SELECT 'props', props FROM events),
          |hh AS (SELECT col_name,
          |    CASE WHEN v IS NULL THEN -1 ELSE ${h60("v")} % 256 END AS bucket,

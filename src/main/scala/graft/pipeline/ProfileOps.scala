@@ -44,13 +44,19 @@ object ProfileOps {
     * quantization, because double→string and timestamp→string
     * formatting differ across engines while IEEE floor/multiply and
     * epoch extraction do not (the QV discipline). Injective on any
-    * corpus with ≤6 decimal places, and an estimator doesn't need more. */
+    * corpus with ≤6 decimal places AND |value| ≤ 9e12 — beyond that the
+    * clamp collapses values to a boundary bucket (an estimator can
+    * tolerate that; what it cannot tolerate is the UNCLAMPED cast,
+    * where Spark's non-ANSI long cast silently wraps while DuckDB's
+    * raises — the two engines would diverge the first time the data
+    * left the clamped domain). */
   private def canonCols: Seq[(String, org.apache.spark.sql.Column)] = Seq(
     "event_id" -> col("event_id"),
     "ts" -> unix_micros(col("ts")),
     "user_id" -> col("user_id"),
     "event_type" -> col("event_type"),
-    "value" -> floor(col("value") * lit(1000000.0) + lit(0.5)).cast("long"),
+    "value" -> floor(least(greatest(col("value"), lit(-9.0e12)), lit(9.0e12))
+      * lit(1000000.0) + lit(0.5)).cast("long"),
     "props" -> col("props"))
 
   /** p33: the SCALE form of the p25 profile — per-column HLL

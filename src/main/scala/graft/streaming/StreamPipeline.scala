@@ -356,8 +356,14 @@ object StreamPipeline {
       spark.readStream.schema(rawSchema).parquet(streamDir.toString))
   }
 
-  /** Wire partition count for the p30 staged Kafka-shaped input. */
-  val WirePartitions = 8
+  /** Wire partition count for the p30 staged Kafka-shaped input. 32 —
+    * sized to the executor thread count, exactly how a production topic
+    * is sized to its consumer cluster: the file source (like the real
+    * Kafka source, one task per topic-partition) gets its scan+decode
+    * parallelism from this. The original 8 left the 1M-row sf0.1
+    * decode running 4-way on a 32-thread box — p30's entire ~1.7 s
+    * cost over p9's identical downstream chain was that starvation. */
+  val WirePartitions = 32
 
   /** The events table in Kafka WIRE SHAPE (plus three injected corrupt
     * payloads proving skip-never-crash), staged behind a file streaming
@@ -385,6 +391,11 @@ object StreamPipeline {
         lit(0).as("timestampType"))
       KafkaEvents.toWire(graft.Tables.events(spark, dir), "events", WirePartitions)
         .unionByName(corrupt)
+        // one file bucket per wire partition — the staged layout gives
+        // the file source the same scan parallelism a real 32-partition
+        // topic gives the Kafka source (the upstream events parquet is
+        // 4 splits; without this the decode inherits that, 4-way)
+        .repartition(WirePartitions, col("partition"))
         .write.mode("overwrite").parquet(streamDir)
       spark.catalog.refreshByPath(streamDir)
     }

@@ -65,6 +65,11 @@ class Round8OpsSpec extends AnyFunSuite with SparkSpec {
   test("a cycle stop is a real orbit: the next round replays the earlier phase") {
     val r = ClusterOps.kmeansStable(spark, Sf0001)
       .select("stable_round").head().getLong(0).toInt
+    // if the cap fired (no stopping event), neither branch's invariant
+    // holds — and the fixture would replay MaxRounds+1 rounds for a
+    // misleading failure; a capped geometry is a different test's job
+    assume(r < ClusterOps.MaxRounds,
+      s"stop hit the cap ($r) — no fixpoint/cycle event to probe")
     val aR = assignMap(ClusterOps.kmeansFixedAssign(spark, Sf0001, r))
     val aPrev = assignMap(ClusterOps.kmeansFixedAssign(spark, Sf0001, r - 1))
     if (aR == aPrev) {
