@@ -961,7 +961,7 @@ object Analytics {
       .withColumn("recency_days", datediff(col("max_day"), col("last_day")))
       // materialize the user rollup once: the count and all three rank
       // passes read it, and the fact scan must not run four times
-      .localCheckpoint()
+      .materialized()
     val nUsers = perUser.agg(count(lit(1)).as("_rfm_n"))
     val ranked = Seq(
       ("_rk_r", Seq(col("recency_days").asc, col("user_id").asc)), // recent = best

@@ -182,4 +182,36 @@ object F {
   def cosineWith(dot: (Column, Column) => Column)(a: Column, b: Column): Column =
     dot(a, b).cast(DoubleType) /
       sqrt(dot(a, a).cast(DoubleType) * dot(b, b).cast(DoubleType))
+
+  /** Materialization barrier for iterative/rank operators — the ONE
+    * place the localCheckpoint fault-tolerance caveat lives. Default:
+    * `localCheckpoint` (executor-memory blocks — fast, but NOT
+    * recomputable: on a real cluster an executor loss during the
+    * consuming stage fails the job and the retry restarts the
+    * operator; determinism makes the retry byte-identical). With
+    * session conf `graft.checkpoint.durable=true`: a RELIABLE
+    * `checkpoint()` against `graft.checkpoint.dir` (default
+    * `target/graft-checkpoints`; set it to HDFS/object storage on a
+    * cluster), whose blocks survive executor loss — the recovery story
+    * for long multi-round jobs, at the price of a filesystem write per
+    * barrier. Same plan shape either way, so consumers cannot tell the
+    * modes apart except by durability. */
+  def materialize(df: org.apache.spark.sql.DataFrame,
+      eager: Boolean = true): org.apache.spark.sql.DataFrame = {
+    val spark = df.sparkSession
+    if (spark.conf.getOption("graft.checkpoint.durable").contains("true")) {
+      if (spark.sparkContext.getCheckpointDir.isEmpty)
+        spark.sparkContext.setCheckpointDir(
+          spark.conf.getOption("graft.checkpoint.dir")
+            .getOrElse("target/graft-checkpoints"))
+      df.checkpoint(eager)
+    } else df.localCheckpoint(eager)
+  }
+
+  /** Chainable form of [[materialize]]:
+    * `df.transform(...).materialized()`. */
+  implicit class Materialize(private val df: org.apache.spark.sql.DataFrame) {
+    def materialized(eager: Boolean = true): org.apache.spark.sql.DataFrame =
+      F.materialize(df, eager)
+  }
 }

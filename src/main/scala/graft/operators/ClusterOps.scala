@@ -65,7 +65,7 @@ object ClusterOps {
     var centroids = seedCentroids(spark, dir, u)
     var assigned = assignTo(u, centroids)
     for (_ <- 2 to rounds) {
-      centroids = updateFrom(u, assigned).localCheckpoint(eager = true)
+      centroids = updateFrom(u, assigned).materialized()
       assigned = assignTo(u, centroids)
     }
     assigned
@@ -170,12 +170,12 @@ object ClusterOps {
     val u = unpivoted(spark, dir)
     var centroids = seedCentroids(spark, dir, u)
     var prev: DataFrame = null // a_{r-2}, for the period-2 probe
-    var assigned = assignTo(u, centroids).localCheckpoint(eager = true)
+    var assigned = assignTo(u, centroids).materialized()
     var round = 1
     var stoppedAt = 0
     while (stoppedAt == 0 && round < MaxRounds) {
-      centroids = updateFrom(u, assigned).localCheckpoint(eager = true)
-      val next = assignTo(u, centroids).localCheckpoint(eager = true)
+      centroids = updateFrom(u, assigned).materialized()
+      val next = assignTo(u, centroids).materialized()
       round += 1
       val fixpoint = sameAssignment(next, assigned)
       val cycle = !fixpoint && prev != null && sameAssignment(next, prev)

@@ -366,13 +366,20 @@ object CorpusOps {
     *    per million docs of the group. Exact-dup rate would be the
     *    d1 analog, but the synthetic corpus has none — a vacuous
     *    column proves nothing, so the card reports the incidence that
-    *    actually exists in the data.
+    *    actually exists in the data;
+    *  - `contam_ppm`: docs sharing ≥ 1 benchmark n-gram with the eval
+    *    carve (x3's rule) — the leakage disclosure a release datasheet
+    *    owes its readers;
+    *  - `neardup_ppm`: docs belonging to the d5 near-dup pair graph —
+    *    the redundancy mass the cleaning stage will collapse.
     *
     * Scale shape: the per-doc quantities are map-side off one
     * documents scan; the boilerplate flag costs d9's passage-fp
     * groupBy plus a doc-id semi-join (both map-combined, the card's
-    * only data-proportional shuffles); the final rollup collapses
-    * map-side to langs × 3 rows. */
+    * only data-proportional shuffles); the contamination and near-dup
+    * flags are left joins against MEMOIZED output-of-dedup-sized
+    * relations (x3, d5 — no new corpus pass); the final rollup
+    * collapses map-side to langs × 3 rows. */
   def datasetCard(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.F.tokens
     val stopArr = array(TextOps.Stopwords.map(lit): _*)
@@ -402,18 +409,36 @@ object CorpusOps {
       .agg(countDistinct("doc_id").as("nd")).filter(col("nd") >= 2).select("fp")
     val boilerDocs = pass.join(sharedFps, "fp").select("doc_id").distinct()
       .withColumn("is_boiler", lit(1L))
+    // the datasheet's risk columns, off already-memoized substrates:
+    // x3's contaminated-doc relation (benchmark n-gram overlap) and
+    // d5's near-dup pair-graph membership — both output-of-dedup-sized,
+    // so each flag is one tiny left join, no new corpus pass
+    val contamDocs = decontaminate(spark, dir).select("doc_id")
+      .withColumn("is_contam", lit(1L))
+    val ndupDocs = DedupOps.nearDupClusters(spark, dir).select("doc_id")
+      .withColumn("is_ndup", lit(1L))
     perDoc.join(boilerDocs, Seq("doc_id"), "left")
+      .join(contamDocs, Seq("doc_id"), "left")
+      .join(ndupDocs, Seq("doc_id"), "left")
       .withColumn("is_boiler", coalesce(col("is_boiler"), lit(0L)))
+      .withColumn("is_contam", coalesce(col("is_contam"), lit(0L)))
+      .withColumn("is_ndup", coalesce(col("is_ndup"), lit(0L)))
       .groupBy("lang", "split")
       .agg(count(lit(1)).as("n_docs"),
         sum("n").as("n_tokens"),
         sum("is_boiler").as("n_boiler_docs"),
+        sum("is_contam").as("n_contam_docs"),
+        sum("is_ndup").as("n_neardup_docs"),
         sum("q_micro").as("sum_q"),
         min("n").as("min_tok"),
         max("n").as("max_tok"))
       .select(col("lang"), col("split"), col("n_docs"), col("n_tokens"),
         col("n_boiler_docs"),
         call_function("div", col("n_boiler_docs") * 1000000L, col("n_docs")).as("boiler_ppm"),
+        col("n_contam_docs"),
+        call_function("div", col("n_contam_docs") * 1000000L, col("n_docs")).as("contam_ppm"),
+        col("n_neardup_docs"),
+        call_function("div", col("n_neardup_docs") * 1000000L, col("n_docs")).as("neardup_ppm"),
         call_function("div", col("sum_q"), col("n_docs")).as("mean_q_micro"),
         col("min_tok"), col("max_tok"))
       .orderBy("lang", "split")

@@ -328,10 +328,10 @@ object DedupOps {
     // per round purely to force materialization).
     val edges = pairs
       .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
-      .localCheckpoint(eager = true)
+      .materialized()
     var labels = edges.select(col("doc_a").as("doc_id")).distinct()
       .withColumn("label", col("doc_id"))
-      .localCheckpoint(eager = true)
+      .materialized()
     for (_ <- 1 to ClusterIters) {
       val nb = edges
         .join(labels.select(col("doc_id").as("nb_id"), col("label").as("nb_label")),
@@ -342,7 +342,7 @@ object DedupOps {
         .join(nb, col("doc_id") === col("upd_id"), "left")
         .select(col("doc_id"),
           least(col("label"), coalesce(col("nb_min"), col("label"))).as("label"))
-        .localCheckpoint(eager = true)
+        .materialized()
     }
     labels.select(col("doc_id"), col("label").as("cluster_id")).orderBy("doc_id")
   }

@@ -29,7 +29,7 @@ object GraphOps {
       .join(Tables.lineitem(spark, dir), col("o_orderkey") === col("l_orderkey"))
       .select(col("o_custkey").as("cust"), col("l_suppkey").as("supp"))
       .distinct()
-      .localCheckpoint(eager = true)
+      .materialized()
 
   /** One propagation step over `edges`:
     * new_rank_u = 0.15e6 + 0.85 · Σ (prev_rank_u div deg), in integers.
@@ -63,9 +63,9 @@ object GraphOps {
 
     val c0 = custDeg.withColumn("c_rank_u", lit(1000000L))
     val s1 = propagate(c0, "cust", "supp", "c_rank_u", "c_deg", "s_rank_u")
-      .join(suppDeg, "supp").localCheckpoint(eager = true)
+      .join(suppDeg, "supp").materialized()
     val c1 = propagate(s1, "supp", "cust", "s_rank_u", "s_deg", "c_rank_u")
-      .join(custDeg, "cust").localCheckpoint(eager = true)
+      .join(custDeg, "cust").materialized()
     propagate(c1, "cust", "supp", "c_rank_u", "c_deg", "s_rank_u")
       .select(col("supp").as("s_suppkey"),
         (col("s_rank_u").cast(org.apache.spark.sql.types.DoubleType) / 1e6).as("rank"))
@@ -122,14 +122,14 @@ object GraphOps {
 
     val c0 = custDeg.withColumn("c_rank_u", lit(1000000L))
     var s = propagate(c0, "cust", "supp", "c_rank_u", "c_deg", "s_rank_u")
-      .join(suppDeg, "supp").localCheckpoint(eager = true)
+      .join(suppDeg, "supp").materialized()
     var round = 1
     var stoppedAt = 0
     while (stoppedAt == 0 && round < RankMaxRounds) {
       val c = propagate(s, "supp", "cust", "s_rank_u", "s_deg", "c_rank_u")
         .join(custDeg, "cust")
       val next = propagate(c, "cust", "supp", "c_rank_u", "c_deg", "s_rank_u")
-        .join(suppDeg, "supp").localCheckpoint(eager = true)
+        .join(suppDeg, "supp").materialized()
       round += 1
       if (!stillMoving(next, s)) stoppedAt = round
       s = next

@@ -139,7 +139,7 @@ object JoinOps {
     val s = sessions
       .withColumn("su", unix_micros(col("session_start").cast("timestamp")))
       .withColumn("eu", unix_micros(col("session_end").cast("timestamp")))
-      .localCheckpoint(eager = true)
+      .materialized()
     // kind=0 (starts) sorts before kind=1 (ends) at equal t: encodes
     // s_j <= e_i inclusive and e_j < s_i strict in one total order
     val bounds = s.select(col("user_id"), col("session_idx"), col("su").as("t"))
@@ -152,7 +152,7 @@ object JoinOps {
     // pid column so counts and row numbers read the same assignment
     val tagged = bounds.repartitionByRange(p, order: _*)
       .withColumn("_pid", spark_partition_id())
-      .localCheckpoint(eager = true)
+      .materialized()
     // O(p) running offsets — total and kind-0 (kind-1 = difference) —
     // single-task over a constant-size relation, inside its own
     // checkpoint job (RankOps' discipline)
@@ -164,7 +164,7 @@ object JoinOps {
       .withColumn("_off0", coalesce(sum("n0").over(wOff), lit(0L)))
       .select(col("_pid"), col("_off"), col("_off0"),
         (col("_off") - col("_off0")).as("_off1"))
-      .localCheckpoint(eager = true)
+      .materialized()
     val wAll = Window.partitionBy("_pid").orderBy(order: _*)
     val wKind = Window.partitionBy("_pid", "kind").orderBy(order: _*)
     val uAll = Window.partitionBy("user_id")

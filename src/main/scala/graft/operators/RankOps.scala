@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
+import graft.functions.F.Materialize
 
 /** Distributed EXACT global ranking — the scalable replacement for
   * `Window.orderBy(...)` with no `partitionBy` (which plans as a
@@ -33,13 +34,15 @@ import org.apache.spark.sql.types.LongType
   * shuffle of the ranked relation, all fully parallel — vs. the global
   * window's single task holding every row.
   *
-  * Fault-tolerance caveat: localCheckpoint blocks are NOT recomputable —
-  * on a real cluster an executor loss during the consuming stage fails
-  * the job (retry restarts the operator; determinism makes the retry
-  * byte-identical). A long-running distributed deployment that must
-  * survive executor loss mid-query swaps the localCheckpoint for
-  * `checkpoint()` against reliable storage or a persisted parquet write —
-  * same plan shape, durable blocks. */
+  * Fault tolerance: every barrier here routes through
+  * [[graft.functions.F.materialize]] — localCheckpoint by default
+  * (executor-memory blocks, not recomputable: an executor loss during
+  * the consuming stage fails the job, and the deterministic retry
+  * restarts the operator byte-identically), or a RELIABLE
+  * `checkpoint()` when the session sets `graft.checkpoint.durable=true`
+  * (blocks on `graft.checkpoint.dir` survive executor loss — the
+  * long-job recovery story; see SCALE.md). Both modes produce the
+  * identical plan shape and bit-identical output. */
 object RankOps {
 
   /** Adds `rankCol` (1-based, dense over the TOTAL order given by
@@ -67,7 +70,7 @@ object RankOps {
       .repartitionByRange(p, order: _*)
       .withColumn("_gr_pid", spark_partition_id())
       .withColumn("_gr_v", value.cast(LongType))
-      .localCheckpoint() // freeze the (nondeterministic) pid assignment
+      .materialized() // freeze the (nondeterministic) pid assignment
     val counts = tagged.groupBy("_gr_pid")
       .agg(count(lit(1)).as("_gr_n"), sum("_gr_v").as("_gr_s"))
     // offset(pid) = Σ counts/sums of strictly-lower pids: a running sum
@@ -82,7 +85,7 @@ object RankOps {
       .withColumn("_gr_off", coalesce(sum("_gr_n").over(byPid), lit(0L)))
       .withColumn("_gr_soff", coalesce(sum("_gr_s").over(byPid), lit(0L)))
       .select("_gr_pid", "_gr_off", "_gr_soff")
-      .localCheckpoint(eager = true)
+      .materialized()
     val inPid = Window.partitionBy("_gr_pid").orderBy(order: _*)
     val ranked = tagged
       .join(broadcast(offsets), "_gr_pid")

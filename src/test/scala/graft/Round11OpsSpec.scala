@@ -43,4 +43,23 @@ class Round11OpsSpec extends AnyFunSuite with SparkSpec {
     assert(replay.map(_.toString).sorted.sameElements(g3.map(_.toString).sorted),
       "memoized g3 drifted from a fresh converge-or-cap run")
   }
+
+  test("durable checkpoint mode is bit-identical to localCheckpoint mode") {
+    import graft.operators.RankOps
+    def ranked() = RankOps.withGlobalRankAndPrefixSum(
+      Tables.events(spark, Sf0001).select(col("event_id"), col("user_id")),
+      "rnk", Some(("cum", col("user_id"))), Seq(col("event_id")))
+      .orderBy("event_id").collect().map(_.toString)
+    def g1() = GraphOps.bipartiteRank(spark, Sf0001).collect().map(_.toString)
+    val (localRank, localG1) = (ranked(), g1())
+    spark.conf.set("graft.checkpoint.durable", "true")
+    try {
+      assert(ranked().sameElements(localRank),
+        "RankOps output drifted between checkpoint modes")
+      assert(g1().sameElements(localG1),
+        "GraphOps output drifted between checkpoint modes")
+      assert(spark.sparkContext.getCheckpointDir.isDefined,
+        "durable mode must have configured a reliable checkpoint dir")
+    } finally spark.conf.unset("graft.checkpoint.durable")
+  }
 }
