@@ -2214,16 +2214,24 @@ object Oracles {
          |pf AS (SELECT doc_id, md5(array_to_string(w, ' ')) AS fp FROM pa WHERE len(w) = 8),
          |shared AS (SELECT fp FROM pf GROUP BY fp HAVING count(DISTINCT doc_id) >= 2),
          |boiler AS (SELECT DISTINCT doc_id FROM pf WHERE fp IN (SELECT fp FROM shared)),
+         |contam AS (SELECT doc_id FROM ($x3Sql) ct),
+         |ndup AS (SELECT doc_id FROM ($d5Sql) nd),
          |f AS (SELECT lang, split, n,
          |    CASE WHEN n > 0 THEN (300000 * n_unique + 400000 * (n - n_stop)) // n + 3000 * least(n, 100)
          |         ELSE 0 END AS q_micro,
-         |    CASE WHEN doc_id IN (SELECT doc_id FROM boiler) THEN 1 ELSE 0 END AS is_boiler
+         |    CASE WHEN doc_id IN (SELECT doc_id FROM boiler) THEN 1 ELSE 0 END AS is_boiler,
+         |    CASE WHEN doc_id IN (SELECT doc_id FROM contam) THEN 1 ELSE 0 END AS is_contam,
+         |    CASE WHEN doc_id IN (SELECT doc_id FROM ndup) THEN 1 ELSE 0 END AS is_ndup
          |  FROM x)
          |SELECT lang, split,
          |  count(*) AS n_docs,
          |  CAST(sum(n) AS BIGINT) AS n_tokens,
          |  CAST(sum(is_boiler) AS BIGINT) AS n_boiler_docs,
          |  (CAST(sum(is_boiler) AS BIGINT) * 1000000) // count(*) AS boiler_ppm,
+         |  CAST(sum(is_contam) AS BIGINT) AS n_contam_docs,
+         |  (CAST(sum(is_contam) AS BIGINT) * 1000000) // count(*) AS contam_ppm,
+         |  CAST(sum(is_ndup) AS BIGINT) AS n_neardup_docs,
+         |  (CAST(sum(is_ndup) AS BIGINT) * 1000000) // count(*) AS neardup_ppm,
          |  CAST(sum(q_micro) AS BIGINT) // count(*) AS mean_q_micro,
          |  min(n) AS min_tok, max(n) AS max_tok
          |FROM f GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,

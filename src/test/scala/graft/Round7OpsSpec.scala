@@ -346,16 +346,31 @@ class Round7OpsSpec extends AnyFunSuite with SparkSpec {
 
   test("x8 card masses reconcile with x6; boilerplate and quality legs are non-vacuous") {
     import graft.operators.CorpusOps
-    val card = CorpusOps.datasetCard(spark, Sf0001).collect()
+    val cardDf = CorpusOps.datasetCard(spark, Sf0001)
+    def colIdx(n: String) = cardDf.columns.indexOf(n)
+    val card = cardDf.collect()
     val x6 = CorpusOps.splitAssign(spark, Sf0001).collect()
     val cardMass = card.map(r =>
-      (r.getString(0), r.getString(1)) -> ((r.getLong(2), r.getLong(3)))).toMap
+      (r.getString(0), r.getString(1)) ->
+        ((r.getLong(colIdx("n_docs")), r.getLong(colIdx("n_tokens"))))).toMap
     val x6Mass = x6.map(r =>
       (r.getString(0), r.getString(1)) -> ((r.getLong(2), r.getLong(3)))).toMap
     assert(cardMass === x6Mass, "doc/token masses must replay x6 exactly")
-    assert(card.map(_.getLong(4)).sum > 0, "boilerplate leg must flag real docs")
-    assert(card.forall(r => r.getLong(6) > 0 && r.getLong(6) <= 1000000L),
-      "mean quality must stay in (0, 1] millionths")
+    assert(card.map(_.getLong(colIdx("n_boiler_docs"))).sum > 0,
+      "boilerplate leg must flag real docs")
+    assert(card.forall { r =>
+      val q = r.getLong(colIdx("mean_q_micro")); q > 0 && q <= 1000000L
+    }, "mean quality must stay in (0, 1] millionths")
+    // the r11 datasheet legs: near-dups exist in the synthetic corpus
+    // (d5's pair graph is non-empty), and every ppm is a true ratio
+    assert(card.map(_.getLong(colIdx("n_neardup_docs"))).sum > 0,
+      "near-dup leg must flag the d5 pair-graph members")
+    for (leg <- Seq("boiler", "contam", "neardup"); r <- card) {
+      val n = r.getLong(colIdx(s"n_${if (leg == "boiler") "boiler" else if (leg == "contam") "contam" else "neardup"}_docs"))
+      val ppm = r.getLong(colIdx(s"${leg}_ppm"))
+      assert(ppm === n * 1000000L / r.getLong(colIdx("n_docs")),
+        s"$leg ppm must be the exact floor ratio in $r")
+    }
   }
 
   // --- d7: the HOF sliding-min substrate vs the literal windowed min ------
