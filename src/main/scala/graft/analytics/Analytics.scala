@@ -937,16 +937,19 @@ object Analytics {
     * partial order is partition-dependent, the §4 trap), then rolled up
     * to segment sizes. The classic marketing-analytics operator.
     *
-    * Scale shape: one user-level aggregation (map-combined), then each
-    * quartile assignment runs as a DISTRIBUTED exact global rank
+    * Scale shape: one user-level aggregation (map-combined), then ALL
+    * THREE quartile assignments ride ONE distributed exact global rank
     * ([[graft.operators.RankOps.withGlobalRank]]: range shuffle +
-    * per-partition row_number + broadcast offsets) with the ntile
-    * bucket recovered arithmetically from (rank, n). No `Window` in
-    * this plan is unpartitioned — the naive `ntile(4).over(Window
-    * .orderBy(...))` would funnel all |users| rows (billions at 100 TB,
-    * even though orders of magnitude below the fact) through ONE task's
-    * sort; this shape keeps every stage parallel. The corpus max day
-    * and the user count broadcast from 1-row aggs. */
+    * per-partition row_number + broadcast offsets) over the
+    * dimension-tagged 3n-row multiset — per-arm rank = global rank −
+    * dim·n — with the ntile bucket recovered arithmetically from
+    * (rank, n). No `Window` in this plan is unpartitioned — the naive
+    * `ntile(4).over(Window.orderBy(...))` would funnel all |users| rows
+    * (billions at 100 TB, even though orders of magnitude below the
+    * fact) through ONE task's sort; this shape keeps every stage
+    * parallel AND pays a single rank materialization instead of three
+    * chained ones. The corpus max day and the user count broadcast
+    * from 1-row aggs. */
   def a10Rfm(spark: SparkSession, dir: String): DataFrame = {
     import graft.operators.RankOps
     val purchases = Tables.events(spark, dir)
@@ -963,18 +966,34 @@ object Analytics {
       // passes read it, and the fact scan must not run four times
       .materialized()
     val nUsers = perUser.agg(count(lit(1)).as("_rfm_n"))
-    val ranked = Seq(
-      ("_rk_r", Seq(col("recency_days").asc, col("user_id").asc)), // recent = best
-      ("_rk_f", Seq(col("freq").desc, col("user_id").asc)),
-      ("_rk_m", Seq(col("monetary").desc, col("user_id").asc))
-    ).foldLeft(perUser) { case (d, (c, ord)) => RankOps.withGlobalRank(d, c, ord) }
+    // ONE fused rank pass instead of three sequential withGlobalRank
+    // chains: tag each user row into three dimension arms (recency asc,
+    // freq desc, monetary desc — descending arms negate the key; exact:
+    // every key is far inside double's 2^53 integer range), rank the
+    // 3n-row multiset by (dim, key, user_id), and recover each arm's
+    // 1-based rank as global_rank − dim·n (each arm holds exactly n
+    // rows). Same shuffle volume, but one range shuffle + two
+    // materialization barriers instead of three of each, and no
+    // sequential chain of rank jobs.
+    val arms = perUser.select(col("user_id"), col("freq"),
+        explode(array(
+          struct(lit(0).as("dim"), col("recency_days").cast(DoubleType).as("k")),
+          struct(lit(1).as("dim"), (-col("freq").cast(DoubleType)).as("k")),
+          struct(lit(2).as("dim"), (-col("monetary")).as("k")))).as("b"))
+      .select(col("user_id"), col("freq"), col("b.dim").as("dim"), col("b.k").as("k"))
+    val ranked3 = RankOps.withGlobalRank(arms, "_grk",
+      Seq(col("dim"), col("k"), col("user_id")))
     def quartile(rank: Column) =
       RankOps.ntileOfRank(rank, col("_rfm_n"), 4).cast(IntegerType)
-    ranked.crossJoin(broadcast(nUsers))
-      .withColumn("r", quartile(col("_rk_r")))
-      .withColumn("f", quartile(col("_rk_f")))
-      .withColumn("m", quartile(col("_rk_m")))
-      .groupBy((col("r") * 100 + col("f") * 10 + col("m")).as("rfm_segment"))
+    ranked3.crossJoin(broadcast(nUsers))
+      .withColumn("_rk", col("_grk") - col("dim") * col("_rfm_n"))
+      .withColumn("q", quartile(col("_rk")))
+      .groupBy("user_id")
+      .agg(max("freq").as("freq"),
+        sum(when(col("dim") === 0, col("q") * 100)
+          .when(col("dim") === 1, col("q") * 10)
+          .otherwise(col("q"))).as("rfm_segment"))
+      .groupBy("rfm_segment")
       .agg(count(lit(1)).as("n_users"),
         sum(col("freq")).as("total_purchases"))
       .orderBy("rfm_segment")
