@@ -26,10 +26,15 @@ import org.apache.spark.sql.SparkSession
   *    benching many dirs doesn't accumulate pinned persists.
   */
 object Bench {
-  val Reps = 3
+  val DefaultReps = 3
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    // dev-only knob for the builder's iteration loop (SPARK_GRAFT_REPS=1
+    // halves the wall of a what-did-my-change-do run); the driver sets
+    // nothing and gets the full 3-pass median methodology
+    val Reps = sys.env.get("SPARK_GRAFT_REPS").map(_.toInt).getOrElse(DefaultReps)
+    require(Reps >= 1, s"SPARK_GRAFT_REPS must be >= 1, got $Reps")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

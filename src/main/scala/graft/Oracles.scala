@@ -452,6 +452,49 @@ object Oracles {
        |${lpRound("l2", "l3")}
        |SELECT doc_id, label AS cluster_id FROM l3 ORDER BY doc_id""".stripMargin
 
+  /** One MATERIALIZED label-propagation round — g4's chain is
+    * CcMaxRounds deep, where DuckDB's default inlining is exponential
+    * (the kmeansCte lesson); d5's 3-deep chain keeps the plain form. */
+  private def lpRoundM(prev: String, next: String): String =
+    s"""$next AS MATERIALIZED (
+       |  SELECT l.doc_id, least(l.label, coalesce(min(ln.label), l.label)) AS label
+       |  FROM $prev l
+       |  LEFT JOIN edges e ON e.doc_a = l.doc_id
+       |  LEFT JOIN $prev ln ON ln.doc_id = e.doc_b
+       |  GROUP BY l.doc_id, l.label)""".stripMargin
+
+  /** g4: the e16/g3 recipe on the component partition — replay a FIXED
+    * CcMaxRounds of d5's exact label-propagation round over the d3
+    * pair graph, independently derive
+    * stable_round = min{r : l_r = l_(r−1)} (else the cap), and ship
+    * the labels AT that round — the stopping RULE is verified, not
+    * just the final partition. */
+  private lazy val g4Sql: String = {
+    val cap = graft.operators.GraphOps.CcMaxRounds
+    val rounds = (1 to cap).map(r => lpRoundM(s"l${r - 1}", s"l$r")).mkString(",\n")
+    val probes = (1 to cap).map(r =>
+      s"""SELECT $r AS r WHERE NOT EXISTS (
+         |    SELECT 1 FROM l$r x JOIN l${r - 1} y USING (doc_id) WHERE x.label <> y.label)""".stripMargin)
+      .mkString("\n  UNION ALL\n  ")
+    val pick = (1 to cap).map(r =>
+      s"SELECT doc_id, label FROM l$r WHERE (SELECT sr FROM st) = $r")
+      .mkString("\n  UNION ALL\n  ")
+    s"""WITH d3pairs AS MATERIALIZED (SELECT doc_a, doc_b FROM ($d3Sql) z),
+       |edges AS MATERIALIZED (SELECT doc_a, doc_b FROM d3pairs
+       |          UNION ALL SELECT doc_b AS doc_a, doc_a AS doc_b FROM d3pairs),
+       |l0 AS MATERIALIZED (SELECT DISTINCT doc_a AS doc_id, doc_a AS label FROM edges),
+       |$rounds,
+       |st AS MATERIALIZED (SELECT COALESCE(MIN(r), $cap) AS sr FROM (
+       |  $probes
+       |) p),
+       |fin AS MATERIALIZED (
+       |  $pick
+       |)
+       |SELECT doc_id, label AS cluster_id,
+       |  CAST((SELECT sr FROM st) AS BIGINT) AS stable_round
+       |FROM fin ORDER BY doc_id""".stripMargin
+  }
+
   /** x3 as a standalone statement — the map entry AND the contaminated-set
     * leg of x7's decon anti-join, so the composite always removes exactly
     * what the x3 row flags. */
@@ -1183,6 +1226,8 @@ object Oracles {
     // division — no float rounding semantics anywhere)
     "g3_bipartite_rank_stable" -> g3Sql,
 
+    "g4_cc_stable" -> g4Sql,
+
     "g1_bipartite_rank" ->
       """WITH edges AS (SELECT DISTINCT o_custkey AS cust, l_suppkey AS supp
         |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
@@ -1553,6 +1598,11 @@ object Oracles {
     // rebuild — centroid state is associative, codes are per-vector —
     // so its oracle is also e6's statement verbatim
     "e11_ann_incremental" -> e6Sql,
+
+    // e18: the STREAMED upsert must answer exactly like batch e11 —
+    // micro-batch sum/count accumulation is as associative as e11's
+    // batch merge — so its oracle is also e6's statement verbatim
+    "e18_ann_stream_upsert" -> e6Sql,
 
     // e13: delete maintenance must answer exactly like a full rebuild
     // on the SURVIVING corpus — e6's statement with the tombstoned

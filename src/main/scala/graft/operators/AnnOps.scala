@@ -845,4 +845,126 @@ object AnnOps {
     }
     branches.reduce(_ unionByName _).orderBy("nprobe")
   }
+
+  /** Memory-sink name for e18's streamed centroid-state leg — the
+    * shared collision-proof per-dir tag. */
+  private def e18StateSink(dir: String): String =
+    "graft_e18_state_" + graft.functions.F.dirTag(dir)
+
+  /** e18: STREAMING INDEX UPSERT — e11's delta-only maintenance with
+    * the delta arriving on a STREAM: a production vector lake does not
+    * receive its new embeddings as a neat batch; they land continuously
+    * (the reference's Kinesis ingestion shape, here the events p-family
+    * discipline carried to the vector lake). Two streaming legs run
+    * over the arrival directory, both behind a `dropDuplicates(vec_id)`
+    * exactly-once gate (at-least-once delivery is the bus contract;
+    * re-delivered vectors must neither double-count the centroid state
+    * nor duplicate code rows — proven under whole-batch re-delivery in
+    * Round11OpsSpec):
+    *
+    *  - **codes leg**: PQ-encode map-side per micro-batch (codes are a
+    *    pure per-vector function of the fixed codebooks — the same
+    *    [[pqCodesCol]] projection as batch e11) and APPEND into the
+    *    `label=<cell>/` code lake through a checkpointed file sink —
+    *    the streaming analog of e11's delta file landing, with the
+    *    sink's commit log making replays idempotent;
+    *  - **state leg**: the per-(cell, dim) centroid sums and member
+    *    counts as a LIVE streaming aggregation (complete mode) — sums
+    *    and counts are associative, so micro-batch accumulation is
+    *    exact, exactly the argument that makes batch e11's merge exact
+    *    (p27 merges its CDC state on the same grounds).
+    *
+    * The batch side then merges the streamed state into the persisted
+    * base state (the identical full-outer element-wise addition as
+    * e11) and serves through the ONE [[pqAnswer]] pipeline. The answer
+    * is bit-equal to batch e11 (spec) and to a full rebuild — the
+    * oracle is e6's statement verbatim.
+    *
+    * Scale shape: identical to e11 — the upsert reads the 100 TB base
+    * corpus ZERO times; the streamed state is |cells|·Dims rows
+    * (kilobytes) regardless of stream volume (p28's bounded-state
+    * argument), and the encode is map-side inside each micro-batch.
+    * The dedup state is the one volume-proportional piece (vec_id set)
+    * — in production it rides a retention watermark like p9's. */
+  def annStreamUpsert(spark: SparkSession, dir: String, k: Int = 3,
+      nProbe: Int = NProbe): DataFrame = {
+    val out = graft.functions.F.sinkPath("annstream", dir)
+    // ---- base index: e11's landing under e18's own root (content is
+    // a deterministic function of the dir), so e18 never depends on
+    // e11 having run first ----
+    landOnce(s"$out/base", Seq(s"$out/centroids_v1", s"$out/codes_base")) {
+      centroidStateOf(quantized(spark, dir).filter(col("vec_id") % 10 =!= 0))
+        .write.mode("overwrite").parquet(s"$out/centroids_v1")
+      pqCodes(spark, dir).filter(col("c_id") % 10 =!= 0)
+        .write.mode("overwrite").partitionBy("label").parquet(s"$out/codes_base")
+      spark.catalog.refreshByPath(s"$out/centroids_v1")
+      spark.catalog.refreshByPath(s"$out/codes_base")
+    }
+    // ---- the delta ARRIVAL directory (staged once per JVM per dir;
+    // the re-delivery spec drops duplicate copies in here) ----
+    landOnce(s"$out/arrivals", Seq(s"$out/arrivals")) {
+      Tables.embeddings(spark, dir).filter(col("vec_id") % 10 === 0)
+        .write.mode("overwrite").parquet(s"$out/arrivals")
+    }
+    ingestDeltaStream(spark, dir, out)
+    // ---- merge + serve, batch-side over the streamed artifacts ----
+    spark.catalog.refreshByPath(s"$out/codes_delta")
+    val deltaState = spark.table(e18StateSink(dir))
+      .groupBy("label").agg(
+        transform(array_sort(collect_list(struct(col("d"), col("s")))),
+          x => x.getField("s")).as("sd"),
+        min("n").as("nd"))
+    val cent = spark.read.parquet(s"$out/centroids_v1")
+      .select(col("label"), col("s").as("sb"), col("n").as("nb"))
+      .join(deltaState, Seq("label"), "full_outer")
+      .select(col("label"),
+        when(col("sb").isNull, col("sd"))
+          .when(col("sd").isNull, col("sb"))
+          .otherwise(zip_with(col("sb"), col("sd"), (a, b) => a + b)).as("s"),
+        (coalesce(col("nb"), lit(0L)) + coalesce(col("nd"), lit(0L))).as("n"))
+      .withColumn("ss", dotQ(col("s"), col("s")))
+    val codes = spark.read.parquet(s"$out/codes_base")
+      .unionByName(spark.read.parquet(s"$out/codes_delta"))
+      .select(col("c_id"), col("label").cast(IntegerType).as("label"),
+        col("m"), col("code"))
+    pqAnswer(spark, dir, cent, codes, k, nProbe)
+  }
+
+  /** e18's streaming leg. The codes query is CHECKPOINTED (its dedup
+    * state + sink commit log persist across invocations — replays and
+    * re-deliveries append nothing twice); the state query is a fresh
+    * complete-mode aggregation per invocation (a complete-mode memory
+    * sink restarted against an exhausted checkpoint would re-emit
+    * nothing and present an EMPTY table — the fresh query re-reads the
+    * small arrival set and re-derives the identical state, dedup
+    * included, which is also what makes repeated bench passes measure
+    * the maintenance op rather than a warm no-op). */
+  private def ingestDeltaStream(spark: SparkSession, dir: String, out: String): Unit = {
+    val schema = spark.read.parquet(s"$out/arrivals").schema
+    def arrivals = spark.readStream.schema(schema).parquet(s"$out/arrivals")
+      .dropDuplicates("vec_id")
+      .select(col("vec_id"), col("label"), quantize(col("embedding")).as("q"))
+    graft.streaming.StreamPipeline.withStatePartitions(
+        spark, graft.streaming.StreamPipeline.MaterializeStateParts) {
+      val codesQ = arrivals
+        .select(col("vec_id").as("c_id"), col("label"),
+          posexplode(pqCodesCol(spark, col("q"))).as(Seq("m", "code")))
+        .select("c_id", "label", "m", "code")
+        .writeStream.format("parquet")
+        .option("path", s"$out/codes_delta")
+        .option("checkpointLocation", s"$out/codes_ckpt")
+        .partitionBy("label")
+        .outputMode("append").start()
+      val stateQ = arrivals
+        .select(col("label"), posexplode(col("q")).as(Seq("d", "v")))
+        .groupBy("label", "d").agg(sum("v").as("s"), count(lit(1)).as("n"))
+        .writeStream.format("memory").queryName(e18StateSink(dir))
+        .outputMode("complete").start()
+      try { codesQ.processAllAvailable(); stateQ.processAllAvailable() }
+      finally {
+        graft.streaming.StreamPipeline.recordFloors("e18", Seq(codesQ, stateQ))
+        codesQ.stop(); stateQ.stop()
+      }
+    }
+  }
 }

@@ -307,43 +307,63 @@ object DedupOps {
   /** Label-propagation iterations for d5 (bounded — see scaladoc). */
   val ClusterIters = 3
 
+  /** The SYMMETRIZED near-dup edge list (both directions of every d3
+    * pair), localCheckpoint'd once — the round substrate d5's bounded
+    * loop and g4's converge-or-cap loop share, so the two cluster
+    * variants run over the IDENTICAL graph (the edgesOf discipline of
+    * g1/g3). The pair graph comes straight from the memoized d3
+    * materialization — no recompute of the band/verification joins
+    * when d3 already ran. */
+  private[graft] def neardupEdges(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = minhashLsh(spark, dir).select("doc_a", "doc_b")
+    // localCheckpoint(eager): ONE materialization job with the lineage
+    // truncated at the checkpoint — the band-join plan can't double
+    // into every propagation round, and there is no separate count()
+    // job (the r2 persist+count formulation paid an extra aggregation
+    // job purely to force materialization).
+    pairs
+      .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      .materialized()
+  }
+
+  /** Every node of the near-dup graph labeled with its own id — round 0
+    * of both label-propagation loops. */
+  private[graft] def lpInit(edges: DataFrame): DataFrame =
+    edges.select(col("doc_a").as("doc_id")).distinct()
+      .withColumn("label", col("doc_id"))
+      .materialized()
+
+  /** One label-propagation round: label := min(own, neighbors') — THE
+    * single round definition d5 (bounded) and g4 (converge-or-cap)
+    * both replay; one join + one map-combined groupBy on the (small)
+    * pair graph, NOT on the corpus. */
+  private[graft] def lpRoundOver(edges: DataFrame)(labels: DataFrame): DataFrame = {
+    val nb = edges
+      .join(labels.select(col("doc_id").as("nb_id"), col("label").as("nb_label")),
+        col("doc_b") === col("nb_id"))
+      .groupBy(col("doc_a").as("upd_id"))
+      .agg(min("nb_label").as("nb_min"))
+    labels
+      .join(nb, col("doc_id") === col("upd_id"), "left")
+      .select(col("doc_id"),
+        least(col("label"), coalesce(col("nb_min"), col("label"))).as("label"))
+  }
+
   /** d5: near-duplicate CLUSTERS — connected components over the
     * MinHash-LSH pair graph via bounded label propagation: every doc
     * starts labeled with its own id; each round takes the min of its own
     * and its neighbors' labels. `ClusterIters` rounds merge any
     * component of diameter ≤ ClusterIters (near-dup clusters are tiny
-    * and dense, so this converges immediately in practice; unbounded CC
-    * would iterate to a fixpoint — same joins in a loop). Each round is
-    * one join + one groupBy on the (small) pair graph, NOT on the
-    * corpus. The oracle replays the exact same rounds, so results match
-    * even if some pathological chain hasn't converged. */
+    * and dense, so this converges immediately in practice; the
+    * iterate-to-fixpoint form — exact at ANY diameter — is g4,
+    * replaying the identical [[lpRoundOver]] round). The oracle
+    * replays the exact same rounds, so results match even if some
+    * pathological chain hasn't converged. */
   def nearDupClusters(spark: SparkSession, dir: String): DataFrame = {
-    // the pair graph comes straight from the memoized d3 materialization
-    // — no recompute of the band/verification joins when d3 already ran
-    val pairs = minhashLsh(spark, dir).select("doc_a", "doc_b")
-    // localCheckpoint(eager): ONE materialization job per round with the
-    // lineage truncated at the checkpoint — the previous rounds' plans
-    // can't double into this one, and there is no separate count() job
-    // (the r2 persist+count formulation paid an extra aggregation job
-    // per round purely to force materialization).
-    val edges = pairs
-      .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
-      .materialized()
-    var labels = edges.select(col("doc_a").as("doc_id")).distinct()
-      .withColumn("label", col("doc_id"))
-      .materialized()
-    for (_ <- 1 to ClusterIters) {
-      val nb = edges
-        .join(labels.select(col("doc_id").as("nb_id"), col("label").as("nb_label")),
-          col("doc_b") === col("nb_id"))
-        .groupBy(col("doc_a").as("upd_id"))
-        .agg(min("nb_label").as("nb_min"))
-      labels = labels
-        .join(nb, col("doc_id") === col("upd_id"), "left")
-        .select(col("doc_id"),
-          least(col("label"), coalesce(col("nb_min"), col("label"))).as("label"))
-        .materialized()
-    }
+    val edges = neardupEdges(spark, dir)
+    var labels = lpInit(edges)
+    for (_ <- 1 to ClusterIters)
+      labels = lpRoundOver(edges)(labels).materialized()
     labels.select(col("doc_id"), col("label").as("cluster_id")).orderBy("doc_id")
   }
 

@@ -141,6 +141,67 @@ object GraphOps {
       .orderBy("s_suppkey")
   }
 
+  /** g4 round cap. Min-label propagation is monotone non-increasing on
+    * a finite label lattice, so a fixpoint EXISTS and the stop rule
+    * detects it the first round nothing moves; the cap is the
+    * unconditional bound that makes the job provably terminating on
+    * any graph (a path graph of diameter d needs d rounds — near-dup
+    * families are tiny and dense, measured stop round 2-3, so 16
+    * leaves an order of magnitude of headroom). */
+  val CcMaxRounds = 16
+
+  /** g4: CONVERGE-OR-CAP near-dup components — d5's label propagation
+    * iterated to the TRUE fixpoint: d5 bounds itself at ClusterIters
+    * rounds (exact only for components of diameter ≤ 3); g4 replays
+    * the IDENTICAL round (shared [[DedupOps.lpRoundOver]] over the
+    * shared [[DedupOps.neardupEdges]] — the variants cannot drift)
+    * until no doc's label moves or [[CcMaxRounds]] caps it, making the
+    * component assignment exact at ANY diameter — what a production
+    * dedup pipeline needs before collapsing duplicate families, where
+    * a chain A~B~C~...~Z must collapse to ONE representative even
+    * though no direct A~Z pair exists. The e16/g3 discipline: each
+    * round localCheckpoint'd (lineage one round deep), the stop probe
+    * is a bounded existence check on the label table, the DuckDB
+    * oracle replays a FIXED cap of rounds then independently derives
+    * stable_round = min{r : l_r = l_(r−1)} — verifying the stopping
+    * RULE, not just the final partition. Memoized per (session, dir)
+    * like e16/g3.
+    *
+    * Scale shape: every round is one shuffle join + one map-combined
+    * aggregation on the checkpointed PAIR graph (output-of-dedup-sized,
+    * orders of magnitude below the corpus), plus a bounded probe on
+    * the label table. At 100 TB this is the standard large-graph CC
+    * recipe (label propagation to fixpoint with a hard cap); the
+    * alternating doubling optimizations halve rounds but change the
+    * per-round shape — the linear form keeps the oracle replay exact. */
+  def nearDupComponentsStable(spark: SparkSession, dir: String): DataFrame =
+    DedupOps.memoized(spark, "g4_cc_stable", dir)(
+      nearDupComponentsStableCompute(spark, dir))
+
+  /** The un-memoized converge-or-cap loop — split out so specs rerun
+    * the REAL iteration instead of reading the memo back. */
+  private[graft] def nearDupComponentsStableCompute(spark: SparkSession,
+      dir: String): DataFrame = {
+    val edges = DedupOps.neardupEdges(spark, dir)
+    var labels = DedupOps.lpInit(edges)
+    var round = 0
+    var stoppedAt = 0
+    while (stoppedAt == 0 && round < CcMaxRounds) {
+      val next = DedupOps.lpRoundOver(edges)(labels).materialized()
+      round += 1
+      val moved = !next
+        .join(labels.select(col("doc_id"), col("label").as("_prev")), "doc_id")
+        .filter(col("label") =!= col("_prev"))
+        .isEmpty
+      if (!moved) stoppedAt = round
+      labels = next
+    }
+    labels.select(col("doc_id"), col("label").as("cluster_id"),
+        lit(if (stoppedAt > 0) stoppedAt else CcMaxRounds).cast("long")
+          .as("stable_round"))
+      .orderBy("doc_id")
+  }
+
   /** g2: triangle census of the near-duplicate pair graph — a dedup-QA
     * metric: triangle-dense components are transitive duplicate
     * families (safe to collapse to one representative), triangle-free

@@ -289,7 +289,7 @@ object StreamPipeline {
     * it to aggregate state ÷ target-store-size instead. Results are
     * partition-count-invariant (DeterminismSpec), so this changes cost,
     * never content. Conf is restored even on failure. */
-  private def withStatePartitions[T](spark: SparkSession, n: Int)(body: => T): T = {
+  private[graft] def withStatePartitions[T](spark: SparkSession, n: Int)(body: => T): T = {
     val key = "spark.sql.shuffle.partitions"
     val prev = spark.conf.get(key)
     spark.conf.set(key, n.toString)
@@ -311,15 +311,23 @@ object StreamPipeline {
   /** Reads the finished query's progress buffer; call before stop().
     * recentProgress holds the last ~100 batches — far above any finite
     * materialization here. */
-  private def recordFloor(kind: String, q: StreamingQuery): Unit = {
-    val secs = q.recentProgress.toSeq.map { p =>
+  private def recordFloor(kind: String, q: StreamingQuery): Unit =
+    floors.put(kind, floorOf(q)): Unit
+
+  /** Multi-query variant for operators whose materialization runs more
+    * than one streaming query (e18's codes + state legs): the floor
+    * reported for the kind is the SUM — the total scheduling/commit
+    * overhead that invocation paid. */
+  private[graft] def recordFloors(kind: String, qs: Seq[StreamingQuery]): Unit =
+    floors.put(kind, qs.map(floorOf).sum): Unit
+
+  private def floorOf(q: StreamingQuery): Double =
+    q.recentProgress.toSeq.map { p =>
       val d = p.durationMs
       val trig = Option(d.get("triggerExecution")).map(_.longValue).getOrElse(0L)
       val add = Option(d.get("addBatch")).map(_.longValue).getOrElse(0L)
       math.max(0L, trig - add)
     }.sum / 1000.0
-    floors.put(kind, secs): Unit
-  }
 
   /** Session-global memory-sink name per (operator, data dir) — the
     * shared collision-proof tag: a fixed name would make two
@@ -329,7 +337,7 @@ object StreamPipeline {
     s"graft_${kind}_" + graft.functions.F.dirTag(dir)
 
   /** State partition count for the finite-input materializations. */
-  private val MaterializeStateParts = 8
+  private[graft] val MaterializeStateParts = 8
 
   /** Collision-proof staging dir per (operator, data dir) — the shared
     * `F.dirTag` scheme. (`hashCode`-keyed names, the original scheme,
@@ -341,15 +349,20 @@ object StreamPipeline {
 
   /** The events parquet staged behind a REAL file streaming source —
     * the unbounded-input surface for the oracle-checked streaming
-    * operators (p9, p13). Staging is per sf-dir and idempotent
-    * (REPLACE_EXISTING), so reruns within a session are safe. */
+    * operators (p9, p13). The staging is scaffolding (a deterministic
+    * copy of the dir's events parquet), not the operator, so it runs
+    * under the shared F.landOnce discipline (once per JVM per dir,
+    * heals a cleaned target/) — ten streaming operators × four bench
+    * passes must not pay forty identical copies. */
   private def stagedEventsStream(spark: SparkSession, dir: String): DataFrame = {
     val streamDir = java.nio.file.Paths.get(stagingPath("p9", dir))
-    java.nio.file.Files.createDirectories(streamDir)
-    java.nio.file.Files.copy(
-      java.nio.file.Paths.get(s"$dir/events.parquet"),
-      streamDir.resolve("events.parquet"),
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    val staged = streamDir.resolve("events.parquet")
+    graft.functions.F.landOnce(streamDir.toString, staged.toString) {
+      java.nio.file.Files.createDirectories(streamDir)
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$dir/events.parquet"), staged,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING): Unit
+    }
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val rawSchema = spark.read.parquet(s"$dir/events.parquet").schema
     graft.Tables.normalizeEventsTs(

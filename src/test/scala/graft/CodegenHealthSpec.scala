@@ -30,6 +30,13 @@ class CodegenHealthSpec extends AnyFunSuite with SparkSpec {
 
   test("PQ encode and ADC stages stay inside whole-stage codegen and compile") {
     assume(graft.functions.F.extensionLive(spark))
+    // a suite that ran earlier may have persisted this dir's
+    // ann_pq_codes/ann_quantized substrates (e11/e18 do); the cache
+    // manager would then serve the encode plan AS an InMemoryTableScan
+    // and hide the very codegen span this spec exists to pin — drop
+    // the memo so the plan builds fresh (substrates re-persist on next
+    // use; rebuild is deterministic by design)
+    operators.DedupOps.clearMemo(spark, Sf0001)
     withAqeOff {
       Seq("encode" -> AnnOps.pqEncodePlan(spark, Sf0001),
           "adc" -> AnnOps.pqAdcPlan(spark, Sf0001)).foreach { case (name, df) =>

@@ -32,7 +32,7 @@ class NewOpsSpec extends AnyFunSuite with SparkSpec {
       .select(col("l_orderkey"), col("l_suppkey"), col("l_extendedprice"),
         col("l_discount"), col("l_shipdate"), year(col("l_shipdate")).as("y"))
       .collect().foreach { r =>
-        val sd = r.getAs[java.time.LocalDateTime](4).toLocalDate
+        val sd = localDateOf(r.get(4))
         val inWindow = !sd.isBefore(java.time.LocalDate.of(1996, 1, 1)) &&
           sd.isBefore(java.time.LocalDate.of(1998, 1, 1))
         val cn = custNat(ordCust(r.getLong(0)))

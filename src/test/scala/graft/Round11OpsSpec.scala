@@ -1,5 +1,7 @@
 package graft
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 import graft.operators.GraphOps
@@ -61,5 +63,80 @@ class Round11OpsSpec extends AnyFunSuite with SparkSpec {
       assert(spark.sparkContext.getCheckpointDir.isDefined,
         "durable mode must have configured a reliable checkpoint dir")
     } finally spark.conf.unset("graft.checkpoint.durable")
+  }
+
+  // ---- e18: the streaming vector-lake upsert ----
+
+  test("e18 streamed upsert answers bit-equal to the batch-maintained e11 index") {
+    import graft.operators.AnnOps
+    val streamed = AnnOps.annStreamUpsert(spark, Sf0001).collect().map(_.toString)
+    assert(streamed.nonEmpty)
+    val batch = AnnOps.annIncrementalIndex(spark, Sf0001).collect().map(_.toString)
+    assert(streamed.sameElements(batch),
+      "streaming micro-batch state accumulation drifted from the batch merge")
+  }
+
+  test("e18 is exactly-once under whole-batch re-delivery (at-least-once bus contract)") {
+    import graft.operators.AnnOps
+    val before = AnnOps.annStreamUpsert(spark, Sf0001).collect().map(_.toString)
+    // re-deliver the ENTIRE delta batch: copy every arrival part file
+    // under a fresh name — to the file source these are brand-new
+    // arrivals carrying rows it has already processed
+    val arrDir = java.nio.file.Paths.get(
+      graft.functions.F.sinkPath("annstream", Sf0001), "arrivals")
+    val parts = java.nio.file.Files.list(arrDir).iterator().asScala
+      .filter(_.getFileName.toString.endsWith(".parquet")).toList
+    assert(parts.nonEmpty, s"no arrival part files under $arrDir")
+    parts.zipWithIndex.foreach { case (p, i) =>
+      java.nio.file.Files.copy(p, arrDir.resolve(s"redeliver-$i.parquet"),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+    val after = AnnOps.annStreamUpsert(spark, Sf0001).collect().map(_.toString)
+    assert(after.sameElements(before),
+      "re-delivered delta rows double-counted state or duplicated codes")
+  }
+
+  // ---- g4: converge-or-cap near-dup components ----
+
+  private lazy val g4 = GraphOps.nearDupComponentsStable(spark, Sf0001).collect()
+
+  test("g4 stop event fires strictly before the cap") {
+    val rounds = g4.map(_.getLong(2)).distinct
+    assert(rounds.length === 1, "stable_round must be a single constant")
+    val r = rounds.head
+    assert(r >= 1 && r < GraphOps.CcMaxRounds,
+      s"expected a fixpoint stop inside the cap, got round $r " +
+        s"(cap ${GraphOps.CcMaxRounds})")
+  }
+
+  test("g4's shipped labels really are a fixpoint: one more round is a no-op") {
+    import graft.operators.DedupOps
+    val edges = DedupOps.neardupEdges(spark, Sf0001)
+    val labels = GraphOps.nearDupComponentsStable(spark, Sf0001)
+      .select(col("doc_id"), col("cluster_id").as("label"))
+    val moved = DedupOps.lpRoundOver(edges)(labels)
+      .join(labels.select(col("doc_id"), col("label").as("_prev")), "doc_id")
+      .filter(col("label") =!= col("_prev"))
+    assert(moved.isEmpty, "the reported fixpoint still moves under another round")
+  }
+
+  test("g4 refines d5: same-cluster-in-d5 implies same-component-in-g4") {
+    import graft.operators.DedupOps
+    val d5 = DedupOps.nearDupClusters(spark, Sf0001)
+      .select(col("doc_id"), col("cluster_id").as("d5c"))
+    val merged = d5.join(
+      GraphOps.nearDupComponentsStable(spark, Sf0001)
+        .select(col("doc_id"), col("cluster_id").as("g4c")), "doc_id")
+    val split = merged.groupBy("d5c").agg(countDistinct("g4c").as("n"))
+      .filter(col("n") > 1)
+    assert(split.isEmpty,
+      "a d5 cluster split across g4 components — the fixpoint run undid a merge")
+  }
+
+  test("g4 memo matches a fresh converge-or-cap run") {
+    val replay = GraphOps.nearDupComponentsStableCompute(spark, Sf0001)
+      .collect().map(_.toString).sorted
+    assert(replay.sameElements(g4.map(_.toString).sorted),
+      "memoized g4 drifted from a fresh run")
   }
 }

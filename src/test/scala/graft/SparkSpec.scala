@@ -27,6 +27,23 @@ trait SparkSpec { self: Suite =>
   val Sf0001 = "/root/testdata/sf0.001"
   val Sf001 = "/root/testdata/sf0.01"
 
+  /** The LocalDate of a collected timestamp-ish column, whatever
+    * JVM type the testdata's CURRENT physical parquet type collects
+    * as — the driver regenerates the testdata each round and has
+    * shipped date columns as both TIMESTAMP (java.sql.Timestamp) and
+    * TIMESTAMP_NTZ (LocalDateTime). Operators adapt via Tables'
+    * family conformance; driver-side spec recomputations must adapt
+    * here, not hard-cast (the q29/q30 round-11 lesson). All testdata
+    * instants are calendar dates under the UTC session zone. */
+  def localDateOf(v: Any): java.time.LocalDate = v match {
+    case t: java.sql.Timestamp => t.toLocalDateTime.toLocalDate
+    case d: java.time.LocalDateTime => d.toLocalDate
+    case i: java.time.Instant => i.atZone(java.time.ZoneOffset.UTC).toLocalDate
+    case d: java.sql.Date => d.toLocalDate
+    case d: java.time.LocalDate => d
+    case other => sys.error(s"not a timestamp/date value: $other (${other.getClass})")
+  }
+
   /** Every physical node of an EXECUTED plan, descending through the
     * AQE wrapper and materialized query stages (plain `.collect` on an
     * AdaptiveSparkPlanExec sees only the wrapper). */

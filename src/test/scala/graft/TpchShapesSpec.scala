@@ -142,7 +142,7 @@ class TpchShapesSpec extends AnyFunSuite with SparkSpec {
         if (boltParts(r.getLong(1))) {
           val k = (r.getLong(0), r.getLong(1))
           val q = BigDecimal(r.getDouble(2)).setScale(6, BigDecimal.RoundingMode.HALF_UP)
-          val sd = r.getAs[java.time.LocalDateTime](3).toLocalDate
+          val sd = localDateOf(r.get(3))
           val in97 = !sd.isBefore(java.time.LocalDate.of(1997, 1, 1)) &&
             sd.isBefore(java.time.LocalDate.of(1998, 1, 1))
           val (a, b) = pairs.getOrElse(k, (BigDecimal(0), BigDecimal(0)))
