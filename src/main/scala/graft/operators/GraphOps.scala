@@ -181,12 +181,18 @@ object GraphOps {
   /** The un-memoized converge-or-cap loop — split out so specs rerun
     * the REAL iteration instead of reading the memo back. */
   private[graft] def nearDupComponentsStableCompute(spark: SparkSession,
-      dir: String): DataFrame = {
-    val edges = DedupOps.neardupEdges(spark, dir)
+      dir: String): DataFrame =
+    lpFixpoint(DedupOps.neardupEdges(spark, dir), CcMaxRounds)
+
+  /** The converge-or-cap propagation over an EXPLICIT symmetrized edge
+    * relation (doc_a, doc_b) — g4 passes the shared near-dup graph;
+    * specs pass constructed graphs (a diameter-d chain proves the
+    * fixpoint rule merges what any bounded round count cannot). */
+  private[graft] def lpFixpoint(edges: DataFrame, cap: Int): DataFrame = {
     var labels = DedupOps.lpInit(edges)
     var round = 0
     var stoppedAt = 0
-    while (stoppedAt == 0 && round < CcMaxRounds) {
+    while (stoppedAt == 0 && round < cap) {
       val next = DedupOps.lpRoundOver(edges)(labels).materialized()
       round += 1
       val moved = !next
@@ -197,7 +203,7 @@ object GraphOps {
       labels = next
     }
     labels.select(col("doc_id"), col("label").as("cluster_id"),
-        lit(if (stoppedAt > 0) stoppedAt else CcMaxRounds).cast("long")
+        lit(if (stoppedAt > 0) stoppedAt else cap).cast("long")
           .as("stable_round"))
       .orderBy("doc_id")
   }

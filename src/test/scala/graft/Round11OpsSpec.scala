@@ -133,6 +133,28 @@ class Round11OpsSpec extends AnyFunSuite with SparkSpec {
       "a d5 cluster split across g4 components — the fixpoint run undid a merge")
   }
 
+  test("g4's fixpoint rule merges a chain no bounded round count can") {
+    import spark.implicits._
+    import graft.operators.DedupOps
+    // a path graph 1–2–3–…–10 (diameter 9): min-label propagation
+    // floods label 1 one hop per round, so d5's bounded ClusterIters=3
+    // rounds provably CANNOT merge it — the fixpoint loop must, and
+    // must stop at exactly round 10 (9 flooding rounds + the no-move
+    // detection round)
+    val pairs = (1L to 9L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val edges = pairs.union(
+      pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+    val out = GraphOps.lpFixpoint(edges, GraphOps.CcMaxRounds).collect()
+    assert(out.length === 10)
+    assert(out.map(_.getLong(1)).distinct.toSeq === Seq(1L),
+      "the chain must collapse to ONE component under the fixpoint rule")
+    val r = out.map(_.getLong(2)).distinct.toSeq
+    assert(r === Seq(10L),
+      s"expected the stop at round 10 (diameter 9 + detection round), got $r")
+    assert(DedupOps.ClusterIters < 9,
+      "the fixture must exceed d5's bounded round count to prove anything")
+  }
+
   test("g4 memo matches a fresh converge-or-cap run") {
     val replay = GraphOps.nearDupComponentsStableCompute(spark, Sf0001)
       .collect().map(_.toString).sorted
