@@ -20,16 +20,21 @@ import graft.functions.F._
   */
 object GraphOps {
 
-  /** The distinct customer↔supplier co-purchase edge list,
-    * localCheckpoint'd once (it feeds every propagation round + both
-    * degree tables) — shared by g1 and g3 so the two rank variants run
-    * over the IDENTICAL graph. */
+  /** The distinct customer↔supplier co-purchase edge list — shared by
+    * g1 and g3 so the two rank variants run over the IDENTICAL graph.
+    * Memoized per (session, dir) like every other join substrate (d3's
+    * pairs, the ANN signatures): the orders⋈lineitem distinct is the
+    * one fact-scale shuffle in the family, and before the memo EVERY
+    * g1/g3 invocation re-paid it (4 bench passes × 2 operators = 8
+    * identical edge builds). A persisted block is also recomputable
+    * from lineage on executor loss, which localCheckpoint was not. */
   private def edgesOf(spark: SparkSession, dir: String): DataFrame =
-    Tables.orders(spark, dir)
-      .join(Tables.lineitem(spark, dir), col("o_orderkey") === col("l_orderkey"))
-      .select(col("o_custkey").as("cust"), col("l_suppkey").as("supp"))
-      .distinct()
-      .materialized()
+    DedupOps.memoized(spark, "graph_edges", dir) {
+      Tables.orders(spark, dir)
+        .join(Tables.lineitem(spark, dir), col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("cust"), col("l_suppkey").as("supp"))
+        .distinct()
+    }
 
   /** One propagation step over `edges`:
     * new_rank_u = 0.15e6 + 0.85 · Σ (prev_rank_u div deg), in integers.

@@ -108,6 +108,21 @@ class DeterminismSpec extends AnyFunSuite with SparkSpec {
     assertStable("x9_train_manifest")(operators.CorpusOps.trainManifest(spark, Sf0001))
   }
 
+  test("round-11 convergence/streaming operators are partition-count independent") {
+    // the converge-or-cap loops claim their STOP ROUND is a property of
+    // the data, not the partitioning — both run un-memoized so the
+    // whole orbit (probes included) replays under each count
+    assertStable("g3_bipartite_rank_stable")(
+      operators.GraphOps.bipartiteRankStableCompute(spark, Sf0001))
+    assertStable("g4_cc_stable")(
+      operators.GraphOps.nearDupComponentsStableCompute(spark, Sf0001))
+    // e18's merge/serve honors the session partitioning; its streaming
+    // legs fix their own state-store count internally (sized to state
+    // volume, documented partition-count-invariant)
+    assertStable("e18_ann_stream_upsert")(
+      operators.AnnOps.annStreamUpsert(spark, Sf0001))
+  }
+
   test("a transient task failure + Spark retry yields bit-identical output") {
     // closes the exactly-once claim under Spark's OWN retry machinery
     // (complementing partition-count and re-delivery equivalence): one
