@@ -452,6 +452,51 @@ object Oracles {
        |${lpRound("l2", "l3")}
        |SELECT doc_id, label AS cluster_id FROM l3 ORDER BY doc_id""".stripMargin
 
+  /** s10: replay the per-source KMV build (distinct shingle hashes →
+    * bottom-k per source) and every pairwise merged-sketch estimate,
+    * plus the exact error-inspection columns — identical int64 hashes
+    * and IEEE arithmetic with power-of-two divisors, so doubles match
+    * bit-for-bit. */
+  private lazy val s10Sql: String = {
+    val k = graft.operators.SketchOps.SetOpsK
+    s"""WITH $ngramCte,
+       |sh0 AS MATERIALIZED (SELECT DISTINCT d.source, ${h60("ngram")} AS h
+       |  FROM ng JOIN documents d USING (doc_id)),
+       |sk AS MATERIALIZED (SELECT source, h FROM (
+       |  SELECT source, h, row_number() OVER (PARTITION BY source ORDER BY h) AS rnk
+       |  FROM sh0) z WHERE rnk <= $k),
+       |srcs AS (SELECT DISTINCT source FROM sh0),
+       |pairs AS (SELECT a.source AS src_a, b.source AS src_b
+       |  FROM srcs a JOIN srcs b ON a.source < b.source),
+       |ent AS (SELECT p.src_a, p.src_b, s.h,
+       |    MAX(CASE WHEN s.source = p.src_a THEN 1 ELSE 0 END) AS ia,
+       |    MAX(CASE WHEN s.source = p.src_b THEN 1 ELSE 0 END) AS ib
+       |  FROM pairs p JOIN sk s ON s.source IN (p.src_a, p.src_b)
+       |  GROUP BY 1, 2, 3),
+       |topu AS (SELECT * FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY src_a, src_b ORDER BY h) AS rnk
+       |  FROM ent) z WHERE rnk <= $k),
+       |est AS (SELECT src_a, src_b, MAX(h) AS theta,
+       |    CAST(count(*) AS BIGINT) AS kk,
+       |    CAST(SUM(CASE WHEN ia = 1 AND ib = 1 THEN 1 ELSE 0 END) AS BIGINT) AS overlap_k
+       |  FROM topu GROUP BY 1, 2),
+       |sizes AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM sh0 GROUP BY 1),
+       |xin AS (SELECT a.source AS src_a, b.source AS src_b,
+       |    CAST(count(*) AS BIGINT) AS n_inter
+       |  FROM sh0 a JOIN sh0 b ON a.h = b.h AND a.source < b.source GROUP BY 1, 2)
+       |SELECT e.src_a, e.src_b, e.overlap_k,
+       |  CASE WHEN e.kk < $k THEN CAST(e.kk AS DOUBLE)
+       |       ELSE ${k - 1}.0 * 1152921504606846976.0 / e.theta END AS est_union,
+       |  CAST(e.overlap_k AS DOUBLE) / e.kk AS est_jaccard,
+       |  COALESCE(x.n_inter, 0) AS n_inter,
+       |  sa.n + sb.n - COALESCE(x.n_inter, 0) AS n_union
+       |FROM est e
+       |LEFT JOIN xin x ON e.src_a = x.src_a AND e.src_b = x.src_b
+       |JOIN sizes sa ON sa.source = e.src_a
+       |JOIN sizes sb ON sb.source = e.src_b
+       |ORDER BY e.src_a, e.src_b""".stripMargin
+  }
+
   /** One MATERIALIZED label-propagation round — g4's chain is
     * CcMaxRounds deep, where DuckDB's default inlining is exponential
     * (the kmeansCte lesson); d5's 3-deep chain keeps the plain form. */
@@ -1988,6 +2033,8 @@ object Oracles {
     // the one-pass corpus sketch (register merge is associative) — the
     // oracle is s4's statement verbatim
     "s9_hll_merge" -> s4Sql,
+
+    "s10_kmv_setops" -> s10Sql,
 
     // ---------- round 5 additions ----------
 

@@ -68,7 +68,7 @@ object DedupOps {
 
   /** Distinct (doc_id, ngram) pairs — the shared candidate substrate for
     * d2 and d3, persisted once per session+dir. */
-  private def docNgrams(spark: SparkSession, dir: String): DataFrame =
+  private[operators] def docNgrams(spark: SparkSession, dir: String): DataFrame =
     memoized(spark, "docNgrams", dir) {
       Tables.documents(spark, dir)
         .withColumn("t", tokens(col("text")))

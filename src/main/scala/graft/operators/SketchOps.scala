@@ -417,4 +417,93 @@ object SketchOps {
       .agg(min("h").as("min_h"))
       .orderBy(col("min_h"), col("doc_id"))
       .limit(WsK)
+
+  /** s10 sketch size. 256 (a power of two, so overlap_k/k divisions are
+    * exact binary rationals — bit-identical in both engines) against
+    * ~1.3k distinct shingles per fixture source gives ~6% standard
+    * error (1/√(k−1)); a 100 TB curation run raises it to 4-16k and the
+    * plan shape is unchanged. */
+  val SetOpsK = 256
+
+  /** The distinct (source, shingle-hash) relation — s10's substrate,
+    * shared with d2/d3's n-gram universe (same shingles, same hash60),
+    * persisted once per session+dir. */
+  private def sourceHashes(spark: SparkSession, dir: String): DataFrame =
+    DedupOps.memoized(spark, "s10_srchash", dir) {
+      DedupOps.docNgrams(spark, dir)
+        .join(Tables.documents(spark, dir).select(col("doc_id"), col("source")), "doc_id")
+        .select(col("source"), hash60(col("ngram")).as("h"))
+        .distinct()
+    }
+
+  /** s10: SOURCE-OVERLAP ESTIMATION from KMV sketches — the
+    * dataset-curation question "how much do my corpus sources share?"
+    * answered WITHOUT a cross-source join of the corpora: each source
+    * keeps only its k minimum distinct shingle-hash values (s1's KMV,
+    * per source), and every pairwise estimate derives from merged
+    * sketches alone. For a pair (A, B): the union sketch is the k
+    * smallest of sketch_A ∪ sketch_B, θ its kth value — so
+    * est|A∪B| = (k−1)·2⁶⁰/θ (s1's estimator on the merged sketch) —
+    * and because θ_union ≤ min(θ_A, θ_B), membership of a union-sketch
+    * element in A is EXACTLY answered by sketch_A (the classic KMV
+    * closure property): overlap_k = |{h ∈ U : h ∈ both sketches}|
+    * estimates Jaccard as overlap_k/k, and est|A∩B| = Ĵ·est|A∪B|.
+    * Exact n_inter/n_union columns ride along for error inspection,
+    * s1's discipline — a 100 TB user drops them and with them the only
+    * cross-source join in the plan.
+    *
+    * Scale shape: the sketch build is one distinct + one per-source
+    * bottom-k (window rank partitioned BY SOURCE — s2's
+    * shuffle-per-group-key plan; at extreme per-source volume the rank
+    * becomes a bounded k-slot imperative aggregate, the MinHashAgg
+    * pattern, with identical output). Everything pairwise runs on
+    * |sources|²·k sketch rows — kilobytes — never on the corpora:
+    * S sources cost S·k rows however many petabytes they hold. All
+    * arithmetic is int64 hashes + IEEE doubles with power-of-two
+    * divisors, so the oracle matches bit-for-bit. */
+  def kmvSetOps(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val full = sourceHashes(spark, dir)
+    val sk = full
+      .withColumn("rnk", row_number().over(Window.partitionBy("source").orderBy("h")))
+      .filter(col("rnk") <= SetOpsK)
+      .select("source", "h")
+    val srcs = full.select("source").distinct()
+    val pairs = srcs.select(col("source").as("src_a"))
+      .join(srcs.select(col("source").as("src_b")), col("src_a") < col("src_b"))
+    // union-sketch membership per pair: tag each sketch row with which
+    // side(s) hold it, keep the pair's k smallest
+    val entA = pairs.join(sk.withColumnRenamed("source", "src_a"), "src_a")
+      .select(col("src_a"), col("src_b"), col("h"), lit(1L).as("ia"), lit(0L).as("ib"))
+    val entB = pairs.join(sk.withColumnRenamed("source", "src_b"), "src_b")
+      .select(col("src_a"), col("src_b"), col("h"), lit(0L).as("ia"), lit(1L).as("ib"))
+    val merged = entA.unionByName(entB)
+      .groupBy("src_a", "src_b", "h")
+      .agg(max("ia").as("ia"), max("ib").as("ib"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("src_a", "src_b").orderBy("h")))
+      .filter(col("rnk") <= SetOpsK)
+    val est = merged.groupBy("src_a", "src_b").agg(
+      max("h").as("theta"),
+      count(lit(1)).as("kk"),
+      sum(when(col("ia") === 1L && col("ib") === 1L, 1L).otherwise(0L)).as("overlap_k"))
+    // exact error-inspection columns (verification-SF only at scale)
+    val sizes = full.groupBy("source").agg(count(lit(1)).as("n"))
+    val inter = full.select(col("source").as("src_a"), col("h"))
+      .join(full.select(col("source").as("src_b"), col("h")), "h")
+      .filter(col("src_a") < col("src_b"))
+      .groupBy("src_a", "src_b").agg(count(lit(1)).as("n_inter"))
+    est
+      .join(inter, Seq("src_a", "src_b"), "left")
+      .join(sizes.select(col("source").as("src_a"), col("n").as("na")), "src_a")
+      .join(sizes.select(col("source").as("src_b"), col("n").as("nb")), "src_b")
+      .select(col("src_a"), col("src_b"), col("overlap_k"),
+        when(col("kk") < SetOpsK, col("kk").cast(DoubleType))
+          .otherwise(lit((SetOpsK - 1).toDouble) * lit(HashRange) / col("theta"))
+          .as("est_union"),
+        (col("overlap_k").cast(DoubleType) / col("kk")).as("est_jaccard"),
+        coalesce(col("n_inter"), lit(0L)).as("n_inter"),
+        (col("na") + col("nb") - coalesce(col("n_inter"), lit(0L))).as("n_union"))
+      .orderBy("src_a", "src_b")
+  }
 }

@@ -180,4 +180,32 @@ class SketchSpec extends AnyFunSuite with SparkSpec {
         col("c_custkey") === col("o_custkey"), "left_semi").count()
     assert(zeroBucket.map(_.getLong(1)).getOrElse(0L) === nCust - withOrders)
   }
+
+  test("s10 KMV set operations: full pair coverage, closure sanity, estimator accuracy") {
+    import graft.operators.SketchOps
+    val rows = SketchOps.kmvSetOps(spark, Sf0001).collect()
+    val nSrc = Tables.documents(spark, Sf0001).select("source").distinct().count()
+    assert(rows.length.toLong === nSrc * (nSrc - 1) / 2, "every source pair must get a row")
+    val k = SketchOps.SetOpsK
+    // 4-sigma bounds: union estimator relative error 1/sqrt(k-1), the
+    // Jaccard estimator is Binomial(k, J)/k
+    rows.foreach { r =>
+      val (okay, estU, estJ) = (r.getLong(2), r.getDouble(3), r.getDouble(4))
+      val (nInter, nUnion) = (r.getLong(5), r.getLong(6))
+      assert(okay >= 0 && okay <= k, s"overlap_k out of [0, k]: $r")
+      assert(estJ >= 0.0 && estJ <= 1.0, s"est_jaccard out of [0,1]: $r")
+      val relErr = math.abs(estU - nUnion) / nUnion
+      assert(relErr <= 4.0 / math.sqrt(k - 1.0),
+        s"union estimate off by ${(relErr * 100).round}% (4-sigma is ~25%): $r")
+      val exactJ = nInter.toDouble / nUnion
+      val sigmaJ = math.sqrt(exactJ * (1 - exactJ) / k)
+      assert(math.abs(estJ - exactJ) <= 4 * sigmaJ + 1.0 / k,
+        s"jaccard estimate outside 4 sigma of exact $exactJ: $r")
+    }
+    // the sketch must DISCRIMINATE: the most-overlapping exact pair
+    // should estimate higher than the least-overlapping one
+    val byExact = rows.sortBy(r => r.getLong(5).toDouble / r.getLong(6))
+    assert(byExact.last.getDouble(4) > byExact.head.getDouble(4),
+      "estimator failed to separate the extreme pairs")
+  }
 }
