@@ -201,6 +201,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[MinHashAgg].getName, "graft_minhash_agg"),
       (children: Seq[Expression]) => MinHashAgg(children.head)))
     ext.injectFunction((
+      new FunctionIdentifier("graft_kmv_agg"),
+      new ExpressionInfo(classOf[KmvAgg].getName, "graft_kmv_agg"),
+      (children: Seq[Expression]) => KmvAgg(children.head)))
+    ext.injectFunction((
       new FunctionIdentifier("graft_hash60"),
       new ExpressionInfo(classOf[Hash60].getName, "graft_hash60"),
       (children: Seq[Expression]) => Hash60(children.head)))

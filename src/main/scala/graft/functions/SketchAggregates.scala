@@ -175,3 +175,100 @@ object MinHashAgg {
   val Pa: Array[Long] = Array.tabulate(K)(i => F.hash60Driver(s"perm_a_$i") % (P - 1) + 1L)
   val Pb: Array[Long] = Array.tabulate(K)(i => F.hash60Driver(s"perm_b_$i") % P)
 }
+
+/** graft_kmv_agg(h): the K minimum DISTINCT values of the group,
+  * ascending — s10's per-source KMV sketch as ONE map-combined
+  * aggregation. The declarative formulation (distinct + window rank
+  * partitioned by group) pays a full shuffle+sort of every group's
+  * hash set; this buffer holds at most K values and each row costs
+  * O(log K), so the 100 TB sketch build is a single ObjectHashAggregate
+  * with map-side partial merge, like the MinHash/SimHash aggregates.
+  * Bit-identical to the declarative path (pinned in SketchSpec). */
+case class KmvAgg(
+    hExpr: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[java.util.TreeSet[java.lang.Long]] {
+
+  import KmvAgg._
+
+  override def children: Seq[Expression] = Seq(hExpr)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_kmv_agg"
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (hExpr.dataType == LongType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure("graft_kmv_agg requires bigint")
+
+  override def createAggregationBuffer(): java.util.TreeSet[java.lang.Long] =
+    new java.util.TreeSet[java.lang.Long]()
+
+  private def insert(buf: java.util.TreeSet[java.lang.Long], h: Long): Unit = {
+    if (buf.size < K) { buf.add(h); () }
+    else if (h < buf.last()) {
+      // TreeSet dedups: add is a no-op on a present value, so the
+      // trim only fires when the insert really grew the set
+      if (buf.add(h) && buf.size > K) { buf.pollLast(); () }
+    }
+  }
+
+  override def update(buf: java.util.TreeSet[java.lang.Long],
+      input: InternalRow): java.util.TreeSet[java.lang.Long] = {
+    val hv = hExpr.eval(input)
+    if (hv != null) insert(buf, hv.asInstanceOf[Long])
+    buf
+  }
+
+  override def merge(a: java.util.TreeSet[java.lang.Long],
+      b: java.util.TreeSet[java.lang.Long]): java.util.TreeSet[java.lang.Long] = {
+    val it = b.iterator()
+    var break = false
+    while (it.hasNext && !break) {
+      val v = it.next()
+      // b iterates ascending; once a is full and v can't displace its
+      // max, no later b value can either
+      if (a.size == K && v >= a.last()) break = true
+      else insert(a, v)
+    }
+    a
+  }
+
+  override def eval(buf: java.util.TreeSet[java.lang.Long]): Any = {
+    val out = new Array[Long](buf.size)
+    val it = buf.iterator()
+    var i = 0
+    while (it.hasNext) { out(i) = it.next(); i += 1 }
+    new GenericArrayData(out)
+  }
+
+  override def serialize(buf: java.util.TreeSet[java.lang.Long]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(4 + buf.size * 8)
+    bb.putInt(buf.size)
+    val it = buf.iterator()
+    while (it.hasNext) bb.putLong(it.next())
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): java.util.TreeSet[java.lang.Long] = {
+    val bb = ByteBuffer.wrap(bytes)
+    val n = bb.getInt
+    val buf = new java.util.TreeSet[java.lang.Long]()
+    var i = 0
+    while (i < n) { buf.add(bb.getLong); i += 1 }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): KmvAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): KmvAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): KmvAgg =
+    copy(hExpr = newChildren(0))
+}
+
+object KmvAgg {
+  /** THE s10 sketch size (SketchOps.SetOpsK delegates here). 256: a
+    * power of two, so overlap_k/k divisions are exact binary rationals
+    * — bit-identical in both engines. */
+  val K = 256
+}

@@ -418,12 +418,12 @@ object SketchOps {
       .orderBy(col("min_h"), col("doc_id"))
       .limit(WsK)
 
-  /** s10 sketch size. 256 (a power of two, so overlap_k/k divisions are
-    * exact binary rationals — bit-identical in both engines) against
-    * ~1.3k distinct shingles per fixture source gives ~6% standard
-    * error (1/√(k−1)); a 100 TB curation run raises it to 4-16k and the
-    * plan shape is unchanged. */
-  val SetOpsK = 256
+  /** s10 sketch size — one definition, in [[graft.functions.KmvAgg]]
+    * (256: power of two ⇒ exact binary divisions, bit-identical in
+    * both engines). Against ~1.3k distinct shingles per fixture source
+    * it gives ~6% standard error (1/√(k−1)); a 100 TB curation run
+    * raises it to 4-16k and the plan shape is unchanged. */
+  val SetOpsK: Int = graft.functions.KmvAgg.K
 
   /** The distinct (source, shingle-hash) relation — s10's substrate,
     * shared with d2/d3's n-gram universe (same shingles, same hash60),
@@ -453,21 +453,38 @@ object SketchOps {
     * cross-source join in the plan.
     *
     * Scale shape: the sketch build is one distinct + one per-source
-    * bottom-k (window rank partitioned BY SOURCE — s2's
-    * shuffle-per-group-key plan; at extreme per-source volume the rank
-    * becomes a bounded k-slot imperative aggregate, the MinHashAgg
-    * pattern, with identical output). Everything pairwise runs on
+    * bottom-k — natively `graft_kmv_agg`, a bounded K-slot imperative
+    * aggregate (O(log K) per row, map-side partial merge — the
+    * MinHashAgg pattern), with a bit-identical window-rank fallback
+    * for sessions without the extension. Everything pairwise runs on
     * |sources|²·k sketch rows — kilobytes — never on the corpora:
     * S sources cost S·k rows however many petabytes they hold. All
     * arithmetic is int64 hashes + IEEE doubles with power-of-two
     * divisors, so the oracle matches bit-for-bit. */
+  /** The per-source bottom-k sketch relation (source, h). Native path:
+    * ONE map-combined `graft_kmv_agg` (bounded K-slot buffer — no
+    * per-source sort of the full hash set); fallback: distinct + window
+    * rank, bit-identical (pinned in SketchSpec). */
+  private[graft] def sourceSketch(spark: SparkSession, dir: String,
+      native: Boolean): DataFrame = {
+    val full = sourceHashes(spark, dir)
+    if (native)
+      full.groupBy("source")
+        .agg(call_function("graft_kmv_agg", col("h")).as("hs"))
+        .select(col("source"), explode(col("hs")).as("h"))
+    else {
+      import org.apache.spark.sql.expressions.Window
+      full
+        .withColumn("rnk", row_number().over(Window.partitionBy("source").orderBy("h")))
+        .filter(col("rnk") <= SetOpsK)
+        .select("source", "h")
+    }
+  }
+
   def kmvSetOps(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val full = sourceHashes(spark, dir)
-    val sk = full
-      .withColumn("rnk", row_number().over(Window.partitionBy("source").orderBy("h")))
-      .filter(col("rnk") <= SetOpsK)
-      .select("source", "h")
+    val sk = sourceSketch(spark, dir, native = extensionLive(spark))
     val srcs = full.select("source").distinct()
     val pairs = srcs.select(col("source").as("src_a"))
       .join(srcs.select(col("source").as("src_b")), col("src_a") < col("src_b"))

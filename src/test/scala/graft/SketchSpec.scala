@@ -208,4 +208,14 @@ class SketchSpec extends AnyFunSuite with SparkSpec {
     assert(byExact.last.getDouble(4) > byExact.head.getDouble(4),
       "estimator failed to separate the extreme pairs")
   }
+
+  test("s10 native kmv_agg sketch equals the window-rank fallback bit-for-bit") {
+    import graft.operators.SketchOps
+    assume(graft.functions.F.extensionLive(spark))
+    def rowsOf(native: Boolean) =
+      SketchOps.sourceSketch(spark, Sf0001, native)
+        .collect().map(r => (r.getString(0), r.getLong(1))).sorted.toSeq
+    assert(rowsOf(native = true) === rowsOf(native = false),
+      "bounded-buffer aggregate drifted from the declarative bottom-k")
+  }
 }
