@@ -497,6 +497,72 @@ object Oracles {
        |ORDER BY e.src_a, e.src_b""".stripMargin
   }
 
+  /** The shared market-basket substrate (a11/a12): distinct order→part
+    * incidence, per-item basket counts, unordered-pair co-occurrence
+    * counts — mirrors BasketOps.pairCountsOver exactly. */
+  private val basketCte: String =
+    """items AS MATERIALIZED (
+      |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+      |counts AS MATERIALIZED (SELECT pk, count(*) AS cnt FROM items GROUP BY pk),
+      |pairs AS MATERIALIZED (
+      |  SELECT a.pk AS pk_a, b.pk AS pk_b, count(*) AS pair_cnt
+      |  FROM items a JOIN items b ON a.ok = b.ok AND a.pk < b.pk
+      |  GROUP BY 1, 2)""".stripMargin
+
+  /** a11: both orientations of every pair with pair_cnt ≥ MinPairSup
+    * scored as ante→cons rules; support/confidence/lift in ppm via
+    * int64 floor division (`//` here = `div` in Spark — both floor for
+    * the all-positive counts); top-TopRules under the TOTAL
+    * (pair_cnt desc, lift desc, ante, cons) order. */
+  private lazy val a11Sql: String = {
+    val minSup = graft.operators.BasketOps.MinPairSup
+    val topK = graft.operators.BasketOps.TopRules
+    s"""WITH $basketCte,
+       |n AS MATERIALIZED (SELECT count(DISTINCT ok) AS n_orders FROM items),
+       |rules AS MATERIALIZED (
+       |  SELECT pk_a AS ante, pk_b AS cons, pair_cnt FROM pairs WHERE pair_cnt >= $minSup
+       |  UNION ALL
+       |  SELECT pk_b AS ante, pk_a AS cons, pair_cnt FROM pairs WHERE pair_cnt >= $minSup)
+       |SELECT r.ante, r.cons, r.pair_cnt,
+       |  (1000000 * r.pair_cnt) // ca.cnt AS conf_ppm,
+       |  (1000000 * r.pair_cnt * n.n_orders) // (ca.cnt * cb.cnt) AS lift_ppm,
+       |  (1000000 * r.pair_cnt) // n.n_orders AS supp_ppm
+       |FROM rules r
+       |JOIN counts ca ON ca.pk = r.ante
+       |JOIN counts cb ON cb.pk = r.cons
+       |CROSS JOIN n
+       |ORDER BY r.pair_cnt DESC, lift_ppm DESC, r.ante ASC, r.cons ASC
+       |LIMIT $topK""".stripMargin
+  }
+
+  /** a12: top-NeighborsPerItem co-purchase neighbors by basket-set
+    * Jaccard (ppm) for each of the top-QueryItems most frequent items —
+    * replays BasketOps.similarityOver over the identical substrate. */
+  private lazy val a12Sql: String = {
+    val qItems = graft.operators.BasketOps.QueryItems
+    val topN = graft.operators.BasketOps.NeighborsPerItem
+    s"""WITH $basketCte,
+       |qitems AS MATERIALIZED (
+       |  SELECT pk AS item, cnt AS item_cnt FROM counts
+       |  ORDER BY cnt DESC, pk ASC LIMIT $qItems),
+       |sym AS MATERIALIZED (
+       |  SELECT pk_a AS item, pk_b AS neighbor, pair_cnt FROM pairs
+       |  UNION ALL
+       |  SELECT pk_b AS item, pk_a AS neighbor, pair_cnt FROM pairs),
+       |scored AS MATERIALIZED (
+       |  SELECT s.item, s.neighbor, s.pair_cnt,
+       |    (1000000 * s.pair_cnt) // (q.item_cnt + c.cnt - s.pair_cnt) AS jaccard_ppm
+       |  FROM sym s
+       |  JOIN qitems q ON q.item = s.item
+       |  JOIN counts c ON c.pk = s.neighbor)
+       |SELECT item, neighbor, pair_cnt, jaccard_ppm, rk FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY item
+       |    ORDER BY jaccard_ppm DESC, pair_cnt DESC, neighbor ASC) AS rk
+       |  FROM scored) z
+       |WHERE rk <= $topN
+       |ORDER BY item ASC, rk ASC""".stripMargin
+  }
+
   /** One MATERIALIZED label-propagation round — g4's chain is
     * CcMaxRounds deep, where DuckDB's default inlining is exponential
     * (the kmeansCte lesson); d5's 3-deep chain keeps the plain form. */
@@ -2035,6 +2101,8 @@ object Oracles {
     "s9_hll_merge" -> s4Sql,
 
     "s10_kmv_setops" -> s10Sql,
+    "a11_market_basket" -> a11Sql,
+    "a12_item_similarity" -> a12Sql,
 
     // ---------- round 5 additions ----------
 

@@ -1,0 +1,155 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Market-basket mining over the order→part incidence — the
+  * co-occurrence family (A-Priori rule mining, item-item collaborative
+  * filtering) the reference's KPI layer has no analog for, re-expressed
+  * as two declarative passes over ONE shared pair-count substrate.
+  *
+  * The substrate is the classic scalable topology (d2's discipline on
+  * baskets instead of ngrams): distinct (order, part) incidence →
+  * equality self-join on the ORDER key → map-combined pair groupBy.
+  * Per-basket fan-out is C(b,2) in the basket size b — bounded by the
+  * basket-size distribution (TPC-H orders carry ≤ 7 lineitems → ≤ 21
+  * pairs), never by item popularity, so no hot-item quadratic blowup
+  * exists by construction; a corpus with pathological mega-baskets
+  * would cap or salt the basket BEFORE the self-join (x5's
+  * admission-prefix discipline). Everything downstream of the pair
+  * count is collision-scale (pairs seen ≥ MinPairSup times) or
+  * item-dimension-scale — the fact is touched exactly once.
+  *
+  * All scores are int64 ppm with floor division (the §4 rule): ratios
+  * like confidence/lift/Jaccard on rational counts sit on half-up
+  * rounding boundaries where engines disagree; `div` has one
+  * definition everywhere. Overflow bound: the lift numerator
+  * 10⁶·pair_cnt·n_orders must stay inside int64 → pair_cnt·n_orders ≤
+  * 9.2·10¹². A 100 TB corpus with ~10⁹ baskets and ~10³-support pairs
+  * sits at the edge — past it, lift moves to DECIMAL(38,0) (e15's Σnᵢ²
+  * precedent) without touching the contract.
+  */
+object BasketOps {
+
+  /** Minimum co-occurrence count for a pair to score at all — the
+    * A-Priori support floor (absolute, because random-incidence pair
+    * support concentrates on small counts at every SF). */
+  private[graft] val MinPairSup = 2L
+  /** a11 emits the top-K rules under a TOTAL order. */
+  private[graft] val TopRules = 25
+  /** a12's bounded query set: the top-N most frequent items (e1's
+    * bounded-query-set discipline — per-request serving is e12's shape,
+    * not a corpus sweep). */
+  private[graft] val QueryItems = 20
+  private[graft] val NeighborsPerItem = 3
+
+  /** Distinct (basket, item) incidence — one narrow 2-column projection
+    * + map-combined distinct; the only fact-scale scan in the family. */
+  private def itemsOf(spark: SparkSession, dir: String): DataFrame =
+    DedupOps.memoized(spark, "basket_items", dir) {
+      Tables.lineitem(spark, dir)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct()
+    }
+
+  /** Per-item basket counts (item-dimension-scale). */
+  private def itemCountsOf(spark: SparkSession, dir: String): DataFrame =
+    DedupOps.memoized(spark, "basket_item_counts", dir) {
+      itemsOf(spark, dir).groupBy("pk").agg(count(lit(1)).as("cnt"))
+    }
+
+  /** The shared pair-count substrate: co-occurrence counts for every
+    * unordered item pair appearing in ≥ 1 common basket. Memoized per
+    * (session, dir) — a11 and a12 read the IDENTICAL counts, so the
+    * rule miner and the similarity ranker cannot drift. */
+  private def pairCountsOf(spark: SparkSession, dir: String): DataFrame =
+    DedupOps.memoized(spark, "basket_pairs", dir) {
+      pairCountsOver(itemsOf(spark, dir))
+    }
+
+  /** The un-memoized pair build — split out so specs run the REAL
+    * topology on constructed baskets. */
+  private[graft] def pairCountsOver(items: DataFrame): DataFrame = {
+    val a = items.select(col("ok"), col("pk").as("pk_a"))
+    val b = items.select(col("ok"), col("pk").as("pk_b"))
+    a.join(b, "ok")
+      .where(col("pk_a") < col("pk_b"))
+      .groupBy("pk_a", "pk_b")
+      .agg(count(lit(1)).as("pair_cnt"))
+  }
+
+  /** a11 core over an arbitrary incidence relation (ok, pk): both
+    * orientations of every surviving pair scored as a rule ante→cons
+    * with support/confidence/lift in ppm, top-TopRules under the total
+    * (pair_cnt desc, lift desc, ante, cons) order. */
+  private[graft] def rulesOver(items: DataFrame, pairs: DataFrame,
+      counts: DataFrame): DataFrame = {
+    val nOrders = items.agg(countDistinct(col("ok")).as("n_orders"))
+    val freq = pairs.where(col("pair_cnt") >= MinPairSup)
+    val rules = freq
+      .select(col("pk_a").as("ante"), col("pk_b").as("cons"), col("pair_cnt"))
+      .unionByName(freq
+        .select(col("pk_b").as("ante"), col("pk_a").as("cons"), col("pair_cnt")))
+    val ca = counts.select(col("pk").as("ante"), col("cnt").as("cnt_a"))
+    val cb = counts.select(col("pk").as("cons"), col("cnt").as("cnt_b"))
+    rules
+      .join(ca, "ante")
+      .join(cb, "cons")
+      .crossJoin(broadcast(nOrders)) // 1-row scalar, the house constant-join
+      .select(
+        col("ante"), col("cons"), col("pair_cnt"),
+        expr("(1000000 * pair_cnt) div cnt_a").as("conf_ppm"),
+        expr("(1000000 * pair_cnt * n_orders) div (cnt_a * cnt_b)").as("lift_ppm"),
+        expr("(1000000 * pair_cnt) div n_orders").as("supp_ppm"))
+      .orderBy(col("pair_cnt").desc, col("lift_ppm").desc,
+        col("ante").asc, col("cons").asc)
+      .limit(TopRules)
+  }
+
+  /** a11: association rules over the order→part baskets ("customers
+    * who bought A also bought B"). The limit runs as
+    * TakeOrderedAndProject over the collision-scale rule set; the two
+    * count joins are item-dimension-scale. */
+  def marketBasket(spark: SparkSession, dir: String): DataFrame =
+    rulesOver(itemsOf(spark, dir), pairCountsOf(spark, dir),
+      itemCountsOf(spark, dir))
+
+  /** a12 core: per query item, its top-NeighborsPerItem co-purchase
+    * neighbors by basket-set Jaccard (ppm). The query set is the
+    * top-QueryItems most frequent items under the total (cnt desc, pk)
+    * order — constant-size, so it BROADCASTS and the symmetrized pair
+    * set reduces to the queried items' rows before any scoring. */
+  private[graft] def similarityOver(pairs: DataFrame, counts: DataFrame): DataFrame = {
+    val qitems = counts
+      .orderBy(col("cnt").desc, col("pk").asc)
+      .limit(QueryItems)
+      .select(col("pk").as("item"), col("cnt").as("item_cnt"))
+    val sym = pairs
+      .select(col("pk_a").as("item"), col("pk_b").as("neighbor"), col("pair_cnt"))
+      .unionByName(pairs
+        .select(col("pk_b").as("item"), col("pk_a").as("neighbor"), col("pair_cnt")))
+    val cn = counts.select(col("pk").as("neighbor"), col("cnt").as("cnt_n"))
+    // |A∩B| = pair_cnt, |A∪B| = |A| + |B| − |A∩B|; all int64 ppm.
+    val scored = sym
+      .join(broadcast(qitems), "item")
+      .join(cn, "neighbor")
+      .withColumn("jaccard_ppm",
+        expr("(1000000 * pair_cnt) div (item_cnt + cnt_n - pair_cnt)"))
+    val w = Window.partitionBy("item")
+      .orderBy(col("jaccard_ppm").desc, col("pair_cnt").desc, col("neighbor").asc)
+    scored
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") <= NeighborsPerItem)
+      .select("item", "neighbor", "pair_cnt", "jaccard_ppm", "rk")
+      .orderBy(col("item").asc, col("rk").asc)
+  }
+
+  /** a12: item-item collaborative filtering over the shared substrate —
+    * the "also bought" ranking a recommender precomputes. The window is
+    * PARTITIONED by item (QueryItems partitions, each the item's
+    * neighbor list) — never an unpartitioned scan. */
+  def itemSimilarity(spark: SparkSession, dir: String): DataFrame =
+    similarityOver(pairCountsOf(spark, dir), itemCountsOf(spark, dir))
+}

@@ -1,0 +1,104 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.BasketOps
+
+/** a11/a12: the market-basket family proven on constructed baskets with
+  * hand-computed rule/similarity scores, plus invariants on real data. */
+class BasketSpec extends AnyFunSuite with SparkSpec {
+
+  /** ok1:{1,2,3} ok2:{1,2} ok3:{1,2,4} ok4:{3,4} ok5:{1,3} —
+    * counts 1→4, 2→3, 3→3, 4→2; pairs (1,2):3, (1,3):2, rest 1. */
+  private def constructedItems(): DataFrame = {
+    import spark.implicits._
+    Seq(
+      (1L, 1L), (1L, 2L), (1L, 3L),
+      (2L, 1L), (2L, 2L),
+      (3L, 1L), (3L, 2L), (3L, 4L),
+      (4L, 3L), (4L, 4L),
+      (5L, 1L), (5L, 3L)
+    ).toDF("ok", "pk")
+  }
+
+  private def countsOf(items: DataFrame): DataFrame =
+    items.groupBy("pk").agg(count(lit(1)).as("cnt"))
+
+  test("a11 rules on constructed baskets match the hand computation exactly") {
+    val items = constructedItems()
+    val rules = BasketOps
+      .rulesOver(items, BasketOps.pairCountsOver(items), countsOf(items))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    // (ante, cons, pair_cnt, conf_ppm, lift_ppm, supp_ppm); n_orders = 5
+    assert(rules.toSeq === Seq(
+      (1L, 2L, 3L, 750000L, 1250000L, 600000L),  // conf 3/4, lift 3·5/(4·3)
+      (2L, 1L, 3L, 1000000L, 1250000L, 600000L), // conf 3/3
+      (1L, 3L, 2L, 500000L, 833333L, 400000L),   // lift 2·5/(4·3) = 10/12
+      (3L, 1L, 2L, 666666L, 833333L, 400000L)))
+  }
+
+  test("a11 mirrored rules share pair_cnt, lift and support (lift is symmetric)") {
+    val rules = SparkEntry.queries("a11_market_basket")(spark, Sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(4), r.getLong(5)))
+    val byPair = rules.groupBy { case (a, c, _, _, _) =>
+      (math.min(a, c), math.max(a, c))
+    }
+    // every unordered pair inside the top-25 cut appears with ONE
+    // (pair_cnt, lift, supp) triple however many orientations survived
+    byPair.foreach { case (_, rs) =>
+      assert(rs.map(r => (r._3, r._4, r._5)).distinct.size === 1)
+    }
+    assert(rules.length === BasketOps.TopRules)
+  }
+
+  test("a11 plan takes the top-K without a global sort (TakeOrderedAndProject)") {
+    val plan = SparkEntry.queries("a11_market_basket")(spark, Sf0001)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"))
+  }
+
+  test("a12 similarity on constructed baskets matches the hand computation") {
+    val items = constructedItems()
+    val sim = BasketOps
+      .similarityOver(BasketOps.pairCountsOver(items), countsOf(items))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getInt(4)))
+    // jaccard(1,2) = 3/(4+3−3) = 750000; jaccard(1,3) = 2/(4+3−2) = 400000;
+    // jaccard(1,4) = 1/(4+2−1) = 200000; jaccard(2,3) = 1/5; jaccard(2,4) = 1/4;
+    // jaccard(3,4) = 1/4 = 250000
+    assert(sim.toSeq === Seq(
+      (1L, 2L, 3L, 750000L, 1), (1L, 3L, 2L, 400000L, 2), (1L, 4L, 1L, 200000L, 3),
+      (2L, 1L, 3L, 750000L, 1), (2L, 4L, 1L, 250000L, 2), (2L, 3L, 1L, 200000L, 3),
+      (3L, 1L, 2L, 400000L, 1), (3L, 4L, 1L, 250000L, 2), (3L, 2L, 1L, 200000L, 3),
+      (4L, 2L, 1L, 250000L, 1), (4L, 3L, 1L, 250000L, 2), (4L, 1L, 1L, 200000L, 3)))
+  }
+
+  test("a12 on real data: bounded query set, ranked neighbor lists, ppm bounds") {
+    val rows = SparkEntry.queries("a12_item_similarity")(spark, Sf0001).collect()
+    val byItem = rows.groupBy(_.getLong(0))
+    assert(byItem.size <= BasketOps.QueryItems)
+    byItem.foreach { case (_, rs) =>
+      assert(rs.map(_.getInt(4)).sorted.toSeq === (1 to rs.length))
+      assert(rs.length <= BasketOps.NeighborsPerItem)
+      // ranks follow the declared total order
+      val ord = rs.sortBy(_.getInt(4)).map(r => (-r.getLong(3), -r.getLong(2), r.getLong(1)))
+      assert(ord.toSeq === ord.sortBy(identity).toSeq)
+    }
+    rows.foreach { r =>
+      assert(r.getLong(3) >= 0 && r.getLong(3) <= 1000000L) // Jaccard ppm
+      assert(r.getLong(0) !== r.getLong(1)) // never its own neighbor
+    }
+  }
+
+  test("a11/a12 rerun bit-identical (memoized substrate, deterministic ties)") {
+    val a = SparkEntry.queries("a11_market_basket")(spark, Sf0001).collect().toSeq
+    val b = SparkEntry.queries("a11_market_basket")(spark, Sf0001).collect().toSeq
+    assert(a === b)
+    val c = SparkEntry.queries("a12_item_similarity")(spark, Sf0001).collect().toSeq
+    val d = SparkEntry.queries("a12_item_similarity")(spark, Sf0001).collect().toSeq
+    assert(c === d)
+  }
+}
