@@ -497,6 +497,65 @@ object Oracles {
        |ORDER BY e.src_a, e.src_b""".stripMargin
   }
 
+  /** t13: gram → min(doc_id) first owner over the d2/d3 gram substrate,
+    * folded per doc into (carried, introduced) counts — novelty_ppm =
+    * the fraction of a doc's distinct 3-grams it introduces. */
+  private val t13Sql: String =
+    s"""WITH $ngramCte,
+       |fo AS MATERIALIZED (SELECT ngram, min(doc_id) AS first_doc FROM ng GROUP BY ngram)
+       |SELECT g.doc_id,
+       |  CAST(count(*) AS BIGINT) AS n_grams,
+       |  CAST(SUM(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+       |  (1000000 * CAST(SUM(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END) AS BIGINT))
+       |    // CAST(count(*) AS BIGINT) AS novelty_ppm
+       |FROM ng g JOIN fo f USING (ngram)
+       |GROUP BY g.doc_id
+       |ORDER BY g.doc_id""".stripMargin
+
+  /** d13: the d3 pair set re-scored three ways — agreeing permutations
+    * (signatures recomputed over the members' grams only; a doc's
+    * signature depends on nothing else), exact unpruned n-gram Jaccard,
+    * and the absolute estimate error, all int64 ppm. */
+  private lazy val d13Sql: String = {
+    val k = graft.operators.DedupOps.K
+    s"""WITH d3p AS MATERIALIZED (SELECT doc_a, doc_b FROM ($d3Sql) z),
+       |$ngramCte,
+       |mem AS MATERIALIZED (SELECT DISTINCT doc_id FROM (
+       |  SELECT doc_a AS doc_id FROM d3p UNION ALL SELECT doc_b AS doc_id FROM d3p) u),
+       |ngm AS MATERIALIZED (SELECT g.doc_id, g.ngram FROM ng g JOIN mem m USING (doc_id)),
+       |sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_ng FROM ngm GROUP BY doc_id),
+       |inter AS (SELECT p.doc_a, p.doc_b, CAST(count(*) AS BIGINT) AS inter
+       |  FROM d3p p
+       |  JOIN ngm a ON a.doc_id = p.doc_a
+       |  JOIN ngm b ON b.doc_id = p.doc_b AND b.ngram = a.ngram
+       |  GROUP BY 1, 2),
+       |h2 AS (SELECT doc_id, ${h60("ngram")} % 2147483647 AS h FROM ngm),
+       |perms2 AS (SELECT CAST(i AS INTEGER) AS i,
+       |  ${h60("'perm_a_' || i")} % 2147483646 + 1 AS pa,
+       |  ${h60("'perm_b_' || i")} % 2147483647 AS pb FROM range($k) t(i)),
+       |sig2 AS (SELECT doc_id, i, min((pa * h + pb) % 2147483647) AS mh
+       |  FROM h2 CROSS JOIN perms2 GROUP BY doc_id, i),
+       |mat AS (SELECT p.doc_a, p.doc_b,
+       |  CAST(SUM(CASE WHEN sa.mh = sb.mh THEN 1 ELSE 0 END) AS BIGINT) AS matches
+       |  FROM d3p p
+       |  JOIN sig2 sa ON sa.doc_id = p.doc_a
+       |  JOIN sig2 sb ON sb.doc_id = p.doc_b AND sb.i = sa.i
+       |  GROUP BY 1, 2)
+       |SELECT p.doc_a, p.doc_b, m.matches,
+       |  (1000000 * m.matches) // $k AS est_ppm,
+       |  (1000000 * COALESCE(i.inter, 0))
+       |    // (sa.n_ng + sb.n_ng - COALESCE(i.inter, 0)) AS exact_ppm,
+       |  abs((1000000 * m.matches) // $k -
+       |    (1000000 * COALESCE(i.inter, 0))
+       |      // (sa.n_ng + sb.n_ng - COALESCE(i.inter, 0))) AS err_ppm
+       |FROM d3p p
+       |JOIN mat m ON m.doc_a = p.doc_a AND m.doc_b = p.doc_b
+       |LEFT JOIN inter i ON i.doc_a = p.doc_a AND i.doc_b = p.doc_b
+       |JOIN sizes sa ON sa.doc_id = p.doc_a
+       |JOIN sizes sb ON sb.doc_id = p.doc_b
+       |ORDER BY p.doc_a, p.doc_b""".stripMargin
+  }
+
   /** The shared market-basket substrate (a11/a12): distinct order→part
     * incidence, per-item basket counts, unordered-pair co-occurrence
     * counts — mirrors BasketOps.pairCountsOver exactly. */
@@ -2103,6 +2162,8 @@ object Oracles {
     "s10_kmv_setops" -> s10Sql,
     "a11_market_basket" -> a11Sql,
     "a12_item_similarity" -> a12Sql,
+    "t13_novelty" -> t13Sql,
+    "d13_minhash_eval" -> d13Sql,
 
     // ---------- round 5 additions ----------
 

@@ -68,7 +68,7 @@ object DedupOps {
 
   /** Distinct (doc_id, ngram) pairs — the shared candidate substrate for
     * d2 and d3, persisted once per session+dir. */
-  private[operators] def docNgrams(spark: SparkSession, dir: String): DataFrame =
+  private[graft] def docNgrams(spark: SparkSession, dir: String): DataFrame =
     memoized(spark, "docNgrams", dir) {
       Tables.documents(spark, dir)
         .withColumn("t", tokens(col("text")))
@@ -680,5 +680,51 @@ object DedupOps {
       .select(col("vec_id"), col("cid").as("cluster"),
         col("dup_of").isNull.as("is_kept"), col("dup_of"), col("sim"))
       .orderBy("vec_id")
+  }
+
+  /** d13: ESTIMATOR QA for the MinHash path — e8's recall-evaluation
+    * discipline applied to the dedup family. For every d3 candidate
+    * pair: the number of agreeing permutations, the MinHash Jaccard
+    * estimate, the EXACT n-gram Jaccard over the unpruned gram sets,
+    * and the absolute error — the measurement you run before trusting
+    * a (K, band) config to gate 100 TB of dedup decisions, exactly as
+    * e8 runs before trusting an nProbe.
+    *
+    * Scale shape: every relation here is bounded by the MEMOIZED d3
+    * pair set (output-of-dedup-scale) — pair members semi-join the
+    * memoized gram substrate down to member-scale BEFORE the exact
+    * intersection, so the corpus is never rescanned and nothing
+    * quadratic-in-corpus exists; the agreeing-permutation recount is
+    * K rows per member doc. Scores int64 ppm floor-div; est_ppm is
+    * exact because matches/K has a power-of-two denominator. */
+  def minhashEval(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = minhashLsh(spark, dir).select("doc_a", "doc_b")
+    val sig = minhashSig(spark, dir)
+    val ng = docNgrams(spark, dir)
+    val members = pairs.select(col("doc_a").as("doc_id"))
+      .unionByName(pairs.select(col("doc_b").as("doc_id"))).distinct()
+    val ngm = ng.join(members, "doc_id")
+    val sizes = ngm.groupBy("doc_id").agg(count(lit(1)).as("n_ng"))
+    val inter = pairs
+      .join(ngm.select(col("doc_id").as("doc_a"), col("ngram")), "doc_a")
+      .join(ngm.select(col("doc_id").as("doc_b"), col("ngram")), Seq("doc_b", "ngram"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
+    val matches = pairs
+      .join(sig.select(col("doc_id").as("doc_a"), col("i"), col("mh").as("mha")), "doc_a")
+      .join(sig.select(col("doc_id").as("doc_b"), col("i"), col("mh").as("mhb")),
+        Seq("doc_b", "i"))
+      .groupBy("doc_a", "doc_b")
+      .agg(sum(when(col("mha") === col("mhb"), 1L).otherwise(0L)).as("matches"))
+    pairs
+      .join(matches, Seq("doc_a", "doc_b"))
+      .join(inter, Seq("doc_a", "doc_b"), "left")
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n_ng").as("n_a")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n_ng").as("n_b")), "doc_b")
+      .withColumn("inter0", coalesce(col("inter"), lit(0L)))
+      .withColumn("est_ppm", expr(s"(1000000 * matches) div $K"))
+      .withColumn("exact_ppm", expr("(1000000 * inter0) div (n_a + n_b - inter0)"))
+      .select(col("doc_a"), col("doc_b"), col("matches"), col("est_ppm"),
+        col("exact_ppm"), abs(col("est_ppm") - col("exact_ppm")).as("err_ppm"))
+      .orderBy("doc_a", "doc_b")
   }
 }

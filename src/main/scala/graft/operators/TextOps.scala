@@ -372,4 +372,35 @@ object TextOps {
       .select(col("rnk").cast(LongType).as("rnk"), col("pair"), col("n"))
       .orderBy("rnk")
   }
+
+  /** t13: per-document NOVELTY scoring — the fraction of a document's
+    * distinct 3-grams it INTRODUCES to the corpus (it is the lowest
+    * doc_id carrying the gram). The redundancy dial of a curation mix:
+    * low novelty = the document restates what earlier documents already
+    * contribute (boilerplate, syndication, near-dup tails d1–d5 keep),
+    * and the corpus-prefix framing makes the score stable under append
+    * (new arrivals can never change an existing doc's novelty — x6's
+    * growth-stability rule applied to a score).
+    *
+    * Scale shape: rides the MEMOIZED d2/d3 (doc_id, ngram) substrate —
+    * zero new corpus passes; one map-combined min-groupBy on the gram
+    * key, one join back on the same key (same partitioning), one
+    * map-combined per-doc fold. Score is int64 ppm floor-div (§4).
+    * Docs with < 3 tokens carry no gram and emit no row (they have no
+    * novelty to measure — the d2 domain rule). */
+  def novelty(spark: SparkSession, dir: String): DataFrame =
+    noveltyOver(DedupOps.docNgrams(spark, dir))
+
+  /** The un-memoized fold over an arbitrary distinct (doc_id, ngram)
+    * relation — split out so specs prove the rule and its
+    * append-stability on constructed grams. */
+  private[graft] def noveltyOver(ng: DataFrame): DataFrame = {
+    val firstOwner = ng.groupBy("ngram").agg(min("doc_id").as("first_doc"))
+    ng.join(firstOwner, "ngram")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L)).as("n_novel"))
+      .withColumn("novelty_ppm", expr("(1000000 * n_novel) div n_grams"))
+      .orderBy("doc_id")
+  }
 }

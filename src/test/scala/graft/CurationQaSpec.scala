@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{DedupOps, TextOps}
+
+/** t13 (novelty) and d13 (MinHash estimator QA): rules proven on
+  * constructed inputs, cross-operator consistency on real data. */
+class CurationQaSpec extends AnyFunSuite with SparkSpec {
+
+  test("t13 novelty rule is exact on constructed grams") {
+    import spark.implicits._
+    // first owners: a→1, b→1, c→2, d→3
+    val ng = Seq(
+      (1L, "a"), (1L, "b"),
+      (2L, "b"), (2L, "c"),
+      (3L, "a"), (3L, "b"), (3L, "c"), (3L, "d")
+    ).toDF("doc_id", "ngram")
+    val out = TextOps.noveltyOver(ng).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq === Seq(
+      (1L, 2L, 2L, 1000000L),
+      (2L, 2L, 1L, 500000L),
+      (3L, 4L, 1L, 250000L)))
+  }
+
+  test("t13 novelty is append-stable: new arrivals never move an existing doc's score") {
+    val ng = DedupOps.docNgrams(spark, Sf0001)
+    val cut = ng.agg(expr(
+      "CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY doc_id) AS BIGINT)"))
+      .head().getLong(0)
+    val onPrefix = TextOps.noveltyOver(ng.filter(col("doc_id") <= cut)).collect().toSeq
+    val fullThenCut = TextOps.noveltyOver(ng).filter(col("doc_id") <= cut).collect().toSeq
+    assert(onPrefix === fullThenCut)
+  }
+
+  test("t13 on real data: ppm bounds and the first document introduces everything") {
+    val rows = SparkEntry.queries("t13_novelty")(spark, Sf0001).collect()
+    rows.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1)) // n_novel ≤ n_grams
+      assert(r.getLong(3) >= 0L && r.getLong(3) <= 1000000L)
+    }
+    // the lowest doc_id carrying any gram can have no earlier owner
+    assert(rows.head.getLong(3) === 1000000L)
+  }
+
+  test("d13 covers exactly the d3 pair set and agrees with its estimate") {
+    val d3 = DedupOps.minhashLsh(spark, Sf0001)
+      .select(col("doc_a"), col("doc_b"), col("est_jaccard")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val d13 = SparkEntry.queries("d13_minhash_eval")(spark, Sf0001).collect()
+    assert(d13.map(r => (r.getLong(0), r.getLong(1))).toSet === d3.keySet)
+    d13.foreach { r =>
+      val est = d3((r.getLong(0), r.getLong(1)))
+      // matches is the integer form of d3's power-of-two-exact estimate
+      assert(r.getLong(2) === (est * DedupOps.K).toLong)
+      assert(r.getLong(3) === 1000000L * r.getLong(2) / DedupOps.K)
+    }
+  }
+
+  test("d13 exact Jaccard and error are internally consistent ppm values") {
+    val d13 = SparkEntry.queries("d13_minhash_eval")(spark, Sf0001).collect()
+    assert(d13.nonEmpty)
+    d13.foreach { r =>
+      val (matches, est, exact, err) =
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+      assert(matches >= 0L && matches <= DedupOps.K.toLong)
+      assert(exact >= 0L && exact <= 1000000L)
+      assert(err === math.abs(est - exact))
+      // d3 admits only est ≥ 0.25 pairs — the QA table inherits that floor
+      assert(est >= 250000L)
+    }
+  }
+}
