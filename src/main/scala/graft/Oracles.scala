@@ -497,6 +497,33 @@ object Oracles {
        |ORDER BY e.src_a, e.src_b""".stripMargin
   }
 
+  /** a13: the TEXTBOOK attribution formulation — per-purchase self-join
+    * to preceding in-window touches + argmax (ts, event_id) — against
+    * which the Spark side's single-window-pass rewrite is checked. */
+  private val a13Sql: String =
+    """WITH mk AS MATERIALIZED (
+      |  SELECT user_id, ts, event_id, event_type FROM events
+      |  WHERE event_type IN ('click', 'view')),
+      |pur AS MATERIALIZED (
+      |  SELECT user_id, ts, event_id, value FROM events
+      |  WHERE event_type = 'purchase'),
+      |best AS MATERIALIZED (
+      |  SELECT user_id, ts, event_id, mtype FROM (
+      |    SELECT p.user_id, p.ts, p.event_id, m.event_type AS mtype,
+      |      row_number() OVER (PARTITION BY p.user_id, p.ts, p.event_id
+      |        ORDER BY m.ts DESC, m.event_id DESC) AS rn
+      |    FROM pur p JOIN mk m ON m.user_id = p.user_id
+      |      AND (m.ts < p.ts OR (m.ts = p.ts AND m.event_id < p.event_id))
+      |      AND epoch_us(p.ts) - epoch_us(m.ts) <= 604800000000) z
+      |  WHERE rn = 1)
+      |SELECT COALESCE(b.mtype, 'direct') AS attributed_type,
+      |  CAST(count(*) AS BIGINT) AS n_conv,
+      |  CAST(SUM(CAST(p.value AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+      |FROM pur p
+      |LEFT JOIN best b ON b.user_id = p.user_id AND b.ts = p.ts
+      |  AND b.event_id = p.event_id
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** t13: gram → min(doc_id) first owner over the d2/d3 gram substrate,
     * folded per doc into (carried, introduced) counts — novelty_ppm =
     * the fraction of a doc's distinct 3-grams it introduces. */
@@ -2164,6 +2191,7 @@ object Oracles {
     "a12_item_similarity" -> a12Sql,
     "t13_novelty" -> t13Sql,
     "d13_minhash_eval" -> d13Sql,
+    "a13_attribution" -> a13Sql,
 
     // ---------- round 5 additions ----------
 

@@ -1068,4 +1068,44 @@ object Analytics {
           .otherwise("normal"))
       .orderBy("event_type", "date")
   }
+
+  /** a13: LAST-TOUCH ATTRIBUTION — each purchase credited to the user's
+    * most recent preceding marketing touch (click/view) within a 7-day
+    * lookback, else 'direct'; conversions + decimal-exact revenue per
+    * attributed channel. The marketing report the reference's KPI layer
+    * stops short of.
+    *
+    * ONE user-partitioned window pass (a5's discipline): the ordered
+    * carry `last(struct(ts, event_id, type)) IGNORE NULLS over rows
+    * (unbounded, -1)` IS the argmax-(ts, event_id) preceding touch —
+    * and since touches only age backward, "latest preceding is too
+    * old" ⇒ every touch is too old, so checking the lookback on the
+    * carried row alone is exact. The oracle runs the textbook
+    * per-purchase self-join + argmax formulation, so the window
+    * rewrite's equivalence is itself oracle-checked. Ordering is
+    * (ts, event_id) lexicographic — same-timestamp events resolve
+    * identically in both engines. One shuffle on user_id, then a
+    * map-combined 3-row rollup. */
+  def a13Attribution(spark: SparkSession, dir: String): DataFrame =
+    attributionOf(Tables.events(spark, dir))
+
+  /** a13's core on any events relation — separate so specs can drive
+    * constructed touch/purchase sequences through the exact plan. */
+  private[graft] def attributionOf(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val touch = when(col("event_type").isin("click", "view"),
+      struct(col("ts"), col("event_id"), col("event_type")))
+    events
+      .select("user_id", "ts", "event_id", "event_type", "value")
+      .withColumn("lt", last(touch, ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .withColumn("attributed_type",
+        when(col("lt").isNotNull &&
+          unix_micros(col("ts")) - unix_micros(col("lt.ts")) <= 604800000000L,
+          col("lt.event_type")).otherwise("direct"))
+      .groupBy("attributed_type")
+      .agg(count(lit(1)).as("n_conv"), decSum(col("value")).as("revenue"))
+      .orderBy("attributed_type")
+  }
 }

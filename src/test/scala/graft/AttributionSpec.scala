@@ -1,0 +1,59 @@
+package graft
+
+import java.sql.Timestamp
+import org.scalatest.funsuite.AnyFunSuite
+import graft.analytics.Analytics
+
+/** a13: the single-window-pass last-touch rewrite proven on constructed
+  * sequences covering the boundary cases the rollup hides — same-ts
+  * ordering, the 7-day lookback edge, touches after the purchase. */
+class AttributionSpec extends AnyFunSuite with SparkSpec {
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("a13 attribution rule on constructed sequences: latest touch, window edge, ties") {
+    import spark.implicits._
+    val events = Seq(
+      // user 1: view then click then purchase → latest touch is the click
+      (1L, ts("2024-01-01 00:00:00"), 1L, "view", 0.0),
+      (1L, ts("2024-01-02 00:00:00"), 2L, "click", 0.0),
+      (1L, ts("2024-01-03 00:00:00"), 3L, "purchase", 10.0),
+      // user 2: touch 8 days before the purchase → outside lookback → direct
+      (2L, ts("2024-01-01 00:00:00"), 4L, "click", 0.0),
+      (2L, ts("2024-01-09 00:00:01"), 5L, "purchase", 5.0),
+      // user 3: no touch at all → direct
+      (3L, ts("2024-01-01 00:00:00"), 6L, "purchase", 2.0),
+      // user 4: same-ts view with SMALLER event_id precedes the purchase
+      // and attributes; the same-ts click with LARGER event_id does not
+      (4L, ts("2024-01-01 00:00:00"), 7L, "view", 0.0),
+      (4L, ts("2024-01-01 00:00:00"), 8L, "purchase", 1.0),
+      (4L, ts("2024-01-01 00:00:00"), 9L, "click", 0.0)
+    ).toDF("user_id", "ts", "event_id", "event_type", "value")
+    val out = Analytics.attributionOf(events).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(out.toSeq === Seq(
+      ("click", 1L, 10.0),
+      ("direct", 2L, 7.0),
+      ("view", 1L, 1.0)))
+  }
+
+  test("a13 lookback boundary: a touch exactly 7 days old still attributes") {
+    import spark.implicits._
+    val events = Seq(
+      (1L, ts("2024-01-01 00:00:00"), 1L, "click", 0.0),
+      (1L, ts("2024-01-08 00:00:00"), 2L, "purchase", 3.0) // exactly 604800 s
+    ).toDF("user_id", "ts", "event_id", "event_type", "value")
+    val out = Analytics.attributionOf(events).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(out.toSeq === Seq(("click", 1L, 3.0)))
+  }
+
+  test("a13 on real data: every purchase lands in exactly one bucket") {
+    val ev = Tables.events(spark, Sf0001)
+    val purchases = ev.filter(org.apache.spark.sql.functions
+      .col("event_type") === "purchase").count()
+    val out = SparkEntry.queries("a13_attribution")(spark, Sf0001).collect()
+    assert(out.map(_.getLong(1)).sum === purchases)
+    assert(out.map(_.getString(0)).toSet.subsetOf(Set("click", "view", "direct")))
+  }
+}
