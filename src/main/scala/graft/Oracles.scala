@@ -1719,6 +1719,26 @@ object Oracles {
          |  doc_id, chunk_id, CAST(n_tok AS BIGINT) AS n_tok
          |FROM ch ORDER BY step""".stripMargin,
 
+    // x11: the multi-epoch schedule — x9's chain fanned over the epoch
+    // range, each epoch ranked under its own salted order hash
+    // (epoch 0's key is x9's verbatim); the distributed
+    // rank-minus-offset arithmetic must equal DuckDB's per-epoch
+    // row_number exactly
+    "x11_epoch_schedule" ->
+      s"""WITH $trainChunksCte,
+         |ep AS MATERIALIZED (
+         |  SELECT ch.doc_id, ch.chunk_id, ch.n_tok, CAST(e AS BIGINT) AS epoch
+         |  FROM ch, unnest(range(0, ${graft.operators.CorpusOps.Epochs})) AS t(e)),
+         |keyed AS MATERIALIZED (SELECT *,
+         |  CASE WHEN epoch = 0
+         |    THEN ${h60("'order_' || CAST(doc_id AS VARCHAR) || '_' || CAST(chunk_id AS VARCHAR)")}
+         |    ELSE ${h60("'order_e' || CAST(epoch AS VARCHAR) || '_' || CAST(doc_id AS VARCHAR) || '_' || CAST(chunk_id AS VARCHAR)")}
+         |  END AS eok FROM ep)
+         |SELECT epoch,
+         |  row_number() OVER (PARTITION BY epoch ORDER BY eok, doc_id, chunk_id) AS step,
+         |  doc_id, chunk_id, CAST(n_tok AS BIGINT) AS n_tok
+         |FROM keyed ORDER BY epoch, step""".stripMargin,
+
     // x10: concat-and-cut packing over x9's exact chain — the
     // distributed prefix sum must equal DuckDB's single running
     // SUM ... ROWS UNBOUNDED PRECEDING TO 1 PRECEDING exactly

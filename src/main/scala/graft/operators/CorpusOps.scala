@@ -350,6 +350,47 @@ object CorpusOps {
       .orderBy("seq_id", "seq_off")
   }
 
+  /** Training epochs materialized by x11. */
+  val Epochs = 3L
+
+  /** x11: MULTI-EPOCH TRAINING SCHEDULE — x9's reproducibility
+    * contract carried across epochs: every epoch reorders the SAME
+    * train-chunk set under its own deterministic md5 permutation
+    * (epoch 0's key is x9's key verbatim, so epoch 0 of the schedule
+    * IS the x9 manifest — spec-pinned), and any cluster regenerates
+    * the identical (epoch, step) → chunk assignment, so a run resumed
+    * at epoch e step n sees the same data without the loader holding
+    * any state but two integers. Distinct epoch permutations are the
+    * standard variance-reduction practice between epochs; deriving
+    * them by salting the order hash (x6's derived-randomness rule)
+    * keeps them reproducible where `ORDER BY rand()` is neither
+    * reproducible nor distributed.
+    *
+    * Scale shape: ONE range shuffle over Epochs×chunks rows
+    * ([[RankOps.withGlobalRank]] on the total (epoch, key) order);
+    * per-epoch steps recovered ARITHMETICALLY from the global rank
+    * (step = rank − epoch·n, every epoch carrying exactly n chunks) —
+    * no per-epoch window, no per-epoch job. */
+  def epochSchedule(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.F.hash60
+    val chunks = orderedTrainChunks(spark, dir).drop("ok")
+    val n1 = chunks.agg(count(lit(1)).as("n_chunks"))
+    val keyed = chunks
+      .withColumn("epoch", explode(sequence(lit(0L), lit(Epochs - 1L))))
+      .withColumn("eok", when(col("epoch") === 0L,
+        hash60(concat(lit("order_"), col("doc_id").cast("string"),
+          lit("_"), col("chunk_id").cast("string"))))
+        .otherwise(hash60(concat(lit("order_e"), col("epoch").cast("string"),
+          lit("_"), col("doc_id").cast("string"),
+          lit("_"), col("chunk_id").cast("string")))))
+    RankOps.withGlobalRank(keyed, "grank",
+        Seq(col("epoch"), col("eok"), col("doc_id"), col("chunk_id")))
+      .crossJoin(broadcast(n1)) // 1-row scalar
+      .withColumn("step", col("grank") - col("epoch") * col("n_chunks"))
+      .select(col("epoch"), col("step"), col("doc_id"), col("chunk_id"), col("n_tok"))
+      .orderBy("epoch", "step")
+  }
+
   /** x8: DATASET CARD — the per-(lang, split) composition report every
     * corpus release ships (a "datasheet for datasets": doc/token
     * masses, boilerplate incidence, quality profile, length extremes).

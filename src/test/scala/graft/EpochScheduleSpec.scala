@@ -1,0 +1,40 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.CorpusOps
+
+/** x11: the multi-epoch schedule's contract — epoch 0 IS the x9
+  * manifest, every epoch is a permutation of the same chunk set, and
+  * the salted keys genuinely reorder across epochs. */
+class EpochScheduleSpec extends AnyFunSuite with SparkSpec {
+
+  private lazy val sched =
+    SparkEntry.queries("x11_epoch_schedule")(spark, Sf0001).collect()
+
+  test("x11 epoch 0 is the x9 manifest verbatim") {
+    val e0 = sched.filter(_.getLong(0) == 0L)
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
+    val x9 = SparkEntry.queries("x9_train_manifest")(spark, Sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(e0 === x9)
+  }
+
+  test("x11 every epoch is a 1..n permutation of the identical chunk set") {
+    val byEpoch = sched.groupBy(_.getLong(0))
+    assert(byEpoch.keySet === (0L until CorpusOps.Epochs).toSet)
+    val chunkSets = byEpoch.view.mapValues(
+      _.map(r => (r.getLong(2), r.getLong(3))).toSet).toMap
+    assert(chunkSets.values.toSet.size === 1) // same set every epoch
+    byEpoch.foreach { case (_, rs) =>
+      assert(rs.map(_.getLong(1)).sorted.toSeq === (1L to rs.length).toSeq)
+    }
+  }
+
+  test("x11 epochs genuinely reorder: epoch 1's sequence differs from epoch 0's") {
+    def orderOf(e: Long) = sched.filter(_.getLong(0) == e).sortBy(_.getLong(1))
+      .map(r => (r.getLong(2), r.getLong(3))).toSeq
+    assert(orderOf(0L) !== orderOf(1L))
+    assert(orderOf(1L) !== orderOf(2L))
+  }
+}
