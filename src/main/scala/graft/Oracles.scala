@@ -497,6 +497,54 @@ object Oracles {
        |ORDER BY e.src_a, e.src_b""".stripMargin
   }
 
+  /** m6: d4's SimHash chain verbatim over BYTE 8-gram shingles (as
+    * 16-char windows of the blob's hex — DuckDB 1.0 has no BLOB
+    * substring, and hex is the engine-portable shingle domain for
+    * arbitrary bytes), unit votes (DISTINCT shingles). Named so m7's
+    * fuzzy-dup exclusion composes the identical pair set. */
+  private lazy val m6Sql: String =
+    s"""WITH b AS (SELECT doc_id, CAST(text AS BLOB) AS blob FROM documents),
+       |bh AS (SELECT doc_id, octet_length(blob) AS n, lower(hex(blob)) AS hx FROM b),
+       |shg AS (SELECT DISTINCT doc_id, substr(hx, u * 2 + 1, ${graft.operators.MultimodalOps.FuzzyShingleBytes * 2}) AS s
+       |  FROM bh, unnest(range(0, n - ${graft.operators.MultimodalOps.FuzzyShingleBytes - 1})) AS x(u)),
+       |th AS (SELECT doc_id, 1 AS c, ${h60("s")} AS h FROM shg),
+       |bv AS (SELECT doc_id, b, SUM(c * (((h >> b) & 1) * 2 - 1)) AS s
+       |  FROM th CROSS JOIN (SELECT CAST(i AS INTEGER) AS b FROM range(60) t(i)) bits
+       |  GROUP BY doc_id, b),
+       |sh AS (SELECT doc_id,
+       |  CAST(SUM((CASE WHEN s > 0 THEN CAST(1 AS BIGINT) ELSE 0 END) << b) AS BIGINT) AS simhash
+       |  FROM bv GROUP BY doc_id),
+       |ch AS (SELECT doc_id, simhash, j, (simhash >> (j * 15)) & 32767 AS chunk
+       |  FROM sh CROSS JOIN (SELECT CAST(i AS INTEGER) AS j FROM range(4) t(i)) js),
+       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |    a.simhash AS ha, b.simhash AS hb
+       |  FROM ch a JOIN ch b ON a.j = b.j AND a.chunk = b.chunk AND a.doc_id < b.doc_id)
+       |SELECT doc_a, doc_b, CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
+       |FROM cand WHERE bit_count(xor(ha, hb)) <= 3
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** m7: the media training manifest — m3's exact-dup reps minus m6's
+    * fuzzy-dup losers, floored at MinMediaBytes, metadata attached,
+    * ranked under the deterministic media order hash. */
+  private lazy val m7Sql: String =
+    s"""WITH m6p AS MATERIALIZED (SELECT DISTINCT doc_b FROM ($m6Sql) z),
+       |m3k AS MATERIALIZED (
+       |  SELECT min(doc_id) AS doc_id FROM documents GROUP BY sha256(text)),
+       |meta AS (SELECT doc_id,
+       |    octet_length(encode(text)) AS byte_len,
+       |    lower(hex(encode(substring(text, 1, 4)))) AS magic,
+       |    octet_length(encode(text)) % 30 + 1 AS n_frames
+       |  FROM documents),
+       |kept AS (SELECT m.*,
+       |    ${h60("'morder_' || CAST(doc_id AS VARCHAR)")} AS ok
+       |  FROM meta m
+       |  WHERE byte_len >= ${graft.operators.MultimodalOps.MinMediaBytes}
+       |    AND doc_id IN (SELECT doc_id FROM m3k)
+       |    AND doc_id NOT IN (SELECT doc_b FROM m6p))
+       |SELECT row_number() OVER (ORDER BY ok, doc_id) AS step,
+       |  doc_id, byte_len, magic, n_frames
+       |FROM kept ORDER BY step""".stripMargin
+
   /** a13: the TEXTBOOK attribution formulation — per-purchase self-join
     * to preceding in-window touches + argmax (ts, event_id) — against
     * which the Spark side's single-window-pass rewrite is checked. */
@@ -1763,26 +1811,7 @@ object Oracles {
     // 16-char windows of the blob's hex — DuckDB 1.0 has no BLOB
     // substring, and hex is the engine-portable shingle domain for
     // arbitrary bytes), unit votes (DISTINCT shingles)
-    "m6_blob_fuzzy" ->
-      s"""WITH b AS (SELECT doc_id, CAST(text AS BLOB) AS blob FROM documents),
-         |bh AS (SELECT doc_id, octet_length(blob) AS n, lower(hex(blob)) AS hx FROM b),
-         |shg AS (SELECT DISTINCT doc_id, substr(hx, u * 2 + 1, ${graft.operators.MultimodalOps.FuzzyShingleBytes * 2}) AS s
-         |  FROM bh, unnest(range(0, n - ${graft.operators.MultimodalOps.FuzzyShingleBytes - 1})) AS x(u)),
-         |th AS (SELECT doc_id, 1 AS c, ${h60("s")} AS h FROM shg),
-         |bv AS (SELECT doc_id, b, SUM(c * (((h >> b) & 1) * 2 - 1)) AS s
-         |  FROM th CROSS JOIN (SELECT CAST(i AS INTEGER) AS b FROM range(60) t(i)) bits
-         |  GROUP BY doc_id, b),
-         |sh AS (SELECT doc_id,
-         |  CAST(SUM((CASE WHEN s > 0 THEN CAST(1 AS BIGINT) ELSE 0 END) << b) AS BIGINT) AS simhash
-         |  FROM bv GROUP BY doc_id),
-         |ch AS (SELECT doc_id, simhash, j, (simhash >> (j * 15)) & 32767 AS chunk
-         |  FROM sh CROSS JOIN (SELECT CAST(i AS INTEGER) AS j FROM range(4) t(i)) js),
-         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-         |    a.simhash AS ha, b.simhash AS hb
-         |  FROM ch a JOIN ch b ON a.j = b.j AND a.chunk = b.chunk AND a.doc_id < b.doc_id)
-         |SELECT doc_a, doc_b, CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
-         |FROM cand WHERE bit_count(xor(ha, hb)) <= 3
-         |ORDER BY doc_a, doc_b""".stripMargin,
+    "m6_blob_fuzzy" -> m6Sql,
 
     "d4_simhash" ->
       s"""WITH tc AS (SELECT doc_id, tok, count(*) AS c FROM (
@@ -2212,6 +2241,7 @@ object Oracles {
     "t13_novelty" -> t13Sql,
     "d13_minhash_eval" -> d13Sql,
     "a13_attribution" -> a13Sql,
+    "m7_media_manifest" -> m7Sql,
 
     // ---------- round 5 additions ----------
 

@@ -73,6 +73,47 @@ object MultimodalOps {
   /** m6 byte-shingle width (the ssdeep/TLSH-style rolling unit). */
   val FuzzyShingleBytes = 8
 
+  /** m7's validity floor: blobs below this are headers/fragments, not
+    * trainable media. */
+  val MinMediaBytes = 64L
+
+  /** m7: the MEDIA TRAINING MANIFEST — x9's reproducibility artifact
+    * for the media lake, completing the multimodal capstone the way x7
+    * →x9 completes the text one: exact-dup representatives (m3's
+    * sha-256 keep-min) MINUS fuzzy near-dup losers (the higher doc_id
+    * of every m6 pair — the blob another rep already covers up to
+    * re-encode noise) MINUS sub-[[MinMediaBytes]] fragments, with m1's
+    * metadata attached and ONE deterministic md5-ranked global order,
+    * so any cluster regenerates the identical (step → blob) schedule.
+    *
+    * Scale shape: composes three already-checked substrates (m3's one
+    * content-hash groupBy; m6's MEMOIZED signature + bounded pair
+    * joins; m1's narrow metadata map) with two dedup-output-scale
+    * anti/semi joins; the global order is [[RankOps.withGlobalRank]]'s
+    * range shuffle — no single-task window, no new corpus pass beyond
+    * the metadata projection. */
+  def mediaManifest(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.F.hash60
+    val docs = Tables.documents(spark, dir)
+      .withColumn("blob", col("text").cast("binary"))
+    val meta = docs.select(
+      col("doc_id"),
+      octet_length(col("blob")).as("byte_len"),
+      lower(hex(expr("substring(blob, 1, 4)"))).as("magic"),
+      (octet_length(col("blob")) % 30 + 1).as("n_frames"))
+    val reps = blobDedup(spark, dir).select(col("keep_doc_id").as("doc_id"))
+    val fuzzyLosers = blobFuzzyDedup(spark, dir)
+      .select(col("doc_b").as("doc_id")).distinct()
+    val kept = meta.filter(col("byte_len") >= MinMediaBytes)
+      .join(reps, "doc_id")
+      .join(fuzzyLosers, Seq("doc_id"), "left_anti")
+      .withColumn("ok",
+        hash60(concat(lit("morder_"), col("doc_id").cast("string"))))
+    RankOps.withGlobalRank(kept, "step", Seq(col("ok"), col("doc_id")))
+      .select("step", "doc_id", "byte_len", "magic", "n_frames")
+      .orderBy("step")
+  }
+
   /** m6: FUZZY-HASH NEAR-DUP over binary payloads — the ssdeep/TLSH
     * family: m3 catches byte-identical blobs; this catches
     * nearly-identical ones (re-crawled files with tweaked headers,

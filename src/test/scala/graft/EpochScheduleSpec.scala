@@ -37,4 +37,20 @@ class EpochScheduleSpec extends AnyFunSuite with SparkSpec {
     assert(orderOf(0L) !== orderOf(1L))
     assert(orderOf(1L) !== orderOf(2L))
   }
+
+  test("m7 manifest reconciles set-wise with its m3/m6 components") {
+    import graft.operators.MultimodalOps
+    val manifest = SparkEntry.queries("m7_media_manifest")(spark, Sf0001).collect()
+    val reps = SparkEntry.queries("m3_blob_dedup")(spark, Sf0001).collect()
+      .map(_.getLong(1)).toSet
+    val losers = SparkEntry.queries("m6_blob_fuzzy")(spark, Sf0001).collect()
+      .map(_.getLong(1)).toSet
+    val bigEnough = SparkEntry.queries("m1_multimodal_meta")(spark, Sf0001).collect()
+      .filter(_.getAs[Number](1).longValue >= MultimodalOps.MinMediaBytes)
+      .map(_.getLong(0)).toSet
+    assert(manifest.map(_.getLong(1)).toSet ===
+      ((reps -- losers) intersect bigEnough))
+    // steps are the contiguous 1..n total order
+    assert(manifest.map(_.getLong(0)).sorted.toSeq === (1L to manifest.length).toSeq)
+  }
 }
