@@ -545,6 +545,28 @@ object Oracles {
        |  doc_id, byte_len, magic, n_frames
        |FROM kept ORDER BY step""".stripMargin
 
+  /** a14: the identical 7-lag binary-weight fold — lag() is
+    * engine-portable and the 2⁷⁻ᵏ/127 arithmetic is one floor div. */
+  private val a14Sql: String =
+    """WITH daily AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS date, count(*) AS n
+      |  FROM events GROUP BY 1, 2),
+      |lg AS (SELECT event_type, date, n,
+      |    lag(n, 1) OVER w AS l1, lag(n, 2) OVER w AS l2,
+      |    lag(n, 3) OVER w AS l3, lag(n, 4) OVER w AS l4,
+      |    lag(n, 5) OVER w AS l5, lag(n, 6) OVER w AS l6,
+      |    lag(n, 7) OVER w AS l7
+      |  FROM daily
+      |  WINDOW w AS (PARTITION BY event_type ORDER BY date))
+      |SELECT event_type, date, n,
+      |  (1000000 * (l1*64 + l2*32 + l3*16 + l4*8 + l5*4 + l6*2 + l7)) // 127
+      |    AS forecast_micro,
+      |  abs(n * 1000000 -
+      |    (1000000 * (l1*64 + l2*32 + l3*16 + l4*8 + l5*4 + l6*2 + l7)) // 127)
+      |    AS err_micro
+      |FROM lg WHERE l7 IS NOT NULL
+      |ORDER BY event_type, date""".stripMargin
+
   /** a13: the TEXTBOOK attribution formulation — per-purchase self-join
     * to preceding in-window touches + argmax (ts, event_id) — against
     * which the Spark side's single-window-pass rewrite is checked. */
@@ -2242,6 +2264,7 @@ object Oracles {
     "d13_minhash_eval" -> d13Sql,
     "a13_attribution" -> a13Sql,
     "m7_media_manifest" -> m7Sql,
+    "a14_ewma_forecast" -> a14Sql,
 
     // ---------- round 5 additions ----------
 

@@ -1069,6 +1069,42 @@ object Analytics {
       .orderBy("event_type", "date")
   }
 
+  /** a14: EWMA FORECASTING — the predictive leg of the a7/a9 KPI
+    * family: each (event_type, day) count forecast from its trailing 7
+    * OBSERVED days (a7's windowing rule) under exponential weights
+    * α = 1/2, entirely in int64 micro-units. The binary decay makes
+    * the textbook transcendental exact: lag weights 2⁷⁻ᵏ (64…1) sum to
+    * 127, so `forecast_micro = 10⁶·Σ(lagₖ·2⁷⁻ᵏ) div 127` is ONE floor
+    * division — no float power, no rounding boundary, bit-identical
+    * cross-engine (the §4 rule that keeps iterative numerics out of
+    * half-up territory). Rows need 7 prior observed days (the warmup
+    * carve, like a7's cnt7 < 3).
+    *
+    * Scale shape: one map-combined rollup to types×days rows, then 7
+    * `lag`s in ONE partitioned window pass — constant-size after the
+    * first aggregation, like the rest of the KPI family. */
+  def a14EwmaForecast(spark: SparkSession, dir: String): DataFrame =
+    ewmaOf(Tables.events(spark, dir))
+
+  /** a14's core on any (event_type, ts) relation (spec hook). */
+  private[graft] def ewmaOf(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("event_type").orderBy("date")
+    val withLags = (1 to 7).foldLeft(
+      events
+        .groupBy(col("event_type"), to_date(col("ts")).as("date"))
+        .agg(count(lit(1)).as("n"))) {
+      case (df, k) => df.withColumn(s"l$k", lag(col("n"), k).over(w))
+    }
+    withLags
+      .filter(col("l7").isNotNull)
+      .withColumn("forecast_micro", expr(
+        "(1000000 * (l1*64 + l2*32 + l3*16 + l4*8 + l5*4 + l6*2 + l7)) div 127"))
+      .withColumn("err_micro",
+        abs(col("n") * 1000000L - col("forecast_micro")))
+      .select("event_type", "date", "n", "forecast_micro", "err_micro")
+      .orderBy("event_type", "date")
+  }
+
   /** a13: LAST-TOUCH ATTRIBUTION — each purchase credited to the user's
     * most recent preceding marketing touch (click/view) within a 7-day
     * lookback, else 'direct'; conversions + decimal-exact revenue per

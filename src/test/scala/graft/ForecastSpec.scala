@@ -1,0 +1,33 @@
+package graft
+
+import java.sql.Timestamp
+import org.scalatest.funsuite.AnyFunSuite
+import graft.analytics.Analytics
+
+/** a14: the binary-weight EWMA fold proven on a constructed ramp with
+  * hand-computed forecasts, plus the warmup carve on real data. */
+class ForecastSpec extends AnyFunSuite with SparkSpec {
+
+  test("a14 forecast on a constructed ramp matches the hand computation") {
+    import spark.implicits._
+    // day d carries d events, days 1..9 — day 8's lags are 7..1,
+    // weighted 64..1: Σ = 769 → forecast 769e6 div 127 = 6055118
+    val events = (1 to 9).flatMap { d =>
+      Seq.fill(d)(("click", Timestamp.valueOf(f"2024-01-$d%02d 12:00:00")))
+    }.toDF("event_type", "ts")
+    val out = Analytics.ewmaOf(events).collect()
+      .map(r => (r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(out.toSeq === Seq(
+      (8L, 6055118L, 1944882L),  // 769e6 div 127
+      (9L, 7055118L, 1944882L))) // 896e6 div 127
+  }
+
+  test("a14 on real data: warmup carve = a7's day count minus 7 per type") {
+    val a7 = SparkEntry.queries("a7_kpi_anomaly")(spark, Sf0001).collect()
+      .groupBy(_.getString(0)).view.mapValues(_.length).toMap
+    val a14 = SparkEntry.queries("a14_ewma_forecast")(spark, Sf0001).collect()
+      .groupBy(_.getString(0)).view.mapValues(_.length).toMap
+    a14.foreach { case (tpe, n) => assert(n === a7(tpe) - 7) }
+    assert(a14.keySet === a7.keySet.filter(t => a7(t) > 7))
+  }
+}
