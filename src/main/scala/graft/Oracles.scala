@@ -653,6 +653,58 @@ object Oracles {
        |ORDER BY p.doc_a, p.doc_b""".stripMargin
   }
 
+  /** One swept banding config's CTE pair (d14): band signatures at
+    * `rows` perms per band + the distinct candidate pairs they admit. */
+  private def sweepBandCte(bands: Int): String = {
+    val rows = graft.operators.DedupOps.K / bands
+    s"""bands$bands AS MATERIALIZED (
+       |  SELECT doc_id, CAST(floor(i / $rows) AS INTEGER) AS band,
+       |    md5(string_agg(CAST(mh AS VARCHAR), ',' ORDER BY i)) AS bkey
+       |  FROM sig GROUP BY doc_id, CAST(floor(i / $rows) AS INTEGER)),
+       |cand$bands AS MATERIALIZED (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands$bands a JOIN bands$bands b
+       |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id)""".stripMargin
+  }
+
+  /** One row of d14's report: the config's candidate count and its
+    * catch of the shipped d3 reference set. */
+  private def sweepStatRow(bands: Int): String =
+    s"""SELECT CAST($bands AS BIGINT) AS bands,
+       |  CAST(${graft.operators.DedupOps.K / bands} AS BIGINT) AS rows_per_band,
+       |  (SELECT CAST(count(*) AS BIGINT) FROM cand$bands) AS candidates,
+       |  (SELECT CAST(count(*) AS BIGINT) FROM cand$bands c
+       |     JOIN ref r ON c.doc_a = r.doc_a AND c.doc_b = r.doc_b) AS ref_caught""".stripMargin
+
+  /** d14: the sweep replayed from the shared signature CTE — the
+    * reference set is d3's verbatim (4×4 banding + est ≥ 0.25). */
+  private lazy val d14Sql: String = {
+    val k = graft.operators.DedupOps.K
+    s"""WITH $ngramCte,
+       |h AS MATERIALIZED (SELECT doc_id, ${h60("ngram")} % 2147483647 AS h FROM ng),
+       |perms AS (SELECT CAST(i AS INTEGER) AS i,
+       |  ${h60("'perm_a_' || i")} % 2147483646 + 1 AS pa,
+       |  ${h60("'perm_b_' || i")} % 2147483647 AS pb
+       |  FROM range($k) t(i)),
+       |sig AS MATERIALIZED (SELECT doc_id, i, min((pa * h + pb) % 2147483647) AS mh
+       |  FROM h CROSS JOIN perms GROUP BY doc_id, i),
+       |${sweepBandCte(2)},
+       |${sweepBandCte(4)},
+       |${sweepBandCte(8)},
+       |ref AS MATERIALIZED (
+       |  SELECT c.doc_a, c.doc_b FROM cand4 c
+       |  JOIN sig sa ON sa.doc_id = c.doc_a
+       |  JOIN sig sb ON sb.doc_id = c.doc_b AND sb.i = sa.i
+       |  GROUP BY c.doc_a, c.doc_b
+       |  HAVING CAST(SUM(CASE WHEN sa.mh = sb.mh THEN 1 ELSE 0 END) AS DOUBLE) / $k >= 0.25),
+       |refn AS (SELECT CAST(count(*) AS BIGINT) AS n_ref FROM ref),
+       |stats AS (${sweepStatRow(2)} UNION ALL ${sweepStatRow(4)}
+       |  UNION ALL ${sweepStatRow(8)})
+       |SELECT s.bands, s.rows_per_band, s.candidates, s.ref_caught,
+       |  (1000000 * s.ref_caught) // refn.n_ref AS recall_ppm
+       |FROM stats s CROSS JOIN refn ORDER BY s.bands""".stripMargin
+  }
+
   /** The shared market-basket substrate (a11/a12): distinct order→part
     * incidence, per-item basket counts, unordered-pair co-occurrence
     * counts — mirrors BasketOps.pairCountsOver exactly. */
@@ -2265,6 +2317,7 @@ object Oracles {
     "a13_attribution" -> a13Sql,
     "m7_media_manifest" -> m7Sql,
     "a14_ewma_forecast" -> a14Sql,
+    "d14_lsh_sweep" -> d14Sql,
 
     // ---------- round 5 additions ----------
 

@@ -196,17 +196,21 @@ object DedupOps {
     * permutation order. Memoized and shared by d3 (self-join) and d10
     * (cross-carve join) so the banding semantics can never drift
     * between the two and the band build runs once per session. */
-  private def lshBands(spark: SparkSession, dir: String): DataFrame = {
-    val sig = minhashSig(spark, dir)
-    memoized(spark, "lshBands", dir) {
-      sig.withColumn("band", floor(col("i") / BandRows).cast(IntegerType))
-        .groupBy("doc_id", "band")
-        .agg(md5(array_join(
-          transform(array_sort(collect_list(struct(col("i"), col("mh")))),
-            s => s.getField("mh").cast(StringType)),
-          ",")).as("bkey"))
-    }
-  }
+  private def lshBands(spark: SparkSession, dir: String): DataFrame =
+    memoized(spark, "lshBands", dir)(
+      bandsWith(minhashSig(spark, dir), BandRows))
+
+  /** Band signatures at an arbitrary band width — the ONE banding
+    * definition, shared by the production config (lshBands, width
+    * [[BandRows]]) and d14's tuning sweep so swept configs measure the
+    * exact machinery they would ship. */
+  private def bandsWith(sig: DataFrame, rowsPerBand: Int): DataFrame =
+    sig.withColumn("band", floor(col("i") / rowsPerBand).cast(IntegerType))
+      .groupBy("doc_id", "band")
+      .agg(md5(array_join(
+        transform(array_sort(collect_list(struct(col("i"), col("mh")))),
+          s => s.getField("mh").cast(StringType)),
+        ",")).as("bkey"))
 
   def minhashLsh(spark: SparkSession, dir: String, minEst: Double = 0.25): DataFrame =
     memoized(spark, s"d3_pairs:$minEst", dir) {
@@ -726,5 +730,58 @@ object DedupOps {
       .select(col("doc_a"), col("doc_b"), col("matches"), col("est_ppm"),
         col("exact_ppm"), abs(col("est_ppm") - col("exact_ppm")).as("err_ppm"))
       .orderBy("doc_a", "doc_b")
+  }
+
+  /** d14's swept band counts (rows per band = K / bands). Powers of two
+    * aligned with K, so band boundaries NEST: a full 8-perm band match
+    * implies both nested 4-perm matches implies all four 2-perm
+    * matches — hence cand(2 bands) ⊆ cand(4) ⊆ cand(8), making cost
+    * and recall PROVABLY monotone in the band count (spec-pinned as
+    * actual set nesting, not just counts). */
+  private[graft] val SweepBands = Seq(2, 4, 8)
+
+  /** The candidate pair set at a swept band count — exposed for the
+    * nesting spec; runs the identical [[bandsWith]] machinery. */
+  private[graft] def sweepCandidates(spark: SparkSession, dir: String,
+      bands: Int): DataFrame = {
+    val b = bandsWith(minhashSig(spark, dir), K / bands)
+    b.select(col("doc_id").as("doc_a"), col("band"), col("bkey"))
+      .join(b.select(col("doc_id").as("doc_b"), col("band"), col("bkey")),
+        Seq("band", "bkey"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+  }
+
+  /** d14: LSH BANDING TUNING SWEEP — e17's recall-vs-cost discipline
+    * for the dedup family: one row per swept (bands, rows-per-band)
+    * config with the candidate-pair count (the verification cost that
+    * config buys) and its recall of the SHIPPED config's verified pair
+    * set (d3, 4×4, est ≥ 0.25) — the curve read before committing a
+    * banding config to gate 100 TB of dedup, exactly as e17's curve is
+    * read before committing an nProbe. More bands of fewer rows =
+    * more permissive: the aligned boundaries make the trade provable,
+    * not just observed (see [[SweepBands]]).
+    *
+    * Scale shape: all three branches band the ONE memoized signature
+    * substrate (K rows per doc — the corpus is never rescanned); each
+    * branch is d3's band self-join at a different width; the reference
+    * set is the memoized d3 pair set and counts collapse to 1-row
+    * aggregates unioned into a 3-row report. */
+  def lshTuningSweep(spark: SparkSession, dir: String): DataFrame = {
+    val ref = minhashLsh(spark, dir).select("doc_a", "doc_b")
+    val branches = SweepBands.map { bands =>
+      val cand = sweepCandidates(spark, dir, bands)
+      cand.agg(count(lit(1)).as("candidates"))
+        .crossJoin(cand.join(ref, Seq("doc_a", "doc_b"), "left_semi")
+          .agg(count(lit(1)).as("ref_caught")))
+        .select(lit(bands.toLong).as("bands"),
+          lit((K / bands).toLong).as("rows_per_band"),
+          col("candidates"), col("ref_caught"))
+    }
+    branches.reduce(_ unionByName _)
+      .crossJoin(broadcast(ref.agg(count(lit(1)).as("n_ref"))))
+      .withColumn("recall_ppm", expr("(1000000 * ref_caught) div n_ref"))
+      .select("bands", "rows_per_band", "candidates", "ref_caught", "recall_ppm")
+      .orderBy("bands")
   }
 }

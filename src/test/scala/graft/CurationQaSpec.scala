@@ -58,6 +58,23 @@ class CurationQaSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("d14 swept candidate sets NEST (aligned band boundaries), so cost and recall are monotone") {
+    def candSet(bands: Int) =
+      DedupOps.sweepCandidates(spark, Sf0001, bands).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val (c2, c4, c8) = (candSet(2), candSet(4), candSet(8))
+    assert(c2.subsetOf(c4) && c4.subsetOf(c8))
+    val report = SparkEntry.queries("d14_lsh_sweep")(spark, Sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(4)))
+    assert(report.map(_._1).toSeq === Seq(2L, 4L, 8L))
+    // candidates match the live sets; both cost and recall non-decreasing
+    assert(report.map(_._2).toSeq === Seq(c2.size.toLong, c4.size.toLong, c8.size.toLong))
+    assert(report.map(_._2).toSeq === report.map(_._2).sorted.toSeq)
+    assert(report.map(_._3).toSeq === report.map(_._3).sorted.toSeq)
+    // the shipped 4×4 config catches its own reference set entirely
+    assert(report.find(_._1 == 4L).get._3 === 1000000L)
+  }
+
   test("d13 exact Jaccard and error are internally consistent ppm values") {
     val d13 = SparkEntry.queries("d13_minhash_eval")(spark, Sf0001).collect()
     assert(d13.nonEmpty)
