@@ -2318,6 +2318,9 @@ object Oracles {
     "m7_media_manifest" -> m7Sql,
     "a14_ewma_forecast" -> a14Sql,
     "d14_lsh_sweep" -> d14Sql,
+    // p34: the streamed forecast must equal batch a14 exactly — its
+    // oracle is a14's statement verbatim (the p26/a7 pattern)
+    "p34_stream_forecast" -> a14Sql,
 
     // ---------- round 5 additions ----------
 

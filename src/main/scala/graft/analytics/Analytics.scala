@@ -1087,12 +1087,18 @@ object Analytics {
     ewmaOf(Tables.events(spark, dir))
 
   /** a14's core on any (event_type, ts) relation (spec hook). */
-  private[graft] def ewmaOf(events: DataFrame): DataFrame = {
+  private[graft] def ewmaOf(events: DataFrame): DataFrame =
+    ewmaFoldOver(events
+      .groupBy(col("event_type"), to_date(col("ts")).as("date"))
+      .agg(count(lit(1)).as("n")))
+
+  /** THE binary-weight fold over a (event_type, date, n) daily-count
+    * relation — shared by batch a14 and the streaming p34 (which
+    * accumulates the counts as stream state), so the two forecasts
+    * cannot drift. */
+  private[graft] def ewmaFoldOver(daily: DataFrame): DataFrame = {
     val w = Window.partitionBy("event_type").orderBy("date")
-    val withLags = (1 to 7).foldLeft(
-      events
-        .groupBy(col("event_type"), to_date(col("ts")).as("date"))
-        .agg(count(lit(1)).as("n"))) {
+    val withLags = (1 to 7).foldLeft(daily) {
       case (df, k) => df.withColumn(s"l$k", lag(col("n"), k).over(w))
     }
     withLags

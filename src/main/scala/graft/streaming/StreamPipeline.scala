@@ -653,6 +653,33 @@ object StreamPipeline {
       .orderBy("event_type", "date")
   }
 
+  /** p34: STREAMING EWMA FORECAST — a14's predictive leg live, on
+    * p26's deployment split: the per-(event_type, day) counts are the
+    * bounded stream state (watermarked event_id dedup upstream — p9's
+    * exactly-once discipline; days × types rows at any volume), and
+    * the 7-lag binary-weight fold — which needs an ORDERED trailing
+    * window — runs over the tiny materialized count table at forecast
+    * time. The fold is `Analytics.ewmaFoldOver`, the IDENTICAL
+    * definition batch a14 runs, so the streamed forecast cannot drift
+    * from the batch one (spec pins hash-equality); the oracle is a14's
+    * statement verbatim. */
+  def ewmaForecastStream(spark: SparkSession, dir: String): DataFrame = {
+    withStatePartitions(spark, MaterializeStateParts) {
+      val counts = stagedEventsStream(spark, dir)
+        .withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark("event_id")
+        .groupBy(col("event_type"), to_date(col("ts")).as("date"))
+        .agg(count(lit(1)).as("n"))
+      val query = counts
+        .writeStream.format("memory").queryName(memSinkName("p34", dir))
+        .outputMode("complete").start()
+      try query.processAllAvailable()
+      finally { recordFloor("p34", query); query.stop() }
+    }
+    graft.analytics.Analytics.ewmaFoldOver(
+      spark.table(memSinkName("p34", dir)))
+  }
+
   /** p27: STREAMING CDC MATERIALIZED VIEW — p23's latest-wins upsert
     * maintained live: the change stream collapses to one row of state
     * per key via `max(struct(ts, seq, op, val))` — a struct max IS the

@@ -22,6 +22,14 @@ class ForecastSpec extends AnyFunSuite with SparkSpec {
       (9L, 7055118L, 1944882L))) // 896e6 div 127
   }
 
+  test("p34 streamed forecast hash-equals the batch a14 (shared fold, shared state rule)") {
+    val stream = graft.streaming.StreamPipeline
+      .ewmaForecastStream(spark, Sf0001).collect()
+    val batch = Analytics.a14EwmaForecast(spark, Sf0001).collect()
+    assert(stream.map(_.toString).toSeq === batch.map(_.toString).toSeq)
+    assert(stream.nonEmpty)
+  }
+
   test("a14 on real data: warmup carve = a7's day count minus 7 per type") {
     val a7 = SparkEntry.queries("a7_kpi_anomaly")(spark, Sf0001).collect()
       .groupBy(_.getString(0)).view.mapValues(_.length).toMap
