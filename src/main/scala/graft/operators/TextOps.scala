@@ -383,8 +383,9 @@ object TextOps {
     * growth-stability rule applied to a score).
     *
     * Scale shape: rides the MEMOIZED d2/d3 (doc_id, ngram) substrate —
-    * zero new corpus passes; one map-combined min-groupBy on the gram
-    * key, one join back on the same key (same partitioning), one
+    * zero new corpus passes and ZERO JOINS (spec-pinned): the first
+    * owner is a min over the GRAM-partitioned window (one shuffle on
+    * the gram key; each partition is one gram's owner list), then one
     * map-combined per-doc fold. Score is int64 ppm floor-div (§4).
     * Docs with < 3 tokens carry no gram and emit no row (they have no
     * novelty to measure — the d2 domain rule). */
@@ -395,8 +396,8 @@ object TextOps {
     * relation — split out so specs prove the rule and its
     * append-stability on constructed grams. */
   private[graft] def noveltyOver(ng: DataFrame): DataFrame = {
-    val firstOwner = ng.groupBy("ngram").agg(min("doc_id").as("first_doc"))
-    ng.join(firstOwner, "ngram")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("ngram")
+    ng.withColumn("first_doc", min("doc_id").over(w))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_grams"),
         sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L)).as("n_novel"))

@@ -48,6 +48,13 @@ class AttributionSpec extends AnyFunSuite with SparkSpec {
     assert(out.toSeq === Seq(("click", 1L, 3.0)))
   }
 
+  test("a13 plan is JOIN-FREE: the window carry replaces the textbook self-join") {
+    val plan = SparkEntry.queries("a13_attribution")(spark, Sf0001)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"),
+      "a13's whole point is one window pass where the textbook does a per-purchase join")
+  }
+
   test("a13 on real data: every purchase lands in exactly one bucket") {
     val ev = Tables.events(spark, Sf0001)
     val purchases = ev.filter(org.apache.spark.sql.functions

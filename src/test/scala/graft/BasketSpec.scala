@@ -60,6 +60,12 @@ class BasketSpec extends AnyFunSuite with SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"))
   }
 
+  test("a12 plan broadcasts the bounded query set (BroadcastHashJoin)") {
+    val plan = SparkEntry.queries("a12_item_similarity")(spark, Sf0001)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"))
+  }
+
   test("a12 similarity on constructed baskets matches the hand computation") {
     val items = constructedItems()
     val sim = BasketOps

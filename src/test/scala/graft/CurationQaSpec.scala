@@ -34,6 +34,13 @@ class CurationQaSpec extends AnyFunSuite with SparkSpec {
     assert(onPrefix === fullThenCut)
   }
 
+  test("t13 plan is JOIN-FREE: first owner via the gram-partitioned window") {
+    val plan = SparkEntry.queries("t13_novelty")(spark, Sf0001)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"),
+      "t13 should derive first owners from a window, not a groupBy+join")
+  }
+
   test("t13 on real data: ppm bounds and the first document introduces everything") {
     val rows = SparkEntry.queries("t13_novelty")(spark, Sf0001).collect()
     rows.foreach { r =>

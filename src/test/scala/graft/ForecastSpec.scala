@@ -22,6 +22,12 @@ class ForecastSpec extends AnyFunSuite with SparkSpec {
       (9L, 7055118L, 1944882L))) // 896e6 div 127
   }
 
+  test("a14 plan is JOIN-FREE: one rollup + one partitioned window") {
+    val plan = SparkEntry.queries("a14_ewma_forecast")(spark, Sf0001)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"))
+  }
+
   test("p34 streamed forecast hash-equals the batch a14 (shared fold, shared state rule)") {
     val stream = graft.streaming.StreamPipeline
       .ewmaForecastStream(spark, Sf0001).collect()
