@@ -545,6 +545,24 @@ object Oracles {
        |  doc_id, byte_len, magic, n_frames
        |FROM kept ORDER BY step""".stripMargin
 
+  /** s6: log-bin histogram quantiles — named so s11 (the day-merged
+    * roll-up, exact by integer-sum associativity) shares it verbatim. */
+  private val s6Sql: String =
+    """WITH v AS (SELECT event_type, CAST(floor(value * 1000) AS BIGINT) AS mv
+      |  FROM events WHERE value IS NOT NULL AND value > 0),
+      |b AS (SELECT event_type, CAST(length(bin(mv)) AS BIGINT) AS bin, count(*) AS c
+      |  FROM v GROUP BY 1, 2),
+      |cum AS (SELECT event_type, bin, c,
+      |  CAST(sum(c) OVER (PARTITION BY event_type ORDER BY bin) AS BIGINT) AS cum_c,
+      |  CAST(sum(c) OVER (PARTITION BY event_type) AS BIGINT) AS n FROM b),
+      |q50 AS (SELECT event_type, min(bin) AS p50_bin FROM cum WHERE cum_c * 2 >= n GROUP BY 1),
+      |q95 AS (SELECT event_type, min(bin) AS p95_bin FROM cum WHERE cum_c * 100 >= n * 95 GROUP BY 1)
+      |SELECT c.event_type, max(n) AS n,
+      |  max(p50_bin) AS p50_bin, (CAST(1 AS BIGINT) << max(p50_bin)) AS p50_hi_milli,
+      |  max(p95_bin) AS p95_bin, (CAST(1 AS BIGINT) << max(p95_bin)) AS p95_hi_milli
+      |FROM cum c JOIN q50 USING (event_type) JOIN q95 USING (event_type)
+      |GROUP BY c.event_type ORDER BY c.event_type""".stripMargin
+
   /** a14: the identical 7-lag binary-weight fold — lag() is
     * engine-portable and the 2⁷⁻ᵏ/127 arithmetic is one floor div. */
   private val a14Sql: String =
@@ -1610,21 +1628,11 @@ object Oracles {
          |FROM events WHERE value IS NOT NULL
          |GROUP BY event_type ORDER BY event_type""".stripMargin,
 
-    "s6_hist_quantiles" ->
-      """WITH v AS (SELECT event_type, CAST(floor(value * 1000) AS BIGINT) AS mv
-        |  FROM events WHERE value IS NOT NULL AND value > 0),
-        |b AS (SELECT event_type, CAST(length(bin(mv)) AS BIGINT) AS bin, count(*) AS c
-        |  FROM v GROUP BY 1, 2),
-        |cum AS (SELECT event_type, bin, c,
-        |  CAST(sum(c) OVER (PARTITION BY event_type ORDER BY bin) AS BIGINT) AS cum_c,
-        |  CAST(sum(c) OVER (PARTITION BY event_type) AS BIGINT) AS n FROM b),
-        |q50 AS (SELECT event_type, min(bin) AS p50_bin FROM cum WHERE cum_c * 2 >= n GROUP BY 1),
-        |q95 AS (SELECT event_type, min(bin) AS p95_bin FROM cum WHERE cum_c * 100 >= n * 95 GROUP BY 1)
-        |SELECT c.event_type, max(n) AS n,
-        |  max(p50_bin) AS p50_bin, (CAST(1 AS BIGINT) << max(p50_bin)) AS p50_hi_milli,
-        |  max(p95_bin) AS p95_bin, (CAST(1 AS BIGINT) << max(p95_bin)) AS p95_hi_milli
-        |FROM cum c JOIN q50 USING (event_type) JOIN q95 USING (event_type)
-        |GROUP BY c.event_type ORDER BY c.event_type""".stripMargin,
+    "s6_hist_quantiles" -> s6Sql,
+
+    // s11: the day-merged histogram is an exact integer sum — its
+    // quantiles must be BIT-EQUAL to the one-shot s6 build
+    "s11_hist_merge" -> s6Sql,
 
     "q26_returned_revenue" ->
       """SELECT c_custkey, c_name, n_name,

@@ -211,14 +211,42 @@ object SketchOps {
     * Scale shape: shuffle volume ≤ 64 bins × keys per task regardless
     * of input; everything after the first groupBy runs on a
     * keys × 64-row relation. */
-  def histQuantiles(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val b = Tables.events(spark, dir)
+  def histQuantiles(spark: SparkSession, dir: String): DataFrame =
+    quantilesFromBins(
+      binnedValues(spark, dir)
+        .groupBy("event_type", "bin").agg(count(lit(1)).as("c")))
+
+  /** The shared log-bin projection (s6/s11): positive values in
+    * milli-units, bin = position of the highest set bit. */
+  private def binnedValues(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
       .filter(col("value").isNotNull && col("value") > 0)
-      .select(col("event_type"),
+      .select(col("event_type"), to_date(col("ts")).as("date"),
         floor(col("value") * 1000).cast(LongType).as("mv"))
       .withColumn("bin", length(bin(col("mv"))).cast(LongType))
-      .groupBy("event_type", "bin").agg(count(lit(1)).as("c"))
+
+  /** s11: HISTOGRAM ROLL-UP — s9's no-history-rescan deployment story
+    * for the quantile sketch: per-DAY bin counts are built
+    * independently (what a daily job lands beside its partition) and
+    * SUM-merged into the corpus histogram, which feeds the IDENTICAL
+    * quantile derivation as s6 — bin counts are exact integers and sum
+    * is associative, so the merged quantiles are bit-equal to the
+    * one-shot build (oracle = s6's statement verbatim; spec pins
+    * bin-level equality too). The merge contract is ADD-ONCE: counts
+    * sum, so idempotence under replay rides on exactly-once landing
+    * (p21's sink discipline) — deliberately DIFFERENT from s9's HLL
+    * max-merge, which is idempotent by itself; the pair documents the
+    * trade (exactness + add-once vs approximation + re-merge-safe). */
+  def histMergeDaily(spark: SparkSession, dir: String): DataFrame =
+    quantilesFromBins(
+      binnedValues(spark, dir)
+        .groupBy("event_type", "date", "bin").agg(count(lit(1)).as("c"))
+        .groupBy("event_type", "bin").agg(sum("c").as("c")))
+
+  /** The quantile derivation over an (event_type, bin, c) histogram —
+    * THE single definition s6 (one-shot) and s11 (day-merged) share. */
+  private def quantilesFromBins(b: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val cum = b
       .withColumn("cum_c", sum("c").over(
         Window.partitionBy("event_type").orderBy("bin")))

@@ -218,4 +218,16 @@ class SketchSpec extends AnyFunSuite with SparkSpec {
     assert(rowsOf(native = true) === rowsOf(native = false),
       "bounded-buffer aggregate drifted from the declarative bottom-k")
   }
+
+  test("s11 day-merged histogram quantiles are bit-equal to the one-shot s6 build") {
+    val merged = SparkEntry.queries("s11_hist_merge")(spark, Sf0001).collect()
+    val oneShot = SparkEntry.queries("s6_hist_quantiles")(spark, Sf0001).collect()
+    assert(merged.map(_.toString).toSeq === oneShot.map(_.toString).toSeq)
+    // the merge is real: the corpus spans many days, so per-day
+    // sketches genuinely combined (not a degenerate single-day merge)
+    val days = Tables.events(spark, Sf0001)
+      .select(org.apache.spark.sql.functions.to_date(
+        org.apache.spark.sql.functions.col("ts"))).distinct().count()
+    assert(days > 1)
+  }
 }
