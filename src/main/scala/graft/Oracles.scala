@@ -723,6 +723,155 @@ object Oracles {
        |FROM stats s CROSS JOIN refn ORDER BY s.bands""".stripMargin
   }
 
+  /** d15: both legs recomputed from first principles — the exact leg
+    * from d1's fingerprint definition aggregated per (fp, source), the
+    * near-dup leg from d3's verbatim pair statement; pair counts
+    * multiply per-source copy counts (never materializing doc pairs),
+    * mirroring DedupOps.sourceOverlap. */
+  private lazy val d15Sql: String =
+    s"""WITH d3p AS MATERIALIZED (SELECT doc_a, doc_b FROM ($d3Sql) z),
+       |fps AS MATERIALIZED (
+       |  SELECT md5(array_to_string($TOK, ' ')) AS fp, source,
+       |    CAST(count(*) AS BIGINT) AS cnt
+       |  FROM documents GROUP BY 1, 2),
+       |ex AS (
+       |  SELECT a.source AS source_a, b.source AS source_b,
+       |    CAST(SUM(a.cnt * b.cnt) AS BIGINT) AS exact_pairs
+       |  FROM fps a JOIN fps b ON a.fp = b.fp AND a.source < b.source
+       |  GROUP BY 1, 2
+       |  UNION ALL
+       |  SELECT source, source, CAST(SUM(cnt * (cnt - 1) // 2) AS BIGINT)
+       |  FROM fps WHERE cnt > 1 GROUP BY 1, 2),
+       |nd AS (
+       |  SELECT least(da.source, db.source) AS source_a,
+       |    greatest(da.source, db.source) AS source_b,
+       |    CAST(count(*) AS BIGINT) AS neardup_pairs
+       |  FROM d3p p
+       |  JOIN documents da ON da.doc_id = p.doc_a
+       |  JOIN documents db ON db.doc_id = p.doc_b
+       |  GROUP BY 1, 2)
+       |SELECT coalesce(e.source_a, n.source_a) AS source_a,
+       |  coalesce(e.source_b, n.source_b) AS source_b,
+       |  coalesce(e.exact_pairs, 0) AS exact_pairs,
+       |  coalesce(n.neardup_pairs, 0) AS neardup_pairs
+       |FROM ex e FULL OUTER JOIN nd n
+       |  ON e.source_a = n.source_a AND e.source_b = n.source_b
+       |ORDER BY source_a, source_b""".stripMargin
+
+  /** e19: IVF+SQ8 replayed from first principles — the probe chain is
+    * e6's statement numerically (same n-scaled distance identity, same
+    * (dist2, label) tie-break, NProbe 2), with the SQ8 per-dim encode
+    * and the ×255-scaled integer ADC in the compressed-scoring role.
+    * `//` = Spark's `div` (operands all non-negative here). */
+  private lazy val e19Sql: String =
+    s"""WITH ql AS (SELECT vec_id, $QV AS qv, label FROM embeddings),
+       |unp AS MATERIALIZED (SELECT vec_id, label,
+       |    generate_subscripts(qv, 1) - 1 AS d, CAST(unnest(qv) AS BIGINT) AS v
+       |  FROM ql),
+       |stats AS MATERIALIZED (SELECT d, min(v) AS mn, max(v) AS mx FROM unp GROUP BY d),
+       |codes AS MATERIALIZED (
+       |  SELECT u.vec_id, u.label, u.d,
+       |    s.mn * 255 + (CASE WHEN s.mx > s.mn
+       |      THEN (u.v - s.mn) * 255 // (s.mx - s.mn) ELSE 0 END) * (s.mx - s.mn)
+       |      AS recon255
+       |  FROM unp u JOIN stats s USING (d)),
+       |cd AS (SELECT label, d, SUM(v) AS s, COUNT(*) AS n FROM unp GROUP BY 1, 2),
+       |icent AS (SELECT label, list(s ORDER BY d) AS s, min(n) AS n,
+       |    SUM(s * s) AS ss FROM cd GROUP BY label),
+       |qq AS (SELECT vec_id AS q_id, qv, list_dot_product(qv, qv) AS q2
+       |  FROM ql WHERE vec_id % 25 = 0),
+       |cdist AS (SELECT q.q_id, c.label,
+       |    c.n * c.n * q.q2 - 2 * c.n * list_dot_product(q.qv, c.s) + c.ss AS dist2
+       |  FROM qq q CROSS JOIN icent c),
+       |probe AS (SELECT q_id, label FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY dist2, label) AS crnk
+       |    FROM cdist) x
+       |  WHERE crnk <= 2),
+       |qdim AS (SELECT vec_id AS q_id, d, v * 255 AS qv255
+       |  FROM unp WHERE vec_id % 25 = 0),
+       |adc AS (
+       |  SELECT qd.q_id, co.vec_id AS c_id,
+       |    SUM((qd.qv255 - co.recon255) * (qd.qv255 - co.recon255)) AS adc
+       |  FROM probe p
+       |  JOIN codes co ON co.label = p.label
+       |  JOIN qdim qd ON qd.q_id = p.q_id AND qd.d = co.d
+       |  WHERE qd.q_id <> co.vec_id
+       |  GROUP BY 1, 2),
+       |short AS (
+       |  SELECT q_id, c_id FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY adc, c_id) AS srn FROM adc) x
+       |  WHERE srn <= 40),
+       |rr AS (
+       |  SELECT s.q_id, s.c_id,
+       |    list_dot_product(a.qv, b.qv) / sqrt(list_dot_product(a.qv, a.qv) * list_dot_product(b.qv, b.qv)) AS score
+       |  FROM short s JOIN ql a ON a.vec_id = s.q_id JOIN ql b ON b.vec_id = s.c_id)
+       |SELECT q_id, rnk, c_id, round(score, 6) AS score FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY score DESC, c_id) AS rnk FROM rr) z
+       |WHERE rnk <= 3 ORDER BY q_id, rnk""".stripMargin
+
+  /** a15: the two-proportion test recomputed from first principles in
+    * HUGEINT (int128 ≥ the Spark side's DECIMAL(38,0) domain);
+    * `//` = Spark's `div` (both truncate; every division here has a
+    * non-negative numerator — lift's sign is factored out first). */
+  private lazy val a15Sql: String = {
+    val thr = graft.analytics.Analytics.AbConvThreshold
+    val sig = graft.analytics.Analytics.AbSigZ2Ppm
+    s"""WITH ev AS (SELECT user_id, event_type FROM events WHERE user_id IS NOT NULL),
+       |pop AS (SELECT
+       |    count(DISTINCT CASE WHEN user_id % 2 = 0 THEN user_id END) AS n_a,
+       |    count(DISTINCT CASE WHEN user_id % 2 <> 0 THEN user_id END) AS n_b
+       |  FROM ev),
+       |cu AS (SELECT event_type, user_id, user_id % 2 = 0 AS va, count(*) AS n_ev
+       |  FROM ev GROUP BY 1, 2, 3),
+       |conv AS (SELECT event_type,
+       |    CAST(SUM(CASE WHEN va THEN 1 ELSE 0 END) AS BIGINT) AS conv_a,
+       |    CAST(SUM(CASE WHEN NOT va THEN 1 ELSE 0 END) AS BIGINT) AS conv_b
+       |  FROM cu WHERE n_ev >= $thr GROUP BY 1),
+       |s AS (SELECT c.event_type, p.n_a, c.conv_a, p.n_b, c.conv_b,
+       |    CAST(c.conv_a AS HUGEINT) * p.n_b - CAST(c.conv_b AS HUGEINT) * p.n_a AS diff,
+       |    c.conv_a + c.conv_b AS cc, p.n_a + p.n_b AS nn
+       |  FROM conv c CROSS JOIN pop p),
+       |z AS (SELECT *,
+       |    CASE WHEN cc > 0 AND cc < nn THEN
+       |      CAST((1000000 * diff * diff * nn)
+       |        // (CAST(n_a AS HUGEINT) * n_b * cc * (nn - cc)) AS BIGINT)
+       |    END AS z2_ppm
+       |  FROM s)
+       |SELECT event_type, n_a, conv_a, n_b, conv_b,
+       |  CASE WHEN conv_b > 0 THEN
+       |    (CASE WHEN diff >= 0 THEN 1 ELSE -1 END) *
+       |    CAST((1000000 * abs(diff)) // (CAST(conv_b AS HUGEINT) * n_a) AS BIGINT)
+       |  END AS lift_ppm,
+       |  z2_ppm,
+       |  CASE WHEN z2_ppm IS NOT NULL THEN z2_ppm >= $sig END AS significant
+       |FROM z ORDER BY event_type""".stripMargin
+  }
+
+  /** p35: the watermark rule modeled independently — after the even
+    * batch the watermark sits at floor(max_us/1000) ms − 1 h (exactly
+    * EventTimeWatermarkExec's ms-floored tracking), and an odd row is
+    * admitted iff its window end (ms) is strictly past it. */
+  private lazy val p35Sql: String =
+    s"""WITH ev AS (SELECT * FROM events WHERE $validCond),
+       |a AS (SELECT * FROM ev WHERE event_id % 2 = 0),
+       |wm AS (SELECT (epoch_us(max(ts)) // 1000) - 3600000 AS wm_ms FROM a),
+       |kept AS (
+       |  SELECT ts, event_type FROM a
+       |  UNION ALL
+       |  SELECT b.ts, b.event_type FROM ev b, wm
+       |  WHERE b.event_id % 2 = 1
+       |    AND (epoch_us(date_trunc('hour', b.ts)) // 1000) + 3600000 > wm.wm_ms),
+       |str AS (SELECT date_trunc('hour', ts) AS win_start, event_type,
+       |    CAST(count(*) AS BIGINT) AS n_stream FROM kept GROUP BY 1, 2),
+       |bat AS (SELECT date_trunc('hour', ts) AS win_start, event_type,
+       |    CAST(count(*) AS BIGINT) AS n_batch FROM ev GROUP BY 1, 2)
+       |SELECT b.win_start, b.event_type, b.n_batch,
+       |  coalesce(s.n_stream, 0) AS n_stream,
+       |  b.n_batch - coalesce(s.n_stream, 0) AS late_dropped
+       |FROM bat b LEFT JOIN str s
+       |  ON s.win_start = b.win_start AND s.event_type = b.event_type
+       |ORDER BY b.win_start, b.event_type""".stripMargin
+
   /** The shared market-basket substrate (a11/a12): distinct order→part
     * incidence, per-item basket counts, unordered-pair co-occurrence
     * counts — mirrors BasketOps.pairCountsOver exactly. */
@@ -2326,6 +2475,10 @@ object Oracles {
     "m7_media_manifest" -> m7Sql,
     "a14_ewma_forecast" -> a14Sql,
     "d14_lsh_sweep" -> d14Sql,
+    "d15_source_overlap" -> d15Sql,
+    "e19_ann_sq" -> e19Sql,
+    "a15_ab_lift" -> a15Sql,
+    "p35_late_data" -> p35Sql,
     // p34: the streamed forecast must equal batch a14 exactly — its
     // oracle is a14's statement verbatim (the p26/a7 pattern)
     "p34_stream_forecast" -> a14Sql,

@@ -1131,6 +1131,75 @@ object Analytics {
   def a13Attribution(spark: SparkSession, dir: String): DataFrame =
     attributionOf(Tables.events(spark, dir))
 
+  /** a15's conversion threshold: a user "converts" on an event type
+    * when they log at least this many events of it. Picked at the
+    * testdata's per-(user, type) mean (~13.3 — SF-invariant: event
+    * volume and user count scale together), so both variants land a
+    * non-degenerate conversion rate at every SF. The operator is
+    * generic over any user-level boolean; a production run swaps this
+    * activity threshold for its own conversion predicate. */
+  val AbConvThreshold = 14L
+
+  /** a15's significance line: χ²(1 dof) at p = 0.05, in ppm
+    * (3.841459·10⁶). Compared against the exact z2_ppm integer, so the
+    * verdict is bit-deterministic in both engines. */
+  val AbSigZ2Ppm = 3841459L
+
+  /** a15: A/B CONVERSION LIFT + SIGNIFICANCE — the experimentation
+    * readout every product pipeline bolts onto its KPI layer: users
+    * split into two deterministic variants (user_id parity — the
+    * hash-assignment every A/B system uses), per event type the
+    * conversion counts, the relative lift of A over B, and the
+    * two-proportion z-test verdict. The entire test statistic stays
+    * EXACT INTEGER arithmetic: with diff = conv_a·n_b − conv_b·n_a,
+    * pooled p̂ = C/N, the classic z² = (p_a−p_b)²/(p̂(1−p̂)(1/n_a+1/n_b))
+    * collapses to z² = diff²·N / (n_a·n_b·C·(N−C)) — one floor
+    * division in ppm, no floats, so lift, z² and the verdict are
+    * bit-identical in the oracle (which recomputes from first
+    * principles in HUGEINT).
+    *
+    * Overflow bound (documented like a11's): the z² numerator
+    * 10⁶·diff²·N runs through DECIMAL(38,0)/HUGEINT — exact while
+    * N⁵·10⁶/16 < 10³⁸, i.e. to ~10⁶ distinct users at worst-case
+    * imbalance (far more at realistic diff); past that, test on a
+    * deterministic user sample (s3's stratified carve).
+    *
+    * Scale shape: one map-combined groupBy to (type, user, variant)
+    * cells, one rollup to |types| rows, population counts as a 1-row
+    * broadcast — the same profile as a5's funnel. */
+  def a15AbLift(spark: SparkSession, dir: String): DataFrame =
+    abLiftOf(Tables.events(spark, dir))
+
+  /** a15's core on any (user_id, event_type) relation (spec hook). */
+  private[graft] def abLiftOf(events: DataFrame): DataFrame = {
+    val base = events.filter(col("user_id").isNotNull)
+      .withColumn("va", col("user_id") % 2 === 0)
+    val pop = base.groupBy().agg(
+      countDistinct(when(col("va"), col("user_id"))).as("n_a"),
+      countDistinct(when(!col("va"), col("user_id"))).as("n_b"))
+    val conv = base.groupBy("event_type", "user_id", "va")
+      .agg(count(lit(1)).as("n_ev"))
+      .filter(col("n_ev") >= AbConvThreshold)
+      .groupBy("event_type")
+      .agg(sum(when(col("va"), 1L).otherwise(0L)).as("conv_a"),
+        sum(when(!col("va"), 1L).otherwise(0L)).as("conv_b"))
+    conv.crossJoin(broadcast(pop))
+      .withColumn("diff", col("conv_a") * col("n_b") - col("conv_b") * col("n_a"))
+      .withColumn("cc", col("conv_a") + col("conv_b"))
+      .withColumn("nn", col("n_a") + col("n_b"))
+      .withColumn("lift_ppm", when(col("conv_b") > 0,
+        when(col("diff") >= 0, 1L).otherwise(-1L) *
+          expr("(1000000 * CAST(abs(diff) AS DECIMAL(38,0))) div (CAST(conv_b AS DECIMAL(38,0)) * n_a)")))
+      .withColumn("z2_ppm", when(col("cc") > 0 && col("cc") < col("nn"),
+        expr("""(1000000 * CAST(diff AS DECIMAL(38,0)) * CAST(diff AS DECIMAL(38,0)) * nn)
+                div (CAST(n_a AS DECIMAL(38,0)) * n_b * cc * (nn - cc))""")))
+      .withColumn("significant", when(col("z2_ppm").isNotNull,
+        col("z2_ppm") >= AbSigZ2Ppm))
+      .select("event_type", "n_a", "conv_a", "n_b", "conv_b",
+        "lift_ppm", "z2_ppm", "significant")
+      .orderBy("event_type")
+  }
+
   /** a13's core on any events relation — separate so specs can drive
     * constructed touch/purchase sequences through the exact plan. */
   private[graft] def attributionOf(events: DataFrame): DataFrame = {

@@ -967,4 +967,87 @@ object AnnOps {
       }
     }
   }
+
+  /** SQ8 quantization levels (codes 0..SqLevels). */
+  val SqLevels = 255L
+
+  /** Per-dimension SQ8 range stats (d, mn, mx) over the quantized
+    * corpus — Dims rows, broadcast into the encode and the ADC scoring
+    * join. Unlike e6's fixed md5 codebooks this IS a (one-pass,
+    * associative min/max) training step: the classic trade of scalar
+    * vs product quantization. */
+  private[graft] def sqStats(spark: SparkSession, dir: String): DataFrame =
+    DedupOps.memoized(spark, "ann_sq_stats", dir) {
+      quantized(spark, dir)
+        .select(posexplode(col("q")).as(Seq("d", "v")))
+        .groupBy("d").agg(min("v").as("mn"), max("v").as("mx"))
+    }
+
+  /** The SQ8 code rows (c_id, label, d, code, recon255) — one map-side
+    * projection against the broadcast range stats; recon255 =
+    * 255·mn + code·(mx−mn) is the ×255-scaled reconstruction, kept
+    * integer so ADC sums are exact (|qv255| ≤ 255·|v|, diff² ≤ ~1e12,
+    * ×Dims ≈ 7e13 — inside int64 with 5 decimal orders to spare). */
+  private[graft] def sqCodes(spark: SparkSession, dir: String): DataFrame =
+    DedupOps.memoized(spark, "ann_sq_codes", dir) {
+      quantized(spark, dir)
+        .select(col("vec_id").as("c_id"), col("label"),
+          posexplode(col("q")).as(Seq("d", "v")))
+        .join(broadcast(sqStats(spark, dir)), "d")
+        .withColumn("code",
+          when(col("mx") > col("mn"),
+            expr(s"(v - mn) * $SqLevels div (mx - mn)")).otherwise(lit(0L)))
+        .select(col("c_id"), col("label"), col("d"), col("code"),
+          (col("mn") * lit(SqLevels) +
+            col("code") * (col("mx") - col("mn"))).as("recon255"))
+    }
+
+  /** e19: IVF+SQ8 ANN — e6's composition with a SCALAR quantizer in
+    * the compressed-scoring role: one uint8 code per DIMENSION (vs
+    * PQ's one code per 8-dim subspace), reconstructing each coordinate
+    * on the per-dim [mn, mx] range learned in one associative pass.
+    * 4× the code bytes of PQ but no codebook training and a far
+    * cheaper encode (a subtract-multiply-divide per coordinate vs a
+    * 16-way nearest-centroid search per subspace) — the standard
+    * "fidelity per byte vs build cost" alternative every vector store
+    * ships next to PQ (FAISS's SQ8 vs PQ8). IVF still does the
+    * PRUNING (compression never bounds candidate volume); asymmetric
+    * distance = Σ_d (255·q_d − recon255_d)² in exact int64, shortlist
+    * PqShortlist by (adc, c_id), exact-cosine rerank top-k — e6's
+    * presentation, so the two compressed indexes are directly
+    * comparable row-for-row.
+    *
+    * Scale shape: stats are Dims rows (broadcast); encode is map-side
+    * against the scan; the ADC join volume is probed-cells ×
+    * candidates × Dims rows — same profile as e6's ADC at 8× the dim
+    * granularity, bounded by the IVF probe, never corpus². */
+  def annSq(spark: SparkSession, dir: String, k: Int = 3,
+      nProbe: Int = NProbe, shortlist: Int = PqShortlist): DataFrame = {
+    val cos = cosineWith(dotBest(spark)) _
+    val qv = quantized(spark, dir)
+    val qdim = qv.filter(col("vec_id") % QueryStride === 0)
+      .select(col("vec_id").as("q_id"), posexplode(col("q")).as(Seq("d", "v")))
+      .select(col("q_id"), col("d"), (col("v") * lit(SqLevels)).as("qv255"))
+    val probed = probedCells(spark, dir, nProbe).select("q_id", "label")
+    val adc = probed.join(sqCodes(spark, dir), "label")
+      .filter(col("q_id") =!= col("c_id"))
+      .join(broadcast(qdim), Seq("q_id", "d"))
+      .groupBy("q_id", "c_id")
+      .agg(sum((col("qv255") - col("recon255")) *
+        (col("qv255") - col("recon255"))).as("adc"))
+    val sw = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(col("adc"), col("c_id"))
+    val short = adc.withColumn("srn", row_number().over(sw))
+      .filter(col("srn") <= shortlist).select("q_id", "c_id")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(col("score").desc, col("c_id"))
+    short
+      .join(qv.select(col("vec_id").as("q_id"), col("q").as("qq")), "q_id")
+      .join(qv.select(col("vec_id").as("c_id"), col("q").as("cq")), "c_id")
+      .withColumn("score", cos(col("qq"), col("cq")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col("rnk"), col("c_id"), round(col("score"), 6).as("score"))
+      .orderBy("q_id", "rnk")
+  }
 }

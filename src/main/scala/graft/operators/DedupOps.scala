@@ -784,4 +784,52 @@ object DedupOps {
       .select("bands", "rows_per_band", "candidates", "ref_caught", "recall_ppm")
       .orderBy("bands")
   }
+
+  /** d15: CROSS-SOURCE DUPLICATION MATRIX — the curation question s10
+    * ESTIMATES (how much do my sources share?) answered EXACTLY at the
+    * document level from the dedup substrates already computed: for
+    * every (source_a ≤ source_b) cell, the number of exact-duplicate
+    * doc pairs (d1's token-stream fingerprint) and of verified near-dup
+    * pairs (the shipped d3 MinHash-LSH pair set) whose endpoints live
+    * in those sources. Diagonal cells report intra-source duplication;
+    * off-diagonal cells are the "source B is a re-crawl of source A"
+    * signal that decides which source to drop before mixing (x4/x5).
+    *
+    * Scale shape: the exact leg aggregates d1's fingerprint scan to
+    * (fp, source, cnt) — duplicate-GROUP-scale, not corpus-scale — and
+    * pairs per-fp SOURCE rows (fan-out C(sources_with_copy, 2) ≤
+    * C(|sources|, 2) per group, never C(copies, 2) over documents);
+    * counts multiply (ca·cb, cnt·(cnt−1)/2) instead of materializing
+    * doc pairs. The near-dup leg is two dimension-scale joins over the
+    * MEMOIZED d3 pair set (dedup-output-scale). Output ≤ |sources|²
+    * rows. Nothing here rescans the corpus beyond d1's single
+    * fingerprint pass. */
+  def sourceOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val fps = docs
+      .select(md5(array_join(tokens(col("text")), " ")).as("fp"), col("source"))
+      .groupBy("fp", "source").agg(count(lit(1)).as("cnt"))
+    val cross = fps.select(col("fp"), col("source").as("source_a"), col("cnt").as("ca"))
+      .join(fps.select(col("fp"), col("source").as("source_b"), col("cnt").as("cb")), "fp")
+      .filter(col("source_a") < col("source_b"))
+      .groupBy("source_a", "source_b")
+      .agg(sum(col("ca") * col("cb")).as("exact_pairs"))
+    val diag = fps.filter(col("cnt") > 1)
+      .groupBy(col("source").as("source_a"))
+      .agg(sum(expr("cnt * (cnt - 1) div 2")).as("exact_pairs"))
+      .select(col("source_a"), col("source_a").as("source_b"), col("exact_pairs"))
+    val src = docs.select(col("doc_id"), col("source"))
+    val nd = minhashLsh(spark, dir).select("doc_a", "doc_b")
+      .join(src.select(col("doc_id").as("doc_a"), col("source").as("sa")), "doc_a")
+      .join(src.select(col("doc_id").as("doc_b"), col("source").as("sb")), "doc_b")
+      .groupBy(least(col("sa"), col("sb")).as("source_a"),
+        greatest(col("sa"), col("sb")).as("source_b"))
+      .agg(count(lit(1)).as("neardup_pairs"))
+    cross.unionByName(diag)
+      .join(nd, Seq("source_a", "source_b"), "full_outer")
+      .select(col("source_a"), col("source_b"),
+        coalesce(col("exact_pairs"), lit(0L)).as("exact_pairs"),
+        coalesce(col("neardup_pairs"), lit(0L)).as("neardup_pairs"))
+      .orderBy("source_a", "source_b")
+  }
 }

@@ -680,6 +680,114 @@ object StreamPipeline {
       spark.table(memSinkName("p34", dir)))
   }
 
+  /** p35's lateness allowance — how far behind the max observed event
+    * time the watermark trails (and therefore how old a row may arrive
+    * and still be admitted to its window's state). */
+  val LateDelay = "1 hour"
+
+  /** p35: LATE-DATA ACCOUNTING — the watermark-drop ledger every
+    * production streaming job needs next to its output: per (1-hour
+    * window, event_type), the batch-truth count, the count the
+    * watermarked streaming aggregation actually admitted, and their
+    * difference = rows dropped as too late. This pins Spark's REAL
+    * lateness semantics against an independent model: the staged
+    * arrival replays the corpus in two deterministic micro-batches
+    * (even event_ids, then odd), so after batch 1 the watermark sits at
+    * max(even ts) − LateDelay and batch 2's odd rows are admitted iff
+    * their window still has state — i.e. window.end > watermark; the
+    * oracle recomputes exactly that rule (ms-floored, as
+    * EventTimeWatermarkExec tracks it) in SQL, and the spec pins the
+    * window.end = watermark boundary on constructed rows.
+    *
+    * Batch boundaries are controlled: maxFilesPerTrigger=1 over four
+    * staged files with strictly increasing modification times (the file
+    * source processes files in mtime order) — evens, a TICK, odds, then
+    * p15's flush sentinel 3 h past the corpus max, which drives the
+    * final watermark past every real window end so append mode emits
+    * them all; the sentinel's own window stays open and never emits, so
+    * it self-excludes. The tick is one validCond-failing row (negative
+    * user_id — contributes to neither stats nor counts) whose only job
+    * is to burn a batch: Spark 4 runs a TWO-watermark design (the
+    * StateStoreSave literals in the plan) — batch N filters late rows
+    * against the watermark COMMITTED AT BATCH N−1's START (stats
+    * through N−2) and evicts against the current one — so the odd rows
+    * must arrive two batches after the even stats to face the
+    * evens-derived watermark.
+    *
+    * Scale shape: streaming state is windows × types rows; the ledger
+    * join is dimension-scale on (window, type). The accounting needs
+    * the batch recount only because it reports ABSOLUTE truth — a
+    * deployment that just monitors drops reads
+    * `observedMetrics`/`numRowsDroppedByWatermark` for free. */
+  def lateDataAccounting(spark: SparkSession, dir: String): DataFrame = {
+    import graft.pipeline.TripPipeline
+    val streamDir = java.nio.file.Paths.get(stagingPath("p35", dir))
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+    graft.functions.F.landOnce(streamDir.toString,
+        Seq("evens", "tick", "odds", "flush").map(n =>
+          streamDir.resolve(s"$n.parquet").toString)) {
+      java.nio.file.Files.createDirectories(streamDir)
+      def land(df: DataFrame, name: String, mtimeMs: Long): Unit = {
+        val tmp = streamDir.resolve(s"_tmp_$name")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        val listing = java.nio.file.Files.list(tmp)
+        val part = try listing
+          .filter(_.getFileName.toString.endsWith(".parquet"))
+          .findFirst().get()
+        finally listing.close()
+        val dst = streamDir.resolve(s"$name.parquet")
+        java.nio.file.Files.move(part, dst,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        java.nio.file.Files.setLastModifiedTime(dst,
+          java.nio.file.attribute.FileTime.fromMillis(mtimeMs)): Unit
+      }
+      val maxMicros = graft.Tables.normalizeEventsTs(raw)
+        .agg(max(unix_micros(col("ts")))).head().getLong(0)
+      val sentinel = spark.createDataFrame(
+        java.util.List.of(org.apache.spark.sql.Row(
+          -1L, graft.Tables.tsLiteral(raw.schema, maxMicros + 3L * 3600 * 1000000L),
+          FlushUser, "click", 0.0, null)), raw.schema)
+      val tick = spark.createDataFrame(
+        java.util.List.of(org.apache.spark.sql.Row(
+          -2L, graft.Tables.tsLiteral(raw.schema, maxMicros),
+          -1L, "click", 0.0, null)), raw.schema)
+      // mtime ORDER (not value) is what the file source consumes; 30 s
+      // spacing clears any filesystem mtime granularity
+      val t0 = System.currentTimeMillis() - 240000L
+      land(raw.filter(col("event_id") % 2 === 0), "evens", t0)
+      land(tick, "tick", t0 + 30000L)
+      land(raw.filter(col("event_id") % 2 =!= 0), "odds", t0 + 60000L)
+      land(sentinel, "flush", t0 + 90000L)
+    }
+    val sdf = graft.Tables.normalizeEventsTs(
+      spark.readStream.schema(raw.schema)
+        .option("maxFilesPerTrigger", "1").parquet(streamDir.toString))
+    val sink = memSinkName("p35", dir)
+    withStatePartitions(spark, MaterializeStateParts) {
+      val query = sdf.filter(TripPipeline.validCond)
+        .withWatermark("ts", LateDelay)
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n_stream"))
+        .select(col("w.start").cast("timestamp_ntz").as("win_start"),
+          col("event_type"), col("n_stream"))
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("append").start()
+      try query.processAllAvailable()
+      finally { recordFloor("p35", query); query.stop() }
+    }
+    val bat = graft.Tables.events(spark, dir).filter(TripPipeline.validCond)
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_batch"))
+      .select(col("w.start").cast("timestamp_ntz").as("win_start"),
+        col("event_type"), col("n_batch"))
+    bat.join(spark.table(sink), Seq("win_start", "event_type"), "left")
+      .select(col("win_start"), col("event_type"), col("n_batch"),
+        coalesce(col("n_stream"), lit(0L)).as("n_stream"),
+        (col("n_batch") - coalesce(col("n_stream"), lit(0L))).as("late_dropped"))
+      .orderBy("win_start", "event_type")
+  }
+
   /** p27: STREAMING CDC MATERIALIZED VIEW — p23's latest-wins upsert
     * maintained live: the change stream collapses to one row of state
     * per key via `max(struct(ts, seq, op, val))` — a struct max IS the

@@ -1,0 +1,184 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.analytics.Analytics
+import graft.operators.{AnnOps, DedupOps}
+
+/** Session-3 depth operators: d15 (cross-source dup matrix), e19
+  * (IVF+SQ8), a15 (A/B lift). Cross-operator reconciliation for the
+  * matrix, an exact-equivalence theorem for the SQ8 path, hand-verified
+  * arithmetic for the test statistic. */
+class DepthOpsSpec extends AnyFunSuite with SparkSpec {
+
+  // ---------- d15 ----------
+
+  test("d15 exact-pair mass reconciles with d1's duplicate groups") {
+    val matrix = DedupOps.sourceOverlap(spark, Sf0001).collect()
+    val matrixExact = matrix.map(_.getLong(2)).sum
+    // Σ over the matrix must equal Σ_fp C(copies, 2) from live d1 —
+    // every unordered duplicate pair lands in exactly one (sa ≤ sb) cell
+    val d1Pairs = DedupOps.dedupExact(spark, Sf0001)
+      .select(col("n_copies")).collect()
+      .map(r => { val n = r.getLong(0); n * (n - 1) / 2 }).sum
+    assert(matrixExact === d1Pairs,
+      s"matrix exact mass $matrixExact != d1 pair mass $d1Pairs")
+  }
+
+  test("d15 near-dup mass reconciles with the shipped d3 pair set") {
+    val matrix = DedupOps.sourceOverlap(spark, Sf0001).collect()
+    val matrixNd = matrix.map(_.getLong(3)).sum
+    val d3Pairs = DedupOps.minhashLsh(spark, Sf0001).count()
+    assert(matrixNd === d3Pairs,
+      s"matrix near-dup mass $matrixNd != |d3| $d3Pairs")
+  }
+
+  test("d15 cells are canonically ordered and non-empty") {
+    val matrix = DedupOps.sourceOverlap(spark, Sf0001).collect()
+    assert(matrix.nonEmpty)
+    matrix.foreach { r =>
+      assert(r.getString(0) <= r.getString(1), s"non-canonical cell: $r")
+      assert(r.getLong(2) > 0 || r.getLong(3) > 0, s"all-zero cell kept: $r")
+    }
+  }
+
+  // ---------- e19 ----------
+
+  test("e19 SQ8 codes are 8-bit and reconstruction error is within one step") {
+    val stats = AnnOps.sqStats(spark, Sf0001)
+    val joined = AnnOps.sqCodes(spark, Sf0001)
+      .join(stats, "d")
+      .join(Tables.embeddings(spark, Sf0001)
+        .select(col("vec_id").as("c_id"),
+          posexplode(graft.functions.F.quantize(col("embedding"))).as(Seq("d", "v"))),
+        Seq("c_id", "d"))
+      .select(col("code"), (col("v") * 255 - col("recon255")).as("errx255"),
+        (col("mx") - col("mn")).as("step255"))
+      .collect()
+    assert(joined.nonEmpty)
+    joined.foreach { r =>
+      val (code, err, step) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      assert(code >= 0 && code <= AnnOps.SqLevels, s"code out of 8-bit range: $r")
+      // code = floor((v-mn)·255/(mx-mn)) ⇒ 0 ≤ v·255 − recon255 ≤ (mx−mn)
+      assert(err >= 0 && err <= step, s"reconstruction off by more than a step: $r")
+    }
+  }
+
+  test("e19 with a non-binding shortlist IS e5 (compression must not move the answer)") {
+    // exact-cosine rerank over ALL probed candidates = e5's definition,
+    // so routing them through the SQ8 ADC shortlist with the cap above
+    // the candidate count must be a no-op — the theorem that pins the
+    // whole codes/ADC plumbing.
+    val viaSq = AnnOps.annSq(spark, Sf0001, shortlist = Int.MaxValue)
+      .collect().map(_.toString)
+    val viaIvf = AnnOps.annIvf(spark, Sf0001).collect().map(_.toString)
+    assert(viaSq.sameElements(viaIvf))
+  }
+
+  test("e19 production shortlist returns the full per-query rank structure") {
+    val rows = AnnOps.annSq(spark, Sf0001).collect()
+    val byQ = rows.groupBy(_.getLong(0))
+    val queries = Tables.embeddings(spark, Sf0001)
+      .filter(col("vec_id") % AnnOps.QueryStride === 0).count()
+    assert(byQ.size === queries)
+    byQ.values.foreach { rs =>
+      assert(rs.map(_.getInt(1)).sorted.sameElements(1 to 3), "ranks must be 1..3")
+    }
+  }
+
+  // ---------- a15 ----------
+
+  private def eventsOf(rows: Seq[(Long, String)]) = {
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(
+      rows.zipWithIndex.map { case ((u, t), i) =>
+        Row(i.toLong, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), u, t, 1.0)
+      }.asJava,
+      StructType(Seq(
+        StructField("event_id", LongType), StructField("ts", TimestampType),
+        StructField("user_id", LongType), StructField("event_type", StringType),
+        StructField("value", DoubleType))))
+  }
+
+  test("a15 lift and z² agree with hand arithmetic on a constructed cohort") {
+    // 5 even users (A), 5 odd (B); 4 A-converters, 1 B-converter on "t"
+    val thr = Analytics.AbConvThreshold.toInt
+    val rows =
+      (0L to 9L).flatMap(u => Seq.fill(thr - 1)((u, "t"))) ++ // everyone near-misses
+      Seq(0L, 2L, 4L, 6L).map(u => (u, "t")) ++                // 4 evens cross
+      Seq((1L, "t"))                                           // 1 odd crosses
+    val out = Analytics.abLiftOf(eventsOf(rows)).collect()
+    assert(out.length === 1)
+    val r = out.head
+    assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)) === ((5L, 4L, 5L, 1L)))
+    // diff = 4·5 − 1·5 = 15; lift = 1e6·15 div (1·5) = 3_000_000
+    assert(r.getLong(5) === 3000000L)
+    // z² = 15²·10 / (5·5·5·5) = 3.6 → 3_600_000 ppm, below the 3_841_459 line
+    assert(r.getLong(6) === 3600000L)
+    assert(r.getBoolean(7) === false)
+  }
+
+  test("a15 one-sided conversion: significant, lift undefined") {
+    val thr = Analytics.AbConvThreshold.toInt
+    val rows =
+      (0L to 9L).flatMap(u => Seq.fill(thr - 1)((u, "t"))) ++
+      Seq(0L, 2L, 4L, 6L, 8L).map(u => (u, "t")) // all 5 evens cross, no odd
+    val r = Analytics.abLiftOf(eventsOf(rows)).collect().head
+    // diff = 25, z² = 625·10 / (5·5·5·5) = 10 → clearly past the 0.05 line
+    assert(r.getLong(6) === 10000000L)
+    assert(r.getBoolean(7) === true)
+    assert(r.isNullAt(5), "lift against a zero-conversion control must be NULL")
+  }
+
+  // ---------- p35 ----------
+
+  private def localDateTimeOf(v: Any): java.time.LocalDateTime = v match {
+    case t: java.sql.Timestamp => t.toLocalDateTime
+    case d: java.time.LocalDateTime => d
+    case i: java.time.Instant => i.atZone(java.time.ZoneOffset.UTC).toLocalDateTime
+    case other => sys.error(s"not a timestamp value: $other (${other.getClass})")
+  }
+
+  test("p35 admits a late row iff its window end is STRICTLY past the watermark") {
+    import scala.jdk.CollectionConverters._
+    val dir = java.nio.file.Files.createTempDirectory("p35spec").toString
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", TimestampType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    // evens (batch 0): max ts 12:00 → watermark 11:00 for the odd batch
+    // odds  (batch 1): 09:30 (win end 10:00 < wm: dropped),
+    //                  10:45 (win end 11:00 == wm: THE boundary),
+    //                  11:30 (win end 12:00 > wm: admitted)
+    val rows = Seq(
+      0L -> "2024-01-01 10:00:00", 2L -> "2024-01-01 10:30:00",
+      4L -> "2024-01-01 12:00:00",
+      1L -> "2024-01-01 09:30:00", 3L -> "2024-01-01 10:45:00",
+      5L -> "2024-01-01 11:30:00")
+    spark.createDataFrame(
+        rows.map { case (id, t) => Row(id, ts(t), 7L, "click", 1.0, null) }.asJava,
+        schema)
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = graft.streaming.StreamPipeline.lateDataAccounting(spark, dir)
+      .collect()
+      .map(r => (localDateTimeOf(r.get(0)).toString,
+        r.getLong(2), r.getLong(3), r.getLong(4)))
+    val expected = Array(
+      ("2024-01-01T09:00", 1L, 0L, 1L),
+      ("2024-01-01T10:00", 3L, 2L, 1L), // the == boundary row is DROPPED
+      ("2024-01-01T11:00", 1L, 1L, 0L),
+      ("2024-01-01T12:00", 1L, 1L, 0L))
+    assert(out.sameElements(expected), out.mkString("; "))
+  }
+
+  test("a15 degenerate cohort (everyone converts) reports no verdict") {
+    val thr = Analytics.AbConvThreshold.toInt
+    val rows = (0L to 9L).flatMap(u => Seq.fill(thr)((u, "t")))
+    val r = Analytics.abLiftOf(eventsOf(rows)).collect().head
+    assert(r.isNullAt(6) && r.isNullAt(7),
+      "pooled p̂(1−p̂) = 0 — z² and the verdict must be NULL, not a crash")
+  }
+}
