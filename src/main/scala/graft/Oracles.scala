@@ -872,6 +872,36 @@ object Oracles {
        |  ON s.win_start = b.win_start AND s.event_type = b.event_type
        |ORDER BY b.win_start, b.event_type""".stripMargin
 
+  /** m8: the frame decode, DF prune, pair join and containment score
+    * replayed from first principles (mirrors MultimodalOps.clipNearDup;
+    * the ms window geometry constants come from the one Scala home). */
+  private lazy val m8Sql: String = {
+    val (win, step) = (graft.operators.MultimodalOps.FrameWin,
+      graft.operators.MultimodalOps.FrameStep)
+    val maxDf = graft.operators.MultimodalOps.MaxFrameDf
+    val minSh = graft.operators.MultimodalOps.MinSharedFrames
+    s"""WITH base AS (SELECT doc_id, text, length(text) AS n FROM documents
+       |  WHERE text IS NOT NULL AND length(text) >= $win),
+       |fr AS MATERIALIZED (SELECT DISTINCT doc_id,
+       |    ${h60(s"substr(text, CAST(i*$step+1 AS INTEGER), $win)")} AS fp
+       |  FROM (SELECT doc_id, text, unnest(range((n-$win)//$step + 1)) AS i
+       |        FROM base) u),
+       |pruned AS MATERIALIZED (SELECT doc_id, fp FROM fr WHERE fp IN (
+       |  SELECT fp FROM fr GROUP BY fp HAVING count(*) <= $maxDf)),
+       |sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS nf
+       |  FROM pruned GROUP BY doc_id),
+       |sh AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |    CAST(count(*) AS BIGINT) AS shared
+       |  FROM pruned a JOIN pruned b ON a.fp = b.fp AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT s.doc_a, s.doc_b, s.shared, sa.nf AS frames_a, sb.nf AS frames_b,
+       |  (1000000 * s.shared) // least(sa.nf, sb.nf) AS overlap_ppm
+       |FROM sh s
+       |JOIN sizes sa ON sa.doc_id = s.doc_a
+       |JOIN sizes sb ON sb.doc_id = s.doc_b
+       |WHERE s.shared >= $minSh ORDER BY doc_a, doc_b""".stripMargin
+  }
+
   /** The shared market-basket substrate (a11/a12): distinct order→part
     * incidence, per-item basket counts, unordered-pair co-occurrence
     * counts — mirrors BasketOps.pairCountsOver exactly. */
@@ -2479,6 +2509,7 @@ object Oracles {
     "e19_ann_sq" -> e19Sql,
     "a15_ab_lift" -> a15Sql,
     "p35_late_data" -> p35Sql,
+    "m8_clip_neardup" -> m8Sql,
     // p34: the streamed forecast must equal batch a14 exactly — its
     // oracle is a14's statement verbatim (the p26/a7 pattern)
     "p34_stream_forecast" -> a14Sql,

@@ -285,4 +285,79 @@ object MultimodalOps {
       .toDF()
       .orderBy("doc_id")
   }
+
+  /** One content-defined frame fingerprint (see clipNearDup). */
+  case class ClipFrameRow(doc_id: Long, fp: Long)
+
+  /** m8 frame geometry: a "frame" is a FrameWin-unit content window
+    * every FrameStep units (overlapping, so two payloads sharing
+    * footage at any offset ≡ 0 (mod FrameStep) still collide). */
+  val FrameWin = 16
+  val FrameStep = 8
+
+  /** Ubiquity cutoff for a frame fingerprint to generate candidates
+    * (d2's MaxNgramDf discipline at the frame tier). */
+  val MaxFrameDf = 100L
+
+  /** Minimum shared distinct frames before a pair is reported. */
+  val MinSharedFrames = 3L
+
+  /** m8: CLIP NEAR-DUP — which media files SHARE FOOTAGE: decode every
+    * blob into overlapping content-window frames, fingerprint each
+    * frame, and report blob pairs sharing ≥ MinSharedFrames distinct
+    * fingerprints with a containment-style overlap score — the
+    * re-edited/re-cut clip detector (same footage, different
+    * trim/concat) that m3's whole-content hash and m6's whole-payload
+    * fuzzy signature both miss, and the multimodal analog of d9's
+    * shared-passage tier. Unlike m2's whole-payload frame stub, the
+    * fingerprint here is CONTENT-DEFINED (a hash of the window's
+    * units), so shared subsequences collide across different payloads —
+    * exactly what a perceptual frame hash gives a real video pipeline;
+    * the decode is the same one-expression stub swap as m2/m5.
+    *
+    * Scale shape: the decode is m2's imperative mapPartitions shape
+    * (per-partition codec context, rows streaming through); candidates
+    * come from an equality join on the fingerprint over the DF-PRUNED
+    * inverted index (d2's discipline: ubiquitous frames — color bars,
+    * silence, boilerplate intros — would generate quadratic junk, so
+    * they are cut before the self-join), never all-pairs; everything
+    * after the one fingerprint groupBy is candidate-scale. */
+  def clipNearDup(spark: SparkSession, dir: String): DataFrame =
+    clipNearDupOf(spark, Tables.documents(spark, dir), Some(dir))
+
+  /** m8's core on any (doc_id, text) relation — separate so specs can
+    * drive constructed trim/re-cut payloads through the exact plan. */
+  private[graft] def clipNearDupOf(spark: SparkSession, docs: DataFrame,
+      memoDir: Option[String] = None): DataFrame = {
+    import spark.implicits._
+    val frames = docs
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.flatMap { case (id, text) =>
+          if (text == null || text.length < FrameWin) Iterator.empty
+          else (0 to text.length - FrameWin by FrameStep).iterator.map { i =>
+            ClipFrameRow(id, graft.functions.F.hash60With(md, text.substring(i, i + FrameWin)))
+          }
+        }
+      }
+      .toDF().distinct()
+    def prune = frames.join(
+      frames.groupBy("fp").agg(count(lit(1)).as("df"))
+        .filter(col("df") <= MaxFrameDf).select("fp"),
+      "fp")
+    val pruned = memoDir.fold(prune)(d => DedupOps.memoized(spark, "m8_frames", d)(prune))
+    val sizes = pruned.groupBy("doc_id").agg(count(lit(1)).as("nf"))
+    pruned.select(col("doc_id").as("doc_a"), col("fp"))
+      .join(pruned.select(col("doc_id").as("doc_b"), col("fp")), "fp")
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= MinSharedFrames)
+      .join(sizes.select(col("doc_id").as("doc_a"), col("nf").as("frames_a")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("nf").as("frames_b")), "doc_b")
+      .withColumn("overlap_ppm",
+        expr("(1000000 * shared) div least(frames_a, frames_b)"))
+      .select("doc_a", "doc_b", "shared", "frames_a", "frames_b", "overlap_ppm")
+      .orderBy("doc_a", "doc_b")
+  }
 }

@@ -132,6 +132,39 @@ class DepthOpsSpec extends AnyFunSuite with SparkSpec {
     assert(r.isNullAt(5), "lift against a zero-conversion control must be NULL")
   }
 
+  // ---------- m8 ----------
+
+  private def docsOf(rows: Seq[(Long, String)]) = {
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(
+      rows.map { case (id, t) => Row(id, t) }.asJava,
+      StructType(Seq(StructField("doc_id", LongType),
+        StructField("text", StringType))))
+  }
+
+  test("m8 detects trims, re-encodes and exact copies at the right containment") {
+    import graft.operators.MultimodalOps
+    // 8 distinct 8-char blocks; B = A with the first block trimmed (one
+    // FrameStep), so every one of B's frames exists in A at a shifted
+    // offset; C shares nothing; D is an exact copy of A
+    val blocks = (0 until 8).map(i => s"block${i}xy".take(8))
+    assert(blocks.forall(_.length == 8))
+    val a = blocks.mkString
+    val b = blocks.drop(1).mkString
+    val c = (0 until 8).map(i => s"other${i}qz".take(8)).mkString
+    val out = MultimodalOps.clipNearDupOf(spark,
+      docsOf(Seq(1L -> a, 2L -> b, 3L -> c, 4L -> a)))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    // A: (64−16)/8+1 = 7 frames; B: 6 — all shared ⇒ containment 10⁶;
+    // the exact copy shares all 7
+    assert(out.sorted.sameElements(Array(
+      (1L, 2L, 6L, 7L, 6L, 1000000L),
+      (1L, 4L, 7L, 7L, 7L, 1000000L),
+      (2L, 4L, 6L, 6L, 7L, 1000000L))), out.mkString("; "))
+  }
+
   // ---------- p35 ----------
 
   private def localDateTimeOf(v: Any): java.time.LocalDateTime = v match {
