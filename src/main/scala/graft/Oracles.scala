@@ -902,6 +902,68 @@ object Oracles {
        |WHERE s.shared >= $minSh ORDER BY doc_a, doc_b""".stripMargin
   }
 
+  /** a16: cohort/age rollup with the cumulative revenue accumulated in
+    * DECIMAL through the window (cast to double only at presentation —
+    * decSum's discipline carried through the running total). */
+  private lazy val a16Sql: String =
+    s"""WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS date, event_type, value
+       |  FROM events WHERE $validCond),
+       |coh AS (SELECT user_id, min(date) AS cohort_day FROM ev GROUP BY 1),
+       |d AS (SELECT c.cohort_day, CAST(e.date - c.cohort_day AS BIGINT) AS age_day,
+       |    count(DISTINCT e.user_id) AS n_active,
+       |    SUM(CASE WHEN e.event_type = 'purchase'
+       |      THEN CAST(e.value AS DECIMAL(18,6))
+       |      ELSE CAST(0 AS DECIMAL(18,6)) END) AS rev
+       |  FROM ev e JOIN coh c USING (user_id) GROUP BY 1, 2)
+       |SELECT cohort_day, age_day, n_active,
+       |  CAST(rev AS DOUBLE) AS revenue,
+       |  CAST(SUM(rev) OVER (PARTITION BY cohort_day ORDER BY age_day)
+       |    AS DOUBLE) AS cum_revenue
+       |FROM d ORDER BY cohort_day, age_day""".stripMargin
+
+  /** d16: the serve path replayed from first principles — the d3
+    * signature/band chain (verbatim constants), the served id derived
+    * as min(doc_a) over the verified pair set, band-probe candidates,
+    * exact unpruned n-gram Jaccard, top-5. */
+  private lazy val d16Sql: String =
+    s"""WITH $ngramCte,
+       |h AS (SELECT doc_id, ${h60("ngram")} % 2147483647 AS h FROM ng),
+       |perms AS (SELECT CAST(i AS INTEGER) AS i,
+       |  ${h60("'perm_a_' || i")} % 2147483646 + 1 AS pa,
+       |  ${h60("'perm_b_' || i")} % 2147483647 AS pb
+       |  FROM range(16) t(i)),
+       |sig AS MATERIALIZED (SELECT doc_id, i, min((pa * h + pb) % 2147483647) AS mh
+       |  FROM h CROSS JOIN perms GROUP BY doc_id, i),
+       |bands AS MATERIALIZED (SELECT doc_id, CAST(floor(i / 4) AS INTEGER) AS band,
+       |  md5(string_agg(CAST(mh AS VARCHAR), ',' ORDER BY i)) AS bkey
+       |  FROM sig GROUP BY doc_id, CAST(floor(i / 4) AS INTEGER)),
+       |cand0 AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+       |d3p AS (SELECT c.doc_a FROM cand0 c
+       |  JOIN sig sa ON sa.doc_id = c.doc_a
+       |  JOIN sig sb ON sb.doc_id = c.doc_b AND sb.i = sa.i
+       |  GROUP BY c.doc_a, c.doc_b
+       |  HAVING CAST(SUM(CASE WHEN sa.mh = sb.mh THEN 1 ELSE 0 END) AS DOUBLE) / 16
+       |    >= 0.25),
+       |qid AS (SELECT min(doc_a) AS q FROM d3p),
+       |qb AS (SELECT band, bkey FROM bands CROSS JOIN qid WHERE doc_id = q),
+       |cand AS (SELECT DISTINCT b.doc_id FROM bands b
+       |  JOIN qb ON b.band = qb.band AND b.bkey = qb.bkey
+       |  CROSS JOIN qid WHERE b.doc_id <> qid.q),
+       |qg AS (SELECT ngram FROM ng CROSS JOIN qid WHERE doc_id = q),
+       |qn AS (SELECT CAST(count(*) AS BIGINT) AS na FROM qg),
+       |cg AS (SELECT g.doc_id, g.ngram FROM ng g JOIN cand c ON c.doc_id = g.doc_id),
+       |sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS nb FROM cg GROUP BY 1),
+       |inter AS (SELECT cg.doc_id, CAST(count(*) AS BIGINT) AS inter
+       |  FROM cg JOIN qg ON cg.ngram = qg.ngram GROUP BY 1),
+       |sc AS (SELECT s.doc_id, i.inter, s.nb + qn.na - i.inter AS uni,
+       |    CAST(i.inter AS DOUBLE) / (s.nb + qn.na - i.inter) AS score
+       |  FROM sizes s JOIN inter i ON i.doc_id = s.doc_id CROSS JOIN qn)
+       |SELECT rnk, doc_id, inter, uni, round(score, 6) AS jaccard FROM (
+       |  SELECT *, row_number() OVER (ORDER BY score DESC, doc_id) AS rnk FROM sc) z
+       |WHERE rnk <= 5 ORDER BY rnk""".stripMargin
+
   /** The shared market-basket substrate (a11/a12): distinct order→part
     * incidence, per-item basket counts, unordered-pair co-occurrence
     * counts — mirrors BasketOps.pairCountsOver exactly. */
@@ -2510,6 +2572,30 @@ object Oracles {
     "a15_ab_lift" -> a15Sql,
     "p35_late_data" -> p35Sql,
     "m8_clip_neardup" -> m8Sql,
+    "a16_cohort_ltv" -> a16Sql,
+    "d16_docsim_serve" -> d16Sql,
+
+    // x12: the boundary map from x10's exact prefix-sum chain — each
+    // chunk's global interval clipped to every sequence it intersects
+    "x12_pack_boundaries" -> {
+      val L = graft.operators.CorpusOps.SeqLen
+      s"""WITH $trainChunksCte,
+         |o AS (SELECT doc_id, chunk_id, n_tok,
+         |    COALESCE(SUM(n_tok) OVER (ORDER BY $trainOrderBy
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+         |  FROM ch),
+         |seg AS (SELECT doc_id, chunk_id, n_tok, cum,
+         |    unnest(range(CAST(cum // $L AS BIGINT),
+         |      CAST((cum + n_tok - 1) // $L + 1 AS BIGINT))) AS seq_id
+         |  FROM o)
+         |SELECT CAST(seq_id AS BIGINT) AS seq_id,
+         |  row_number() OVER (PARTITION BY seq_id
+         |    ORDER BY greatest(cum - seq_id * $L, 0)) AS seg_idx,
+         |  doc_id, chunk_id,
+         |  CAST(greatest(cum - seq_id * $L, 0) AS BIGINT) AS start_tok,
+         |  CAST(least(cum + n_tok - seq_id * $L, $L) AS BIGINT) AS end_tok
+         |FROM seg ORDER BY seq_id, seg_idx""".stripMargin
+    },
     // p34: the streamed forecast must equal batch a14 exactly — its
     // oracle is a14's statement verbatim (the p26/a7 pattern)
     "p34_stream_forecast" -> a14Sql,

@@ -1170,6 +1170,41 @@ object Analytics {
   def a15AbLift(spark: SparkSession, dir: String): DataFrame =
     abLiftOf(Tables.events(spark, dir))
 
+  /** a16: COHORT LTV — the money companion to a6's retention triangle:
+    * users cohorted by their FIRST active day, then for every
+    * (cohort_day, age_day) cell the active-user count, the day's
+    * purchase revenue, and the cohort's CUMULATIVE revenue — the
+    * lifetime-value curve every growth team reads next to retention.
+    * Revenue stays exact: per-cell sums and the running total both
+    * accumulate in DECIMAL(18,6) and cast to double only at
+    * presentation (decSum's discipline applied through the window),
+    * so the cumulative column cannot drift between engines.
+    *
+    * Scale shape: one user_id shuffle shared by the cohort derivation
+    * and the join (the groupBy's partitioning is reused), one
+    * map-combined rollup to cohorts × ages cells, and the running sum
+    * is a window PARTITIONED by cohort over that dimension-scale
+    * table — no global window, no fact-scale state. */
+  def a16CohortLtv(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .filter(graft.pipeline.TripPipeline.validCond)
+      .withColumn("date", to_date(col("ts")))
+    val cohort = ev.groupBy("user_id").agg(min("date").as("cohort_day"))
+    val zero = lit(0).cast(DecimalType(18, 6))
+    val daily = ev.join(cohort, "user_id")
+      .withColumn("age_day", datediff(col("date"), col("cohort_day")).cast(LongType))
+      .groupBy("cohort_day", "age_day")
+      .agg(countDistinct("user_id").as("n_active"),
+        sum(when(col("event_type") === "purchase",
+          col("value").cast(DecimalType(18, 6))).otherwise(zero)).as("rev_dec"))
+    val w = Window.partitionBy("cohort_day").orderBy("age_day")
+    daily
+      .withColumn("revenue", col("rev_dec").cast(DoubleType))
+      .withColumn("cum_revenue", sum("rev_dec").over(w).cast(DoubleType))
+      .select("cohort_day", "age_day", "n_active", "revenue", "cum_revenue")
+      .orderBy("cohort_day", "age_day")
+  }
+
   /** a15's core on any (user_id, event_type) relation (spec hook). */
   private[graft] def abLiftOf(events: DataFrame): DataFrame = {
     val base = events.filter(col("user_id").isNotNull)

@@ -350,6 +350,42 @@ object CorpusOps {
       .orderBy("seq_id", "seq_off")
   }
 
+  /** x12: PACK BOUNDARY MAP — the attention-mask metadata of x10's
+    * packing: per packed sequence, the ordered SEGMENT list (which
+    * chunk occupies which [start_tok, end_tok) span), i.e. the
+    * document-boundary map a trainer needs to reset attention/loss at
+    * sample boundaries inside a packed sequence. Derived PURELY
+    * ARITHMETICALLY from the same exclusive prefix sum x10 rides: a
+    * chunk spanning [cum, cum+n_tok) intersects sequences
+    * cum div L .. (cum+n_tok−1) div L and contributes the clipped span
+    * to each — a cut chunk simply yields two segments, which is the
+    * whole point of the map. Segments provably TILE each full sequence
+    * ([0, L) with no gaps or overlaps — spec-pinned), because the
+    * global token interval is partitioned by construction.
+    *
+    * Scale shape: x10's one range shuffle + O(p) offsets, an explode
+    * with fan-out ≤ ⌈n_tok/L⌉+1 (= 2 for 32-token chunks), and a
+    * seq_id-PARTITIONED rank window over ≤ a-few-segments groups. */
+  def packBoundaries(spark: SparkSession, dir: String): DataFrame = {
+    val ranked = RankOps.withGlobalRankAndPrefixSum(
+      orderedTrainChunks(spark, dir), "step",
+      Some(("cum", col("n_tok"))),
+      Seq(col("ok"), col("doc_id"), col("chunk_id")))
+    val L = SeqLen
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("seq_id").orderBy("start_tok")
+    ranked
+      .withColumn("seq_id", explode(sequence(
+        expr(s"cum div $L"), expr(s"(cum + n_tok - 1) div $L"))))
+      .withColumn("start_tok", greatest(col("cum") - col("seq_id") * L, lit(0L)))
+      .withColumn("end_tok",
+        least(col("cum") + col("n_tok") - col("seq_id") * L, lit(L)))
+      .withColumn("seg_idx",
+        row_number().over(w).cast(org.apache.spark.sql.types.LongType))
+      .select("seq_id", "seg_idx", "doc_id", "chunk_id", "start_tok", "end_tok")
+      .orderBy("seq_id", "seg_idx")
+  }
+
   /** Training epochs materialized by x11. */
   val Epochs = 3L
 

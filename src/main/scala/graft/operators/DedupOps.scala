@@ -785,6 +785,56 @@ object DedupOps {
       .orderBy("bands")
   }
 
+  /** d16: SINGLE-DOCUMENT SIMILARITY SERVING — e12's per-request
+    * latency shape for the text family: "which documents look like
+    * THIS one?", answered from the standing LSH index without any
+    * corpus-wide pair generation. The served doc's 4 band keys resolve
+    * against the memoized band index (a broadcast of 4 rows — the
+    * index-metadata hop, same discipline as e12's cell resolution and
+    * the s7 bloom fetch), candidates are the band-equality matches,
+    * and only those candidates get exact n-gram Jaccard scoring
+    * against the query's gram set (broadcast, one doc's grams).
+    *
+    * The served id is the lowest doc_id carrying any d3 pair — derived
+    * (not hardcoded) so the demo is non-empty at every SF; the 1-row
+    * derivation is a bounded driver hop off the memoized pair set.
+    * Top-k by (jaccard desc, doc_id); jaccard is one exact-int
+    * division, rounded at presentation only.
+    *
+    * Scale shape: zero corpus passes beyond the memoized substrates —
+    * the band probe is an equality join against 4 broadcast keys, the
+    * gram fetch is candidate-bounded, and nothing here scales with
+    * |docs| except the standing index that production would already
+    * hold partitioned by band key. */
+  def docSimServe(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val qId = minhashLsh(spark, dir).agg(min(col("doc_a"))).head().getLong(0)
+    val bands = lshBands(spark, dir)
+    val qb = bands.filter(col("doc_id") === qId).select("band", "bkey")
+    val cand = bands.join(broadcast(qb), Seq("band", "bkey"))
+      .filter(col("doc_id") =!= qId)
+      .select("doc_id").distinct()
+    val ng = docNgrams(spark, dir)
+    val qg = ng.filter(col("doc_id") === qId).select("ngram")
+    val qn = qg.agg(count(lit(1)).as("na"))
+    val cg = ng.join(cand, "doc_id")
+    val sizes = cg.groupBy("doc_id").agg(count(lit(1)).as("nb"))
+    val inter = cg.join(broadcast(qg), "ngram")
+      .groupBy("doc_id").agg(count(lit(1)).as("inter"))
+    val top = sizes.join(inter, "doc_id")
+      .crossJoin(broadcast(qn))
+      .withColumn("uni", col("na") + col("nb") - col("inter"))
+      .withColumn("score", col("inter").cast(DoubleType) / col("uni").cast(DoubleType))
+      .orderBy(col("score").desc, col("doc_id")).limit(k)
+    // rank assignment over the already-LIMIT-k relation (bounded, so
+    // the unpartitioned window is inside the WindowDiscipline contract)
+    top
+      .withColumn("rnk", row_number().over(org.apache.spark.sql.expressions.Window
+        .orderBy(col("score").desc, col("doc_id"))))
+      .select(col("rnk"), col("doc_id"), col("inter"), col("uni"),
+        round(col("score"), 6).as("jaccard"))
+      .orderBy("rnk")
+  }
+
   /** d15: CROSS-SOURCE DUPLICATION MATRIX — the curation question s10
     * ESTIMATES (how much do my sources share?) answered EXACTLY at the
     * document level from the dedup substrates already computed: for

@@ -132,6 +132,87 @@ class DepthOpsSpec extends AnyFunSuite with SparkSpec {
     assert(r.isNullAt(5), "lift against a zero-conversion control must be NULL")
   }
 
+  // ---------- a16 ----------
+
+  test("a16 cohort LTV reconciles mass and age-0 structure") {
+    val ltv = Analytics.a16CohortLtv(spark, Sf0001).collect()
+    assert(ltv.nonEmpty)
+    // every cohort's age 0 row exists (the user was active on their first day)
+    val byCohort = ltv.groupBy(_.get(0))
+    byCohort.values.foreach { rows =>
+      assert(rows.map(_.getLong(1)).min === 0L, "cohort without an age-0 row")
+      // cum_revenue is the running sum of revenue in age order
+      val sorted = rows.sortBy(_.getLong(1))
+      var run = BigDecimal(0)
+      sorted.foreach { r =>
+        run += BigDecimal(r.getDouble(3))
+        assert(math.abs(run.toDouble - r.getDouble(4)) < 1e-6,
+          s"cum_revenue drifted at $r")
+      }
+    }
+    // total revenue mass = exact purchase revenue over valid events
+    val total = ltv.map(r => BigDecimal(r.getDouble(3))).sum.toDouble
+    val expected = Tables.events(spark, Sf0001)
+      .filter(graft.pipeline.TripPipeline.validCond)
+      .filter(col("event_type") === "purchase")
+      .agg(graft.functions.F.decSum(col("value"))).head().getDouble(0)
+    assert(math.abs(total - expected) < 1e-6)
+  }
+
+  // ---------- d16 ----------
+
+  test("d16 serves internally consistent ranked similarity") {
+    val out = DedupOps.docSimServe(spark, Sf0001).collect()
+    assert(out.nonEmpty, "served doc must have at least one band-mate")
+    assert(out.map(_.getInt(0)).sameElements(1 to out.length))
+    // jaccard = round(inter/uni, 6) and ranks follow (jaccard desc, doc_id)
+    val scored = out.map(r => (r.getLong(2).toDouble / r.getLong(3), r.getLong(1)))
+    out.zip(scored).foreach { case (r, (s, _)) =>
+      assert(math.abs(r.getDouble(4) - math.rint(s * 1e6) / 1e6) < 1e-9, r)
+    }
+    assert(scored.sortBy { case (s, id) => (-s, id) }.sameElements(scored),
+      "rows must be ranked by (jaccard desc, doc_id)")
+  }
+
+  test("d16's served doc surfaces its own d3-verified partners") {
+    val q = DedupOps.minhashLsh(spark, Sf0001)
+      .agg(min(col("doc_a"))).head().getLong(0)
+    val partners = DedupOps.minhashLsh(spark, Sf0001)
+      .filter(col("doc_a") === q).select("doc_b")
+      .collect().map(_.getLong(0)).toSet
+    val served = DedupOps.docSimServe(spark, Sf0001).collect()
+      .map(_.getLong(1)).toSet
+    if (served.size < 5) // below the top-k cut nothing may be missing
+      partners.foreach(p => assert(served.contains(p),
+        s"verified partner $p of served doc $q missing from the serve answer"))
+  }
+
+  // ---------- x12 ----------
+
+  test("x12 segments tile every packed sequence with no gaps or overlaps") {
+    import graft.operators.CorpusOps
+    val segs = CorpusOps.packBoundaries(spark, Sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(4), r.getLong(5)))
+    assert(segs.nonEmpty)
+    val lastSeq = segs.map(_._1).max
+    segs.groupBy(_._1).foreach { case (seq, rows) =>
+      val sorted = rows.sortBy(_._2)
+      assert(sorted.head._3 === 0L, s"seq $seq does not start at token 0")
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a._4 === b._3, s"gap/overlap in seq $seq between $a and $b")
+        case _ =>
+      }
+      if (seq != lastSeq)
+        assert(sorted.last._4 === CorpusOps.SeqLen,
+          s"non-final seq $seq not filled to SeqLen")
+    }
+    // token mass identical to the x10 packing it annotates
+    val x10Mass = CorpusOps.sequencePack(spark, Sf0001)
+      .agg(sum("n_tok")).head().getLong(0)
+    assert(segs.map(s => s._4 - s._3).sum === x10Mass)
+  }
+
   // ---------- m8 ----------
 
   private def docsOf(rows: Seq[(Long, String)]) = {
