@@ -964,6 +964,64 @@ object Oracles {
        |  SELECT *, row_number() OVER (ORDER BY score DESC, doc_id) AS rnk FROM sc) z
        |WHERE rnk <= 5 ORDER BY rnk""".stripMargin
 
+  /** b4: the Morton interleave and both layouts' footer stats replayed
+    * from first principles; the bit terms are generated from the same
+    * ZBits/ZBucketShift constants the Spark side compiles in. */
+  private lazy val b4Sql: String = {
+    val zb = graft.operators.BucketOps.ZBits
+    val shift = graft.operators.BucketOps.ZBucketShift
+    val maxN = (1 << zb) - 1
+    val zTerms = (0 until zb).map(i =>
+      s"(((na >> $i) & 1) << ${2 * i}) + (((nb >> $i) & 1) << ${2 * i + 1})")
+      .mkString(" + ")
+    s"""WITH li AS (SELECT l_orderkey AS a, l_partkey AS b FROM lineitem),
+       |mm AS (SELECT min(a) AS mna, max(a) AS mxa, min(b) AS mnb, max(b) AS mxb
+       |  FROM li),
+       |n AS (SELECT a, b,
+       |    CASE WHEN mxa > mna THEN (a - mna) * $maxN // (mxa - mna) ELSE 0 END AS na,
+       |    CASE WHEN mxb > mnb THEN (b - mnb) * $maxN // (mxb - mnb) ELSE 0 END AS nb
+       |  FROM li CROSS JOIN mm),
+       |wz AS (SELECT a, b, na, nb, $zTerms AS z FROM n)
+       |SELECT * FROM (
+       |  SELECT 'zorder' AS layout, z // ${1L << shift} AS bucket,
+       |    CAST(count(*) AS BIGINT) AS n_rows,
+       |    max(a) - min(a) AS o_span, max(b) - min(b) AS p_span
+       |  FROM wz GROUP BY 2
+       |  UNION ALL
+       |  SELECT 'natural', na // ${1L << (shift - zb)},
+       |    CAST(count(*) AS BIGINT), max(a) - min(a), max(b) - min(b)
+       |  FROM wz GROUP BY 2)
+       |ORDER BY layout, bucket""".stripMargin
+  }
+
+  /** p36: both snapshots re-derived from the events table (v1 minus the
+    * late slice), partition stats compared with the µ-unit value-mass
+    * canonicalization. */
+  private lazy val p36Sql: String =
+    s"""WITH ev AS (SELECT event_id, CAST(ts AS DATE) AS date, event_type, value
+       |  FROM events),
+       |mx AS (SELECT max(date) - 3 AS latefrom FROM ev),
+       |k2 AS (SELECT date, event_type, count(*) AS n_events, ${dsum("value")} AS total
+       |  FROM ev GROUP BY 1, 2),
+       |k1 AS (SELECT date, event_type, count(*) AS n_events, ${dsum("value")} AS total
+       |  FROM ev CROSS JOIN mx
+       |  WHERE NOT (event_id % 8 = 7 AND date >= latefrom) GROUP BY 1, 2),
+       |s1 AS (SELECT date, count(*) AS r1, CAST(SUM(n_events) AS BIGINT) AS e1,
+       |    CAST(SUM(CAST(floor(total * 1000000 + 0.5) AS BIGINT)) AS BIGINT) AS t1
+       |  FROM k1 GROUP BY 1),
+       |s2 AS (SELECT date, count(*) AS r2, CAST(SUM(n_events) AS BIGINT) AS e2,
+       |    CAST(SUM(CAST(floor(total * 1000000 + 0.5) AS BIGINT)) AS BIGINT) AS t2
+       |  FROM k2 GROUP BY 1)
+       |SELECT COALESCE(s1.date, s2.date) AS date,
+       |  CASE WHEN s1.date IS NULL THEN 'added'
+       |       WHEN s2.date IS NULL THEN 'removed'
+       |       WHEN s1.r1 = s2.r2 AND s1.e1 = s2.e2 AND s1.t1 = s2.t2
+       |         THEN 'unchanged'
+       |       ELSE 'changed' END AS status,
+       |  COALESCE(e1, 0) AS n_events_v1, COALESCE(e2, 0) AS n_events_v2
+       |FROM s1 FULL OUTER JOIN s2 ON s1.date = s2.date
+       |ORDER BY date""".stripMargin
+
   /** The shared market-basket substrate (a11/a12): distinct order→part
     * incidence, per-item basket counts, unordered-pair co-occurrence
     * counts — mirrors BasketOps.pairCountsOver exactly. */
@@ -2574,6 +2632,8 @@ object Oracles {
     "m8_clip_neardup" -> m8Sql,
     "a16_cohort_ltv" -> a16Sql,
     "d16_docsim_serve" -> d16Sql,
+    "b4_zorder_layout" -> b4Sql,
+    "p36_snapshot_diff" -> p36Sql,
 
     // x12: the boundary map from x10's exact prefix-sum chain — each
     // chunk's global interval clipped to every sequence it intersects

@@ -79,4 +79,66 @@ object BucketOps {
         count(lit(1)).as("n_lines"))
       .orderBy("o_orderpriority")
   }
+
+  /** b4 z-order geometry: each key min-max-normalizes onto a
+    * 2^ZBits-cell grid axis; the interleaved z value has 2·ZBits bits
+    * and a "file" is a run of 2^ZBucketShift consecutive z values —
+    * 2^(2·ZBits − ZBucketShift) = 256 buckets, standing in for the
+    * lake's file boundaries after a repartitionByRange(z) write. */
+  val ZBits = 10
+  val ZBucketShift = 12
+
+  /** b4: Z-ORDER LAYOUT — the multi-column file-skipping strategy b1's
+    * bucketing cannot give: bucketBy co-locates ONE join key; a
+    * two-dimensional predicate (orderkey range × partkey range) over a
+    * lake laid out in natural (single-key) order prunes on one
+    * dimension and scans everything on the other. Interleaving the
+    * bits of both normalized keys (the Morton/Z curve) and cutting
+    * files along the curve bounds BOTH per-file key ranges at once —
+    * this operator computes the z value for every lineitem row and
+    * reports, for each would-be file under the z layout AND under the
+    * natural orderkey layout, the row count and both keys' min-max
+    * spans: exactly the footer statistics a reader's predicate-vs-file
+    * pruning consults. Reading the two span columns side by side IS
+    * the design decision ("z-order bounds both dims at ~1/16 of range;
+    * natural order bounds one at 1/256 and leaves the other at full
+    * range").
+    *
+    * Scale shape: the z value is a pure per-row bit expression against
+    * a broadcast 1-row min/max (one map-side projection, codegen'd);
+    * each layout's stats are ONE map-combined groupBy to 256 cells. At
+    * write time the same z column feeds repartitionByRange + local
+    * sort — the shuffle a z-ordered lake pays once to make every
+    * 2-D scan after it prune at the directory level. */
+  def zorderLayout(spark: SparkSession, dir: String): DataFrame = {
+    val maxN = (1 << ZBits) - 1
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("a"), col("l_partkey").as("b"))
+    val mm = li.agg(min("a").as("mna"), max("a").as("mxa"),
+      min("b").as("mnb"), max("b").as("mxb"))
+    val n = li.crossJoin(broadcast(mm))
+      .withColumn("na", expr(
+        s"CASE WHEN mxa > mna THEN (a - mna) * $maxN div (mxa - mna) ELSE 0 END"))
+      .withColumn("nb", expr(
+        s"CASE WHEN mxb > mnb THEN (b - mnb) * $maxN div (mxb - mnb) ELSE 0 END"))
+    val z = (0 until ZBits).map { i =>
+      shiftleft(shiftright(col("na"), i).bitwiseAND(lit(1L)), 2 * i) +
+        shiftleft(shiftright(col("nb"), i).bitwiseAND(lit(1L)), 2 * i + 1)
+    }.reduce(_ + _)
+    def statsOf(df: DataFrame, bucket: String, layout: String) =
+      df.groupBy(col(bucket).as("bucket"))
+        .agg(count(lit(1)).as("n_rows"),
+          (max("a") - min("a")).as("o_span"),
+          (max("b") - min("b")).as("p_span"))
+        .select(lit(layout).as("layout"), col("bucket"), col("n_rows"),
+          col("o_span"), col("p_span"))
+    // both layouts cut the SAME row set into the same file count: 256
+    // z-runs vs 256 natural orderkey slices (na div 4, na ∈ [0, 1023])
+    val withZ = n.withColumn("z", z)
+      .withColumn("zbucket", expr(s"z div ${1L << ZBucketShift}"))
+      .withColumn("nbucket", expr(s"na div ${1L << (ZBucketShift - ZBits)}"))
+    statsOf(withZ, "zbucket", "zorder")
+      .unionByName(statsOf(withZ, "nbucket", "natural"))
+      .orderBy("layout", "bucket")
+  }
 }

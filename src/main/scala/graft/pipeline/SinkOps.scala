@@ -212,6 +212,72 @@ object SinkOps {
       .orderBy("date", "event_type")
   }
 
+  /** p36: SNAPSHOT DIFF — the "what changed between runs?" report every
+    * incremental lake job owes its operators: two snapshots of the
+    * daily-KPI lake land as date-partitioned parquet — v1 is
+    * yesterday's run, which missed a late-arriving event slice
+    * (event_id % 8 == 7 rows of the trailing 4 days — the window
+    * derived from the data, p32's discipline), v2 is today's full
+    * recompute — and the diff reads BOTH lakes back and classifies
+    * every date partition added / removed / changed / unchanged by
+    * comparing row count, event mass, and the µ-unit-canonicalized
+    * value mass (p33's total-order trick, so double formatting can
+    * never enter the comparison). Early partitions report unchanged,
+    * the late-data window reports changed — the exact signal a
+    * backfill scheduler (p32) consumes.
+    *
+    * Both snapshot legs run the ONE by-type KPI definition
+    * (TripPipeline.kpiDailyByTypeOf), so a reported diff can only come
+    * from the DATA delta, never from drifting rollup definitions.
+    *
+    * Scale shape: the diff never reads rows proportional to history —
+    * each side is one map-combined rollup to date-partition granularity
+    * and the join is dimension-scale on date; on a real lake the same
+    * classification runs off footer/manifest statistics without
+    * touching data files at all. */
+  def snapshotDiff(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.F
+    val v1p = F.sinkPath("snap_v1", dir)
+    val v2p = F.sinkPath("snap_v2", dir)
+    val ev = Tables.events(spark, dir)
+    val maxRow = ev.agg(max(to_date(col("ts")))).head()
+    if (maxRow.isNullAt(0))
+      return spark.createDataFrame(java.util.List.of[org.apache.spark.sql.Row](),
+        StructType(Seq(StructField("date", DateType), StructField("status", StringType),
+          StructField("n_events_v1", LongType), StructField("n_events_v2", LongType))))
+    val lateFrom = java.sql.Date.valueOf(maxRow.getDate(0).toLocalDate.minusDays(3))
+    F.landOnce(v1p, v1p) {
+      TripPipeline.kpiDailyByTypeOf(ev.filter(
+          !(col("event_id") % 8 === 7 && to_date(col("ts")) >= lit(lateFrom))))
+        .write.mode("overwrite").partitionBy("date").parquet(v1p)
+      spark.catalog.refreshByPath(v1p)
+    }
+    F.landOnce(v2p, v2p) {
+      TripPipeline.kpiDailyByTypeOf(ev)
+        .write.mode("overwrite").partitionBy("date").parquet(v2p)
+      spark.catalog.refreshByPath(v2p)
+    }
+    def stats(path: String) = spark.read.parquet(path)
+      .groupBy(col("date").cast(DateType).as("date"))
+      .agg(count(lit(1)).as("n_rows"), sum("n_events").as("n_events"),
+        sum(expr("CAST(floor(total_value * 1000000 + 0.5) AS BIGINT)")).as("micro"))
+    val a = stats(v1p).select(col("date"), col("n_rows").as("r1"),
+      col("n_events").as("e1"), col("micro").as("t1"))
+    val b = stats(v2p).select(col("date"), col("n_rows").as("r2"),
+      col("n_events").as("e2"), col("micro").as("t2"))
+    a.join(b, Seq("date"), "full_outer")
+      .withColumn("status",
+        when(col("r1").isNull, "added")
+          .when(col("r2").isNull, "removed")
+          .when(col("r1") === col("r2") && col("e1") === col("e2") &&
+            col("t1") === col("t2"), "unchanged")
+          .otherwise("changed"))
+      .select(col("date"), col("status"),
+        coalesce(col("e1"), lit(0L)).as("n_events_v1"),
+        coalesce(col("e2"), lit(0L)).as("n_events_v2"))
+      .orderBy("date")
+  }
+
   def compactionRoundtrip(spark: SparkSession, dir: String): DataFrame = {
     val fragmented = graft.functions.F.sinkPath("frag", dir)
     val compacted = graft.functions.F.sinkPath("compact", dir)

@@ -169,7 +169,13 @@ object TripPipeline {
   /** p6: KPIs by (date, event_type) — the natural extension the reference
     * FAQ suggests ("extend the Glue job for more KPIs"). */
   def kpiDailyByType(spark: SparkSession, dir: String): DataFrame =
-    Tables.events(spark, dir)
+    kpiDailyByTypeOf(Tables.events(spark, dir))
+
+  /** p6's rollup on any events relation — the ONE by-type KPI
+    * definition; p36's snapshot legs reuse it so a diff can never be
+    * an artifact of two drifting rollups. */
+  private[graft] def kpiDailyByTypeOf(ev: DataFrame): DataFrame =
+    ev
       .groupBy(to_date(col("ts")).as("date"), col("event_type"))
       .agg(
         count(lit(1)).as("n_events"),

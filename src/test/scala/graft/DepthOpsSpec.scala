@@ -213,6 +213,48 @@ class DepthOpsSpec extends AnyFunSuite with SparkSpec {
     assert(segs.map(s => s._4 - s._3).sum === x10Mass)
   }
 
+  // ---------- b4 ----------
+
+  test("b4 z-order bounds BOTH key spans; natural order leaves one unbounded") {
+    import graft.operators.BucketOps
+    val li = Tables.lineitem(spark, Sf0001)
+      .agg(count(lit(1)), (max("l_orderkey") - min("l_orderkey")),
+        (max("l_partkey") - min("l_partkey"))).head()
+    val (nRows, oRange, pRange) = (li.getLong(0), li.getLong(1), li.getLong(2))
+    val out = BucketOps.zorderLayout(spark, Sf0001).collect()
+    val (zb, nb) = out.partition(_.getString(0) == "zorder")
+    // same row mass cut into ≤ 256 files either way
+    assert(zb.map(_.getLong(2)).sum === nRows && nb.map(_.getLong(2)).sum === nRows)
+    assert(zb.length <= 256 && nb.length <= 256)
+    // multi-row z files bound BOTH dims to a fraction of the range …
+    val zMulti = zb.filter(_.getLong(2) >= 2)
+    assert(zMulti.nonEmpty)
+    assert(zMulti.map(_.getLong(3)).max <= oRange / 8, "z o_span too wide")
+    assert(zMulti.map(_.getLong(4)).max <= pRange / 8, "z p_span too wide")
+    // … while natural order bounds one dim tightly and not the other
+    val nMulti = nb.filter(_.getLong(2) >= 2)
+    assert(nMulti.map(_.getLong(3)).max <= oRange / 8, "natural o_span too wide")
+    assert(nMulti.map(_.getLong(4)).max > pRange / 2,
+      "natural layout unexpectedly bounds the second dim — fixture degenerate?")
+  }
+
+  // ---------- p36 ----------
+
+  test("p36 classifies exactly the late-data window as changed") {
+    val diff = pipeline.SinkOps.snapshotDiff(spark, Sf0001).collect()
+      .map(r => (localDateOf(r.get(0)), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(diff.nonEmpty)
+    val lateFrom = diff.map(_._1).max.minusDays(3)
+    diff.foreach { case (d, status, e1, e2) =>
+      if (d.isBefore(lateFrom))
+        assert(status === "unchanged" && e1 === e2, s"pre-window day $d: $status")
+      else {
+        assert(status === "changed", s"window day $d not marked changed")
+        assert(e1 < e2, s"window day $d lost no events?")
+      }
+    }
+  }
+
   // ---------- m8 ----------
 
   private def docsOf(rows: Seq[(Long, String)]) = {
