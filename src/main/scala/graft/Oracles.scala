@@ -1022,6 +1022,58 @@ object Oracles {
        |FROM s1 FULL OUTER JOIN s2 ON s1.date = s2.date
        |ORDER BY date""".stripMargin
 
+  /** p37: the render, both parser generations and the triage replayed
+    * in DuckDB's strptime dialect (zero-padded %d/%m matches Spark's
+    * dd/MM; epoch seconds floor-divided identically). */
+  private lazy val p37Sql: String =
+    s"""WITH ev AS (SELECT event_id, ts FROM events
+       |  WHERE ts IS NOT NULL AND event_id IS NOT NULL),
+       |s AS (SELECT event_id % 4 AS fmt_class,
+       |  CASE WHEN event_id % 4 = 0 THEN strftime(ts, '%Y-%m-%d %H:%M:%S')
+       |       WHEN event_id % 4 = 1 THEN strftime(ts, '%d/%m/%Y %H:%M')
+       |       WHEN event_id % 4 = 2 THEN CAST(epoch_us(ts) // 1000000 AS VARCHAR)
+       |       ELSE 'corrupt#' || event_id END AS raw_ts FROM ev),
+       |p AS (SELECT fmt_class,
+       |  try_strptime(raw_ts, '%Y-%m-%d %H:%M:%S') AS v1,
+       |  COALESCE(try_strptime(raw_ts, '%Y-%m-%d %H:%M:%S'),
+       |           try_strptime(raw_ts, '%d/%m/%Y %H:%M'),
+       |           to_timestamp(try_cast(raw_ts AS BIGINT))) AS v2
+       | FROM s)
+       |SELECT fmt_class, CAST(count(*) AS BIGINT) AS n_rows,
+       |  CAST(SUM(CASE WHEN v1 IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_quarantined,
+       |  CAST(SUM(CASE WHEN v1 IS NULL AND v2 IS NOT NULL THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_recovered,
+       |  CAST(SUM(CASE WHEN v1 IS NULL AND v2 IS NULL THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_dead
+       |FROM p GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** x13: d5's cluster chain + t2's quality chain composed; the keep
+    * rule (rounded score desc, doc_id asc) replayed verbatim. */
+  private lazy val x13Sql: String =
+    s"""WITH d5c AS MATERIALIZED (SELECT doc_id, cluster_id FROM ($d5Sql) z),
+       |td AS (SELECT doc_id, $TOK AS t FROM documents),
+       |tx AS (SELECT doc_id, len(t) AS n_tokens, len(list_distinct(t)) AS n_unique,
+       |  len(list_filter(t, x -> x IN ('the','a','of','and','to','in','is','on','for','with'))) AS n_stop
+       |  FROM td),
+       |tq AS (SELECT doc_id,
+       |  round(0.3 * (CAST(n_unique AS DOUBLE) / n_tokens)
+       |      + 0.4 * (1.0 - CAST(n_stop AS DOUBLE) / n_tokens)
+       |      + 0.3 * least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0), 6) AS qs
+       |  FROM tx),
+       |j AS (SELECT c.cluster_id, c.doc_id, tq.qs
+       |  FROM d5c c JOIN tq ON tq.doc_id = c.doc_id),
+       |k AS (SELECT cluster_id, doc_id AS keep_doc_id, qs AS keep_score FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY cluster_id
+       |    ORDER BY qs DESC, doc_id) AS rn FROM j) z WHERE rn = 1),
+       |st AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_members,
+       |    min(doc_id) AS naive_keep
+       |  FROM j GROUP BY 1)
+       |SELECT k.cluster_id, st.n_members, k.keep_doc_id, k.keep_score,
+       |  st.naive_keep, k.keep_doc_id <> st.naive_keep AS upgraded
+       |FROM k JOIN st ON st.cluster_id = k.cluster_id
+       |ORDER BY k.cluster_id""".stripMargin
+
   /** The shared market-basket substrate (a11/a12): distinct order→part
     * incidence, per-item basket counts, unordered-pair co-occurrence
     * counts — mirrors BasketOps.pairCountsOver exactly. */
@@ -2634,6 +2686,8 @@ object Oracles {
     "d16_docsim_serve" -> d16Sql,
     "b4_zorder_layout" -> b4Sql,
     "p36_snapshot_diff" -> p36Sql,
+    "p37_dlq_replay" -> p37Sql,
+    "x13_quality_keep" -> x13Sql,
 
     // x12: the boundary map from x10's exact prefix-sum chain — each
     // chunk's global interval clipped to every sequence it intersects

@@ -386,6 +386,39 @@ object CorpusOps {
       .orderBy("seq_id", "seg_idx")
   }
 
+  /** x13: QUALITY-AWARE DEDUP REPRESENTATIVE — production curation
+    * does not keep the FIRST copy of a duplicate family, it keeps the
+    * BEST one: per d5 near-dup cluster the member with the highest t2
+    * quality score (doc_id ascending on ties) becomes the
+    * representative, reported next to the naive min-id choice (x1's
+    * rule) and an `upgraded` flag marking clusters where quality
+    * actually changed the decision — the measurable value of
+    * quality-aware keeping over arrival-order keeping.
+    *
+    * Scale shape: two memoized substrates joined at cluster-member
+    * scale (d5's label set is dedup-output-sized), one
+    * cluster-PARTITIONED rank window and one map-combined stats
+    * rollup. The rounded t2 score is the comparison key (round before
+    * cutoff — the house ordering rule), doc_id breaks ties totally. */
+  def qualityKeep(spark: SparkSession, dir: String): DataFrame = {
+    val clusters = DedupOps.nearDupClusters(spark, dir)
+    val q = TextOps.quality(spark, dir).select("doc_id", "quality_score")
+    val j = clusters.join(q, "doc_id")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("cluster_id").orderBy(col("quality_score").desc, col("doc_id"))
+    val keeps = j.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("cluster_id"), col("doc_id").as("keep_doc_id"),
+        col("quality_score").as("keep_score"))
+    val stats = j.groupBy("cluster_id")
+      .agg(count(lit(1)).as("n_members"), min("doc_id").as("naive_keep"))
+    keeps.join(stats, "cluster_id")
+      .withColumn("upgraded", col("keep_doc_id") =!= col("naive_keep"))
+      .select("cluster_id", "n_members", "keep_doc_id", "keep_score",
+        "naive_keep", "upgraded")
+      .orderBy("cluster_id")
+  }
+
   /** Training epochs materialized by x11. */
   val Epochs = 3L
 

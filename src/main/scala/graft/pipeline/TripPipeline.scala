@@ -328,4 +328,47 @@ object TripPipeline {
       .select(col("event_id"), col("raw_ts"), col("parsed_ts"))
       .orderBy("event_id")
   }
+
+  /** p37: DLQ REPLAY — the quarantine is not a graveyard: after an
+    * upstream parser fix ships, the dead letters are REPLAYED through
+    * the fixed path and triaged into recovered vs permanently dead —
+    * the standard DLQ lifecycle the reference's SNS/DLQ leg implies but
+    * never closes. The rendered surface carries four timestamp wire
+    * formats by event-id residue (ISO, EU day-first, epoch seconds,
+    * garbage); parser v1 accepts ISO only, so three classes land in
+    * the DLQ; the v2 replay (p11's multi-format coalesce + an epoch
+    * branch) recovers the two well-formed classes and leaves garbage
+    * dead. The report is the per-class ledger (total / quarantined /
+    * recovered / dead) an on-call engineer reads to decide whether the
+    * fix shipped clean.
+    *
+    * Scale shape: render, both parses and the triage are one narrow
+    * codegen'd projection over the scan; the ledger is a map-combined
+    * groupBy to 4 rows. A 100 TB DLQ replays embarrassingly parallel. */
+  def dlqReplay(spark: SparkSession, dir: String): DataFrame = {
+    val fmtIso = "yyyy-MM-dd HH:mm:ss"
+    val fmtEu = "dd/MM/yyyy HH:mm"
+    val surface = Tables.events(spark, dir)
+      .filter(col("ts").isNotNull && col("event_id").isNotNull)
+      .withColumn("fmt_class", col("event_id") % 4)
+      .withColumn("raw_ts",
+        when(col("fmt_class") === 0, date_format(col("ts"), fmtIso))
+          .when(col("fmt_class") === 1, date_format(col("ts"), fmtEu))
+          .when(col("fmt_class") === 2,
+            expr("CAST(unix_micros(ts) div 1000000 AS STRING)"))
+          .otherwise(concat(lit("corrupt#"), col("event_id"))))
+    val v1 = try_to_timestamp(col("raw_ts"), lit(fmtIso))
+    val v2 = coalesce(v1,
+      try_to_timestamp(col("raw_ts"), lit(fmtEu)),
+      expr("timestamp_seconds(try_cast(raw_ts AS BIGINT))"))
+    surface
+      .withColumn("q1", v1.isNull)
+      .withColumn("rec", v1.isNull && v2.isNotNull)
+      .groupBy("fmt_class")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(col("q1"), 1L).otherwise(0L)).as("n_quarantined"),
+        sum(when(col("rec"), 1L).otherwise(0L)).as("n_recovered"),
+        sum(when(col("q1") && !col("rec"), 1L).otherwise(0L)).as("n_dead"))
+      .orderBy("fmt_class")
+  }
 }

@@ -255,6 +255,46 @@ class DepthOpsSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  // ---------- p37 ----------
+
+  test("p37 DLQ ledger: v1 rejects three classes, v2 recovers the well-formed two") {
+    val out = graft.pipeline.TripPipeline.dlqReplay(spark, Sf0001).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    assert(out.keySet === Set(0L, 1L, 2L, 3L))
+    out.foreach { case (cls, (n, q, rec, dead)) =>
+      assert(q === rec + dead, s"class $cls ledger does not balance")
+      assert(n > 0)
+      cls match {
+        case 0L => assert(q === 0L, "ISO class must pass v1")
+        case 3L => assert(dead === q && q === n, "garbage class must stay dead")
+        case _ => assert(rec === q && q === n, s"well-formed class $cls not recovered")
+      }
+    }
+  }
+
+  // ---------- x13 ----------
+
+  test("x13 keeps the max-quality member of every d5 cluster") {
+    val members = DedupOps.nearDupClusters(spark, Sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val score = graft.operators.TextOps.quality(spark, Sf0001)
+      .select("doc_id", "quality_score").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val expected = members.groupBy(_._2).map { case (c, ms) =>
+      c -> ms.map(_._1).minBy(id => (-score(id), id))
+    }
+    val out = graft.operators.CorpusOps.qualityKeep(spark, Sf0001).collect()
+    assert(out.length === expected.size)
+    out.foreach { r =>
+      val (c, keep, naive, upgraded) =
+        (r.getLong(0), r.getLong(2), r.getLong(4), r.getBoolean(5))
+      assert(keep === expected(c), s"cluster $c kept the wrong member")
+      assert(upgraded === (keep != naive))
+      assert(math.abs(r.getDouble(3) - score(keep)) < 1e-9)
+    }
+  }
+
   // ---------- m8 ----------
 
   private def docsOf(rows: Seq[(Long, String)]) = {
