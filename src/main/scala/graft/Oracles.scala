@@ -1074,6 +1074,41 @@ object Oracles {
        |FROM k JOIN st ON st.cluster_id = k.cluster_id
        |ORDER BY k.cluster_id""".stripMargin
 
+  /** e20: hottest cell, farthest-pair seeds and nearer-seed assignment
+    * replayed verbatim (exact integer distances in 53-bit-safe
+    * doubles, the e6 magnitude argument). */
+  private lazy val e20Sql: String =
+    s"""WITH ql AS (SELECT vec_id, $QV AS qv, label FROM embeddings),
+       |hot AS (SELECT label FROM (
+       |  SELECT label, row_number() OVER (ORDER BY count(*) DESC, label) AS rn
+       |  FROM ql GROUP BY label) z WHERE rn = 1),
+       |m AS MATERIALIZED (SELECT vec_id, ql.label, qv FROM ql JOIN hot USING (label)),
+       |unp AS (SELECT generate_subscripts(qv, 1) - 1 AS d, unnest(qv) AS v FROM m),
+       |cd AS (SELECT d, SUM(v) AS sv FROM unp GROUP BY d),
+       |cs AS (SELECT list(sv ORDER BY d) AS s, SUM(sv * sv) AS ss FROM cd),
+       |nn AS (SELECT count(*) AS n FROM m),
+       |s1 AS (SELECT vec_id AS a_id, qv AS a_q FROM (
+       |  SELECT m.vec_id, m.qv, row_number() OVER (ORDER BY
+       |      (nn.n * nn.n * list_dot_product(m.qv, m.qv)
+       |       - 2 * nn.n * list_dot_product(m.qv, cs.s) + cs.ss) DESC,
+       |      m.vec_id) AS rn
+       |  FROM m CROSS JOIN cs CROSS JOIN nn) z WHERE rn = 1),
+       |s2 AS (SELECT vec_id AS b_id, qv AS b_q FROM (
+       |  SELECT m.vec_id, m.qv, row_number() OVER (ORDER BY
+       |      (list_dot_product(m.qv, m.qv)
+       |       - 2 * list_dot_product(m.qv, s1.a_q)
+       |       + list_dot_product(s1.a_q, s1.a_q)) DESC, m.vec_id) AS rn
+       |  FROM m CROSS JOIN s1 WHERE m.vec_id <> s1.a_id) z WHERE rn = 1)
+       |SELECT m.vec_id, m.label AS old_label,
+       |  CAST(CASE WHEN
+       |      (list_dot_product(m.qv, m.qv) - 2 * list_dot_product(m.qv, s1.a_q)
+       |        + list_dot_product(s1.a_q, s1.a_q))
+       |      <= (list_dot_product(m.qv, m.qv) - 2 * list_dot_product(m.qv, s2.b_q)
+       |        + list_dot_product(s2.b_q, s2.b_q))
+       |    THEN 0 ELSE 1 END AS BIGINT) AS sub
+       |FROM m CROSS JOIN s1 CROSS JOIN s2
+       |ORDER BY m.vec_id""".stripMargin
+
   /** The shared market-basket substrate (a11/a12): distinct order→part
     * incidence, per-item basket counts, unordered-pair co-occurrence
     * counts — mirrors BasketOps.pairCountsOver exactly. */
@@ -2688,6 +2723,7 @@ object Oracles {
     "p36_snapshot_diff" -> p36Sql,
     "p37_dlq_replay" -> p37Sql,
     "x13_quality_keep" -> x13Sql,
+    "e20_cell_split" -> e20Sql,
 
     // x12: the boundary map from x10's exact prefix-sum chain — each
     // chunk's global interval clipped to every sequence it intersects

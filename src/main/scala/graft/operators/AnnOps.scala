@@ -968,6 +968,63 @@ object AnnOps {
     }
   }
 
+  /** e20: HOT-CELL SPLIT — the rebalance leg e15 diagnoses and nothing
+    * yet fixed: when one inverted-file cell grows hot (skewed corpus
+    * drift after upserts e11/e18 and deletes e13), probes of that cell
+    * scan disproportionately many candidates. The classic maintenance
+    * move splits the hottest cell in two with one deterministic
+    * farthest-pair 2-means step: seed A = the member farthest from the
+    * cell centroid (the n-scaled exact-integer distance identity, no
+    * division), seed B = the member farthest from A (excluding A —
+    * identical-payload cells cannot degenerate to one seed), every
+    * member assigned to the nearer seed (tie → A). The output is the
+    * new sub-assignment a compaction pass (e14) would land as
+    * `label=<cell>a/` and `label=<cell>b/` directories.
+    *
+    * Determinism: argmaxes are (distance desc, vec_id) total orders;
+    * distances are exact int64; oracle replays seed choice and
+    * assignment verbatim.
+    *
+    * Scale shape: hottest-cell resolution is a 1-row TakeOrdered off
+    * the memoized centroid-state relation; everything after is bounded
+    * by ONE cell's membership — two broadcast seed rows against the
+    * member scan, no corpus pass, no pairwise join. Exactly the
+    * request-path cost a production rebalance pays per split. */
+  def annCellSplit(spark: SparkSession, dir: String): DataFrame = {
+    val dot = dotBest(spark)
+    val qv = quantized(spark, dir)
+    val hot = qv.groupBy("label").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("label")).limit(1)
+    val members = qv.join(broadcast(hot.select("label")), "label")
+      .select(col("vec_id"), col("label"), col("q"))
+    val centRow = centroids(spark, dir)
+      .join(broadcast(hot.select("label")), "label")
+      .select(col("s"), col("n"), col("ss"))
+    val seedA = members.crossJoin(broadcast(centRow))
+      .withColumn("dist2",
+        col("n") * col("n") * dot(col("q"), col("q")) -
+          lit(2L) * col("n") * dot(col("q"), col("s")) + col("ss"))
+      .orderBy(col("dist2").desc, col("vec_id")).limit(1)
+      .select(col("vec_id").as("a_id"), col("q").as("a_q"))
+    val seedB = members.crossJoin(broadcast(seedA))
+      .filter(col("vec_id") =!= col("a_id"))
+      .withColumn("da",
+        dot(col("q"), col("q")) - lit(2L) * dot(col("q"), col("a_q")) +
+          dot(col("a_q"), col("a_q")))
+      .orderBy(col("da").desc, col("vec_id")).limit(1)
+      .select(col("vec_id").as("b_id"), col("q").as("b_q"))
+    members.crossJoin(broadcast(seedA)).crossJoin(broadcast(seedB))
+      .withColumn("da",
+        dot(col("q"), col("q")) - lit(2L) * dot(col("q"), col("a_q")) +
+          dot(col("a_q"), col("a_q")))
+      .withColumn("db",
+        dot(col("q"), col("q")) - lit(2L) * dot(col("q"), col("b_q")) +
+          dot(col("b_q"), col("b_q")))
+      .select(col("vec_id"), col("label").as("old_label"),
+        when(col("da") <= col("db"), lit(0L)).otherwise(lit(1L)).as("sub"))
+      .orderBy("vec_id")
+  }
+
   /** SQ8 quantization levels (codes 0..SqLevels). */
   val SqLevels = 255L
 

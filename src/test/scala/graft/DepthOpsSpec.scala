@@ -255,6 +255,43 @@ class DepthOpsSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  // ---------- e20 ----------
+
+  test("e20 splits exactly the hottest cell into two nearest-seed halves") {
+    val emb = Tables.embeddings(spark, Sf0001)
+      .select(col("vec_id"), graft.functions.F.quantize(col("embedding")).as("q"),
+        col("label"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1).toArray, r.getInt(2)))
+    val hot = emb.groupBy(_._3).toSeq.map { case (l, ms) => (l, ms.length) }
+      .minBy { case (l, n) => (-n, l) }._1
+    val cell = emb.filter(_._3 == hot).map(m => m._1 -> m._2).toMap
+    val out = AnnOps.annCellSplit(spark, Sf0001).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(out.map(_._1).toSet === cell.keySet, "split must cover the hottest cell")
+    assert(out.forall(_._2 == hot))
+    val subs = out.map(r => r._1 -> r._3).toMap
+    assert(subs.values.toSet === Set(0L, 1L), "a degenerate one-sided split")
+    // independently recompute: every member sits with its nearer seed
+    def d2(a: Array[Long], b: Array[Long]) =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val centroidDist = cell.map { case (id, v) =>
+      // n-scaled distance to the cell centroid: n²·v·v − 2n·(v·s) + s·s
+      val n = cell.size.toLong
+      val s = cell.values.transpose.map(_.sum).toArray
+      id -> (n * n * v.map(x => x * x).sum -
+        2 * n * v.zip(s).map { case (x, y) => x * y }.sum +
+        s.map(x => x * x).sum)
+    }
+    val aId = cell.keys.toSeq.minBy(id => (-centroidDist(id), id))
+    val bId = cell.keys.toSeq.filter(_ != aId)
+      .minBy(id => (-d2(cell(id), cell(aId)), id))
+    assert(subs(aId) === 0L && subs(bId) === 1L, "seeds must anchor their halves")
+    cell.foreach { case (id, v) =>
+      val (da, db) = (d2(v, cell(aId)), d2(v, cell(bId)))
+      assert(subs(id) === (if (da <= db) 0L else 1L), s"member $id mis-assigned")
+    }
+  }
+
   // ---------- p37 ----------
 
   test("p37 DLQ ledger: v1 rejects three classes, v2 recovers the well-formed two") {
