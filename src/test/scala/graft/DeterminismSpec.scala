@@ -123,6 +123,23 @@ class DeterminismSpec extends AnyFunSuite with SparkSpec {
       operators.AnnOps.annStreamUpsert(spark, Sf0001))
   }
 
+  test("round-11 session-3 depth operators are partition-count independent") {
+    // the new ranks, argmaxes, prefix sums and integer stats all claim
+    // total orders / exact arithmetic — replay each un-memoized under
+    // two shuffle widths
+    assertStable("d15_source_overlap")(
+      operators.DedupOps.sourceOverlap(spark, Sf0001))
+    assertStable("e19_ann_sq")(operators.AnnOps.annSq(spark, Sf0001))
+    assertStable("a15_ab_lift")(Analytics.a15AbLift(spark, Sf0001))
+    assertStable("a16_cohort_ltv")(Analytics.a16CohortLtv(spark, Sf0001))
+    assertStable("x12_pack_boundaries")(
+      operators.CorpusOps.packBoundaries(spark, Sf0001))
+    assertStable("x13_quality_keep")(operators.CorpusOps.qualityKeep(spark, Sf0001))
+    assertStable("b4_zorder_layout")(operators.BucketOps.zorderLayout(spark, Sf0001))
+    assertStable("e20_cell_split")(operators.AnnOps.annCellSplit(spark, Sf0001))
+    assertStable("p37_dlq_replay")(TripPipeline.dlqReplay(spark, Sf0001))
+  }
+
   test("a transient task failure + Spark retry yields bit-identical output") {
     // closes the exactly-once claim under Spark's OWN retry machinery
     // (complementing partition-count and re-delivery equivalence): one
