@@ -1109,6 +1109,35 @@ object Oracles {
        |FROM m CROSS JOIN s1 CROSS JOIN s2
        |ORDER BY m.vec_id""".stripMargin
 
+  /** t14: the first-owner relation + the prefix sweep replayed. */
+  private lazy val t14Sql: String =
+    s"""WITH d AS (SELECT doc_id, $TOK AS t FROM documents),
+       |tk AS (SELECT DISTINCT doc_id, unnest(t) AS tok FROM d),
+       |fo AS MATERIALIZED (SELECT tok, min(doc_id) AS first_doc FROM tk GROUP BY 1),
+       |nn AS (SELECT max(doc_id) + 1 AS n FROM d),
+       |cuts AS (SELECT permille, (n + dv - 1) // dv AS cut
+       |  FROM (VALUES (125, 8), (250, 4), (500, 2), (1000, 1)) v(permille, dv)
+       |  CROSS JOIN nn),
+       |mass AS (SELECT doc_id, len(t) AS n_tok FROM d),
+       |va AS (SELECT c.permille, CAST(count(*) AS BIGINT) AS vocab
+       |  FROM fo f JOIN cuts c ON f.first_doc < c.cut GROUP BY 1),
+       |ma AS (SELECT c.permille, CAST(count(*) AS BIGINT) AS n_docs,
+       |    CAST(SUM(m.n_tok) AS BIGINT) AS n_tokens
+       |  FROM mass m JOIN cuts c ON m.doc_id < c.cut GROUP BY 1)
+       |SELECT CAST(ma.permille AS BIGINT) AS permille, ma.n_docs, ma.n_tokens,
+       |  va.vocab, (1000000 * va.vocab) // ma.n_tokens AS ttr_ppm
+       |FROM ma JOIN va USING (permille) ORDER BY permille""".stripMargin
+
+  /** p38: the lambda contract — the merged speed+repair table must
+    * equal the PLAIN batch windowed rollup, so that rollup IS the
+    * oracle (the merge is correct iff the late model complements
+    * Spark's real drops exactly). */
+  private lazy val p38Sql: String =
+    s"""SELECT date_trunc('hour', ts) AS win_start, event_type,
+       |  CAST(count(*) AS BIGINT) AS n
+       |FROM events WHERE $validCond
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   /** The shared market-basket substrate (a11/a12): distinct order→part
     * incidence, per-item basket counts, unordered-pair co-occurrence
     * counts — mirrors BasketOps.pairCountsOver exactly. */
@@ -2724,6 +2753,8 @@ object Oracles {
     "p37_dlq_replay" -> p37Sql,
     "x13_quality_keep" -> x13Sql,
     "e20_cell_split" -> e20Sql,
+    "t14_vocab_growth" -> t14Sql,
+    "p38_lambda_reconcile" -> p38Sql,
 
     // x12: the boundary map from x10's exact prefix-sum chain — each
     // chunk's global interval clipped to every sequence it intersects

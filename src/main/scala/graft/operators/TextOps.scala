@@ -404,4 +404,53 @@ object TextOps {
       .withColumn("novelty_ppm", expr("(1000000 * n_novel) div n_grams"))
       .orderBy("doc_id")
   }
+
+  /** t14's sampled corpus-prefix points: (per-mille, divisor). */
+  private val VocabPrefixes = Seq((125L, 8L), (250L, 4L), (500L, 2L), (1000L, 1L))
+
+  /** t14: VOCABULARY GROWTH (Heaps-law curve) — how fast the corpus's
+    * distinct-token vocabulary grows as the corpus grows: for doc-id
+    * prefixes of 1/8, 1/4, 1/2 and all of the corpus, the document
+    * count, token mass, vocabulary size and type-token ratio (ppm).
+    * The curve is the tokenizer-sizing and dedup-health diagnostic a
+    * curation run reads before fixing a vocab budget (sub-linear
+    * growth = healthy natural text; near-linear = id-like junk tokens;
+    * flat = heavy duplication).
+    *
+    * Scale shape: t13's first-owner discipline makes this ONE corpus
+    * pass — each token's introducing document (min doc_id) is computed
+    * once (memoized), and every prefix's vocabulary is then just
+    * `count(first_doc < cutoff)`: the prefix sweep costs a 4-row
+    * broadcast nested-loop over the VOCABULARY relation, not 4 corpus
+    * rescans. Append-stable by construction: a new document can never
+    * change an existing prefix row (x6's growth-stability rule). */
+  def vocabGrowth(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val firstOwner = DedupOps.memoized(spark, "t14_first_owner", dir) {
+      docs.select(col("doc_id"), explode(toks).as("tok"))
+        .distinct()
+        .groupBy("tok").agg(min("doc_id").as("first_doc"))
+    }
+    val mass = docs.select(col("doc_id"), size(toks).cast(LongType).as("n_tok"))
+    val nRow = docs.agg((max("doc_id") + lit(1L)).as("n"))
+    val cuts = {
+      import org.apache.spark.sql.Row
+      import scala.jdk.CollectionConverters._
+      docs.sparkSession.createDataFrame(
+          VocabPrefixes.map { case (p, d) => Row(p, d) }.asJava,
+          StructType(Seq(StructField("permille", LongType),
+            StructField("d", LongType))))
+        .crossJoin(broadcast(nRow))
+        .withColumn("cut", expr("(n + d - 1) div d"))
+        .select("permille", "cut")
+    }
+    val vocabAgg = firstOwner.join(broadcast(cuts), col("first_doc") < col("cut"))
+      .groupBy("permille").agg(count(lit(1)).as("vocab"))
+    val massAgg = mass.join(broadcast(cuts), col("doc_id") < col("cut"))
+      .groupBy("permille").agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens"))
+    massAgg.join(vocabAgg, Seq("permille"))
+      .withColumn("ttr_ppm", expr("(1000000 * vocab) div n_tokens"))
+      .select("permille", "n_docs", "n_tokens", "vocab", "ttr_ppm")
+      .orderBy("permille")
+  }
 }

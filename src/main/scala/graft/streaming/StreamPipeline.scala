@@ -720,6 +720,25 @@ object StreamPipeline {
     * deployment that just monitors drops reads
     * `observedMetrics`/`numRowsDroppedByWatermark` for free. */
   def lateDataAccounting(spark: SparkSession, dir: String): DataFrame = {
+    val streamed = streamedWindowCounts(spark, dir)
+    val bat = graft.Tables.events(spark, dir)
+      .filter(graft.pipeline.TripPipeline.validCond)
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_batch"))
+      .select(col("w.start").cast("timestamp_ntz").as("win_start"),
+        col("event_type"), col("n_batch"))
+    bat.join(streamed, Seq("win_start", "event_type"), "left")
+      .select(col("win_start"), col("event_type"), col("n_batch"),
+        coalesce(col("n_stream"), lit(0L)).as("n_stream"),
+        (col("n_batch") - coalesce(col("n_stream"), lit(0L))).as("late_dropped"))
+      .orderBy("win_start", "event_type")
+  }
+
+  /** The p35 streaming leg — the watermarked windowed count table the
+    * staged two-phase replay actually ADMITS, shared by p35 (the drop
+    * ledger) and p38 (the lambda reconciliation), so the two read the
+    * identical speed-layer state. */
+  private[graft] def streamedWindowCounts(spark: SparkSession, dir: String): DataFrame = {
     import graft.pipeline.TripPipeline
     val streamDir = java.nio.file.Paths.get(stagingPath("p35", dir))
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -776,15 +795,42 @@ object StreamPipeline {
       try query.processAllAvailable()
       finally { recordFloor("p35", query); query.stop() }
     }
-    val bat = graft.Tables.events(spark, dir).filter(TripPipeline.validCond)
-      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
-      .agg(count(lit(1)).as("n_batch"))
-      .select(col("w.start").cast("timestamp_ntz").as("win_start"),
-        col("event_type"), col("n_batch"))
-    bat.join(spark.table(sink), Seq("win_start", "event_type"), "left")
-      .select(col("win_start"), col("event_type"), col("n_batch"),
-        coalesce(col("n_stream"), lit(0L)).as("n_stream"),
-        (col("n_batch") - coalesce(col("n_stream"), lit(0L))).as("late_dropped"))
+    spark.table(sink)
+  }
+
+  /** p38: LAMBDA RECONCILIATION — the repair leg p35's ledger calls
+    * for, shipped as the serving artifact: the speed layer's admitted
+    * windowed counts (p35's exact streamed state) UNION-merged with a
+    * batch recomputation of the rows the watermark dropped — where
+    * "dropped" is the independent MODEL of Spark's rule (odd-batch rows
+    * whose window end is not strictly past the ms-floored even-batch
+    * watermark). The oracle is the PLAIN batch rollup: the merged
+    * table equals truth exactly iff the model complements the real
+    * drops row-for-row — the lambda architecture's reconciliation
+    * contract, checked end-to-end rather than assumed.
+    *
+    * Scale shape: the speed leg is p35's bounded streaming state; the
+    * repair leg recomputes only the modeled-late slice (at scale a
+    * partition-pruned read of the late-arrival window, p32's
+    * discipline) and the merge is one map-combined groupBy over two
+    * dimension-scale tables. */
+  def lambdaReconcile(spark: SparkSession, dir: String): DataFrame = {
+    import graft.pipeline.TripPipeline
+    val streamed = streamedWindowCounts(spark, dir)
+      .select(col("win_start"), col("event_type"), col("n_stream").as("n"))
+    val ev = graft.Tables.events(spark, dir).filter(TripPipeline.validCond)
+    val wmRow = ev.filter(col("event_id") % 2 === 0)
+      .agg((expr("max(unix_micros(ts)) div 1000") - lit(3600000L)).as("wm_ms"))
+    val late = ev.filter(col("event_id") % 2 === 1)
+      .crossJoin(broadcast(wmRow))
+      .withColumn("w", window(col("ts"), "1 hour"))
+      .filter(expr("unix_micros(w.end) div 1000") <= col("wm_ms"))
+      .groupBy(col("w.start").cast("timestamp_ntz").as("win_start"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    streamed.unionByName(late)
+      .groupBy("win_start", "event_type")
+      .agg(sum("n").as("n"))
       .orderBy("win_start", "event_type")
   }
 

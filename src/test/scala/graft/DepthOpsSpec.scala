@@ -255,6 +255,48 @@ class DepthOpsSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  // ---------- t14 ----------
+
+  test("t14 matches a driver-side recomputation of the Heaps curve") {
+    val docs = Tables.documents(spark, Sf0001)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1).trim.toLowerCase.split("\\s+").toSeq))
+    val n = docs.map(_._1).max + 1
+    val firstOwner = docs.flatMap { case (id, ts) => ts.map(_ -> id) }
+      .groupBy(_._1).map { case (t, xs) => t -> xs.map(_._2).min }
+    val out = graft.operators.TextOps.vocabGrowth(spark, Sf0001).collect()
+    assert(out.length === 4)
+    out.foreach { r =>
+      val (pm, nd, nt, v, ttr) = (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))
+      val d = 1000L / pm
+      val cut = (n + d - 1) / d
+      val pre = docs.filter(_._1 < cut)
+      assert(nd === pre.length.toLong, s"n_docs at $pm‰")
+      assert(nt === pre.map(_._2.length.toLong).sum, s"mass at $pm‰")
+      assert(v === firstOwner.values.count(_ < cut).toLong, s"vocab at $pm‰")
+      assert(ttr === 1000000L * v / nt, s"ttr at $pm‰")
+    }
+    // growth curve is monotone in corpus size by construction
+    assert(out.map(_.getLong(3)).sliding(2).forall(w => w(0) <= w(1)))
+  }
+
+  // ---------- p38 ----------
+
+  test("p38 merged speed+repair table equals batch truth bit-for-bit") {
+    val merged = graft.streaming.StreamPipeline.lambdaReconcile(spark, Sf0001)
+      .collect().map(_.toString).sorted
+    val truth = Tables.events(spark, Sf0001)
+      .filter(graft.pipeline.TripPipeline.validCond)
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").cast("timestamp_ntz").as("win_start"),
+        col("event_type"), col("n"))
+      .collect().map(_.toString).sorted
+    assert(merged.sameElements(truth),
+      "the late model does not complement Spark's real drops")
+  }
+
   // ---------- e20 ----------
 
   test("e20 splits exactly the hottest cell into two nearest-seed halves") {
