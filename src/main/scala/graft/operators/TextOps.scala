@@ -417,13 +417,16 @@ object TextOps {
     * growth = healthy natural text; near-linear = id-like junk tokens;
     * flat = heavy duplication).
     *
-    * Scale shape: t13's first-owner discipline makes this ONE corpus
-    * pass — each token's introducing document (min doc_id) is computed
-    * once (memoized), and every prefix's vocabulary is then just
-    * `count(first_doc < cutoff)`: the prefix sweep costs a 4-row
-    * broadcast nested-loop over the VOCABULARY relation, not 4 corpus
-    * rescans. Append-stable by construction: a new document can never
-    * change an existing prefix row (x6's growth-stability rule). */
+    * Scale shape: t13's first-owner discipline makes the expensive
+    * work ONE tokenizing corpus pass — each token's introducing
+    * document (min doc_id) is computed once (memoized), and every
+    * prefix's vocabulary is then just `count(first_doc < cutoff)`: the
+    * prefix sweep costs a 4-row broadcast nested-loop over the
+    * VOCABULARY relation, not 4 tokenize-and-distinct rescans. (The
+    * token-mass and max-id legs are separate NARROW scans — footer
+    * metadata + a size() projection, no explode.) Append-stable by
+    * construction: a new document can never change an existing prefix
+    * row (x6's growth-stability rule). */
   def vocabGrowth(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
     val firstOwner = DedupOps.memoized(spark, "t14_first_owner", dir) {

@@ -133,4 +133,37 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(hashEx === 1, s"expected one source exchange, got $hashEx:\n$plan")
     assert(!plan.contains("Join"), s"budget cap must not join:\n$plan")
   }
+
+  test("b4's z-order stats pay no shuffle join: the only joins are 1-row broadcasts") {
+    val df = operators.BucketOps.zorderLayout(spark, Sf0001)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+      s"z layout must not shuffle a join:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"the min/max hop must broadcast, not cross:\n$plan")
+  }
+
+  test("x12's boundary map derives: no shuffle join, only RankOps' O(p) offset broadcast") {
+    // pre-execution plan: AQE's final tree reprints materialized stages,
+    // which would double-count nodes
+    val plan = operators.CorpusOps.packBoundaries(spark, Sf0001)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+      s"x12 must never shuffle a join:\n$plan")
+    val joins = "BroadcastHashJoin".r.findAllIn(plan).length
+    val offsetJoins = "BroadcastHashJoin \\[_gr_pid".r.findAllIn(plan).length
+    assert(joins === offsetJoins,
+      s"x12's only joins may be the prefix-sum offset broadcasts:\n$plan")
+  }
+
+  test("t14 tokenizes the corpus once: one exploded scan feeds the whole sweep") {
+    operators.DedupOps.clearMemo(spark)
+    val plan = operators.TextOps.vocabGrowth(spark, Sf0001)
+      .queryExecution.executedPlan.toString
+    // the explode (tokenize) appears only in the memoized first-owner
+    // build; the mass/max-id legs are narrow scans without it
+    val explodes = "Generate explode".r.findAllIn(plan).length
+    assert(explodes <= 1, s"prefix sweep re-tokenizes the corpus:\n$plan")
+  }
 }
