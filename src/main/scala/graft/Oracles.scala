@@ -2756,6 +2756,18 @@ object Oracles {
     "t14_vocab_growth" -> t14Sql,
     "p38_lambda_reconcile" -> p38Sql,
 
+    // g5: in-degree rollup over e1's exact top-k graph (the statement
+    // reused verbatim — the hub table must derive from the same edges)
+    "g5_ann_hubness" ->
+      s"""WITH e1 AS MATERIALIZED (SELECT c_id FROM ($e1Sql) z),
+         |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_edges FROM e1)
+         |SELECT c_id, CAST(count(*) AS BIGINT) AS in_degree,
+         |  (1000000 * CAST(count(*) AS BIGINT)) // tot.n_edges AS share_ppm
+         |FROM e1 CROSS JOIN tot
+         |GROUP BY c_id, tot.n_edges
+         |HAVING count(*) >= 2
+         |ORDER BY in_degree DESC, c_id""".stripMargin,
+
     // x12: the boundary map from x10's exact prefix-sum chain — each
     // chunk's global interval clipped to every sequence it intersects
     "x12_pack_boundaries" -> {

@@ -1025,6 +1025,32 @@ object AnnOps {
       .orderBy("vec_id")
   }
 
+  /** g5: HUBNESS DIAGNOSTIC — the classic high-dimensional embedding
+    * pathology check: in a healthy embedding space the exact k-NN
+    * graph's in-degrees concentrate near k·|queries|/|corpus|; hub
+    * vectors that appear in MANY queries' top-k (a symptom of
+    * norm/anisotropy problems) degrade every retrieval metric while
+    * recall still looks fine. This reports every vector with in-degree
+    * ≥ 2 over e1's exact top-k graph with its share of all edges (ppm)
+    * — the table read next to e8's recall before trusting an
+    * embedding model.
+    *
+    * Scale shape: a map-combined groupBy over e1's bounded
+    * (|queries|·k)-row output plus a 1-row broadcast edge total —
+    * evaluation-scale like e8/e17, never corpus-scale; at 100 TB the
+    * same report runs over the sampled query panel every offline
+    * eval already pays for. */
+  def annHubness(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val edges = annTopk(spark, dir, k).select("c_id")
+    val total = edges.agg(count(lit(1)).as("n_edges"))
+    edges.groupBy("c_id").agg(count(lit(1)).as("in_degree"))
+      .filter(col("in_degree") >= 2)
+      .crossJoin(broadcast(total))
+      .select(col("c_id"), col("in_degree"),
+        expr("(1000000 * in_degree) div n_edges").as("share_ppm"))
+      .orderBy(col("in_degree").desc, col("c_id"))
+  }
+
   /** SQ8 quantization levels (codes 0..SqLevels). */
   val SqLevels = 255L
 

@@ -255,6 +255,22 @@ class DepthOpsSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  // ---------- g5 ----------
+
+  test("g5 hub table is the in-degree rollup of e1's exact edges") {
+    val edges = AnnOps.annTopk(spark, Sf0001).collect().map(_.getLong(2))
+    val expected = edges.groupBy(identity).view.mapValues(_.length.toLong)
+      .filter(_._2 >= 2).toMap
+    val out = AnnOps.annHubness(spark, Sf0001).collect()
+    assert(out.map(r => r.getLong(0) -> r.getLong(1)).toMap === expected)
+    out.foreach { r =>
+      assert(r.getLong(2) === 1000000L * r.getLong(1) / edges.length)
+    }
+    // ordered by (in_degree desc, c_id)
+    val ord = out.map(r => (-r.getLong(1), r.getLong(0)))
+    assert(ord.sameElements(ord.sorted))
+  }
+
   // ---------- t14 ----------
 
   test("t14 matches a driver-side recomputation of the Heaps curve") {
