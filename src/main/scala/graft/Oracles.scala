@@ -1138,6 +1138,51 @@ object Oracles {
        |FROM events WHERE $validCond
        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** m9: the byte prefix sum over m7's exact manifest order — the
+    * distributed packing must equal DuckDB's single running sum. */
+  private lazy val m9Sql: String = {
+    val b = graft.operators.MultimodalOps.MediaShardBytes
+    s"""WITH m7 AS MATERIALIZED (SELECT step, doc_id, byte_len FROM ($m7Sql) z),
+       |o AS (SELECT doc_id, byte_len,
+       |    COALESCE(SUM(byte_len) OVER (ORDER BY step
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+       |  FROM m7)
+       |SELECT CAST(cum // $b AS BIGINT) AS shard_id,
+       |  CAST(cum % $b AS BIGINT) AS shard_off,
+       |  doc_id, CAST(byte_len AS BIGINT) AS byte_len,
+       |  (cum % $b + byte_len > $b) AS cut
+       |FROM o ORDER BY shard_id, shard_off""".stripMargin
+  }
+
+  /** d17: the d2 candidate substrate rescored under each swept τ with
+    * the identical integer cross-multiplication predicate. */
+  private lazy val d17Sql: String = {
+    val taus = graft.operators.DedupOps.JaccardSweep
+    val branch = taus.map(tau =>
+      s"""SELECT CAST($tau AS BIGINT) AS tau_ppm,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM scored
+         |     WHERE inter * 1000000 >= $tau * uni) AS n_pairs,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM (
+         |     SELECT doc_a AS d FROM scored WHERE inter * 1000000 >= $tau * uni
+         |     UNION
+         |     SELECT doc_b FROM scored WHERE inter * 1000000 >= $tau * uni) u)
+         |    AS n_docs""".stripMargin).mkString("\nUNION ALL\n")
+    s"""WITH $ngramCte,
+       |pruned AS MATERIALIZED (SELECT doc_id, ngram FROM ng WHERE ngram IN (
+       |  SELECT ngram FROM ng GROUP BY ngram HAVING count(*) <= 100)),
+       |sizes AS (SELECT doc_id, count(*) AS n_ng FROM pruned GROUP BY doc_id),
+       |inter AS MATERIALIZED (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+       |  FROM pruned a JOIN pruned b ON a.ngram = b.ngram AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |scored AS MATERIALIZED (
+       |  SELECT i.doc_a, i.doc_b, i.inter, sa.n_ng + sb.n_ng - i.inter AS uni
+       |  FROM inter i
+       |  JOIN sizes sa ON sa.doc_id = i.doc_a
+       |  JOIN sizes sb ON sb.doc_id = i.doc_b)
+       |SELECT * FROM ($branch) ORDER BY tau_ppm""".stripMargin
+  }
+
   /** The shared market-basket substrate (a11/a12): distinct order→part
     * incidence, per-item basket counts, unordered-pair co-occurrence
     * counts — mirrors BasketOps.pairCountsOver exactly. */
@@ -2755,6 +2800,8 @@ object Oracles {
     "e20_cell_split" -> e20Sql,
     "t14_vocab_growth" -> t14Sql,
     "p38_lambda_reconcile" -> p38Sql,
+    "m9_media_shards" -> m9Sql,
+    "d17_jaccard_sweep" -> d17Sql,
 
     // g5: in-degree rollup over e1's exact top-k graph (the statement
     // reused verbatim — the hub table must derive from the same edges)

@@ -835,6 +835,40 @@ object DedupOps {
       .orderBy("rnk")
   }
 
+  /** d17's swept Jaccard thresholds (ppm). */
+  private[graft] val JaccardSweep = Seq(180000L, 250000L, 400000L, 600000L)
+
+  /** d17: JACCARD THRESHOLD SWEEP — the OTHER dedup knob priced (d14
+    * prices the banding config; this prices the verification
+    * threshold): for each swept τ, how many candidate pairs the d2
+    * scorer would keep and how many documents they touch — the curve
+    * read before committing a similarity cutoff to gate 100 TB of
+    * dedup decisions. The predicate is EXACT integer
+    * cross-multiplication (10⁶·inter ≥ τ·union — no float ratio, no
+    * rounding boundary), and kept sets provably NEST as τ grows, so
+    * the curve is monotone by construction.
+    *
+    * Scale shape: all branches filter the ONE memoized pair-
+    * intersection substrate (candidate-scale, DF-pruned — the corpus
+    * is never rescanned); each branch is two 1-row aggregates. */
+  def jaccardSweep(spark: SparkSession, dir: String): DataFrame = {
+    val sizes = prunedSizes(spark, dir)
+    val scored = pairIntersections(spark, dir)
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n_ng").as("na")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n_ng").as("nb")), "doc_b")
+      .withColumn("uni", col("na") + col("nb") - col("inter"))
+    val branches = JaccardSweep.map { tau =>
+      val kept = scored.filter(col("inter") * 1000000L >= lit(tau) * col("uni"))
+      kept.agg(count(lit(1)).as("n_pairs"))
+        .crossJoin(
+          kept.select(col("doc_a").as("d"))
+            .unionByName(kept.select(col("doc_b").as("d")))
+            .distinct().agg(count(lit(1)).as("n_docs")))
+        .select(lit(tau).as("tau_ppm"), col("n_pairs"), col("n_docs"))
+    }
+    branches.reduce(_ unionByName _).orderBy("tau_ppm")
+  }
+
   /** d15: CROSS-SOURCE DUPLICATION MATRIX — the curation question s10
     * ESTIMATES (how much do my sources share?) answered EXACTLY at the
     * document level from the dedup substrates already computed: for

@@ -92,7 +92,17 @@ object MultimodalOps {
     * anti/semi joins; the global order is [[RankOps.withGlobalRank]]'s
     * range shuffle — no single-task window, no new corpus pass beyond
     * the metadata projection. */
-  def mediaManifest(spark: SparkSession, dir: String): DataFrame = {
+  def mediaManifest(spark: SparkSession, dir: String): DataFrame =
+    RankOps.withGlobalRank(mediaKept(spark, dir), "step",
+        Seq(col("ok"), col("doc_id")))
+      .select("step", "doc_id", "byte_len", "magic", "n_frames")
+      .orderBy("step")
+
+  /** The deduplicated, fragment-filtered, deterministically-ordered
+    * kept-blob relation — m7's manifest body, shared with m9's shard
+    * packing so the shard order IS the manifest order by construction
+    * (the x9/x10 substrate pattern carried to the media lake). */
+  private def mediaKept(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.F.hash60
     val docs = Tables.documents(spark, dir)
       .withColumn("blob", col("text").cast("binary"))
@@ -104,14 +114,41 @@ object MultimodalOps {
     val reps = blobDedup(spark, dir).select(col("keep_doc_id").as("doc_id"))
     val fuzzyLosers = blobFuzzyDedup(spark, dir)
       .select(col("doc_b").as("doc_id")).distinct()
-    val kept = meta.filter(col("byte_len") >= MinMediaBytes)
+    meta.filter(col("byte_len") >= MinMediaBytes)
       .join(reps, "doc_id")
       .join(fuzzyLosers, Seq("doc_id"), "left_anti")
       .withColumn("ok",
         hash60(concat(lit("morder_"), col("doc_id").cast("string"))))
-    RankOps.withGlobalRank(kept, "step", Seq(col("ok"), col("doc_id")))
-      .select("step", "doc_id", "byte_len", "magic", "n_frames")
-      .orderBy("step")
+  }
+
+  /** Byte budget per media training shard (m9). */
+  val MediaShardBytes = 4096L
+
+  /** m9: MEDIA SHARD PACKING — x10's concat-and-cut for the media
+    * lake: the m7-kept blobs, in the manifest's exact deterministic
+    * order, packed into byte-budgeted shards; each blob lands at
+    * (shard_id, shard_off) = (cum div B, cum mod B) where cum is the
+    * EXCLUSIVE running byte total before it, and `cut` marks blobs
+    * straddling a shard boundary. Every shard except the last is
+    * byte-dense by construction — the tar/WebDataset-style layout a
+    * media training run streams, precomputed so any worker seeks
+    * directly to its shard.
+    *
+    * Scale shape: x10's machinery verbatim — one range shuffle +
+    * per-partition running sums + O(p) broadcast offsets
+    * (RankOps.withGlobalRankAndPrefixSum); the global byte
+    * concatenation never passes through a single-task window. */
+  def mediaShards(spark: SparkSession, dir: String): DataFrame = {
+    val b = MediaShardBytes
+    RankOps.withGlobalRankAndPrefixSum(mediaKept(spark, dir), "step",
+        Some(("cum", col("byte_len").cast("long"))),
+        Seq(col("ok"), col("doc_id")))
+      .select(
+        expr(s"cum div $b").as("shard_id"),
+        (col("cum") % b).as("shard_off"),
+        col("doc_id"), col("byte_len").cast("long").as("byte_len"),
+        (col("cum") % b + col("byte_len") > b).as("cut"))
+      .orderBy("shard_id", "shard_off")
   }
 
   /** m6: FUZZY-HASH NEAR-DUP over binary payloads — the ssdeep/TLSH

@@ -255,6 +255,60 @@ class DepthOpsSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  // ---------- m9 ----------
+
+  test("m9 shards are the exclusive byte prefix sum of m7's exact order") {
+    import graft.operators.MultimodalOps
+    val manifest = MultimodalOps.mediaManifest(spark, Sf0001).collect()
+      .sortBy(_.getLong(0)).map(r => (r.getLong(1), r.getInt(2).toLong))
+    val out = MultimodalOps.mediaShards(spark, Sf0001).collect()
+      .map(r => r.getLong(2) ->
+        ((r.getLong(0), r.getLong(1), r.getLong(3), r.getBoolean(4)))).toMap
+    assert(out.size === manifest.length)
+    val b = MultimodalOps.MediaShardBytes
+    var cum = 0L
+    manifest.foreach { case (docId, len) =>
+      assert(out(docId) === ((cum / b, cum % b, len, cum % b + len > b)),
+        s"blob $docId landed wrong")
+      cum += len
+    }
+  }
+
+  // ---------- d17 ----------
+
+  test("d17 equals a driver-side recomputation of the threshold curve") {
+    val docs = Tables.documents(spark, Sf0001)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1).trim.toLowerCase.split("\\s+").toSeq))
+    val grams = docs.map { case (id, t) =>
+      id -> (if (t.length >= 3) t.sliding(3).map(_.mkString(" ")).toSet
+             else Set.empty[String])
+    }.toMap
+    val df = grams.values.flatten.groupBy(identity).view.mapValues(_.size)
+    val pruned = grams.map { case (id, g) =>
+      id -> g.filter(df(_) <= DedupOps.MaxNgramDf)
+    }
+    val ids = pruned.keys.toSeq.sorted
+    val pairs = for {
+      i <- ids.indices; j <- i + 1 until ids.length
+      a = pruned(ids(i)); b = pruned(ids(j))
+      inter = (a & b).size if inter > 0
+    } yield (ids(i), ids(j), inter.toLong, (a.size + b.size - inter).toLong)
+    val out = DedupOps.jaccardSweep(spark, Sf0001).collect()
+    assert(out.length === DedupOps.JaccardSweep.length)
+    out.foreach { r =>
+      val tau = r.getLong(0)
+      val kept = pairs.filter { case (_, _, in, uni) => in * 1000000L >= tau * uni }
+      assert(r.getLong(1) === kept.length.toLong, s"n_pairs at τ=$tau")
+      assert(r.getLong(2) ===
+        kept.flatMap(p => Seq(p._1, p._2)).distinct.length.toLong,
+        s"n_docs at τ=$tau")
+    }
+    // kept sets nest: both counts are nonincreasing in τ
+    assert(out.map(_.getLong(1)).sliding(2).forall(w => w(0) >= w(1)))
+    assert(out.map(_.getLong(2)).sliding(2).forall(w => w(0) >= w(1)))
+  }
+
   // ---------- g5 ----------
 
   test("g5 hub table is the in-degree rollup of e1's exact edges") {
