@@ -2803,6 +2803,22 @@ object Oracles {
     "m9_media_shards" -> m9Sql,
     "d17_jaccard_sweep" -> d17Sql,
 
+    // a17: the three shared-sort lags + path rollup replayed (DuckDB's
+    // concat_ws skips NULL args exactly like Spark's)
+    "a17_conversion_paths" ->
+      """WITH p AS (SELECT user_id, ts, event_id, event_type,
+        |    lag(event_type, 1) OVER w AS l1,
+        |    lag(event_type, 2) OVER w AS l2,
+        |    lag(event_type, 3) OVER w AS l3
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |pp AS (SELECT CASE WHEN concat_ws('>', l3, l2, l1) = ''
+        |    THEN '(direct)' ELSE concat_ws('>', l3, l2, l1) END AS path
+        |  FROM p WHERE event_type = 'purchase')
+        |SELECT path, CAST(count(*) AS BIGINT) AS n_conv
+        |FROM pp GROUP BY path
+        |ORDER BY n_conv DESC, path LIMIT 20""".stripMargin,
+
     // g5: in-degree rollup over e1's exact top-k graph (the statement
     // reused verbatim — the hub table must derive from the same edges)
     "g5_ann_hubness" ->

@@ -1205,6 +1205,39 @@ object Analytics {
       .orderBy("cohort_day", "age_day")
   }
 
+  /** a17: CONVERSION-PATH MINING — the top event paths leading to a
+    * purchase: for every purchase, the user's preceding ≤ 3 events (in
+    * (ts, event_id) order — the a13 total order) concatenated to a
+    * path string, counted and ranked. The "which journeys convert"
+    * table next to a5's fixed funnel (a5 asks "how far along ONE
+    * path"; this asks "WHICH paths"). Early-session purchases with
+    * fewer than 3 predecessors yield their shorter true path
+    * (concat_ws skips the null lags identically in both engines);
+    * first-touch purchases report '(direct)'.
+    *
+    * Scale shape: ONE user_id-partitioned window pass (three lags
+    * share the sort), then a map-combined path groupBy and a
+    * TakeOrderedAndProject top-k under the total (count desc, path)
+    * order — a5/a13's profile exactly. */
+  def a17ConversionPaths(spark: SparkSession, dir: String): DataFrame =
+    conversionPathsOf(Tables.events(spark, dir))
+
+  /** a17's core on any events relation (spec hook). */
+  private[graft] def conversionPathsOf(events: DataFrame, k: Int = 20): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    events
+      .select("user_id", "ts", "event_id", "event_type")
+      .withColumn("l1", lag(col("event_type"), 1).over(w))
+      .withColumn("l2", lag(col("event_type"), 2).over(w))
+      .withColumn("l3", lag(col("event_type"), 3).over(w))
+      .filter(col("event_type") === "purchase")
+      .withColumn("path0", concat_ws(">", col("l3"), col("l2"), col("l1")))
+      .withColumn("path",
+        when(col("path0") === "", lit("(direct)")).otherwise(col("path0")))
+      .groupBy("path").agg(count(lit(1)).as("n_conv"))
+      .orderBy(col("n_conv").desc, col("path")).limit(k)
+  }
+
   /** a15's core on any (user_id, event_type) relation (spec hook). */
   private[graft] def abLiftOf(events: DataFrame): DataFrame = {
     val base = events.filter(col("user_id").isNotNull)

@@ -255,6 +255,30 @@ class DepthOpsSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  // ---------- a17 ----------
+
+  test("a17 paths: full, truncated and direct conversions on constructed journeys") {
+    val rows = Seq(
+      (7L, "signup"), (7L, "click"), (7L, "view"), (7L, "purchase"),
+      (8L, "purchase"),
+      (9L, "click"), (9L, "purchase"))
+    // events ordered per user by the global arrival index as ts
+    import scala.jdk.CollectionConverters._
+    val ev = spark.createDataFrame(
+      rows.zipWithIndex.map { case ((u, t), i) =>
+        Row(i.toLong, java.sql.Timestamp.valueOf(s"2024-01-01 00:0$i:00"), u, t, 1.0)
+      }.asJava,
+      StructType(Seq(
+        StructField("event_id", LongType), StructField("ts", TimestampType),
+        StructField("user_id", LongType), StructField("event_type", StringType),
+        StructField("value", DoubleType))))
+    val out = Analytics.conversionPathsOf(ev).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(out.sameElements(Array(
+      ("(direct)", 1L), ("click", 1L), ("signup>click>view", 1L))),
+      out.mkString("; "))
+  }
+
   // ---------- m9 ----------
 
   test("m9 shards are the exclusive byte prefix sum of m7's exact order") {
