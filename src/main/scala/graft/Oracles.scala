@@ -1309,8 +1309,12 @@ object Oracles {
   /** x1 as a standalone statement — the map entry AND the kept-set leg
     * of x7's shard materialization, so the composite always filters on
     * exactly what the x1 row contains. */
-  private lazy val x1Sql: String =
-    s"""WITH d AS (SELECT doc_id, lang, $TOK AS t FROM documents),
+  /** The x1 rule-set CTE chain (quality pass q, lang pass lp, exact
+    * reps, near-dup drops) — shared verbatim by x1 (the kept set) and
+    * x14 (the per-doc drop ledger) so ledger and keep decision cannot
+    * drift. */
+  private lazy val x1SetsCte: String =
+    s"""d AS (SELECT doc_id, lang, $TOK AS t FROM documents),
          |qx AS (SELECT doc_id, len(t) AS n_tokens, len(list_distinct(t)) AS n_unique,
          |  len(list_filter(t, x -> x IN ('the','a','of','and','to','in','is','on','for','with'))) AS n_stop
          |  FROM d),
@@ -1333,13 +1337,27 @@ object Oracles {
          |       ELSE 'zh' END = lang),
          |reps AS (SELECT min(doc_id) AS doc_id FROM (
          |  SELECT doc_id, md5(array_to_string(t, ' ')) AS fp FROM d) f GROUP BY fp),
-         |drops AS (SELECT doc_id FROM ($d5Sql) c WHERE doc_id <> cluster_id)
-         |SELECT doc_id FROM documents
-         |WHERE doc_id IN (SELECT doc_id FROM q)
-         |  AND doc_id IN (SELECT doc_id FROM lp)
-         |  AND doc_id IN (SELECT doc_id FROM reps)
-         |  AND doc_id NOT IN (SELECT doc_id FROM drops)
-         |ORDER BY doc_id""".stripMargin
+         |drops AS (SELECT doc_id FROM ($d5Sql) c WHERE doc_id <> cluster_id)""".stripMargin
+
+  private lazy val x1Sql: String =
+    s"""WITH $x1SetsCte
+       |SELECT doc_id FROM documents
+       |WHERE doc_id IN (SELECT doc_id FROM q)
+       |  AND doc_id IN (SELECT doc_id FROM lp)
+       |  AND doc_id IN (SELECT doc_id FROM reps)
+       |  AND doc_id NOT IN (SELECT doc_id FROM drops)
+       |ORDER BY doc_id""".stripMargin
+
+  /** x14: the same rule sets, first-failing-rule verdict per doc. */
+  private lazy val x14Sql: String =
+    s"""WITH $x1SetsCte
+       |SELECT doc_id,
+       |  CASE WHEN doc_id NOT IN (SELECT doc_id FROM q) THEN 'low_quality'
+       |       WHEN doc_id NOT IN (SELECT doc_id FROM lp) THEN 'lang_mismatch'
+       |       WHEN doc_id NOT IN (SELECT doc_id FROM reps) THEN 'exact_dup'
+       |       WHEN doc_id IN (SELECT doc_id FROM drops) THEN 'near_dup'
+       |       ELSE 'kept' END AS verdict
+       |FROM documents ORDER BY doc_id""".stripMargin
 
   val sql: Map[String, String] = Map(
 
@@ -2805,6 +2823,8 @@ object Oracles {
 
     // a17: the three shared-sort lags + path rollup replayed (DuckDB's
     // concat_ws skips NULL args exactly like Spark's)
+    "x14_drop_ledger" -> x14Sql,
+
     "a17_conversion_paths" ->
       """WITH p AS (SELECT user_id, ts, event_id, event_type,
         |    lag(event_type, 1) OVER w AS l1,

@@ -43,6 +43,46 @@ object CorpusOps {
       .orderBy("doc_id")
   }
 
+  /** x14: CURATION DROP LEDGER — why each document left the corpus:
+    * x1's EXACT four rules re-labeled per document with the FIRST
+    * failing rule in x1's evaluation order (low_quality →
+    * lang_mismatch → exact_dup → near_dup → kept) — p2's DLQ-reason
+    * discipline applied to curation. The transparency artifact behind
+    * every "where did my document go?" question, and the input to a
+    * per-source drop-rate report; 'kept' rows are by construction
+    * exactly x1's output (spec-pinned).
+    *
+    * Scale shape: the same memoized substrates x1 composes (quality,
+    * langid, exact reps, d5 clusters), joined as presence markers to
+    * the id scan — same join profile as x1 with left joins in place of
+    * semi/anti so the reason survives into the verdict. */
+  def dropLedger(spark: SparkSession, dir: String): DataFrame = {
+    val qualityPass = TextOps.quality(spark, dir)
+      .filter(col("quality_score") >= MinQuality)
+      .select(col("doc_id"), lit(true).as("q"))
+    val langPass = TextOps.langId(spark, dir)
+      .filter(col("pred_lang") === col("labeled_lang"))
+      .select(col("doc_id"), lit(true).as("l"))
+    val exactReps = DedupOps.dedupExact(spark, dir)
+      .select(col("keep_doc_id").as("doc_id"), lit(true).as("e"))
+    val clusterDrops = DedupOps.nearDupClusters(spark, dir)
+      .filter(col("doc_id") =!= col("cluster_id"))
+      .select(col("doc_id"), lit(true).as("nd"))
+    Tables.documents(spark, dir).select("doc_id")
+      .join(qualityPass, Seq("doc_id"), "left")
+      .join(langPass, Seq("doc_id"), "left")
+      .join(exactReps, Seq("doc_id"), "left")
+      .join(clusterDrops, Seq("doc_id"), "left")
+      .withColumn("verdict",
+        when(col("q").isNull, "low_quality")
+          .when(col("l").isNull, "lang_mismatch")
+          .when(col("e").isNull, "exact_dup")
+          .when(col("nd").isNotNull, "near_dup")
+          .otherwise("kept"))
+      .select("doc_id", "verdict")
+      .orderBy("doc_id")
+  }
+
   /** x4: WEIGHTED MIX MATERIALIZATION — rebalance the corpus so every
     * language contributes equal token mass (downsample-only: the
     * smallest language's token count is the target; larger languages

@@ -255,6 +255,22 @@ class DepthOpsSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  // ---------- x14 ----------
+
+  test("x14 ledger covers every doc and its kept set IS x1's output") {
+    import graft.operators.CorpusOps
+    val ledger = CorpusOps.dropLedger(spark, Sf0001).collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val nDocs = Tables.documents(spark, Sf0001).count()
+    assert(ledger.length.toLong === nDocs, "every doc gets exactly one verdict")
+    val kept = ledger.filter(_._2 == "kept").map(_._1).sorted
+    val x1 = CorpusOps.corpusClean(spark, Sf0001).collect().map(_.getLong(0)).sorted
+    assert(kept.sameElements(x1), "ledger 'kept' must equal x1's keep decision")
+    val reasons = ledger.map(_._2).toSet
+    assert(reasons.subsetOf(Set("kept", "low_quality", "lang_mismatch",
+      "exact_dup", "near_dup")))
+  }
+
   // ---------- a17 ----------
 
   test("a17 paths: full, truncated and direct conversions on constructed journeys") {
