@@ -2825,6 +2825,33 @@ object Oracles {
     // concat_ws skips NULL args exactly like Spark's)
     "x14_drop_ledger" -> x14Sql,
 
+    // e21: e1/e6/e19's statements composed — the bake-off must score
+    // the identical answer tables the individual gates check
+    "e21_index_eval" ->
+      s"""WITH exact AS MATERIALIZED (
+         |  SELECT q_id, c_id FROM ($e1Sql) z WHERE rnk <= 3),
+         |pq AS MATERIALIZED (SELECT q_id, c_id FROM ($e6Sql) z),
+         |sq AS MATERIALIZED (SELECT q_id, c_id FROM ($e19Sql) z),
+         |nq AS (SELECT CAST(count(DISTINCT q_id) AS BIGINT) AS n_q FROM exact)
+         |SELECT * FROM (
+         |  SELECT 'ivf_pq' AS index_kind, nq.n_q,
+         |    (SELECT CAST(count(*) AS BIGINT) FROM pq
+         |       JOIN exact ON exact.q_id = pq.q_id AND exact.c_id = pq.c_id)
+         |      AS n_hit,
+         |    round((SELECT count(*) FROM pq
+         |       JOIN exact ON exact.q_id = pq.q_id AND exact.c_id = pq.c_id)
+         |      / (nq.n_q * 3.0), 6) AS recall_at_3
+         |  FROM nq
+         |  UNION ALL
+         |  SELECT 'ivf_sq8', nq.n_q,
+         |    (SELECT CAST(count(*) AS BIGINT) FROM sq
+         |       JOIN exact ON exact.q_id = sq.q_id AND exact.c_id = sq.c_id),
+         |    round((SELECT count(*) FROM sq
+         |       JOIN exact ON exact.q_id = sq.q_id AND exact.c_id = sq.c_id)
+         |      / (nq.n_q * 3.0), 6)
+         |  FROM nq)
+         |ORDER BY index_kind""".stripMargin,
+
     "a17_conversion_paths" ->
       """WITH p AS (SELECT user_id, ts, event_id, event_type,
         |    lag(event_type, 1) OVER w AS l1,

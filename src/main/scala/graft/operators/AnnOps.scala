@@ -1051,6 +1051,33 @@ object AnnOps {
       .orderBy(col("in_degree").desc, col("c_id"))
   }
 
+  /** e21: COMPRESSED-INDEX BAKE-OFF — e8's recall discipline turned on
+    * the codec choice itself: the two compressed indexes the library
+    * ships (e6 IVF+PQ, e19 IVF+SQ8) evaluated head-to-head against
+    * the exact top-3 on the same query panel — the one-table answer to
+    * "which codec do I deploy", read with b-family byte math (PQ: 8
+    * bytes/vector, SQ8: 64) for the fidelity-per-byte decision.
+    *
+    * Scale shape: both answers and the exact baseline are the bounded
+    * evaluation panels e6/e19/e1 already compute (memoized substrates
+    * shared); scoring is two dedup-output-scale joins + 1-row
+    * aggregates — evaluation-scale, like e8/e17/g5. */
+  def annIndexEval(spark: SparkSession, dir: String): DataFrame = {
+    val exact = annTopk(spark, dir).filter(col("rnk") <= 3).select("q_id", "c_id")
+    val nq = exact.select("q_id").distinct().agg(count(lit(1)).as("n_q"))
+    val branches = Seq(
+      "ivf_pq" -> annPq(spark, dir),
+      "ivf_sq8" -> annSq(spark, dir)).map { case (name, ans) =>
+      val hits = exact.join(ans.select("q_id", "c_id"), Seq("q_id", "c_id"))
+        .agg(count(lit(1)).as("n_hit"))
+      hits.crossJoin(broadcast(nq))
+        .select(lit(name).as("index_kind"), col("n_q"), col("n_hit"),
+          round(col("n_hit").cast(DoubleType) / (col("n_q") * lit(3.0)), 6)
+            .as("recall_at_3"))
+    }
+    branches.reduce(_ unionByName _).orderBy("index_kind")
+  }
+
   /** SQ8 quantization levels (codes 0..SqLevels). */
   val SqLevels = 255L
 

@@ -255,6 +255,27 @@ class DepthOpsSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  // ---------- e21 ----------
+
+  test("e21 bake-off scores the exact answer tables the individual gates check") {
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("q_id", "c_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(AnnOps.annTopk(spark, Sf0001).filter(col("rnk") <= 3))
+    val expected = Map(
+      "ivf_pq" -> (pairs(AnnOps.annPq(spark, Sf0001)) & exact).size.toLong,
+      "ivf_sq8" -> (pairs(AnnOps.annSq(spark, Sf0001)) & exact).size.toLong)
+    val out = AnnOps.annIndexEval(spark, Sf0001).collect()
+    assert(out.length === 2)
+    out.foreach { r =>
+      val (kind, nq, nHit, rec) =
+        (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3))
+      assert(nq === exact.map(_._1).size.toLong)
+      assert(nHit === expected(kind), s"$kind hit count")
+      assert(math.abs(rec - math.rint(nHit / (nq * 3.0) * 1e6) / 1e6) < 1e-9)
+    }
+  }
+
   // ---------- x14 ----------
 
   test("x14 ledger covers every doc and its kept set IS x1's output") {
