@@ -2825,6 +2825,35 @@ object Oracles {
     // concat_ws skips NULL args exactly like Spark's)
     "x14_drop_ledger" -> x14Sql,
 
+    // x15: the t2 quality chain + x9's chunk chain composed; phase by
+    // rank arithmetic, step by one row_number over (phase, hash key)
+    "x15_curriculum" -> {
+      val p = graft.operators.CorpusOps.CurriculumPhases
+      s"""WITH $trainChunksCte,
+         |qd AS (SELECT doc_id, $TOK AS qt FROM documents),
+         |qx AS (SELECT doc_id, len(qt) AS n_tokens, len(list_distinct(qt)) AS n_unique,
+         |  len(list_filter(qt, x -> x IN ('the','a','of','and','to','in','is','on','for','with'))) AS n_stop
+         |  FROM qd),
+         |qs AS (SELECT doc_id,
+         |  round(0.3 * (CAST(n_unique AS DOUBLE) / n_tokens)
+         |      + 0.4 * (1.0 - CAST(n_stop AS DOUBLE) / n_tokens)
+         |      + 0.3 * least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0), 6) AS qscore
+         |  FROM qx),
+         |docs AS (SELECT DISTINCT doc_id FROM ch),
+         |nn AS (SELECT count(*) AS n_docs FROM docs),
+         |rk AS (SELECT d.doc_id,
+         |    row_number() OVER (ORDER BY -q.qscore, d.doc_id) AS qrank
+         |  FROM docs d JOIN qs q ON q.doc_id = d.doc_id),
+         |ph AS (SELECT rk.doc_id,
+         |    CAST((qrank - 1) * $p // nn.n_docs AS BIGINT) AS phase
+         |  FROM rk CROSS JOIN nn),
+         |j AS (SELECT ch.doc_id, ch.chunk_id, ch.n_tok, ph.phase
+         |  FROM ch JOIN ph ON ph.doc_id = ch.doc_id)
+         |SELECT row_number() OVER (ORDER BY phase, $trainOrderBy) AS step,
+         |  phase, doc_id, chunk_id, CAST(n_tok AS BIGINT) AS n_tok
+         |FROM j ORDER BY step""".stripMargin
+    },
+
     // e21: e1/e6/e19's statements composed — the bake-off must score
     // the identical answer tables the individual gates check
     "e21_index_eval" ->

@@ -459,6 +459,41 @@ object CorpusOps {
       .orderBy("cluster_id")
   }
 
+  /** Curriculum phases (x15): quality quartiles, cleanest first. */
+  val CurriculumPhases = 4L
+
+  /** x15: CURRICULUM SCHEDULE — x9's reproducible training order
+    * reshaped for curriculum learning: the SAME train-chunk set, but
+    * phased cleanest-first — docs rank by t2 quality (desc, doc_id
+    * ties), the rank buckets into [[CurriculumPhases]] quartiles by
+    * pure arithmetic ((rank−1)·P div n — a10's ntile-free rule), and
+    * chunks order by (phase, x9's hash key): within a phase the order
+    * is x9's deterministic shuffle, across phases quality strictly
+    * descends. A resumed run still seeks by one integer; swapping the
+    * quality column for any difficulty score (t10's fluency, length,
+    * loss from a scout model) changes nothing structural.
+    *
+    * Scale shape: one doc-scale rank (RankOps range shuffle — never an
+    * unpartitioned window), a 1-row broadcast count, and x9's chunk
+    * rank machinery over (phase, key) — two range shuffles total, both
+    * the x9/x10 discipline. */
+  def curriculumSchedule(spark: SparkSession, dir: String): DataFrame = {
+    val chunks = orderedTrainChunks(spark, dir)
+    val docs = chunks.select("doc_id").distinct()
+    val dq = docs.join(
+        TextOps.quality(spark, dir).select("doc_id", "quality_score"), "doc_id")
+      .withColumn("negq", -col("quality_score"))
+    val ranked = RankOps.withGlobalRank(dq, "qrank", Seq(col("negq"), col("doc_id")))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val phased = ranked.crossJoin(broadcast(n))
+      .withColumn("phase", expr(s"(qrank - 1) * $CurriculumPhases div n_docs"))
+      .select("doc_id", "phase")
+    RankOps.withGlobalRank(chunks.join(phased, "doc_id"), "step",
+        Seq(col("phase"), col("ok"), col("doc_id"), col("chunk_id")))
+      .select("step", "phase", "doc_id", "chunk_id", "n_tok")
+      .orderBy("step")
+  }
+
   /** Training epochs materialized by x11. */
   val Epochs = 3L
 

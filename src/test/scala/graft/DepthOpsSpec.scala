@@ -255,6 +255,37 @@ class DepthOpsSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  // ---------- x15 ----------
+
+  test("x15 schedules x9's exact chunk set, cleanest phase first") {
+    import graft.operators.CorpusOps
+    val x9 = CorpusOps.trainManifest(spark, Sf0001).collect()
+      .map(r => (r.getLong(1), r.getLong(2))).sorted
+    val cur = CorpusOps.curriculumSchedule(spark, Sf0001).collect()
+    assert(cur.map(r => (r.getLong(2), r.getLong(3))).sorted.sameElements(x9),
+      "curriculum must reorder x9's chunk set, not change it")
+    // phases are contiguous along the step order
+    val phases = cur.sortBy(_.getLong(0)).map(_.getLong(1))
+    assert(phases.sliding(2).forall(w => w(0) <= w(1)), "phases must not interleave")
+    // quality strictly dominates across phases: every doc in phase p has
+    // quality >= every doc in phase p+1 (ties broken into ranks)
+    val q = graft.operators.TextOps.quality(spark, Sf0001)
+      .select("doc_id", "quality_score").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val byPhase = cur.groupBy(_.getLong(1)).view
+      .mapValues(_.map(r => q(r.getLong(2)))).toMap
+    byPhase.keys.toSeq.sorted.sliding(2).foreach {
+      case Seq(a, b) =>
+        assert(byPhase(a).min >= byPhase(b).max - 1e-12,
+          s"phase $a not uniformly cleaner than phase $b")
+      case _ =>
+    }
+    // doc-level quartiles balance within one document
+    val docPhases = cur.map(r => (r.getLong(2), r.getLong(1))).distinct
+      .groupBy(_._2).view.mapValues(_.length).values
+    assert(docPhases.max - docPhases.min <= 1, s"unbalanced phases: $docPhases")
+  }
+
   // ---------- e21 ----------
 
   test("e21 bake-off scores the exact answer tables the individual gates check") {

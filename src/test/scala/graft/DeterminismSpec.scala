@@ -138,6 +138,13 @@ class DeterminismSpec extends AnyFunSuite with SparkSpec {
     assertStable("b4_zorder_layout")(operators.BucketOps.zorderLayout(spark, Sf0001))
     assertStable("e20_cell_split")(operators.AnnOps.annCellSplit(spark, Sf0001))
     assertStable("p37_dlq_replay")(TripPipeline.dlqReplay(spark, Sf0001))
+    assertStable("t14_vocab_growth")(operators.TextOps.vocabGrowth(spark, Sf0001))
+    assertStable("g5_ann_hubness")(operators.AnnOps.annHubness(spark, Sf0001))
+    assertStable("m9_media_shards")(operators.MultimodalOps.mediaShards(spark, Sf0001))
+    assertStable("d17_jaccard_sweep")(operators.DedupOps.jaccardSweep(spark, Sf0001))
+    assertStable("a17_conversion_paths")(Analytics.a17ConversionPaths(spark, Sf0001))
+    assertStable("x14_drop_ledger")(operators.CorpusOps.dropLedger(spark, Sf0001))
+    assertStable("e21_index_eval")(operators.AnnOps.annIndexEval(spark, Sf0001))
   }
 
   test("a transient task failure + Spark retry yields bit-identical output") {
