@@ -848,25 +848,40 @@ object DedupOps {
     * rounding boundary), and kept sets provably NEST as τ grows, so
     * the curve is monotone by construction.
     *
-    * Scale shape: all branches filter the ONE memoized pair-
-    * intersection substrate (candidate-scale, DF-pruned — the corpus
-    * is never rescanned); each branch is two 1-row aggregates. */
+    * Scale shape: the whole sweep is TWO passes over the ONE memoized
+    * pair-intersection substrate (candidate-scale, DF-pruned — the
+    * corpus is never rescanned), however many thresholds are swept:
+    * pair counts for every τ come from one conditional aggregation
+    * over the per-pair ratio_ppm, and the nesting property reduces the
+    * per-τ doc counts to "docs whose BEST pair clears τ" — one
+    * fan-out-2 explode + per-doc max + a second conditional
+    * aggregation. The integer proxy is exact: for integer τ,
+    * ⌊10⁶·i/u⌋ ≥ τ ⟺ 10⁶·i ≥ τ·u, so the one precomputed ratio
+    * answers every threshold. */
   def jaccardSweep(spark: SparkSession, dir: String): DataFrame = {
     val sizes = prunedSizes(spark, dir)
-    val scored = pairIntersections(spark, dir)
-      .join(sizes.select(col("doc_id").as("doc_a"), col("n_ng").as("na")), "doc_a")
-      .join(sizes.select(col("doc_id").as("doc_b"), col("n_ng").as("nb")), "doc_b")
-      .withColumn("uni", col("na") + col("nb") - col("inter"))
-    val branches = JaccardSweep.map { tau =>
-      val kept = scored.filter(col("inter") * 1000000L >= lit(tau) * col("uni"))
-      kept.agg(count(lit(1)).as("n_pairs"))
-        .crossJoin(
-          kept.select(col("doc_a").as("d"))
-            .unionByName(kept.select(col("doc_b").as("d")))
-            .distinct().agg(count(lit(1)).as("n_docs")))
-        .select(lit(tau).as("tau_ppm"), col("n_pairs"), col("n_docs"))
+    val scored = memoized(spark, "d17_scored", dir) {
+      pairIntersections(spark, dir)
+        .join(sizes.select(col("doc_id").as("doc_a"), col("n_ng").as("na")), "doc_a")
+        .join(sizes.select(col("doc_id").as("doc_b"), col("n_ng").as("nb")), "doc_b")
+        .withColumn("ratio_ppm",
+          expr("(1000000 * inter) div (na + nb - inter)"))
+        .select("doc_a", "doc_b", "ratio_ppm")
     }
-    branches.reduce(_ unionByName _).orderBy("tau_ppm")
+    val pAggs = JaccardSweep.map(tau =>
+      sum(when(col("ratio_ppm") >= tau, 1L).otherwise(0L)).as(s"p$tau"))
+    val pairCounts = scored.agg(pAggs.head, pAggs.tail: _*)
+    val dAggs = JaccardSweep.map(tau =>
+      sum(when(col("best") >= tau, 1L).otherwise(0L)).as(s"d$tau"))
+    val docCounts = scored
+      .select(explode(array(col("doc_a"), col("doc_b"))).as("d"), col("ratio_ppm"))
+      .groupBy("d").agg(max("ratio_ppm").as("best"))
+      .agg(dAggs.head, dAggs.tail: _*)
+    val wide = pairCounts.crossJoin(docCounts)
+    JaccardSweep.map { tau =>
+      wide.select(lit(tau).as("tau_ppm"),
+        col(s"p$tau").as("n_pairs"), col(s"d$tau").as("n_docs"))
+    }.reduce(_ unionByName _).orderBy("tau_ppm")
   }
 
   /** d15: CROSS-SOURCE DUPLICATION MATRIX — the curation question s10
