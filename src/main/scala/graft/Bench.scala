@@ -94,8 +94,21 @@ object Bench {
     // broadcast/shuffle blocks from the previous query instead of
     // letting them pressure the next one's memory — the round-9
     // natural experiment showed late-suite queries run ~3× slower
-    // under accumulated suite context. Opt out: SPARK_GRAFT_GC_EACH=0.
-    val gcEach = sys.env.getOrElse("SPARK_GRAFT_GC_EACH", "1") == "1"
+    // under accumulated suite context. Unconditional per-query GC cost
+    // 169 s of the round-11 wall, so the default is now ADAPTIVE:
+    // collect only when used heap crosses half of max (the pressure the
+    // round-9 experiment was actually about), which skips the forced
+    // pause for the majority of light queries. SPARK_GRAFT_GC_EACH=1
+    // restores every-query GC; =0 disables forced GC entirely.
+    val gcMode = sys.env.getOrElse("SPARK_GRAFT_GC_EACH", "adaptive")
+    val maxHeap = Runtime.getRuntime.maxMemory
+    def maybeGc(): Unit = gcMode match {
+      case "0" => ()
+      case "1" => System.gc()
+      case _ =>
+        val used = heapPools().map(_.getUsage.getUsed).sum
+        if (used * 2 > maxHeap) System.gc()
+    }
 
     // dev-only filter for isolating queries while iterating
     // (SPARK_GRAFT_ONLY=d2_ngram_jaccard,d7_winnow); the driver sets no
@@ -127,7 +140,7 @@ object Bench {
     // and every median survives.
     val passes = (1 to Reps).map { _ =>
       selected.map { case (name, fn) =>
-        if (gcEach) System.gc()
+        maybeGc()
         val t0 = System.nanoTime()
         val ok = runOnce(name, fn)
         name -> ((System.nanoTime() - t0) / 1e9, ok)

@@ -31,8 +31,10 @@ object Oracles {
       |AND event_type IN ('signup','click','view','purchase','error')
       |AND value IS NOT NULL AND value >= 0.0""".stripMargin
 
-  private val tripCte =
-    s"""vev AS (SELECT * FROM events WHERE $validCond),
+  /** The trip chain over any events-shaped relation — `events` for the
+    * batch/file-stream consumers, the wire-truncated variant for p30. */
+  private def tripCteOver(src: String) =
+    s"""vev AS (SELECT * FROM $src WHERE $validCond),
        |starts AS (
        |  SELECT user_id, min(ts) AS start_ts FROM vev
        |  WHERE event_type = 'signup' GROUP BY user_id),
@@ -46,6 +48,18 @@ object Oracles {
        |         epoch_us(ts) - epoch_us(start_ts) AS duration_us
        |  FROM ends WHERE rn = 1)""".stripMargin
 
+  private val tripCte = tripCteOver("events")
+
+  /** p30's wire-truncated events: each wire class's string render
+    * loses precision (ISO → second, EU day-first → minute; epoch is
+    * exact) — mirrors KafkaEvents.toWireMixed's residue split. */
+  private val wireEventsCte =
+    """events_wire AS (SELECT event_id,
+      |  CASE WHEN event_id % 3 = 0 THEN ts
+      |       WHEN event_id % 3 = 1 THEN date_trunc('second', ts)
+      |       ELSE date_trunc('minute', ts) END AS ts,
+      |  user_id, event_type, value, props FROM events)""".stripMargin
+
   private val ngramCte =
     s"""docs AS (SELECT doc_id, $TOK AS t FROM documents),
        |ng AS (SELECT DISTINCT doc_id, ngram FROM (
@@ -56,11 +70,12 @@ object Oracles {
   private def annQ =
     s"q AS (SELECT vec_id, $QV AS qv FROM embeddings)"
 
-  /** The streaming daily-KPI statement — shared by p9 (file-source
-    * materialization) and p30 (Kafka-wire materialization): the source
-    * plumbing must never change the answer. */
-  private lazy val kpiDailyStreamSql: String =
-    s"""WITH $tripCte
+  /** The streaming daily-KPI statement over a given trip chain —
+    * p9 rides the plain events chain; p30 (Kafka-wire) rides the
+    * wire-truncated one: same KPI statement, the SOURCE carries the
+    * class-wise precision loss. */
+  private def kpiDailyStreamSqlOver(chain: String): String =
+    s"""WITH $chain
        |SELECT CAST(end_ts AS DATE) AS date,
        |  ${dsum("fare")} AS total_fare,
        |  COUNT(*) AS count_trips,
@@ -68,6 +83,11 @@ object Oracles {
        |  max(fare) AS max_fare,
        |  min(fare) AS min_fare
        |FROM trips GROUP BY CAST(end_ts AS DATE) ORDER BY date""".stripMargin
+
+  private lazy val kpiDailyStreamSql: String = kpiDailyStreamSqlOver(tripCte)
+
+  private lazy val kpiDailyWireSql: String =
+    kpiDailyStreamSqlOver(s"$wireEventsCte,\n${tripCteOver("events_wire")}")
 
   /** The Lloyd rounds as a parameterized CTE chain (q/u/seeds/c0, then
     * d_r/a_r[/c_r] per round, ending at `a<rounds>`: (vec_id, cid,
@@ -671,28 +691,41 @@ object Oracles {
        |ORDER BY p.doc_a, p.doc_b""".stripMargin
   }
 
-  /** One swept banding config's CTE pair (d14): band signatures at
-    * `rows` perms per band + the distinct candidate pairs they admit. */
+  /** One swept banding config's CTE group (d14): band signatures at
+    * `rows` perms per band, their bucket sizes, the candidate pairs the
+    * UNDER-CAP buckets admit, and the skipped (over-cap) doc set —
+    * mirroring DedupOps.sweepCandidates / sweepSkippedDocs. */
   private def sweepBandCte(bands: Int): String = {
     val rows = graft.operators.DedupOps.K / bands
+    val cap = graft.operators.DedupOps.SweepBucketCap
     s"""bands$bands AS MATERIALIZED (
        |  SELECT doc_id, CAST(floor(i / $rows) AS INTEGER) AS band,
        |    md5(string_agg(CAST(mh AS VARCHAR), ',' ORDER BY i)) AS bkey
        |  FROM sig GROUP BY doc_id, CAST(floor(i / $rows) AS INTEGER)),
+       |bsz$bands AS MATERIALIZED (
+       |  SELECT band, bkey, CAST(count(*) AS BIGINT) AS bsz
+       |  FROM bands$bands GROUP BY band, bkey),
        |cand$bands AS MATERIALIZED (
        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-       |  FROM bands$bands a JOIN bands$bands b
-       |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id)""".stripMargin
+       |  FROM bands$bands a
+       |  JOIN bsz$bands s ON s.band = a.band AND s.bkey = a.bkey AND s.bsz <= $cap
+       |  JOIN bands$bands b
+       |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+       |skip$bands AS (
+       |  SELECT CAST(count(DISTINCT a.doc_id) AS BIGINT) AS skipped_docs
+       |  FROM bands$bands a
+       |  JOIN bsz$bands s ON s.band = a.band AND s.bkey = a.bkey AND s.bsz > $cap)""".stripMargin
   }
 
-  /** One row of d14's report: the config's candidate count and its
-    * catch of the shipped d3 reference set. */
+  /** One row of d14's report: the config's candidate count, its catch
+    * of the shipped d3 reference set, and its skipped-bucket mass. */
   private def sweepStatRow(bands: Int): String =
     s"""SELECT CAST($bands AS BIGINT) AS bands,
        |  CAST(${graft.operators.DedupOps.K / bands} AS BIGINT) AS rows_per_band,
        |  (SELECT CAST(count(*) AS BIGINT) FROM cand$bands) AS candidates,
        |  (SELECT CAST(count(*) AS BIGINT) FROM cand$bands c
-       |     JOIN ref r ON c.doc_a = r.doc_a AND c.doc_b = r.doc_b) AS ref_caught""".stripMargin
+       |     JOIN ref r ON c.doc_a = r.doc_a AND c.doc_b = r.doc_b) AS ref_caught,
+       |  (SELECT skipped_docs FROM skip$bands) AS skipped_docs""".stripMargin
 
   /** d14: the sweep replayed from the shared signature CTE — the
     * reference set is d3's verbatim (4×4 banding + est ≥ 0.25). */
@@ -709,8 +742,12 @@ object Oracles {
        |${sweepBandCte(2)},
        |${sweepBandCte(4)},
        |${sweepBandCte(8)},
+       |cand4u AS MATERIALIZED (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands4 a JOIN bands4 b
+       |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
        |ref AS MATERIALIZED (
-       |  SELECT c.doc_a, c.doc_b FROM cand4 c
+       |  SELECT c.doc_a, c.doc_b FROM cand4u c
        |  JOIN sig sa ON sa.doc_id = c.doc_a
        |  JOIN sig sb ON sb.doc_id = c.doc_b AND sb.i = sa.i
        |  GROUP BY c.doc_a, c.doc_b
@@ -719,6 +756,7 @@ object Oracles {
        |stats AS (${sweepStatRow(2)} UNION ALL ${sweepStatRow(4)}
        |  UNION ALL ${sweepStatRow(8)})
        |SELECT s.bands, s.rows_per_band, s.candidates, s.ref_caught,
+       |  s.skipped_docs,
        |  (1000000 * s.ref_caught) // refn.n_ref AS recall_ppm
        |FROM stats s CROSS JOIN refn ORDER BY s.bands""".stripMargin
   }
@@ -1431,7 +1469,7 @@ object Oracles {
     // p30: the SAME daily-KPI statement — the wire decode (Kafka record
     // shape, JSON payload with epoch-micros ts, corrupt records
     // skipped) must be invisible to the result
-    "p30_kafka_wire" -> kpiDailyStreamSql,
+    "p30_kafka_wire" -> kpiDailyWireSql,
 
     // p31: job-health streaks over the deterministic run ledger —
     // gaps-and-islands (seq − per-outcome seq) replayed verbatim;
@@ -2863,7 +2901,9 @@ object Oracles {
          |sq AS MATERIALIZED (SELECT q_id, c_id FROM ($e19Sql) z),
          |nq AS (SELECT CAST(count(DISTINCT q_id) AS BIGINT) AS n_q FROM exact)
          |SELECT * FROM (
-         |  SELECT 'ivf_pq' AS index_kind, nq.n_q,
+         |  SELECT 'ivf_pq' AS index_kind,
+         |    CAST(${graft.operators.AnnOps.Dims / graft.operators.AnnOps.SubDim}
+         |      AS BIGINT) AS bytes_per_vec, nq.n_q,
          |    (SELECT CAST(count(*) AS BIGINT) FROM pq
          |       JOIN exact ON exact.q_id = pq.q_id AND exact.c_id = pq.c_id)
          |      AS n_hit,
@@ -2872,7 +2912,8 @@ object Oracles {
          |      / (nq.n_q * 3.0), 6) AS recall_at_3
          |  FROM nq
          |  UNION ALL
-         |  SELECT 'ivf_sq8', nq.n_q,
+         |  SELECT 'ivf_sq8',
+         |    CAST(${graft.operators.AnnOps.Dims} AS BIGINT), nq.n_q,
          |    (SELECT CAST(count(*) AS BIGINT) FROM sq
          |       JOIN exact ON exact.q_id = sq.q_id AND exact.c_id = sq.c_id),
          |    round((SELECT count(*) FROM sq

@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.FloatType
+
+/** Dev-only scale-up generator (NOT driver contract): derives an
+  * N×-replicated dataset from a driver testdata dir so the full gate
+  * and bench can be exercised at 10× the largest shipped SF
+  * (SCALE.md's empirical scale point). Replica 0 is the identity, so
+  * the output strictly contains the source data.
+  *
+  * Replication is key-shifted and referentially consistent: fact keys
+  * shift per replica (orders ↔ lineitem, customer ↔ orders,
+  * part/supplier ↔ lineitem, events.user_id, documents.doc_id,
+  * embeddings.vec_id); the constant dims (region, nation) are copied
+  * unchanged. Text/props payloads are copied VERBATIM per replica —
+  * deliberate: cross-replica exact/near duplicates are precisely the
+  * hot-bucket redundancy a 100 TB crawl corpus exhibits, so the dedup
+  * family's prunes and caps face real pressure at the scale point.
+  * Embedding dim-0 is nudged by r·0.001 so replicated vectors are not
+  * bitwise ties in cosine ranking.
+  *
+  * Usage: runMain graft.ScaleGen <srcDir> <outDir> [factor]
+  */
+object ScaleGen {
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 2, "usage: ScaleGen <srcDir> <outDir> [factor]")
+    val (src, out) = (args(0), args(1))
+    val factor = if (args.length > 2) args(2).toInt else 10
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")}]")
+      .appName("graft-scalegen")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val reps = spark.range(factor.toLong).select(col("id").as("r"))
+
+    /** Cross the table with the replica axis and shift the named int64
+      * key columns by r·stride (stride chosen past each key's range). */
+    def replicate(df: DataFrame, shifts: (String, Long)*): DataFrame = {
+      val crossed = df.crossJoin(broadcast(reps))
+      shifts.foldLeft(crossed) { case (d, (c, stride)) =>
+        d.withColumn(c, col(c) + col("r") * stride)
+      }
+    }
+
+    def read(name: String) = spark.read.parquet(s"$src/$name.parquet")
+    def write(df: DataFrame, name: String): Unit = {
+      df.write.mode("overwrite").parquet(s"$out/$name.parquet")
+      println(s"[scalegen] $name -> ${spark.read.parquet(s"$out/$name.parquet").count()} rows")
+    }
+
+    val M = 1000000L
+
+    // constant dims: verbatim
+    write(read("region"), "region")
+    write(read("nation"), "nation")
+
+    write(replicate(read("customer"), "c_custkey" -> M)
+      .drop("r"), "customer")
+    write(replicate(read("supplier"), "s_suppkey" -> M)
+      .drop("r"), "supplier")
+    write(replicate(read("part"), "p_partkey" -> M)
+      .drop("r"), "part")
+    write(replicate(read("orders"),
+      "o_orderkey" -> 10 * M, "o_custkey" -> M).drop("r"), "orders")
+    write(replicate(read("lineitem"),
+      "l_orderkey" -> 10 * M, "l_partkey" -> M, "l_suppkey" -> M)
+      .drop("r"), "lineitem")
+    write(replicate(read("events"),
+      "event_id" -> 100 * M, "user_id" -> M).drop("r"), "events")
+    write(replicate(read("documents"), "doc_id" -> M)
+      .drop("r"), "documents")
+    write(replicate(read("embeddings"), "vec_id" -> M)
+      .withColumn("embedding", expr(
+        "transform(embedding, (x, i) -> CAST(CASE WHEN i = 0 " +
+          "THEN x + r * CAST(0.001 AS FLOAT) ELSE x END AS FLOAT))"))
+      .drop("r"), "embeddings")
+
+    spark.stop()
+  }
+}

@@ -1055,8 +1055,10 @@ object AnnOps {
     * the codec choice itself: the two compressed indexes the library
     * ships (e6 IVF+PQ, e19 IVF+SQ8) evaluated head-to-head against
     * the exact top-3 on the same query panel — the one-table answer to
-    * "which codec do I deploy", read with b-family byte math (PQ: 8
-    * bytes/vector, SQ8: 64) for the fidelity-per-byte decision.
+    * "which codec do I deploy". `bytes_per_vec` carries the byte math
+    * (PQ: one code per [[SubDim]]-dim subspace = Dims/SubDim bytes;
+    * SQ8: one code per dimension = Dims bytes) so the
+    * fidelity-per-byte decision reads off the table itself.
     *
     * Scale shape: both answers and the exact baseline are the bounded
     * evaluation panels e6/e19/e1 already compute (memoized substrates
@@ -1066,12 +1068,13 @@ object AnnOps {
     val exact = annTopk(spark, dir).filter(col("rnk") <= 3).select("q_id", "c_id")
     val nq = exact.select("q_id").distinct().agg(count(lit(1)).as("n_q"))
     val branches = Seq(
-      "ivf_pq" -> annPq(spark, dir),
-      "ivf_sq8" -> annSq(spark, dir)).map { case (name, ans) =>
+      ("ivf_pq", annPq(spark, dir), (Dims / SubDim).toLong),
+      ("ivf_sq8", annSq(spark, dir), Dims.toLong)).map { case (name, ans, bytes) =>
       val hits = exact.join(ans.select("q_id", "c_id"), Seq("q_id", "c_id"))
         .agg(count(lit(1)).as("n_hit"))
       hits.crossJoin(broadcast(nq))
-        .select(lit(name).as("index_kind"), col("n_q"), col("n_hit"),
+        .select(lit(name).as("index_kind"), lit(bytes).as("bytes_per_vec"),
+          col("n_q"), col("n_hit"),
           round(col("n_hit").cast(DoubleType) / (col("n_q") * lit(3.0)), 6)
             .as("recall_at_3"))
     }

@@ -415,6 +415,11 @@ object CorpusOps {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("seq_id").orderBy("start_tok")
     ranked
+      // n_tok >= 1 in x10's chunk set, but guard anyway: a zero-token
+      // chunk on a sequence boundary would make sequence(a, a-1) emit a
+      // bogus DESCENDING 2-element range where the oracle's range()
+      // yields empty — filter(n_tok > 0) keeps the engines aligned
+      .filter(col("n_tok") > 0L)
       .withColumn("seq_id", explode(sequence(
         expr(s"cum div $L"), expr(s"(cum + n_tok - 1) div $L"))))
       .withColumn("start_tok", greatest(col("cum") - col("seq_id") * L, lit(0L)))

@@ -740,17 +740,53 @@ object DedupOps {
     * actual set nesting, not just counts). */
   private[graft] val SweepBands = Seq(2, 4, 8)
 
-  /** The candidate pair set at a swept band count — exposed for the
-    * nesting spec; runs the identical [[bandsWith]] machinery. */
-  private[graft] def sweepCandidates(spark: SparkSession, dir: String,
-      bands: Int): DataFrame = {
-    val b = bandsWith(minhashSig(spark, dir), K / bands)
-    b.select(col("doc_id").as("doc_a"), col("band"), col("bkey"))
-      .join(b.select(col("doc_id").as("doc_b"), col("band"), col("bkey")),
+  /** Bucket cap for d14's swept configs — d2's [[MaxNgramDf]] discipline
+    * applied to band buckets: a swept bucket with more than this many
+    * members is SKIPPED (its membership disclosed in `skipped_docs`,
+    * never paired). Without it the most permissive swept key (2 perms)
+    * collides heavily on a redundant corpus and the hottest bucket's
+    * equality self-join is quadratic in bucket size — the one shape
+    * that would not survive 100 TB. A production banding sweep caps its
+    * probe buckets the same way. */
+  val SweepBucketCap = 64L
+
+  /** Swept band rows tagged with their bucket size — memoized so the
+    * candidate leg, the skipped-mass leg and the nesting spec all read
+    * ONE materialization per config. */
+  private def sweepBands(spark: SparkSession, dir: String, bands: Int): DataFrame =
+    memoized(spark, s"d14_bands_$bands", dir) {
+      val b = bandsWith(minhashSig(spark, dir), K / bands)
+      b.join(b.groupBy("band", "bkey").agg(count(lit(1)).as("bsz")),
         Seq("band", "bkey"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b").distinct()
-  }
+    }
+
+  /** The candidate pair set at a swept band count — the identical
+    * [[bandsWith]] machinery, restricted to buckets within `cap`
+    * (default [[SweepBucketCap]]; the spec passes Long.MaxValue to pin
+    * the uncapped nesting theorem). Memoized per (config, cap): the
+    * sweep consumes each branch twice (count leg + ref-recall leg), so
+    * without the memo the band self-join ran twice per config. */
+  private[graft] def sweepCandidates(spark: SparkSession, dir: String,
+      bands: Int, cap: Long = SweepBucketCap): DataFrame =
+    memoized(spark, s"d14_cand_${bands}_$cap", dir) {
+      val b = sweepBands(spark, dir, bands).filter(col("bsz") <= cap)
+      b.select(col("doc_id").as("doc_a"), col("band"), col("bkey"))
+        .join(b.select(col("doc_id").as("doc_b"), col("band"), col("bkey")),
+          Seq("band", "bkey"))
+        .filter(col("doc_a") < col("doc_b"))
+        .select("doc_a", "doc_b").distinct()
+    }
+
+  /** Docs carrying at least one over-cap bucket at a swept config — the
+    * disclosed skipped mass. Provably MONOTONE in permissiveness: a
+    * swept bucket at r rows per band is contained in its covering
+    * bucket at r/2 rows (agreeing on 2r perms implies agreeing on each
+    * r-perm half), so an over-cap bucket stays over cap in every more
+    * permissive config and its members stay skipped. */
+  private[graft] def sweepSkippedDocs(spark: SparkSession, dir: String,
+      bands: Int, cap: Long = SweepBucketCap): DataFrame =
+    sweepBands(spark, dir, bands).filter(col("bsz") > cap)
+      .select("doc_id").distinct()
 
   /** d14: LSH BANDING TUNING SWEEP — e17's recall-vs-cost discipline
     * for the dedup family: one row per swept (bands, rows-per-band)
@@ -764,9 +800,19 @@ object DedupOps {
     *
     * Scale shape: all three branches band the ONE memoized signature
     * substrate (K rows per doc — the corpus is never rescanned); each
-    * branch is d3's band self-join at a different width; the reference
-    * set is the memoized d3 pair set and counts collapse to 1-row
-    * aggregates unioned into a 3-row report. */
+    * branch is d3's band self-join at a different width, restricted to
+    * buckets within [[SweepBucketCap]] (the skipped mass is a report
+    * column, so the cap is disclosed, not silent) and MEMOIZED so its
+    * two consumers (count leg, recall leg) read one materialization.
+    * The reference set is the memoized d3 pair set and counts collapse
+    * to 1-row aggregates unioned into a 3-row report.
+    *
+    * Capping note: the UNCAPPED candidate sets nest (cand(2) ⊆ cand(4)
+    * ⊆ cand(8), the aligned-boundary theorem); capped sets need not —
+    * a pair admitted by an under-cap fine bucket can sit in an over-cap
+    * covering bucket at a coarser width. What stays provable under the
+    * cap, and is spec-pinned: capped ⊆ uncapped per config, and the
+    * skipped-doc set grows monotonically with permissiveness. */
   def lshTuningSweep(spark: SparkSession, dir: String): DataFrame = {
     val ref = minhashLsh(spark, dir).select("doc_a", "doc_b")
     val branches = SweepBands.map { bands =>
@@ -774,14 +820,17 @@ object DedupOps {
       cand.agg(count(lit(1)).as("candidates"))
         .crossJoin(cand.join(ref, Seq("doc_a", "doc_b"), "left_semi")
           .agg(count(lit(1)).as("ref_caught")))
+        .crossJoin(sweepSkippedDocs(spark, dir, bands)
+          .agg(count(lit(1)).as("skipped_docs")))
         .select(lit(bands.toLong).as("bands"),
           lit((K / bands).toLong).as("rows_per_band"),
-          col("candidates"), col("ref_caught"))
+          col("candidates"), col("ref_caught"), col("skipped_docs"))
     }
     branches.reduce(_ unionByName _)
       .crossJoin(broadcast(ref.agg(count(lit(1)).as("n_ref"))))
       .withColumn("recall_ppm", expr("(1000000 * ref_caught) div n_ref"))
-      .select("bands", "rows_per_band", "candidates", "ref_caught", "recall_ppm")
+      .select("bands", "rows_per_band", "candidates", "ref_caught",
+        "skipped_docs", "recall_ppm")
       .orderBy("bands")
   }
 
@@ -807,7 +856,18 @@ object DedupOps {
     * |docs| except the standing index that production would already
     * hold partitioned by band key. */
   def docSimServe(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
-    val qId = minhashLsh(spark, dir).agg(min(col("doc_a"))).head().getLong(0)
+    val qRow = minhashLsh(spark, dir).agg(min(col("doc_a"))).head()
+    if (qRow.isNullAt(0)) {
+      // fully-deduplicated (or tiny) corpus: no pair carries a doc to
+      // serve — return the empty serve table, not an NPE
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(
+          StructField("rnk", IntegerType), StructField("doc_id", LongType),
+          StructField("inter", LongType), StructField("uni", LongType),
+          StructField("jaccard", DoubleType))))
+    }
+    val qId = qRow.getLong(0)
     val bands = lshBands(spark, dir)
     val qb = bands.filter(col("doc_id") === qId).select("band", "bkey")
     val cand = bands.join(broadcast(qb), Seq("band", "bkey"))

@@ -372,9 +372,29 @@ object MultimodalOps {
       .mapPartitions { it =>
         val md = java.security.MessageDigest.getInstance("MD5")
         it.flatMap { case (id, text) =>
-          if (text == null || text.length < FrameWin) Iterator.empty
-          else (0 to text.length - FrameWin by FrameStep).iterator.map { i =>
-            ClipFrameRow(id, graft.functions.F.hash60With(md, text.substring(i, i + FrameWin)))
+          // window offsets count CODE POINTS (one pass builds the
+          // code-point → code-unit offset table), matching the oracle's
+          // substr/length semantics even off the BMP; on BMP-only text
+          // this is bit-identical to plain code-unit indexing
+          if (text == null) Iterator.empty
+          else {
+            val n = text.codePointCount(0, text.length)
+            if (n < FrameWin) Iterator.empty
+            else {
+              val offs = new Array[Int](n + 1)
+              var cu = 0
+              var k = 0
+              while (k < n) {
+                offs(k) = cu
+                cu += Character.charCount(text.codePointAt(cu))
+                k += 1
+              }
+              offs(n) = text.length
+              (0 to n - FrameWin by FrameStep).iterator.map { i =>
+                ClipFrameRow(id, graft.functions.F.hash60With(
+                  md, text.substring(offs(i), offs(i + FrameWin))))
+              }
+            }
           }
         }
       }

@@ -121,7 +121,13 @@ object TripPipeline {
     * on user_id (at scale: both sides hash-partitioned on the key, AQE
     * handles skew). */
   def tripMatch(spark: SparkSession, dir: String): DataFrame =
-    tripsOf(Tables.events(spark, dir)).select(
+    tripMatchOf(Tables.events(spark, dir))
+
+  /** p4 on any events relation — the presentation projection over
+    * [[tripsOf]]; parameterized so consumers of alternative event
+    * surfaces (e.g. the wire-truncated p30 spec) ride the ONE chain. */
+  private[graft] def tripMatchOf(ev: DataFrame): DataFrame =
+    tripsOf(ev).select(
       col("user_id"),
       col("start_ts").cast("timestamp_ntz").as("start_ts"),
       ntz("ts").as("end_ts"),
@@ -156,7 +162,11 @@ object TripPipeline {
     * output (KPI-Aggregator.py:104-110): total/count/average/max/min fare
     * grouped by completion date. Decimal-exact sums (see F.decSum). */
   def kpiDaily(spark: SparkSession, dir: String): DataFrame =
-    tripMatch(spark, dir)
+    kpiDailyOf(Tables.events(spark, dir))
+
+  /** p5 on any events relation — see [[tripMatchOf]]. */
+  private[graft] def kpiDailyOf(ev: DataFrame): DataFrame =
+    tripMatchOf(ev)
       .groupBy(to_date(col("end_ts")).as("date"))
       .agg(
         decSum(col("fare")).as("total_fare"),

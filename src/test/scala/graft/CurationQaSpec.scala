@@ -65,21 +65,49 @@ class CurationQaSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
-  test("d14 swept candidate sets NEST (aligned band boundaries), so cost and recall are monotone") {
+  test("d14 UNCAPPED swept candidate sets NEST (aligned band boundaries), so cost and recall are monotone") {
     def candSet(bands: Int) =
-      DedupOps.sweepCandidates(spark, Sf0001, bands).collect()
+      DedupOps.sweepCandidates(spark, Sf0001, bands, cap = Long.MaxValue).collect()
         .map(r => (r.getLong(0), r.getLong(1))).toSet
     val (c2, c4, c8) = (candSet(2), candSet(4), candSet(8))
     assert(c2.subsetOf(c4) && c4.subsetOf(c8))
+    // uncapped cost is monotone in permissiveness by the nesting theorem
+    assert(c2.size <= c4.size && c4.size <= c8.size)
+  }
+
+  test("d14 capped candidates ⊆ uncapped per config; skipped-doc sets grow with permissiveness") {
+    def capped(bands: Int) =
+      DedupOps.sweepCandidates(spark, Sf0001, bands).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def uncapped(bands: Int) =
+      DedupOps.sweepCandidates(spark, Sf0001, bands, cap = Long.MaxValue).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def skipped(bands: Int) =
+      DedupOps.sweepSkippedDocs(spark, Sf0001, bands).collect()
+        .map(_.getLong(0)).toSet
+    DedupOps.SweepBands.foreach(b => assert(capped(b).subsetOf(uncapped(b))))
+    // an over-cap bucket stays over cap in every more permissive config
+    val (s2, s4, s8) = (skipped(2), skipped(4), skipped(8))
+    assert(s2.subsetOf(s4) && s4.subsetOf(s8))
+  }
+
+  test("d14 report matches the live capped sets and discloses the skipped mass") {
+    def capped(bands: Int) =
+      DedupOps.sweepCandidates(spark, Sf0001, bands).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
     val report = SparkEntry.queries("d14_lsh_sweep")(spark, Sf0001).collect()
-      .map(r => (r.getLong(0), r.getLong(2), r.getLong(4)))
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(4), r.getLong(5)))
     assert(report.map(_._1).toSeq === Seq(2L, 4L, 8L))
-    // candidates match the live sets; both cost and recall non-decreasing
-    assert(report.map(_._2).toSeq === Seq(c2.size.toLong, c4.size.toLong, c8.size.toLong))
-    assert(report.map(_._2).toSeq === report.map(_._2).sorted.toSeq)
-    assert(report.map(_._3).toSeq === report.map(_._3).sorted.toSeq)
-    // the shipped 4×4 config catches its own reference set entirely
-    assert(report.find(_._1 == 4L).get._3 === 1000000L)
+    assert(report.map(_._2).toSeq ===
+      DedupOps.SweepBands.map(b => capped(b).size.toLong))
+    report.foreach { case (bands, _, skippedDocs, _) =>
+      assert(skippedDocs ===
+        DedupOps.sweepSkippedDocs(spark, Sf0001, bands.toInt).count())
+    }
+    // when no bucket is capped at the shipped width, the 4×4 config
+    // catches its own reference set entirely (ref = d3 verbatim)
+    val r4 = report.find(_._1 == 4L).get
+    if (r4._3 == 0L) assert(r4._4 === 1000000L)
   }
 
   test("d13 exact Jaccard and error are internally consistent ppm values") {

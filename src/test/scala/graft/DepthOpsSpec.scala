@@ -296,11 +296,17 @@ class DepthOpsSpec extends AnyFunSuite with SparkSpec {
     val expected = Map(
       "ivf_pq" -> (pairs(AnnOps.annPq(spark, Sf0001)) & exact).size.toLong,
       "ivf_sq8" -> (pairs(AnnOps.annSq(spark, Sf0001)) & exact).size.toLong)
+    // bytes_per_vec must reconcile with the codec constants: PQ emits
+    // one code per SubDim-dim subspace, SQ8 one code per dimension
+    val expectedBytes = Map(
+      "ivf_pq" -> (AnnOps.Dims / AnnOps.SubDim).toLong,
+      "ivf_sq8" -> AnnOps.Dims.toLong)
     val out = AnnOps.annIndexEval(spark, Sf0001).collect()
     assert(out.length === 2)
     out.foreach { r =>
-      val (kind, nq, nHit, rec) =
-        (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3))
+      val (kind, bytes, nq, nHit, rec) =
+        (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))
+      assert(bytes === expectedBytes(kind), s"$kind bytes_per_vec")
       assert(nq === exact.map(_._1).size.toLong)
       assert(nHit === expected(kind), s"$kind hit count")
       assert(math.abs(rec - math.rint(nHit / (nq * 3.0) * 1e6) / 1e6) < 1e-9)

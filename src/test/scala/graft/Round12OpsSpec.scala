@@ -1,0 +1,94 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.F
+import graft.operators.{DedupOps, MultimodalOps}
+
+/** Round-12 consolidation checks: the durable-checkpoint RECOVERY
+  * difference under simulated block loss (Round11OpsSpec pins the two
+  * modes bit-equal; this pins why the durable one exists), the d16
+  * empty-corpus serve guard, and m8's code-point window semantics on
+  * supplementary-plane text. */
+class Round12OpsSpec extends AnyFunSuite with SparkSpec {
+
+  /** Build a small deterministic DataFrame whose partitions are real
+    * distributed work (not a broadcast-able literal). */
+  private def payload() =
+    spark.range(0, 1000, 1, 4).selectExpr("id", "id * 2 AS v")
+
+  test("localCheckpoint blocks dropped mid-chain ⇒ the default path CANNOT recompute") {
+    val sc = spark.sparkContext
+    val before = sc.getPersistentRDDs.keySet
+    val local = F.materialize(payload()) // default mode: localCheckpoint
+    assert(local.count() === 1000L)
+    val ckptIds = sc.getPersistentRDDs.keySet -- before
+    assert(ckptIds.nonEmpty, "localCheckpoint must register persisted blocks")
+    // simulate executor loss: drop the checkpoint blocks
+    ckptIds.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(true)))
+    val ex = intercept[Exception] { local.count() }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(ex).exists(m =>
+        m.contains("Checkpoint block") || m.contains("block")),
+      s"expected a missing-checkpoint-block failure, got: $ex")
+  }
+
+  test("durable checkpoint blocks dropped mid-chain ⇒ the durable path recomputes from reliable storage") {
+    val sc = spark.sparkContext
+    spark.conf.set("graft.checkpoint.durable", "true")
+    try {
+      val before = sc.getPersistentRDDs.keySet
+      val durable = F.materialize(payload())
+      assert(durable.count() === 1000L)
+      // the same simulated loss: drop every cache block that appeared,
+      // plus clear ALL executor-side cached blocks for good measure
+      (sc.getPersistentRDDs.keySet -- before).foreach(id =>
+        sc.getPersistentRDDs.get(id).foreach(_.unpersist(true)))
+      // the reliable checkpoint files survive — the read path recomputes
+      assert(durable.count() === 1000L,
+        "durable mode must re-answer from the checkpoint files after block loss")
+      assert(durable.selectExpr("sum(v)").head().getLong(0) === 999000L)
+    } finally spark.conf.unset("graft.checkpoint.durable")
+  }
+
+  test("d16 serve on a corpus with NO near-dup pairs returns the empty serve table, not an NPE") {
+    import spark.implicits._
+    val dir = "target/test-dirs/d16-empty"
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta", "en", "web", 46L),
+      (2L, "one two three four five six seven eight nine ten", "en", "books", 49L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = DedupOps.docSimServe(spark, dir)
+    assert(out.schema.fieldNames.toSeq ===
+      Seq("rnk", "doc_id", "inter", "uni", "jaccard"))
+    assert(out.count() === 0L)
+  }
+
+  test("m8 frame windows count CODE POINTS: astral-plane prefix keeps shared footage aligned") {
+    import spark.implicits._
+    // shared footage: 40 distinct code points ⇒ windows at cp offsets
+    // 0/8/16/24 inside it (win 16, step 8) ⇒ 4 shared fingerprints
+    val s = ('a' to 'z').mkString + ('0' to '9').mkString + "!@#$"
+    assert(s.length === 40)
+    // doc 2 prefixes ONE astral code point (2 code units) + 7 ascii =
+    // 8 code points = FrameStep, so windows align iff offsets count
+    // code points; under code-unit indexing the prefix is 9 units and
+    // every window into the shared span misses by one
+    val fox = new String(Character.toChars(0x1F98A))
+    val docs = Seq(1L -> s, 2L -> (fox + "padding" + s)).toDF("doc_id", "text")
+    val out = MultimodalOps.clipNearDupOf(spark, docs).collect()
+    assert(out.length === 1)
+    val r = out.head
+    assert((r.getLong(0), r.getLong(1)) === (1L, 2L))
+    assert(r.getLong(2) === 4L, s"expected 4 shared frames, got ${r.getLong(2)}")
+  }
+
+  test("x10 chunk substrate holds the n_tok >= 1 invariant x12's boundary arithmetic rides") {
+    val bad = SparkEntry.queries("x10_seq_pack")(spark, Sf0001)
+      .filter(col("n_tok") < 1L).count()
+    assert(bad === 0L)
+  }
+}

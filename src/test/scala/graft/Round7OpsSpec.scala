@@ -229,20 +229,39 @@ class Round7OpsSpec extends AnyFunSuite with SparkSpec {
       s"a single block still holds the hot prefix: max=${blocks.max}")
   }
 
-  test("p30: the Kafka-wire chain equals the batch pipeline; corrupt records hit the DLQ") {
+  test("p30: the Kafka-wire chain equals the batch pipeline over the wire-truncated surface; corrupt records hit the DLQ") {
     import graft.sources.KafkaEvents
     import graft.streaming.StreamPipeline
     val streamed = StreamPipeline.kpiDailyViaKafkaWire(spark, Sf0001).collect().toSeq
-    val batch = graft.pipeline.TripPipeline.kpiDaily(spark, Sf0001).collect().toSeq
-    assert(streamed === batch,
-      "wire decode + streaming chain must reproduce the batch KPIs exactly")
-    assert(streamed.nonEmpty)
-    // round-trip fidelity: decode(toWire(events)) is the identity on events
+    // the staged wire is the MIXED-producer surface: string-format
+    // payloads lose second/minute precision ON THE WIRE, so the batch
+    // reference is the same chain over the identically truncated events
     val ev = Tables.events(spark, Sf0001)
+    val truncated = ev.withColumn("ts",
+      when(pmod(col("event_id"), lit(3)) === 0, col("ts"))
+        .when(pmod(col("event_id"), lit(3)) === 1, date_trunc("second", col("ts")))
+        .otherwise(date_trunc("minute", col("ts"))))
+    val batch = graft.pipeline.TripPipeline.kpiDailyOf(truncated).collect().toSeq
+    assert(streamed === batch,
+      "wire decode + streaming chain must reproduce the truncated-surface batch KPIs exactly")
+    assert(streamed.nonEmpty)
+    // round-trip fidelity: decode(toWire(events)) is the identity on
+    // events over the pure-epoch producer surface
     val wire = KafkaEvents.toWire(ev, "events", 8)
     assert(KafkaEvents.decodeEvents(wire).exceptAll(ev).isEmpty &&
       ev.exceptAll(KafkaEvents.decodeEvents(wire)).isEmpty,
       "toWire/decodeEvents must round-trip every event row bit-for-bit")
+    // mixed-surface fidelity: decode(toWireMixed(events)) equals the
+    // truncated relation exactly (same rows, class-wise precision)
+    val mixedDecoded = KafkaEvents.decodeEvents(
+      KafkaEvents.toWireMixed(ev, "events", 8))
+    assert(mixedDecoded.exceptAll(truncated).isEmpty &&
+      truncated.exceptAll(mixedDecoded).isEmpty,
+      "toWireMixed/decodeEvents must land exactly the truncated surface")
+    // and the wire loss is REAL at the event level: every class-1/2
+    // payload with sub-second/sub-minute components truncates
+    assert(mixedDecoded.exceptAll(ev).count() > 0,
+      "the mixed surface should lose precision on at least one event")
     // the injected corrupt records are skipped into the DLQ, not lost
     val corrupt = spark.range(3).select(
       lit(null).cast("binary").as("key"),
