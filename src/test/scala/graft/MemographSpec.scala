@@ -1,0 +1,24 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** CI-diff of the generated MEMOGRAPH.md against `SparkEntry.queries`:
+  * the reuse-topology doc must cover exactly the shipped key set (a new
+  * operator without a regenerated doc, or a doc row for a removed key,
+  * fails here — regenerate with `runMain graft.DocGen`). */
+class MemographSpec extends AnyFunSuite {
+
+  test("MEMOGRAPH.md lists exactly the SparkEntry.queries keys") {
+    val f = new java.io.File("MEMOGRAPH.md")
+    assert(f.exists, "MEMOGRAPH.md missing — generate with runMain graft.DocGen")
+    val docKeys = scala.io.Source.fromFile(f)(scala.io.Codec.UTF8).getLines()
+      .takeWhile(!_.startsWith("## Substrate"))
+      .collect { case l if l.startsWith("| `") =>
+        l.stripPrefix("| `").takeWhile(_ != '`') }
+      .toSet
+    val entryKeys = SparkEntry.queries.keySet
+    assert(docKeys === entryKeys,
+      s"doc-only: ${(docKeys -- entryKeys).toSeq.sorted.mkString(",")}; " +
+        s"missing: ${(entryKeys -- docKeys).toSeq.sorted.mkString(",")}")
+  }
+}
