@@ -133,18 +133,23 @@ object Oracles {
     * n_tok) — x1's keep rule minus x3's contamination, x6's split hash,
     * t9's chunk geometry. Shared by x9 (step manifest) and x10
     * (sequence packing) so the packing order IS the manifest order. */
+  /** MATERIALIZED throughout: consumers (x9/x10/x11/x15) reference
+    * `ch` up to three times, and unmaterialized inlining re-expands the
+    * whole x1+x3 subtree under it per reference — the exponential-
+    * inlining gotcha that exhausted DuckDB temp at the 10× scale
+    * point (x15 spilled 79 GB before this). */
   private lazy val trainChunksCte: String =
-    s"""kept0 AS (SELECT doc_id FROM ($x1Sql) k),
-       |contam AS (SELECT doc_id FROM ($x3Sql) c),
-       |kept AS (SELECT doc_id FROM kept0
+    s"""kept0 AS MATERIALIZED (SELECT doc_id FROM ($x1Sql) k),
+       |contam AS MATERIALIZED (SELECT doc_id FROM ($x3Sql) c),
+       |kept AS MATERIALIZED (SELECT doc_id FROM kept0
        |  WHERE doc_id NOT IN (SELECT doc_id FROM contam)
        |    AND ${h60("'split_' || CAST(doc_id AS VARCHAR)")} % 1000000 < ${graft.operators.CorpusOps.ValStartPpm}),
-       |d AS (SELECT doc_id, $TOK AS t FROM documents
+       |d AS MATERIALIZED (SELECT doc_id, $TOK AS t FROM documents
        |  WHERE doc_id IN (SELECT doc_id FROM kept)),
        |c AS (SELECT doc_id, t, len(t) AS n,
        |  CASE WHEN len(t) <= 32 THEN 1 ELSE (len(t) - 32 + 23) // 24 + 1 END AS n_chunks
        |  FROM d),
-       |ch AS (SELECT doc_id, u AS chunk_id,
+       |ch AS MATERIALIZED (SELECT doc_id, u AS chunk_id,
        |    len(t[u*24+1 : u*24+32]) AS n_tok
        |  FROM c, unnest(range(0, n_chunks)) AS x(u))""".stripMargin
 
@@ -451,9 +456,14 @@ object Oracles {
          |HAVING CAST(SUM(CASE WHEN sa.mh = sb.mh THEN 1 ELSE 0 END) AS DOUBLE) / 16 >= 0.25
          |ORDER BY doc_a, doc_b""".stripMargin
 
-  /** One bounded label-propagation round: label := min(own, neighbors'). */
+  /** One bounded label-propagation round: label := min(own, neighbors').
+    * MATERIALIZED — each round is referenced twice by the next (l and
+    * ln), so default inlining doubles the subtree per round and the
+    * whole minhash derivation under `edges` re-expands ~2^rounds times
+    * (the exponential-inlining gotcha; 78 GB of DuckDB temp at the 10×
+    * scale point before materialization). */
   private def lpRound(prev: String, next: String): String =
-    s"""$next AS (
+    s"""$next AS MATERIALIZED (
        |  SELECT l.doc_id, least(l.label, coalesce(min(ln.label), l.label)) AS label
        |  FROM $prev l
        |  LEFT JOIN edges e ON e.doc_a = l.doc_id
@@ -463,10 +473,10 @@ object Oracles {
   /** d5: replays the Spark side's exact ClusterIters rounds over the d3
     * pair graph, so results agree even pre-convergence. */
   private val d5Sql: String =
-    s"""WITH d3pairs AS (SELECT doc_a, doc_b FROM ($d3Sql) z),
-       |edges AS (SELECT doc_a, doc_b FROM d3pairs
+    s"""WITH d3pairs AS MATERIALIZED (SELECT doc_a, doc_b FROM ($d3Sql) z),
+       |edges AS MATERIALIZED (SELECT doc_a, doc_b FROM d3pairs
        |          UNION ALL SELECT doc_b AS doc_a, doc_a AS doc_b FROM d3pairs),
-       |l0 AS (SELECT DISTINCT doc_a AS doc_id, doc_a AS label FROM edges),
+       |l0 AS MATERIALIZED (SELECT DISTINCT doc_a AS doc_id, doc_a AS label FROM edges),
        |${lpRound("l0", "l1")},
        |${lpRound("l1", "l2")},
        |${lpRound("l2", "l3")}

@@ -54,9 +54,8 @@ object Probe {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val streamDir = java.nio.file.Paths.get("target/probe-stream")
     java.nio.file.Files.createDirectories(streamDir)
-    java.nio.file.Files.copy(java.nio.file.Paths.get(s"$d/events.parquet"),
-      streamDir.resolve("events.parquet"),
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    graft.functions.F.stageParquet(
+      s"$d/events.parquet", streamDir.toString, "events")
     val rawSchema = spark.read.parquet(s"$d/events.parquet").schema
     val sdf = Tables.normalizeEventsTs(
       spark.readStream.schema(rawSchema).parquet(streamDir.toString))

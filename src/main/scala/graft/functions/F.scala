@@ -54,6 +54,50 @@ object F {
   def sinkPath(kind: String, dir: String): String =
     s"target/graft-sink/${kind}_" + dirTag(dir)
 
+  /** Land a parquet input into a staging dir as top-level files a file
+    * streaming source will list — handling BOTH physical layouts a
+    * lake serves: a single parquet file (the sandbox testdata shape)
+    * and a directory of part files (the norm everywhere else; part
+    * files flatten into the staging dir under `baseName_N.parquet`,
+    * `_`/`.`-prefixed bookkeeping entries skipped). Fails loudly if
+    * ZERO data files land: `Files.copy` on a directory "succeeds" by
+    * creating an empty directory, and the resulting silently-empty
+    * staged stream materializes an empty result that exits 0 — the one
+    * failure shape worse than a crash (found by the 10× scale run,
+    * whose derived tables are directory-layout). */
+  def stageParquet(src: String, dstDir: String, baseName: String): Unit = {
+    import java.nio.file._
+    val s = Paths.get(src)
+    val d = Paths.get(dstDir)
+    Files.createDirectories(d)
+    val landedFiles =
+      if (Files.isDirectory(s)) {
+        val parts = Files.list(s)
+        try {
+          val it = parts.iterator()
+          var n = 0
+          while (it.hasNext) {
+            val p = it.next()
+            val name = p.getFileName.toString
+            if (name.endsWith(".parquet") && !name.startsWith("_") &&
+                !name.startsWith(".")) {
+              Files.copy(p, d.resolve(s"${baseName}_$n.parquet"),
+                StandardCopyOption.REPLACE_EXISTING)
+              n += 1
+            }
+          }
+          n
+        } finally parts.close()
+      } else {
+        Files.copy(s, d.resolve(s"$baseName.parquet"),
+          StandardCopyOption.REPLACE_EXISTING)
+        1
+      }
+    require(landedFiles > 0,
+      s"staging landed ZERO parquet data files from $src into $dstDir — " +
+        "an empty staged stream would materialize an empty result")
+  }
+
   /** Per-key completion latches of builds landed by THIS JVM
     * (see [[landOnce]]). */
   private val landed =

@@ -37,8 +37,38 @@ object DedupOps {
   private val memo =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String, String), DataFrame]
   private[operators] def memoized(spark: SparkSession, key: String, dir: String)(
-      build: => DataFrame): DataFrame =
-    memo.getOrElseUpdate((spark, key, dir), build.persist(StorageLevel.MEMORY_AND_DISK))
+      build: => DataFrame): DataFrame = {
+    MemoTrace.record(key)
+    memo.getOrElseUpdate((spark, key, dir), {
+      MemoTrace.push(key)
+      try build.persist(StorageLevel.MEMORY_AND_DISK)
+      finally MemoTrace.pop()
+    })
+  }
+
+  /** Dev-only memo-topology recorder (see [[graft.DocGen]]): when
+    * `edges` is non-null every [[memoized]] ACCESS records an
+    * (owner → key) edge, where the owner is the memo build in progress
+    * on this thread (nested substrate builds attribute their inner
+    * accesses to the substrate, not the query) or else the query label
+    * the tracer installed. Null owner or null `edges` ⇒ zero work, so
+    * production paths pay one volatile read. */
+  private[graft] object MemoTrace {
+    @volatile var edges: java.util.concurrent.ConcurrentLinkedQueue[(String, String)] = null
+    @volatile var label: String = null
+    private val owner = new ThreadLocal[List[String]] {
+      override def initialValue: List[String] = Nil
+    }
+    def record(key: String): Unit = {
+      val e = edges
+      if (e != null) {
+        val own = owner.get() match { case h :: _ => h; case Nil => label }
+        if (own != null && own != key) e.add((own, key))
+      }
+    }
+    def push(key: String): Unit = owner.set(key :: owner.get())
+    def pop(): Unit = owner.set(owner.get().drop(1))
+  }
 
   /** Release every memoized persist for a session — call between
     * experiments (the determinism tests do) or before retiring a

@@ -203,11 +203,8 @@ object StreamPipeline {
     * advances; this is purely the finite-input materialization trick. */
   def sessionizeViaFileStream(spark: SparkSession, dir: String): DataFrame = {
     val streamDir = java.nio.file.Paths.get(stagingPath("p15", dir))
-    java.nio.file.Files.createDirectories(streamDir)
-    java.nio.file.Files.copy(
-      java.nio.file.Paths.get(s"$dir/events.parquet"),
-      streamDir.resolve("events.parquet"),
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    graft.functions.F.stageParquet(
+      s"$dir/events.parquet", streamDir.toString, "events")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = spark.read.parquet(s"$dir/events.parquet")
     // typed max via the shared normalizer — the raw physical ts type is
@@ -356,12 +353,9 @@ object StreamPipeline {
     * passes must not pay forty identical copies. */
   private def stagedEventsStream(spark: SparkSession, dir: String): DataFrame = {
     val streamDir = java.nio.file.Paths.get(stagingPath("p9", dir))
-    val staged = streamDir.resolve("events.parquet")
-    graft.functions.F.landOnce(streamDir.toString, staged.toString) {
-      java.nio.file.Files.createDirectories(streamDir)
-      java.nio.file.Files.copy(
-        java.nio.file.Paths.get(s"$dir/events.parquet"), staged,
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING): Unit
+    graft.functions.F.landOnce(streamDir.toString, streamDir.toString) {
+      graft.functions.F.stageParquet(
+        s"$dir/events.parquet", streamDir.toString, "events")
     }
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val rawSchema = spark.read.parquet(s"$dir/events.parquet").schema

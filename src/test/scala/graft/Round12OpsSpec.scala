@@ -86,6 +86,30 @@ class Round12OpsSpec extends AnyFunSuite with SparkSpec {
     assert(r.getLong(2) === 4L, s"expected 4 shared frames, got ${r.getLong(2)}")
   }
 
+  test("stageParquet lands BOTH physical layouts and refuses to stage zero data files") {
+    import spark.implicits._
+    val base = "target/test-dirs/stage-parquet"
+    val df = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v")
+    // directory layout (the lake norm): part files must flatten into
+    // the staging dir — Files.copy on this layout silently staged an
+    // EMPTY stream before the fix (the 10× scale-run lesson)
+    df.repartition(2).write.mode("overwrite").parquet(s"$base/src-dir.parquet")
+    F.stageParquet(s"$base/src-dir.parquet", s"$base/staged-dir", "events")
+    assert(spark.read.parquet(s"$base/staged-dir").count() === 3L)
+    // single-file layout (the sandbox testdata shape)
+    val part = new java.io.File(s"$base/src-dir.parquet").listFiles()
+      .filter(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("_")).head
+    F.stageParquet(part.toString, s"$base/staged-file", "events")
+    assert(spark.read.parquet(s"$base/staged-file").count() > 0L)
+    // an input with no data files must fail loudly, not stage emptiness
+    val empty = new java.io.File(s"$base/empty-src.parquet")
+    empty.mkdirs()
+    val ex = intercept[IllegalArgumentException] {
+      F.stageParquet(empty.toString, s"$base/staged-empty", "events")
+    }
+    assert(ex.getMessage.contains("ZERO parquet data files"))
+  }
+
   test("x10 chunk substrate holds the n_tok >= 1 invariant x12's boundary arithmetic rides") {
     val bad = SparkEntry.queries("x10_seq_pack")(spark, Sf0001)
       .filter(col("n_tok") < 1L).count()
