@@ -409,6 +409,14 @@ object AnnOps {
     // IVF coarse probe (shared with e5) → the query's NProbe cells:
     // this is what PRUNES the ADC join
     val probed = probedCellsWith(spark, dir, nProbe, cent).select("q_id", "label")
+    // NOTE on shape (10×-scale A/B, round 12): the per-subspace join
+    // below was also tried in the e19-style array-fold form (fold codes
+    // + query tables to arrays, ADC as one in-row aggregate) — it
+    // MEASURED 1.15-1.3× SLOWER at sf1: PQ's join fan-out is only
+    // SubSpaces=8 rows/candidate, and the per-call corpus-scale fold
+    // groupBys plus the non-codegen HOF aggregate cost more than the
+    // 8× join-volume saving buys. SQ8 (Dims=64 fan-out) is the other
+    // side of that trade — see sqCodeArrays. Keep this one a join.
     val qd = qdist.select(col("q_id").as("qd_qid"), col("m").as("qd_m"),
       col("k"), col("dist"))
     val adc = probed.join(codes, "label")
@@ -1115,6 +1123,24 @@ object AnnOps {
             col("code") * (col("mx") - col("mn"))).as("recon255"))
     }
 
+  /** [[sqCodes]] folded to ONE ARRAY row per vector (recon255 in
+    * dimension order) — the ADC-scoring substrate. Scoring joins carry
+    * one row per candidate instead of Dims rows, so the probe-bounded
+    * ADC join volume drops ×Dims while the integer math stays
+    * bit-identical (zip_with/aggregate over the same recon255 values;
+    * the 10× scale point measured the per-dim-join e19 at 59× cost on
+    * 10× data — the array form removes that constant). The per-dim
+    * rows remain the stored-codes truth for the code-level spec and
+    * the e21 byte math. */
+  private[graft] def sqCodeArrays(spark: SparkSession, dir: String): DataFrame =
+    DedupOps.memoized(spark, "ann_sq_code_arr", dir) {
+      sqCodes(spark, dir)
+        .groupBy("c_id", "label")
+        .agg(transform(
+          array_sort(collect_list(struct(col("d"), col("recon255")))),
+          s => s.getField("recon255")).as("recon_arr"))
+    }
+
   /** e19: IVF+SQ8 ANN — e6's composition with a SCALAR quantizer in
     * the compressed-scoring role: one uint8 code per DIMENSION (vs
     * PQ's one code per 8-dim subspace), reconstructing each coordinate
@@ -1138,16 +1164,19 @@ object AnnOps {
       nProbe: Int = NProbe, shortlist: Int = PqShortlist): DataFrame = {
     val cos = cosineWith(dotBest(spark)) _
     val qv = quantized(spark, dir)
-    val qdim = qv.filter(col("vec_id") % QueryStride === 0)
-      .select(col("vec_id").as("q_id"), posexplode(col("q")).as(Seq("d", "v")))
-      .select(col("q_id"), col("d"), (col("v") * lit(SqLevels)).as("qv255"))
+    val q255 = qv.filter(col("vec_id") % QueryStride === 0)
+      .select(col("vec_id").as("q_id"),
+        transform(col("q"), v => v * lit(SqLevels)).as("q255"))
     val probed = probedCells(spark, dir, nProbe).select("q_id", "label")
-    val adc = probed.join(sqCodes(spark, dir), "label")
+    // array-form ADC: one row per (query, candidate), the whole
+    // Σ_d (255·q_d − recon255_d)² inside one codegen'd expression —
+    // identical integers to the per-dim join, at 1/Dims the join volume
+    val adc = probed.join(sqCodeArrays(spark, dir), "label")
       .filter(col("q_id") =!= col("c_id"))
-      .join(broadcast(qdim), Seq("q_id", "d"))
-      .groupBy("q_id", "c_id")
-      .agg(sum((col("qv255") - col("recon255")) *
-        (col("qv255") - col("recon255"))).as("adc"))
+      .join(broadcast(q255), "q_id")
+      .withColumn("adc", expr(
+        "aggregate(zip_with(q255, recon_arr, (a, b) -> (a - b) * (a - b)), 0L, (acc, x) -> acc + x)"))
+      .select("q_id", "c_id", "adc")
     val sw = org.apache.spark.sql.expressions.Window
       .partitionBy("q_id").orderBy(col("adc"), col("c_id"))
     val short = adc.withColumn("srn", row_number().over(sw))
