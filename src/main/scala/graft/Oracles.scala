@@ -55,8 +55,8 @@ object Oracles {
     * exact) — mirrors KafkaEvents.toWireMixed's residue split. */
   private val wireEventsCte =
     """events_wire AS (SELECT event_id,
-      |  CASE WHEN event_id % 3 = 0 THEN ts
-      |       WHEN event_id % 3 = 1 THEN date_trunc('second', ts)
+      |  CASE WHEN ((event_id % 3) + 3) % 3 = 0 THEN ts
+      |       WHEN ((event_id % 3) + 3) % 3 = 1 THEN date_trunc('second', ts)
       |       ELSE date_trunc('minute', ts) END AS ts,
       |  user_id, event_type, value, props FROM events)""".stripMargin
 
@@ -69,6 +69,17 @@ object Oracles {
 
   private def annQ =
     s"q AS (SELECT vec_id, $QV AS qv FROM embeddings)"
+
+  /** The bounded evaluation panel (AnnOps.panelOf): stride-select, then
+    * keep the PanelCap smallest (hash60('panel_'||id), id). One
+    * definition parameterized by table/id/stride — the e-family panels
+    * ride embeddings.vec_id, m4's rides documents.doc_id. */
+  private def panelCte(table: String, idCol: String, stride: Int): String =
+    s"""panel AS MATERIALIZED (SELECT $idCol FROM (
+       |  SELECT $idCol, row_number() OVER (ORDER BY
+       |      ${h60(s"'panel_' || CAST($idCol AS VARCHAR)")}, $idCol) AS prn
+       |  FROM $table WHERE $idCol % $stride = 0) t
+       |  WHERE prn <= ${graft.operators.AnnOps.PanelCap})""".stripMargin
 
   /** The streaming daily-KPI statement over a given trip chain —
     * p9 rides the plain events chain; p30 (Kafka-wire) rides the
@@ -250,11 +261,13 @@ object Oracles {
     * what the e1/e5 rows contain. */
   private lazy val e1Sql: String =
     s"""WITH ${annQ},
+       |${panelCte("embeddings", "vec_id", graft.operators.AnnOps.QueryStride)},
        |p AS (SELECT a.vec_id AS q_id, b.vec_id AS c_id,
        |    list_dot_product(a.qv, b.qv) AS dot,
        |    list_dot_product(a.qv, a.qv) AS na,
        |    list_dot_product(b.qv, b.qv) AS nb
-       |  FROM q a JOIN q b ON a.vec_id % 25 = 0 AND a.vec_id <> b.vec_id),
+       |  FROM q a JOIN q b ON a.vec_id <> b.vec_id
+       |  WHERE a.vec_id IN (SELECT vec_id FROM panel)),
        |r AS (SELECT q_id, c_id, dot / sqrt(na * nb) AS score,
        |    row_number() OVER (PARTITION BY q_id ORDER BY dot / sqrt(na * nb) DESC, c_id) AS rnk
        |  FROM p)
@@ -315,7 +328,8 @@ object Oracles {
          |     JOIN r$np a ON e.q_id = a.q_id AND e.c_id = a.c_id WHERE a.rnk <= 3)
          |    / ((SELECT COUNT(DISTINCT q_id) FROM exact) * 3.0), 6) AS recall_at_3,
          |  (SELECT CAST(SUM(c.n) AS BIGINT) FROM pr p JOIN cent c USING (label)
-         |     WHERE p.crnk <= $np) AS candidates_scanned""".stripMargin
+         |     WHERE p.crnk <= $np
+         |       AND p.q_id IN (SELECT q_id FROM exact)) AS candidates_scanned""".stripMargin
     }.mkString("\nUNION ALL\n")
     s"""WITH exact0 AS ($e1Sql),
        |exact AS (SELECT q_id, c_id FROM exact0 WHERE rnk <= 3),
@@ -3215,13 +3229,13 @@ object Oracles {
                 .map(d => h60(s"md5(text) || '_emb_' || $d") + " % 2001 - 1000")
                 .mkString(", ")}] AS v
          |  FROM documents),
+         |${panelCte("documents", "doc_id", graft.operators.MultimodalOps.EmbQueryStride)},
          |pr AS (SELECT q.doc_id AS q_id, c.doc_id AS c_id,
          |    list_dot_product(q.v, c.v) AS dot,
          |    list_dot_product(q.v, q.v) AS na,
          |    list_dot_product(c.v, c.v) AS nb
-         |  FROM emb q JOIN emb c
-         |    ON q.doc_id % ${graft.operators.MultimodalOps.EmbQueryStride} = 0
-         |    AND q.doc_id <> c.doc_id),
+         |  FROM emb q JOIN emb c ON q.doc_id <> c.doc_id
+         |  WHERE q.doc_id IN (SELECT doc_id FROM panel)),
          |r AS (SELECT q_id, c_id, dot / sqrt(na * nb) AS score,
          |    row_number() OVER (PARTITION BY q_id
          |      ORDER BY dot / sqrt(na * nb) DESC, c_id) AS rnk

@@ -70,6 +70,25 @@ object F {
     val s = Paths.get(src)
     val d = Paths.get(dstDir)
     Files.createDirectories(d)
+    // Clear this baseName's PREVIOUS staging first — marker included, so
+    // a crash mid-restage can't leave a stale done-marker next to a
+    // partial file set. If the source's part count shrank, or its layout
+    // flipped between directory and single file, leftover baseName_N
+    // files would stay listed by the file stream and the staged set
+    // would silently double-count rows — the same silent-wrong-result
+    // shape the zero-file guard below kills.
+    Files.deleteIfExists(d.resolve(stagedMarkerName(baseName)))
+    val prior = Files.list(d)
+    try {
+      val it = prior.iterator()
+      while (it.hasNext) {
+        val p = it.next()
+        val name = p.getFileName.toString
+        if (name == s"$baseName.parquet" ||
+            (name.startsWith(baseName + "_") && name.endsWith(".parquet")))
+          Files.delete(p)
+      }
+    } finally prior.close()
     val landedFiles =
       if (Files.isDirectory(s)) {
         val parts = Files.list(s)
@@ -96,7 +115,19 @@ object F {
     require(landedFiles > 0,
       s"staging landed ZERO parquet data files from $src into $dstDir — " +
         "an empty staged stream would materialize an empty result")
+    // Done-marker, written LAST: the landOnce heal artifact. The bare
+    // staging directory is a useless artifact (a partial clean that
+    // removes the data files but keeps the dir — or a crash between
+    // createDirectories and the copies — passes an exists() check and
+    // serves an empty stream); the marker exists iff a staging run
+    // COMPLETED. Underscore-prefixed so the file source never lists it.
+    Files.write(d.resolve(stagedMarkerName(baseName)),
+      landedFiles.toString.getBytes("UTF-8"))
   }
+
+  /** The completion marker [[stageParquet]] writes last — pass
+    * `dstDir/this` (not the bare dstDir) as the [[landOnce]] artifact. */
+  def stagedMarkerName(baseName: String): String = s"_staged_$baseName"
 
   /** Per-key completion latches of builds landed by THIS JVM
     * (see [[landOnce]]). */

@@ -32,6 +32,32 @@ object AnnOps {
   /** Query subset: every 25th vector — bounded, deterministic. */
   val QueryStride = 25
 
+  /** Hard size cap on the EVALUATION panels (e1/e8/e17/e21/g5, and
+    * m4's blob panel): the stride rule alone keeps |panel| ∝ corpus,
+    * which made every brute-force evaluation leg quadratic-in-corpus
+    * (the 10× scale point measured m4 at 116× on 10× data). Above the
+    * cap the panel is the PanelCap stride-queries with the smallest
+    * (hash60('panel_' || id), id) — the s3 deterministic-sample
+    * discipline: a pure per-row function, identical on any engine, any
+    * partitioning, any rerun. At 16 < 20 = sf0.01-stride-count the
+    * capped branch is exercised by the correctness gate itself, not
+    * just at the big SFs. SERVING panels (e2/e4/e5/e6/e19/…) stay on
+    * the bare stride: their per-query work is probe-bounded, so panel
+    * growth models query volume, not a quadratic. */
+  val PanelCap = 16
+
+  /** The bounded evaluation panel over any relation: stride-select on
+    * the id, then keep the PanelCap smallest (hash60('panel_'||id), id).
+    * `orderBy.limit` plans as TakeOrderedAndProject — per-partition
+    * top-M with a driver merge of M·partitions rows, never a global
+    * sort — so panel selection itself is scale-safe. */
+  private[operators] def panelOf(rel: DataFrame, idCol: String,
+      stride: Int): DataFrame =
+    rel.filter(col(idCol) % stride === 0)
+      .withColumn("_ph", hash60(concat(lit("panel_"), col(idCol).cast("string"))))
+      .orderBy(col("_ph"), col(idCol)).limit(PanelCap)
+      .drop("_ph")
+
   /** Number of hyperplanes for the e2 single-bucket code (2^12 buckets). */
   val Planes = 12
 
@@ -90,9 +116,8 @@ object AnnOps {
     val dot = dotBest(spark)
     val withN = rel.select(col(idCol).as("_id"), col(vCol).as("_v"))
       .withColumn("_n2", dot(col("_v"), col("_v")).cast(DoubleType))
-    val queries = withN
+    val queries = panelOf(withN, "_id", stride)
       .select(col("_id").as("q_id"), col("_v").as("qv"), col("_n2").as("qn2"))
-      .filter(col("q_id") % stride === 0)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("q_id").orderBy(col("score").desc, col("c_id"))
     withN.select(col("_id").as("c_id"), col("_v").as("cv"), col("_n2").as("cn2"))
@@ -842,7 +867,10 @@ object AnnOps {
       val hits = exact.join(approx, Seq("q_id", "c_id"))
         .agg(count(lit(1)).as("n_hit"))
       val nq = exact.select("q_id").distinct().agg(count(lit(1)).as("n_q"))
+      // cost over the SAME capped panel the recall legs score — the
+      // exact side's q_ids ARE the panel (annTopk runs panelOf)
       val cost = probedCells(spark, dir, np)
+        .join(exact.select("q_id").distinct(), Seq("q_id"), "left_semi")
         .join(broadcast(cellSizes), "label")
         .agg(sum("n").as("candidates_scanned"))
       hits.crossJoin(nq).crossJoin(cost)

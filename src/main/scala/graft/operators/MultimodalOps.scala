@@ -199,7 +199,12 @@ object MultimodalOps {
 
   /** m4 query selection stride and top-k — named once; the oracle
     * interpolates BOTH (the EmbDims discipline: a Spark-side retune
-    * must break the compile, not the oracle gate). */
+    * must break the compile, not the oracle gate). The stride panel is
+    * additionally CAPPED at AnnOps.PanelCap via the shared
+    * cosineTopkOf/panelOf rule — the stride alone kept |panel| ∝
+    * corpus, which made m4's brute-force retrieval leg quadratic (116×
+    * cost on 10× data at the sf1 point). The scale path for UNBOUNDED
+    * query volume over these vectors is m10 (blobAnnIvf). */
   val EmbQueryStride = 25
   val EmbTopK = 3
 

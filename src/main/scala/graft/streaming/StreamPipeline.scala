@@ -353,7 +353,11 @@ object StreamPipeline {
     * passes must not pay forty identical copies. */
   private def stagedEventsStream(spark: SparkSession, dir: String): DataFrame = {
     val streamDir = java.nio.file.Paths.get(stagingPath("p9", dir))
-    graft.functions.F.landOnce(streamDir.toString, streamDir.toString) {
+    // heal artifact = stageParquet's done-marker, NOT the bare dir: a
+    // partial clean that leaves an empty directory must re-land, or the
+    // same JVM would serve an empty staged stream
+    graft.functions.F.landOnce(streamDir.toString,
+      streamDir.resolve(graft.functions.F.stagedMarkerName("events")).toString) {
       graft.functions.F.stageParquet(
         s"$dir/events.parquet", streamDir.toString, "events")
     }
@@ -392,7 +396,10 @@ object StreamPipeline {
   private def stagedWireStream(spark: SparkSession, dir: String): DataFrame = {
     import graft.sources.KafkaEvents
     val streamDir = stagingPath("p30", dir)
-    graft.functions.F.landOnce(streamDir, streamDir) {
+    // heal artifact = the batch write's _SUCCESS commit marker (written
+    // last by the committer), not the bare dir — same empty-dir hazard
+    // as the stageParquet sites
+    graft.functions.F.landOnce(streamDir, s"$streamDir/_SUCCESS") {
       val corrupt = spark.range(3).select(
         lit(null).cast("binary").as("key"),
         concat(lit("not json #"), col("id").cast("string")).cast("binary").as("value"),
