@@ -208,6 +208,71 @@ object Oracles {
        |)""".stripMargin
   }
 
+  /** d12's ADAPTIVE sample-trained converged chain: k =
+    * GREATEST(K, ⌈n/TargetCellSize⌉) from the corpus count, Lloyd over
+    * the TrainSampleCap md5-rank sample only (rounds replayed to
+    * MaxRounds, stop-rule derived exactly as [[stableCte]]), then ONE
+    * full-corpus assignment against the centroid table that produced
+    * the reported sample assignment (c_{sr−1}). Ends at `fin`:
+    * (vec_id, cid, dist) over the FULL corpus — the identical contract
+    * stableCte's `fin` carries, so the d12 statement body is unchanged.
+    * Every CTE MATERIALIZED (the recursive-chain inlining gotcha). */
+  private lazy val d12StableCte: String = {
+    val mr = graft.operators.ClusterOps.MaxRounds
+    val tcs = graft.operators.ClusterOps.TargetCellSize
+    val cap = graft.operators.ClusterOps.TrainSampleCap
+    val kFloor = graft.operators.ClusterOps.K
+    val head =
+      s"""q AS MATERIALIZED (SELECT vec_id, $QV AS qv FROM embeddings),
+         |u AS MATERIALIZED (SELECT vec_id, generate_subscripts(qv, 1) - 1 AS d, unnest(qv) AS v FROM q),
+         |nk AS MATERIALIZED (SELECT GREATEST($kFloor, CAST(ceil(COUNT(*) / ${tcs}.0) AS BIGINT)) AS k FROM embeddings),
+         |samp AS MATERIALIZED (SELECT vec_id FROM (
+         |    SELECT vec_id, row_number() OVER (ORDER BY ${h60("'d12s_' || CAST(vec_id AS VARCHAR)")}, vec_id) AS rn
+         |    FROM embeddings) t WHERE rn <= $cap),
+         |us AS MATERIALIZED (SELECT * FROM u WHERE vec_id IN (SELECT vec_id FROM samp)),
+         |seeds AS MATERIALIZED (SELECT vec_id, rn - 1 AS cid FROM (
+         |    SELECT vec_id, row_number() OVER (ORDER BY ${h60("'d12seed_' || CAST(vec_id AS VARCHAR)")}, vec_id) AS rn
+         |    FROM samp) t WHERE rn <= (SELECT k FROM nk)),
+         |c0 AS MATERIALIZED (SELECT s.cid, u.d, u.v AS cv FROM seeds s JOIN us u USING (vec_id))""".stripMargin
+    val roundCtes = (1 to mr).map { r =>
+      val assignCte =
+        s"""d$r AS MATERIALIZED (SELECT u.vec_id, c.cid, SUM((u.v - c.cv) * (u.v - c.cv)) AS dist
+           |       FROM us u JOIN c${r - 1} c ON u.d = c.d GROUP BY 1, 2),
+           |a$r AS MATERIALIZED (SELECT vec_id, cid, dist FROM (
+           |        SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+           |        FROM d$r) t WHERE rn = 1)""".stripMargin
+      val updateCte =
+        s""",
+           |c$r AS MATERIALIZED (SELECT a.cid, u.d,
+           |         CAST(floor(CAST(SUM(u.v) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cv
+           |       FROM a$r a JOIN us u USING (vec_id) GROUP BY a.cid, u.d)""".stripMargin
+      if (r < mr) assignCte + updateCte else assignCte
+    }
+    val probes =
+      (2 to mr).map(r =>
+        s"""SELECT $r AS r WHERE NOT EXISTS (
+           |    SELECT 1 FROM a$r x JOIN a${r - 1} y USING (vec_id) WHERE x.cid <> y.cid)""".stripMargin) ++
+      (3 to mr).map(r =>
+        s"""SELECT $r AS r WHERE NOT EXISTS (
+           |    SELECT 1 FROM a$r x JOIN a${r - 2} y USING (vec_id) WHERE x.cid <> y.cid)""".stripMargin)
+    val pick = (2 to mr).map(r =>
+      s"SELECT cid, d, cv FROM c${r - 1} WHERE (SELECT sr FROM st) = $r")
+      .mkString("\n  UNION ALL\n  ")
+    s"""$head,
+       |${roundCtes.mkString(",\n")},
+       |st AS MATERIALIZED (SELECT COALESCE(MIN(r), $mr) AS sr FROM (
+       |  ${probes.mkString("\n  UNION ALL\n  ")}
+       |) s),
+       |cpick AS MATERIALIZED (
+       |  $pick
+       |),
+       |dfin AS (SELECT u.vec_id, c.cid, SUM((u.v - c.cv) * (u.v - c.cv)) AS dist
+       |  FROM u JOIN cpick c ON u.d = c.d GROUP BY 1, 2),
+       |fin AS MATERIALIZED (SELECT vec_id, cid, dist FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+       |    FROM dfin) t WHERE rn = 1)""".stripMargin
+  }
+
   /** g3: the e16 recipe carried to the graph family — replay
     * RankMaxRounds of g1's exact-integer propagation as a MATERIALIZED
     * CTE chain (c0, s1, then c{r−1}/s{r} per round), independently
@@ -2702,13 +2767,14 @@ object Oracles {
 
     "e16_kmeans_stable" -> e16Sql,
 
-    // d12: the CONVERGED chain verbatim (stableCte — the cluster
-    // assignment can never drift from the checked e16 rows), then the
+    // d12: the ADAPTIVE sample-trained converged chain (d12StableCte —
+    // k from the corpus count, Lloyd on the md5-rank sample, one full
+    // final assignment), then the
     // within-cluster priority rule: priority = (dist, vec_id), a vector
     // is removed iff a strictly-higher-priority cluster-mate has
     // cosine >= tau, dup_of = the highest-priority witness
     "d12_semantic_dedup" ->
-      s"""WITH $stableCte,
+      s"""WITH $d12StableCte,
          |m AS (SELECT a.vec_id, a.cid, a.dist, q.qv FROM fin a JOIN q USING (vec_id)),
          |cand AS (SELECT a.vec_id, b.vec_id AS b_id, b.dist AS b_dist,
          |    list_dot_product(a.qv, b.qv) /

@@ -187,6 +187,92 @@ object ClusterOps {
       lit(if (stoppedAt > 0) stoppedAt else MaxRounds).cast("long"))
   }
 
+  /** d12's target vectors-per-cluster: the adaptive k is sized so
+    * per-cell pair volume stays ~flat as the corpus grows (k ∝ n ⇒
+    * Σ n_c² ≈ n·TargetCellSize — linear, where the fixed demo K made
+    * it (n/K)²·K, the 16×-on-10×-data quadratic the sf1 point
+    * measured). */
+  val TargetCellSize = 250
+
+  /** Training-sample cap for the adaptive run: Lloyd iterates over a
+    * FIXED-SIZE deterministic sample (the s3/panel md5-rank
+    * discipline), then assigns the full corpus ONCE against the
+    * converged centroids. Without this, k ∝ n makes the per-round
+    * assignment itself n·k·d ∝ n² — sampling is how production
+    * SemDeDup (and FAISS's IVF training) keeps the train step bounded:
+    * rounds cost sample·k·d, and the corpus pays ONE n·k·d pass. At
+    * 256 < 500 = |embeddings(sf0.01)| the sampled branch is exercised
+    * by the correctness gate itself. */
+  val TrainSampleCap = 256
+
+  /** d12's cluster count: k = max(K, ⌈n / TargetCellSize⌉) from a
+    * 1-row corpus count — the oracle re-derives the identical k in
+    * SQL, so a Spark-side retune cannot silently diverge. */
+  def adaptiveK(n: Long): Int =
+    math.max(K, math.ceil(n.toDouble / TargetCellSize).toInt)
+
+  /** The d12 substrate: converge-or-cap Lloyd (the e16 stopping rule —
+    * fixpoint or period-2 cycle, MaxRounds cap) trained on the
+    * [[TrainSampleCap]] md5-rank sample at the [[adaptiveK]] cluster
+    * count, then ONE full-corpus assignment against the centroids that
+    * produced the reported sample assignment. Memoized per
+    * (session, dir) like the other signatures. Returns
+    * (vec_id, cid, dist) over the FULL corpus. */
+  private[graft] def adaptiveStableAssign(spark: SparkSession, dir: String): DataFrame =
+    DedupOps.memoized(spark, "d12_assign", dir)(adaptiveStableCompute(spark, dir))
+
+  /** The un-memoized sample-trained converge-or-cap loop (see
+    * [[adaptiveStableAssign]]) — split out so specs can rerun the real
+    * pipeline. Plan per round: identical assignTo/updateFrom to
+    * e7/e16, but over the SAMPLE's coordinates only; every per-round
+    * relation is localCheckpoint'd (one-round lineage, the d5/g1
+    * discipline). The full corpus is touched exactly twice: the
+    * 1-row count that sizes k, and the single final assignment. */
+  private[graft] def adaptiveStableCompute(spark: SparkSession, dir: String): DataFrame = {
+    def sameAssignment(a: DataFrame, b: DataFrame): Boolean =
+      a.join(b.select(col("vec_id"), col("cid").as("_pcid")), "vec_id")
+        .filter(col("cid") =!= col("_pcid")).isEmpty
+    val emb = Tables.embeddings(spark, dir)
+    val k = adaptiveK(emb.count())
+    val u = unpivoted(spark, dir)
+    // fixed-size deterministic training sample (the panel rule under a
+    // d12 salt); orderBy.limit plans as TakeOrderedAndProject
+    val samp = emb.select("vec_id")
+      .withColumn("_h", hash60(concat(lit("d12s_"), col("vec_id").cast("string"))))
+      .orderBy(col("_h"), col("vec_id")).limit(TrainSampleCap)
+      .select("vec_id")
+    val us = u.join(broadcast(samp), "vec_id").materialized()
+    // seeds: the k sample members with the smallest seed-salt rank —
+    // NOT the stride rule (a 256-row sample has too few stride
+    // survivors to seed an adaptive k)
+    val seeds = samp
+      .withColumn("_h", hash60(concat(lit("d12seed_"), col("vec_id").cast("string"))))
+      .orderBy(col("_h"), col("vec_id")).limit(k)
+      .withColumn("cid", (row_number().over(
+        Window.orderBy(col("_h"), col("vec_id"))) - 1).cast("long"))
+      .select("vec_id", "cid")
+    var cent = seeds.join(us, "vec_id")
+      .select(col("cid"), col("d"), col("v").as("cv")).materialized()
+    var prev: DataFrame = null
+    var assigned = assignTo(us, cent).materialized()
+    var round = 1
+    var stoppedAt = 0
+    while (stoppedAt == 0 && round < MaxRounds) {
+      val nextCent = updateFrom(us, assigned).materialized()
+      val next = assignTo(us, nextCent).materialized()
+      round += 1
+      val fixpoint = sameAssignment(next, assigned)
+      val cycle = !fixpoint && prev != null && sameAssignment(next, prev)
+      if (fixpoint || cycle) stoppedAt = round
+      cent = nextCent
+      prev = assigned
+      assigned = next
+    }
+    // ONE full-corpus pass: assign every vector to the centroids that
+    // produced the reported (converged) sample assignment
+    assignTo(u, cent)
+  }
+
   /** Per-cluster sample size for x2. */
   val SampleN = 20
 

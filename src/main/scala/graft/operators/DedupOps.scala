@@ -682,19 +682,21 @@ object DedupOps {
     * quantized embeddings (one IEEE division — bit-identical in the
     * oracle, which replays the Lloyd rounds and this rule verbatim).
     *
-    * Scale shape: reuses the memoized CONVERGED e16 assignment (zero
-    * extra Lloyd passes — the converge-or-cap loop runs once per
-    * (session, dir) and semantic dedup wants settled clusters, not the
-    * 2-round demo geometry); the self-join is an EQUALITY join on the cluster id with
-    * the priority predicate as a post-join filter, so the shuffle is
-    * one hash partitioning by cluster and the pair volume is
-    * Σ_c n_c² — bounded by cluster granularity, which a production run
-    * scales with the corpus (k ∝ n keeps per-cluster size flat; K here
-    * is the e7 demo constant). */
+    * Scale shape: rides the ADAPTIVE sample-trained converged
+    * assignment (ClusterOps.adaptiveStableAssign): k =
+    * max(8, ⌈n/TargetCellSize⌉) from a 1-row count keeps per-cluster
+    * size ~flat, so the within-cluster pair volume Σ_c n_c² ≈
+    * n·TargetCellSize is LINEAR in the corpus (the fixed e7 demo K
+    * made it (n/K)²·K — the 16×-on-10×-data quadratic the sf1 scale
+    * point measured); Lloyd itself trains on a fixed md5-rank sample
+    * so k ∝ n cannot make the per-round assignment quadratic either.
+    * The self-join is an EQUALITY join on the cluster id with the
+    * priority predicate as a post-join filter — one hash partitioning
+    * by cluster. */
   def semanticDedup(spark: SparkSession, dir: String,
       tau: Double = SemDedupTau): DataFrame = {
     val cos = cosineWith(dotBest(spark)) _
-    val m = ClusterOps.kmeansStableAssign(spark, dir)
+    val m = ClusterOps.adaptiveStableAssign(spark, dir)
       .select("vec_id", "cid", "dist")
       .join(AnnOps.quantized(spark, dir), "vec_id")
       .select(col("vec_id"), col("cid"), col("dist"), col("q"))

@@ -41,10 +41,11 @@ class Round10OpsSpec extends AnyFunSuite with SparkSpec {
     assert(approx.count() === ProfileOps.ProfiledCols.size.toLong)
   }
 
-  test("d12 dup pairs live inside the converged e16 clusters with the priority rule intact") {
+  test("d12 dup pairs live inside the adaptive converged clusters with the priority rule intact") {
     import org.apache.spark.sql.functions._
-    val assign = graft.operators.ClusterOps.kmeansStable(spark, Sf0001)
-      .select(col("vec_id"), col("cluster"), col("dist_sq"))
+    // d12 rides the ADAPTIVE sample-trained assignment since round 13
+    val assign = graft.operators.ClusterOps.adaptiveStableAssign(spark, Sf0001)
+      .select(col("vec_id"), col("cid").as("cluster"), col("dist").as("dist_sq"))
     val d12 = graft.operators.DedupOps.semanticDedup(spark, Sf0001)
     // every vector's reported cluster IS the converged assignment
     assert(d12.select(col("vec_id"), col("cluster"))

@@ -60,6 +60,28 @@ class Round13OpsSpec extends AnyFunSuite with SparkSpec {
     assert(ivfPairs.nonEmpty && exactPairs.nonEmpty)
   }
 
+  test("d12 adaptive geometry: k formula, full-corpus coverage, sample-bounded training") {
+    import graft.operators.ClusterOps
+    // the k rule the oracle re-derives: max(K, ceil(n / TargetCellSize))
+    assert(ClusterOps.adaptiveK(500) === 8)    // floor binds (gate SF)
+    assert(ClusterOps.adaptiveK(2000) === 8)   // exactly at the floor
+    assert(ClusterOps.adaptiveK(2001) === 9)   // ceil, not floor div
+    assert(ClusterOps.adaptiveK(20000) === 80) // sf1: per-cell ~250
+    val emb = spark.read.parquet(s"$Sf0001/embeddings.parquet")
+    val n = emb.count()
+    val k = ClusterOps.adaptiveK(n)
+    val assign = ClusterOps.adaptiveStableAssign(spark, Sf0001)
+    // one row per corpus vector (the FULL final assignment, not the
+    // training sample), cids within [0, k)
+    assert(assign.count() === n)
+    assert(assign.select("vec_id").distinct().count() === n)
+    val cids = assign.select("cid").distinct().collect().map(_.getLong(0))
+    assert(cids.forall(c => c >= 0 && c < k))
+    // the training sample is the TrainSampleCap md5-rank subset — the
+    // capped branch must be exercised at this SF or the test is vacuous
+    assert(n > ClusterOps.TrainSampleCap)
+  }
+
   test("stageParquet restage clears the previous staging (part-count shrink + layout flip)") {
     import spark.implicits._
     val base = "target/test-dirs/stage-restage"

@@ -187,8 +187,8 @@ class Round7OpsSpec extends AnyFunSuite with SparkSpec {
     val removed = out.filter(!_.getBoolean(2))
     assert(removed.nonEmpty, "tau must remove something or the operator is vacuous")
     assert(removed.length < out.length / 2, "tau must not gut the corpus")
-    // d12 reads the CONVERGED (e16) assignment since round 10
-    val prio = ClusterOps.kmeansStableAssign(spark, Sf0001)
+    // d12 reads the ADAPTIVE sample-trained assignment since round 13
+    val prio = ClusterOps.adaptiveStableAssign(spark, Sf0001)
       .select("vec_id", "cid", "dist").collect()
       .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
     removed.foreach { r =>
