@@ -42,6 +42,18 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .config("spark.ui.enabled", "false")
+      // Scan-split sizing for the local harness: snappy parquet with
+      // string-heavy columns (events.props JSON) decodes at 5-20× its
+      // stored bytes of CPU, so the 128 MB/4 MB defaults leave a small
+      // file's whole row set on 1-2 tasks (p8's "15× at sf1" was a 1M
+      // row JSON parse on one task — a single-row-group file to boot;
+      // 5.3 s isolated → 2.5 s re-chunked → sub-second split-tuned).
+      // Size splits by DECODED cpu, not stored bytes. On a real
+      // cluster this knob belongs in the submit conf; files there are
+      // written 128 MB+ with bounded row groups, where the defaults
+      // are right.
+      .config("spark.sql.files.maxPartitionBytes", s"${32 * 1024 * 1024}")
+      .config("spark.sql.files.openCostInBytes", s"${1024 * 1024}")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

@@ -1,0 +1,49 @@
+#!/usr/bin/env python3
+"""Flatten Spark directory-layout parquet to the single-file layout the
+DuckDB oracle reads — with BOUNDED ROW GROUPS.
+
+Usage: python3 tools/flatten.py <dir>   # rewrites every *.parquet child
+
+A naive pyarrow write_table() emits ONE row group for the whole table;
+a single row group is unsplittable, so every Spark scan of that file
+runs on one task no matter how many cores the session has (the round-13
+find: p8's "15x at sf1" was a 1M-row JSON parse starved on a
+single-row-group file). 64k-row groups keep the file splittable for
+Spark and change nothing for DuckDB.
+"""
+import os, sys
+import pyarrow.parquet as pq
+
+ROW_GROUP = 65536
+
+def flatten(root: str) -> None:
+    for name in sorted(os.listdir(root)):
+        p = os.path.join(root, name)
+        if not name.endswith(".parquet"):
+            continue
+        if os.path.isdir(p):
+            table = pq.read_table(p)
+            tmp = p + ".tmp"
+            pq.write_table(table, tmp, row_group_size=ROW_GROUP,
+                           compression="snappy")
+            # replace the directory with the single file
+            import shutil
+            shutil.rmtree(p)
+            os.replace(tmp, p)
+            print(f"{name}: dir -> single file, "
+                  f"{pq.ParquetFile(p).num_row_groups} row groups")
+        else:
+            pf = pq.ParquetFile(p)
+            if pf.metadata.num_rows / max(1, pf.num_row_groups) > ROW_GROUP:
+                table = pf.read()
+                tmp = p + ".tmp"
+                pq.write_table(table, tmp, row_group_size=ROW_GROUP,
+                               compression="snappy")
+                os.replace(tmp, p)
+                print(f"{name}: re-chunked -> "
+                      f"{pq.ParquetFile(p).num_row_groups} row groups")
+            else:
+                print(f"{name}: ok ({pf.num_row_groups} row groups)")
+
+if __name__ == "__main__":
+    flatten(sys.argv[1] if len(sys.argv) > 1 else ".")
