@@ -8,13 +8,22 @@ A naive pyarrow write_table() emits ONE row group for the whole table;
 a single row group is unsplittable, so every Spark scan of that file
 runs on one task no matter how many cores the session has (the round-13
 find: p8's "15x at sf1" was a 1M-row JSON parse starved on a
-single-row-group file). 64k-row groups keep the file splittable for
-Spark and change nothing for DuckDB.
+single-row-group file). The group size is ADAPTIVE: a flat 64k cap is
+right for narrow fact tables, but a 60k-row embeddings file (64-dim
+vectors, the heaviest per-row CPU in the engine) would land in ONE
+group and starve every ANN/semantic-dedup scan the same way — so each
+file targets at least MIN_GROUPS groups (row count permitting), capped
+at 64k rows per group. Changes nothing for DuckDB.
 """
 import os, sys
 import pyarrow.parquet as pq
 
-ROW_GROUP = 65536
+MAX_ROW_GROUP = 65536
+MIN_GROUPS = 64
+MIN_ROW_GROUP = 1024
+
+def group_size(n_rows: int) -> int:
+    return max(MIN_ROW_GROUP, min(MAX_ROW_GROUP, n_rows // MIN_GROUPS))
 
 def flatten(root: str) -> None:
     for name in sorted(os.listdir(root)):
@@ -24,7 +33,8 @@ def flatten(root: str) -> None:
         if os.path.isdir(p):
             table = pq.read_table(p)
             tmp = p + ".tmp"
-            pq.write_table(table, tmp, row_group_size=ROW_GROUP,
+            pq.write_table(table, tmp,
+                           row_group_size=group_size(table.num_rows),
                            compression="snappy")
             # replace the directory with the single file
             import shutil
@@ -34,10 +44,11 @@ def flatten(root: str) -> None:
                   f"{pq.ParquetFile(p).num_row_groups} row groups")
         else:
             pf = pq.ParquetFile(p)
-            if pf.metadata.num_rows / max(1, pf.num_row_groups) > ROW_GROUP:
+            want = group_size(pf.metadata.num_rows)
+            if pf.metadata.num_rows / max(1, pf.num_row_groups) > want * 1.5:
                 table = pf.read()
                 tmp = p + ".tmp"
-                pq.write_table(table, tmp, row_group_size=ROW_GROUP,
+                pq.write_table(table, tmp, row_group_size=want,
                                compression="snappy")
                 os.replace(tmp, p)
                 print(f"{name}: re-chunked -> "
