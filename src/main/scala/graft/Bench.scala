@@ -36,25 +36,29 @@ object Bench {
     val Reps = sys.env.get("SPARK_GRAFT_REPS").map(_.toInt).getOrElse(DefaultReps)
     require(Reps >= 1, s"SPARK_GRAFT_REPS must be >= 1, got $Reps")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
+    // Scan-split sizing for the local harness: snappy parquet with
+    // string-heavy columns (events.props JSON) decodes at 5-20× its
+    // stored bytes of CPU, so the 128 MB/4 MB defaults leave a small
+    // file's whole row set on 1-2 tasks (p8's "15× at sf1" was a 1M
+    // row JSON parse on one task — a single-row-group file to boot;
+    // 5.3 s isolated → 2.5 s re-chunked → sub-second split-tuned).
+    // Size splits by DECODED cpu, not stored bytes. On a real
+    // cluster this knob belongs in the submit conf; files there are
+    // written 128 MB+ with bounded row groups, where the defaults
+    // are right. SPARK_GRAFT_SPLIT_MB is the dev-only A/B knob
+    // (=0 restores Spark's 128 MB/4 MB defaults); the driver sets
+    // nothing and gets 32 MB/1 MB.
+    val splitMb = sys.env.get("SPARK_GRAFT_SPLIT_MB").map(_.toInt).getOrElse(32)
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .config("spark.ui.enabled", "false")
-      // Scan-split sizing for the local harness: snappy parquet with
-      // string-heavy columns (events.props JSON) decodes at 5-20× its
-      // stored bytes of CPU, so the 128 MB/4 MB defaults leave a small
-      // file's whole row set on 1-2 tasks (p8's "15× at sf1" was a 1M
-      // row JSON parse on one task — a single-row-group file to boot;
-      // 5.3 s isolated → 2.5 s re-chunked → sub-second split-tuned).
-      // Size splits by DECODED cpu, not stored bytes. On a real
-      // cluster this knob belongs in the submit conf; files there are
-      // written 128 MB+ with bounded row groups, where the defaults
-      // are right.
-      .config("spark.sql.files.maxPartitionBytes", s"${32 * 1024 * 1024}")
-      .config("spark.sql.files.openCostInBytes", s"${1024 * 1024}")
-      .getOrCreate()
+    val spark = (if (splitMb > 0) builder
+        .config("spark.sql.files.maxPartitionBytes", s"${splitMb.toLong * 1024 * 1024}")
+        .config("spark.sql.files.openCostInBytes", s"${1024 * 1024}")
+      else builder).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
     // Warm-up: JIT + whole-stage codegen + shuffle machinery + parquet

@@ -70,6 +70,32 @@ object Oracles {
   private def annQ =
     s"q AS (SELECT vec_id, $QV AS qv FROM embeddings)"
 
+  /** The adaptive IVF coarse-cell chain (AnnOps.quantized's composite
+    * `label` re-derived: b = the smallest b ≥ 1 with
+    * BaseLabels·2^b·CellTarget ≥ COUNT(*), 'cp_'-salted hyperplane
+    * subcode, cell = class·2^b + sub). Self-contained (reads
+    * embeddings directly); ends at `cellid`: (vec_id, label). Shared
+    * by every cell-keyed e-family oracle so the geometry derivation
+    * cannot fork between statements. */
+  private lazy val cellCte: String =
+    s"""cqv AS MATERIALIZED (SELECT vec_id, $QV AS qv FROM embeddings),
+       |cb AS MATERIALIZED (SELECT CAST(MIN(x) AS INTEGER) AS b FROM range(1, 21) t(x)
+       |  WHERE ${graft.operators.AnnOps.BaseLabels} * (CAST(1 AS BIGINT) << x)
+       |      * ${graft.operators.AnnOps.CellTarget} >= (SELECT COUNT(*) FROM embeddings)),
+       |cpl AS (SELECT CAST(p AS INTEGER) AS p, CAST(d AS INTEGER) AS d,
+       |    ${h60("'cp_' || p || '_' || d")} % 2001 - 1000 AS w
+       |  FROM range(20) t1(p) CROSS JOIN range(${graft.operators.AnnOps.Dims}) t2(d), cb
+       |  WHERE p < cb.b),
+       |cunp AS (SELECT vec_id, generate_subscripts(qv, 1) - 1 AS d, unnest(qv) AS v FROM cqv),
+       |cpd AS (SELECT u.vec_id, pl.p, SUM(u.v * pl.w) AS dot
+       |  FROM cunp u JOIN cpl pl ON u.d = pl.d GROUP BY 1, 2),
+       |csub AS (SELECT vec_id,
+       |    CAST(SUM((CASE WHEN dot > 0 THEN CAST(1 AS BIGINT) ELSE 0 END) << p) AS BIGINT) AS sub
+       |  FROM cpd GROUP BY vec_id),
+       |cellid AS MATERIALIZED (SELECT e.vec_id,
+       |    CAST(CAST(e.label AS BIGINT) * (CAST(1 AS BIGINT) << cb.b) + s.sub AS INTEGER) AS label
+       |  FROM embeddings e JOIN csub s USING (vec_id), cb)""".stripMargin
+
   /** The (doc_id, v) blob-embedding regeneration — m4's stub feature
     * extractor replayed per-dim in SQL; shared by m4 and m10 so the
     * scored vectors and the indexed vectors cannot drift. */
@@ -222,13 +248,17 @@ object Oracles {
     val tcs = graft.operators.ClusterOps.TargetCellSize
     val cap = graft.operators.ClusterOps.TrainSampleCap
     val kFloor = graft.operators.ClusterOps.K
+    val sqf = graft.operators.ClusterOps.SqrtKFactor
+    val ppc = graft.operators.ClusterOps.PointsPerCentroid
     val head =
       s"""q AS MATERIALIZED (SELECT vec_id, $QV AS qv FROM embeddings),
          |u AS MATERIALIZED (SELECT vec_id, generate_subscripts(qv, 1) - 1 AS d, unnest(qv) AS v FROM q),
-         |nk AS MATERIALIZED (SELECT GREATEST($kFloor, CAST(ceil(COUNT(*) / ${tcs}.0) AS BIGINT)) AS k FROM embeddings),
+         |nk AS MATERIALIZED (SELECT GREATEST($kFloor, LEAST(
+         |    CAST(ceil(COUNT(*) / ${tcs}.0) AS BIGINT),
+         |    CAST(ceil($sqf * sqrt(COUNT(*))) AS BIGINT))) AS k FROM embeddings),
          |samp AS MATERIALIZED (SELECT vec_id FROM (
          |    SELECT vec_id, row_number() OVER (ORDER BY ${h60("'d12s_' || CAST(vec_id AS VARCHAR)")}, vec_id) AS rn
-         |    FROM embeddings) t WHERE rn <= $cap),
+         |    FROM embeddings) t WHERE rn <= GREATEST($cap, $ppc * (SELECT k FROM nk))),
          |us AS MATERIALIZED (SELECT * FROM u WHERE vec_id IN (SELECT vec_id FROM samp)),
          |seeds AS MATERIALIZED (SELECT vec_id, rn - 1 AS cid FROM (
          |    SELECT vec_id, row_number() OVER (ORDER BY ${h60("'d12seed_' || CAST(vec_id AS VARCHAR)")}, vec_id) AS rn
@@ -353,7 +383,9 @@ object Oracles {
     * dist2, crnk) — the statement prefix of e5/e9 and the e17 sweep,
     * so the probe order cannot fork between the per-config branches. */
   private lazy val ivfProbeCte: String =
-    s"""ql AS MATERIALIZED (SELECT vec_id, $QV AS qv, label FROM embeddings),
+    s"""$cellCte,
+       |ql AS MATERIALIZED (SELECT c.vec_id, q.qv, c.label
+       |  FROM cqv q JOIN cellid c USING (vec_id)),
        |unp AS (SELECT label, generate_subscripts(qv, 1) - 1 AS d, unnest(qv) AS v FROM ql),
        |cd AS (SELECT label, d, SUM(v) AS s, COUNT(*) AS n FROM unp GROUP BY 1, 2),
        |cent AS MATERIALIZED (SELECT label, list(s ORDER BY d) AS s, min(n) AS n,
@@ -459,7 +491,9 @@ object Oracles {
     * state uniformly, which is exactly what "answers like a full rebuild
     * on the surviving corpus" means. */
   private def e6SqlWhere(pred: String): String =
-    s"""WITH ql AS (SELECT vec_id, $QV AS qv, label FROM embeddings$pred),
+    s"""WITH $cellCte,
+         |ql AS (SELECT vec_id, q.qv, c.label
+         |  FROM cqv q JOIN cellid c USING (vec_id)$pred),
          |pcent AS (
          |  SELECT CAST(m AS INTEGER) AS m, CAST(k AS INTEGER) AS k, CAST(d AS INTEGER) AS d,
          |    ${h60("'pq_' || m || '_' || k || '_' || d")} % 2001 - 1000 AS c
@@ -901,7 +935,9 @@ object Oracles {
     * and the ×255-scaled integer ADC in the compressed-scoring role.
     * `//` = Spark's `div` (operands all non-negative here). */
   private lazy val e19Sql: String =
-    s"""WITH ql AS (SELECT vec_id, $QV AS qv, label FROM embeddings),
+    s"""WITH $cellCte,
+       |ql AS (SELECT vec_id, q.qv, c.label
+       |  FROM cqv q JOIN cellid c USING (vec_id)),
        |unp AS MATERIALIZED (SELECT vec_id, label,
        |    generate_subscripts(qv, 1) - 1 AS d, CAST(unnest(qv) AS BIGINT) AS v
        |  FROM ql),
@@ -1215,7 +1251,9 @@ object Oracles {
     * replayed verbatim (exact integer distances in 53-bit-safe
     * doubles, the e6 magnitude argument). */
   private lazy val e20Sql: String =
-    s"""WITH ql AS (SELECT vec_id, $QV AS qv, label FROM embeddings),
+    s"""WITH $cellCte,
+       |ql AS (SELECT vec_id, q.qv, c.label
+       |  FROM cqv q JOIN cellid c USING (vec_id)),
        |hot AS (SELECT label FROM (
        |  SELECT label, row_number() OVER (ORDER BY count(*) DESC, label) AS rn
        |  FROM ql GROUP BY label) z WHERE rn = 1),
@@ -2564,7 +2602,8 @@ object Oracles {
     // mirrors the Spark side's DECIMAL(38,0) (Σnᵢ² overflows int64 at
     // ~1e12 vectors)
     "e15_index_health" ->
-      """WITH s AS (SELECT label, count(*) AS n_members FROM embeddings GROUP BY 1),
+      s"""WITH $cellCte,
+        |s AS (SELECT label, count(*) AS n_members FROM cellid GROUP BY 1),
         |t AS (SELECT CAST(sum(n_members) AS HUGEINT) AS n,
         |             CAST(sum(CAST(n_members AS HUGEINT) * n_members) AS HUGEINT) AS ss,
         |             count(*) AS k FROM s)
@@ -2647,17 +2686,24 @@ object Oracles {
          |SELECT q_id, rnk, c_id, round(score, 6) AS score
          |FROM r WHERE rnk <= 3 ORDER BY q_id, rnk""".stripMargin,
 
+    // e3's planes-per-band derive from the corpus count (AnnOps
+    // .bandPlanes replayed): p = min{x >= 6 : 2^x * BandBucketTarget >= n}
     "e3_embed_neardup" ->
       s"""WITH ${annQ},
+         |bpb AS MATERIALIZED (SELECT CAST(MIN(x) AS INTEGER) AS ppb FROM range(6, 25) t(x)
+         |  WHERE (CAST(1 AS BIGINT) << x) * ${graft.operators.AnnOps.BandBucketTarget}
+         |    >= (SELECT COUNT(*) FROM embeddings)),
          |planes AS (
-         |  SELECT p, d, ${h60("'hp_' || p || '_' || d")} % 2001 - 1000 AS w
-         |  FROM range(24) t1(p) CROSS JOIN range(64) t2(d)),
+         |  SELECT CAST(p AS INTEGER) AS p, CAST(d AS INTEGER) AS d,
+         |    ${h60("'hp_' || p || '_' || d")} % 2001 - 1000 AS w
+         |  FROM range(96) t1(p) CROSS JOIN range(64) t2(d), bpb
+         |  WHERE p < ${graft.operators.AnnOps.Bands} * bpb.ppb),
          |unp AS (SELECT vec_id, generate_subscripts(qv, 1) - 1 AS d, unnest(qv) AS v FROM q),
          |pd AS (SELECT u.vec_id, pl.p, SUM(u.v * pl.w) AS dot
          |       FROM unp u JOIN planes pl ON u.d = pl.d GROUP BY 1, 2),
-         |bands AS (SELECT vec_id, CAST(p // 6 AS INTEGER) AS band,
-         |    CAST(SUM((CASE WHEN dot > 0 THEN CAST(1 AS BIGINT) ELSE 0 END) << (p % 6)) AS BIGINT) AS code
-         |  FROM pd GROUP BY 1, 2),
+         |bands AS (SELECT vec_id, CAST(p // bpb.ppb AS INTEGER) AS band,
+         |    CAST(SUM((CASE WHEN dot > 0 THEN CAST(1 AS BIGINT) ELSE 0 END) << (p % bpb.ppb)) AS BIGINT) AS code
+         |  FROM pd, bpb GROUP BY 1, 2),
          |cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
          |  FROM bands a JOIN bands b
          |    ON a.band = b.band AND a.code = b.code AND a.vec_id < b.vec_id)
@@ -3323,9 +3369,14 @@ object Oracles {
     "m10_blob_ann" ->
       s"""WITH $m4EmbCte,
          |${panelCte("documents", "doc_id", graft.operators.MultimodalOps.EmbQueryStride)},
-         |planes AS (SELECT p, d, ${h60("'m10_hp_' || p || '_' || d")} % 2001 - 1000 AS w
-         |  FROM range(${graft.operators.MultimodalOps.M10Planes}) t1(p)
-         |  CROSS JOIN range(${graft.operators.MultimodalOps.EmbDims}) t2(d)),
+         |m10b AS MATERIALIZED (SELECT CAST(MIN(x) AS INTEGER) AS b FROM range(2, 21) t(x)
+         |  WHERE (CAST(1 AS BIGINT) << x) * ${graft.operators.MultimodalOps.M10CellTarget}
+         |    >= (SELECT COUNT(*) FROM documents)),
+         |planes AS (SELECT CAST(p AS INTEGER) AS p, CAST(d AS INTEGER) AS d,
+         |    ${h60("'m10_hp_' || p || '_' || d")} % 2001 - 1000 AS w
+         |  FROM range(20) t1(p)
+         |  CROSS JOIN range(${graft.operators.MultimodalOps.EmbDims}) t2(d), m10b
+         |  WHERE p < m10b.b),
          |unp AS MATERIALIZED (SELECT doc_id, generate_subscripts(v, 1) - 1 AS d,
          |    unnest(v) AS val FROM emb),
          |pd AS (SELECT u.doc_id, pl.p, SUM(u.val * pl.w) AS dot

@@ -84,8 +84,12 @@ object F {
       while (it.hasNext) {
         val p = it.next()
         val name = p.getFileName.toString
+        // match ONLY this baseName's own staged parts
+        // (baseName_<digits>.parquet) — a bare-prefix match would also
+        // delete a sibling baseName's parts when one name prefixes the
+        // other (e.g. restaging 'events' nuking 'events_wire_0.parquet')
         if (name == s"$baseName.parquet" ||
-            (name.startsWith(baseName + "_") && name.endsWith(".parquet")))
+            name.matches(java.util.regex.Pattern.quote(baseName) + "_\\d+\\.parquet"))
           Files.delete(p)
       }
     } finally prior.close()

@@ -61,13 +61,37 @@ object AnnOps {
   /** Number of hyperplanes for the e2 single-bucket code (2^12 buckets). */
   val Planes = 12
 
-  /** e3 banded multi-probe: Bands codes of PlanesPerBand hyperplanes
+  /** e3 banded multi-probe: Bands codes of [[bandPlanes]] hyperplanes
     * each; a pair is a candidate if ANY band code matches. Collision
-    * probability for a pair at angle θ is 1−(1−(1−θ/π)^6)^4 — ≈17% at
-    * cosine 0.3 vs ≈0.2% for the single 12-plane bucket, which is what
-    * makes the near-dup output non-empty at verification SF. */
+    * probability for a pair at angle θ is 1−(1−(1−θ/π)^p)^4 — at the
+    * p=6 floor ≈17% for cosine 0.3 vs ≈0.2% for the single 12-plane
+    * bucket; true near-dups (θ≈0) collide at ~1 for ANY p, which is
+    * what keeps the output non-empty as p grows with the corpus. */
   val Bands = 4
+
+  /** Floor on planes per band (the verification-SF collision-rate
+    * setting) — [[bandPlanes]] grows the count with the corpus. */
   val PlanesPerBand = 6
+
+  /** Expected non-near-dup band-bucket occupancy target: [[bandPlanes]]
+    * sizes each band's code space at ≥ n/BandBucketTarget codes. */
+  val BandBucketTarget = 4
+
+  /** e3's planes per band = the smallest p ≥ PlanesPerBand with
+    * 2^p·BandBucketTarget ≥ n. A FIXED p made candidate volume
+    * Σ bucket² ≈ n²/2^p per band — the quadratic the round-13 sf1
+    * point measured at 14× on 10× data; growing the code space with
+    * the corpus bounds expected bucket size, so candidates are
+    * ~n·BandBucketTarget per band plus the true near-dup clusters
+    * (irreducible — they are the output). The oracle re-derives the
+    * identical p from COUNT(*) in SQL. p=7 > the 6-floor at the
+    * gate SF (n=500), so the adaptive derivation is exercised by the
+    * correctness gate itself. */
+  def bandPlanes(n: Long): Int = {
+    var p = PlanesPerBand
+    while (p < 24 && (1L << p) * BandBucketTarget < n) p += 1
+    p
+  }
 
   /** Embedding dimensionality (driver testdata; coefficients are derived
     * per (plane, dim) so any other width only changes this constant). */
@@ -87,12 +111,73 @@ object AnnOps {
   private def packedCode(dot: (Column, Column) => Column, q: Column, p0: Int, n: Int): Column =
     (0 until n).map(i => planeBit(dot, q, p0 + i) * lit(1L << i)).reduce(_ + _)
 
+  /** Target members per IVF coarse cell — the d12/ClusterOps sizing
+    * discipline applied to the inverted file: [[cellBits]] grows the
+    * cell COUNT with the corpus so per-cell volume — and with it every
+    * probe's rerank cost — stays bounded as the corpus scales. (The
+    * round-13 sf1 point measured the fixed 10-label geometry at 17×
+    * on 10× data for e6: |queries| ∝ n times cell size ∝ n is the
+    * all-pairs-in-disguise quadratic.) */
+  val CellTarget = 250
+
+  /** Label cardinality of the corpus's class column. Enters ONLY the
+    * cell-count sizing in [[cellBits]]; the composite cell id
+    * label·2^b + sub is injective for any actual label range. */
+  val BaseLabels = 10
+
+  /** IVF subdivision bits: the smallest b ≥ 1 with
+    * BaseLabels·2^b·CellTarget ≥ n — the least power-of-two
+    * hyperplane refinement of the label partition that brings
+    * expected cell size under CellTarget, so cells ∝ n and cell size
+    * stays in [CellTarget/2, CellTarget] (a ≤2× sawtooth, never ∝ n).
+    * b ≥ 1 keeps the subdivision exercised at the correctness-gate SF
+    * (b=1 at n=500); the 20-bit cap (10M cells) keeps the composite
+    * id inside int32 — beyond broadcast-able cell counts you shard
+    * the probe on a centroid-block key, the ClusterOps.K note. The
+    * oracle re-derives the identical b from COUNT(*) in SQL, so a
+    * Spark-side retune cannot silently diverge. */
+  def cellBits(n: Long): Int = {
+    var b = 1
+    while (b < 20 && BaseLabels.toLong * (1L << b) * CellTarget < n) b += 1
+    b
+  }
+
+  /** Integer coefficients of cell-subdivision hyperplane p — the e2
+    * 'hp_' family's discipline under a 'cp_' salt, regenerated by the
+    * oracle in SQL. */
+  private[graft] def cellPlaneW(p: Int): Seq[Long] =
+    (0 until Dims).map(d => hash60Driver(s"cp_${p}_${d}") % 2001L - 1000L)
+
   /** Quantized corpus, persisted once per session+dir: e1's two sides,
-    * e2/e3's bucket builds and candidate recheck all read it. */
-  private[operators] def quantized(spark: SparkSession, dir: String): DataFrame =
+    * e2/e3's bucket builds and candidate recheck all read it. The
+    * `label` column carries the IVF COARSE CELL id: the class label
+    * refined by [[cellBits]] adaptive hyperplane bits
+    * (cell = label·2^b + sub, sub computed map-side against literal
+    * 'cp_' coefficients — zero shuffle, like the e2 buckets). The
+    * class partition plays the trained coarse quantizer's role, and
+    * the hyperplane refinement keeps cell volume ≈ CellTarget as the
+    * corpus grows. */
+  /** The composite coarse-cell expression over (label, q) columns —
+    * ONE definition shared by the batch [[quantized]] projection and
+    * e18's streaming delta encode, so the two ingest paths cannot
+    * fork in geometry. */
+  private def cellCol(spark: SparkSession, b: Int): Column = {
+    val dot = dotBest(spark)
+    val sub = (0 until b).map(i =>
+      when(dot(col("q"), typedlit(cellPlaneW(i))) > 0, lit(1L << i))
+        .otherwise(lit(0L))).reduce(_ + _)
+    (col("label").cast(LongType) * (1L << b) + sub).cast(IntegerType)
+  }
+
+  /** This corpus's subdivision-bit count (a 1-row metadata count). */
+  private def cellBitsOf(spark: SparkSession, dir: String): Int =
+    cellBits(Tables.embeddings(spark, dir).count())
+
+  private[graft] def quantized(spark: SparkSession, dir: String): DataFrame =
     DedupOps.memoized(spark, "ann_quantized", dir) {
       Tables.embeddings(spark, dir)
         .select(col("vec_id"), quantize(col("embedding")).as("q"), col("label"))
+        .withColumn("label", cellCol(spark, cellBitsOf(spark, dir)))
     }
 
   /** e1: brute-force cosine top-k per query — the exactness baseline.
@@ -191,8 +276,9 @@ object AnnOps {
   /** How many coarse cells an IVF query probes (e5). */
   val NProbe = 2
 
-  /** IVF coarse centroids — one per `label` (the corpus's cluster
-    * assignment playing the trained coarse quantizer's role), kept as
+  /** IVF coarse centroids — one per cell (the composite `label` id of
+    * [[quantized]]: class label × adaptive hyperplane refinement, so
+    * |centroids| ∝ corpus/CellTarget), kept as
     * EXACT integers: the per-dimension sum vector `s`, member count `n`,
     * and `ss = s·s`. Mean-based distances are compared through the
     * n-scaled identity  n²·‖q − s/n‖² = n²·q·q − 2n·(q·s) + s·s,
@@ -791,8 +877,9 @@ object AnnOps {
     * joins). Persisted: both sides of the e3 candidate join read it. */
   private def bandCodes(spark: SparkSession, dir: String): DataFrame =
     DedupOps.memoized(spark, "ann_bandCodes", dir) {
+      val ppb = bandPlanes(Tables.embeddings(spark, dir).count())
       val codes = array((0 until Bands).map(j =>
-        packedCode(dotBest(spark), col("q"), j * PlanesPerBand, PlanesPerBand)): _*)
+        packedCode(dotBest(spark), col("q"), j * ppb, ppb)): _*)
       quantized(spark, dir)
         .select(col("vec_id"), posexplode(codes).as(Seq("band", "code")))
     }
@@ -827,7 +914,10 @@ object AnnOps {
     * band parameters actually buy. Zero-hit queries are kept (left
     * join) — silently dropping them would inflate the metric. */
   def annRecall(spark: SparkSession, dir: String): DataFrame = {
-    val exact = annTopk(spark, dir).filter(col("rnk") <= 3).select("q_id", "c_id")
+    // PanelCap·3 rows, consumed twice (hits + the zero-hit left join):
+    // materialize so the brute-force leg runs once
+    val exact = annTopk(spark, dir).filter(col("rnk") <= 3)
+      .select("q_id", "c_id").materialized()
     val approx = annIvf(spark, dir).filter(col("rnk") <= 3).select("q_id", "c_id")
     val hits = exact.join(approx, Seq("q_id", "c_id"))
       .groupBy("q_id").agg(count(lit(1)).as("n_hit"))
@@ -860,7 +950,13 @@ object AnnOps {
     * probed fraction — the evaluation is itself the bounded-query
     * discipline of e8 (exact side on the query stride only). */
   def annSweep(spark: SparkSession, dir: String): DataFrame = {
-    val exact = annTopk(spark, dir).filter(col("rnk") <= 3).select("q_id", "c_id")
+    // the exact leg is PanelCap·3 rows consumed 3× PER BRANCH (hits,
+    // n_q, the cost semi-join) — materialized once, every branch
+    // reads the checkpointed rows instead of re-deriving the
+    // brute-force chain (the round-13 e17 regression: 9 re-derivations
+    // of the panel machinery)
+    val exact = annTopk(spark, dir).filter(col("rnk") <= 3)
+      .select("q_id", "c_id").materialized()
     val cellSizes = centroids(spark, dir).select(col("label"), col("n"))
     val branches = SweepProbes.map { np =>
       val approx = annIvf(spark, dir, 3, np).select("q_id", "c_id")
@@ -977,9 +1073,14 @@ object AnnOps {
     * the maintenance op rather than a warm no-op). */
   private def ingestDeltaStream(spark: SparkSession, dir: String, out: String): Unit = {
     val schema = spark.read.parquet(s"$out/arrivals").schema
+    // the delta's cell id must derive from the SAME composite geometry
+    // as the base index (cellCol over the full-corpus bit count) — a
+    // raw class label here would land codes in nonexistent cells
+    val b = cellBitsOf(spark, dir)
     def arrivals = spark.readStream.schema(schema).parquet(s"$out/arrivals")
       .dropDuplicates("vec_id")
       .select(col("vec_id"), col("label"), quantize(col("embedding")).as("q"))
+      .withColumn("label", cellCol(spark, b))
     graft.streaming.StreamPipeline.withStatePartitions(
         spark, graft.streaming.StreamPipeline.MaterializeStateParts) {
       val codesQ = arrivals
@@ -1101,7 +1202,9 @@ object AnnOps {
     * shared); scoring is two dedup-output-scale joins + 1-row
     * aggregates — evaluation-scale, like e8/e17/g5. */
   def annIndexEval(spark: SparkSession, dir: String): DataFrame = {
-    val exact = annTopk(spark, dir).filter(col("rnk") <= 3).select("q_id", "c_id")
+    // consumed twice per codec branch — materialize like e17's
+    val exact = annTopk(spark, dir).filter(col("rnk") <= 3)
+      .select("q_id", "c_id").materialized()
     val nq = exact.select("q_id").distinct().agg(count(lit(1)).as("n_q"))
     val branches = Seq(
       ("ivf_pq", annPq(spark, dir), (Dims / SubDim).toLong),

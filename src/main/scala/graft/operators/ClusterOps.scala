@@ -194,26 +194,59 @@ object ClusterOps {
     * measured). */
   val TargetCellSize = 250
 
-  /** Training-sample cap for the adaptive run: Lloyd iterates over a
-    * FIXED-SIZE deterministic sample (the s3/panel md5-rank
-    * discipline), then assigns the full corpus ONCE against the
-    * converged centroids. Without this, k ∝ n makes the per-round
-    * assignment itself n·k·d ∝ n² — sampling is how production
-    * SemDeDup (and FAISS's IVF training) keeps the train step bounded:
-    * rounds cost sample·k·d, and the corpus pays ONE n·k·d pass. At
-    * 256 < 500 = |embeddings(sf0.01)| the sampled branch is exercised
-    * by the correctness gate itself. */
+  /** Training-sample FLOOR for the adaptive run: Lloyd iterates over a
+    * deterministic md5-rank sample of [[trainSampleSize]] vectors (the
+    * s3/panel discipline), then assigns the full corpus ONCE against
+    * the converged centroids. Without sampling, k ∝ n makes the
+    * per-round assignment itself n·k·d ∝ n² — sampling is how
+    * production SemDeDup (and FAISS's IVF training) keeps the train
+    * step bounded: rounds cost sample·k·d, and the corpus pays ONE
+    * n·k·d pass. At 256 < 500 = |embeddings(sf0.01)| the sampled
+    * branch is exercised by the correctness gate itself. */
   val TrainSampleCap = 256
 
-  /** d12's cluster count: k = max(K, ⌈n / TargetCellSize⌉) from a
-    * 1-row corpus count — the oracle re-derives the identical k in
-    * SQL, so a Spark-side retune cannot silently diverge. */
+  /** Training points per centroid: the sample GROWS with k
+    * (sample = max(TrainSampleCap, PointsPerCentroid·k)) so seeds are
+    * never silently clamped to the sample size — with a FIXED 256-row
+    * sample, effective k = min(k, 256) and the advertised k ∝ n
+    * scaling would quietly revert to quadratic pair volume beyond
+    * n ≈ 64k (the round-13 advice finding). 4·k is FAISS's published
+    * minimum training-set sizing for IVF (it warns below
+    * 39 points/centroid; 4 is the hard floor — cited here because the
+    * trade is the same: more points refine centroids, fewer bound
+    * train cost). */
+  val PointsPerCentroid = 4
+
+  /** √n-sizing multiplier for the large-corpus regime of
+    * [[adaptiveK]]. */
+  val SqrtKFactor = 4
+
+  /** d12's cluster count, from a 1-row corpus count:
+    * k = max(K, min(⌈n/TargetCellSize⌉, ⌈SqrtKFactor·√n⌉)) — linear
+    * growth (bounded ~250-vector cells ⇒ linear pair volume) up to the
+    * crossover n ≈ 10⁶, then the FAISS √n coarse sizing: beyond that,
+    * k ∝ n would make the sample-trained Lloyd rounds (cost
+    * sample·k·d = 4k²·d) themselves quadratic, while k = 4√n keeps
+    * training LINEAR in n and pair volume at n²/k = n^1.5/4 — the
+    * standard IVF regime (a deployment needing flat pair volume at
+    * n > 10⁶ shards the corpus first). Both branches and the max/min
+    * are re-derived by the oracle in SQL (sqrt is correctly rounded
+    * IEEE in both engines and ×4 is exact, so the ceil agrees
+    * bit-for-bit), so a Spark-side retune cannot silently diverge. */
   def adaptiveK(n: Long): Int =
-    math.max(K, math.ceil(n.toDouble / TargetCellSize).toInt)
+    math.max(K.toDouble, math.min(
+      math.ceil(n.toDouble / TargetCellSize),
+      math.ceil(SqrtKFactor * math.sqrt(n.toDouble)))).toInt
+
+  /** The adaptive run's training-sample size — grows with k so the
+    * seed count is never clamped by the sample (see
+    * [[PointsPerCentroid]]). */
+  def trainSampleSize(k: Int): Int =
+    math.max(TrainSampleCap, PointsPerCentroid * k)
 
   /** The d12 substrate: converge-or-cap Lloyd (the e16 stopping rule —
     * fixpoint or period-2 cycle, MaxRounds cap) trained on the
-    * [[TrainSampleCap]] md5-rank sample at the [[adaptiveK]] cluster
+    * [[trainSampleSize]] md5-rank sample at the [[adaptiveK]] cluster
     * count, then ONE full-corpus assignment against the centroids that
     * produced the reported sample assignment. Memoized per
     * (session, dir) like the other signatures. Returns
@@ -239,7 +272,7 @@ object ClusterOps {
     // d12 salt); orderBy.limit plans as TakeOrderedAndProject
     val samp = emb.select("vec_id")
       .withColumn("_h", hash60(concat(lit("d12s_"), col("vec_id").cast("string"))))
-      .orderBy(col("_h"), col("vec_id")).limit(TrainSampleCap)
+      .orderBy(col("_h"), col("vec_id")).limit(trainSampleSize(k))
       .select("vec_id")
     val us = u.join(broadcast(samp), "vec_id").materialized()
     // seeds: the k sample members with the smallest seed-salt rank —

@@ -245,12 +245,22 @@ object MultimodalOps {
     }
   }
 
-  /** m10 coarse-quantizer geometry: M10Planes sign bits → 2^M10Planes
-    * inverted-file cells. 16 cells is the verification-SF setting; at
-    * 100 TB the plane count is THE fan-in knob (cells ≈ √corpus is the
-    * usual IVF sizing) — adding a plane halves per-cell volume without
-    * touching any other part of the chain. */
-  val M10Planes = 4
+  /** m10 coarse-quantizer geometry: [[m10Planes]] sign bits →
+    * 2^planes inverted-file cells, the plane count WIRED TO CORPUS
+    * SIZE (the AnnOps.cellBits discipline — a fixed cell count makes
+    * per-cell volume ∝ corpus, the quadratic shape round 13 cured
+    * d12 of): the smallest b ≥ 2 with 2^b·M10CellTarget ≥ n keeps
+    * expected cell size in [M10CellTarget/2, M10CellTarget], so a
+    * probe's rerank cost is bounded as the blob corpus grows. The
+    * oracle re-derives the identical b from COUNT(*) in SQL. At the
+    * gate SF (n=500) b=4 — the same 16 cells as the fixed round-13
+    * setting, now a derived value instead of a constant. */
+  val M10CellTarget = 32
+  def m10Planes(n: Long): Int = {
+    var b = 2
+    while (b < 20 && (1L << b) * M10CellTarget < n) b += 1
+    b
+  }
   val M10NProbe = 2
   val M10TopK = 3
 
@@ -273,7 +283,8 @@ object MultimodalOps {
     * m4 answers "is the feature bridge exact?" (against the oracle's
     * replay of the whole chain), m10 answers "how do you serve
     * retrieval over those features at 100 TB": candidates per query ≈
-    * nProbe/2^M10Planes of the corpus, and the inverted file is the
+    * nProbe·M10CellTarget rows (bounded — the adaptive plane count
+    * keeps cells near M10CellTarget members), and the inverted file is the
     * partitioning — a probe touches only its cells' partitions. */
   def blobAnnIvf(spark: SparkSession, dir: String, k: Int = M10TopK,
       nProbe: Int = M10NProbe): DataFrame = {
@@ -282,10 +293,13 @@ object MultimodalOps {
     val cos = cosineWith(dot) _
     val emb = blobEmb(spark, dir)
     // cell code: a per-row function of the vector against literal
-    // coefficients — one map-side projection, memoized (index build)
+    // coefficients — one map-side projection, memoized (index build);
+    // the plane count derives from a 1-row corpus count (adaptive
+    // geometry — see m10Planes)
     val withCell = DedupOps.memoized(spark, "m10_cells", dir) {
+      val b = m10Planes(Tables.documents(spark, dir).count())
       emb.withColumn("label",
-        (0 until M10Planes).map(p =>
+        (0 until b).map(p =>
           when(dot(col("v"), typedlit(m10PlaneW(p))) > 0, lit(1L << p))
             .otherwise(lit(0L))).reduce(_ + _))
     }

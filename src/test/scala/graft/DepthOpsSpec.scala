@@ -468,10 +468,21 @@ class DepthOpsSpec extends AnyFunSuite with SparkSpec {
   // ---------- e20 ----------
 
   test("e20 splits exactly the hottest cell into two nearest-seed halves") {
-    val emb = Tables.embeddings(spark, Sf0001)
+    val raw = Tables.embeddings(spark, Sf0001)
       .select(col("vec_id"), graft.functions.F.quantize(col("embedding")).as("q"),
         col("label"))
       .collect().map(r => (r.getLong(0), r.getSeq[Long](1).toArray, r.getInt(2)))
+    // independent reconstruction of the composite coarse cell
+    // (class·2^b + 'cp_'-hyperplane subcode, b from the corpus count)
+    val b = AnnOps.cellBits(raw.length.toLong)
+    def cellOf(q: Array[Long], label: Int): Int = {
+      val sub = (0 until b).map { i =>
+        val dot = q.zip(AnnOps.cellPlaneW(i)).map { case (x, y) => x * y }.sum
+        if (dot > 0) 1L << i else 0L
+      }.sum
+      (label.toLong * (1L << b) + sub).toInt
+    }
+    val emb = raw.map { case (id, q, l) => (id, q, cellOf(q, l)) }
     val hot = emb.groupBy(_._3).toSeq.map { case (l, ms) => (l, ms.length) }
       .minBy { case (l, n) => (-n, l) }._1
     val cell = emb.filter(_._3 == hot).map(m => m._1 -> m._2).toMap

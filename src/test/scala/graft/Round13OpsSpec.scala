@@ -49,15 +49,18 @@ class Round13OpsSpec extends AnyFunSuite with SparkSpec {
       exact.select("q_id").distinct().collect().map(_.getLong(0)).toSet)
     assert(ivf.groupBy("q_id").count()
       .filter(col("count") =!= MultimodalOps.M10TopK.toLong).count() === 0L)
-    // and the probe genuinely prunes: some exact top-1 neighbors live
-    // outside the probed cells, so the two answers must differ somewhere
-    // (if they never differed the "probe" would be a full scan in
-    // disguise — or the corpus degenerate)
+    // and the probe genuinely prunes: some exact top-k neighbors live
+    // outside the probed cells, so the two answers must DIFFER — a
+    // degenerate nProbe that scanned everything would reproduce the
+    // exact pairs and fail here (the round-13 advice: nonEmpty alone
+    // let a full-scan-in-disguise pass)
     val exactPairs = MultimodalOps.blobEmbedSim(spark, Sf0001)
       .select("q_id", "c_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val ivfPairs = ivf.select("q_id", "c_id").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(ivfPairs.nonEmpty && exactPairs.nonEmpty)
+    assert(ivfPairs !== exactPairs,
+      "probe answered identically to brute force — full scan in disguise")
   }
 
   test("d12 adaptive geometry: k formula, full-corpus coverage, sample-bounded training") {
@@ -67,6 +70,14 @@ class Round13OpsSpec extends AnyFunSuite with SparkSpec {
     assert(ClusterOps.adaptiveK(2000) === 8)   // exactly at the floor
     assert(ClusterOps.adaptiveK(2001) === 9)   // ceil, not floor div
     assert(ClusterOps.adaptiveK(20000) === 80) // sf1: per-cell ~250
+    // beyond the n ≈ 1e6 crossover the FAISS √n sizing takes over:
+    // linear k would make the 4k-sample training rounds quadratic
+    assert(ClusterOps.adaptiveK(100000000L) === 40000) // 4·√1e8, not 4e5
+    // the training sample grows with k — seeds are never clamped by a
+    // fixed sample (the round-13 advice finding: effective k ≤ 256)
+    assert(ClusterOps.trainSampleSize(8) === ClusterOps.TrainSampleCap)
+    assert(ClusterOps.trainSampleSize(80) === 320)
+    assert(ClusterOps.trainSampleSize(40000) === 160000)
     val emb = spark.read.parquet(s"$Sf0001/embeddings.parquet")
     val n = emb.count()
     val k = ClusterOps.adaptiveK(n)

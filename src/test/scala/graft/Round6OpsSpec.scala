@@ -72,9 +72,16 @@ class Round6OpsSpec extends AnyFunSuite with SparkSpec {
       .map(_.getName).filter(_.startsWith("label=")).toSet
     assert(cells.nonEmpty, s"expected label= cell directories in $codesDir")
     import spark.implicits._
-    val labels = graft.Tables.embeddings(spark, Sf0001)
+    // the directory set is exactly the composite coarse-cell ids —
+    // MORE directories than raw class labels (the adaptive hyperplane
+    // refinement is physically present in the lake layout)
+    val cellIds = AnnOps.quantized(spark, Sf0001)
       .select("label").distinct().as[Int].collect().toSet
-    assert(cells === labels.map("label=" + _))
+    assert(cells === cellIds.map("label=" + _))
+    val rawLabels = graft.Tables.embeddings(spark, Sf0001)
+      .select("label").distinct().count()
+    assert(cellIds.size > rawLabels,
+      "adaptive subdivision must refine the class partition at this SF")
   }
 
   test("e11's delta-maintained index answers bit-equal to a full rebuild") {
