@@ -38,17 +38,17 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     // Scan-split sizing for the local harness: snappy parquet with
     // string-heavy columns (events.props JSON) decodes at 5-20× its
-    // stored bytes of CPU, so the 128 MB/4 MB defaults leave a small
+    // stored bytes of CPU, so the 128 MB/4 MB defaults leave a big
     // file's whole row set on 1-2 tasks (p8's "15× at sf1" was a 1M
     // row JSON parse on one task — a single-row-group file to boot;
     // 5.3 s isolated → 2.5 s re-chunked → sub-second split-tuned).
-    // Size splits by DECODED cpu, not stored bytes. On a real
-    // cluster this knob belongs in the submit conf; files there are
-    // written 128 MB+ with bounded row groups, where the defaults
-    // are right. SPARK_GRAFT_SPLIT_MB is the dev-only A/B knob
-    // (=0 restores Spark's 128 MB/4 MB defaults); the driver sets
-    // nothing and gets 32 MB/1 MB.
-    val splitMb = sys.env.get("SPARK_GRAFT_SPLIT_MB").map(_.toInt).getOrElse(32)
+    // INPUT-SIZED since round 14 (F.autoSplitMb): the same 1 MB floor
+    // that fixes sf1 minted 4× the tasks at sf0.1 and cost a measured
+    // 18% there — defaults below 64 MB of input, 32 MB/1 MB above.
+    // SPARK_GRAFT_SPLIT_MB is the dev-only A/B override (=0 forces
+    // Spark defaults).
+    val splitMb = sys.env.get("SPARK_GRAFT_SPLIT_MB").map(_.toInt)
+      .getOrElse(graft.functions.F.autoSplitMb(sfDir))
     val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)

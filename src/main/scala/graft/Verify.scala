@@ -7,16 +7,18 @@ object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
+    // input-sized split config — see F.autoSplitMb / the Bench comment
+    val splitMb = graft.functions.F.autoSplitMb(sfDir)
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .config("spark.ui.enabled", "false")
-      // local-harness split sizing — see the Bench builder's comment
-      .config("spark.sql.files.maxPartitionBytes", s"${32 * 1024 * 1024}")
-      .config("spark.sql.files.openCostInBytes", s"${1024 * 1024}")
-      .getOrCreate()
+    val spark = (if (splitMb > 0) builder
+        .config("spark.sql.files.maxPartitionBytes", s"${splitMb.toLong * 1024 * 1024}")
+        .config("spark.sql.files.openCostInBytes", s"${1024 * 1024}")
+      else builder).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     // dev-only filter for iterating on a subset (same contract as

@@ -54,6 +54,28 @@ object F {
   def sinkPath(kind: String, dir: String): String =
     s"target/graft-sink/${kind}_" + dirTag(dir)
 
+  /** INPUT-SIZED scan-split config for the local mains (Bench/Verify):
+    * the decoded-CPU split sizing (32 MB maxPartitionBytes / 1 MB
+    * openCost) that fixed p8's sf1 scan starvation MEASURABLY HURTS
+    * small inputs — the round-14 A/B on the five drifted sf0.1 keys
+    * (e5/q25/q29/q5/s10, 5-rep medians) ran 8.30 s under 32 MB/1 MB vs
+    * 6.82 s under Spark defaults (-18%): with kilobyte-per-core
+    * inputs, the 1 MB floor mints 4× the tasks and pure scheduling
+    * overhead eats the win. So the config is sized from the input
+    * itself: Spark defaults below 64 MB of dir bytes (task overhead
+    * dominates decode), 32 MB/1 MB above (decode CPU dominates; the
+    * string-heavy parquet under-splits 5-20× on stored bytes). Returns
+    * the maxPartitionBytes MB to set, or 0 for Spark defaults. On a
+    * real cluster this knob belongs in the submit conf; lake files
+    * there are 128 MB+ with bounded row groups, where the defaults
+    * are right. */
+  def autoSplitMb(sfDir: String): Int = {
+    def bytes(f: java.io.File): Long =
+      if (f.isFile) f.length
+      else Option(f.listFiles).map(_.map(bytes).sum).getOrElse(0L)
+    if (bytes(new java.io.File(sfDir)) > 64L * 1024 * 1024) 32 else 0
+  }
+
   /** Land a parquet input into a staging dir as top-level files a file
     * streaming source will list — handling BOTH physical layouts a
     * lake serves: a single parquet file (the sandbox testdata shape)
