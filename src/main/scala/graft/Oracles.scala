@@ -543,10 +543,17 @@ object Oracles {
          |WHERE rnk <= 3 ORDER BY q_id, rnk""".stripMargin
 
 
-  private val bucketCte =
-    s"""planes AS (
-       |  SELECT p, d, ${h60("'hp_' || p || '_' || d")} % 2001 - 1000 AS w
-       |  FROM range(12) t1(p) CROSS JOIN range(64) t2(d)),
+  // e2/e4's bucket width derives from the corpus count (AnnOps
+  // .bandPlanes replayed — the same sizing as e3's bands)
+  private lazy val bucketCte =
+    s"""bp2 AS MATERIALIZED (SELECT CAST(MIN(x) AS INTEGER) AS p FROM range(6, 25) t(x)
+       |  WHERE (CAST(1 AS BIGINT) << x) * ${graft.operators.AnnOps.BandBucketTarget}
+       |    >= (SELECT COUNT(*) FROM embeddings)),
+       |planes AS (
+       |  SELECT CAST(t1.p AS INTEGER) AS p, CAST(d AS INTEGER) AS d,
+       |    ${h60("'hp_' || t1.p || '_' || d")} % 2001 - 1000 AS w
+       |  FROM range(24) t1(p) CROSS JOIN range(64) t2(d), bp2
+       |  WHERE t1.p < bp2.p),
        |unp AS (SELECT vec_id, generate_subscripts(qv, 1) - 1 AS d, unnest(qv) AS v FROM q),
        |pd AS (SELECT u.vec_id, pl.p, SUM(u.v * pl.w) AS dot
        |       FROM unp u JOIN planes pl ON u.d = pl.d GROUP BY 1, 2),

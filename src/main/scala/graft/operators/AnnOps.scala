@@ -58,8 +58,12 @@ object AnnOps {
       .orderBy(col("_ph"), col(idCol)).limit(PanelCap)
       .drop("_ph")
 
-  /** Number of hyperplanes for the e2 single-bucket code (2^12 buckets). */
-  val Planes = 12
+  /** e2/e4's single-bucket code width rides the SAME corpus-count
+    * sizing as e3's bands ([[bandPlanes]]): a fixed width (the old 12)
+    * makes expected bucket size ∝ n/2^12 — benign until n ≈ 16k, then
+    * the same quadratic-in-disguise as every other fixed coarse
+    * geometry. With p = bandPlanes(n), buckets hold ~BandBucketTarget
+    * unrelated vectors at any SF and the candidate join stays linear. */
 
   /** e3 banded multi-probe: Bands codes of [[bandPlanes]] hyperplanes
     * each; a pair is a candidate if ANY band code matches. Collision
@@ -220,9 +224,10 @@ object AnnOps {
     * read it. */
   private def withBucket(spark: SparkSession, dir: String): DataFrame =
     DedupOps.memoized(spark, "ann_withBucket", dir) {
+      val p = bandPlanes(Tables.embeddings(spark, dir).count())
       quantized(spark, dir)
         .select(col("vec_id"), col("q"),
-          packedCode(dotBest(spark), col("q"), 0, Planes).as("bucket"))
+          packedCode(dotBest(spark), col("q"), 0, p).as("bucket"))
     }
 
   /** e2: LSH-bucketed ANN — query joins only its own bucket; exact cosine
@@ -246,8 +251,8 @@ object AnnOps {
   }
 
   /** e4: multi-probe LSH ANN — each query probes its own bucket PLUS all
-    * Planes hamming-1 neighbor buckets (flipping one sign bit), trading
-    * a (Planes+1)× widening of the tiny query side for recall that a
+    * bandPlanes(n) hamming-1 neighbor buckets (flipping one sign bit),
+    * trading a (p+1)× widening of the tiny query side for recall that a
     * single bucket can't reach. The corpus side is untouched and the
     * join stays an equality join on (bucket): the canonical recall knob
     * for hyperplane LSH at scale. Candidates are exactly the pairs whose
@@ -256,8 +261,9 @@ object AnnOps {
   def annMultiprobe(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
     val cos = cosineWith(dotBest(spark)) _
     val withB = withBucket(spark, dir)
+    val nPlanes = bandPlanes(Tables.embeddings(spark, dir).count())
     val probeSet = array((col("bucket") +:
-      (0 until Planes).map(p => col("bucket").bitwiseXOR(lit(1L << p)))): _*)
+      (0 until nPlanes).map(p => col("bucket").bitwiseXOR(lit(1L << p)))): _*)
     val queries = withB.filter(col("vec_id") % QueryStride === 0)
       .select(col("vec_id").as("q_id"), col("q").as("qq"),
         explode(probeSet).as("bucket"))
