@@ -451,6 +451,41 @@ object Oracles {
 
   private lazy val e5Sql: String = ivfSqlWith("")
 
+  /** e22: the IVF probe chain with BINARY-quantization scoring — sign
+    * bit per dimension packed into two sub-2^32 words (a single 64-bit
+    * word would need `1 << 63`, whose overflow convention differs
+    * between engines), candidates ranked by XOR+popcount hamming,
+    * shortlisted, exact-cosine reranked — e6/e19's presentation. */
+  private lazy val e22Sql: String =
+    s"""WITH $ivfProbeCte,
+       |bqc AS MATERIALIZED (SELECT vec_id,
+       |    SUM(CASE WHEN v > 0 AND d < 32 THEN (CAST(1 AS BIGINT) << d) ELSE 0 END) AS lo,
+       |    SUM(CASE WHEN v > 0 AND d >= 32 THEN (CAST(1 AS BIGINT) << (d - 32)) ELSE 0 END) AS hi
+       |  FROM (SELECT vec_id, generate_subscripts(qv, 1) - 1 AS d, unnest(qv) AS v FROM cqv) u
+       |  GROUP BY vec_id),
+       |cand AS (SELECT p.q_id, c.vec_id AS c_id
+       |  FROM pr p JOIN ql c ON c.label = p.label
+       |  WHERE p.crnk <= ${graft.operators.AnnOps.NProbe} AND c.vec_id <> p.q_id),
+       |hm AS (SELECT cand.q_id, cand.c_id,
+       |    bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) AS hamming
+       |  FROM cand JOIN bqc a ON a.vec_id = cand.q_id
+       |             JOIN bqc b ON b.vec_id = cand.c_id),
+       |short AS (SELECT q_id, c_id FROM (
+       |    SELECT q_id, c_id, row_number() OVER (PARTITION BY q_id
+       |        ORDER BY hamming, c_id) AS srn FROM hm) t
+       |  WHERE srn <= ${graft.operators.AnnOps.PqShortlist}),
+       |r AS (SELECT s.q_id, s.c_id,
+       |    list_dot_product(q.qv, c.qv) /
+       |      sqrt(list_dot_product(q.qv, q.qv) * list_dot_product(c.qv, c.qv)) AS score,
+       |    row_number() OVER (PARTITION BY s.q_id ORDER BY
+       |      list_dot_product(q.qv, c.qv) /
+       |        sqrt(list_dot_product(q.qv, q.qv) * list_dot_product(c.qv, c.qv)) DESC,
+       |      s.c_id) AS rnk
+       |  FROM short s JOIN cqv q ON q.vec_id = s.q_id
+       |               JOIN cqv c ON c.vec_id = s.c_id)
+       |SELECT q_id, rnk, c_id, round(score, 6) AS score
+       |FROM r WHERE rnk <= 3 ORDER BY q_id, rnk""".stripMargin
+
   private lazy val s4Sql: String =
     s"""WITH h AS (SELECT ${h60("CAST(event_id AS VARCHAR)")} AS h FROM events),
          |r AS (SELECT h % 256 AS bucket, h // 256 AS rest FROM h),
@@ -2576,6 +2611,23 @@ object Oracles {
          |ORDER BY doc_a, doc_b""".stripMargin,
 
     "e6_ann_pq" -> e6Sql,
+
+    "e22_ann_bq" -> e22Sql,
+
+    // d18: d5's cluster chain extended to the whole corpus (singletons
+    // get cluster_id = doc_id) with the 1/cluster-size ppm weight in
+    // exact int64 floor division.
+    "d18_dup_weights" ->
+      s"""WITH d5c AS MATERIALIZED (SELECT doc_id, cluster_id FROM ($d5Sql) z),
+         |allc AS MATERIALIZED (SELECT d.doc_id,
+         |    COALESCE(c.cluster_id, d.doc_id) AS cluster_id
+         |  FROM documents d LEFT JOIN d5c c USING (doc_id)),
+         |csz AS (SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS cluster_size
+         |  FROM allc GROUP BY cluster_id)
+         |SELECT a.doc_id, a.cluster_id, s.cluster_size,
+         |  CAST(1000000 // s.cluster_size AS BIGINT) AS weight_ppm
+         |FROM allc a JOIN csz s USING (cluster_id)
+         |ORDER BY a.doc_id""".stripMargin,
 
     // e10: the persisted-index serving path must reproduce the
     // in-memory e6 answer EXACTLY — its oracle is e6's verbatim, which

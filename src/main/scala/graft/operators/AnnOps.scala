@@ -1329,4 +1329,73 @@ object AnnOps {
       .select(col("q_id"), col("rnk"), col("c_id"), round(col("score"), 6).as("score"))
       .orderBy("q_id", "rnk")
   }
+
+  /** Per-vector sign codes for e22: one bit per DIMENSION (the sign of
+    * the quantized coordinate), packed into TWO 32-bit words per vector
+    * rather than one 64-bit word — a `1L << 63` differs between
+    * engines' overflow conventions, while two sub-2^32 sums are exact
+    * BIGINTs everywhere. Map-side over the memoized [[quantized]]
+    * projection (zero shuffle), like every coarse code in the family. */
+  private[graft] def bqCodes(spark: SparkSession, dir: String): DataFrame =
+    DedupOps.memoized(spark, "ann_bq_codes", dir) {
+      def word(off: Int): Column =
+        (0 until 32).map(i =>
+          when(col("q")(off + i) > 0, lit(1L << i)).otherwise(lit(0L)))
+          .reduce(_ + _)
+      quantized(spark, dir).select(col("vec_id"), col("label"),
+        word(0).as("bq_lo"), word(32).as("bq_hi"))
+    }
+
+  /** e22: IVF+BQ ANN — e6/e19's composition with BINARY quantization in
+    * the compressed-scoring role: ONE SIGN BIT per dimension (vs SQ8's
+    * byte per dimension, PQ's 4 bits per 8-dim subspace), the cheapest
+    * tier every vector store ships below PQ/SQ (FAISS's binary indexes,
+    * the "BQ" tier in serving systems): 8 bytes/vector, no training, no
+    * codebook, and candidate scoring collapses to two XOR+popcounts —
+    * exercised here through the engines' codegen'd `bit_count` rather
+    * than any arithmetic reconstruction. IVF still does the PRUNING
+    * (compression never bounds candidate volume): probe [[NProbe]]
+    * cells, rank the probed candidates by hamming distance (tie-break
+    * c_id), shortlist [[PqShortlist]], exact-cosine rerank top-k —
+    * e6/e19's presentation, so the three compressed tiers are directly
+    * comparable row-for-row.
+    *
+    * Scale shape: the code build is a map-side projection of the one
+    * memoized corpus scan; the hamming join volume is probed-cells ×
+    * candidates with TWO LONG COLUMNS per side (vs e19's 64-long
+    * arrays) — the narrowest candidate relation in the family, bounded
+    * by the adaptive IVF probe, never corpus². */
+  def annBq(spark: SparkSession, dir: String, k: Int = 3,
+      nProbe: Int = NProbe, shortlist: Int = PqShortlist): DataFrame = {
+    val cos = cosineWith(dotBest(spark)) _
+    val qv = quantized(spark, dir)
+    val codes = bqCodes(spark, dir)
+    val qCodes = codes.filter(col("vec_id") % QueryStride === 0)
+      .select(col("vec_id").as("q_id"),
+        col("bq_lo").as("q_lo"), col("bq_hi").as("q_hi"))
+    val probed = probedCells(spark, dir, nProbe).select("q_id", "label")
+    val ham = probed
+      .join(codes.select(col("vec_id").as("c_id"), col("label"),
+        col("bq_lo"), col("bq_hi")), "label")
+      .filter(col("q_id") =!= col("c_id"))
+      .join(broadcast(qCodes), "q_id")
+      .withColumn("hamming",
+        bit_count(col("q_lo").bitwiseXOR(col("bq_lo"))) +
+          bit_count(col("q_hi").bitwiseXOR(col("bq_hi"))))
+      .select("q_id", "c_id", "hamming")
+    val sw = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(col("hamming"), col("c_id"))
+    val short = ham.withColumn("srn", row_number().over(sw))
+      .filter(col("srn") <= shortlist).select("q_id", "c_id")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(col("score").desc, col("c_id"))
+    short
+      .join(qv.select(col("vec_id").as("q_id"), col("q").as("qq")), "q_id")
+      .join(qv.select(col("vec_id").as("c_id"), col("q").as("cq")), "c_id")
+      .withColumn("score", cos(col("qq"), col("cq")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col("rnk"), col("c_id"), round(col("score"), 6).as("score"))
+      .orderBy("q_id", "rnk")
+  }
 }

@@ -401,6 +401,32 @@ object DedupOps {
     labels.select(col("doc_id"), col("label").as("cluster_id")).orderBy("doc_id")
   }
 
+  /** d18: SOFT dedup — per-document training weights from near-dup
+    * cluster size, the drop-free alternative to d5-then-discard: every
+    * doc in a near-dup cluster of size s gets weight 1/s (int64 ppm,
+    * floor div), so each distinct content unit contributes ~unit mass
+    * to the training mix regardless of how many copies the crawl
+    * caught. Standard soft-dedup discipline (downweight, don't drop) —
+    * the mixer (x4) can consume these weights where a hard d5 keep-list
+    * would lose the duplicates' provenance entirely. Docs outside the
+    * d5 pair graph are singletons: cluster_id = doc_id, weight 1.
+    *
+    * Scale shape: rides the MEMOIZED d5 label-propagation output
+    * (pair-graph-scale, never corpus²) plus one corpus-key left join
+    * and a cluster-size aggregate — both shuffle on doc_id/cluster_id
+    * and stay linear in the corpus. */
+  def dupWeights(spark: SparkSession, dir: String): DataFrame = {
+    val clusters = nearDupClusters(spark, dir).select("doc_id", "cluster_id")
+    val withC = Tables.documents(spark, dir).select("doc_id")
+      .join(clusters, Seq("doc_id"), "left")
+      .withColumn("cluster_id", coalesce(col("cluster_id"), col("doc_id")))
+    val csz = withC.groupBy("cluster_id").agg(count(lit(1)).as("cluster_size"))
+    withC.join(csz, "cluster_id")
+      .withColumn("weight_ppm", expr("1000000 div cluster_size"))
+      .select("doc_id", "cluster_id", "cluster_size", "weight_ppm")
+      .orderBy("doc_id")
+  }
+
   /** Max edit distance for d6 fuzzy matching. */
   val MaxEditDist = 4
 

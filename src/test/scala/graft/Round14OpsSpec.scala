@@ -1,0 +1,116 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{AnnOps, DedupOps}
+
+/** Round-14 checks: e22's IVF+BQ serving path (sign-bit codes, hamming
+  * shortlist, exact rerank) and d18's soft-dedup weights. */
+class Round14OpsSpec extends AnyFunSuite with SparkSpec {
+
+  test("e22 BQ codes are the packed coordinate signs, reconstructed independently") {
+    // recompute both 32-bit words driver-side from the raw embeddings
+    // via the same quantization the operator rides
+    val q = spark.read.parquet(s"$Sf0001/embeddings.parquet")
+      .select(col("vec_id"), graft.functions.F.quantize(col("embedding")).as("q"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val expected = q.map { case (id, v) =>
+      val lo = (0 until 32).map(i => if (v(i) > 0) 1L << i else 0L).sum
+      val hi = (0 until 32).map(i => if (v(32 + i) > 0) 1L << i else 0L).sum
+      id -> (lo, hi)
+    }
+    val got = AnnOps.bqCodes(spark, Sf0001)
+      .select("vec_id", "bq_lo", "bq_hi").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got === expected)
+    // both words stay below 2^32: no sign-bit overflow leg exists
+    assert(got.values.forall { case (lo, hi) =>
+      lo >= 0 && hi >= 0 && lo < (1L << 32) && hi < (1L << 32) })
+  }
+
+  test("e22 scores bounded by the exact baseline; full top-k lists; genuine pruning") {
+    val exact = AnnOps.annTopk(spark, Sf0001, k = 3)
+      .select(col("q_id"), col("rnk"), col("score").as("exact_score"))
+    val bq = AnnOps.annBq(spark, Sf0001, k = 3)
+    // candidates come only from probed cells + a hamming shortlist, so
+    // per (q_id, rnk) the score can never exceed the exact one
+    val joined = bq.join(exact, Seq("q_id", "rnk"))
+    assert(joined.filter(col("score") > col("exact_score") + 1e-9).count() === 0L)
+    assert(bq.count() > 0L)
+    // full top-3 per served query
+    assert(bq.groupBy("q_id").count().filter(col("count") =!= 3L).count() === 0L)
+    // the probe + shortlist genuinely prune: the answer must differ
+    // from the exact pair set somewhere (a degenerate geometry that
+    // scanned and kept everything would reproduce it exactly)
+    val exactPairs = AnnOps.annTopk(spark, Sf0001, k = 3)
+      .filter(col("q_id").isin(bq.select("q_id").distinct()
+        .collect().map(_.getLong(0)).toSeq: _*))
+      .select("q_id", "c_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val bqPairs = bq.select("q_id", "c_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(bqPairs !== exactPairs, "BQ reproduced the exact answer — full scan in disguise?")
+  }
+
+  test("e22 ranks its shortlist by true hamming distance, recomputed driver-side") {
+    // for one served query: the operator's surviving candidates must be
+    // exactly the PqShortlist hamming-smallest (tie c_id) among the
+    // probed-cell candidates — verified against a driver recomputation
+    // of XOR+popcount over the independently reconstructed codes
+    val codes = AnnOps.bqCodes(spark, Sf0001)
+      .select("vec_id", "bq_lo", "bq_hi").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val bq = AnnOps.annBq(spark, Sf0001, k = 3)
+    val qid = bq.select("q_id").orderBy("q_id").first().getLong(0)
+    val (qlo, qhi) = codes(qid)
+    def hamming(c: Long): Int = {
+      val (clo, chi) = codes(c)
+      java.lang.Long.bitCount(qlo ^ clo) + java.lang.Long.bitCount(qhi ^ chi)
+    }
+    // the top-1 exact-reranked candidate must be reachable through the
+    // hamming shortlist: its hamming rank among ALL corpus candidates
+    // is a lower bound on the shortlist's reach, so sanity-pin that the
+    // returned top-1's hamming distance is not worse than the
+    // (shortlist)th smallest over the whole corpus
+    val top1 = bq.filter(col("q_id") === qid && col("rnk") === 1)
+      .select("c_id").first().getLong(0)
+    val allH = codes.keys.filter(_ != qid).map(hamming).toSeq.sorted
+    val cutoff = allH(math.min(AnnOps.PqShortlist, allH.size) - 1)
+    assert(hamming(top1) <= cutoff,
+      s"returned top-1 has hamming ${hamming(top1)} > corpus-wide shortlist cutoff $cutoff")
+  }
+
+  test("d18 weights: every doc once, exact floor-div weights, d5-consistent clusters") {
+    val w = DedupOps.dupWeights(spark, Sf0001)
+    val docs = spark.read.parquet(s"$Sf0001/documents.parquet")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val rows = w.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // every corpus doc exactly once
+    assert(rows.map(_._1).toSet === docs)
+    assert(rows.length === docs.size)
+    // cluster_size is self-consistent and weight is the exact floor div
+    val sizes = rows.groupBy(_._2).map { case (c, rs) => c -> rs.length.toLong }
+    rows.foreach { case (_, c, sz, wppm) =>
+      assert(sz === sizes(c))
+      assert(wppm === 1000000L / sz)
+    }
+    // d5 members keep their d5 cluster; non-members are singletons
+    val d5 = DedupOps.nearDupClusters(spark, Sf0001)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.foreach { case (d, c, sz, _) =>
+      d5.get(d) match {
+        case Some(expected) => assert(c === expected)
+        case None => assert(c === d, s"non-graph doc $d not a singleton")
+      }
+    }
+    // per-cluster mass: csz * (1e6 div csz) lands in (1e6 - csz, 1e6]
+    rows.groupBy(_._2).foreach { case (c, rs) =>
+      val mass = rs.map(_._4).sum
+      val csz = rs.length
+      assert(mass <= 1000000L && mass > 1000000L - csz,
+        s"cluster $c mass $mass outside (1e6 - $csz, 1e6]")
+    }
+    // the test is non-vacuous only if some real cluster exists
+    assert(rows.exists(_._3 > 1L), "no multi-doc cluster at sf0.001 — vacuous")
+  }
+}
