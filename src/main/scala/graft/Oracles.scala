@@ -647,6 +647,16 @@ object Oracles {
        |${lpRound("l2", "l3")}
        |SELECT doc_id, label AS cluster_id FROM l3 ORDER BY doc_id""".stripMargin
 
+  /** Shared by d18 / x16 / g6: d5's labels extended to the whole corpus
+    * (singletons get cluster_id = doc_id) plus per-cluster sizes. */
+  private lazy val corpusClusterCte: String =
+    s"""d5c AS MATERIALIZED (SELECT doc_id, cluster_id FROM ($d5Sql) z),
+       |allc AS MATERIALIZED (SELECT d.doc_id,
+       |    COALESCE(c.cluster_id, d.doc_id) AS cluster_id
+       |  FROM documents d LEFT JOIN d5c c USING (doc_id)),
+       |csz AS (SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS cluster_size
+       |  FROM allc GROUP BY cluster_id)""".stripMargin
+
   /** s10: replay the per-source KMV build (distinct shingle hashes →
     * bottom-k per source) and every pairwise merged-sketch estimate,
     * plus the exact error-inspection columns — identical int64 hashes
@@ -2618,16 +2628,40 @@ object Oracles {
     // get cluster_id = doc_id) with the 1/cluster-size ppm weight in
     // exact int64 floor division.
     "d18_dup_weights" ->
-      s"""WITH d5c AS MATERIALIZED (SELECT doc_id, cluster_id FROM ($d5Sql) z),
-         |allc AS MATERIALIZED (SELECT d.doc_id,
-         |    COALESCE(c.cluster_id, d.doc_id) AS cluster_id
-         |  FROM documents d LEFT JOIN d5c c USING (doc_id)),
-         |csz AS (SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS cluster_size
-         |  FROM allc GROUP BY cluster_id)
+      s"""WITH $corpusClusterCte
          |SELECT a.doc_id, a.cluster_id, s.cluster_size,
          |  CAST(1000000 // s.cluster_size AS BIGINT) AS weight_ppm
          |FROM allc a JOIN csz s USING (cluster_id)
          |ORDER BY a.doc_id""".stripMargin,
+
+    // x16: d18's weights folded per source — effective mass is the
+    // exact HUGEINT sum of n_tok·weight_ppm, floor-scaled back
+    "x16_dedup_mix" ->
+      s"""WITH $corpusClusterCte,
+         |dw AS (SELECT a.doc_id,
+         |    CAST(1000000 // s.cluster_size AS BIGINT) AS weight_ppm
+         |  FROM allc a JOIN csz s USING (cluster_id)),
+         |dt AS (SELECT doc_id, source, len($TOK) AS n_tok FROM documents),
+         |j AS (SELECT dt.source, dt.n_tok,
+         |    CAST(dt.n_tok AS HUGEINT) * w.weight_ppm AS eff_ppm
+         |  FROM dt JOIN dw w USING (doc_id))
+         |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(n_tok) AS BIGINT) AS tokens_raw,
+         |  CAST(sum(eff_ppm) // 1000000 AS BIGINT) AS tokens_eff,
+         |  CAST(sum(eff_ppm) // sum(n_tok) AS BIGINT) AS eff_ratio_ppm
+         |FROM j GROUP BY source ORDER BY source""".stripMargin,
+
+    // g6: the component-size spectrum over the same corpus-wide
+    // cluster partition
+    "g6_component_spectrum" ->
+      s"""WITH $corpusClusterCte,
+         |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM allc)
+         |SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters,
+         |  CAST(cluster_size * count(*) AS BIGINT) AS n_docs,
+         |  CAST((1000000 * cluster_size * count(*)) // n_total AS BIGINT)
+         |    AS doc_share_ppm
+         |FROM csz, tot GROUP BY cluster_size, n_total
+         |ORDER BY cluster_size""".stripMargin,
 
     // e10: the persisted-index serving path must reproduce the
     // in-memory e6 answer EXACTLY — its oracle is e6's verbatim, which
@@ -3104,9 +3138,21 @@ object Oracles {
          |  SELECT q_id, c_id FROM ($e1Sql) z WHERE rnk <= 3),
          |pq AS MATERIALIZED (SELECT q_id, c_id FROM ($e6Sql) z),
          |sq AS MATERIALIZED (SELECT q_id, c_id FROM ($e19Sql) z),
+         |bq AS MATERIALIZED (SELECT q_id, c_id FROM ($e22Sql) z),
          |nq AS (SELECT CAST(count(DISTINCT q_id) AS BIGINT) AS n_q FROM exact)
          |SELECT * FROM (
-         |  SELECT 'ivf_pq' AS index_kind,
+         |  SELECT 'ivf_bq' AS index_kind,
+         |    CAST(${graft.operators.AnnOps.Dims / 8} AS BIGINT) AS bytes_per_vec,
+         |    nq.n_q,
+         |    (SELECT CAST(count(*) AS BIGINT) FROM bq
+         |       JOIN exact ON exact.q_id = bq.q_id AND exact.c_id = bq.c_id)
+         |      AS n_hit,
+         |    round((SELECT count(*) FROM bq
+         |       JOIN exact ON exact.q_id = bq.q_id AND exact.c_id = bq.c_id)
+         |      / (nq.n_q * 3.0), 6) AS recall_at_3
+         |  FROM nq
+         |  UNION ALL
+         |  SELECT 'ivf_pq',
          |    CAST(${graft.operators.AnnOps.Dims / graft.operators.AnnOps.SubDim}
          |      AS BIGINT) AS bytes_per_vec, nq.n_q,
          |    (SELECT CAST(count(*) AS BIGINT) FROM pq

@@ -1195,13 +1195,14 @@ object AnnOps {
   }
 
   /** e21: COMPRESSED-INDEX BAKE-OFF — e8's recall discipline turned on
-    * the codec choice itself: the two compressed indexes the library
-    * ships (e6 IVF+PQ, e19 IVF+SQ8) evaluated head-to-head against
-    * the exact top-3 on the same query panel — the one-table answer to
-    * "which codec do I deploy". `bytes_per_vec` carries the byte math
-    * (PQ: one code per [[SubDim]]-dim subspace = Dims/SubDim bytes;
-    * SQ8: one code per dimension = Dims bytes) so the
-    * fidelity-per-byte decision reads off the table itself.
+    * the codec choice itself: the three compressed indexes the library
+    * ships (e6 IVF+PQ, e19 IVF+SQ8, e22 IVF+BQ) evaluated head-to-head
+    * against the exact top-3 on the same query panel — the one-table
+    * answer to "which codec do I deploy". `bytes_per_vec` carries the
+    * byte math (PQ: one code per [[SubDim]]-dim subspace = Dims/SubDim
+    * bytes; SQ8: one code per dimension = Dims bytes; BQ: one BIT per
+    * dimension = Dims/8 bytes) so the fidelity-per-byte decision reads
+    * off the table itself.
     *
     * Scale shape: both answers and the exact baseline are the bounded
     * evaluation panels e6/e19/e1 already compute (memoized substrates
@@ -1213,6 +1214,7 @@ object AnnOps {
       .select("q_id", "c_id").materialized()
     val nq = exact.select("q_id").distinct().agg(count(lit(1)).as("n_q"))
     val branches = Seq(
+      ("ivf_bq", annBq(spark, dir), (Dims / 8).toLong),
       ("ivf_pq", annPq(spark, dir), (Dims / SubDim).toLong),
       ("ivf_sq8", annSq(spark, dir), Dims.toLong)).map { case (name, ans, bytes) =>
       val hits = exact.join(ans.select("q_id", "c_id"), Seq("q_id", "c_id"))

@@ -104,15 +104,20 @@ object CorpusOps {
     * Swapping `lang` for any (source, domain, quality-bucket) key — or
     * the rate formula for hand-set weights — changes nothing
     * structural. */
-  def weightedMix(spark: SparkSession, dir: String): DataFrame = {
-    import graft.functions.F.{hash60, tokens}
-    // the (doc_id, lang, n_tok) substrate feeds the mass agg AND the
-    // keep filter AND the report join — one corpus scan, not three
-    val d = DedupOps.memoized(spark, "x4_docTokens", dir) {
+  /** The (doc_id, lang, source, n_tok) substrate — ONE corpus scan +
+    * tokenize feeding x4's mass agg, keep filter and report join, and
+    * x16's per-source soft-dedup masses. */
+  private def docTokens(spark: SparkSession, dir: String): DataFrame =
+    DedupOps.memoized(spark, "x4_docTokens", dir) {
+      import graft.functions.F.tokens
       Tables.documents(spark, dir)
-        .select(col("doc_id"), col("lang"),
+        .select(col("doc_id"), col("lang"), col("source"),
           size(tokens(col("text"))).cast("long").as("n_tok"))
     }
+
+  def weightedMix(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.F.hash60
+    val d = docTokens(spark, dir).select("doc_id", "lang", "n_tok")
     val lt = d.groupBy("lang").agg(sum("n_tok").as("tokens"))
     val rates = lt
       .crossJoin(broadcast(lt.agg(min("tokens").as("target"))))
@@ -632,5 +637,38 @@ object CorpusOps {
         call_function("div", col("sum_q"), col("n_docs")).as("mean_q_micro"),
         col("min_tok"), col("max_tok"))
       .orderBy("lang", "split")
+  }
+
+  /** x16: SOFT-DEDUP MIX REPORT — each source's EFFECTIVE content mass
+    * under d18's duplicate weights, next to its raw mass: raw docs, raw
+    * tokens, effective tokens (Σ n_tok·weight_ppm, floor-scaled back
+    * from ppm) and the effective/raw ratio (ppm). This is the table a
+    * mixing decision actually needs: x4 rebalances on RAW token mass,
+    * which over-credits a source whose volume is crawl duplication —
+    * here a source that is 3× copies of the same content shows
+    * eff_ratio_ppm ≈ 333333 and its mixing budget reads off
+    * tokens_eff, not tokens_raw.
+    *
+    * Scale shape: rides the memoized x4 token substrate and d18's
+    * cluster-size weights (pair-graph-scale d5 labels + linear joins);
+    * the report is one map-combined groupBy collapsing to |sources|
+    * rows. The per-doc product n_tok·weight_ppm ≤ n_tok·10⁶ is
+    * int64-safe; the SUM is decimal(38,0) (exact, associative — and
+    * long would overflow at ~9.2e12 corpus tokens, exactly the 100 TB
+    * regime), floor-divided back to int64 at the end. */
+  def dedupMix(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val d38 = DecimalType(38, 0)
+    val w = DedupOps.dupWeights(spark, dir).select("doc_id", "weight_ppm")
+    docTokens(spark, dir).select("doc_id", "source", "n_tok")
+      .join(w, "doc_id")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_tok").as("tokens_raw"),
+        sum((col("n_tok") * col("weight_ppm")).cast(d38)).as("eff_ppm"))
+      .select(col("source"), col("n_docs"), col("tokens_raw"),
+        call_function("div", col("eff_ppm"), lit(1000000L).cast(d38)).as("tokens_eff"),
+        call_function("div", col("eff_ppm"), col("tokens_raw").cast(d38)).as("eff_ratio_ppm"))
+      .orderBy("source")
   }
 }

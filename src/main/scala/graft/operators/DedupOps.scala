@@ -401,6 +401,19 @@ object DedupOps {
     labels.select(col("doc_id"), col("label").as("cluster_id")).orderBy("doc_id")
   }
 
+  /** The d5 cluster partition extended to the WHOLE corpus:
+    * (doc_id, cluster_id) with d5's label where the doc is in the
+    * near-dup pair graph, the doc's own id otherwise (singleton).
+    * Shared by d18 (weights), g6 (spectrum) and anything else that
+    * reads dedup structure corpus-wide — one left join over the
+    * memoized d5 labels, linear in the corpus. */
+  private[graft] def corpusClusters(spark: SparkSession, dir: String): DataFrame = {
+    val clusters = nearDupClusters(spark, dir).select("doc_id", "cluster_id")
+    Tables.documents(spark, dir).select("doc_id")
+      .join(clusters, Seq("doc_id"), "left")
+      .withColumn("cluster_id", coalesce(col("cluster_id"), col("doc_id")))
+  }
+
   /** d18: SOFT dedup — per-document training weights from near-dup
     * cluster size, the drop-free alternative to d5-then-discard: every
     * doc in a near-dup cluster of size s gets weight 1/s (int64 ppm,
@@ -416,10 +429,7 @@ object DedupOps {
     * and a cluster-size aggregate — both shuffle on doc_id/cluster_id
     * and stay linear in the corpus. */
   def dupWeights(spark: SparkSession, dir: String): DataFrame = {
-    val clusters = nearDupClusters(spark, dir).select("doc_id", "cluster_id")
-    val withC = Tables.documents(spark, dir).select("doc_id")
-      .join(clusters, Seq("doc_id"), "left")
-      .withColumn("cluster_id", coalesce(col("cluster_id"), col("doc_id")))
+    val withC = corpusClusters(spark, dir)
     val csz = withC.groupBy("cluster_id").agg(count(lit(1)).as("cluster_size"))
     withC.join(csz, "cluster_id")
       .withColumn("weight_ppm", expr("1000000 div cluster_size"))

@@ -243,4 +243,32 @@ object GraphOps {
       .agg(count(lit(1)).as("n_triangles"))
     nEdges.crossJoin(nNodes).crossJoin(tri)
   }
+
+  /** g6: COMPONENT-SIZE SPECTRUM — the near-dup graph's health read
+    * BEFORE trusting transitive dedup at scale: the distribution of
+    * d5 connected-component sizes over the WHOLE corpus (singletons
+    * included), one row per distinct size with its cluster count, doc
+    * count and corpus share (ppm, floor div). The failure mode this
+    * catches is the classic LSH-chaining collapse — a too-loose
+    * threshold links half the corpus into one giant component and a
+    * d5-representative dedup then silently drops it all; on this table
+    * that reads as a single huge `cluster_size` row owning most of
+    * `doc_share_ppm`, caught before the drop, not after.
+    *
+    * Scale shape: rides [[DedupOps.corpusClusters]] (the memoized d5
+    * labels + one corpus-key left join), then two map-combined
+    * aggregates collapsing corpus → clusters → |distinct sizes| rows
+    * and a 1-row broadcast total — no new shuffle class, linear in
+    * the corpus. */
+  def componentSpectrum(spark: SparkSession, dir: String): DataFrame = {
+    val withC = DedupOps.corpusClusters(spark, dir)
+    val sizes = withC.groupBy("cluster_id").agg(count(lit(1)).as("cluster_size"))
+    val total = withC.agg(count(lit(1)).as("n_total"))
+    sizes.groupBy("cluster_size").agg(count(lit(1)).as("n_clusters"))
+      .withColumn("n_docs", col("cluster_size") * col("n_clusters"))
+      .crossJoin(broadcast(total))
+      .select(col("cluster_size"), col("n_clusters"), col("n_docs"),
+        expr("(1000000 * n_docs) div n_total").as("doc_share_ppm"))
+      .orderBy("cluster_size")
+  }
 }

@@ -294,15 +294,18 @@ class DepthOpsSpec extends AnyFunSuite with SparkSpec {
         .map(r => (r.getLong(0), r.getLong(1))).toSet
     val exact = pairs(AnnOps.annTopk(spark, Sf0001).filter(col("rnk") <= 3))
     val expected = Map(
+      "ivf_bq" -> (pairs(AnnOps.annBq(spark, Sf0001)) & exact).size.toLong,
       "ivf_pq" -> (pairs(AnnOps.annPq(spark, Sf0001)) & exact).size.toLong,
       "ivf_sq8" -> (pairs(AnnOps.annSq(spark, Sf0001)) & exact).size.toLong)
     // bytes_per_vec must reconcile with the codec constants: PQ emits
-    // one code per SubDim-dim subspace, SQ8 one code per dimension
+    // one code per SubDim-dim subspace, SQ8 one code per dimension,
+    // BQ one BIT per dimension
     val expectedBytes = Map(
+      "ivf_bq" -> (AnnOps.Dims / 8).toLong,
       "ivf_pq" -> (AnnOps.Dims / AnnOps.SubDim).toLong,
       "ivf_sq8" -> AnnOps.Dims.toLong)
     val out = AnnOps.annIndexEval(spark, Sf0001).collect()
-    assert(out.length === 2)
+    assert(out.length === 3)
     out.foreach { r =>
       val (kind, bytes, nq, nHit, rec) =
         (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))

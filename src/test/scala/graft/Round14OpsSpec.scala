@@ -113,4 +113,52 @@ class Round14OpsSpec extends AnyFunSuite with SparkSpec {
     // the test is non-vacuous only if some real cluster exists
     assert(rows.exists(_._3 > 1L), "no multi-doc cluster at sf0.001 — vacuous")
   }
+
+  test("x16 per-source masses recompute exactly from d18 weights + the tokenizer") {
+    import graft.operators.CorpusOps
+    val w = DedupOps.dupWeights(spark, Sf0001)
+      .select("doc_id", "weight_ppm").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val docs = spark.read.parquet(s"$Sf0001/documents.parquet")
+      .select(col("doc_id"), col("source"),
+        size(graft.functions.F.tokens(col("text"))).cast("long").as("n_tok"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val expected = docs.groupBy(_._2).map { case (src, rs) =>
+      val raw = rs.map(_._3).sum
+      val eff = rs.map(r => BigInt(r._3) * BigInt(w(r._1))).sum
+      src -> (rs.length.toLong, raw, (eff / 1000000).toLong, (eff / raw).toLong)
+    }
+    val got = CorpusOps.dedupMix(spark, Sf0001).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got === expected)
+    // soft dedup must actually bite somewhere: at least one source's
+    // effective mass is strictly below its raw mass
+    assert(got.exists { case (_, (_, raw, eff, _)) => eff < raw },
+      "no source lost mass — d18 weights vacuous at this SF")
+  }
+
+  test("g6 spectrum recomputes from the corpus-wide cluster partition; shares sum") {
+    import graft.operators.GraphOps
+    val byDoc = DedupOps.dupWeights(spark, Sf0001)
+      .select("doc_id", "cluster_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val nTotal = byDoc.length.toLong
+    val expected = byDoc.groupBy(_._2).values.map(_.length.toLong).toSeq
+      .groupBy(identity).map { case (sz, cs) =>
+        val nc = cs.length.toLong
+        sz -> (nc, sz * nc, 1000000L * sz * nc / nTotal)
+      }
+    val out = GraphOps.componentSpectrum(spark, Sf0001).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out === expected)
+    // the spectrum partitions the corpus: doc counts sum to the total,
+    // and (floor-div slack aside) the ppm shares cover ~all of it
+    assert(out.values.map(_._2).sum === nTotal)
+    val shareSum = out.values.map(_._3).sum
+    assert(shareSum <= 1000000L && shareSum > 1000000L - out.size,
+      s"ppm shares $shareSum outside (1e6 - ${out.size}, 1e6]")
+    // non-vacuous: a size-1 row AND a size>1 row both exist
+    assert(out.contains(1L) && out.keys.exists(_ > 1L))
+  }
 }
