@@ -647,6 +647,34 @@ object Oracles {
        |${lpRound("l2", "l3")}
        |SELECT doc_id, label AS cluster_id FROM l3 ORDER BY doc_id""".stripMargin
 
+  /** d11 (and p39, which must reproduce it exactly): the
+    * incremental-ingest near-dup check — incoming carve (doc_id % 4)
+    * banded against the existing corpus, signature-verified. */
+  private lazy val d11Sql: String =
+    s"""WITH $ngramCte,
+       |h AS (SELECT doc_id, ${h60("ngram")} % 2147483647 AS h FROM ng),
+       |perms AS (SELECT CAST(i AS INTEGER) AS i,
+       |  ${h60("'perm_a_' || i")} % 2147483646 + 1 AS pa,
+       |  ${h60("'perm_b_' || i")} % 2147483647 AS pb
+       |  FROM range(16) t(i)),
+       |sig AS (SELECT doc_id, i, min((pa * h + pb) % 2147483647) AS mh
+       |  FROM h CROSS JOIN perms GROUP BY doc_id, i),
+       |bands AS (SELECT doc_id, CAST(floor(i / 4) AS INTEGER) AS band,
+       |  md5(string_agg(CAST(mh AS VARCHAR), ',' ORDER BY i)) AS bkey
+       |  FROM sig GROUP BY doc_id, CAST(floor(i / 4) AS INTEGER)),
+       |cand AS (SELECT DISTINCT inc.doc_id AS incoming_doc, ex.doc_id AS existing_doc
+       |  FROM bands inc JOIN bands ex
+       |    ON inc.band = ex.band AND inc.bkey = ex.bkey
+       |  WHERE inc.doc_id % 4 = 0 AND ex.doc_id % 4 <> 0)
+       |SELECT c.incoming_doc, c.existing_doc,
+       |  CAST(SUM(CASE WHEN si.mh = se.mh THEN 1 ELSE 0 END) AS DOUBLE) / 16 AS est_jaccard
+       |FROM cand c
+       |JOIN sig si ON si.doc_id = c.incoming_doc
+       |JOIN sig se ON se.doc_id = c.existing_doc AND se.i = si.i
+       |GROUP BY 1, 2
+       |HAVING CAST(SUM(CASE WHEN si.mh = se.mh THEN 1 ELSE 0 END) AS DOUBLE) / 16 >= 0.25
+       |ORDER BY incoming_doc, existing_doc""".stripMargin
+
   /** Shared by d18 / x16 / g6: d5's labels extended to the whole corpus
     * (singletons get cluster_id = doc_id) plus per-cluster sizes. */
   private lazy val corpusClusterCte: String =
@@ -3331,30 +3359,12 @@ object Oracles {
     // d11: the bloom prefilter admits only false positives and the join
     // re-checks band equality, so the oracle is the PLAIN cross-carve
     // band join — the bloom is invisible to semantics
-    "d11_incremental_neardup" ->
-      s"""WITH $ngramCte,
-         |h AS (SELECT doc_id, ${h60("ngram")} % 2147483647 AS h FROM ng),
-         |perms AS (SELECT CAST(i AS INTEGER) AS i,
-         |  ${h60("'perm_a_' || i")} % 2147483646 + 1 AS pa,
-         |  ${h60("'perm_b_' || i")} % 2147483647 AS pb
-         |  FROM range(16) t(i)),
-         |sig AS (SELECT doc_id, i, min((pa * h + pb) % 2147483647) AS mh
-         |  FROM h CROSS JOIN perms GROUP BY doc_id, i),
-         |bands AS (SELECT doc_id, CAST(floor(i / 4) AS INTEGER) AS band,
-         |  md5(string_agg(CAST(mh AS VARCHAR), ',' ORDER BY i)) AS bkey
-         |  FROM sig GROUP BY doc_id, CAST(floor(i / 4) AS INTEGER)),
-         |cand AS (SELECT DISTINCT inc.doc_id AS incoming_doc, ex.doc_id AS existing_doc
-         |  FROM bands inc JOIN bands ex
-         |    ON inc.band = ex.band AND inc.bkey = ex.bkey
-         |  WHERE inc.doc_id % 4 = 0 AND ex.doc_id % 4 <> 0)
-         |SELECT c.incoming_doc, c.existing_doc,
-         |  CAST(SUM(CASE WHEN si.mh = se.mh THEN 1 ELSE 0 END) AS DOUBLE) / 16 AS est_jaccard
-         |FROM cand c
-         |JOIN sig si ON si.doc_id = c.incoming_doc
-         |JOIN sig se ON se.doc_id = c.existing_doc AND se.i = si.i
-         |GROUP BY 1, 2
-         |HAVING CAST(SUM(CASE WHEN si.mh = se.mh THEN 1 ELSE 0 END) AS DOUBLE) / 16 >= 0.25
-         |ORDER BY incoming_doc, existing_doc""".stripMargin,
+    "d11_incremental_neardup" -> d11Sql,
+
+    // p39: the STREAMING admission path must reproduce d11's batch
+    // answer EXACTLY — its oracle is d11's statement verbatim (e10's
+    // serve-equals-build discipline applied to the stream)
+    "p39_stream_neardup" -> d11Sql,
 
     "x5_source_budget" ->
       s"""WITH d AS (SELECT doc_id, source,

@@ -226,7 +226,7 @@ object DedupOps {
     * permutation order. Memoized and shared by d3 (self-join) and d10
     * (cross-carve join) so the banding semantics can never drift
     * between the two and the band build runs once per session. */
-  private def lshBands(spark: SparkSession, dir: String): DataFrame =
+  private[graft] def lshBands(spark: SparkSession, dir: String): DataFrame =
     memoized(spark, "lshBands", dir)(
       bandsWith(minhashSig(spark, dir), BandRows))
 

@@ -936,6 +936,108 @@ object StreamPipeline {
       .orderBy(col("true_cnt").desc, col("user_id"))
   }
 
+  /** p39: IN-STREAM NEAR-DUP ADMISSION — d11's incremental-ingest
+    * question answered AT INGEST TIME instead of in a nightly batch:
+    * the incoming crawl (doc_id % 4 == 0, d11's carve) arrives as an
+    * unbounded document stream and every arriving document is checked
+    * against the EXISTING corpus's LSH index as it lands, emitting
+    * (incoming_doc, existing_doc, est_jaccard ≥ 0.25) — byte-identical
+    * to d11's batch answer (the oracle IS d11's statement, and the spec
+    * pins stream == batch row-for-row).
+    *
+    * The design point: the whole per-document MinHash is computed
+    * MAP-SIDE inside the stream (token 3-grams → hash60 → K affine
+    * permutations → per-band md5 keys, all array expressions over the
+    * one text column — duplicates in the shingle multiset cannot change
+    * a min, so no DISTINCT aggregation is needed), which makes the
+    * query STATELESS: no streaming aggregation, no watermark, no state
+    * store. Candidate generation is a stream-static equi-join on
+    * (band, bkey) against the memoized corpus band index; pair-level
+    * dedup across multi-band matches is the in-row FIRST-MATCHING-BAND
+    * rule (both sides' full band-key arrays ride the join, so "is this
+    * the smallest matching band" is a row-local predicate — the
+    * stateless equivalent of d11's distinct); verification is an
+    * in-row zip_with over the two signature arrays.
+    *
+    * Scale shape: per-micro-batch cost is map-side signature compute +
+    * one bucketed equi-join against the (persisted) corpus index —
+    * exactly the d11 shuffle class, with zero state to snapshot; at
+    * 100 TB the static side is the already-landed band index (e10's
+    * discipline) and the stream side never re-scans the corpus. */
+  def streamNearDup(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.DedupOps
+    val streamDir = java.nio.file.Paths.get(stagingPath("p39", dir))
+    landOnce(streamDir.toString,
+      streamDir.resolve(stagedMarkerName("documents")).toString) {
+      stageParquet(s"$dir/documents.parquet", streamDir.toString, "documents")
+    }
+    val schema = spark.read.parquet(s"$dir/documents.parquet").schema
+    val p = DedupOps.P
+    // the SAME md5-derived permutation coefficients as
+    // DedupOps.minhashSig, derived via the one driver-side hash mirror
+    val perms = (0 until DedupOps.K).map { i =>
+      (hash60Driver(s"perm_a_$i") % (p - 1) + 1L, hash60Driver(s"perm_b_$i") % p)
+    }
+    val nBands = DedupOps.K / DedupOps.BandRows
+    val ngrams = expr(
+      """CASE WHEN size(t) >= 3
+        |  THEN transform(sequence(0, size(t) - 3),
+        |    i -> array_join(slice(t, i + 1, 3), ' '))
+        |  ELSE array() END""".stripMargin)
+    val sigCol = array(perms.map { case (pa, pb) =>
+      array_min(transform(col("hs"), h => (lit(pa) * h + lit(pb)) % p))
+    }: _*)
+    val bkeysCol = array((0 until nBands).map { b =>
+      md5(concat_ws(",", (0 until DedupOps.BandRows).map(r =>
+        col("sig")(b * DedupOps.BandRows + r).cast("string")): _*))
+    }: _*)
+    val incoming = spark.readStream.schema(schema).parquet(streamDir.toString)
+      .filter(col("doc_id") % 4 === 0)
+      .withColumn("t", tokens(col("text")))
+      .withColumn("hs", transform(ngrams, g => hash60(g) % p))
+      .filter(size(col("hs")) > 0) // < 3 tokens → no shingles, like batch
+      .withColumn("sig", sigCol)
+      .withColumn("bkeys", bkeysCol)
+      .select(col("doc_id").as("incoming_doc"),
+        col("sig").as("inc_sig"), col("bkeys").as("inc_bkeys"))
+      .select(col("incoming_doc"), col("inc_sig"), col("inc_bkeys"),
+        posexplode(col("inc_bkeys")).as(Seq("band", "bkey")))
+    val existing = DedupOps.lshBands(spark, dir)
+      .filter(col("doc_id") % 4 =!= 0)
+      .select(col("doc_id").as("existing_doc"),
+        col("band").cast("int"), col("bkey"))
+    val exBk = existing.groupBy("existing_doc")
+      .agg(transform(array_sort(collect_list(struct(col("band"), col("bkey")))),
+        s => s.getField("bkey")).as("ex_bkeys"))
+    val exSig = DedupOps.minhashSig(spark, dir)
+      .filter(col("doc_id") % 4 =!= 0)
+      .groupBy("doc_id")
+      .agg(transform(array_sort(collect_list(struct(col("i"), col("mh")))),
+        s => s.getField("mh")).as("ex_sig"))
+      .select(col("doc_id").as("existing_doc"), col("ex_sig"))
+    val out = incoming
+      .join(existing, Seq("band", "bkey"))
+      .join(exBk, "existing_doc")
+      .join(exSig, "existing_doc")
+      // stateless distinct: keep only the FIRST band the pair agrees on
+      .filter(col("band") === expr(
+        "array_position(zip_with(inc_bkeys, ex_bkeys, (a, b) -> a = b), true) - 1"))
+      .withColumn("n_agree", expr(
+        """aggregate(zip_with(inc_sig, ex_sig,
+          |  (a, b) -> CASE WHEN a = b THEN 1L ELSE 0L END),
+          |  0L, (acc, x) -> acc + x)""".stripMargin))
+      .withColumn("est_jaccard",
+        col("n_agree").cast(org.apache.spark.sql.types.DoubleType) / DedupOps.K)
+      .filter(col("est_jaccard") >= 0.25)
+      .select("incoming_doc", "existing_doc", "est_jaccard")
+    val query = out
+      .writeStream.format("memory").queryName("graft_p39_neardup")
+      .outputMode("append").start()
+    try query.processAllAvailable()
+    finally { recordFloor("p39", query); query.stop() }
+    spark.table("graft_p39_neardup").orderBy("incoming_doc", "existing_doc")
+  }
+
   /** Daily KPIs over the matched-trip stream — event-time 1-day window,
     * same decimal-exact aggregates as the batch kpiDaily. */
   def kpiDailyStream(spark: SparkSession, events: DataFrame): DataFrame =

@@ -161,4 +161,16 @@ class Round14OpsSpec extends AnyFunSuite with SparkSpec {
     // non-vacuous: a size-1 row AND a size>1 row both exist
     assert(out.contains(1L) && out.keys.exists(_ > 1L))
   }
+
+  test("p39 in-stream near-dup reproduces d11's batch answer row-for-row") {
+    val batch = DedupOps.incrementalNearDup(spark, Sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val stream = graft.streaming.StreamPipeline.streamNearDup(spark, Sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(stream === batch)
+    assert(stream.nonEmpty, "no in-stream near-dups at sf0.001 — vacuous")
+    // the first-matching-band rule IS a distinct: no pair twice
+    val pairs = stream.toSeq.map(t => (t._1, t._2))
+    assert(pairs.size === pairs.distinct.size)
+  }
 }
