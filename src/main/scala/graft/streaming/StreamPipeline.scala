@@ -991,15 +991,22 @@ object StreamPipeline {
       md5(concat_ws(",", (0 until DedupOps.BandRows).map(r =>
         col("sig")(b * DedupOps.BandRows + r).cast("string")): _*))
     }: _*)
+    // The explode(array(..)) wrappers are GENERATOR BARRIERS, not data
+    // shaping: hs is referenced by all 16 permutation mins and sig by
+    // all 4 band keys, and CollapseProject would inline the md5-heavy
+    // producer expression into every consumer (measured: 14.6 s vs
+    // ~1 s at sf0.1 — a ~16× re-evaluation of the per-shingle hashing).
+    // A Generate node's output is an attribute, so each tier is
+    // evaluated exactly once per row.
     val incoming = spark.readStream.schema(schema).parquet(streamDir.toString)
       .filter(col("doc_id") % 4 === 0)
       .withColumn("t", tokens(col("text")))
-      .withColumn("hs", transform(ngrams, g => hash60(g) % p))
+      .select(col("doc_id"),
+        explode(array(transform(ngrams, g => hash60(g) % p))).as("hs"))
       .filter(size(col("hs")) > 0) // < 3 tokens → no shingles, like batch
-      .withColumn("sig", sigCol)
-      .withColumn("bkeys", bkeysCol)
-      .select(col("doc_id").as("incoming_doc"),
-        col("sig").as("inc_sig"), col("bkeys").as("inc_bkeys"))
+      .select(col("doc_id"), explode(array(sigCol)).as("sig"))
+      .select(col("doc_id").as("incoming_doc"), col("sig").as("inc_sig"),
+        explode(array(bkeysCol)).as("inc_bkeys"))
       .select(col("incoming_doc"), col("inc_sig"), col("inc_bkeys"),
         posexplode(col("inc_bkeys")).as(Seq("band", "bkey")))
     val existing = DedupOps.lshBands(spark, dir)
