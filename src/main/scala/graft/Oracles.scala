@@ -2679,6 +2679,27 @@ object Oracles {
          |  CAST(sum(eff_ppm) // sum(n_tok) AS BIGINT) AS eff_ratio_ppm
          |FROM j GROUP BY source ORDER BY source""".stripMargin,
 
+    // x17: d18's weights in x4's hash-sampling rule — realized kept
+    // mass per source next to x16's expected effective mass
+    "x17_soft_sample" ->
+      s"""WITH $corpusClusterCte,
+         |dw AS (SELECT a.doc_id,
+         |    CAST(1000000 // s.cluster_size AS BIGINT) AS weight_ppm
+         |  FROM allc a JOIN csz s USING (cluster_id)),
+         |dt AS (SELECT doc_id, source, len($TOK) AS n_tok FROM documents),
+         |j AS (SELECT dt.source, dt.n_tok,
+         |    ${h60("'soft_' || CAST(dt.doc_id AS VARCHAR)")} % 1000000
+         |      < w.weight_ppm AS kept,
+         |    CAST(dt.n_tok AS HUGEINT) * w.weight_ppm AS eff_ppm
+         |  FROM dt JOIN dw w USING (doc_id))
+         |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         |  CAST(sum(n_tok) AS BIGINT) AS tokens_raw,
+         |  CAST(COALESCE(SUM(CASE WHEN kept THEN n_tok END), 0) AS BIGINT)
+         |    AS tokens_kept,
+         |  CAST(sum(eff_ppm) // 1000000 AS BIGINT) AS tokens_eff
+         |FROM j GROUP BY source ORDER BY source""".stripMargin,
+
     // g6: the component-size spectrum over the same corpus-wide
     // cluster partition
     "g6_component_spectrum" ->

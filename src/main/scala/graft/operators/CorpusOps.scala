@@ -671,4 +671,41 @@ object CorpusOps {
         call_function("div", col("eff_ppm"), col("tokens_raw").cast(d38)).as("eff_ratio_ppm"))
       .orderBy("source")
   }
+
+  /** x17: SOFT-DEDUP SAMPLER — the EXECUTABLE leg of the d18→x16
+    * chain: each document is kept iff hash60('soft_'‖doc_id) % 10⁶ <
+    * its d18 weight_ppm (x4's deterministic-hash sampling rule with
+    * the per-doc duplicate weight in the rate role), so a near-dup
+    * cluster of size s keeps ~one member in expectation WITHOUT anyone
+    * choosing which — the unbiased alternative to x13's argmax pick
+    * when quality scores aren't trusted. Reported per source: raw
+    * docs/tokens, the REALIZED kept docs/tokens, and x16's expected
+    * effective tokens next to them, so "the sampler realizes the
+    * effective mass" is read off one table.
+    *
+    * Scale shape: exactly x16's joins plus one codegen'd hash
+    * predicate — no new shuffle class; the sample decision is
+    * row-local and reproducible from doc_id alone (resume/backfill
+    * safe, x9's discipline). */
+  def softSample(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.F.hash60
+    import org.apache.spark.sql.types.DecimalType
+    val d38 = DecimalType(38, 0)
+    val w = DedupOps.dupWeights(spark, dir).select("doc_id", "weight_ppm")
+    docTokens(spark, dir).select("doc_id", "source", "n_tok")
+      .join(w, "doc_id")
+      .withColumn("kept",
+        hash60(concat(lit("soft_"), col("doc_id").cast("string")))
+          % 1000000L < col("weight_ppm"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+        sum("n_tok").as("tokens_raw"),
+        sum(when(col("kept"), col("n_tok")).otherwise(0L)).as("tokens_kept"),
+        sum((col("n_tok") * col("weight_ppm")).cast(d38)).as("eff_ppm"))
+      .select(col("source"), col("n_docs"), col("n_kept"),
+        col("tokens_raw"), col("tokens_kept"),
+        call_function("div", col("eff_ppm"), lit(1000000L).cast(d38)).as("tokens_eff"))
+      .orderBy("source")
+  }
 }

@@ -162,6 +162,35 @@ class Round14OpsSpec extends AnyFunSuite with SparkSpec {
     assert(out.contains(1L) && out.keys.exists(_ > 1L))
   }
 
+  test("x17 realized sample recomputes from d18 weights + the hash mirror") {
+    import graft.operators.CorpusOps
+    import graft.functions.F
+    val w = DedupOps.dupWeights(spark, Sf0001)
+      .select("doc_id", "weight_ppm").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val docs = spark.read.parquet(s"$Sf0001/documents.parquet")
+      .select(col("doc_id"), col("source"),
+        size(F.tokens(col("text"))).cast("long").as("n_tok"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val expected = docs.groupBy(_._2).map { case (src, rs) =>
+      val kept = rs.filter(r => F.hash60Driver(s"soft_${r._1}") % 1000000L < w(r._1))
+      val eff = rs.map(r => BigInt(r._3) * BigInt(w(r._1))).sum
+      src -> (rs.length.toLong, kept.length.toLong, rs.map(_._3).sum,
+        kept.map(_._3).sum, (eff / 1000000).toLong)
+    }
+    val got = CorpusOps.softSample(spark, Sf0001).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    assert(got === expected)
+    // the sampler must actually drop someone (multi-doc clusters exist
+    // at this SF, so some weight_ppm < 1e6 and the hash bites)
+    assert(got.values.exists { case (n, k, _, _, _) => k < n },
+      "no document dropped — sampler vacuous at this SF")
+    // singletons (weight 1e6) are ALWAYS kept: total kept >= singleton count
+    val singles = w.values.count(_ == 1000000L).toLong
+    assert(got.values.map(_._2).sum >= singles)
+  }
+
   test("p39 in-stream near-dup reproduces d11's batch answer row-for-row") {
     val batch = DedupOps.incrementalNearDup(spark, Sf0001).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
