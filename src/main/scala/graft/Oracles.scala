@@ -79,7 +79,7 @@ object Oracles {
     * cannot fork between statements. */
   private lazy val cellCte: String =
     s"""cqv AS MATERIALIZED (SELECT vec_id, $QV AS qv FROM embeddings),
-       |cb AS MATERIALIZED (SELECT CAST(MIN(x) AS INTEGER) AS b FROM range(1, 21) t(x)
+       |cb AS MATERIALIZED (SELECT CAST(COALESCE(MIN(x), 20) AS INTEGER) AS b FROM range(1, 21) t(x)
        |  WHERE ${graft.operators.AnnOps.BaseLabels} * (CAST(1 AS BIGINT) << x)
        |      * ${graft.operators.AnnOps.CellTarget} >= (SELECT COUNT(*) FROM embeddings)),
        |cpl AS (SELECT CAST(p AS INTEGER) AS p, CAST(d AS INTEGER) AS d,
@@ -581,7 +581,7 @@ object Oracles {
   // e2/e4's bucket width derives from the corpus count (AnnOps
   // .bandPlanes replayed — the same sizing as e3's bands)
   private lazy val bucketCte =
-    s"""bp2 AS MATERIALIZED (SELECT CAST(MIN(x) AS INTEGER) AS p FROM range(6, 25) t(x)
+    s"""bp2 AS MATERIALIZED (SELECT CAST(COALESCE(MIN(x), 24) AS INTEGER) AS p FROM range(6, 25) t(x)
        |  WHERE (CAST(1 AS BIGINT) << x) * ${graft.operators.AnnOps.BandBucketTarget}
        |    >= (SELECT COUNT(*) FROM embeddings)),
        |planes AS (
@@ -2658,7 +2658,7 @@ object Oracles {
     "d18_dup_weights" ->
       s"""WITH $corpusClusterCte
          |SELECT a.doc_id, a.cluster_id, s.cluster_size,
-         |  CAST(1000000 // s.cluster_size AS BIGINT) AS weight_ppm
+         |  GREATEST(1, CAST(1000000 // s.cluster_size AS BIGINT)) AS weight_ppm
          |FROM allc a JOIN csz s USING (cluster_id)
          |ORDER BY a.doc_id""".stripMargin,
 
@@ -2667,7 +2667,7 @@ object Oracles {
     "x16_dedup_mix" ->
       s"""WITH $corpusClusterCte,
          |dw AS (SELECT a.doc_id,
-         |    CAST(1000000 // s.cluster_size AS BIGINT) AS weight_ppm
+         |    GREATEST(1, CAST(1000000 // s.cluster_size AS BIGINT)) AS weight_ppm
          |  FROM allc a JOIN csz s USING (cluster_id)),
          |dt AS (SELECT doc_id, source, len($TOK) AS n_tok FROM documents),
          |j AS (SELECT dt.source, dt.n_tok,
@@ -2684,7 +2684,7 @@ object Oracles {
     "x17_soft_sample" ->
       s"""WITH $corpusClusterCte,
          |dw AS (SELECT a.doc_id,
-         |    CAST(1000000 // s.cluster_size AS BIGINT) AS weight_ppm
+         |    GREATEST(1, CAST(1000000 // s.cluster_size AS BIGINT)) AS weight_ppm
          |  FROM allc a JOIN csz s USING (cluster_id)),
          |dt AS (SELECT doc_id, source, len($TOK) AS n_tok FROM documents),
          |j AS (SELECT dt.source, dt.n_tok,
@@ -2832,7 +2832,7 @@ object Oracles {
     // .bandPlanes replayed): p = min{x >= 6 : 2^x * BandBucketTarget >= n}
     "e3_embed_neardup" ->
       s"""WITH ${annQ},
-         |bpb AS MATERIALIZED (SELECT CAST(MIN(x) AS INTEGER) AS ppb FROM range(6, 25) t(x)
+         |bpb AS MATERIALIZED (SELECT CAST(COALESCE(MIN(x), 24) AS INTEGER) AS ppb FROM range(6, 25) t(x)
          |  WHERE (CAST(1 AS BIGINT) << x) * ${graft.operators.AnnOps.BandBucketTarget}
          |    >= (SELECT COUNT(*) FROM embeddings)),
          |planes AS (
@@ -3505,7 +3505,7 @@ object Oracles {
     "m10_blob_ann" ->
       s"""WITH $m4EmbCte,
          |${panelCte("documents", "doc_id", graft.operators.MultimodalOps.EmbQueryStride)},
-         |m10b AS MATERIALIZED (SELECT CAST(MIN(x) AS INTEGER) AS b FROM range(2, 21) t(x)
+         |m10b AS MATERIALIZED (SELECT CAST(COALESCE(MIN(x), 20) AS INTEGER) AS b FROM range(2, 21) t(x)
          |  WHERE (CAST(1 AS BIGINT) << x) * ${graft.operators.MultimodalOps.M10CellTarget}
          |    >= (SELECT COUNT(*) FROM documents)),
          |planes AS (SELECT CAST(p AS INTEGER) AS p, CAST(d AS INTEGER) AS d,

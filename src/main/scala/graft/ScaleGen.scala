@@ -21,13 +21,20 @@ import org.apache.spark.sql.types.FloatType
   * Embedding dim-0 is nudged by r·0.001 so replicated vectors are not
   * bitwise ties in cosine ranking.
   *
-  * Usage: runMain graft.ScaleGen <srcDir> <outDir> [factor]
+  * Usage: runMain graft.ScaleGen <srcDir> <outDir> [factor] [tables]
+  * `tables` (comma list) restricts output — e.g. `embeddings` derives
+  * the n ≥ 10⁶ embeddings-only carve that exercises adaptiveK's √n
+  * branch and the geometry caps without paying a 64× text corpus.
   */
 object ScaleGen {
   def main(args: Array[String]): Unit = {
-    require(args.length >= 2, "usage: ScaleGen <srcDir> <outDir> [factor]")
+    require(args.length >= 2, "usage: ScaleGen <srcDir> <outDir> [factor] [tables]")
     val (src, out) = (args(0), args(1))
     val factor = if (args.length > 2) args(2).toInt else 10
+    val tables: Set[String] = if (args.length > 3)
+      args(3).split(",").map(_.trim).toSet
+    else Set("region", "nation", "customer", "supplier", "part",
+      "orders", "lineitem", "events", "documents", "embeddings")
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")}]")
       .appName("graft-scalegen")
@@ -49,7 +56,7 @@ object ScaleGen {
     }
 
     def read(name: String) = spark.read.parquet(s"$src/$name.parquet")
-    def write(df: DataFrame, name: String): Unit = {
+    def write(df: DataFrame, name: String): Unit = if (tables(name)) {
       df.write.mode("overwrite").parquet(s"$out/$name.parquet")
       println(s"[scalegen] $name -> ${spark.read.parquet(s"$out/$name.parquet").count()} rows")
     }

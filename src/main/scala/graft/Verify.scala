@@ -7,8 +7,12 @@ object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    // input-sized split config — see F.autoSplitMb / the Bench comment
-    val splitMb = graft.functions.F.autoSplitMb(sfDir)
+    // input-sized split config — see F.autoSplitMb / the Bench comment.
+    // SPARK_GRAFT_SPLIT_MB is the same dev-only A/B override Bench
+    // honors, so a split-config experiment applies to BOTH mains and
+    // the two can never silently run different scan configs.
+    val splitMb = sys.env.get("SPARK_GRAFT_SPLIT_MB").map(_.toInt)
+      .getOrElse(graft.functions.F.autoSplitMb(sfDir))
     val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)

@@ -291,7 +291,7 @@ object AnnOps {
     * so centroid ranking needs no division and is bit-deterministic.
     * Magnitudes stay ≤ ~1e15 — exact in int64 and in the oracle's
     * 53-bit doubles. */
-  private def centroids(spark: SparkSession, dir: String): DataFrame =
+  private[operators] def centroids(spark: SparkSession, dir: String): DataFrame =
     DedupOps.memoized(spark, "ann_centroids", dir) {
       centroidStateOf(quantized(spark, dir))
     }
@@ -374,17 +374,28 @@ object AnnOps {
     * (q_id, qq, label). ONE definition: the dist2 identity and the
     * (dist2, label) tie-break must stay bit-identical to both oracles,
     * so neither operator carries its own copy. */
-  private def probedCells(spark: SparkSession, dir: String, nProbe: Int): DataFrame =
+  private[graft] def probedCells(spark: SparkSession, dir: String, nProbe: Int): DataFrame =
     probedCellsWith(spark, dir, nProbe, centroids(spark, dir))
 
   /** probedCells against an EXPLICIT centroid relation — e5/e6/e9 pass
     * the session-memoized build, e10 passes the parquet read-back of the
     * persisted index; the probe logic itself must not fork. */
   private def probedCellsWith(spark: SparkSession, dir: String, nProbe: Int,
-      cent: DataFrame): DataFrame = {
+      cent: DataFrame): DataFrame =
+    probedCellsOf(spark,
+      quantized(spark, dir).filter(col("vec_id") % QueryStride === 0)
+        .select(col("vec_id").as("q_id"), col("q").as("qq")),
+      nProbe, cent)
+
+  /** The probe core against an EXPLICIT (q_id, qq) query relation —
+    * the e-family passes the stride queries; d19 passes the eval
+    * carve's vectors (its query side is the benchmark, not a stride).
+    * One definition: the dist2 identity and (dist2, label) tie-break
+    * cannot fork between consumers. */
+  private[graft] def probedCellsOf(spark: SparkSession, queries: DataFrame,
+      nProbe: Int, cent: DataFrame): DataFrame = {
     val dot = dotBest(spark)
-    quantized(spark, dir).filter(col("vec_id") % QueryStride === 0)
-      .select(col("vec_id").as("q_id"), col("q").as("qq"))
+    queries
       .crossJoin(broadcast(cent))
       .withColumn("dist2",
         col("n") * col("n") * dot(col("qq"), col("qq")) -

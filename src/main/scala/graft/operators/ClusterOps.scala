@@ -244,6 +244,58 @@ object ClusterOps {
   def trainSampleSize(k: Int): Int =
     math.max(TrainSampleCap, PointsPerCentroid * k)
 
+  /** Exact-integer argmin assignment as a PER-PARTITION KERNEL — the
+    * adaptive path's replacement for [[assignTo]]'s unnested join. The
+    * declarative form fans every coordinate row k× (n·d·k rows through
+    * a hash aggregate), which is fine at the fixed e7/e16 k=8 (linear,
+    * Catalyst-visible) but under [[adaptiveK]]'s √n branch becomes
+    * n^1.5·d ROWS — ~2.6e11 at n=10⁶, the row-explosion quadratic in
+    * disguise this kernel exists to remove. Here each vector row does
+    * the k·d work INSIDE one JIT'd loop over a broadcast k×d centroid
+    * matrix (k·d·8 bytes — 2.3 MB at n=10⁶'s k=4√n; beyond broadcast
+    * size you shard on a centroid-block key, the [[K]] note), with
+    * per-dimension EARLY ABANDONMENT against the running best (sums
+    * are monotone non-negative, so a partial sum ≥ best can never win
+    * — pure pruning, zero result change). Math is bit-identical to
+    * [[assignTo]]: exact int64 Σ(v−cv)², argmin ties to the LOWER cid
+    * (ascending-cid scan + strict improvement). mapPartitions is the
+    * charter's genuine-imperative case: a BLAS-style n·k·d kernel no
+    * relational shape expresses without materializing n·k rows. */
+  private def assignKernel(spark: SparkSession, vecs: DataFrame, cent: DataFrame): DataFrame = {
+    import spark.implicits._
+    val centLocal = cent.select("cid", "d", "cv").collect()
+    val dims = centLocal.iterator.map(_.getInt(1)).max + 1
+    val mat: Array[(Long, Array[Long])] = centLocal
+      .groupBy(_.getLong(0)).toArray.sortBy(_._1)
+      .map { case (cid, rs) =>
+        val v = new Array[Long](dims)
+        rs.foreach(r => v(r.getInt(1)) = r.getLong(2))
+        (cid, v)
+      }
+    val bc = spark.sparkContext.broadcast(mat)
+    vecs.select(col("vec_id"), col("q")).as[(Long, Array[Long])]
+      .mapPartitions { it =>
+        val cents = bc.value
+        it.map { case (id, q) =>
+          var bestC = -1L
+          var bestD = Long.MaxValue
+          var i = 0
+          while (i < cents.length) {
+            val cv = cents(i)._2
+            val n = q.length
+            var s = 0L
+            var d = 0
+            while (d < n && s < bestD) {
+              val diff = q(d) - cv(d); s += diff * diff; d += 1
+            }
+            if (d == n && s < bestD) { bestD = s; bestC = cents(i)._1 }
+            i += 1
+          }
+          (id, bestC, bestD)
+        }
+      }.toDF("vec_id", "cid", "dist")
+  }
+
   /** The d12 substrate: converge-or-cap Lloyd (the e16 stopping rule —
     * fixpoint or period-2 cycle, MaxRounds cap) trained on the
     * [[trainSampleSize]] md5-rank sample at the [[adaptiveK]] cluster
@@ -286,13 +338,21 @@ object ClusterOps {
       .select("vec_id", "cid")
     var cent = seeds.join(us, "vec_id")
       .select(col("cid"), col("d"), col("v").as("cv")).materialized()
+    // packed (vec_id, q) sides for the kernel: the memoized e-family
+    // corpus projection, and its sample restriction — the adaptive
+    // path's assignments run through assignKernel (see its Scaladoc:
+    // the unnested join's n·d·k row volume is n^1.5·d under the √n
+    // branch), while updateFrom keeps the declarative sample·d
+    // aggregate (linear, k-independent)
+    val pk = graft.operators.AnnOps.quantized(spark, dir).select("vec_id", "q")
+    val sq = pk.join(broadcast(samp), "vec_id").materialized()
     var prev: DataFrame = null
-    var assigned = assignTo(us, cent).materialized()
+    var assigned = assignKernel(spark, sq, cent).materialized()
     var round = 1
     var stoppedAt = 0
     while (stoppedAt == 0 && round < MaxRounds) {
       val nextCent = updateFrom(us, assigned).materialized()
-      val next = assignTo(us, nextCent).materialized()
+      val next = assignKernel(spark, sq, nextCent).materialized()
       round += 1
       val fixpoint = sameAssignment(next, assigned)
       val cycle = !fixpoint && prev != null && sameAssignment(next, prev)
@@ -303,7 +363,7 @@ object ClusterOps {
     }
     // ONE full-corpus pass: assign every vector to the centroids that
     // produced the reported (converged) sample assignment
-    assignTo(u, cent)
+    assignKernel(spark, pk, cent)
   }
 
   /** Per-cluster sample size for x2. */

@@ -423,6 +423,11 @@ object DedupOps {
     * the mixer (x4) can consume these weights where a hard d5 keep-list
     * would lose the duplicates' provenance entirely. Docs outside the
     * d5 pair graph are singletons: cluster_id = doc_id, weight 1.
+    * The weight is FLOORED at 1 ppm (greatest(1, 10⁶ div s)): past
+    * 10⁶-member clusters integer floor-division would zero the whole
+    * cluster's mass — the giant-LSH-chain case g6 exists to flag —
+    * where soft dedup's contract is ~unit mass per content unit. The
+    * oracle mirrors the identical GREATEST.
     *
     * Scale shape: rides the MEMOIZED d5 label-propagation output
     * (pair-graph-scale, never corpus²) plus one corpus-key left join
@@ -432,7 +437,7 @@ object DedupOps {
     val withC = corpusClusters(spark, dir)
     val csz = withC.groupBy("cluster_id").agg(count(lit(1)).as("cluster_size"))
     withC.join(csz, "cluster_id")
-      .withColumn("weight_ppm", expr("1000000 div cluster_size"))
+      .withColumn("weight_ppm", expr("greatest(1L, 1000000 div cluster_size)"))
       .select("doc_id", "cluster_id", "cluster_size", "weight_ppm")
       .orderBy("doc_id")
   }

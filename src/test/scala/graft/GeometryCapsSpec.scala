@@ -1,0 +1,123 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{AnnOps, ClusterOps, MultimodalOps}
+
+/** The adaptive-geometry sizing functions at their BOUNDARIES — the
+  * regime no shipped SF reaches (max tested corpus n = 60k at sf3;
+  * cellBits saturates at n ≈ 2.6e9, bandPlanes at 67M, m10Planes at
+  * 33.5M, adaptiveK's √n crossover at 10⁶). Two claims per function,
+  * table-driven:
+  *
+  *  1. HAND-COMPUTED boundary values: each clamp engages exactly where
+  *     the arithmetic says (one step below cap, at cap, far beyond cap)
+  *     — a retune that silently saturates a cap (the round-13
+  *     fixed-geometry bug class) fails here instead of shipping.
+  *  2. ORACLE-RULE PARITY: every DuckDB oracle derives the same value
+  *     as `COALESCE(MIN(x), cap)` over a bounded range — replayed here
+  *     in Scala over a grid INCLUDING beyond-cap n, so the fallback the
+  *     oracles carry (round-14 ADVICE: MIN over an exhausted range is
+  *     NULL, not the cap) provably matches the Spark clamp for all n.
+  */
+class GeometryCapsSpec extends AnyFunSuite {
+
+  // ---- the oracle derivation rules, replayed verbatim in Scala ----
+
+  /** cellCte's cb: COALESCE(MIN(x), 20) over range(1, 21) with
+    * BaseLabels·2^x·CellTarget ≥ n. */
+  private def oracleCellBits(n: Long): Int =
+    (1 to 20).find(b =>
+      AnnOps.BaseLabels.toLong * (1L << b) * AnnOps.CellTarget >= n).getOrElse(20)
+
+  /** bp2/bpb: COALESCE(MIN(x), 24) over range(6, 25) with
+    * 2^x·BandBucketTarget ≥ n. */
+  private def oracleBandPlanes(n: Long): Int =
+    (AnnOps.PlanesPerBand to 24).find(p =>
+      (1L << p) * AnnOps.BandBucketTarget >= n).getOrElse(24)
+
+  /** m10b: COALESCE(MIN(x), 20) over range(2, 21) with
+    * 2^x·M10CellTarget ≥ n. */
+  private def oracleM10Planes(n: Long): Int =
+    (2 to 20).find(b =>
+      (1L << b) * MultimodalOps.M10CellTarget >= n).getOrElse(20)
+
+  /** nk: GREATEST(K, LEAST(ceil(n/tcs), ceil(4·√n))) — no cap, but the
+    * two branches and the crossover must agree bit-for-bit. */
+  private def oracleK(n: Long): Long =
+    math.max(ClusterOps.K.toLong, math.min(
+      math.ceil(n.toDouble / ClusterOps.TargetCellSize).toLong,
+      math.ceil(ClusterOps.SqrtKFactor * math.sqrt(n.toDouble)).toLong))
+
+  /** The shared boundary grid: gate-SF n, every function's engagement
+    * point ±1, each cap's exact saturation n ±1, and far-beyond-cap
+    * (the 100 TB regime's 10⁹–10¹² rows). */
+  private val grid: Seq[Long] = Seq(
+    1L, 499L, 500L, 2000L, 20000L, 60000L,
+    999999L, 1000000L, 1000001L, 4000000L,
+    (1L << 21) * 4, (1L << 21) * 4 + 1, // bandPlanes p=23/24 edge (2^23*4)
+    (1L << 24) * 4, (1L << 24) * 4 + 1, // beyond bandPlanes cap 24 (67.1M)
+    32L << 20, (32L << 20) + 1, // m10Planes b=20 edge (2^20*32 = 33.5M)
+    2500L << 20, (2500L << 20) + 1, // cellBits b=20 edge (10*2^20*250 = 2.62e9)
+    100000000000L // 10¹¹: every cap saturated
+  )
+
+  test("cellBits: hand-computed boundaries, cap at 20, oracle-rule parity on the grid") {
+    assert(AnnOps.cellBits(1L) === 1) // floor: b >= 1 always
+    assert(AnnOps.cellBits(5000L) === 1) // 10*2*250 = 5000 >= n
+    assert(AnnOps.cellBits(5001L) === 2)
+    assert(AnnOps.cellBits(2500L << 20) === 20) // exactly at cap capacity
+    assert(AnnOps.cellBits((2500L << 20) + 1) === 20) // beyond: clamped
+    assert(AnnOps.cellBits(Long.MaxValue / 4) === 20)
+    grid.foreach(n => assert(AnnOps.cellBits(n) === oracleCellBits(n),
+      s"cellBits($n) diverges from the oracle rule"))
+  }
+
+  test("bandPlanes: floor 6, cap 24, oracle-rule parity on the grid") {
+    assert(AnnOps.bandPlanes(1L) === 6) // floor: p >= PlanesPerBand
+    assert(AnnOps.bandPlanes((1L << 6) * 4) === 6) // 256 >= n at p=6
+    assert(AnnOps.bandPlanes((1L << 6) * 4 + 1) === 7)
+    assert(AnnOps.bandPlanes((1L << 24) * 4) === 24) // exactly at cap
+    assert(AnnOps.bandPlanes((1L << 24) * 4 + 1) === 24) // beyond: clamped
+    grid.foreach(n => assert(AnnOps.bandPlanes(n) === oracleBandPlanes(n),
+      s"bandPlanes($n) diverges from the oracle rule"))
+  }
+
+  test("m10Planes: floor 2, cap 20, oracle-rule parity on the grid") {
+    assert(MultimodalOps.m10Planes(1L) === 2)
+    assert(MultimodalOps.m10Planes((1L << 2) * 32) === 2) // 128 >= n at b=2
+    assert(MultimodalOps.m10Planes((1L << 2) * 32 + 1) === 3)
+    assert(MultimodalOps.m10Planes(32L << 20) === 20) // exactly at cap
+    assert(MultimodalOps.m10Planes((32L << 20) + 1) === 20) // beyond: clamped
+    grid.foreach(n => assert(MultimodalOps.m10Planes(n) === oracleM10Planes(n),
+      s"m10Planes($n) diverges from the oracle rule"))
+  }
+
+  test("adaptiveK: linear branch below the 10^6 crossover, sqrt-n branch above, floor K") {
+    assert(ClusterOps.adaptiveK(1L) === ClusterOps.K) // floor
+    assert(ClusterOps.adaptiveK(500L) === ClusterOps.K) // gate SF: ceil(2, 90) -> K=8
+    assert(ClusterOps.adaptiveK(20000L) === 80) // sf1: n/250 = 80 < 4*sqrt = 566
+    assert(ClusterOps.adaptiveK(60000L) === 240) // sf3: linear branch
+    // the crossover: n/250 = 4*sqrt(n) at n = 10^6 exactly (both 4000)
+    assert(ClusterOps.adaptiveK(1000000L) === 4000)
+    // one step below: linear branch is the min (ceil(n/250) = 4000 but
+    // 4*sqrt(999999) = 3999.998 -> ceil 4000 — both 4000 here too; the
+    // branches genuinely separate at 1.1e6
+    assert(ClusterOps.adaptiveK(1100000L) === 4196) // ceil(4*sqrt) < ceil(n/250)=4400
+    assert(ClusterOps.adaptiveK(4000000L) === 8000) // sqrt branch: 4*2000
+    assert(ClusterOps.adaptiveK(100000000L) === 40000) // 4*10^4, vs n/250 = 4e5
+    grid.filter(_ < Long.MaxValue / 8).foreach { n =>
+      val k = ClusterOps.adaptiveK(n).toLong
+      assert(k === oracleK(n), s"adaptiveK($n) diverges from the oracle rule")
+    }
+  }
+
+  test("trainSampleSize: 256 floor until 4k crosses it, then 4 points per centroid") {
+    assert(ClusterOps.trainSampleSize(ClusterOps.K) === 256)
+    assert(ClusterOps.trainSampleSize(64) === 256) // 4*64 = 256: the edge
+    assert(ClusterOps.trainSampleSize(65) === 260) // seeds never clamped
+    assert(ClusterOps.trainSampleSize(4000) === 16000)
+    // the invariant the r13 advice was about: sample >= k for every k
+    Seq(1, 8, 64, 65, 240, 4000, 40000).foreach(k =>
+      assert(ClusterOps.trainSampleSize(k) >= k))
+  }
+}

@@ -67,16 +67,27 @@ class Round14OpsSpec extends AnyFunSuite with SparkSpec {
       java.lang.Long.bitCount(qlo ^ clo) + java.lang.Long.bitCount(qhi ^ chi)
     }
     // the top-1 exact-reranked candidate must be reachable through the
-    // hamming shortlist: its hamming rank among ALL corpus candidates
-    // is a lower bound on the shortlist's reach, so sanity-pin that the
-    // returned top-1's hamming distance is not worse than the
-    // (shortlist)th smallest over the whole corpus
+    // hamming shortlist WITHIN THE PROBED CELLS: annBq only shortlists
+    // candidates from the nProbe probed cells, so the cutoff is the
+    // (shortlist)th-smallest hamming among that query's probed-cell
+    // candidates (reconstructed driver-side from the same probedCells
+    // seam the operator uses) — not a corpus-wide bound the operator
+    // never promises
     val top1 = bq.filter(col("q_id") === qid && col("rnk") === 1)
       .select("c_id").first().getLong(0)
-    val allH = codes.keys.filter(_ != qid).map(hamming).toSeq.sorted
-    val cutoff = allH(math.min(AnnOps.PqShortlist, allH.size) - 1)
+    val probedLabels = AnnOps.probedCells(spark, Sf0001, AnnOps.NProbe)
+      .filter(col("q_id") === qid).select("label")
+      .collect().map(_.getInt(0)).toSet
+    val cellOf = AnnOps.bqCodes(spark, Sf0001)
+      .select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val probedH = codes.keys
+      .filter(c => c != qid && probedLabels.contains(cellOf(c)))
+      .map(hamming).toSeq.sorted
+    assert(probedH.nonEmpty, "no probed-cell candidates — vacuous")
+    val cutoff = probedH(math.min(AnnOps.PqShortlist, probedH.size) - 1)
     assert(hamming(top1) <= cutoff,
-      s"returned top-1 has hamming ${hamming(top1)} > corpus-wide shortlist cutoff $cutoff")
+      s"returned top-1 has hamming ${hamming(top1)} > probed-cell shortlist cutoff $cutoff")
   }
 
   test("d18 weights: every doc once, exact floor-div weights, d5-consistent clusters") {
@@ -92,7 +103,7 @@ class Round14OpsSpec extends AnyFunSuite with SparkSpec {
     val sizes = rows.groupBy(_._2).map { case (c, rs) => c -> rs.length.toLong }
     rows.foreach { case (_, c, sz, wppm) =>
       assert(sz === sizes(c))
-      assert(wppm === 1000000L / sz)
+      assert(wppm === math.max(1L, 1000000L / sz))
     }
     // d5 members keep their d5 cluster; non-members are singletons
     val d5 = DedupOps.nearDupClusters(spark, Sf0001)
