@@ -2978,6 +2978,44 @@ object Oracles {
          |  best.dup_of, best.sim
          |FROM m LEFT JOIN best USING (vec_id) ORDER BY m.vec_id""".stripMargin,
 
+    // d19: d10's broadcast-eval-side carve over the e-family IVF
+    // substrates — the eval carve (vec_id % EvalMod = 0) probes the
+    // shared cell geometry (cellCte + the e5 centroid-state build and
+    // (dist2, label) probe rank), training vectors in a probed cell
+    // pay the exact-int cosine, witness rank (sim desc, eval_id),
+    // anti-join leg carries the keep list
+    "d19_semantic_decon" ->
+      s"""WITH $cellCte,
+         |ql AS MATERIALIZED (SELECT c.vec_id, q.qv, c.label
+         |  FROM cqv q JOIN cellid c USING (vec_id)),
+         |unp AS (SELECT label, generate_subscripts(qv, 1) - 1 AS d, unnest(qv) AS v FROM ql),
+         |cd AS (SELECT label, d, SUM(v) AS s, COUNT(*) AS n FROM unp GROUP BY 1, 2),
+         |cent AS MATERIALIZED (SELECT label, list(s ORDER BY d) AS s, min(n) AS n,
+         |    SUM(s * s) AS ss FROM cd GROUP BY label),
+         |eq AS (SELECT vec_id AS eval_id, qv, list_dot_product(qv, qv) AS q2
+         |  FROM ql WHERE vec_id % ${graft.operators.CorpusOps.EvalMod} = 0),
+         |qd AS (SELECT e.eval_id, e.qv, c.label,
+         |    c.n * c.n * e.q2 - 2 * c.n * list_dot_product(e.qv, c.s) + c.ss AS dist2
+         |  FROM eq e CROSS JOIN cent c),
+         |pr AS MATERIALIZED (SELECT *,
+         |    row_number() OVER (PARTITION BY eval_id ORDER BY dist2, label) AS crnk
+         |  FROM qd),
+         |cand AS (SELECT t.vec_id, p.eval_id,
+         |    list_dot_product(t.qv, p.qv) /
+         |      sqrt(list_dot_product(t.qv, t.qv) * list_dot_product(p.qv, p.qv)) AS sim
+         |  FROM ql t JOIN pr p ON t.label = p.label
+         |  WHERE p.crnk <= ${graft.operators.AnnOps.NProbe}
+         |    AND t.vec_id % ${graft.operators.CorpusOps.EvalMod} <> 0),
+         |hits AS (SELECT vec_id, eval_id, sim,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, eval_id) AS rn
+         |  FROM cand WHERE sim >= ${graft.operators.DedupOps.SemDedupTau}),
+         |best AS (SELECT vec_id, eval_id, sim FROM hits WHERE rn = 1)
+         |SELECT t.vec_id, (b.eval_id IS NULL) AS is_kept,
+         |  b.eval_id AS contam_of, round(b.sim, 6) AS sim
+         |FROM (SELECT vec_id FROM ql
+         |      WHERE vec_id % ${graft.operators.CorpusOps.EvalMod} <> 0) t
+         |LEFT JOIN best b USING (vec_id) ORDER BY t.vec_id""".stripMargin,
+
     "q24_market_share" ->
       """WITH flat AS (
         |  SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,

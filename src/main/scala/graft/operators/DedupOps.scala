@@ -759,6 +759,64 @@ object DedupOps {
       .orderBy("vec_id")
   }
 
+  /** d19: SEMANTIC DECONTAMINATION — the missing tier between x3/d10
+    * and d12: x3 catches VERBATIM eval contamination (shared 8-grams),
+    * d10 catches LEXICAL near-copies (MinHash), d12 catches semantic
+    * dups WITHIN the corpus — but a benchmark answer paraphrased into
+    * different tokens shares no grams, no shingles, and is not a
+    * within-corpus pair. d19 closes it: training vectors whose
+    * EMBEDDING is within cosine τ of any held-out eval vector (the x3
+    * carve rule, vec_id % EvalMod == 0, stands in for the benchmark)
+    * are flagged with their best witness; everything else is the keep
+    * list (the anti-join leg x7's decon consumes for the lexical tier).
+    *
+    * Architecture is d10's broadcast-eval-side shape over d12's
+    * embedding substrates: the eval carve is constant-size in
+    * production (a benchmark, not a crawl), so its vectors probe the
+    * memoized IVF centroid table (AnnOps.probedCellsOf — the same
+    * dist2 identity and (dist2, label) tie-break as e5/e6/e9) and the
+    * (eval vector × probed cell) relation BROADCASTS; the training
+    * corpus joins it by CELL EQUALITY — map-side, no corpus shuffle —
+    * and only probed-cell candidates pay the exact-int cosine.
+    *
+    * Determinism: cosines are exact-int dots over the memoized
+    * quantized vectors (one IEEE sqrt+division — bit-identical in the
+    * oracle); the witness rank orders (sim desc, eval_id asc) — the
+    * e-family's presentation rule.
+    *
+    * Scale shape: corpus-side work is ONE map-side broadcast join +
+    * a vec_id window over candidates (∝ eval size · cell size, never
+    * corpus²); the probe is |eval| × cells against the broadcast
+    * centroid state. Recall is by-design bounded by the IVF probe
+    * (nProbe nearest cells) — the same trade e5 ships; a paraphrase
+    * whose embedding lands outside the probed cells is missed, which
+    * is the documented ANN-decon trade (raise nProbe to trade cost
+    * for recall). */
+  def semanticDecon(spark: SparkSession, dir: String,
+      tau: Double = SemDedupTau, nProbe: Int = AnnOps.NProbe): DataFrame = {
+    val cos = cosineWith(dotBest(spark)) _
+    val qv = AnnOps.quantized(spark, dir)
+    val evalQ = qv.filter(col("vec_id") % CorpusOps.EvalMod === 0)
+      .select(col("vec_id").as("q_id"), col("q").as("qq"))
+    val probed = AnnOps
+      .probedCellsOf(spark, evalQ, nProbe, AnnOps.centroids(spark, dir))
+      .select(col("q_id").as("eval_id"), col("qq").as("eq"), col("label"))
+    val train = qv.filter(col("vec_id") % CorpusOps.EvalMod =!= 0)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("vec_id").orderBy(col("sim").desc, col("eval_id"))
+    val hits = train.join(broadcast(probed), "label")
+      .withColumn("sim", cos(col("q"), col("eq")))
+      .filter(col("sim") >= tau)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("eval_id").as("contam_of"),
+        round(col("sim"), 6).as("sim"))
+    train.select("vec_id").join(hits, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("contam_of").isNull.as("is_kept"),
+        col("contam_of"), col("sim"))
+      .orderBy("vec_id")
+  }
+
   /** d13: ESTIMATOR QA for the MinHash path — e8's recall-evaluation
     * discipline applied to the dedup family. For every d3 candidate
     * pair: the number of agreeing permutations, the MinHash Jaccard

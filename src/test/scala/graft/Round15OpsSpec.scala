@@ -1,0 +1,113 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{AnnOps, ClusterOps, CorpusOps, DedupOps}
+
+/** Round-15 operators: d19 semantic decontamination. */
+class Round15OpsSpec extends AnyFunSuite with SparkSpec {
+
+  /** A constructed corpus with a PARAPHRASED eval leak: doc 0 is in the
+    * eval carve (0 % EvalMod == 0), doc 1 says the same thing in a
+    * fully disjoint vocabulary (zero shared tokens, hence zero shared
+    * 3-gram shingles and zero shared 8-grams) but lands on the
+    * IDENTICAL embedding — the case the lexical tiers (x3 exact-gram,
+    * d10 MinHash) are structurally blind to and d19 exists to catch. */
+  private lazy val paraphraseDir: String = {
+    val dir = java.nio.file.Files.createTempDirectory("d19spec").toString
+    val para = Array(
+      0L -> "the quick brown fox jumps over the lazy dog while morning light warms the quiet meadow grass",
+      1L -> "a swift auburn vulpine leaps across an idle canine as dawn glow heats still field turf")
+    val filler = (2L until 40L).map(i =>
+      i -> s"filler document number $i with enough repeated unrelated words item$i widget$i gadget$i thing$i stuff$i piece$i part$i unit$i")
+    val docs = (para ++ filler).map { case (id, text) =>
+      (id, text, "en", s"src${id % 3}", text.length.toLong)
+    }
+    spark.createDataFrame(docs.toSeq)
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    // identical embedding for the leak pair, same class label -> same
+    // IVF cell; filler vectors vary per id and sit in other labels
+    def vec(seed: Long): Seq[Float] =
+      (0 until 64).map(d => (((seed * 31 + d * 7) % 13) - 6) / 10.0f)
+    val leak = vec(999L)
+    val embs = (0L until 40L).map { id =>
+      val v = if (id <= 1L) leak else vec(id)
+      val label = if (id <= 1L) 7 else (id % 7).toInt
+      (id, v, label)
+    }
+    spark.createDataFrame(embs)
+      .toDF("vec_id", "embedding", "label")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    dir
+  }
+
+  test("d19 catches a constructed paraphrase (same vector, disjoint tokens) that d10 and x3 miss") {
+    val dir = paraphraseDir
+    // sanity: the vocabularies genuinely share nothing
+    val Array(t0, t1) = spark.read.parquet(s"$dir/documents.parquet")
+      .filter(col("doc_id") <= 1).orderBy("doc_id")
+      .select("text").collect().map(_.getString(0).split(" ").toSet)
+    assert(t0.intersect(t1).isEmpty, "constructed texts share tokens — rebuild the fixture")
+    // d19: doc 1's vector is flagged with eval witness 0 at cosine 1.0
+    val d19 = DedupOps.semanticDecon(spark, dir).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(d19.contains(1L))
+    val hit = d19(1L)
+    assert(!hit.getBoolean(1), "paraphrase not flagged by d19")
+    assert(hit.getLong(2) === 0L, "wrong witness")
+    assert(hit.getDouble(3) === 1.0, "identical vectors must score cosine 1.0")
+    // every train vector appears exactly once; eval members never do
+    assert(d19.size === 38)
+    assert(!d19.contains(0L) && !d19.contains(20L))
+    // d10 (MinHash cross-dup): structurally blind — no shared shingles,
+    // so the pair cannot even become a band candidate
+    val d10 = DedupOps.crossNearDup(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!d10.contains((1L, 0L)), "d10 unexpectedly caught the paraphrase")
+    // x3 (exact 8-gram overlap): equally blind
+    val x3 = CorpusOps.decontaminate(spark, dir).collect().map(_.getLong(0)).toSet
+    assert(!x3.contains(1L), "x3 unexpectedly caught the paraphrase")
+    DedupOps.clearMemo(spark, dir)
+  }
+
+  test("d19 flags are internally consistent at sf0.001") {
+    val rows = DedupOps.semanticDecon(spark, Sf0001).collect()
+    val evalIds = spark.read.parquet(s"$Sf0001/embeddings.parquet")
+      .filter(col("vec_id") % CorpusOps.EvalMod === 0)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val trainIds = spark.read.parquet(s"$Sf0001/embeddings.parquet")
+      .filter(col("vec_id") % CorpusOps.EvalMod =!= 0)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    // exactly the training carve, once each
+    assert(rows.map(_.getLong(0)).toSet === trainIds)
+    assert(rows.length === trainIds.size)
+    rows.foreach { r =>
+      val kept = r.getBoolean(1)
+      if (kept) assert(r.isNullAt(2) && r.isNullAt(3))
+      else {
+        // the witness is an eval member and the similarity clears tau
+        assert(evalIds.contains(r.getLong(2)))
+        assert(r.getDouble(3) >= DedupOps.SemDedupTau)
+      }
+    }
+  }
+
+  test("d12 kernel assignment: every vector once, exact dist to its centroid, deterministic rerun") {
+    // value-level parity with the declarative form is owned by the
+    // DuckDB gate (the oracle replays the whole Lloyd chain); this spec
+    // pins what the gate can't see — that the mapPartitions kernel is
+    // DETERMINISTIC across runs/partitionings (rebuilt from a cleared
+    // memo) and covers every corpus vector exactly once
+    val assign = ClusterOps.adaptiveStableAssign(spark, Sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val n = AnnOps.quantized(spark, Sf0001).count()
+    assert(assign.length.toLong === n)
+    assert(assign.map(_._1).distinct.length === assign.length)
+    DedupOps.clearMemo(spark, Sf0001)
+    val assign2 = ClusterOps.adaptiveStableAssign(spark, Sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(assign.sortBy(_._1).toSeq === assign2.sortBy(_._1).toSeq)
+    DedupOps.clearMemo(spark, Sf0001)
+  }
+}
