@@ -179,7 +179,20 @@ object AnnOps {
 
   private[graft] def quantized(spark: SparkSession, dir: String): DataFrame =
     DedupOps.memoized(spark, "ann_quantized", dir) {
-      Tables.embeddings(spark, dir)
+      val raw = Tables.embeddings(spark, dir)
+      // Parallelism guard before the persist: every e-family map-side
+      // stage (cell codes, band codes, probe dots, kernels) inherits
+      // THIS relation's partitioning, and a heavily-compressed or
+      // single-row-group embeddings file hands a million-vector corpus
+      // to 1-2 scan tasks (bytes proxy scan cost, not the k·d compute
+      // downstream — the round-13 p8 scan-starve find at the compute
+      // layer). One row-count-free check: if the scan is narrower than
+      // the session's cores, fan it out once BEFORE the memo persists;
+      // at real scale the scan is already wide and this is a no-op.
+      val cores = spark.sparkContext.defaultParallelism
+      val spread =
+        if (raw.rdd.getNumPartitions < cores) raw.repartition(cores) else raw
+      spread
         .select(col("vec_id"), quantize(col("embedding")).as("q"), col("label"))
         .withColumn("label", cellCol(spark, cellBitsOf(spark, dir)))
     }
@@ -207,12 +220,26 @@ object AnnOps {
       .withColumn("_n2", dot(col("_v"), col("_v")).cast(DoubleType))
     val queries = panelOf(withN, "_id", stride)
       .select(col("_id").as("q_id"), col("_v").as("qv"), col("_n2").as("qn2"))
+    rankTopk(
+      withN.select(col("_id").as("c_id"), col("_v").as("cv"), col("_n2").as("cn2"))
+        .join(broadcast(queries), col("q_id") =!= col("c_id"))
+        .withColumn("score",
+          dot(col("qv"), col("cv")).cast(DoubleType) / sqrt(col("qn2") * col("cn2"))),
+      k)
+  }
+
+  /** Rank-and-trim to per-query top-k on a NARROW projection — the ONE
+    * scoring-family window. The (q_id, c_id, score) projection before
+    * ranking is deliberate: a rank window SORTS its input, and letting
+    * the 64-long vector payloads ride through it turns a 10⁷-candidate
+    * sort into a ~100 GB one (the n = 1.28e6 carve measured the whole
+    * family wedged in exactly that sort) — score the fat rows, rank
+    * the narrow ones. Presentation is the family's (score desc, c_id)
+    * tie-break with round-6 display. */
+  private def rankTopk(scored: DataFrame, k: Int): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("q_id").orderBy(col("score").desc, col("c_id"))
-    withN.select(col("_id").as("c_id"), col("_v").as("cv"), col("_n2").as("cn2"))
-      .join(broadcast(queries), col("q_id") =!= col("c_id"))
-      .withColumn("score",
-        dot(col("qv"), col("cv")).cast(DoubleType) / sqrt(col("qn2") * col("cn2")))
+    scored.select("q_id", "c_id", "score")
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
       .select(col("q_id"), col("rnk"), col("c_id"), round(col("score"), 6).as("score"))
@@ -239,15 +266,11 @@ object AnnOps {
     val queries = withB.filter(col("vec_id") % QueryStride === 0)
       .select(col("vec_id").as("q_id"), col("q").as("qq"), col("bucket"))
     val corpus = withB.select(col("vec_id").as("c_id"), col("q").as("cq"), col("bucket"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("q_id").orderBy(col("score").desc, col("c_id"))
-    queries.join(corpus, "bucket")
-      .filter(col("q_id") =!= col("c_id"))
-      .withColumn("score", cos(col("qq"), col("cq")))
-      .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= k)
-      .select(col("q_id"), col("rnk"), col("c_id"), round(col("score"), 6).as("score"))
-      .orderBy("q_id", "rnk")
+    rankTopk(
+      queries.join(corpus, "bucket")
+        .filter(col("q_id") =!= col("c_id"))
+        .withColumn("score", cos(col("qq"), col("cq"))),
+      k)
   }
 
   /** e4: multi-probe LSH ANN — each query probes its own bucket PLUS all
@@ -268,15 +291,11 @@ object AnnOps {
       .select(col("vec_id").as("q_id"), col("q").as("qq"),
         explode(probeSet).as("bucket"))
     val corpus = withB.select(col("vec_id").as("c_id"), col("q").as("cq"), col("bucket"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("q_id").orderBy(col("score").desc, col("c_id"))
-    queries.join(corpus, "bucket")
-      .filter(col("q_id") =!= col("c_id"))
-      .withColumn("score", cos(col("qq"), col("cq")))
-      .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= k)
-      .select(col("q_id"), col("rnk"), col("c_id"), round(col("score"), 6).as("score"))
-      .orderBy("q_id", "rnk")
+    rankTopk(
+      queries.join(corpus, "bucket")
+        .filter(col("q_id") =!= col("c_id"))
+        .withColumn("score", cos(col("qq"), col("cq"))),
+      k)
   }
 
   /** How many coarse cells an IVF query probes (e5). */
@@ -323,15 +342,11 @@ object AnnOps {
     val cos = cosineWith(dotBest(spark)) _
     val qv = quantized(spark, dir)
     val probed = probedCells(spark, dir, nProbe)
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("q_id").orderBy(col("score").desc, col("c_id"))
-    probed.join(qv.select(col("vec_id").as("c_id"), col("q").as("cq"), col("label")), "label")
-      .filter(col("q_id") =!= col("c_id"))
-      .withColumn("score", cos(col("qq"), col("cq")))
-      .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= k)
-      .select(col("q_id"), col("rnk"), col("c_id"), round(col("score"), 6).as("score"))
-      .orderBy("q_id", "rnk")
+    rankTopk(
+      probed.join(qv.select(col("vec_id").as("c_id"), col("q").as("cq"), col("label")), "label")
+        .filter(col("q_id") =!= col("c_id"))
+        .withColumn("score", cos(col("qq"), col("cq"))),
+      k)
   }
 
   /** e9: FILTERED ANN — vector search under a metadata predicate
@@ -355,17 +370,13 @@ object AnnOps {
     val allowed = graft.Tables.documents(spark, dir)
       .filter(col("lang") === "en").select(col("doc_id").as("c_id"))
     val qv = quantized(spark, dir)
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("q_id").orderBy(col("score").desc, col("c_id"))
-    probedCells(spark, dir, nProbe)
-      .join(qv.select(col("vec_id").as("c_id"), col("q").as("cq"), col("label")), "label")
-      .filter(col("q_id") =!= col("c_id"))
-      .join(allowed, Seq("c_id"), "left_semi") // pre-filter: BEFORE rerank
-      .withColumn("score", cos(col("qq"), col("cq")))
-      .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= k)
-      .select(col("q_id"), col("rnk"), col("c_id"), round(col("score"), 6).as("score"))
-      .orderBy("q_id", "rnk")
+    rankTopk(
+      probedCells(spark, dir, nProbe)
+        .join(qv.select(col("vec_id").as("c_id"), col("q").as("cq"), col("label")), "label")
+        .filter(col("q_id") =!= col("c_id"))
+        .join(allowed, Seq("c_id"), "left_semi") // pre-filter: BEFORE rerank
+        .withColumn("score", cos(col("qq"), col("cq"))),
+      k)
   }
 
   /** The IVF coarse probe shared by e5, e6, and e9: each query ranks the
@@ -395,15 +406,25 @@ object AnnOps {
   private[graft] def probedCellsOf(spark: SparkSession, queries: DataFrame,
       nProbe: Int, cent: DataFrame): DataFrame = {
     val dot = dotBest(spark)
-    queries
+    // score the fat rows (the dist2 dots need qq), RANK the narrow
+    // ones: at |queries| × |cells| candidate volume the crnk window
+    // sorts its whole input, and the 64-long qq payload would make
+    // that a vector-corpus-scale sort (the rankTopk lesson applied to
+    // the probe). qq is reattached to the nProbe survivors by a
+    // broadcast join on q_id — the query side is the family's small,
+    // broadcast-able relation by design.
+    val narrow = queries
       .crossJoin(broadcast(cent))
       .withColumn("dist2",
         col("n") * col("n") * dot(col("qq"), col("qq")) -
           lit(2L) * col("n") * dot(col("qq"), col("s")) + col("ss"))
+      .select(col("q_id"), col("label"), col("dist2"))
       .withColumn("crnk", row_number().over(
         org.apache.spark.sql.expressions.Window
           .partitionBy("q_id").orderBy(col("dist2"), col("label"))))
       .filter(col("crnk") <= nProbe)
+    narrow.select("q_id", "label")
+      .join(broadcast(queries), "q_id")
       .select(col("q_id"), col("qq"), col("label"))
   }
 
@@ -556,16 +577,12 @@ object AnnOps {
       .partitionBy("q_id").orderBy(col("adc"), col("c_id"))
     val short = adc.withColumn("srn", row_number().over(sw))
       .filter(col("srn") <= PqShortlist).select("q_id", "c_id")
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("q_id").orderBy(col("score").desc, col("c_id"))
-    short
-      .join(qv.select(col("vec_id").as("q_id"), col("q").as("qq")), "q_id")
-      .join(qv.select(col("vec_id").as("c_id"), col("q").as("cq")), "c_id")
-      .withColumn("score", cos(col("qq"), col("cq")))
-      .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= k)
-      .select(col("q_id"), col("rnk"), col("c_id"), round(col("score"), 6).as("score"))
-      .orderBy("q_id", "rnk")
+    rankTopk(
+      short
+        .join(qv.select(col("vec_id").as("q_id"), col("q").as("qq")), "q_id")
+        .join(qv.select(col("vec_id").as("c_id"), col("q").as("cq")), "c_id")
+        .withColumn("score", cos(col("qq"), col("cq"))),
+      k)
   }
 
   /** e10: the PERSISTED vector index — a production vector search does
@@ -1331,16 +1348,12 @@ object AnnOps {
       .partitionBy("q_id").orderBy(col("adc"), col("c_id"))
     val short = adc.withColumn("srn", row_number().over(sw))
       .filter(col("srn") <= shortlist).select("q_id", "c_id")
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("q_id").orderBy(col("score").desc, col("c_id"))
-    short
-      .join(qv.select(col("vec_id").as("q_id"), col("q").as("qq")), "q_id")
-      .join(qv.select(col("vec_id").as("c_id"), col("q").as("cq")), "c_id")
-      .withColumn("score", cos(col("qq"), col("cq")))
-      .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= k)
-      .select(col("q_id"), col("rnk"), col("c_id"), round(col("score"), 6).as("score"))
-      .orderBy("q_id", "rnk")
+    rankTopk(
+      short
+        .join(qv.select(col("vec_id").as("q_id"), col("q").as("qq")), "q_id")
+        .join(qv.select(col("vec_id").as("c_id"), col("q").as("cq")), "c_id")
+        .withColumn("score", cos(col("qq"), col("cq"))),
+      k)
   }
 
   /** Per-vector sign codes for e22: one bit per DIMENSION (the sign of
@@ -1400,15 +1413,11 @@ object AnnOps {
       .partitionBy("q_id").orderBy(col("hamming"), col("c_id"))
     val short = ham.withColumn("srn", row_number().over(sw))
       .filter(col("srn") <= shortlist).select("q_id", "c_id")
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("q_id").orderBy(col("score").desc, col("c_id"))
-    short
-      .join(qv.select(col("vec_id").as("q_id"), col("q").as("qq")), "q_id")
-      .join(qv.select(col("vec_id").as("c_id"), col("q").as("cq")), "c_id")
-      .withColumn("score", cos(col("qq"), col("cq")))
-      .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= k)
-      .select(col("q_id"), col("rnk"), col("c_id"), round(col("score"), 6).as("score"))
-      .orderBy("q_id", "rnk")
+    rankTopk(
+      short
+        .join(qv.select(col("vec_id").as("q_id"), col("q").as("qq")), "q_id")
+        .join(qv.select(col("vec_id").as("c_id"), col("q").as("cq")), "c_id")
+        .withColumn("score", cos(col("qq"), col("cq"))),
+      k)
   }
 }

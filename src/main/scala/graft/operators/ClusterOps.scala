@@ -273,7 +273,20 @@ object ClusterOps {
         (cid, v)
       }
     val bc = spark.sparkContext.broadcast(mat)
-    vecs.select(col("vec_id"), col("q")).as[(Long, Array[Long])]
+    // Parallelism guard: the kernel is COMPUTE-bound (k·d work per row),
+    // but mapPartitions inherits the INPUT's partitioning — and a
+    // heavily-compressed or single-row-group parquet scan can hand a
+    // million-vector corpus to 1-2 tasks (the round-13 p8 scan-starve
+    // find, recurring at the compute layer: bytes are a proxy for scan
+    // cost, not kernel cost). If the input arrives under-split, pay one
+    // round-robin shuffle of the packed vectors to fan the kernel out;
+    // at real scale the scan already has >= cores partitions and this
+    // is a no-op.
+    val cores = spark.sparkContext.defaultParallelism
+    val pVecs = vecs.select(col("vec_id"), col("q"))
+    val spread =
+      if (pVecs.rdd.getNumPartitions < cores) pVecs.repartition(cores) else pVecs
+    spread.as[(Long, Array[Long])]
       .mapPartitions { it =>
         val cents = bc.value
         it.map { case (id, q) =>

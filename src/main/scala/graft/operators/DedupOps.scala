@@ -736,26 +736,68 @@ object DedupOps {
     * by cluster. */
   def semanticDedup(spark: SparkSession, dir: String,
       tau: Double = SemDedupTau): DataFrame = {
-    val cos = cosineWith(dotBest(spark)) _
+    import spark.implicits._
     val m = ClusterOps.adaptiveStableAssign(spark, dir)
       .select("vec_id", "cid", "dist")
       .join(AnnOps.quantized(spark, dir), "vec_id")
-      .select(col("vec_id"), col("cid"), col("dist"), col("q"))
-    val higher = m.select(col("cid"), col("vec_id").as("b_id"),
-      col("dist").as("b_dist"), col("q").as("b_q"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("vec_id").orderBy(col("b_dist"), col("b_id"))
-    val best = m.join(higher, Seq("cid"))
-      .filter(col("b_dist") < col("dist") ||
-        (col("b_dist") === col("dist") && col("b_id") < col("vec_id")))
-      .withColumn("c", cos(col("q"), col("b_q")))
-      .filter(col("c") >= tau)
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("b_id").as("dup_of"), round(col("c"), 6).as("sim"))
-    m.select("vec_id", "cid").join(best, Seq("vec_id"), "left")
-      .select(col("vec_id"), col("cid").as("cluster"),
-        col("dup_of").isNull.as("is_kept"), col("dup_of"), col("sim"))
+      .select(col("cid"), col("dist"), col("vec_id"), col("q"))
+    // PRIORITY-ORDERED EARLY-STOP SCAN per cluster, not a pair join.
+    // The reported witness is the best (b_dist, b_id) cluster-mate with
+    // cosine ≥ τ — which is exactly the FIRST above-τ mate when mates
+    // are scanned in priority order. The declarative self-join
+    // materializes every (vector, higher-priority mate) pair first —
+    // Σ_c n_c² rows, which on a duplicate-heavy corpus (exact/ε-dups
+    // pile into one cluster no quantizer can split — SemDeDup's known
+    // precondition) is cluster-size-QUADRATIC: the n = 1.28e6 carve
+    // (640 ε-copies per base vector) measured it wedged for tens of
+    // minutes in pair generation alone. The scan pays one cluster
+    // shuffle + a within-partition sort by (cid, dist, vec_id), then
+    // per vector stops at its first witness: near-dup piles stop at
+    // mate #1 (expected O(n) pairs total — the duplicates ARE the
+    // early exit), and only the kept representatives pay a full
+    // predecessor scan. Exact same integers/doubles as the join form:
+    // one int64 dot per examined pair, cosineWith's cast order.
+    // Memory contract: one cluster's packed vectors per task buffer —
+    // bounded by max cluster size (the adaptive-k sizing keeps cells
+    // ~250 outside degenerate piles; a ≥10⁶-member pile would need a
+    // shard-the-cluster pass, the ClusterOps.K note's regime).
+    val t = tau
+    val scanned = m.repartition(col("cid"))
+      .sortWithinPartitions("cid", "dist", "vec_id")
+      .as[(Long, Long, Long, Array[Long])]
+      .mapPartitions { it =>
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Boolean, Option[Long], Option[Double])]
+        val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Long], Double)]
+        var curCid = Long.MinValue
+        def dotL(a: Array[Long], b: Array[Long]): Long = {
+          var s = 0L; var i = 0
+          while (i < a.length) { s += a(i) * b(i); i += 1 }
+          s
+        }
+        def emit(vid: Long, q: Array[Long], n2: Double): Unit = {
+          var j = 0
+          var hit = -1
+          var sim = 0.0
+          while (hit < 0 && j < buf.length) {
+            val c = dotL(q, buf(j)._2).toDouble / math.sqrt(n2 * buf(j)._3)
+            if (c >= t) { hit = j; sim = c }
+            j += 1
+          }
+          if (hit >= 0) out += ((vid, curCid, false, Some(buf(hit)._1), Some(sim)))
+          else out += ((vid, curCid, true, None, None))
+        }
+        it.foreach { case (cid, _, vid, q) =>
+          if (cid != curCid) { buf.clear(); curCid = cid }
+          val n2 = dotL(q, q).toDouble
+          emit(vid, q, n2)
+          buf += ((vid, q, n2))
+        }
+        out.iterator
+      }
+      .toDF("vec_id", "cluster", "is_kept", "dup_of", "sim")
+    scanned
+      .select(col("vec_id"), col("cluster"), col("is_kept"),
+        col("dup_of"), round(col("sim"), 6).as("sim"))
       .orderBy("vec_id")
   }
 
@@ -794,23 +836,40 @@ object DedupOps {
     * for recall). */
   def semanticDecon(spark: SparkSession, dir: String,
       tau: Double = SemDedupTau, nProbe: Int = AnnOps.NProbe): DataFrame = {
-    val cos = cosineWith(dotBest(spark)) _
+    val dot = dotBest(spark)
     val qv = AnnOps.quantized(spark, dir)
     val evalQ = qv.filter(col("vec_id") % CorpusOps.EvalMod === 0)
       .select(col("vec_id").as("q_id"), col("q").as("qq"))
     val probed = AnnOps
       .probedCellsOf(spark, evalQ, nProbe, AnnOps.centroids(spark, dir))
       .select(col("q_id").as("eval_id"), col("qq").as("eq"), col("label"))
+      .withColumn("e_n2", dot(col("eq"), col("eq")).cast(DoubleType))
     val train = qv.filter(col("vec_id") % CorpusOps.EvalMod =!= 0)
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("vec_id").orderBy(col("sim").desc, col("eval_id"))
-    val hits = train.join(broadcast(probed), "label")
-      .withColumn("sim", cos(col("q"), col("eq")))
+      .withColumn("n2", dot(col("q"), col("q")).cast(DoubleType))
+    // best witness by (sim desc, eval_id asc) through TopKPerKey's
+    // bounded per-key heaps — d12's no-sort witness rule: a rank
+    // window sorts every qualifying (train, eval-probe) pair, which
+    // on a duplicate-heavy corpus is cell-size-quadratic. The
+    // candidate relation is projected NARROW first so neither path
+    // sorts/shuffles vector payloads; norms are per-ROW so each pair
+    // pays ONE dot (cosineTopkOf's identity — unchanged doubles).
+    val cand = train.join(broadcast(probed), "label")
+      .withColumn("sim",
+        dot(col("q"), col("eq")).cast(DoubleType) / sqrt(col("n2") * col("e_n2")))
       .filter(col("sim") >= tau)
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("eval_id").as("contam_of"),
-        round(col("sim"), 6).as("sim"))
+      .select(col("vec_id"), col("eval_id"), col("sim"))
+    val top =
+      if (graft.functions.F.extensionLive(spark))
+        graft.plans.TopKPerKey(cand, Seq("vec_id"),
+          Seq(("sim", false), ("eval_id", true)), 1)
+      else {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("vec_id").orderBy(col("sim").desc, col("eval_id"))
+        cand.withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1).drop("rn")
+      }
+    val hits = top.select(col("vec_id"), col("eval_id").as("contam_of"),
+      round(col("sim"), 6).as("sim"))
     train.select("vec_id").join(hits, Seq("vec_id"), "left")
       .select(col("vec_id"), col("contam_of").isNull.as("is_kept"),
         col("contam_of"), col("sim"))

@@ -79,11 +79,21 @@ object TopKPerKey {
   }
 }
 
-/** Plans the logical TopKPerKey into its physical operator. */
+/** Plans the logical TopKPerKey into a PARTIAL + FINAL physical pair —
+  * the partial-aggregation discipline applied to per-key top-k: the
+  * map-side pass heap-filters each input partition to ≤ k rows per key
+  * BEFORE the exchange, so the shuffle carries at most
+  * #keys-per-map-partition × k rows instead of the full input. On a
+  * pair-volume input (d12's within-cluster candidates on a
+  * duplicate-heavy corpus are cluster-size-quadratic) the difference
+  * is the entire shuffle. Global top-k ⊆ union of per-partition
+  * top-ks, so the final pass over the exchanged survivors is exact. */
 class TopKPerKeyStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case TopKPerKey(keys, order, k, child, maxKeys) =>
-      TopKPerKeyExec(keys, order, k, planLater(child), maxKeys) :: Nil
+      TopKPerKeyExec(keys, order, k,
+        TopKPerKeyExec(keys, order, k, planLater(child), maxKeys, partial = true),
+        maxKeys) :: Nil
     case _ => Nil
   }
 }
@@ -93,15 +103,19 @@ case class TopKPerKeyExec(
     order: Seq[SortOrder],
     k: Int,
     child: SparkPlan,
-    maxKeysPerPartition: Int = TopKPerKey.DefaultMaxKeysPerPartition) extends UnaryExecNode {
+    maxKeysPerPartition: Int = TopKPerKey.DefaultMaxKeysPerPartition,
+    partial: Boolean = false) extends UnaryExecNode {
 
   override def output: Seq[Attribute] = child.output
   override def outputPartitioning: Partitioning = child.outputPartitioning
 
-  /** One hash shuffle on the keys — EnsureRequirements inserts the
-    * exchange; no sort is requested from the child. */
+  /** Final pass: one hash shuffle on the keys — EnsureRequirements
+    * inserts the exchange; no sort is requested from the child.
+    * Partial pass: runs in place on whatever partitioning the child
+    * has (the map side of the exchange). */
   override def requiredChildDistribution: Seq[Distribution] =
-    ClusteredDistribution(keys) :: Nil
+    if (partial) super.requiredChildDistribution
+    else ClusteredDistribution(keys) :: Nil
 
   override protected def doExecute(): RDD[InternalRow] = {
     val childOutput = child.output
