@@ -613,6 +613,20 @@ object AnnOps {
   private def landOnce(key: String, artifacts: Seq[String])(build: => Unit): Unit =
     graft.functions.F.landOnce(key, artifacts)(build)
 
+  /** Lands a code relation into a `label=<cell>/` parquet lake with the
+    * rows CLUSTERED on the partition column first. Without the cluster
+    * a dynamic-partition write fans out |tasks| × |cells| files — at
+    * the 1.28M-vector carve that is 32 × 5120 ≈ 164k four-row files,
+    * and the driver's single-threaded commit walk over them dominates
+    * the build (the small-files catastrophe; at 1000 executors it
+    * would be 160M files per index version). Hash-clustering on label
+    * sends each cell to exactly ONE task → one file per cell
+    * directory; Spark's planned write sorts cells within the task, so
+    * writer memory stays one open file. */
+  private def writeCells(codes: DataFrame, path: String): Unit =
+    codes.repartition(col("label"))
+      .write.mode("overwrite").partitionBy("label").parquet(path)
+
   /** Lands the e10 index artifacts (first call per JVM per dir) and
     * returns the index root — shared by the batch-serving e10 and the
     * single-request e12 paths. */
@@ -620,8 +634,7 @@ object AnnOps {
     val out = graft.functions.F.sinkPath("annindex", dir)
     landOnce(out, Seq(s"$out/centroids", s"$out/codes")) {
       centroids(spark, dir).write.mode("overwrite").parquet(s"$out/centroids")
-      pqCodes(spark, dir).write.mode("overwrite")
-        .partitionBy("label").parquet(s"$out/codes")
+      writeCells(pqCodes(spark, dir), s"$out/codes")
       // a previous run's cached file listing would point at deleted
       // files after the overwrite (the p29 lesson)
       spark.catalog.refreshByPath(s"$out/centroids")
@@ -703,12 +716,10 @@ object AnnOps {
     landOnce(s"$out/base", Seq(s"$out/centroids_v1", s"$out/codes_base")) {
       centroidStateOf(quantized(spark, dir).filter(col("vec_id") % 10 =!= 0))
         .write.mode("overwrite").parquet(s"$out/centroids_v1")
-      pqCodes(spark, dir).filter(!isDelta)
-        .write.mode("overwrite").partitionBy("label").parquet(s"$out/codes_base")
+      writeCells(pqCodes(spark, dir).filter(!isDelta), s"$out/codes_base")
     }
     // ---- delta ingest: encode + merge, never rescanning the base ----
-    pqCodes(spark, dir).filter(isDelta)
-      .write.mode("overwrite").partitionBy("label").parquet(s"$out/codes_delta")
+    writeCells(pqCodes(spark, dir).filter(isDelta), s"$out/codes_delta")
     spark.catalog.refreshByPath(s"$out/centroids_v1")
     val deltaState = centroidStateOf(quantized(spark, dir).filter(col("vec_id") % 10 === 0))
       .select(col("label"), col("s").as("sd"), col("n").as("nd"))
@@ -773,8 +784,7 @@ object AnnOps {
     // measure the DELETE maintenance below, which is the operator) ----
     landOnce(s"$out/full", Seq(s"$out/centroids_v1", s"$out/codes_full")) {
       centroids(spark, dir).write.mode("overwrite").parquet(s"$out/centroids_v1")
-      pqCodes(spark, dir).write.mode("overwrite")
-        .partitionBy("label").parquet(s"$out/codes_full")
+      writeCells(pqCodes(spark, dir), s"$out/codes_full")
       spark.catalog.refreshByPath(s"$out/centroids_v1")
       spark.catalog.refreshByPath(s"$out/codes_full")
     }
@@ -837,8 +847,7 @@ object AnnOps {
     // landed once per JVM per dir — the COMPACTION below is the
     // measured operator) ----
     landOnce(s"$out/pre", Seq(s"$out/codes_full", s"$out/centroids_v2")) {
-      pqCodes(spark, dir).write.mode("overwrite")
-        .partitionBy("label").parquet(s"$out/codes_full")
+      writeCells(pqCodes(spark, dir), s"$out/codes_full")
       decrementedState(centroids(spark, dir),
           centroidStateOf(quantized(spark, dir).filter(deleted)))
         .write.mode("overwrite").parquet(s"$out/centroids_v2")
@@ -848,9 +857,8 @@ object AnnOps {
     // ---- the compaction rewrite: drop tombstoned rows, keep layout ----
     val tombstones = quantized(spark, dir).filter(deleted)
       .select(col("vec_id").as("c_id"))
-    spark.read.parquet(s"$out/codes_full")
-      .join(broadcast(tombstones), Seq("c_id"), "left_anti")
-      .write.mode("overwrite").partitionBy("label").parquet(s"$out/codes_v2")
+    writeCells(spark.read.parquet(s"$out/codes_full")
+      .join(broadcast(tombstones), Seq("c_id"), "left_anti"), s"$out/codes_v2")
     spark.catalog.refreshByPath(s"$out/codes_v2")
     // ---- serve from the COMPACTED lake: no tombstone set anywhere ----
     val codes = spark.read.parquet(s"$out/codes_v2")
@@ -1061,8 +1069,8 @@ object AnnOps {
     landOnce(s"$out/base", Seq(s"$out/centroids_v1", s"$out/codes_base")) {
       centroidStateOf(quantized(spark, dir).filter(col("vec_id") % 10 =!= 0))
         .write.mode("overwrite").parquet(s"$out/centroids_v1")
-      pqCodes(spark, dir).filter(col("c_id") % 10 =!= 0)
-        .write.mode("overwrite").partitionBy("label").parquet(s"$out/codes_base")
+      writeCells(pqCodes(spark, dir).filter(col("c_id") % 10 =!= 0),
+        s"$out/codes_base")
       spark.catalog.refreshByPath(s"$out/centroids_v1")
       spark.catalog.refreshByPath(s"$out/codes_base")
     }
@@ -1121,6 +1129,9 @@ object AnnOps {
         .select(col("vec_id").as("c_id"), col("label"),
           posexplode(pqCodesCol(spark, col("q"))).as(Seq("m", "code")))
         .select("c_id", "label", "m", "code")
+        // cluster the micro-batch on the cell label for the same
+        // one-file-per-cell reason as [[writeCells]]
+        .repartition(col("label"))
         .writeStream.format("parquet")
         .option("path", s"$out/codes_delta")
         .option("checkpointLocation", s"$out/codes_ckpt")

@@ -93,6 +93,25 @@ class Round15OpsSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("e10 code lake lands exactly one file per cell directory") {
+    // the dynamic-partition write must CLUSTER on the cell label first:
+    // without it every task opens a file in every cell it sees —
+    // |tasks| × |cells| files (164k at the 1.28M carve) and a driver
+    // commit walk that dominates the build. One file per `label=` dir
+    // is the layout contract that keeps the write linear at 100 TB.
+    AnnOps.annPersistedIndex(spark, Sf0001).collect()
+    val codes = new java.io.File(
+      graft.functions.F.sinkPath("annindex", Sf0001) + "/codes")
+    val cellDirs = codes.listFiles().filter(f =>
+      f.isDirectory && f.getName.startsWith("label="))
+    assert(cellDirs.nonEmpty, "no cell directories landed")
+    cellDirs.foreach { d =>
+      val parts = d.listFiles().filter(_.getName.endsWith(".parquet"))
+      assert(parts.length === 1,
+        s"${d.getName}: ${parts.length} files — write not clustered on label")
+    }
+  }
+
   test("d12 kernel assignment: every vector once, exact dist to its centroid, deterministic rerun") {
     // value-level parity with the declarative form is owned by the
     // DuckDB gate (the oracle replays the whole Lloyd chain); this spec
