@@ -1,0 +1,67 @@
+#!/usr/bin/env python3
+"""Geometry-derivation check at the n > 10^6 carve.
+
+The full d12 oracle is n*k*d-shaped (the final assignment alone is
+n x k ~ 5.8e9 groups at n = 1.28M) -- infeasible in ANY engine at the
+carve, which is exactly why the operator needed the mapPartitions
+kernel. What CAN and MUST agree at this n is every geometry
+DERIVATION the oracles re-compute from COUNT(*): d12's adaptive k
+(the sqrt-n branch), the IVF cell-subdivision bits b, and the LSH
+planes-per-band p. This script slices those CTEs VERBATIM out of the
+oracle SQL that graft.Verify dumps and evaluates them in DuckDB
+against the real carve, comparing to the hand-derived Spark clamps.
+
+Usage: python3 tools/carve_check.py <oracle_sql.json> <carveDir>
+"""
+import json, sys
+
+import duckdb
+
+oracle_path = sys.argv[1] if len(sys.argv) > 1 else "/tmp/verify_carve/oracle_sql.json"
+sf = sys.argv[2] if len(sys.argv) > 2 else "/root/repo/scaledata/carve1m"
+
+con = duckdb.connect()
+con.sql(f"CREATE VIEW embeddings AS SELECT * FROM '{sf}/embeddings.parquet'")
+n = con.sql("SELECT COUNT(*) FROM embeddings").fetchone()[0]
+
+oracle = json.load(open(oracle_path))
+
+
+def cte_body(sql: str, marker: str) -> str:
+    """The balanced-paren body of `<marker> AS MATERIALIZED (...)`."""
+    i = sql.index(marker + " AS MATERIALIZED (") + len(marker + " AS MATERIALIZED (")
+    depth, j = 1, i
+    while depth:
+        if sql[j] == "(":
+            depth += 1
+        elif sql[j] == ")":
+            depth -= 1
+        j += 1
+    return sql[i : j - 1]
+
+
+# Spark-side clamps, mirrored by hand (GeometryCapsSpec pins the same
+# mirrors against the Scala functions across a grid incl. beyond-cap n):
+import math
+
+exp_k = max(8, min(math.ceil(n / 250.0), math.ceil(4 * math.sqrt(n))))
+exp_b = next(b for b in range(1, 21) if b == 20 or 10 * (1 << b) * 250 >= n)
+exp_p = next(p for p in range(6, 25) if p == 24 or (1 << p) * 4 >= n)
+
+checks = [
+    ("d12 nk (adaptive k)", cte_body(oracle["d12_semantic_dedup"], "nk"), "k", exp_k),
+    ("e5 cb (cell bits b)", cte_body(oracle["e5_ann_ivf"], "cb"), "b", exp_b),
+    ("e2 bp2 (band planes p)", cte_body(oracle["e2_ann_lsh"], "bp2"), "p", exp_p),
+]
+
+fails = 0
+sqrt_branch = math.ceil(4 * math.sqrt(n)) < math.ceil(n / 250.0)
+print(f"n = {n}; sqrt-n branch live: {sqrt_branch}")
+for name, body, colname, expect in checks:
+    got = con.sql(body).fetchone()[0]
+    ok = got == expect
+    fails += 0 if ok else 1
+    print(f"{'ok  ' if ok else 'FAIL'} {name}: duckdb={got} expected={expect}")
+
+print(f"{len(checks) - fails}/{len(checks)} derivations agree at n={n}")
+sys.exit(1 if fails else 0)

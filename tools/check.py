@@ -15,14 +15,22 @@ import duckdb
 sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
 
-con = duckdb.connect()
-for p in glob.glob(f"{sf}/*.parquet"):
-    name = os.path.basename(p).replace(".parquet", "")
-    con.sql(f"CREATE VIEW {name} AS SELECT * FROM '{p}'")
+def fresh_con():
+    # per-query connection: a large-n oracle that exhausts memory must
+    # not poison every later query's compare; temp_directory lets
+    # DuckDB's blocking operators spill instead of dying at the cap
+    c = duckdb.connect()
+    c.sql("SET temp_directory='/tmp/duckdb_spill'")
+    for p in glob.glob(f"{sf}/*.parquet"):
+        name = os.path.basename(p).replace(".parquet", "")
+        c.sql(f"CREATE VIEW {name} AS SELECT * FROM '{p}'")
+    return c
+
 
 oracle = json.load(open(f"{out}/oracle_sql.json"))
 fails = []
 for name, sql in sorted(oracle.items()):
+    con = fresh_con()
     pq = f"{out}/{name}"
     if not glob.glob(f"{pq}/*.parquet"):
         print(f"FAIL {name}: no spark output");  fails.append(name); continue
