@@ -1550,6 +1550,69 @@ object Oracles {
   /** x3 as a standalone statement — the map entry AND the contaminated-set
     * leg of x7's decon anti-join, so the composite always removes exactly
     * what the x3 row flags. */
+  /** d10 as a standalone statement — the map entry AND the lexical
+    * tier of d20's audit rollup, nested verbatim so the audit and the
+    * tier cannot drift. */
+  private lazy val d10Sql: String =
+    s"""WITH $ngramCte,
+       |h AS (SELECT doc_id, ${h60("ngram")} % 2147483647 AS h FROM ng),
+       |perms AS (SELECT CAST(i AS INTEGER) AS i,
+       |  ${h60("'perm_a_' || i")} % 2147483646 + 1 AS pa,
+       |  ${h60("'perm_b_' || i")} % 2147483647 AS pb
+       |  FROM range(16) t(i)),
+       |sig AS (SELECT doc_id, i, min((pa * h + pb) % 2147483647) AS mh
+       |  FROM h CROSS JOIN perms GROUP BY doc_id, i),
+       |bands AS (SELECT doc_id, CAST(floor(i / 4) AS INTEGER) AS band,
+       |  md5(string_agg(CAST(mh AS VARCHAR), ',' ORDER BY i)) AS bkey
+       |  FROM sig GROUP BY doc_id, CAST(floor(i / 4) AS INTEGER)),
+       |cand AS (SELECT DISTINCT t.doc_id AS train_doc, e.doc_id AS eval_doc
+       |  FROM bands t JOIN bands e
+       |    ON t.band = e.band AND t.bkey = e.bkey
+       |  WHERE t.doc_id % 20 <> 0 AND e.doc_id % 20 = 0)
+       |SELECT c.train_doc, c.eval_doc,
+       |  CAST(SUM(CASE WHEN st.mh = se.mh THEN 1 ELSE 0 END) AS DOUBLE) / 16 AS est_jaccard
+       |FROM cand c
+       |JOIN sig st ON st.doc_id = c.train_doc
+       |JOIN sig se ON se.doc_id = c.eval_doc AND se.i = st.i
+       |GROUP BY 1, 2
+       |HAVING CAST(SUM(CASE WHEN st.mh = se.mh THEN 1 ELSE 0 END) AS DOUBLE) / 16 >= 0.25
+       |ORDER BY train_doc, eval_doc""".stripMargin
+
+  /** d19 as a standalone statement — the map entry AND the semantic
+    * tier of d20's audit rollup, nested verbatim so the audit and the
+    * tier cannot drift. */
+  private lazy val d19Sql: String =
+    s"""WITH $cellCte,
+       |ql AS MATERIALIZED (SELECT c.vec_id, q.qv, c.label
+       |  FROM cqv q JOIN cellid c USING (vec_id)),
+       |unp AS (SELECT label, generate_subscripts(qv, 1) - 1 AS d, unnest(qv) AS v FROM ql),
+       |cd AS (SELECT label, d, SUM(v) AS s, COUNT(*) AS n FROM unp GROUP BY 1, 2),
+       |cent AS MATERIALIZED (SELECT label, list(s ORDER BY d) AS s, min(n) AS n,
+       |    SUM(s * s) AS ss FROM cd GROUP BY label),
+       |eq AS (SELECT vec_id AS eval_id, qv, list_dot_product(qv, qv) AS q2
+       |  FROM ql WHERE vec_id % ${graft.operators.CorpusOps.EvalMod} = 0),
+       |qd AS (SELECT e.eval_id, e.qv, c.label,
+       |    c.n * c.n * e.q2 - 2 * c.n * list_dot_product(e.qv, c.s) + c.ss AS dist2
+       |  FROM eq e CROSS JOIN cent c),
+       |pr AS MATERIALIZED (SELECT *,
+       |    row_number() OVER (PARTITION BY eval_id ORDER BY dist2, label) AS crnk
+       |  FROM qd),
+       |cand AS (SELECT t.vec_id, p.eval_id,
+       |    list_dot_product(t.qv, p.qv) /
+       |      sqrt(list_dot_product(t.qv, t.qv) * list_dot_product(p.qv, p.qv)) AS sim
+       |  FROM ql t JOIN pr p ON t.label = p.label
+       |  WHERE p.crnk <= ${graft.operators.AnnOps.NProbe}
+       |    AND t.vec_id % ${graft.operators.CorpusOps.EvalMod} <> 0),
+       |hits AS (SELECT vec_id, eval_id, sim,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, eval_id) AS rn
+       |  FROM cand WHERE sim >= ${graft.operators.DedupOps.SemDedupTau}),
+       |best AS (SELECT vec_id, eval_id, sim FROM hits WHERE rn = 1)
+       |SELECT t.vec_id, (b.eval_id IS NULL) AS is_kept,
+       |  b.eval_id AS contam_of, round(b.sim, 6) AS sim
+       |FROM (SELECT vec_id FROM ql
+       |      WHERE vec_id % ${graft.operators.CorpusOps.EvalMod} <> 0) t
+       |LEFT JOIN best b USING (vec_id) ORDER BY t.vec_id""".stripMargin
+
   private lazy val x3Sql: String =
     s"""WITH d AS (SELECT doc_id, $TOK AS t FROM documents),
        |g AS (SELECT DISTINCT doc_id, gram FROM (
@@ -2984,37 +3047,27 @@ object Oracles {
     // (dist2, label) probe rank), training vectors in a probed cell
     // pay the exact-int cosine, witness rank (sim desc, eval_id),
     // anti-join leg carries the keep list
-    "d19_semantic_decon" ->
-      s"""WITH $cellCte,
-         |ql AS MATERIALIZED (SELECT c.vec_id, q.qv, c.label
-         |  FROM cqv q JOIN cellid c USING (vec_id)),
-         |unp AS (SELECT label, generate_subscripts(qv, 1) - 1 AS d, unnest(qv) AS v FROM ql),
-         |cd AS (SELECT label, d, SUM(v) AS s, COUNT(*) AS n FROM unp GROUP BY 1, 2),
-         |cent AS MATERIALIZED (SELECT label, list(s ORDER BY d) AS s, min(n) AS n,
-         |    SUM(s * s) AS ss FROM cd GROUP BY label),
-         |eq AS (SELECT vec_id AS eval_id, qv, list_dot_product(qv, qv) AS q2
-         |  FROM ql WHERE vec_id % ${graft.operators.CorpusOps.EvalMod} = 0),
-         |qd AS (SELECT e.eval_id, e.qv, c.label,
-         |    c.n * c.n * e.q2 - 2 * c.n * list_dot_product(e.qv, c.s) + c.ss AS dist2
-         |  FROM eq e CROSS JOIN cent c),
-         |pr AS MATERIALIZED (SELECT *,
-         |    row_number() OVER (PARTITION BY eval_id ORDER BY dist2, label) AS crnk
-         |  FROM qd),
-         |cand AS (SELECT t.vec_id, p.eval_id,
-         |    list_dot_product(t.qv, p.qv) /
-         |      sqrt(list_dot_product(t.qv, t.qv) * list_dot_product(p.qv, p.qv)) AS sim
-         |  FROM ql t JOIN pr p ON t.label = p.label
-         |  WHERE p.crnk <= ${graft.operators.AnnOps.NProbe}
-         |    AND t.vec_id % ${graft.operators.CorpusOps.EvalMod} <> 0),
-         |hits AS (SELECT vec_id, eval_id, sim,
-         |    row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, eval_id) AS rn
-         |  FROM cand WHERE sim >= ${graft.operators.DedupOps.SemDedupTau}),
-         |best AS (SELECT vec_id, eval_id, sim FROM hits WHERE rn = 1)
-         |SELECT t.vec_id, (b.eval_id IS NULL) AS is_kept,
-         |  b.eval_id AS contam_of, round(b.sim, 6) AS sim
-         |FROM (SELECT vec_id FROM ql
-         |      WHERE vec_id % ${graft.operators.CorpusOps.EvalMod} <> 0) t
-         |LEFT JOIN best b USING (vec_id) ORDER BY t.vec_id""".stripMargin,
+    "d19_semantic_decon" -> d19Sql,
+
+    // d20: the three decon tiers' statements nested VERBATIM (x3Sql /
+    // d10Sql / d19Sql — each scoped in its own subquery so CTE names
+    // cannot collide), rolled up to the 8-way tier-combination table
+    "d20_decon_report" ->
+      s"""WITH xh AS MATERIALIZED (SELECT doc_id FROM ($x3Sql) xt),
+         |dh AS MATERIALIZED (SELECT DISTINCT train_doc AS doc_id FROM ($d10Sql) dt),
+         |sh AS MATERIALIZED (SELECT vec_id AS doc_id FROM ($d19Sql) st WHERE NOT is_kept),
+         |spine AS (SELECT doc_id FROM documents
+         |  WHERE doc_id % ${graft.operators.CorpusOps.EvalMod} <> 0)
+         |SELECT x3_hit, d10_hit, d19_hit, CAST(count(*) AS BIGINT) AS n_docs FROM (
+         |  SELECT sp.doc_id,
+         |    (xh.doc_id IS NOT NULL) AS x3_hit,
+         |    (dh.doc_id IS NOT NULL) AS d10_hit,
+         |    (sh.doc_id IS NOT NULL) AS d19_hit
+         |  FROM spine sp
+         |  LEFT JOIN xh ON sp.doc_id = xh.doc_id
+         |  LEFT JOIN dh ON sp.doc_id = dh.doc_id
+         |  LEFT JOIN sh ON sp.doc_id = sh.doc_id) f
+         |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
 
     "q24_market_share" ->
       """WITH flat AS (
@@ -3390,30 +3443,7 @@ object Oracles {
         |  min(event_id) AS min_id, max(event_id) AS max_id
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
 
-    "d10_cross_neardup" ->
-      s"""WITH $ngramCte,
-         |h AS (SELECT doc_id, ${h60("ngram")} % 2147483647 AS h FROM ng),
-         |perms AS (SELECT CAST(i AS INTEGER) AS i,
-         |  ${h60("'perm_a_' || i")} % 2147483646 + 1 AS pa,
-         |  ${h60("'perm_b_' || i")} % 2147483647 AS pb
-         |  FROM range(16) t(i)),
-         |sig AS (SELECT doc_id, i, min((pa * h + pb) % 2147483647) AS mh
-         |  FROM h CROSS JOIN perms GROUP BY doc_id, i),
-         |bands AS (SELECT doc_id, CAST(floor(i / 4) AS INTEGER) AS band,
-         |  md5(string_agg(CAST(mh AS VARCHAR), ',' ORDER BY i)) AS bkey
-         |  FROM sig GROUP BY doc_id, CAST(floor(i / 4) AS INTEGER)),
-         |cand AS (SELECT DISTINCT t.doc_id AS train_doc, e.doc_id AS eval_doc
-         |  FROM bands t JOIN bands e
-         |    ON t.band = e.band AND t.bkey = e.bkey
-         |  WHERE t.doc_id % 20 <> 0 AND e.doc_id % 20 = 0)
-         |SELECT c.train_doc, c.eval_doc,
-         |  CAST(SUM(CASE WHEN st.mh = se.mh THEN 1 ELSE 0 END) AS DOUBLE) / 16 AS est_jaccard
-         |FROM cand c
-         |JOIN sig st ON st.doc_id = c.train_doc
-         |JOIN sig se ON se.doc_id = c.eval_doc AND se.i = st.i
-         |GROUP BY 1, 2
-         |HAVING CAST(SUM(CASE WHEN st.mh = se.mh THEN 1 ELSE 0 END) AS DOUBLE) / 16 >= 0.25
-         |ORDER BY train_doc, eval_doc""".stripMargin,
+    "d10_cross_neardup" -> d10Sql,
 
     // d11: the bloom prefilter admits only false positives and the join
     // re-checks band equality, so the oracle is the PLAIN cross-carve

@@ -708,4 +708,46 @@ object CorpusOps {
         call_function("div", col("eff_ppm"), lit(1000000L).cast(d38)).as("tokens_eff"))
       .orderBy("source")
   }
+
+  /** d20: DECONTAMINATION AUDIT — the three tiers (x3 exact 8-gram,
+    * d10 MinHash lexical near-copy, d19 embedding-cosine paraphrase)
+    * rolled up into the tier-combination table a curator reads before
+    * a training run: for each of the 8 (x3, d10, d19) hit patterns,
+    * how many training documents land there. The off-diagonal cells
+    * are the report's point — `(F,F,T)` counts paraphrases ONLY the
+    * semantic tier catches (what pays for d19's embedding pass),
+    * `(T,F,F)` counts verbatim quotes below every near-dup threshold,
+    * and the all-true cell is the agreement mass that calibrates the
+    * cheap tier as a proxy for the expensive ones.
+    *
+    * Scale shape: each tier's flag list is OUTPUT-scale (flagged docs
+    * only) and already memoized by its own operator; the report is
+    * three left semi-style joins against the one-pass train spine plus
+    * an 8-group rollup — no new shuffle class, and the spine join keys
+    * are the flag lists (broadcast-size at any realistic contamination
+    * rate). Documents without an embedding row simply cannot be
+    * d19-flagged (the tier never saw them) — the id spaces are aligned
+    * 1:1 in the driver testdata. */
+  def deconReport(spark: SparkSession, dir: String): DataFrame = {
+    val spine = Tables.documents(spark, dir)
+      .filter(col("doc_id") % EvalMod =!= 0).select("doc_id")
+    val x3 = decontaminate(spark, dir)
+      .select(col("doc_id"), lit(true).as("x3f"))
+    val d10 = DedupOps.crossNearDup(spark, dir)
+      .select(col("train_doc").as("doc_id")).distinct()
+      .withColumn("d10f", lit(true))
+    val d19 = DedupOps.semanticDecon(spark, dir)
+      .filter(!col("is_kept"))
+      .select(col("vec_id").as("doc_id"), lit(true).as("d19f"))
+    spine
+      .join(broadcast(x3), Seq("doc_id"), "left")
+      .join(broadcast(d10), Seq("doc_id"), "left")
+      .join(broadcast(d19), Seq("doc_id"), "left")
+      .select(coalesce(col("x3f"), lit(false)).as("x3_hit"),
+        coalesce(col("d10f"), lit(false)).as("d10_hit"),
+        coalesce(col("d19f"), lit(false)).as("d19_hit"))
+      .groupBy("x3_hit", "d10_hit", "d19_hit")
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy("x3_hit", "d10_hit", "d19_hit")
+  }
 }

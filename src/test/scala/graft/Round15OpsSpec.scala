@@ -93,6 +93,22 @@ class Round15OpsSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("d20 audit: the constructed paraphrase lands in the semantic-only cell, mass conserved") {
+    val dir = paraphraseDir
+    val rows = CorpusOps.deconReport(spark, dir).collect()
+      .map(r => (r.getBoolean(0), r.getBoolean(1), r.getBoolean(2)) -> r.getLong(3))
+      .toMap
+    // doc 1 (identical embedding, disjoint vocabulary) is the (F,F,T)
+    // cell — caught by NOTHING but the semantic tier
+    assert(rows.getOrElse((false, false, true), 0L) >= 1L,
+      s"semantic-only cell missing: $rows")
+    // every train doc lands in exactly one cell
+    val trainDocs = spark.read.parquet(s"$dir/documents.parquet")
+      .filter(col("doc_id") % CorpusOps.EvalMod =!= 0).count()
+    assert(rows.values.sum === trainDocs)
+    DedupOps.clearMemo(spark, dir)
+  }
+
   test("e10 code lake lands exactly one file per cell directory") {
     // the dynamic-partition write must CLUSTER on the cell label first:
     // without it every task opens a file in every cell it sees —
