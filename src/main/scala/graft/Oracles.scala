@@ -3455,6 +3455,11 @@ object Oracles {
     // serve-equals-build discipline applied to the stream)
     "p39_stream_neardup" -> d11Sql,
 
+    // p40: the STREAMING semantic-decon admission must reproduce d19's
+    // batch answer EXACTLY — its oracle is d19's statement verbatim
+    // (p39's serve-equals-batch discipline at the semantic tier)
+    "p40_stream_decon" -> d19Sql,
+
     "x5_source_budget" ->
       s"""WITH d AS (SELECT doc_id, source,
          |    CAST(len($TOK) AS BIGINT) AS n_tok,

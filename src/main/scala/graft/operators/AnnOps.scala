@@ -177,6 +177,20 @@ object AnnOps {
   private def cellBitsOf(spark: SparkSession, dir: String): Int =
     cellBits(Tables.embeddings(spark, dir).count())
 
+  /** The ONE ingest-encode definition: (vec_id, label, embedding) →
+    * (vec_id, label = composite coarse cell, q). Shared by e18's
+    * streaming delta encode and p40's in-stream decon so no ingest
+    * path can fork in geometry — a raw class label here would land
+    * vectors in nonexistent cells (the bug class the round-14 gate
+    * caught on e18). The bit count derives from the FULL corpus, the
+    * same 1-row metadata count the batch [[quantized]] uses. */
+  private[graft] def encodeCells(spark: SparkSession, dir: String,
+      df: DataFrame): DataFrame = {
+    val b = cellBitsOf(spark, dir)
+    df.select(col("vec_id"), col("label"), quantize(col("embedding")).as("q"))
+      .withColumn("label", cellCol(spark, b))
+  }
+
   private[graft] def quantized(spark: SparkSession, dir: String): DataFrame =
     DedupOps.memoized(spark, "ann_quantized", dir) {
       val raw = Tables.embeddings(spark, dir)
@@ -1116,13 +1130,10 @@ object AnnOps {
   private def ingestDeltaStream(spark: SparkSession, dir: String, out: String): Unit = {
     val schema = spark.read.parquet(s"$out/arrivals").schema
     // the delta's cell id must derive from the SAME composite geometry
-    // as the base index (cellCol over the full-corpus bit count) — a
-    // raw class label here would land codes in nonexistent cells
-    val b = cellBitsOf(spark, dir)
-    def arrivals = spark.readStream.schema(schema).parquet(s"$out/arrivals")
-      .dropDuplicates("vec_id")
-      .select(col("vec_id"), col("label"), quantize(col("embedding")).as("q"))
-      .withColumn("label", cellCol(spark, b))
+    // as the base index — the one shared [[encodeCells]] definition
+    def arrivals = encodeCells(spark, dir,
+      spark.readStream.schema(schema).parquet(s"$out/arrivals")
+        .dropDuplicates("vec_id"))
     graft.streaming.StreamPipeline.withStatePartitions(
         spark, graft.streaming.StreamPipeline.MaterializeStateParts) {
       val codesQ = arrivals

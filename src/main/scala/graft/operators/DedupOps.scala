@@ -834,16 +834,27 @@ object DedupOps {
     * whose embedding lands outside the probed cells is missed, which
     * is the documented ANN-decon trade (raise nProbe to trade cost
     * for recall). */
+  /** The (eval vector × probed cell) relation — (eval_id, eq, label,
+    * e_n2), the constant-size broadcast side of the semantic-decon
+    * probe. ONE definition shared by batch d19 and p40's in-stream
+    * admission index so the two paths cannot fork in probe geometry
+    * or norm arithmetic (the e18 anti-fork discipline). */
+  private[graft] def deconProbes(spark: SparkSession, dir: String,
+      nProbe: Int): DataFrame = {
+    val dot = dotBest(spark)
+    val evalQ = AnnOps.quantized(spark, dir)
+      .filter(col("vec_id") % CorpusOps.EvalMod === 0)
+      .select(col("vec_id").as("q_id"), col("q").as("qq"))
+    AnnOps.probedCellsOf(spark, evalQ, nProbe, AnnOps.centroids(spark, dir))
+      .select(col("q_id").as("eval_id"), col("qq").as("eq"), col("label"))
+      .withColumn("e_n2", dot(col("eq"), col("eq")).cast(DoubleType))
+  }
+
   def semanticDecon(spark: SparkSession, dir: String,
       tau: Double = SemDedupTau, nProbe: Int = AnnOps.NProbe): DataFrame = {
     val dot = dotBest(spark)
     val qv = AnnOps.quantized(spark, dir)
-    val evalQ = qv.filter(col("vec_id") % CorpusOps.EvalMod === 0)
-      .select(col("vec_id").as("q_id"), col("q").as("qq"))
-    val probed = AnnOps
-      .probedCellsOf(spark, evalQ, nProbe, AnnOps.centroids(spark, dir))
-      .select(col("q_id").as("eval_id"), col("qq").as("eq"), col("label"))
-      .withColumn("e_n2", dot(col("eq"), col("eq")).cast(DoubleType))
+    val probed = deconProbes(spark, dir, nProbe)
     val train = qv.filter(col("vec_id") % CorpusOps.EvalMod =!= 0)
       .withColumn("n2", dot(col("q"), col("q")).cast(DoubleType))
     // best witness by (sim desc, eval_id asc) through TopKPerKey's

@@ -1045,6 +1045,81 @@ object StreamPipeline {
     spark.table("graft_p39_neardup").orderBy("incoming_doc", "existing_doc")
   }
 
+  /** p40: IN-STREAM SEMANTIC DECONTAMINATION — d19's admission decision
+    * AT INGEST TIME (the p39 discipline carried to the semantic tier):
+    * every arriving training vector is checked against the benchmark
+    * eval set as it lands, emitting d19's exact row
+    * (vec_id, is_kept, contam_of, sim) — the oracle IS d19's statement,
+    * and the spec pins stream == batch row-for-row.
+    *
+    * The design point: the static side is d19's (eval × probed cell)
+    * relation ([[graft.operators.DedupOps.deconProbes]] — the ONE
+    * definition batch d19 uses, so the two paths cannot fork), grouped
+    * into one row PER CELL carrying the cell's eval payloads as a
+    * sorted array. An arrival then needs only its own cell id —
+    * computed map-side by the shared [[graft.operators.AnnOps
+    * .encodeCells]] (e18's encode, the full-corpus geometry) — and a
+    * stream-static equi-join on that cell brings ALL its candidate
+    * evals in as ONE row. Witness selection (sim desc, eval_id asc)
+    * becomes a row-local array fold — the stateless equivalent of
+    * d19's per-key top-1: no streaming aggregation, no watermark, no
+    * state store. First-max over the eval_id-ascending array with
+    * strict improvement IS the (sim desc, eval_id asc) rule.
+    *
+    * Scale shape: per-micro-batch cost is the map-side cell encode +
+    * one broadcast equi-join against a benchmark-scale index
+    * (|evals|·nProbe rows — kilobytes at any realistic benchmark) +
+    * a per-row fold over expected cell occupancy; the corpus is never
+    * rescanned and there is zero state to snapshot. */
+  def streamDecon(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{AnnOps, CorpusOps, DedupOps}
+    val streamDir = java.nio.file.Paths.get(stagingPath("p40", dir))
+    landOnce(streamDir.toString,
+      streamDir.resolve(stagedMarkerName("embeddings")).toString) {
+      stageParquet(s"$dir/embeddings.parquet", streamDir.toString, "embeddings")
+    }
+    val schema = spark.read.parquet(s"$dir/embeddings.parquet").schema
+    val dot = dotBest(spark)
+    // static per-cell eval index: array_sort on the (eval_id, eq, e_n2)
+    // structs orders by eval_id — the fold's tie-break order
+    val probeIx = DedupOps.deconProbes(spark, dir, AnnOps.NProbe)
+      .groupBy("label")
+      .agg(array_sort(collect_list(
+        struct(col("eval_id"), col("eq"), col("e_n2")))).as("evs"))
+    val simT = "struct<sim:double,eval_id:bigint>"
+    val arrivals = AnnOps.encodeCells(spark, dir,
+        spark.readStream.schema(schema).parquet(streamDir.toString)
+          .filter(col("vec_id") % CorpusOps.EvalMod =!= 0))
+      .withColumn("n2", dot(col("q"), col("q")).cast(org.apache.spark.sql.types.DoubleType))
+    val out = arrivals
+      .join(broadcast(probeIx), Seq("label"), "left")
+      // same doubles as batch d19: dot cast to double, / sqrt(n2*e_n2)
+      .withColumn("sims", transform(col("evs"), e => struct(
+        (dot(col("q"), e.getField("eq")).cast(org.apache.spark.sql.types.DoubleType) /
+          sqrt(col("n2") * e.getField("e_n2"))).as("sim"),
+        e.getField("eval_id").as("eval_id"))))
+      .withColumn("hits", filter(col("sims"),
+        s => s.getField("sim") >= lit(DedupOps.SemDedupTau)))
+      // first strict max over the eval_id-ascending hits = d19's
+      // (sim desc, eval_id asc) witness
+      .withColumn("best", aggregate(col("hits"), lit(null).cast(simT),
+        (acc, x) => when(acc.isNull
+          .or(x.getField("sim") > acc.getField("sim")), x).otherwise(acc)))
+      // generator barrier (the p39 16× lesson): `best` feeds THREE
+      // output columns; without the barrier CollapseProject would
+      // re-run the whole sims→hits→fold chain per consumer
+      .select(col("vec_id"), explode(array(col("best"))).as("b"))
+      .select(col("vec_id"), col("b").isNull.as("is_kept"),
+        col("b").getField("eval_id").as("contam_of"),
+        round(col("b").getField("sim"), 6).as("sim"))
+    val query = out
+      .writeStream.format("memory").queryName("graft_p40_decon")
+      .outputMode("append").start()
+    try query.processAllAvailable()
+    finally { recordFloor("p40", query); query.stop() }
+    spark.table("graft_p40_decon").orderBy("vec_id")
+  }
+
   /** Daily KPIs over the matched-trip stream — event-time 1-day window,
     * same decimal-exact aggregates as the batch kpiDaily. */
   def kpiDailyStream(spark: SparkSession, events: DataFrame): DataFrame =

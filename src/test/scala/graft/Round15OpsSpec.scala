@@ -93,6 +93,25 @@ class Round15OpsSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("p40 in-stream semantic decon reproduces d19's batch answer row-for-row") {
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getBoolean(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)))
+    val batch = DedupOps.semanticDecon(spark, Sf0001).collect().map(key).toSet
+    val stream = graft.streaming.StreamPipeline.streamDecon(spark, Sf0001)
+      .collect().map(key).toSet
+    assert(stream === batch)
+    assert(stream.exists(!_._2), "no in-stream contamination flag at sf0.001 — vacuous")
+    // and the constructed paraphrase is REJECTED at the ingest gate
+    val para = paraphraseDir
+    val pStream = graft.streaming.StreamPipeline.streamDecon(spark, para)
+      .collect().map(key).map { case (v, k, w, s) => v -> ((k, w, s)) }.toMap
+    assert(pStream(1L) === ((false, Some(0L), Some(1.0))),
+      "paraphrase not rejected in-stream")
+    DedupOps.clearMemo(spark, para)
+  }
+
   test("d20 audit: the constructed paraphrase lands in the semantic-only cell, mass conserved") {
     val dir = paraphraseDir
     val rows = CorpusOps.deconReport(spark, dir).collect()

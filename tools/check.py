@@ -21,6 +21,7 @@ def fresh_con():
     # DuckDB's blocking operators spill instead of dying at the cap
     c = duckdb.connect()
     c.sql("SET temp_directory='/tmp/duckdb_spill'")
+    c.sql(f"SET memory_limit='{os.environ.get('DUCKDB_MEM', '80GB')}'")
     for p in glob.glob(f"{sf}/*.parquet"):
         name = os.path.basename(p).replace(".parquet", "")
         c.sql(f"CREATE VIEW {name} AS SELECT * FROM '{p}'")
