@@ -2763,6 +2763,40 @@ object Oracles {
          |  CAST(sum(eff_ppm) // 1000000 AS BIGINT) AS tokens_eff
          |FROM j GROUP BY source ORDER BY source""".stripMargin,
 
+    // x18: the per-(source, pred_lang) token-budget table — the marker
+    // scores and argmax prediction are t3's rule verbatim (the Spark
+    // side shares ONE withPredLang definition with t3); fertility and
+    // corpus share are exact integer div in HUGEINT, mirroring the
+    // Spark side's decimal(38,0)
+    "x18_token_budget" ->
+      s"""WITH d AS (SELECT doc_id, source, n_chars, $TOK AS t FROM documents),
+         |sl AS (SELECT doc_id, source, n_chars, len(t) AS n_tok,
+         |  CAST(len(list_filter(t, x -> x IN ('der','die','und','das','ist','nicht'))) AS BIGINT) AS s_de,
+         |  CAST(len(list_filter(t, x -> x IN ('the','and','of','to','in','is'))) AS BIGINT) AS s_en,
+         |  CAST(len(list_filter(t, x -> x IN ('el','la','de','que','y','los'))) AS BIGINT) AS s_es,
+         |  CAST(len(list_filter(t, x -> x IN ('le','la','de','et','les','des'))) AS BIGINT) AS s_fr,
+         |  CAST(len(list_filter(t, x -> x IN ('de5','shi4','le5','zai4','he2','you3'))) AS BIGINT) AS s_zh
+         |  FROM d),
+         |pl AS (SELECT source,
+         |  CASE WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
+         |       WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+         |       WHEN s_es >= s_fr AND s_es >= s_zh THEN 'es'
+         |       WHEN s_fr >= s_zh THEN 'fr'
+         |       ELSE 'zh' END AS pred_lang,
+         |  n_tok, n_chars FROM sl),
+         |per AS (SELECT source, pred_lang,
+         |    CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+         |    CAST(sum(n_chars) AS BIGINT) AS n_chars
+         |  FROM pl GROUP BY 1, 2),
+         |tot AS (SELECT CAST(sum(CAST(n_tokens AS HUGEINT)) AS HUGEINT) AS tot_tokens FROM per)
+         |SELECT source, pred_lang, n_docs, n_tokens, n_chars,
+         |  CASE WHEN n_chars > 0
+         |    THEN CAST(CAST(n_tokens AS HUGEINT) * 1000000 // n_chars AS BIGINT)
+         |    ELSE 0 END AS fertility_ppm,
+         |  CAST(CAST(n_tokens AS HUGEINT) * 1000000 // tot_tokens AS BIGINT) AS share_ppm
+         |FROM per CROSS JOIN tot ORDER BY source, pred_lang""".stripMargin,
+
     // g6: the component-size spectrum over the same corpus-wide
     // cluster partition
     "g6_component_spectrum" ->

@@ -709,6 +709,49 @@ object CorpusOps {
       .orderBy("source")
   }
 
+  /** x18: TOKEN-BUDGET REPORT — the per-(source, predicted-language)
+    * planning table a training run is budgeted from: document count,
+    * token mass, character mass, tokenizer FERTILITY (tokens per
+    * character, ppm — the number that converts a byte budget into a
+    * token budget, and the first thing that diverges when a tokenizer
+    * change or a language mix shift silently alters corpus cost) and
+    * each cell's share of the whole corpus's tokens (ppm). Keyed by
+    * PRED_lang, not the label: the budget must reflect what the
+    * language-ID heuristic will actually route, mislabeled docs
+    * included — the same rule t3/x1 filter on, via the one shared
+    * `withPredLang` definition so report and filter cannot fork.
+    *
+    * Scale shape: ONE documents pass (tokenize + marker scores + char
+    * length, all map-side) into a map-combined groupBy collapsing to
+    * |sources|·|langs| rows; the corpus total joins back as a broadcast
+    * 1-row scalar. Fertility/share are exact integer div in
+    * decimal(38,0) — n_tokens·10⁶ overflows int64 at ~9.2e12 tokens,
+    * exactly the 100 TB regime (x16's discipline). */
+  def tokenBudget(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.F.tokens
+    import org.apache.spark.sql.types.DecimalType
+    val d38 = DecimalType(38, 0)
+    val per = TextOps.withPredLang(
+        Tables.documents(spark, dir).withColumn("t", tokens(col("text"))))
+      .groupBy("source", "pred_lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(col("t")).cast("long")).as("n_tokens"),
+        sum("n_chars").as("n_chars"))
+    val tot = per.agg(sum(col("n_tokens").cast(d38)).as("tot_tokens"))
+    per.crossJoin(broadcast(tot))
+      .select(col("source"), col("pred_lang"),
+        col("n_docs"), col("n_tokens"), col("n_chars"),
+        when(col("n_chars") > 0,
+          call_function("div",
+            col("n_tokens").cast(d38) * lit(1000000L).cast(d38),
+            col("n_chars").cast(d38)))
+          .otherwise(lit(0L)).as("fertility_ppm"),
+        call_function("div",
+          col("n_tokens").cast(d38) * lit(1000000L).cast(d38),
+          col("tot_tokens")).as("share_ppm"))
+      .orderBy("source", "pred_lang")
+  }
+
   /** d20: DECONTAMINATION AUDIT — the three tiers (x3 exact 8-gram,
     * d10 MinHash lexical near-copy, d19 embedding-cosine paraphrase)
     * rolled up into the tier-combination table a curator reads before

@@ -73,11 +73,14 @@ object TextOps {
     "fr" -> Seq("le", "la", "de", "et", "les", "des"),
     "zh" -> Seq("de5", "shi4", "le5", "zai4", "he2", "you3"))
 
-  /** t3: language-ID — count marker-word hits per language, argmax with
-    * deterministic alphabetical tie-break. */
-  def langId(spark: SparkSession, dir: String): DataFrame = {
-    val scored = LangMarkers.foldLeft(
-      Tables.documents(spark, dir).withColumn("t", toks)) {
+  /** ONE definition of the language heuristic: adds the five marker
+    * score columns (`s_de` … `s_zh`) and the argmax `pred_lang`
+    * (alphabetical tie-break) to any relation already carrying the
+    * token array `t`. Shared by t3 (the filter's substrate) and x18
+    * (the budget report) so the prediction rule cannot fork between
+    * consumers — the e18 cell-encode lesson applied to language-ID. */
+  private[operators] def withPredLang(in: DataFrame): DataFrame = {
+    val scored = LangMarkers.foldLeft(in) {
       case (df, (lang, markers)) =>
         val m = array(markers.map(lit): _*)
         df.withColumn(s"s_$lang",
@@ -90,8 +93,16 @@ object TextOps {
         .reduce(_ && _)
       when(ge, lit(lang)).otherwise(rest)
     }
-    scored.select(col("doc_id") +: langs.map(l => col(s"s_$l")) :+
-      pred.as("pred_lang") :+ col("lang").as("labeled_lang"): _*)
+    scored.withColumn("pred_lang", pred)
+  }
+
+  /** t3: language-ID — count marker-word hits per language, argmax with
+    * deterministic alphabetical tie-break. */
+  def langId(spark: SparkSession, dir: String): DataFrame = {
+    val langs = LangMarkers.map(_._1)
+    withPredLang(Tables.documents(spark, dir).withColumn("t", toks))
+      .select(col("doc_id") +: langs.map(l => col(s"s_$l")) :+
+        col("pred_lang") :+ col("lang").as("labeled_lang"): _*)
       .orderBy("doc_id")
   }
 

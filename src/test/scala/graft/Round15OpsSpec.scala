@@ -164,4 +164,41 @@ class Round15OpsSpec extends AnyFunSuite with SparkSpec {
     assert(assign.sortBy(_._1).toSeq === assign2.sortBy(_._1).toSeq)
     DedupOps.clearMemo(spark, Sf0001)
   }
+
+  test("x18 token budget matches a driver-side recomputation (pred-lang rule, exact div)") {
+    import graft.operators.TextOps
+    val dir = paraphraseDir
+    val langs = TextOps.LangMarkers.map(_._1)
+    val markers = TextOps.LangMarkers.toMap
+    // t3's argmax rule: first lang (alphabetical) whose score >= every
+    // LATER lang's score — the same when-chain withPredLang builds
+    def predLang(toks: Seq[String]): String = {
+      val score =
+        langs.map(l => l -> toks.count(t => markers(l).contains(t)).toLong).toMap
+      langs.init.find(l => langs.filter(_ > l).forall(o => score(l) >= score(o)))
+        .getOrElse(langs.last)
+    }
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select("text", "source", "n_chars").collect()
+      .map(r => (r.getString(1),
+        predLang(r.getString(0).trim.toLowerCase.split("\\s+").toSeq),
+        r.getString(0).trim.toLowerCase.split("\\s+").length.toLong,
+        r.getLong(2)))
+    val perCell = docs.groupBy(d => (d._1, d._2)).map { case ((src, pl), rows) =>
+      (src, pl, rows.length.toLong, rows.map(_._3).sum, rows.map(_._4).sum)
+    }.toSeq
+    val totTokens = perCell.map(_._4).sum
+    val expected = perCell.map { case (src, pl, nd, nt, nc) =>
+      (src, pl, nd, nt, nc,
+        if (nc > 0) nt * 1000000L / nc else 0L,
+        nt * 1000000L / totTokens)
+    }.sortBy(x => (x._1, x._2))
+    val got = CorpusOps.tokenBudget(spark, dir).collect().map(r =>
+      (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).toSeq
+    assert(got === expected)
+    // the shares partition the corpus: sum within one ppm·cells of 10^6
+    val shareSum = got.map(_._7).sum
+    assert(shareSum <= 1000000L && shareSum > 1000000L - got.length)
+  }
 }
