@@ -89,8 +89,17 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
+    // ReadSchema-sized split refinement (F.SplitTuner): the 32 MB base
+    // bounds stored bytes per task, but a narrow projection decodes a
+    // small fraction of each split — per-query the split widens by
+    // 1/read-fraction so b4-class 2-of-16-column scans stop paying 3×
+    // task-scheduling overhead for p8's full-width win. The A/B
+    // override keeps its fixed-config meaning (tuning off under it).
+    val tuner = new graft.functions.F.SplitTuner(spark, sfDir, splitMb,
+      enabled = splitMb > 0 && sys.env.get("SPARK_GRAFT_SPLIT_MB").isEmpty)
+
     def runOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Boolean =
-      try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+      try { tuner.build(name, fn).write.format("noop").mode("overwrite").save(); true }
       catch { case e: Throwable => System.err.println(s"[bench] $name FAILED: $e"); false }
 
     // JVM telemetry for the timed window: cumulative GC time and peak
@@ -140,12 +149,34 @@ object Bench {
     def shortId(name: String): String = name.takeWhile(_ != '_')
     require(selected.map(s => shortId(s._1)).distinct.size == selected.size,
       "short query ids must stay unique — rename the clashing query")
+    // Memo spill policy for carve-scale suites (SPARK_GRAFT_FAMILY_MAJOR
+    // =1): at n ≥ 10⁶ the co-resident memoized substrates of every
+    // family in ONE local JVM pin the heap at its ceiling (round 15
+    // measured 46 of 48 GB with 21.7 s GC at the 1.28M-vector carve —
+    // a local-mode artifact; on a cluster substrates partition across
+    // executors). Family-major order warms and times one SURVEY family
+    // (short-id letter prefix) at a time, releasing its substrate
+    // persists before the next, so at most one family's substrates are
+    // ever co-resident. Within a family the timed passes stay
+    // round-robin (the host-spike robustness the global interleave
+    // exists for); a cross-family substrate cleared at a boundary
+    // rebuilds inside the next family's own UNTIMED warm pass. Default
+    // off: the driver's sf0.1 bench keeps the global interleave
+    // (substrates there are small, and cross-pass spike robustness
+    // matters more than heap headroom).
+    val familyMajor = sys.env.get("SPARK_GRAFT_FAMILY_MAJOR").contains("1")
     val calPre = Seq.fill(3)(calOnce())
     val warmT0 = System.nanoTime()
-    // pass 0: substrate/cache warm pass over every query, untimed
-    val warmOks = selected.map { case (name, fn) => name -> runOnce(name, fn) }.toMap
+    // pass 0: substrate/cache warm pass, untimed (per family when
+    // family-major — see above)
+    val warmOks = scala.collection.mutable.Map.empty[String, Boolean]
+    if (!familyMajor)
+      selected.foreach { case (name, fn) => warmOks(name) = runOnce(name, fn) }
     // telemetry window = the timed passes only (warm-pass substrate
-    // builds are charged to no query, so their GC isn't either)
+    // builds are charged to no query, so their GC isn't either). In
+    // family-major mode later families' warm passes DO land inside the
+    // window — gc_s/heap_mb then bound the policy's whole working set,
+    // which is the number the policy exists to shrink.
     heapPools().foreach(_.resetPeakUsage())
     val gc0 = gcMillis()
     // passes 1..Reps run ROUND-ROBIN — the whole suite once per pass,
@@ -154,16 +185,27 @@ object Bench {
     // median window (round 5 charged 53 s to a 0.8 s query that way);
     // interleaved, the same spike clips one sample from many queries
     // and every median survives.
-    val passes = (1 to Reps).map { _ =>
-      selected.map { case (name, fn) =>
-        maybeGc()
-        val t0 = System.nanoTime()
-        val ok = runOnce(name, fn)
-        name -> ((System.nanoTime() - t0) / 1e9, ok)
-      }.toMap
-    }
+    def runPasses(qs: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)]) =
+      (1 to Reps).map { _ =>
+        qs.map { case (name, fn) =>
+          maybeGc()
+          val t0 = System.nanoTime()
+          val ok = runOnce(name, fn)
+          name -> ((System.nanoTime() - t0) / 1e9, ok)
+        }.toMap
+      }
+    val passes: Seq[Map[String, (Double, Boolean)]] =
+      if (!familyMajor) runPasses(selected)
+      else selected.groupBy(_._1.head).toSeq.sortBy(_._1).flatMap { case (_, fam) =>
+        // family-scoped warm pass (substrate builds untimed, as ever)
+        fam.foreach { case (name, fn) => warmOks(name) = runOnce(name, fn) }
+        val p = runPasses(fam)
+        operators.DedupOps.clearMemo(spark, sfDir)
+        System.gc()
+        p
+      }
     val results = selected.map { case (name, _) =>
-      val samples = passes.map(_(name))
+      val samples = passes.flatMap(_.get(name))
       val median = samples.map(_._1).sorted.apply(Reps / 2)
       (name, median, warmOks(name) && samples.forall(_._2))
     }

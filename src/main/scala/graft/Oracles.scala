@@ -2794,7 +2794,9 @@ object Oracles {
          |  CASE WHEN n_chars > 0
          |    THEN CAST(CAST(n_tokens AS HUGEINT) * 1000000 // n_chars AS BIGINT)
          |    ELSE 0 END AS fertility_ppm,
-         |  CAST(CAST(n_tokens AS HUGEINT) * 1000000 // tot_tokens AS BIGINT) AS share_ppm
+         |  CASE WHEN tot_tokens > 0
+         |    THEN CAST(CAST(n_tokens AS HUGEINT) * 1000000 // tot_tokens AS BIGINT)
+         |    ELSE 0 END AS share_ppm
          |FROM per CROSS JOIN tot ORDER BY source, pred_lang""".stripMargin,
 
     // g6: the component-size spectrum over the same corpus-wide

@@ -28,10 +28,14 @@ object Verify {
     // dev-only filter for iterating on a subset (same contract as
     // Bench's); the driver sets no filter and verifies everything
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
+    // same ReadSchema-sized split refinement as Bench (one SplitTuner
+    // implementation — see the Bench comment)
+    val tuner = new graft.functions.F.SplitTuner(spark, sfDir, splitMb,
+      enabled = splitMb > 0 && sys.env.get("SPARK_GRAFT_SPLIT_MB").isEmpty)
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+      try tuner.build(name, fn).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")

@@ -76,6 +76,118 @@ object F {
     if (bytes(new java.io.File(sfDir)) > 64L * 1024 * 1024) 32 else 0
   }
 
+  /** Per-query refinement of [[autoSplitMb]]: the 32 MB split exists to
+    * bound DECODED CPU per task, but stored file bytes only proxy that
+    * for a query reading every column. A narrow scan (b4 reads 2 of
+    * lineitem's 16 columns) decodes a small FRACTION of each split, so
+    * directory-sized splits mint 4-16× the tasks for kilobytes of
+    * decode each — the round-15 A/B measured b4 at 3.21 s under
+    * 32 MB splits vs 1.03 s under defaults at sf1, pure scheduling
+    * overhead. The right denominator is the bytes the query's
+    * ReadSchema actually decodes: this walks the UNEXECUTED physical
+    * plan's parquet scans, estimates each scan's read fraction from
+    * one file's footer (column-chunk compressed sizes, cached per
+    * path), and widens the split by 1/fraction so every task decodes
+    * ~baseMb worth of READ columns regardless of projection width.
+    * Full-width scans (p8's props parse) keep baseMb and their 8×;
+    * narrow scans converge to Spark-default-sized tasks. Capped at
+    * 512 MB (a lost task still re-reads bounded work) and floored at
+    * baseMb; plans with no parquet scan (streaming memory tables,
+    * cached substrates) keep baseMb. Returns MB to set as
+    * spark.sql.files.maxPartitionBytes for THIS query. */
+  def splitMbForPlan(df: org.apache.spark.sql.DataFrame, baseMb: Int): Int = {
+    if (baseMb <= 0) return 0
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import scala.jdk.CollectionConverters._
+    def flatten(p: SparkPlan): Seq[SparkPlan] = p +: p.children.flatMap(flatten)
+    // subqueries (scalar/broadcast) plan their own scans; main plan is
+    // what dominates bytes, and missing a subquery scan only keeps a
+    // conservative (smaller) split — walk children only.
+    val scans = flatten(df.queryExecution.sparkPlan)
+      .collect { case f: FileSourceScanExec => f }
+    if (scans.isEmpty) return baseMb
+    val (readSum, storedSum) = scans.foldLeft((0.0, 0.0)) { case ((r, s), scan) =>
+      val files = scan.relation.location.inputFiles
+      if (files.isEmpty) (r, s)
+      else {
+        val cols = footerColBytes(files.head,
+          df.sparkSession.sparkContext.hadoopConfiguration)
+        val total = cols.values.sum.toDouble
+        if (total <= 0) (r, s)
+        else {
+          val read = scan.requiredSchema.fieldNames
+            .map(n => cols.getOrElse(n.toLowerCase(java.util.Locale.ROOT), 0L)).sum.toDouble
+          val stored = scan.relation.location.sizeInBytes.toDouble
+          (r + stored * (read / total), s + stored)
+        }
+      }
+    }
+    if (storedSum <= 0 || readSum <= 0) baseMb
+    else math.min(512, math.max(baseMb,
+      math.ceil(baseMb * storedSum / readSum).toInt))
+  }
+
+  /** Per-query split tuning shared by the two local mains (Bench and
+    * Verify — ONE implementation, so the harnesses can never silently
+    * run different scan configs). `build` plans the query once under
+    * the base config, derives its ReadSchema-fraction split via
+    * [[splitMbForPlan]] (memoized per query name), sets the session's
+    * maxPartitionBytes for the run, and rebuilds only when the tuned
+    * value differs — a streaming key (whose fn executes during
+    * construction and returns a memory table with no parquet scan)
+    * keeps the base and is never run twice. Disabled (`enabled=false`,
+    * e.g. under the SPARK_GRAFT_SPLIT_MB A/B override or Spark-default
+    * small inputs), it is a pass-through. */
+  final class SplitTuner(
+      spark: org.apache.spark.sql.SparkSession,
+      sfDir: String,
+      baseMb: Int,
+      enabled: Boolean) {
+    private val cache = new java.util.concurrent.ConcurrentHashMap[String, Int]()
+    private def set(mb: Int): Unit =
+      spark.conf.set("spark.sql.files.maxPartitionBytes", mb.toLong * 1024 * 1024)
+    def build(
+        name: String,
+        fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame)
+        : org.apache.spark.sql.DataFrame =
+      if (!enabled) fn(spark, sfDir)
+      else Option(cache.get(name)) match {
+        case Some(mb) =>
+          set(mb); fn(spark, sfDir)
+        case None =>
+          set(baseMb)
+          val probe = fn(spark, sfDir)
+          val mb =
+            try splitMbForPlan(probe, baseMb)
+            catch { case scala.util.control.NonFatal(_) => baseMb }
+          cache.put(name, mb)
+          if (mb == baseMb) probe else { set(mb); fn(spark, sfDir) }
+      }
+  }
+
+  /** Top-level-column compressed byte totals from one parquet footer,
+    * memoized per path (footers are a few KB; queries re-probe the
+    * same tables every bench pass). */
+  private val footerCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Map[String, Long]]()
+  private def footerColBytes(
+      path: String,
+      conf: org.apache.hadoop.conf.Configuration): Map[String, Long] =
+    footerCache.computeIfAbsent(path, { p =>
+      import scala.jdk.CollectionConverters._
+      try {
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile
+          .fromPath(new org.apache.hadoop.fs.Path(p), conf)
+        val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try reader.getFooter.getBlocks.asScala
+          .flatMap(_.getColumns.asScala)
+          .groupBy(_.getPath.toArray.head.toLowerCase(java.util.Locale.ROOT))
+          .map { case (k, cs) => k -> cs.map(_.getTotalSize).sum }
+          .toMap
+        finally reader.close()
+      } catch { case scala.util.control.NonFatal(_) => Map.empty[String, Long] }
+    })
+
   /** Land a parquet input into a staging dir as top-level files a file
     * streaming source will list — handling BOTH physical layouts a
     * lake serves: a single parquet file (the sandbox testdata shape)

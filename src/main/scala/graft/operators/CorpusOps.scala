@@ -746,9 +746,11 @@ object CorpusOps {
             col("n_tokens").cast(d38) * lit(1000000L).cast(d38),
             col("n_chars").cast(d38)))
           .otherwise(lit(0L)).as("fertility_ppm"),
-        call_function("div",
-          col("n_tokens").cast(d38) * lit(1000000L).cast(d38),
-          col("tot_tokens")).as("share_ppm"))
+        when(col("tot_tokens") > 0,
+          call_function("div",
+            col("n_tokens").cast(d38) * lit(1000000L).cast(d38),
+            col("tot_tokens")))
+          .otherwise(lit(0L)).as("share_ppm"))
       .orderBy("source", "pred_lang")
   }
 
@@ -782,10 +784,14 @@ object CorpusOps {
     val d19 = DedupOps.semanticDecon(spark, dir)
       .filter(!col("is_kept"))
       .select(col("vec_id").as("doc_id"), lit(true).as("d19f"))
+    // no broadcast hints: the flag lists are usually tiny (flagged docs
+    // only) and AQE will broadcast them from their MEASURED size — but
+    // at a pathological contamination rate d19's list is O(train), and
+    // an unconditional hint would pin it in driver memory regardless
     spine
-      .join(broadcast(x3), Seq("doc_id"), "left")
-      .join(broadcast(d10), Seq("doc_id"), "left")
-      .join(broadcast(d19), Seq("doc_id"), "left")
+      .join(x3, Seq("doc_id"), "left")
+      .join(d10, Seq("doc_id"), "left")
+      .join(d19, Seq("doc_id"), "left")
       .select(coalesce(col("x3f"), lit(false)).as("x3_hit"),
         coalesce(col("d10f"), lit(false)).as("d10_hit"),
         coalesce(col("d19f"), lit(false)).as("d19_hit"))

@@ -231,12 +231,12 @@ object StreamPipeline {
       spark.readStream.schema(raw.schema).parquet(streamDir.toString))
     withStatePartitions(spark, MaterializeStateParts) {
       val query = sessionizeStream(sdf)
-        .writeStream.format("memory").queryName("graft_p15_sessions")
+        .writeStream.format("memory").queryName(memSinkName("p15", dir))
         .outputMode("append").start()
       try query.processAllAvailable()
       finally { recordFloor("p15", query); query.stop() }
     }
-    spark.table("graft_p15_sessions")
+    spark.table(memSinkName("p15", dir))
       .filter(col("user_id") =!= FlushUser)
       .orderBy("user_id", "session_start")
   }
@@ -269,12 +269,12 @@ object StreamPipeline {
   def kpiDailyViaFileStream(spark: SparkSession, dir: String): DataFrame = {
     withStatePartitions(spark, MaterializeStateParts) {
       val query = kpiDailyStream(spark, stagedEventsStream(spark, dir))
-        .writeStream.format("memory").queryName("graft_p9_kpi")
+        .writeStream.format("memory").queryName(memSinkName("p9", dir))
         .outputMode("complete").start()
       try query.processAllAvailable()
       finally { recordFloor("p9", query); query.stop() }
     }
-    spark.table("graft_p9_kpi").orderBy("date")
+    spark.table(memSinkName("p9", dir)).orderBy("date")
   }
 
   /** Runs `body` with the session's shuffle-partition count — which for
@@ -479,12 +479,12 @@ object StreamPipeline {
   def signupPurchaseJoinViaFileStream(spark: SparkSession, dir: String): DataFrame = {
     withStatePartitions(spark, MaterializeStateParts) {
       val query = signupPurchaseJoin(spark, stagedEventsStream(spark, dir))
-        .writeStream.format("memory").queryName("graft_p13_ssj")
+        .writeStream.format("memory").queryName(memSinkName("p13", dir))
         .outputMode("append").start()
       try query.processAllAvailable()
       finally { recordFloor("p13", query); query.stop() }
     }
-    spark.table("graft_p13_ssj")
+    spark.table(memSinkName("p13", dir))
       .select(col("s_event_id"), col("p_event_id"), col("user_id"),
         col("s_ts").cast("timestamp_ntz").as("s_ts"),
         col("p_ts").cast("timestamp_ntz").as("p_ts"), col("fare"))
@@ -523,12 +523,12 @@ object StreamPipeline {
   def revenueByNationViaFileStream(spark: SparkSession, dir: String): DataFrame = {
     withStatePartitions(spark, MaterializeStateParts) {
       val query = revenueByNationStream(spark, stagedEventsStream(spark, dir), dir)
-        .writeStream.format("memory").queryName("graft_p20_ssd")
+        .writeStream.format("memory").queryName(memSinkName("p20", dir))
         .outputMode("complete").start()
       try query.processAllAvailable()
       finally { recordFloor("p20", query); query.stop() }
     }
-    spark.table("graft_p20_ssd").orderBy("date", "n_name")
+    spark.table(memSinkName("p20", dir)).orderBy("date", "n_name")
   }
 
   /** p21: IDEMPOTENT PARTITIONED SINK — the streaming daily-KPI output
@@ -595,13 +595,13 @@ object StreamPipeline {
   def hllDistinctStream(spark: SparkSession, dir: String): DataFrame = {
     withStatePartitions(spark, MaterializeStateParts) {
       val query = hllRegistersStream(stagedEventsStream(spark, dir))
-        .writeStream.format("memory").queryName("graft_p19_hll")
+        .writeStream.format("memory").queryName(memSinkName("p19", dir))
         .outputMode("complete").start()
       try query.processAllAvailable()
       finally { recordFloor("p19", query); query.stop() }
     }
     val m = graft.operators.SketchOps.HllM
-    val regs = spark.table("graft_p19_hll")
+    val regs = spark.table(memSinkName("p19", dir))
     val agg = regs.groupBy("date").agg(
       (sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(53 - rho AS INT))")) +
         (lit(m.toLong) - count(lit(1))) * lit(9007199254740992L)).as("s"),
@@ -1038,11 +1038,11 @@ object StreamPipeline {
       .filter(col("est_jaccard") >= 0.25)
       .select("incoming_doc", "existing_doc", "est_jaccard")
     val query = out
-      .writeStream.format("memory").queryName("graft_p39_neardup")
+      .writeStream.format("memory").queryName(memSinkName("p39", dir))
       .outputMode("append").start()
     try query.processAllAvailable()
     finally { recordFloor("p39", query); query.stop() }
-    spark.table("graft_p39_neardup").orderBy("incoming_doc", "existing_doc")
+    spark.table(memSinkName("p39", dir)).orderBy("incoming_doc", "existing_doc")
   }
 
   /** p40: IN-STREAM SEMANTIC DECONTAMINATION — d19's admission decision
@@ -1113,11 +1113,11 @@ object StreamPipeline {
         col("b").getField("eval_id").as("contam_of"),
         round(col("b").getField("sim"), 6).as("sim"))
     val query = out
-      .writeStream.format("memory").queryName("graft_p40_decon")
+      .writeStream.format("memory").queryName(memSinkName("p40", dir))
       .outputMode("append").start()
     try query.processAllAvailable()
     finally { recordFloor("p40", query); query.stop() }
-    spark.table("graft_p40_decon").orderBy("vec_id")
+    spark.table(memSinkName("p40", dir)).orderBy("vec_id")
   }
 
   /** Daily KPIs over the matched-trip stream — event-time 1-day window,

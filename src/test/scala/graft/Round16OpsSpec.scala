@@ -1,0 +1,33 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.CorpusOps
+
+/** Round-16 hardening: x18's zero-corpus share guard. */
+class Round16OpsSpec extends AnyFunSuite with SparkSpec {
+
+  test("x18 share_ppm is 0 (not null) when the corpus token total is unavailable") {
+    // A corpus whose only document carries NULL text: tokens(NULL) is
+    // NULL, so n_tokens and tot_tokens are NULL — without the
+    // when(tot_tokens > 0) guard, share_ppm would be NULL too.
+    val dir = java.nio.file.Files.createTempDirectory("x18zero").toString
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("text", StringType, nullable = true),
+      StructField("lang", StringType, nullable = false),
+      StructField("source", StringType, nullable = false),
+      StructField("n_chars", LongType, nullable = false)))
+    val rows = java.util.Arrays.asList(
+      org.apache.spark.sql.Row(0L, null, "en", "src0", 0L))
+    spark.createDataFrame(rows, schema)
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = CorpusOps.tokenBudget(spark, dir).collect()
+    assert(got.length === 1)
+    val r = got.head
+    assert(!r.isNullAt(r.fieldIndex("share_ppm")), "share_ppm must be guarded, not null")
+    assert(r.getLong(r.fieldIndex("share_ppm")) === 0L)
+    assert(r.getLong(r.fieldIndex("fertility_ppm")) === 0L)
+  }
+}

@@ -28,13 +28,27 @@ oracle = json.load(open(oracle_path))
 
 
 def cte_body(sql: str, marker: str) -> str:
-    """The balanced-paren body of `<marker> AS MATERIALIZED (...)`."""
+    """The balanced-paren body of `<marker> AS MATERIALIZED (...)`.
+
+    Parens inside single-quoted SQL literals are skipped ('' is the
+    escaped quote), so a '(' in a string near these CTEs can't
+    mis-slice the body."""
     i = sql.index(marker + " AS MATERIALIZED (") + len(marker + " AS MATERIALIZED (")
     depth, j = 1, i
     while depth:
-        if sql[j] == "(":
+        ch = sql[j]
+        if ch == "'":
+            j += 1
+            while True:  # scan to the literal's closing quote
+                if sql[j] == "'":
+                    if j + 1 < len(sql) and sql[j + 1] == "'":
+                        j += 2  # doubled quote = escaped, stay inside
+                        continue
+                    break
+                j += 1
+        elif ch == "(":
             depth += 1
-        elif sql[j] == ")":
+        elif ch == ")":
             depth -= 1
         j += 1
     return sql[i : j - 1]

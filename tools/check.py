@@ -34,17 +34,21 @@ for name, sql in sorted(oracle.items()):
     con = fresh_con()
     pq = f"{out}/{name}"
     if not glob.glob(f"{pq}/*.parquet"):
-        print(f"FAIL {name}: no spark output");  fails.append(name); continue
+        print(f"FAIL {name}: no spark output");  fails.append(name)
+        con.close(); continue
     try:
         got = con.sql(f"SELECT * FROM '{pq}/*.parquet'").fetchdf()
         exp = con.sql(sql).fetchdf()
     except Exception as e:
-        print(f"FAIL {name}: {e}"); fails.append(name); continue
+        print(f"FAIL {name}: {e}"); fails.append(name)
+        con.close(); continue
     gc, ec = sorted(got.columns), sorted(exp.columns)
     if gc != ec:
-        print(f"FAIL {name}: cols {gc} vs {ec}"); fails.append(name); continue
+        print(f"FAIL {name}: cols {gc} vs {ec}"); fails.append(name)
+        con.close(); continue
     if len(got) != len(exp):
-        print(f"FAIL {name}: rows {len(got)} vs {len(exp)}"); fails.append(name); continue
+        print(f"FAIL {name}: rows {len(got)} vs {len(exp)}"); fails.append(name)
+        con.close(); continue
     g = got[gc].sort_values(by=gc, ignore_index=True)
     e = exp[ec].sort_values(by=ec, ignore_index=True)
     bad = None
@@ -66,6 +70,7 @@ for name, sql in sorted(oracle.items()):
         fails.append(name)
     else:
         print(f"ok   {name}: {len(got)} rows")
+    con.close()  # release this query's buffers now, not at GC time
 
 print(f"\n{len(oracle) - len(fails)}/{len(oracle)} pass")
 sys.exit(1 if fails else 0)
