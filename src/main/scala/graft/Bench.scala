@@ -59,6 +59,10 @@ object Bench {
         .config("spark.sql.files.maxPartitionBytes", s"${splitMb.toLong * 1024 * 1024}")
         .config("spark.sql.files.openCostInBytes", s"${1024 * 1024}")
       else builder).getOrCreate()
+    // carve-scale memo demotion (see DedupOps.memoized): e.g.
+    // SPARK_GRAFT_MEMO_LEVEL=MEMORY_AND_DISK_SER
+    sys.env.get("SPARK_GRAFT_MEMO_LEVEL")
+      .foreach(l => spark.conf.set("graft.memo.level", l))
     spark.sparkContext.setLogLevel("WARN")
 
     // Warm-up: JIT + whole-stage codegen + shuffle machinery + parquet

@@ -21,20 +21,36 @@ import org.apache.spark.sql.types.FloatType
   * Embedding dim-0 is nudged by r·0.001 so replicated vectors are not
   * bitwise ties in cosine ranking.
   *
-  * Usage: runMain graft.ScaleGen <srcDir> <outDir> [factor] [tables]
+  * Usage: runMain graft.ScaleGen <srcDir> <outDir> [factor] [tables] [salt]
   * `tables` (comma list) restricts output — e.g. `embeddings` derives
   * the n ≥ 10⁶ embeddings-only carve that exercises adaptiveK's √n
   * branch and the geometry caps without paying a 64× text corpus.
+  *
+  * `salt` (literal "salt" as the 5th arg): per-replica position-keyed
+  * text salting for LARGE document carves. Verbatim replication makes
+  * every near-dup cluster 64× bigger at factor 64, so pair outputs
+  * (d2/d3/d4) grow SF² — ~10⁹ rows at a 3.2M-doc carve, which is a
+  * testdata artifact, not the target workload: a real crawl corpus at
+  * any n has BOUNDED dup-cluster sizes and pair counts ~linear in n.
+  * Salting suffixes every 3rd token with the replica id (replica 0
+  * stays verbatim, so the output still contains the source), which
+  * zeroes cross-replica 3-gram/8-gram shingle overlap — every shingle
+  * window contains a salted position — while preserving intra-replica
+  * near-dup pairs exactly (the driver's near-dups are HEAD-ALIGNED
+  * tail-insertions, measured round 16, so position keying from the
+  * head never de-aligns a cluster). Cluster sizes and the per-replica
+  * pair structure match the source; n grows 64×.
   */
 object ScaleGen {
   def main(args: Array[String]): Unit = {
-    require(args.length >= 2, "usage: ScaleGen <srcDir> <outDir> [factor] [tables]")
+    require(args.length >= 2, "usage: ScaleGen <srcDir> <outDir> [factor] [tables] [salt]")
     val (src, out) = (args(0), args(1))
     val factor = if (args.length > 2) args(2).toInt else 10
     val tables: Set[String] = if (args.length > 3)
       args(3).split(",").map(_.trim).toSet
     else Set("region", "nation", "customer", "supplier", "part",
       "orders", "lineitem", "events", "documents", "embeddings")
+    val saltDocs = args.length > 4 && args(4) == "salt"
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")}]")
       .appName("graft-scalegen")
@@ -80,8 +96,18 @@ object ScaleGen {
       .drop("r"), "lineitem")
     write(replicate(read("events"),
       "event_id" -> 100 * M, "user_id" -> M).drop("r"), "events")
-    write(replicate(read("documents"), "doc_id" -> M)
-      .drop("r"), "documents")
+    val docsRep = replicate(read("documents"), "doc_id" -> M)
+    val docsOut =
+      if (!saltDocs) docsRep.drop("r")
+      else docsRep
+        .withColumn("text", when(col("r") === 0, col("text")).otherwise(
+          array_join(
+            transform(split(col("text"), " "),
+              (t, i) => when(i % 3 === 0, concat(t, lit("x"), col("r"))).otherwise(t)),
+            " ")))
+        .withColumn("n_chars", length(col("text")))
+        .drop("r")
+    write(docsOut, "documents")
     write(replicate(read("embeddings"), "vec_id" -> M)
       .withColumn("embedding", expr(
         "transform(embedding, (x, i) -> CAST(CASE WHEN i = 0 " +

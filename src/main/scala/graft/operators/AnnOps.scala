@@ -200,12 +200,21 @@ object AnnOps {
       // single-row-group embeddings file hands a million-vector corpus
       // to 1-2 scan tasks (bytes proxy scan cost, not the k·d compute
       // downstream — the round-13 p8 scan-starve find at the compute
-      // layer). One row-count-free check: if the scan is narrower than
-      // the session's cores, fan it out once BEFORE the memo persists;
-      // at real scale the scan is already wide and this is a no-op.
+      // layer). Width is sized from the ROW count (~40k vectors per
+      // partition, the density the 1.28M carve ran 22/22 green at),
+      // NOT blindly to the session's cores: repartition(cores) on a
+      // 2k-vector substrate mints `cores` micro-partitions that every
+      // downstream e-family read then pays scheduling for — the
+      // round-16 A/B measured e1 at 0.58 s (r14) vs 1.00 s (r15
+      // cores-wide cache) at sf0.1 from exactly this. The count is
+      // parquet-footer metadata (cellBitsOf already pays it for the
+      // geometry), charged once per memo build. At real scale the scan
+      // arrives wider than the target and this is a no-op.
       val cores = spark.sparkContext.defaultParallelism
+      val want = math.min(cores.toLong, math.max(1L,
+        Tables.embeddings(spark, dir).count() / 40000L)).toInt
       val spread =
-        if (raw.rdd.getNumPartitions < cores) raw.repartition(cores) else raw
+        if (raw.rdd.getNumPartitions < want) raw.repartition(want) else raw
       spread
         .select(col("vec_id"), quantize(col("embedding")).as("q"), col("label"))
         .withColumn("label", cellCol(spark, cellBitsOf(spark, dir)))

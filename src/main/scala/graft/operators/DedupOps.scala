@@ -41,7 +41,18 @@ object DedupOps {
     MemoTrace.record(key)
     memo.getOrElseUpdate((spark, key, dir), {
       MemoTrace.push(key)
-      try build.persist(StorageLevel.MEMORY_AND_DISK)
+      // Storage level is a session knob (`graft.memo.level`): the
+      // default deserialized MEMORY_AND_DISK is right for the driver's
+      // SFs, but a carve-scale suite co-residing many array-heavy
+      // substrates in ONE local JVM runs the heap to its ceiling
+      // (round 15: 46 of 48 GB, 21.7 s GC at n = 1.28M) —
+      // MEMORY_AND_DISK_SER stores the long-array rows packed,
+      // trading per-read deserialization CPU for the headroom the
+      // n = 10⁷ decade needs. On a cluster substrates partition
+      // across executors and the default stands.
+      val level = spark.conf.getOption("graft.memo.level")
+        .map(StorageLevel.fromString).getOrElse(StorageLevel.MEMORY_AND_DISK)
+      try build.persist(level)
       finally MemoTrace.pop()
     })
   }
