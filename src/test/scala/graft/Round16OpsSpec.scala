@@ -5,8 +5,98 @@ import org.apache.spark.sql.types._
 import org.scalatest.funsuite.AnyFunSuite
 import graft.operators.CorpusOps
 
-/** Round-16 hardening: x18's zero-corpus share guard. */
+/** Round-16 hardening: x18's zero-corpus share guard; d20's audit-cell
+  * reachability. */
 class Round16OpsSpec extends AnyFunSuite with SparkSpec {
+
+  /** A constructed corpus in which EVERY (x3, d10, d19) tier
+    * combination of d20's decontamination audit is witnessed — the
+    * audit's arithmetic is oracle-gated at every SF, but no shipped
+    * corpus populates more than 3 of the 8 cells, so this fixture pins
+    * that no combination is structurally unreachable (e.g. a join that
+    * accidentally implies x3 ⊆ d10).
+    *
+    * Tier mechanics the texts are built against (DedupOps constants):
+    * x3 = any shared 8-token gram with an eval doc (doc_id % 20 == 0);
+    * d10 = MinHash est-Jaccard >= 0.25 over 3-gram shingles with an
+    * LSH band match (K=16, 4 bands x 4 rows); d19 = embedding cosine
+    * >= 0.35 against a probed eval vector. So:
+    *   - "one leading 8-gram + unrelated tail" hits x3 but stays far
+    *     below the d10 threshold (6 shared 3-grams of ~90);
+    *   - eval text with every (8k+3)-th token replaced shares NO
+    *     8-gram (every 8-window spans a replacement) but ~5/8 of its
+    *     3-gram shingles — above threshold AND band-matching (the
+    *     "r3t3" replacement tag was SEARCHED over so a band collides:
+    *     the signature is a deterministic md5 function of the text,
+    *     est-Jaccard 0.625 — a found tag is stable forever);
+    *   - a verbatim copy hits both lexical tiers;
+    *   - the d19 axis is orthogonal: docs that must hit it share the
+    *     eval doc's EXACT embedding (cosine 1.0, same cell); docs that
+    *     must not get ONE-HOT vectors — pairwise cosine 0, and at most
+    *     ~0.21 against the leak vector (max |leak| component over its
+    *     norm), below the 0.35 tau. One-hot, not the d19 spec's vec()
+    *     family: vec() is periodic in seed mod 13, so a filler id
+    *     13k+11 would repeat the leak vector exactly. */
+  private lazy val reachDir: String = {
+    val dir = java.nio.file.Files.createTempDirectory("d20reach").toString
+    val evalTok = (0 until 60).map(i => s"w$i")
+    def replaced(tag: String): String = evalTok.zipWithIndex.map {
+      case (_, i) if i % 8 == 3 => s"$tag$i"
+      case (t, _) => t
+    }.mkString(" ")
+    val oneGram = (0 until 8).map(i => s"w$i") ++ (0 until 32).map(i => s"junk$i")
+    val docs: Seq[(Long, String)] = Seq(
+      0L -> evalTok.mkString(" "), // eval doc (0 % 20 == 0)
+      20L -> (0 until 20).map(i => s"evalb$i").mkString(" "), // 2nd eval, unrelated
+      1L -> (0 until 40).map(i => s"cellfff$i").mkString(" "), // (F,F,F)
+      2L -> oneGram.mkString(" "), // (T,F,F)
+      3L -> replaced("r3t3"), // (F,T,F)
+      4L -> evalTok.mkString(" "), // (T,T,F) verbatim copy
+      5L -> (0 until 40).map(i => s"parax$i").mkString(" "), // (F,F,T) paraphrase
+      6L -> ((0 until 8).map(i => s"w$i") ++ (0 until 32).map(i => s"junc$i")).mkString(" "), // (T,F,T)
+      7L -> replaced("r3t3"), // (F,T,T) — same lexical body as doc 3
+      8L -> evalTok.mkString(" ") // (T,T,T)
+    ) ++ (9L until 20L).map(i =>
+      i -> s"filler doc $i item$i widget$i gadget$i thing$i stuff$i piece$i part$i unit$i") ++
+      (21L until 40L).map(i =>
+        i -> s"filler doc $i item$i widget$i gadget$i thing$i stuff$i piece$i part$i unit$i")
+    spark.createDataFrame(docs.map { case (id, text) =>
+        (id, text, "en", s"src${id % 3}", text.length.toLong)
+      }).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val leak: Seq[Float] =
+      (0 until 64).map(d => (((999L * 31 + d * 7) % 13) - 6) / 10.0f)
+    def oneHot(id: Long): Seq[Float] =
+      (0 until 64).map(d => if (d == id.toInt) 1.0f else 0.0f)
+    val d19Hit = Set(0L, 5L, 6L, 7L, 8L)
+    val embs = docs.map(_._1).sorted.map { id =>
+      if (d19Hit(id)) (id, leak, 7) else (id, oneHot(id), (id % 7).toInt)
+    }
+    spark.createDataFrame(embs)
+      .toDF("vec_id", "embedding", "label")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    dir
+  }
+
+  test("d20 audit: every (x3, d10, d19) tier combination is reachable") {
+    val dir = reachDir
+    val got = CorpusOps.deconReport(spark, dir).collect()
+      .map(r => (r.getBoolean(0), r.getBoolean(1), r.getBoolean(2)) -> r.getLong(3))
+      .toMap
+    // each constructed witness lands in exactly its designed cell
+    val expect = Map(
+      (false, false, false) -> 31L, // doc 1 + the 30 fillers
+      (true, false, false) -> 1L, // doc 2
+      (false, true, false) -> 1L, // doc 3
+      (true, true, false) -> 1L, // doc 4
+      (false, false, true) -> 1L, // doc 5
+      (true, false, true) -> 1L, // doc 6
+      (false, true, true) -> 1L, // doc 7
+      (true, true, true) -> 1L) // doc 8
+    assert(got === expect)
+    // the audit's population invariant: cells partition the train spine
+    assert(got.values.sum === 38L)
+  }
 
   test("x18 share_ppm is 0 (not null) when the corpus token total is unavailable") {
     // A corpus whose only document carries NULL text: tokens(NULL) is
