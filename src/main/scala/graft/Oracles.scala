@@ -2854,6 +2854,39 @@ object Oracles {
         |  CAST((t.k * t.ss * 1000000) // (t.n * t.n) AS BIGINT) AS imbalance_ppm
         |FROM s, t ORDER BY s.label""".stripMargin,
 
+    // e23: per-cell centroid drift — exact int sum-vectors per cell for
+    // the e11 base carve (vec_id % 10 <> 0) and the full corpus; the
+    // drift cosine runs its dot products in HUGEINT (the operator's
+    // decimal(38,0)) and pays one IEEE sqrt+division at the end
+    "e23_centroid_drift" ->
+      s"""WITH $cellCte,
+         |vecs AS MATERIALIZED (SELECT c.vec_id, c.label, q.qv
+         |  FROM cellid c JOIN cqv q USING (vec_id)),
+         |unp AS (SELECT vec_id, label, generate_subscripts(qv, 1) - 1 AS d, unnest(qv) AS v
+         |  FROM vecs),
+         |nowd AS (SELECT label, d, CAST(SUM(v) AS BIGINT) AS s2 FROM unp GROUP BY 1, 2),
+         |based AS (SELECT label, d, CAST(SUM(v) AS BIGINT) AS s1
+         |  FROM unp WHERE vec_id % 10 <> 0 GROUP BY 1, 2),
+         |nown AS (SELECT label, CAST(count(*) AS BIGINT) AS n_now FROM vecs GROUP BY 1),
+         |basen AS (SELECT label, CAST(count(*) AS BIGINT) AS n_base
+         |  FROM vecs WHERE vec_id % 10 <> 0 GROUP BY 1),
+         |dots AS (SELECT n.label,
+         |    SUM(CAST(b.s1 AS HUGEINT) * n.s2) AS dot12,
+         |    SUM(CAST(b.s1 AS HUGEINT) * b.s1) AS ss1,
+         |    SUM(CAST(n.s2 AS HUGEINT) * n.s2) AS ss2
+         |  FROM nowd n JOIN based b ON n.label = b.label AND n.d = b.d
+         |  GROUP BY 1)
+         |SELECT nn.label, bn.n_base, nn.n_now,
+         |  CASE WHEN bn.n_base IS NOT NULL
+         |    THEN CAST((nn.n_now - bn.n_base) * 1000000 // bn.n_base AS BIGINT)
+         |    END AS growth_ppm,
+         |  CASE WHEN bn.n_base IS NOT NULL AND d.ss1 > 0 AND d.ss2 > 0
+         |    THEN round(CAST(d.dot12 AS DOUBLE)
+         |      / sqrt(CAST(d.ss1 AS DOUBLE) * CAST(d.ss2 AS DOUBLE)), 6)
+         |    END AS drift
+         |FROM nown nn LEFT JOIN basen bn USING (label) LEFT JOIN dots d USING (label)
+         |ORDER BY COALESCE(drift, -1.0), nn.label""".stripMargin,
+
     // e12: the single-request serving path is e6 restricted to the one
     // served query — pruning the code lake to the probed cells must
     // change nothing about that query's answer
@@ -3495,6 +3528,35 @@ object Oracles {
     // batch answer EXACTLY — its oracle is d19's statement verbatim
     // (p39's serve-equals-batch discipline at the semantic tier)
     "p40_stream_decon" -> d19Sql,
+
+    // p41: the stateless ingest gate — t2's score and t3's argmax with
+    // x1's first-failing verdict, one row per document; the stream must
+    // reproduce this batch statement exactly
+    "p41_stream_quality" ->
+      s"""WITH d AS (SELECT doc_id, lang, $TOK AS t FROM documents),
+         |x AS (SELECT doc_id, lang, len(t) AS n_tokens, len(list_distinct(t)) AS n_unique,
+         |  len(list_filter(t, x -> x IN ('the','a','of','and','to','in','is','on','for','with'))) AS n_stop,
+         |  CAST(len(list_filter(t, x -> x IN ('der','die','und','das','ist','nicht'))) AS BIGINT) AS s_de,
+         |  CAST(len(list_filter(t, x -> x IN ('the','and','of','to','in','is'))) AS BIGINT) AS s_en,
+         |  CAST(len(list_filter(t, x -> x IN ('el','la','de','que','y','los'))) AS BIGINT) AS s_es,
+         |  CAST(len(list_filter(t, x -> x IN ('le','la','de','et','les','des'))) AS BIGINT) AS s_fr,
+         |  CAST(len(list_filter(t, x -> x IN ('de5','shi4','le5','zai4','he2','you3'))) AS BIGINT) AS s_zh
+         |  FROM d),
+         |s AS (SELECT doc_id, lang,
+         |  round(0.3 * (CAST(n_unique AS DOUBLE) / n_tokens)
+         |      + 0.4 * (1.0 - CAST(n_stop AS DOUBLE) / n_tokens)
+         |      + 0.3 * least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0), 6) AS quality_score,
+         |  CASE WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
+         |       WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+         |       WHEN s_es >= s_fr AND s_es >= s_zh THEN 'es'
+         |       WHEN s_fr >= s_zh THEN 'fr'
+         |       ELSE 'zh' END AS pred_lang
+         |  FROM x)
+         |SELECT doc_id, quality_score, pred_lang, lang AS labeled_lang,
+         |  CASE WHEN quality_score < 0.66 THEN 'low_quality'
+         |       WHEN pred_lang <> lang THEN 'lang_mismatch'
+         |       ELSE 'admitted' END AS verdict
+         |FROM s ORDER BY doc_id""".stripMargin,
 
     "x5_source_budget" ->
       s"""WITH d AS (SELECT doc_id, source,

@@ -9,6 +9,28 @@ import org.apache.spark.sql.functions._
   * malformed-input behavior of the JSON/datetime parsers. */
 object Probe {
   def main(args: Array[String]): Unit = {
+    // dev-only output-cardinality mode for scale-evidence normalization:
+    // SPARK_GRAFT_COUNT_KEYS=d4_simhash,d7_winnow SPARK_GRAFT_COUNT_DIR=<dir>
+    // prints each query's output row count and exits.
+    (sys.env.get("SPARK_GRAFT_COUNT_KEYS"), sys.env.get("SPARK_GRAFT_COUNT_DIR")) match {
+      case (Some(keys), Some(dir)) =>
+        val s = SparkSession.builder()
+          .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+          .config("spark.sql.shuffle.partitions",
+            sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+          .config("spark.sql.session.timeZone", "UTC")
+          .config("spark.sql.extensions", "graft.functions.GraftExtensions")
+          .config("spark.ui.enabled", "false")
+          .getOrCreate()
+        s.sparkContext.setLogLevel("WARN")
+        sys.env.get("SPARK_GRAFT_MEMO_LEVEL").foreach(l => s.conf.set("graft.memo.level", l))
+        keys.split(",").map(_.trim).foreach { k =>
+          println(s"[count] $k = ${SparkEntry.queries(k)(s, dir).count()}")
+        }
+        s.stop()
+        return
+      case _ => ()
+    }
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

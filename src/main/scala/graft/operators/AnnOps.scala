@@ -925,6 +925,63 @@ object AnnOps {
       .orderBy("label")
   }
 
+  /** e23: CENTROID-DRIFT REINDEX ADVISOR — the "when to re-cluster"
+    * signal that completes the maintenance loop: e11/e13 keep the index
+    * EXACT under adds and deletes, but the one event they cannot absorb
+    * is geometry staleness — the cells' true means migrating away from
+    * the geometry the corpus was assigned under. Per cell, this reports
+    * the base-corpus population (the e11 carve, vec_id % 10 ≠ 0 — the
+    * state the index was built from), the current population, the
+    * growth in ppm, and the DRIFT: cosine between the base mean and the
+    * current mean (scale-invariant, so the exact SUM-vectors stand in
+    * for the means with no division). Most-drifted cells sort first —
+    * the re-cluster worklist, read top-down next to e15's balance
+    * report (which catches SIZE skew; this catches DIRECTION shift —
+    * a cell can stay perfectly sized while its contents move).
+    *
+    * Determinism/overflow discipline: the per-dim sums are exact int64
+    * (the e11 state); their dot products run in decimal(38,0) because
+    * Σ(s₁·s₂) crosses int64 at ~10⁶ members × 64 dims of milli-unit
+    * sums — exactly the carve regime. One IEEE sqrt+division at the
+    * end (the d19 rule); cells with no base members report NULL drift
+    * and sort last via the −1 presentation key.
+    *
+    * Scale shape: two aggregation passes over the quantized corpus
+    * (the base leg shares the memoized e11 carve filter shape) into
+    * k-row states, one k-row join, per-cell arithmetic — the advisor
+    * for a 100 TB index costs two count-pass aggregates and never
+    * materializes a pair. */
+  def centroidDrift(spark: SparkSession, dir: String): DataFrame = {
+    val d38 = DecimalType(38, 0)
+    def dotDec(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => x.cast(d38) * y.cast(d38)),
+        lit(0).cast(d38), (acc, x) => acc + x)
+    val base = centroidStateOf(quantized(spark, dir)
+        .filter(col("vec_id") % 10 =!= 0))
+      .select(col("label"), col("s").as("s1"), col("n").as("n_base"))
+    val now = centroidStateOf(quantized(spark, dir))
+      .select(col("label"), col("s").as("s2"), col("n").as("n_now"))
+    now.join(base, Seq("label"), "left")
+      // x18's zero-guard discipline: an all-zero sum vector (total
+      // cancellation) would divide by zero — Spark yields NaN where
+      // DuckDB yields NULL, so guard the denominator explicitly
+      .withColumn("ss1", dotDec(col("s1"), col("s1")))
+      .withColumn("ss2", dotDec(col("s2"), col("s2")))
+      .withColumn("drift", when(
+        col("n_base").isNotNull && col("ss1") > 0 && col("ss2") > 0,
+        round(
+          dotDec(col("s1"), col("s2")).cast(DoubleType) /
+            sqrt(col("ss1").cast(DoubleType) * col("ss2").cast(DoubleType)),
+          6)))
+      .select(col("label"), col("n_base"), col("n_now"),
+        when(col("n_base").isNotNull,
+          call_function("div",
+            (col("n_now") - col("n_base")) * 1000000L, col("n_base")))
+          .as("growth_ppm"),
+        col("drift"))
+      .orderBy(coalesce(col("drift"), lit(-1.0)), col("label"))
+  }
+
   /** The full-rebuild reference for e13's bit-equality spec: the same
     * pqAnswer pipeline over an index built DIRECTLY from the surviving
     * corpus (no decrement, no anti-join). Test-only seam. */

@@ -38,31 +38,42 @@ object TextOps {
         length(col("text")).as("n_chars_measured"))
       .orderBy("doc_id")
 
-  /** t2: quality scoring — length/stopword/uniqueness signals combined
-    * into one deterministic score (every input to the formula is an exact
-    * integer ratio, so the double math is engine-portable). */
-  def quality(spark: SparkSession, dir: String): DataFrame = {
+  /** ONE definition of the quality formula: adds the signal columns
+    * (`n_tokens`, `avg_token_len`, `stopword_ratio`, `distinct_ratio`)
+    * and the rounded `quality_score` to any relation already carrying
+    * the token array `t`. Shared by t2 (the batch statement) and p41
+    * (the in-stream admission gate) so the score cannot fork between
+    * the curation batch and the ingest path — the withPredLang
+    * discipline applied to quality. Every input to the formula is an
+    * exact integer ratio, so the double math is engine-portable. */
+  private[graft] def withQuality(in: DataFrame): DataFrame = {
     val stopArr = array(Stopwords.map(lit): _*)
-    Tables.documents(spark, dir)
-      .withColumn("t", toks)
+    in
       .withColumn("n_tokens", size(col("t")))
       .withColumn("n_unique", size(array_distinct(col("t"))))
       .withColumn("n_stop", size(filter(col("t"), x => array_contains(stopArr, x))))
       .withColumn("sum_len",
         aggregate(transform(col("t"), x => length(x)), lit(0), (a, x) => a + x))
-      .select(
-        col("doc_id"),
-        col("n_tokens"),
-        (col("sum_len").cast(DoubleType) / col("n_tokens")).as("avg_token_len"),
-        (col("n_stop").cast(DoubleType) / col("n_tokens")).as("stopword_ratio"),
-        (col("n_unique").cast(DoubleType) / col("n_tokens")).as("distinct_ratio"),
-        round(
-          lit(0.3) * (col("n_unique").cast(DoubleType) / col("n_tokens")) +
-            lit(0.4) * (lit(1.0) - col("n_stop").cast(DoubleType) / col("n_tokens")) +
-            lit(0.3) * least(col("n_tokens").cast(DoubleType) / lit(100.0), lit(1.0)),
-          6).as("quality_score"))
-      .orderBy("doc_id")
+      .withColumn("avg_token_len",
+        col("sum_len").cast(DoubleType) / col("n_tokens"))
+      .withColumn("stopword_ratio",
+        col("n_stop").cast(DoubleType) / col("n_tokens"))
+      .withColumn("distinct_ratio",
+        col("n_unique").cast(DoubleType) / col("n_tokens"))
+      .withColumn("quality_score", round(
+        lit(0.3) * (col("n_unique").cast(DoubleType) / col("n_tokens")) +
+          lit(0.4) * (lit(1.0) - col("n_stop").cast(DoubleType) / col("n_tokens")) +
+          lit(0.3) * least(col("n_tokens").cast(DoubleType) / lit(100.0), lit(1.0)),
+        6))
   }
+
+  /** t2: quality scoring — length/stopword/uniqueness signals combined
+    * into one deterministic score (the shared [[withQuality]] formula). */
+  def quality(spark: SparkSession, dir: String): DataFrame =
+    withQuality(Tables.documents(spark, dir).withColumn("t", toks))
+      .select("doc_id", "n_tokens", "avg_token_len", "stopword_ratio",
+        "distinct_ratio", "quality_score")
+      .orderBy("doc_id")
 
   /** Marker-word lists for the language-ID heuristic (alphabetical
     * preference on ties: de > en > es > fr > zh). */
@@ -79,7 +90,7 @@ object TextOps {
     * token array `t`. Shared by t3 (the filter's substrate) and x18
     * (the budget report) so the prediction rule cannot fork between
     * consumers — the e18 cell-encode lesson applied to language-ID. */
-  private[operators] def withPredLang(in: DataFrame): DataFrame = {
+  private[graft] def withPredLang(in: DataFrame): DataFrame = {
     val scored = LangMarkers.foldLeft(in) {
       case (df, (lang, markers)) =>
         val m = array(markers.map(lit): _*)

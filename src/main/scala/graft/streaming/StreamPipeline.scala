@@ -1120,6 +1120,62 @@ object StreamPipeline {
     spark.table(memSinkName("p40", dir)).orderBy("vec_id")
   }
 
+  /** p41: IN-STREAM QUALITY/LANGUAGE ADMISSION — the STATELESS tier of
+    * ingest-time curation, completing the trio: p39 gates arrivals on
+    * lexical near-duplication, p40 on semantic contamination, p41 on
+    * x1's two row-local rules (t2 quality floor, t3 language
+    * consistency) — the cheap gate a production pipeline runs FIRST,
+    * so the expensive stateful tiers never see documents that fail on
+    * their own content. Emits per arriving document its quality score,
+    * predicted language, and the first-failing verdict in x1's
+    * evaluation order (`low_quality` → `lang_mismatch` → `admitted` —
+    * x14's ledger vocabulary; `admitted` rather than `kept` because
+    * the dedup tiers still follow downstream).
+    *
+    * The score and the language rule are the shared
+    * [[graft.operators.TextOps.withQuality]] /
+    * [[graft.operators.TextOps.withPredLang]] definitions — the batch
+    * statements evaluate the SAME columns, so batch and stream cannot
+    * fork (the p40/deconProbes discipline). Both feed two consumers
+    * (the output column and the verdict), so one generator barrier
+    * stops CollapseProject re-running the token folds per consumer
+    * (the p39 16× house rule).
+    *
+    * Scale shape: zero state, zero joins, zero shuffle — a narrow map
+    * over the arrival stream; per-micro-batch cost is the token
+    * pass itself, and on a cluster the gate scales with source
+    * partitions alone. */
+  def streamQuality(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{CorpusOps, TextOps}
+    val streamDir = java.nio.file.Paths.get(stagingPath("p41", dir))
+    landOnce(streamDir.toString,
+      streamDir.resolve(stagedMarkerName("documents")).toString) {
+      stageParquet(s"$dir/documents.parquet", streamDir.toString, "documents")
+    }
+    val schema = spark.read.parquet(s"$dir/documents.parquet").schema
+    val arrivals = spark.readStream.schema(schema).parquet(streamDir.toString)
+      .withColumn("t", graft.functions.F.tokens(col("text")))
+    val out = TextOps.withPredLang(TextOps.withQuality(arrivals))
+      // generator barrier: quality_score and pred_lang are each read
+      // twice below (value column + verdict) — a Generate's output is
+      // an attribute, so the folds evaluate once per row
+      .select(col("doc_id"), col("lang"),
+        explode(array(struct(col("quality_score"), col("pred_lang")))).as("sc"))
+      .select(col("doc_id"),
+        col("sc.quality_score").as("quality_score"),
+        col("sc.pred_lang").as("pred_lang"),
+        col("lang").as("labeled_lang"),
+        when(col("sc.quality_score") < CorpusOps.MinQuality, lit("low_quality"))
+          .when(col("sc.pred_lang") =!= col("lang"), lit("lang_mismatch"))
+          .otherwise(lit("admitted")).as("verdict"))
+    val query = out
+      .writeStream.format("memory").queryName(memSinkName("p41", dir))
+      .outputMode("append").start()
+    try query.processAllAvailable()
+    finally { recordFloor("p41", query); query.stop() }
+    spark.table(memSinkName("p41", dir)).orderBy("doc_id")
+  }
+
   /** Daily KPIs over the matched-trip stream — event-time 1-day window,
     * same decimal-exact aggregates as the batch kpiDaily. */
   def kpiDailyStream(spark: SparkSession, events: DataFrame): DataFrame =

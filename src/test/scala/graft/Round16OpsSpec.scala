@@ -98,6 +98,72 @@ class Round16OpsSpec extends AnyFunSuite with SparkSpec {
     assert(got.values.sum === 38L)
   }
 
+  test("p41 in-stream quality gate reproduces the batch t2/t3 verdict row-for-row") {
+    import graft.operators.TextOps
+    // the batch statement: the SAME shared withQuality/withPredLang
+    // definitions over the same dir, with x1's first-failing verdict
+    val batch = TextOps.withPredLang(TextOps.withQuality(
+        graft.Tables.documents(spark, Sf0001)
+          .withColumn("t", graft.functions.F.tokens(col("text")))))
+      .select(col("doc_id"), col("quality_score"), col("pred_lang"),
+        col("lang").as("labeled_lang"),
+        when(col("quality_score") < CorpusOps.MinQuality, lit("low_quality"))
+          .when(col("pred_lang") =!= col("lang"), lit("lang_mismatch"))
+          .otherwise(lit("admitted")).as("verdict"))
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getDouble(1), r.getString(2), r.getString(3), r.getString(4))
+    val b = batch.collect().map(key).toSet
+    val s = graft.streaming.StreamPipeline.streamQuality(spark, Sf0001)
+      .collect().map(key).toSet
+    assert(s === b)
+    val verdicts = s.map(_._5)
+    assert(verdicts.contains("admitted"), "no admitted docs at sf0.001 — vacuous")
+    assert(verdicts.size >= 2, "only one verdict value at sf0.001 — vacuous gate")
+  }
+
+  test("e23 centroid drift: colinear deltas score 1.0, a displaced delta sorts first") {
+    import graft.operators.{AnnOps, DedupOps}
+    // Per label every vector is IDENTICAL — so each cell's delta sum is
+    // proportional to its base sum (drift exactly 1.0; cells with no
+    // delta at all trivially so) — except label 2 (the label that owns
+    // delta ids 10 and 30), whose delta vectors carry an extra
+    // orthogonal component small enough to keep every hyperplane-dot
+    // sign (same subcode → same cell) but large enough to bend the
+    // current mean off the base mean: that one cell must report
+    // drift < 1.0 and sort FIRST.
+    val dir = java.nio.file.Files.createTempDirectory("e23drift").toString
+    def vec(label: Int): Seq[Float] =
+      (0 until 64).map(d => (((label * 37 + d * 11) % 17) - 8) / 10.0f)
+    val rows = (1L until 40L).map { id =>
+      val label = (id % 4).toInt
+      val v = vec(label)
+      val displaced =
+        if (id % 10 == 0 && label == 2)
+          v.zipWithIndex.map { case (x, d) => if (d == 63) x + 0.2f else x }
+        else v
+      (id, displaced, label)
+    }
+    spark.createDataFrame(rows)
+      .toDF("vec_id", "embedding", "label")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val got = AnnOps.centroidDrift(spark, dir).collect()
+    // population invariant: base + delta counts add up
+    assert(got.map(_.getLong(2)).sum === 39L)
+    assert(got.forall(!_.isNullAt(4)),
+      s"a delta landed in a baseless cell — the spec's ε flipped a plane sign: ${got.mkString(";")}")
+    val displacedCells = got.filter(r => r.getDouble(4) < 1.0)
+    assert(displacedCells.length === 1, s"exactly one drifted cell expected: ${got.mkString(";")}")
+    val d0 = displacedCells.head
+    assert(d0.getDouble(4) > 0.9, "displacement overshot — the spec's ε is miscalibrated")
+    // ids 10 and 30 are the label-2 deltas (20 is label 0): growth = 2
+    assert(d0.getLong(2) - d0.getLong(1) === 2L)
+    // every colinear cell reports drift exactly 1.0
+    got.filterNot(_ == d0).foreach(r => assert(r.getDouble(4) === 1.0))
+    // and the advisor's worklist order puts the drifted cell first
+    assert(got.head === d0)
+    DedupOps.clearMemo(spark, dir)
+  }
+
   test("x18 share_ppm is 0 (not null) when the corpus token total is unavailable") {
     // A corpus whose only document carries NULL text: tokens(NULL) is
     // NULL, so n_tokens and tot_tokens are NULL — without the
