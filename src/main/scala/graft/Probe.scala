@@ -31,6 +31,32 @@ object Probe {
         return
       case _ => ()
     }
+    // dev-only d12 substrate stats: SPARK_GRAFT_D12_STATS=<dir> prints
+    // the adaptive-assignment cell-size distribution (the witness
+    // scan's cost driver) and exits.
+    sys.env.get("SPARK_GRAFT_D12_STATS").foreach { dir =>
+      val s = SparkSession.builder()
+        .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+        .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.extensions", "graft.functions.GraftExtensions")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+      s.sparkContext.setLogLevel("WARN")
+      val m = operators.ClusterOps.adaptiveStableAssign(s, dir)
+      val sizes = m.groupBy("cid").count()
+      sizes.selectExpr("count(*) AS n_cells", "sum(count) AS n_rows",
+        "max(count) AS max_cell", "percentile(count, 0.5) AS p50",
+        "percentile(count, 0.99) AS p99").show(false)
+      sizes.orderBy(col("count").desc).limit(20).show(30, false)
+      // distinct quantized rows per the top cells (the scan's true n²)
+      val qd = operators.AnnOps.quantized(s, dir)
+        .join(m.select("vec_id", "cid"), "vec_id")
+        .groupBy("cid").agg(countDistinct(md5(to_json(struct(col("q"))))).as("nq"))
+      qd.orderBy(col("nq").desc).limit(10).show(false)
+      s.stop()
+      return
+    }
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

@@ -772,13 +772,44 @@ object DedupOps {
     // bounded by max cluster size (the adaptive-k sizing keeps cells
     // ~250 outside degenerate piles; a ≥10⁶-member pile would need a
     // shard-the-cluster pass, the ClusterOps.K note's regime).
+    // DUPLICATE-AWARE scan: the buffer holds only the FIRST instance of
+    // each distinct vector, and a per-cell map memoizes each distinct
+    // vector's scan outcome. Semantics-EXACT vs buffering every row,
+    // by two invariants of the append-only priority buffer:
+    //  (1) a duplicate can never be a later row's FIRST above-τ witness
+    //      — its twin precedes it with the identical cosine, so the
+    //      first hit lands on (or before) the twin;
+    //  (2) a duplicate's own witness is its twin's hit if the twin had
+    //      one (the shared prefix is unchanged — append-only), else the
+    //      twin itself (the earliest entry after the twin's no-hit
+    //      prefix, at cosine(q, q) ≥ τ for any τ ≤ 1; the τ compare is
+    //      still evaluated on the computed double for exactness).
+    // Without this, the scan is duplicate-BLIND: every member of an
+    // ε-duplicate pile re-scans the cell's cross-pile prefix, and on a
+    // duplicate-heavy corpus (SemDeDup's own precondition) a
+    // mixed-pile cell degenerates to members × prefix dots — the
+    // 1.28M-vector carve measured a 510-cell Lloyd convergence whose
+    // largest mixed cells (19.9k members, ~70 distinct vectors per
+    // 640-copy pile) wedged ONE task for 45+ minutes; distinct-q
+    // scanning is O(distinct² + members) per cell and returns the
+    // BIT-IDENTICAL output (same witnesses, same doubles).
     val t = tau
     val scanned = m.repartition(col("cid"))
       .sortWithinPartitions("cid", "dist", "vec_id")
       .as[(Long, Long, Long, Array[Long])]
       .mapPartitions { it =>
+        final class QK(val a: Array[Long]) {
+          override val hashCode: Int = java.util.Arrays.hashCode(a)
+          override def equals(o: Any): Boolean = o match {
+            case k: QK => java.util.Arrays.equals(a, k.a)
+            case _ => false
+          }
+        }
         val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Boolean, Option[Long], Option[Double])]
         val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Long], Double)]
+        // distinct vector → index into buf of the witness a duplicate
+        // finds (the twin's hit, or the twin itself when it was kept)
+        val seen = new java.util.HashMap[QK, java.lang.Integer]()
         var curCid = Long.MinValue
         def dotL(a: Array[Long], b: Array[Long]): Long = {
           var s = 0L; var i = 0
@@ -786,22 +817,48 @@ object DedupOps {
           s
         }
         def emit(vid: Long, q: Array[Long], n2: Double): Unit = {
-          var j = 0
-          var hit = -1
-          var sim = 0.0
-          while (hit < 0 && j < buf.length) {
-            val c = dotL(q, buf(j)._2).toDouble / math.sqrt(n2 * buf(j)._3)
-            if (c >= t) { hit = j; sim = c }
-            j += 1
+          val key = new QK(q)
+          val memo = seen.get(key)
+          // duplicate fast path: invariant (2) — one dot against the
+          // memoized witness row, same double arithmetic as the full
+          // scan. A kept twin's self-cosine is ≥ τ for any τ below
+          // 1−1ulp (and a zero vector's NaN fails the compare exactly
+          // as every later NaN would), so the c < t fall-through to
+          // the full scan below can only fire at τ within an ulp of
+          // 1.0 — kept for absolute exactness at any parameter.
+          val fast = memo != null && {
+            val w = buf(memo.intValue)
+            val c = dotL(q, w._2).toDouble / math.sqrt(n2 * w._3)
+            if (c >= t) { out += ((vid, curCid, false, Some(w._1), Some(c))); true }
+            else if (memo.intValue == buf.length - 1) {
+              // the twin is the last buffered entry, so the full scan
+              // would end exactly where the memo compare did: kept
+              out += ((vid, curCid, true, None, None)); true
+            } else false // τ-within-ulp-of-1 / zero-vector: full scan
           }
-          if (hit >= 0) out += ((vid, curCid, false, Some(buf(hit)._1), Some(sim)))
-          else out += ((vid, curCid, true, None, None))
+          if (!fast) {
+            var j = 0
+            var hit = -1
+            var sim = 0.0
+            while (hit < 0 && j < buf.length) {
+              val c = dotL(q, buf(j)._2).toDouble / math.sqrt(n2 * buf(j)._3)
+              if (c >= t) { hit = j; sim = c }
+              j += 1
+            }
+            if (hit >= 0) out += ((vid, curCid, false, Some(buf(hit)._1), Some(sim)))
+            else out += ((vid, curCid, true, None, None))
+            // buffer + memoize FIRST instances only (invariant 1): a
+            // fall-through duplicate is emitted but never re-buffered
+            if (memo == null) {
+              buf += ((vid, q, n2))
+              seen.put(key, if (hit >= 0) hit else buf.length - 1)
+            }
+          }
         }
         it.foreach { case (cid, _, vid, q) =>
-          if (cid != curCid) { buf.clear(); curCid = cid }
+          if (cid != curCid) { buf.clear(); seen.clear(); curCid = cid }
           val n2 = dotL(q, q).toDouble
           emit(vid, q, n2)
-          buf += ((vid, q, n2))
         }
         out.iterator
       }

@@ -164,6 +164,74 @@ class Round16OpsSpec extends AnyFunSuite with SparkSpec {
     DedupOps.clearMemo(spark, dir)
   }
 
+  test("d12's duplicate-aware witness scan equals the duplicate-blind reference") {
+    import graft.operators.{AnnOps, ClusterOps, DedupOps}
+    // A dup-heavy corpus in the shape that wedged the 3.2M carve: a few
+    // base directions, each a pile of exact copies AND ε-nudged copies
+    // (distinct bytes, near-1 cosine), with piles CLOSE enough that
+    // clusters mix piles — the regime where the old scan paid
+    // members × prefix dots. The fix must be output-IDENTICAL to the
+    // duplicate-blind loop, recomputed here driver-side.
+    val dir = java.nio.file.Files.createTempDirectory("d12dup").toString
+    def base(b: Int): Array[Float] =
+      (0 until 64).map(d => (((b * 53 + d * 13) % 19) - 9) / 10.0f).toArray
+    val rows = (0L until 200L).map { id =>
+      val b = (id % 5).toInt
+      val v = base(b).clone()
+      // thirds: exact copies / dim-0 ε-nudges / dim-1 ε-nudges
+      if (id % 3 == 1) v(0) = v(0) + 0.001f * (id % 7)
+      if (id % 3 == 2) v(1) = v(1) + 0.001f * (id % 11)
+      (id, v.toSeq, b)
+    }
+    spark.createDataFrame(rows)
+      .toDF("vec_id", "embedding", "label")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val got = DedupOps.semanticDedup(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)),
+        if (r.isNullAt(4)) None else Some(r.getDouble(4))))).toMap
+    // duplicate-BLIND reference: every row buffered, every row scans
+    val m = ClusterOps.adaptiveStableAssign(spark, dir)
+      .select("vec_id", "cid", "dist")
+      .join(AnnOps.quantized(spark, dir), "vec_id")
+      .select("cid", "dist", "vec_id", "q").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getSeq[Long](3).toArray))
+    def dotL(a: Array[Long], b: Array[Long]): Long =
+      a.indices.foldLeft(0L)((s, i) => s + a(i) * b(i))
+    val tau = DedupOps.SemDedupTau
+    val ref = scala.collection.mutable.Map.empty[Long, (Long, Boolean, Option[Long], Option[Double])]
+    m.groupBy(_._1).foreach { case (cid, rowsC) =>
+      val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Long], Double)]
+      rowsC.sortBy(r => (r._2, r._3)).foreach { case (_, _, vid, q) =>
+        val n2 = dotL(q, q).toDouble
+        val hit = buf.iterator.map(w =>
+          (w._1, dotL(q, w._2).toDouble / math.sqrt(n2 * w._3)))
+          .find(_._2 >= tau)
+        ref(vid) = hit match {
+          // the operator rounds sim to 6 decimals (HALF_UP) at output
+          case Some((wid, c)) => (cid, false, Some(wid), Some(
+            BigDecimal(c).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+          case None => (cid, true, None, None)
+        }
+        buf += ((vid, q, n2))
+      }
+    }
+    assert(got.keySet === ref.keys.toSet)
+    got.foreach { case (vid, (cl, kept, wit, sim)) =>
+      val (rcl, rkept, rwit, rsim) = ref(vid)
+      assert(cl === rcl && kept === rkept && wit === rwit, s"vec $vid diverged")
+      (sim, rsim) match {
+        case (Some(a), Some(b)) => assert(math.abs(a - b) < 1e-9, s"vec $vid sim $a vs $b")
+        case (None, None) => ()
+        case _ => fail(s"vec $vid sim presence diverged")
+      }
+    }
+    // the fixture genuinely exercises both memo paths: duplicates that
+    // witness a kept twin and duplicates that inherit the twin's hit
+    assert(got.values.count(!_._2) > 100, "fixture removed too little — vacuous")
+    DedupOps.clearMemo(spark, dir)
+  }
+
   test("x18 share_ppm is 0 (not null) when the corpus token total is unavailable") {
     // A corpus whose only document carries NULL text: tokens(NULL) is
     // NULL, so n_tokens and tot_tokens are NULL — without the
