@@ -77,26 +77,56 @@ object ScaleGen {
       println(s"[scalegen] $name -> ${spark.read.parquet(s"$out/$name.parquet").count()} rows")
     }
 
-    val M = 1000000L
+    /** Key stride = the next power of ten PAST the key's actual max in
+      * the SOURCE — so replication composes: a carve derived from an
+      * already-replicated dir keeps ids unique. The original fixed 10⁶
+      * strides collided on two-level derivation (sf1 vec_ids span
+      * 0..9·10⁶+1999, so a ×64 second level re-used each id ~9.5× —
+      * found round 16 when e23's oracle id-join squared the
+      * multiplicity while the Spark single-pass side did not). The
+      * stride stays a power of ten so residue-class carve rules
+      * (% 4 / % 10 / % 20 / % 25) are replica-invariant, exactly as
+      * before. */
+    def strideOf(keys: (String, String)*): Long = {
+      val mx = keys.flatMap { case (table, key) =>
+        if (new java.io.File(s"$src/$table.parquet").exists())
+          Some(read(table).agg(max(col(key))).head().getLong(0))
+        else None
+      }
+      var s = 1000000L
+      while (mx.nonEmpty && s <= mx.max) s *= 10
+      s
+    }
+
+    // One stride per ID DOMAIN (not per column): every column of a
+    // domain shifts by the same amount or referential joins break —
+    // and documents/embeddings share a domain (vec_id aligns 1:1 with
+    // doc_id for d19/e9/m-family).
+    lazy val custS = strideOf("customer" -> "c_custkey", "events" -> "user_id")
+    lazy val suppS = strideOf("supplier" -> "s_suppkey")
+    lazy val partS = strideOf("part" -> "p_partkey")
+    lazy val orderS = strideOf("orders" -> "o_orderkey")
+    lazy val eventS = strideOf("events" -> "event_id")
+    lazy val docS = strideOf("documents" -> "doc_id", "embeddings" -> "vec_id")
 
     // constant dims: verbatim
     write(read("region"), "region")
     write(read("nation"), "nation")
 
-    write(replicate(read("customer"), "c_custkey" -> M)
+    write(replicate(read("customer"), "c_custkey" -> custS)
       .drop("r"), "customer")
-    write(replicate(read("supplier"), "s_suppkey" -> M)
+    write(replicate(read("supplier"), "s_suppkey" -> suppS)
       .drop("r"), "supplier")
-    write(replicate(read("part"), "p_partkey" -> M)
+    write(replicate(read("part"), "p_partkey" -> partS)
       .drop("r"), "part")
     write(replicate(read("orders"),
-      "o_orderkey" -> 10 * M, "o_custkey" -> M).drop("r"), "orders")
+      "o_orderkey" -> orderS, "o_custkey" -> custS).drop("r"), "orders")
     write(replicate(read("lineitem"),
-      "l_orderkey" -> 10 * M, "l_partkey" -> M, "l_suppkey" -> M)
+      "l_orderkey" -> orderS, "l_partkey" -> partS, "l_suppkey" -> suppS)
       .drop("r"), "lineitem")
     write(replicate(read("events"),
-      "event_id" -> 100 * M, "user_id" -> M).drop("r"), "events")
-    val docsRep = replicate(read("documents"), "doc_id" -> M)
+      "event_id" -> eventS, "user_id" -> custS).drop("r"), "events")
+    val docsRep = replicate(read("documents"), "doc_id" -> docS)
     val docsOut =
       if (!saltDocs) docsRep.drop("r")
       else docsRep
@@ -108,7 +138,7 @@ object ScaleGen {
         .withColumn("n_chars", length(col("text")))
         .drop("r")
     write(docsOut, "documents")
-    write(replicate(read("embeddings"), "vec_id" -> M)
+    write(replicate(read("embeddings"), "vec_id" -> docS)
       .withColumn("embedding", expr(
         "transform(embedding, (x, i) -> CAST(CASE WHEN i = 0 " +
           "THEN x + r * CAST(0.001 AS FLOAT) ELSE x END AS FLOAT))"))
