@@ -2885,7 +2885,7 @@ object Oracles {
          |      / sqrt(CAST(d.ss1 AS DOUBLE) * CAST(d.ss2 AS DOUBLE)), 6)
          |    END AS drift
          |FROM nown nn LEFT JOIN basen bn USING (label) LEFT JOIN dots d USING (label)
-         |ORDER BY COALESCE(drift, -1.0), nn.label""".stripMargin,
+         |ORDER BY COALESCE(drift, 2.0), nn.label""".stripMargin,
 
     // e12: the single-request serving path is e6 restricted to the one
     // served query — pruning the code lake to the probed cells must

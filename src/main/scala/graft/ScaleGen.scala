@@ -89,9 +89,18 @@ object ScaleGen {
       * before. */
     def strideOf(keys: (String, String)*): Long = {
       val mx = keys.flatMap { case (table, key) =>
-        if (new java.io.File(s"$src/$table.parquet").exists())
-          Some(read(table).agg(max(col(key))).head().getLong(0))
-        else None
+        // probe existence by attempting the read (works for any
+        // filesystem URI — a java.io.File probe silently drops
+        // hdfs://-style paths and reverts to the default stride,
+        // reintroducing the id-collision bug this derivation fixes);
+        // the max arrives via toString.toLong so an int32 key column
+        // still derives, and an empty table (NULL max) contributes
+        // nothing rather than NPE-ing
+        try Option(read(table).agg(max(col(key))).head().get(0))
+          .map(_.toString.toLong)
+        catch {
+          case _: org.apache.spark.sql.AnalysisException => None
+        }
       }
       var s = 1000000L
       while (mx.nonEmpty && s <= mx.max) s *= 10

@@ -943,8 +943,10 @@ object AnnOps {
     * (the e11 state); their dot products run in decimal(38,0) because
     * Σ(s₁·s₂) crosses int64 at ~10⁶ members × 64 dims of milli-unit
     * sums — exactly the carve regime. One IEEE sqrt+division at the
-    * end (the d19 rule); cells with no base members report NULL drift
-    * and sort last via the −1 presentation key.
+    * end (the d19 rule); cells with no base members (new cells — e20's
+    * split advisor owns those) report NULL drift and sort LAST via a
+    * +2 presentation key (drift ∈ [−1, 1], so 2 is past every real
+    * score); the worklist head stays the most-drifted EXISTING cell.
     *
     * Scale shape: two aggregation passes over the quantized corpus
     * (the base leg shares the memoized e11 carve filter shape) into
@@ -979,7 +981,7 @@ object AnnOps {
             (col("n_now") - col("n_base")) * 1000000L, col("n_base")))
           .as("growth_ppm"),
         col("drift"))
-      .orderBy(coalesce(col("drift"), lit(-1.0)), col("label"))
+      .orderBy(coalesce(col("drift"), lit(2.0)), col("label"))
   }
 
   /** The full-rebuild reference for e13's bit-equality spec: the same
