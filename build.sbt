@@ -35,7 +35,12 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-)
+  // dev-only extra JVM flags (e.g. carve-scale runs pass
+  // -Dspark.cleaner.periodicGC.interval=60s so dead shuffle files are
+  // reclaimed while a big heap never triggers a full GC on its own —
+  // the default 30min interval let ~60 GB of dead spill pile up and
+  // take the disk out mid-suite)
+) ++ sys.env.get("SPARK_GRAFT_JAVA_OPTS").toSeq.flatMap(_.split("\\s+").filter(_.nonEmpty))
 
 // Suites share one SparkSession; run them sequentially so conf
 // mutations (plan-shape tests) and streaming queries don't interleave.

@@ -1,0 +1,44 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Dev-only scratch probe (not driver contract, not committed surface):
+  * measures cross-replica winnow-fingerprint overlap on a salted carve
+  * to decide whether ScaleGen's token salt actually leaves d7 exposed
+  * (the round-16 note claimed it does; the colliding-id carve makes
+  * that claim unverifiable from the recorded numbers). */
+object Scratch {
+  def main(args: Array[String]): Unit = {
+    val dir = args(0)
+    val stride = args(1).toLong
+    val spark = SparkSession.builder()
+      .master("local[16]")
+      .appName("graft-scratch")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val fps = operators.DedupOps.winnowFps(Tables.documents(spark, dir))
+      .withColumn("rep", col("doc_id") / stride cast "long")
+      .cache()
+    println(s"[scratch] fp rows = ${fps.count()}")
+    val perRep = fps.groupBy("rep").agg(countDistinct("fp").as("nfp"))
+    perRep.orderBy("rep").show()
+    // distinct fp values appearing in >1 replica
+    val crossFp = fps.select("rep", "fp").distinct()
+      .groupBy("fp").agg(countDistinct("rep").as("nrep"))
+      .filter(col("nrep") > 1).count()
+    println(s"[scratch] fp values shared across replicas = $crossFp")
+    // d7 pair output: cross-replica pair fraction
+    val pairs = operators.DedupOps.winnowPairs(spark, dir)
+      .withColumn("ra", col("doc_a") / stride cast "long")
+      .withColumn("rb", col("doc_b") / stride cast "long").cache()
+    val total = pairs.count()
+    val cross = pairs.filter(col("ra") =!= col("rb")).count()
+    println(s"[scratch] d7 pairs total=$total crossReplica=$cross")
+    spark.stop()
+  }
+}

@@ -107,13 +107,28 @@ object DedupOps {
       |  THEN transform(sequence(0, size(t) - 3), i -> array_join(slice(t, i + 1, 3), ' '))
       |  ELSE array() END""".stripMargin)
 
-  /** Distinct (doc_id, ngram) pairs — the shared candidate substrate for
-    * d2 and d3, persisted once per session+dir. */
+  /** Distinct (doc_id, gram) pairs — the shared candidate substrate for
+    * d2/d3/d8/d13/d16/t13/s10, persisted once per session+dir. The
+    * `ngram` column carries the gram's hash60 FINGERPRINT (int64), not
+    * the string: the hash is applied map-side BEFORE the distinct, so
+    * every shuffle this substrate feeds (the distinct itself, the DF
+    * count, both self-join sides) moves 8-byte keys instead of ~30-byte
+    * salted trigram strings. At the 3.2M-doc carve the string form's
+    * substrate chain spilled > 75 GB (ENOSPC on the local disk — the
+    * substrate IS the shuffle at this scale); fingerprints cut it ~4×.
+    * Semantics are unchanged for every consumer: all of them either
+    * join/group on gram equality (invariant under an injective-in-
+    * practice hash; a 60-bit collision needs ~10⁹ distinct grams for
+    * even-odds WITHIN one doc's ~10² grams it is ~1e-14) or re-hash the
+    * gram — and hash60 here IS the value d3/s10's oracles mirror
+    * (md5-based, engine-portable), so those consumers now read the
+    * column directly instead of hashing a second time. */
   private[graft] def docNgrams(spark: SparkSession, dir: String): DataFrame =
     memoized(spark, "docNgrams", dir) {
       Tables.documents(spark, dir)
         .withColumn("t", tokens(col("text")))
-        .select(col("doc_id"), explode(ngramsExpr).as("ngram"))
+        .select(col("doc_id"), explode(ngramsExpr).as("ng"))
+        .select(col("doc_id"), hash60(col("ng")).as("ngram"))
         .distinct()
     }
 
@@ -204,7 +219,7 @@ object DedupOps {
     memoized(spark, "minhashSig", dir) {
       if (spark.catalog.functionExists("graft_minhash_agg"))
         docNgrams(spark, dir)
-          .withColumn("h", hash60(col("ngram")) % P)
+          .withColumn("h", col("ngram") % P) // ngram IS hash60(gram)
           .groupBy("doc_id")
           .agg(call_function("graft_minhash_agg", col("h")).as("mhs"))
           .select(col("doc_id"), posexplode(col("mhs")).as(Seq("i", "mh")))
@@ -218,7 +233,7 @@ object DedupOps {
       .withColumn("pa", hash60(concat(lit("perm_a_"), col("i"))) % (P - 1) + 1L)
       .withColumn("pb", hash60(concat(lit("perm_b_"), col("i"))) % P)
     docNgrams(spark, dir)
-      .withColumn("h", hash60(col("ngram")) % P)
+      .withColumn("h", col("ngram") % P) // ngram IS hash60(gram)
       .crossJoin(broadcast(perms))
       .groupBy("doc_id", "i")
       .agg(min((col("pa") * col("h") + col("pb")) % P).as("mh"))

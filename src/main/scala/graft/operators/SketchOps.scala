@@ -460,7 +460,7 @@ object SketchOps {
     DedupOps.memoized(spark, "s10_srchash", dir) {
       DedupOps.docNgrams(spark, dir)
         .join(Tables.documents(spark, dir).select(col("doc_id"), col("source")), "doc_id")
-        .select(col("source"), hash60(col("ngram")).as("h"))
+        .select(col("source"), col("ngram").as("h")) // ngram IS hash60(gram)
         .distinct()
     }
 

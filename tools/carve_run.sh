@@ -1,0 +1,23 @@
+#!/bin/bash
+# Dev-only carve-suite runner: one small-group JVM per substrate-heavy
+# family slice, so the 3.2M-doc substrates' spill never co-resides
+# across groups (the local disk budget is ~80 GB; one combined JVM
+# provably exceeds it — round 17 measured 76 GB of blockmgr before
+# ENOSPC). Usage: carve_run.sh <sfdir> <outprefix> <group:keys> ...
+set -u
+SFDIR=$1; PREFIX=$2; shift 2
+for spec in "$@"; do
+  group=${spec%%:*}; keys=${spec#*:}
+  rm -rf /tmp/blockmgr-* /tmp/spark-[0-9a-f]*-* 2>/dev/null
+  echo "[carve_run] $group -> $keys"
+  SPARK_DRIVER_MEM=96g SPARK_GRAFT_CPUS=32 SPARK_GRAFT_REPS=1 \
+  SPARK_GRAFT_FAMILY_MAJOR=1 SPARK_GRAFT_MEMO_LEVEL=MEMORY_AND_DISK_SER \
+  SPARK_GRAFT_GC_EACH=1 \
+  SPARK_GRAFT_JAVA_OPTS="-Dspark.cleaner.periodicGC.interval=60s" \
+  SPARK_GRAFT_SF_DIR="$SFDIR" SPARK_GRAFT_ONLY="$keys" \
+    sbt -batch "runMain graft.Bench" > "/tmp/${PREFIX}_${group}.log" 2>&1
+  echo "[carve_run] $group exit=$? json:"
+  grep '"metric"' "/tmp/${PREFIX}_${group}.log" | tail -1
+done
+rm -rf /tmp/blockmgr-* 2>/dev/null
+echo "[carve_run] done"
