@@ -173,6 +173,20 @@ object DedupOps {
       pruned.select(col("doc_id").as("doc_a"), col("ngram"))
         .join(pruned.select(col("doc_id").as("doc_b"), col("ngram")), "ngram")
         .filter(col("doc_a") < col("doc_b"))
+        // Exchange FIRST, then one complete hash agg per partition.
+        // The default partial-then-final shape is pathological for this
+        // aggregation: the join stream is gram-ordered, a pair's shared
+        // grams scatter across the whole gram range, so a map task's
+        // partial hash map fills with ~its entire input's distinct
+        // pairs, falls back to sort-based aggregation, and SORTS the
+        // full candidate stream (Σ df² rows — 3.2B at the 3.2M-doc
+        // carve; the sort spill exhausted an 80 GB disk where the whole
+        // shuffled stream is ~25 GB compressed). Partitioned by the
+        // pair key, each task's group count is |pairs|/tasks (bounded,
+        // hash agg never falls back) and the exchange is the candidate
+        // stream exactly once — the shape a 1000-executor run wants
+        // too, since partial agg collapses ~nothing per map task.
+        .repartition(col("doc_a"), col("doc_b"))
         .groupBy("doc_a", "doc_b")
         .agg(count(lit(1)).as("inter"))
     }
