@@ -42,3 +42,29 @@ object Scratch {
     spark.stop()
   }
 }
+
+/** Dev-only output-mass probe: row counts of the pair-output operators
+  * at a carve dir — the "output within ~K× of sf1's mass" evidence the
+  * scale blocks cite (wall ratios on pair operators mean nothing
+  * without the output normalization). Args: dir, comma list of keys. */
+object ScratchCounts {
+  def main(args: Array[String]): Unit = {
+    val dir = args(0)
+    val keys = args(1).split(",").map(_.trim).toSet
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .appName("graft-scratch-counts")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark.conf.set("graft.memo.level", "MEMORY_AND_DISK_SER")
+    keys.toSeq.sorted.foreach { k =>
+      val n = SparkEntry.queries(k)(spark, dir).count()
+      println(s"[counts] $k rows=$n")
+    }
+    spark.stop()
+  }
+}

@@ -1,0 +1,92 @@
+#!/usr/bin/env python3
+"""Assemble BENCH_r17_SCALE.json from the round's carve-run logs.
+
+Dev-only evidence tooling: each carve_run.sh group leaves one Bench
+JSON line in /tmp/<prefix>_<group>.log; this stitches them into the
+round's scale-evidence file with the methodology notes inline, so the
+committed artifact carries its own provenance.
+"""
+import json, re, sys
+
+def bench_line(path):
+    with open(path) as f:
+        for line in f:
+            if line.startswith('{"metric"'):
+                return json.loads(line)
+    raise SystemExit(f"no bench JSON in {path}")
+
+def sub(block, note):
+    block = dict(block)
+    block["note"] = note
+    return block
+
+out = {
+    "round": 17,
+    "note": (
+        "Round-17 clean-carve evidence (VERDICT_r16 items 1+2+4): the "
+        "all-distinct-id scaledata/carve3m (64x sf1 via ScaleGen salt "
+        "mode, 3.2M docs + 1.28M vectors) and scaledata/carve10m "
+        "(10.24M vectors). REPS=1 family-major MEMORY_AND_DISK_SER "
+        "probes, one JVM per substrate group (a single combined JVM "
+        "exceeds the ~80 GB local spill budget - see "
+        "single_box_disk_ceiling), forced inter-query GC + 60s "
+        "periodic cleaner GC. Each block carries its own cal token."
+    ),
+}
+
+out["carve3m_docs"] = {
+    "light": sub(bench_line("/tmp/f3_light.log"),
+        "11 scan/agg-shaped documents keys at 64x"),
+    "heavy1_d7": sub(bench_line("/tmp/f3_heavy1.log"),
+        "d7 green at 64x; d2/d8 ENOSPC in this JVM at 64x - their "
+        "authoritative numbers are the carve1m6_docs block (32x, "
+        "n>=1e6) and the ceiling is recorded under "
+        "single_box_disk_ceiling"),
+    "heavy2": sub(bench_line("/tmp/f3_heavy2.log"),
+        "d3/d4/d5/d13 at 64x; cal 1.07 - contended window, treat "
+        "these four as upper bounds"),
+}
+out["carve1m6_docs"] = sub(bench_line("/tmp/c16_d28.log"),
+    "d2+d8 at the 32x carve (1.6M docs, n>=1e6, all-distinct ids), "
+    "cal 0.36 (idle): the two inverted-index pair operators measured "
+    "green one decade past 1e6 docs; 64x exceeds the single-box disk "
+    "(see single_box_disk_ceiling)")
+out["sf1_same_keys"] = sub(bench_line("/tmp/s1_all.log"),
+    "same-session sf1 denominators for the 18-key documents chain")
+out["carve3m_epanel"] = sub(bench_line("/tmp/ep_epanel.log"),
+    "23-key e-family panel (incl e23's first carve point and the "
+    "re-measured duplicate-aware d12) at 1.28M vectors, one JVM, "
+    "cal 0.43")
+try:
+    out["carve10m_epanel"] = sub(bench_line("/tmp/t10_epanel.log"),
+        "the n=1e7 decade: 23-key e-family panel at 10.24M vectors "
+        "(adaptiveK sqrt-branch k=4*ceil(sqrt(n))=12800; assignKernel "
+        "broadcast = k*d*8B = 6.6 MB; centroid collect = k*d = 819200 "
+        "(cid,d,cv) rows driver-side - both inside driver budgets)")
+except SystemExit:
+    pass
+
+out["single_box_disk_ceiling"] = {
+    "note": (
+        "d2/d8 at the 64x carve exceed one machine's ~80 GB spill "
+        "budget BY ARITHMETIC, not by accident: the DF-capped candidate "
+        "stream is Sigma df^2 ~= 64x sf1's ~50M = 3.2B rows; even "
+        "with the round's two plan fixes (8-byte gram fingerprints in "
+        "the substrate; exchange-first pair aggregation) the live set "
+        "at the aggregation peak is the two sorted join inputs + the "
+        "pair exchange ~= 100 GB. Measured green at 32x (49 GB peak "
+        "blockmgr). On a cluster this is a ~25 GB compressed exchange "
+        "spread across executors - not a bottleneck; locally the 32x "
+        "point is the honest decade-past-1e6 measurement."
+    ),
+    "measured_peak_blockmgr_gb": {"carve1m6_32x": 49, "carve3m_64x_enospc": ">78"},
+    "pre_fix_failure": (
+        "before the two fixes the STRING substrate + partial-agg "
+        "sort-fallback ENOSPC'd at 64x inside d2's self-join; the "
+        "round-16 clean re-measure debt traces to exactly this wall"
+    ),
+}
+
+with open(sys.argv[1] if len(sys.argv) > 1 else "BENCH_r17_SCALE.json", "w") as f:
+    json.dump(out, f, indent=1)
+print("wrote", sys.argv[1] if len(sys.argv) > 1 else "BENCH_r17_SCALE.json")
