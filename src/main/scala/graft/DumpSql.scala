@@ -1,0 +1,11 @@
+package graft
+
+/** Dev-only: print one oracle statement (for DuckDB-side prototyping
+  * without a Spark session — `runMain graft.DumpSql <key>`). Not
+  * driver contract. */
+object DumpSql {
+  def main(args: Array[String]): Unit = {
+    require(args.length == 1, "usage: DumpSql <query-key>")
+    println(Oracles.sql(args(0)))
+  }
+}

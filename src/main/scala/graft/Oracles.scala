@@ -379,10 +379,12 @@ object Oracles {
        |SELECT q_id, rnk, c_id, round(score, 6) AS score
        |FROM r WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin
 
-  /** The shared IVF coarse-probe chain (ends at `pr`: q_id, qv, label,
-    * dist2, crnk) — the statement prefix of e5/e9 and the e17 sweep,
-    * so the probe order cannot fork between the per-config branches. */
-  private lazy val ivfProbeCte: String =
+  /** The shared IVF STATE chain (cells → per-cell centroid state →
+    * stride queries; ends at `cent` + `qq`) — the prefix of both probe
+    * disciplines: e5/e9/e17's rank-all-cells `pr` and e24's
+    * graph-guided beam, so the centroid state and the query set cannot
+    * fork between the two probe families. */
+  private lazy val ivfStateCte: String =
     s"""$cellCte,
        |ql AS MATERIALIZED (SELECT c.vec_id, q.qv, c.label
        |  FROM cqv q JOIN cellid c USING (vec_id)),
@@ -391,7 +393,13 @@ object Oracles {
        |cent AS MATERIALIZED (SELECT label, list(s ORDER BY d) AS s, min(n) AS n,
        |    SUM(s * s) AS ss FROM cd GROUP BY label),
        |qq AS (SELECT vec_id AS q_id, qv, list_dot_product(qv, qv) AS q2
-       |  FROM ql WHERE vec_id % 25 = 0),
+       |  FROM ql WHERE vec_id % 25 = 0)""".stripMargin
+
+  /** The shared IVF coarse-probe chain (ends at `pr`: q_id, qv, label,
+    * dist2, crnk) — the statement prefix of e5/e9 and the e17 sweep,
+    * so the probe order cannot fork between the per-config branches. */
+  private lazy val ivfProbeCte: String =
+    s"""$ivfStateCte,
        |qd AS (SELECT q.q_id, q.qv, c.label,
        |    c.n * c.n * q.q2 - 2 * c.n * list_dot_product(q.qv, c.s) + c.ss AS dist2
        |  FROM qq q CROSS JOIN cent c),
@@ -450,6 +458,84 @@ object Oracles {
     "\n       AND c.vec_id IN (SELECT doc_id FROM documents WHERE lang = 'en')")
 
   private lazy val e5Sql: String = ivfSqlWith("")
+
+  /** e24: the graph-guided beam probe — replays AnnOps.annBeam's three
+    * deterministic ranks (entry net by (hash, label); per-round beam by
+    * (dist2, label); final probed cells by (dist2, label)) over the
+    * shared IVF state, with the cell-adjacency graph re-derived from
+    * scratch: 'bp_'-salted band codes over the centroid SUM vectors
+    * (sign(mean·w) = sign(s·w)), banded candidate pairs, exact
+    * inter-centroid ranking in HUGEINT (the e23 overflow discipline),
+    * top-BeamDegree directed edges. The two unrolled expansion rounds
+    * mirror BeamRounds = 2. */
+  private lazy val e24Sql: String = {
+    import graft.operators.AnnOps.{BeamDegree, BeamWidth, NProbe, Bands, BandBucketTarget, PlanesPerBand, Dims}
+    def score(src: String, name: String) =
+      s"""$name AS MATERIALIZED (SELECT v.q_id, v.label,
+         |    c.n * c.n * q.q2 - 2 * c.n * list_dot_product(q.qv, c.s) + c.ss AS dist2
+         |  FROM $src v JOIN cent c USING (label) JOIN qq q ON q.q_id = v.q_id)""".stripMargin
+    def topw(src: String, name: String, w: Int) =
+      s"""$name AS MATERIALIZED (SELECT q_id, label FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY dist2, label) AS rn
+         |    FROM $src) t WHERE rn <= $w)""".stripMargin
+    s"""WITH $ivfStateCte,
+       |gcnt AS (SELECT CAST(COUNT(*) AS BIGINT) AS c FROM cent),
+       |gpl AS MATERIALIZED (SELECT CAST(COALESCE(MIN(x), 24) AS INTEGER) AS p
+       |  FROM range($PlanesPerBand, 25) t(x), gcnt
+       |  WHERE (CAST(1 AS BIGINT) << x) * $BandBucketTarget >= gcnt.c),
+       |gw AS (SELECT CAST(gp AS INTEGER) AS gp, CAST(d AS INTEGER) AS d,
+       |    ${h60("'bp_' || gp || '_' || d")} % 2001 - 1000 AS w
+       |  FROM range(${Bands * 24}) t1(gp) CROSS JOIN range($Dims) t2(d), gpl
+       |  WHERE gp < $Bands * gpl.p),
+       |gsu AS MATERIALIZED (SELECT label, generate_subscripts(s, 1) - 1 AS d, unnest(s) AS v
+       |  FROM cent),
+       |gd AS (SELECT u.label, w.gp, SUM(CAST(u.v AS HUGEINT) * w.w) AS dot
+       |  FROM gsu u JOIN gw w ON u.d = w.d GROUP BY 1, 2),
+       |gcode AS MATERIALIZED (SELECT g.label, g.gp // p.p AS band,
+       |    SUM(CASE WHEN g.dot > 0 THEN (CAST(1 AS BIGINT) << (g.gp % p.p)) ELSE 0 END) AS code
+       |  FROM gd g, gpl p GROUP BY 1, 2),
+       |gcand AS (SELECT DISTINCT a.label AS la, b.label AS lb
+       |  FROM gcode a JOIN gcode b ON a.band = b.band AND a.code = b.code
+       |    AND a.label <> b.label),
+       |gpd AS (SELECT c.la, c.lb, SUM(CAST(ua.v AS HUGEINT) * ub.v) AS dab
+       |  FROM gcand c JOIN gsu ua ON ua.label = c.la
+       |  JOIN gsu ub ON ub.label = c.lb AND ub.d = ua.d
+       |  GROUP BY 1, 2),
+       |gdist AS (SELECT p.la, p.lb,
+       |    CAST(cb.n AS HUGEINT) * cb.n * ca.ss - 2 * CAST(ca.n AS HUGEINT) * cb.n * p.dab
+       |      + CAST(ca.n AS HUGEINT) * ca.n * cb.ss AS dist2
+       |  FROM gpd p JOIN cent ca ON ca.label = p.la JOIN cent cb ON cb.label = p.lb),
+       |adj AS MATERIALIZED (SELECT la AS label, lb AS nb FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY la ORDER BY dist2, lb) AS rn
+       |    FROM gdist) t WHERE rn <= $BeamDegree),
+       |ecnt AS (SELECT LEAST(c, 2 * CAST(CEIL(SQRT(c)) AS BIGINT)) AS en FROM gcnt),
+       |ent AS MATERIALIZED (SELECT label FROM (
+       |    SELECT label, row_number() OVER (
+       |      ORDER BY ${h60("'entry_' || CAST(label AS VARCHAR)")}, label) AS rn
+       |    FROM cent) t, ecnt WHERE rn <= ecnt.en),
+       |v0r AS (SELECT q.q_id, e.label FROM qq q CROSS JOIN ent e),
+       |${score("v0r", "v0s")},
+       |${topw("v0s", "f0", BeamWidth)},
+       |n1 AS (SELECT DISTINCT f.q_id, a.nb AS label FROM f0 f JOIN adj a USING (label)),
+       |u1 AS MATERIALIZED (SELECT q_id, label FROM f0 UNION SELECT q_id, label FROM n1),
+       |${score("u1", "s1")},
+       |${topw("s1", "f1", BeamWidth)},
+       |n2 AS (SELECT DISTINCT f.q_id, a.nb AS label FROM f1 f JOIN adj a USING (label)),
+       |u2 AS MATERIALIZED (SELECT q_id, label FROM u1 UNION SELECT q_id, label FROM n2),
+       |${score("u2", "s2")},
+       |${topw("s2", "probed", NProbe)},
+       |bcand AS (SELECT p.q_id, q.qv, c.vec_id AS c_id, c.qv AS cq
+       |  FROM probed p JOIN qq q ON q.q_id = p.q_id JOIN ql c ON c.label = p.label
+       |  WHERE c.vec_id <> p.q_id),
+       |r AS (SELECT q_id, c_id,
+       |    list_dot_product(qv, cq) / sqrt(list_dot_product(qv, qv) * list_dot_product(cq, cq)) AS score,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY
+       |      list_dot_product(qv, cq) / sqrt(list_dot_product(qv, qv) * list_dot_product(cq, cq)) DESC,
+       |      c_id) AS rnk
+       |  FROM bcand)
+       |SELECT q_id, rnk, c_id, round(score, 6) AS score
+       |FROM r WHERE rnk <= 3 ORDER BY q_id, rnk""".stripMargin
+  }
 
   /** e22: the IVF probe chain with BINARY-quantization scoring — sign
     * bit per dimension packed into two sub-2^32 words (a single 64-bit
@@ -2918,6 +3004,8 @@ object Oracles {
     // e5 mirrors the n-scaled exact centroid distance:
     // n^2*q.q - 2n*(q.s) + s.s — magnitudes < 2^53, exact in doubles.
     "e5_ann_ivf" -> e5Sql,
+
+    "e24_beam_probe" -> e24Sql,
 
     // e9: the e5 probe with the language predicate applied to the
     // candidates BEFORE scoring (pre-filtered vector search)

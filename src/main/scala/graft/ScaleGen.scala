@@ -72,7 +72,11 @@ object ScaleGen {
     }
 
     def read(name: String) = spark.read.parquet(s"$src/$name.parquet")
-    def write(df: DataFrame, name: String): Unit = if (tables(name)) {
+    // df is BY-NAME: the source read must not evaluate for unselected
+    // tables, or a partial source dir (e.g. a documents+embeddings
+    // carve used as the next derivation level) fails on the eager
+    // read of a table the run never asked for.
+    def write(df: => DataFrame, name: String): Unit = if (tables(name)) {
       df.write.mode("overwrite").parquet(s"$out/$name.parquet")
       println(s"[scalegen] $name -> ${spark.read.parquet(s"$out/$name.parquet").count()} rows")
     }

@@ -333,7 +333,7 @@ object AnnOps {
     * so centroid ranking needs no division and is bit-deterministic.
     * Magnitudes stay ≤ ~1e15 — exact in int64 and in the oracle's
     * 53-bit doubles. */
-  private[operators] def centroids(spark: SparkSession, dir: String): DataFrame =
+  private[graft] def centroids(spark: SparkSession, dir: String): DataFrame =
     DedupOps.memoized(spark, "ann_centroids", dir) {
       centroidStateOf(quantized(spark, dir))
     }
@@ -982,6 +982,157 @@ object AnnOps {
           .as("growth_ppm"),
         col("drift"))
       .orderBy(coalesce(col("drift"), lit(2.0)), col("label"))
+  }
+
+  /** e24 graph-probe geometry: out-degree of the cell-adjacency graph,
+    * beam (frontier) width per expansion round, and the number of
+    * unrolled expansion rounds. Small constants — the probe's cost per
+    * query is |entry net| + BeamRounds·BeamWidth·BeamDegree centroid
+    * distances, every term O(√cells) or O(1). */
+  val BeamDegree = 4
+  val BeamWidth = 4
+  val BeamRounds = 2
+
+  /** e24 entry net size: 2·⌈√C⌉ cells (capped at C) — the √-sized
+    * navigation net that replaces e5's rank-ALL-cells probe. Both
+    * engines derive it from the same cell count (IEEE sqrt/ceil —
+    * exact at every integer that matters). */
+  def entryCount(cells: Long): Long =
+    math.min(cells, 2L * math.ceil(math.sqrt(cells.toDouble)).toLong)
+
+  /** The cell-adjacency graph (label → its BeamDegree nearest OTHER
+    * cells): the navigation structure of e24's graph-guided probe.
+    * HNSW-class indexes keep a neighbor graph over the data points; a
+    * batch engine gets the same navigation win at the CELL layer, where
+    * the graph is k-rows small, rebuilt with the index, and broadcast
+    * to every query.
+    *
+    * Candidate generation is the e3 recipe applied to the centroid
+    * relation itself: band the cells by 'bp_'-salted hyperplane sign
+    * codes and pair only band-sharers — O(cells·BandBucketTarget)
+    * candidate pairs, never cells². The sign of mean·w equals the sign
+    * of s·w (n > 0), so banding runs on the exact int64 SUM vectors
+    * with no division. Exact ranking of the survivors uses the
+    * division-free inter-centroid identity
+    *   ‖sa/na − sb/nb‖²·(na·nb)² = nb²·ssa − 2·na·nb·(sa·sb) + na²·ssb
+    * in decimal(38,0) (the e23 overflow discipline: Σs·s crosses int64
+    * near 10⁶-member cells); tie-break (dist2, neighbor label). Edges
+    * are DIRECTED a→top-BeamDegree — the HNSW convention. */
+  private[graft] def cellGraph(spark: SparkSession, dir: String): DataFrame =
+    DedupOps.memoized(spark, "ann_cellGraph", dir) {
+      val dot = dotBest(spark)
+      val cent = centroids(spark, dir)
+      val p = bandPlanes(cent.count())
+      def beamPlaneW(gp: Int): Seq[Long] =
+        (0 until Dims).map(d => hash60Driver(s"bp_${gp}_${d}") % 2001L - 1000L)
+      def beamCode(s: Column, j: Int): Column =
+        (0 until p).map { i =>
+          when(dot(s, typedlit(beamPlaneW(j * p + i))) > 0, lit(1L << i))
+            .otherwise(lit(0L))
+        }.reduce(_ + _)
+      val codes = array((0 until Bands).map(j => beamCode(col("s"), j)): _*)
+      val banded = cent.select(col("label"), posexplode(codes).as(Seq("band", "code")))
+      val cand = banded.select(col("label").as("la"), col("band"), col("code"))
+        .join(banded.select(col("label").as("lb"), col("band"), col("code")),
+          Seq("band", "code"))
+        .filter(col("la") =!= col("lb"))
+        .select("la", "lb").distinct()
+      val d38 = DecimalType(38, 0)
+      def dd(c: Column): Column = c.cast(d38)
+      def dotDec(a: Column, b: Column): Column =
+        aggregate(zip_with(a, b, (x, y) => x.cast(d38) * y.cast(d38)),
+          lit(0).cast(d38), (acc, x) => acc + x)
+      val a = cent.select(col("label").as("la"), col("s").as("sa"),
+        col("n").as("na"), col("ss").as("ssa"))
+      val b = cent.select(col("label").as("lb"), col("s").as("sb"),
+        col("n").as("nb"), col("ss").as("ssb"))
+      cand.join(broadcast(a), "la").join(broadcast(b), "lb")
+        .withColumn("dist2",
+          dd(col("nb")) * dd(col("nb")) * dd(col("ssa")) -
+            lit(2).cast(d38) * dd(col("na")) * dd(col("nb")) * dotDec(col("sa"), col("sb")) +
+            dd(col("na")) * dd(col("na")) * dd(col("ssb")))
+        .select(col("la"), col("lb"), col("dist2"))
+        .withColumn("ernk", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy("la").orderBy(col("dist2"), col("lb"))))
+        .filter(col("ernk") <= BeamDegree)
+        .select(col("la").as("label"), col("lb").as("nb"))
+    }
+
+  /** e24: GRAPH-GUIDED ANN PROBE (beam search over the cell graph) —
+    * the navigation alternative to e5's exhaustive coarse probe. e5
+    * ranks EVERY cell per query: exact, but O(cells) per query, and
+    * cells ∝ corpus/CellTarget — at the 10⁷-vector decade that is
+    * 12.8k centroid distances per query. e24 starts from a 2·⌈√C⌉
+    * entry net (hash-ranked — deterministic, data-independent spread),
+    * keeps the BeamWidth nearest visited cells as the frontier, and
+    * expands BeamRounds times over [[cellGraph]]'s edges — the
+    * greedy-descent loop of HNSW/NSG search, batch-expressed as
+    * unrolled join-union-rank rounds. Final candidates = the NProbe
+    * nearest VISITED cells, reranked exactly like e5, so the two
+    * operators' outputs are directly comparable (same shape, same
+    * tie-breaks) and recall lost to navigation is measurable per
+    * config (compose with e8's evaluation harness).
+    *
+    * Determinism: entry net ranks (hash60('entry_'||label), label);
+    * every beam rank orders (dist2, label); dist2 is the int64
+    * n-scaled identity of [[probedCellsOf]] — bit-identical to the
+    * oracle's replay of the same three ranks.
+    *
+    * Scale shape: per query O(√C + BeamRounds·BeamWidth·BeamDegree)
+    * centroid distances vs e5's O(C); the graph build is
+    * O(C·BandBucketTarget) banded candidates. Every per-query relation
+    * (entries, frontier, visited) is bounded by constants × √C and
+    * broadcasts; the corpus is touched only by the final probed-cell
+    * equality join — the inverted-file partition-pruning path. */
+  def annBeam(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    val dot = dotBest(spark)
+    val cos = cosineWith(dot) _
+    val qv = quantized(spark, dir)
+    val cent = centroids(spark, dir)
+    val adj = cellGraph(spark, dir)
+    val queries = qv.filter(col("vec_id") % QueryStride === 0)
+      .select(col("vec_id").as("q_id"), col("q").as("qq"))
+    val en = entryCount(cent.count()).toInt
+    // TakeOrderedAndProject (the panelOf discipline): per-partition
+    // top-en with a driver merge, never a global sort
+    val entries = cent
+      .withColumn("_eh", hash60(concat(lit("entry_"), col("label").cast("string"))))
+      .orderBy(col("_eh"), col("label")).limit(en)
+      .select("label")
+    // (q_id, label) → + dist2, the probedCellsOf identity; both joined
+    // sides are k-rows/√C-rows small by construction
+    def scored(v: DataFrame): DataFrame =
+      v.join(broadcast(queries), "q_id")
+        .join(broadcast(cent), "label")
+        .withColumn("dist2",
+          col("n") * col("n") * dot(col("qq"), col("qq")) -
+            lit(2L) * col("n") * dot(col("qq"), col("s")) + col("ss"))
+        .select("q_id", "label", "dist2")
+    def topW(v: DataFrame, w: Int): DataFrame =
+      v.withColumn("brnk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("q_id").orderBy(col("dist2"), col("label"))))
+        .filter(col("brnk") <= w)
+        .select("q_id", "label")
+    val v0 = topW(scored(
+      queries.select("q_id").crossJoin(broadcast(entries))), BeamWidth)
+    var visited = v0
+    var frontier = v0
+    for (_ <- 1 to BeamRounds) {
+      val nbrs = frontier.join(broadcast(adj), "label")
+        .select(col("q_id"), col("nb").as("label"))
+      visited = visited.union(nbrs).distinct()
+      frontier = topW(scored(visited), BeamWidth)
+    }
+    val probed = topW(scored(visited), NProbe)
+      .join(broadcast(queries), "q_id")
+    rankTopk(
+      probed
+        .join(qv.select(col("vec_id").as("c_id"), col("q").as("cq"), col("label")), "label")
+        .filter(col("q_id") =!= col("c_id"))
+        .withColumn("score", cos(col("qq"), col("cq"))),
+      k)
   }
 
   /** The full-rebuild reference for e13's bit-equality spec: the same

@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.AnnOps
+
+/** Round-17: e24 graph-guided beam probe — the navigation structure's
+  * invariants, the approx-vs-exact dominance bound, and the
+  * full-coverage equivalence with e5 (the property that makes the two
+  * probe disciplines directly comparable). */
+class Round17OpsSpec extends AnyFunSuite with SparkSpec {
+
+  test("e24: cell graph has no self-edges, bounded out-degree, real endpoints") {
+    val cells = AnnOps.cellGraph(spark, Sf001).collect()
+      .map(r => (r.getInt(0), r.getInt(1)))
+    assert(cells.nonEmpty, "cell graph empty at the gate SF")
+    assert(cells.forall { case (a, b) => a != b }, "self-edge in cell graph")
+    val deg = cells.groupBy(_._1).values.map(_.length)
+    assert(deg.forall(_ <= AnnOps.BeamDegree),
+      s"out-degree above BeamDegree=${AnnOps.BeamDegree}")
+    val labels = AnnOps.centroids(spark, Sf001)
+      .select("label").collect().map(_.getInt(0)).toSet
+    assert(cells.forall { case (a, b) => labels(a) && labels(b) },
+      "edge endpoint references a nonexistent cell")
+  }
+
+  test("e24: per-rank score never exceeds the exact baseline's (candidate-subset dominance)") {
+    // the beam's candidate set is a subset of the full corpus, and both
+    // sides rank by the same (score desc, c_id) order — so at every
+    // shared (q_id, rnk) the exact baseline's score is an upper bound
+    val exact = AnnOps.annTopk(spark, Sf001, 3)
+      .select(col("q_id"), col("rnk"), col("score").as("es"))
+    val joined = AnnOps.annBeam(spark, Sf001)
+      .join(exact, Seq("q_id", "rnk")).collect()
+    assert(joined.nonEmpty, "no shared (q_id, rnk) rows to compare")
+    assert(joined.forall(r =>
+      r.getAs[Double]("score") <= r.getAs[Double]("es") + 1e-9),
+      "beam rank-r score exceeded the exact rank-r score")
+  }
+
+  test("e24 == e5 when the entry net + beam cover every cell") {
+    // <= 4 cells (2 labels x 1 subdivision bit) => entryCount covers
+    // all cells and BeamWidth=4 keeps them all: visited == all cells,
+    // so the probed set is exactly e5's top-NProbe and the outputs
+    // must be bit-identical
+    val dir = java.nio.file.Files.createTempDirectory("e24cover").toString
+    import spark.implicits._
+    (0L until 40L).map { id =>
+      val emb = (0 until AnnOps.Dims)
+        .map(d => (((id * 31 + d * 7) % 13) - 6).toFloat / 10.0f).toArray
+      (id, emb, (id % 2).toInt)
+    }.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val beam = AnnOps.annBeam(spark, dir).collect().toSeq
+    val ivf = AnnOps.annIvf(spark, dir).collect().toSeq
+    assert(beam.nonEmpty, "empty beam output on the coverage corpus")
+    assert(beam == ivf, "full-coverage beam diverged from the exhaustive probe")
+  }
+}
