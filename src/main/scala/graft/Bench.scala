@@ -55,6 +55,16 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .config("spark.ui.enabled", "false")
+      // ObjectHashAggregate (the minhash typed aggregate, every
+      // collect_list state build) falls back to SORT-BASED aggregation
+      // after a default of 128 in-memory groups — at the 3.2M-doc
+      // carve that made every map task SORT its ~10⁸-row gram stream
+      // (a 20+ min straggler in the d3 substrate) where hash
+      // aggregation of its ~10⁵ doc groups needs ~25 MB. Size the
+      // threshold to the memory the groups actually cost instead —
+      // see F.ObjectAggFallbackGroups.
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+        graft.functions.F.ObjectAggFallbackGroups.toString)
     val spark = (if (splitMb > 0) builder
         .config("spark.sql.files.maxPartitionBytes", s"${splitMb.toLong * 1024 * 1024}")
         .config("spark.sql.files.openCostInBytes", s"${1024 * 1024}")

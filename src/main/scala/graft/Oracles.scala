@@ -468,7 +468,12 @@ object Oracles {
     * inter-centroid ranking in HUGEINT (the e23 overflow discipline),
     * top-BeamDegree directed edges. The two unrolled expansion rounds
     * mirror BeamRounds = 2. */
-  private lazy val e24Sql: String = {
+  /** The beam chain's CTE body (graph build → entry net → two unrolled
+    * expansion rounds → `probed`), parameterized on nothing — shared by
+    * the e24 statement and e25's paired evaluation so the replayed
+    * navigation cannot fork between them. Callers must prepend
+    * [[ivfStateCte]]. */
+  private lazy val e24BodyCte: String = {
     import graft.operators.AnnOps.{BeamDegree, BeamWidth, NProbe, Bands, BandBucketTarget, PlanesPerBand, Dims}
     def score(src: String, name: String) =
       s"""$name AS MATERIALIZED (SELECT v.q_id, v.label,
@@ -478,8 +483,7 @@ object Oracles {
       s"""$name AS MATERIALIZED (SELECT q_id, label FROM (
          |    SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY dist2, label) AS rn
          |    FROM $src) t WHERE rn <= $w)""".stripMargin
-    s"""WITH $ivfStateCte,
-       |gcnt AS (SELECT CAST(COUNT(*) AS BIGINT) AS c FROM cent),
+    s"""gcnt AS (SELECT CAST(COUNT(*) AS BIGINT) AS c FROM cent),
        |gpl AS MATERIALIZED (SELECT CAST(COALESCE(MIN(x), 24) AS INTEGER) AS p
        |  FROM range($PlanesPerBand, 25) t(x), gcnt
        |  WHERE (CAST(1 AS BIGINT) << x) * $BandBucketTarget >= gcnt.c),
@@ -527,14 +531,59 @@ object Oracles {
        |bcand AS (SELECT p.q_id, q.qv, c.vec_id AS c_id, c.qv AS cq
        |  FROM probed p JOIN qq q ON q.q_id = p.q_id JOIN ql c ON c.label = p.label
        |  WHERE c.vec_id <> p.q_id),
-       |r AS (SELECT q_id, c_id,
+       |rb AS (SELECT q_id, c_id,
        |    list_dot_product(qv, cq) / sqrt(list_dot_product(qv, qv) * list_dot_product(cq, cq)) AS score,
        |    row_number() OVER (PARTITION BY q_id ORDER BY
        |      list_dot_product(qv, cq) / sqrt(list_dot_product(qv, qv) * list_dot_product(cq, cq)) DESC,
        |      c_id) AS rnk
-       |  FROM bcand)
+       |  FROM bcand)""".stripMargin
+  }
+
+  private lazy val e24Sql: String =
+    s"""WITH $ivfStateCte,
+       |$e24BodyCte
        |SELECT q_id, rnk, c_id, round(score, 6) AS score
-       |FROM r WHERE rnk <= 3 ORDER BY q_id, rnk""".stripMargin
+       |FROM rb WHERE rnk <= 3 ORDER BY q_id, rnk""".stripMargin
+
+  /** e25: the probe-discipline evaluation — e17's recall/cost rows for
+    * the e5-at-NProbe leg (replayed via the shared pr chain) and the
+    * e24 beam leg (the shared [[e24BodyCte]]), plus CELLS_RANKED: the
+    * coarse-probe cost term the beam cuts — exhaustive = panel × all
+    * cells; beam = the entry-net scoring plus each round's visited-set
+    * scoring, counted from the chain's own relations. */
+  private lazy val e25Sql: String = {
+    val np = graft.operators.AnnOps.NProbe
+    val inPanel = "IN (SELECT q_id FROM exact)"
+    def hitRow(leg: String) =
+      s"""(SELECT CAST(COUNT(*) AS BIGINT) FROM exact e
+         |     JOIN $leg a ON e.q_id = a.q_id AND e.c_id = a.c_id WHERE a.rnk <= 3)""".stripMargin
+    val nqSq = "(SELECT CAST(COUNT(DISTINCT q_id) AS BIGINT) FROM exact)"
+    s"""WITH exact0 AS ($e1Sql),
+       |exact AS MATERIALIZED (SELECT q_id, c_id FROM exact0 WHERE rnk <= 3),
+       |$ivfStateCte,
+       |$e24BodyCte,
+       |qd AS (SELECT q.q_id, q.qv, c.label,
+       |    c.n * c.n * q.q2 - 2 * c.n * list_dot_product(q.qv, c.s) + c.ss AS dist2
+       |  FROM qq q CROSS JOIN cent c),
+       |pr AS MATERIALIZED (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY dist2, label) AS crnk
+       |  FROM qd),
+       |${ivfRerankCte("ri", np, "")}
+       |SELECT 'beam' AS config, $nqSq AS n_q,
+       |  ${hitRow("rb")} AS n_hit,
+       |  round(${hitRow("rb")} / ($nqSq * 3.0), 6) AS recall_at_3,
+       |  (SELECT CAST(SUM(c.n) AS BIGINT) FROM probed p JOIN cent c USING (label)
+       |     WHERE p.q_id $inPanel) AS candidates_scanned,
+       |  (SELECT CAST(COUNT(*) AS BIGINT) FROM v0r WHERE q_id $inPanel)
+       |   + (SELECT CAST(COUNT(*) AS BIGINT) FROM u1 WHERE q_id $inPanel)
+       |   + (SELECT CAST(COUNT(*) AS BIGINT) FROM u2 WHERE q_id $inPanel) AS cells_ranked
+       |UNION ALL
+       |SELECT 'ivf' AS config, $nqSq AS n_q,
+       |  ${hitRow("ri")} AS n_hit,
+       |  round(${hitRow("ri")} / ($nqSq * 3.0), 6) AS recall_at_3,
+       |  (SELECT CAST(SUM(c.n) AS BIGINT) FROM pr p JOIN cent c USING (label)
+       |     WHERE p.crnk <= $np AND p.q_id $inPanel) AS candidates_scanned,
+       |  $nqSq * (SELECT c FROM gcnt) AS cells_ranked
+       |ORDER BY config""".stripMargin
   }
 
   /** e22: the IVF probe chain with BINARY-quantization scoring — sign
@@ -3006,6 +3055,8 @@ object Oracles {
     "e5_ann_ivf" -> e5Sql,
 
     "e24_beam_probe" -> e24Sql,
+
+    "e25_beam_eval" -> e25Sql,
 
     // e9: the e5 probe with the language predicate applied to the
     // candidates BEFORE scoring (pre-filtered vector search)

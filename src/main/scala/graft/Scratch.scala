@@ -58,6 +58,11 @@ object ScratchCounts {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .config("spark.ui.enabled", "false")
+      // same group-memory-sized object-agg fallback as the Bench/Verify
+      // sessions (see F.ObjectAggFallbackGroups) — the counts replay
+      // the same substrate builds
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+        graft.functions.F.ObjectAggFallbackGroups.toString)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark.conf.set("graft.memo.level", "MEMORY_AND_DISK_SER")

@@ -19,6 +19,11 @@ object Verify {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .config("spark.ui.enabled", "false")
+      // object-agg fallback sized to group memory, not Spark's
+      // 128-group default — see the Bench builder comment and
+      // F.ObjectAggFallbackGroups
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+        graft.functions.F.ObjectAggFallbackGroups.toString)
     val spark = (if (splitMb > 0) builder
         .config("spark.sql.files.maxPartitionBytes", s"${splitMb.toLong * 1024 * 1024}")
         .config("spark.sql.files.openCostInBytes", s"${1024 * 1024}")

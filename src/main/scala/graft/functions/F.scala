@@ -36,6 +36,23 @@ object F {
   def hash60Driver(s: String): Long =
     hash60With(java.security.MessageDigest.getInstance("MD5"), s)
 
+  /** ObjectHashAggregate's sort-based fallback threshold for the graft
+    * session builders (Bench/Verify): the number of in-memory groups an
+    * object aggregation holds before switching to sort-based
+    * aggregation. Spark's default is 128 — calibrated for aggregation
+    * buffers of unbounded size (collect_list of whole rows), not for
+    * this library's bounded states (the K = 16-slot minhash buffer,
+    * 64-long centroid sum rows: ≲ 400 B/group). At the 3.2M-doc carve
+    * the default made every minhash partial-agg map task sort its
+    * ~10⁸-row gram stream (a measured 20+ min single-task straggler in
+    * the d3 substrate build) where hash-aggregating the task's ~10⁵
+    * doc groups costs ~25 MB. 2²¹ groups × ~400 B ≈ 800 MB ceiling per
+    * task — and a task only pays what its group count actually is; at
+    * every shipped SF the count is orders of magnitude below the
+    * threshold. On a cluster the same setting belongs in the submit
+    * conf for any job running these operators. */
+  val ObjectAggFallbackGroups: Int = 1 << 21
+
   /** Collision-proof per-data-dir tag: the sanitized dir name keeps it
     * readable, the md5-derived suffix keeps DISTINCT dirs from ever
     * sharing a name — `replaceAll` alone maps two dirs differing only

@@ -1085,9 +1085,16 @@ object AnnOps {
     * (entries, frontier, visited) is bounded by constants × √C and
     * broadcasts; the corpus is touched only by the final probed-cell
     * equality join — the inverted-file partition-pruning path. */
-  def annBeam(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
+  /** e24's probe chain, with the per-round visited sets exposed:
+    * `entryRows` is the (query × entry-net) scoring relation and
+    * `visiteds(r)` the visited set after round r — the ranked-cell
+    * counts e25's cost accounting reads. `probed` is the final
+    * NProbe-nearest-visited relation annBeam reranks. */
+  private[graft] case class BeamChain(queries: DataFrame, entryRows: DataFrame,
+      visiteds: Seq[DataFrame], probed: DataFrame)
+
+  private[graft] def beamChain(spark: SparkSession, dir: String): BeamChain = {
     val dot = dotBest(spark)
-    val cos = cosineWith(dot) _
     val qv = quantized(spark, dir)
     val cent = centroids(spark, dir)
     val adj = cellGraph(spark, dir)
@@ -1115,24 +1122,84 @@ object AnnOps {
           .partitionBy("q_id").orderBy(col("dist2"), col("label"))))
         .filter(col("brnk") <= w)
         .select("q_id", "label")
-    val v0 = topW(scored(
-      queries.select("q_id").crossJoin(broadcast(entries))), BeamWidth)
+    val entryRows = queries.select("q_id").crossJoin(broadcast(entries))
+    val v0 = topW(scored(entryRows), BeamWidth)
     var visited = v0
     var frontier = v0
+    val visiteds = Seq.newBuilder[DataFrame]
     for (_ <- 1 to BeamRounds) {
       val nbrs = frontier.join(broadcast(adj), "label")
         .select(col("q_id"), col("nb").as("label"))
       visited = visited.union(nbrs).distinct()
+      visiteds += visited
       frontier = topW(scored(visited), BeamWidth)
     }
-    val probed = topW(scored(visited), NProbe)
-      .join(broadcast(queries), "q_id")
+    BeamChain(queries, entryRows, visiteds.result(),
+      topW(scored(visited), NProbe))
+  }
+
+  def annBeam(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    val cos = cosineWith(dotBest(spark)) _
+    val qv = quantized(spark, dir)
+    val chain = beamChain(spark, dir)
+    val probed = chain.probed.join(broadcast(chain.queries), "q_id")
     rankTopk(
       probed
         .join(qv.select(col("vec_id").as("c_id"), col("q").as("cq"), col("label")), "label")
         .filter(col("q_id") =!= col("c_id"))
         .withColumn("score", cos(col("qq"), col("cq"))),
       k)
+  }
+
+  /** e25: BEAM-VS-EXHAUSTIVE PROBE EVALUATION — e17's harness extended
+    * to the probe-discipline fork: one row per discipline (e5's
+    * rank-all-cells IVF at NProbe vs e24's graph-guided beam), each
+    * carrying recall@3 against e1's exact top-3, the rerank volume
+    * (candidates_scanned = Σ probed cell sizes), and CELLS_RANKED —
+    * the coarse-probe cost itself, the term the beam exists to cut:
+    * the exhaustive probe ranks |queries|·C centroid distances, the
+    * beam ranks the entry net plus each round's visited set. Run this
+    * before switching a 100 TB index from e5 to e24: the row pair IS
+    * the recall-you-lose / probe-cost-you-save trade at the current
+    * geometry.
+    *
+    * Cost accounting is over the SAME capped panel the recall legs
+    * score (the e17 rule) — the exact side's q_ids are the panel. */
+  def annBeamEval(spark: SparkSession, dir: String): DataFrame = {
+    val exact = annTopk(spark, dir).filter(col("rnk") <= 3)
+      .select("q_id", "c_id").materialized()
+    val panel = exact.select("q_id").distinct()
+    val cellSizes = centroids(spark, dir).select(col("label"), col("n"))
+    val cells = centroids(spark, dir).count()
+    val chain = beamChain(spark, dir)
+    val nq = panel.agg(count(lit(1)).as("n_q"))
+    def panelCount(df: DataFrame): DataFrame =
+      df.join(panel, Seq("q_id"), "left_semi").agg(count(lit(1)).as("cnt"))
+    def row(cfg: String, approx: DataFrame, probedCost: DataFrame,
+        cellsRanked: DataFrame): DataFrame = {
+      val hits = exact.join(approx.filter(col("rnk") <= 3).select("q_id", "c_id"),
+        Seq("q_id", "c_id")).agg(count(lit(1)).as("n_hit"))
+      hits.crossJoin(nq).crossJoin(probedCost).crossJoin(cellsRanked)
+        .select(lit(cfg).as("config"), col("n_q"), col("n_hit"),
+          round(col("n_hit").cast(DoubleType) / (col("n_q") * lit(3.0)), 6)
+            .as("recall_at_3"),
+          col("candidates_scanned"), col("cells_ranked"))
+    }
+    val ivfCost = probedCells(spark, dir, NProbe)
+      .join(panel, Seq("q_id"), "left_semi")
+      .join(broadcast(cellSizes), "label")
+      .agg(sum("n").as("candidates_scanned"))
+    val ivfRanked = nq.select((col("n_q") * lit(cells)).as("cells_ranked"))
+    val beamCost = chain.probed
+      .join(panel, Seq("q_id"), "left_semi")
+      .join(broadcast(cellSizes), "label")
+      .agg(sum("n").as("candidates_scanned"))
+    val beamRanked = (panelCount(chain.entryRows) +: chain.visiteds.map(panelCount))
+      .reduce(_ unionByName _)
+      .agg(sum("cnt").as("cells_ranked"))
+    row("beam", annBeam(spark, dir), beamCost, beamRanked)
+      .unionByName(row("ivf", annIvf(spark, dir), ivfCost, ivfRanked))
+      .orderBy("config")
   }
 
   /** The full-rebuild reference for e13's bit-equality spec: the same

@@ -38,6 +38,23 @@ class Round17OpsSpec extends AnyFunSuite with SparkSpec {
       "beam rank-r score exceeded the exact rank-r score")
   }
 
+  test("e25: evaluation rows are internally consistent") {
+    val rows = AnnOps.annBeamEval(spark, Sf001).collect()
+    assert(rows.map(_.getAs[String]("config")).toSeq == Seq("beam", "ivf"))
+    val nq = rows.map(_.getAs[Long]("n_q")).distinct
+    assert(nq.length == 1 && nq.head > 0, "panel size must agree across rows")
+    val cells = AnnOps.centroids(spark, Sf001).count()
+    val ivf = rows.find(_.getAs[String]("config") == "ivf").get
+    assert(ivf.getAs[Long]("cells_ranked") == nq.head * cells,
+      "exhaustive probe must rank panel x all-cells centroid distances")
+    assert(rows.forall(r => r.getAs[Long]("candidates_scanned") > 0))
+    assert(rows.forall { r =>
+      val rec = r.getAs[Double]("recall_at_3")
+      rec >= 0.0 && rec <= 1.0 &&
+        math.abs(rec - r.getAs[Long]("n_hit").toDouble / (nq.head * 3.0)) < 1e-6
+    })
+  }
+
   test("e24 == e5 when the entry net + beam cover every cell") {
     // <= 4 cells (2 labels x 1 subdivision bit) => entryCount covers
     // all cells and BeamWidth=4 keeps them all: visited == all cells,

@@ -66,6 +66,50 @@ try:
 except SystemExit:
     pass
 
+for tag, path, note in [
+    ("e24_ab_carve3m", "/tmp/e24_c3m.log",
+     "e5 (rank-all-cells probe) vs e24 (graph-guided beam probe) "
+     "paired in one JVM at 1.28M vectors - same memoized "
+     "quantized/centroid substrates, e24 additionally builds the "
+     "cell-adjacency graph"),
+    ("e24_ab_carve10m", "/tmp/e24_c10m.log",
+     "the same A/B at the n=1e7 decade (10.24M vectors, ~12.8k "
+     "cells): the regime where e24's O(sqrt(C)) per-query probe "
+     "separates from e5's O(C)"),
+]:
+    try:
+        out[tag] = sub(bench_line(path), note)
+    except (SystemExit, FileNotFoundError):
+        pass
+
+def counts_map(path):
+    m = {}
+    with open(path) as f:
+        for line in f:
+            mm = re.match(r"\[counts\] (\S+) rows=(\d+)", line)
+            if mm:
+                m[mm.group(1)] = int(mm.group(2))
+    if not m:
+        raise SystemExit(f"no [counts] lines in {path}")
+    return m
+
+try:
+    out["output_rows"] = {
+        "sf1": counts_map("/tmp/cnt_sf1.log"),
+        "carve3m": counts_map("/tmp/cnt_c3m.log"),
+        "carve1m6": counts_map("/tmp/cnt_c16.log"),
+        "note": (
+            "Pair-output normalization (wall ratios on pair operators "
+            "mean nothing without it): the salted carve keeps "
+            "cross-replica shingle overlap at zero, so pair outputs "
+            "grow ~linearly in n (intra-replica structure x factor), "
+            "never SF^2 - compare each carve count against factor x "
+            "the sf1 count."
+        ),
+    }
+except (SystemExit, FileNotFoundError):
+    pass
+
 out["single_box_disk_ceiling"] = {
     "note": (
         "d2/d8 at the 64x carve exceed one machine's ~80 GB spill "
