@@ -125,7 +125,20 @@ object DedupOps {
     * column directly instead of hashing a second time. */
   private[graft] def docNgrams(spark: SparkSession, dir: String): DataFrame =
     memoized(spark, "docNgrams", dir) {
-      Tables.documents(spark, dir)
+      val raw = Tables.documents(spark, dir)
+      // Parallelism guard (the AnnOps.quantized discipline applied to
+      // the documents substrate): tokenize/shingle CPU is orders of
+      // magnitude above scan-byte cost, so a poorly-chunked file — a
+      // one-row-group 3.2M-doc carve before flatten.py, or any lake
+      // file with giant row groups — would hand the whole corpus to
+      // 1-2 tasks. Width from ROW count (~50k docs/partition), capped
+      // at cores; a no-op whenever the scan already arrives wider.
+      val cores = spark.sparkContext.defaultParallelism
+      val want = math.min(cores.toLong,
+        math.max(1L, raw.count() / 50000L)).toInt
+      val spread =
+        if (raw.rdd.getNumPartitions < want) raw.repartition(want) else raw
+      spread
         .withColumn("t", tokens(col("text")))
         .select(col("doc_id"), explode(ngramsExpr).as("ng"))
         .select(col("doc_id"), hash60(col("ng")).as("ngram"))

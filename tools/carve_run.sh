@@ -4,6 +4,13 @@
 # across groups (the local disk budget is ~80 GB; one combined JVM
 # provably exceeds it — round 17 measured 76 GB of blockmgr before
 # ENOSPC). Usage: carve_run.sh <sfdir> <outprefix> <group:keys> ...
+#
+# PREREQUISITE: run `python3 tools/flatten.py <sfdir>` on every
+# ScaleGen-derived dir FIRST. ScaleGen's directory output inherits the
+# source scan's width — at the 64x carve that is ONE part file with TWO
+# row groups, which pins every scan of the table to <=2 tasks no matter
+# the split config (round 17 measured the d3 substrate build wedged on
+# exactly this). flatten.py re-chunks to bounded 64k-row groups.
 set -u
 SFDIR=$1; PREFIX=$2; shift 2
 for spec in "$@"; do
