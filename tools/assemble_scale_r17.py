@@ -2,9 +2,11 @@
 """Assemble BENCH_r17_SCALE.json from the round's carve-run logs.
 
 Dev-only evidence tooling: each carve_run.sh group leaves one Bench
-JSON line in /tmp/<prefix>_<group>.log; this stitches them into the
-round's scale-evidence file with the methodology notes inline, so the
-committed artifact carries its own provenance.
+JSON line in /tmp/<prefix>_<group>.log (raw logs are also committed
+under evidence_r17/ as they land); this stitches them into the round's
+scale-evidence file with the methodology notes inline, so the committed
+artifact carries its own provenance. Every block is optional — the file
+records exactly what was measured, never a placeholder.
 """
 import json, re, sys
 
@@ -23,64 +25,93 @@ def sub(block, note):
 out = {
     "round": 17,
     "note": (
-        "Round-17 clean-carve evidence (VERDICT_r16 items 1+2+4): the "
-        "all-distinct-id scaledata/carve3m (64x sf1 via ScaleGen salt "
-        "mode, 3.2M docs + 1.28M vectors) and scaledata/carve10m "
-        "(10.24M vectors). REPS=1 family-major MEMORY_AND_DISK_SER "
-        "probes, one JVM per substrate group (a single combined JVM "
-        "exceeds the ~80 GB local spill budget - see "
-        "single_box_disk_ceiling), forced inter-query GC + 60s "
-        "periodic cleaner GC. Each block carries its own cal token."
+        "Round-17 clean-carve evidence, RE-MEASURED this session from "
+        "freshly derived all-distinct-id carves (the prior session's "
+        "measurements lived only in /tmp and were lost at the session "
+        "boundary - raw logs now land in evidence_r17/ as each group "
+        "completes). scaledata/sf1 = 10x sf0.1; carve3m = 64x sf1 via "
+        "ScaleGen salt mode (3.2M docs + 1.28M vectors); carve1m6 = "
+        "32x sf1 docs; carve10m = 8x carve3m embeddings (10.24M "
+        "vectors). All derived dirs re-chunked by tools/flatten.py "
+        "(see scalegen_one_row_group find). REPS=1 family-major "
+        "MEMORY_AND_DISK_SER probes, one JVM per substrate group, "
+        "forced inter-query GC + 60s periodic cleaner GC. Each block "
+        "carries its own cal token."
     ),
+    "session_finds": {
+        "objectagg_fallback": (
+            "ObjectHashAggregate (graft_minhash_agg, every "
+            "collect_list state build) falls back to sort-based "
+            "aggregation after Spark's default 128 in-memory groups: "
+            "at the 3.2M-doc carve every minhash partial-agg map task "
+            "SORTED its ~1e8-row gram stream - a measured 20+ min "
+            "single-task straggler (jstack: SortBasedAggregator/"
+            "UnsafeKVExternalSorter) inside the d3 substrate build "
+            "where hash aggregation of the task's ~1e5 bounded-buffer "
+            "groups costs ~25 MB. Fix: "
+            "spark.sql.objectHashAggregate.sortBased.fallbackThreshold "
+            "sized from group memory (F.ObjectAggFallbackGroups = 2^21) "
+            "in the Bench/Verify/ScratchCounts sessions. Post-fix the "
+            "same build ran fully parallel with zero fallback frames."
+        ),
+        "scalegen_one_row_group": (
+            "ScaleGen's directory output inherits the source scan's "
+            "width: the 64x carve landed as ONE part file with TWO row "
+            "groups, pinning every scan of the 3.2M-doc table to <=2 "
+            "tasks regardless of split config. tools/flatten.py "
+            "(bounded 64k-row groups) is now a documented prerequisite "
+            "in carve_run.sh, and docNgrams grew the same row-count-"
+            "sized parallelism guard quantized already had."
+        ),
+        "d7_pair_agg": (
+            "d7_winnow's pair groupBy lacked the exchange-first fix "
+            "d2/d8 got (commit 7d112de): the fp-scattered partial agg "
+            "over the ~fp-bucket-squared pair stream churned a 96 GB "
+            "heap into a GC death spiral at the 64x carve (heartbeat "
+            "RPC timeouts -> scheduler endpoint lost -> exit 56, after "
+            "~50 min). Fixed the same way: repartition(doc_a, doc_b) "
+            "before the aggregation. The 64x d7 number is NOT in this "
+            "artifact - the fix landed after the group's window; the "
+            "failure record is the evidence, and d7 stays green at the "
+            "oracle gate SFs."
+        ),
+    },
 }
 
-out["carve3m_docs"] = {
-    "light": sub(bench_line("/tmp/f3_light.log"),
-        "11 scan/agg-shaped documents keys at 64x"),
-    "heavy1_d7": sub(bench_line("/tmp/f3_heavy1.log"),
-        "d7 green at 64x; d2/d8 ENOSPC in this JVM at 64x - their "
-        "authoritative numbers are the carve1m6_docs block (32x, "
-        "n>=1e6) and the ceiling is recorded under "
-        "single_box_disk_ceiling"),
-    "heavy2": sub(bench_line("/tmp/f3_heavy2.log"),
-        "d3/d4/d5/d13 at 64x; cal 1.07 - contended window, treat "
-        "these four as upper bounds"),
-}
-out["carve1m6_docs"] = sub(bench_line("/tmp/c16_d28.log"),
-    "d2+d8 at the 32x carve (1.6M docs, n>=1e6, all-distinct ids), "
-    "cal 0.36 (idle): the two inverted-index pair operators measured "
-    "green one decade past 1e6 docs; 64x exceeds the single-box disk "
-    "(see single_box_disk_ceiling)")
-out["sf1_same_keys"] = sub(bench_line("/tmp/s1_all.log"),
-    "same-session sf1 denominators for the 18-key documents chain")
-out["carve3m_epanel"] = sub(bench_line("/tmp/ep_epanel.log"),
-    "23-key e-family panel (incl e23's first carve point and the "
-    "re-measured duplicate-aware d12) at 1.28M vectors, one JVM, "
-    "cal 0.43")
-try:
-    out["carve10m_epanel"] = sub(bench_line("/tmp/t10_epanel.log"),
-        "the n=1e7 decade: 23-key e-family panel at 10.24M vectors "
-        "(adaptiveK sqrt-branch k=4*ceil(sqrt(n))=12800; assignKernel "
-        "broadcast = k*d*8B = 6.6 MB; centroid collect = k*d = 819200 "
-        "(cid,d,cv) rows driver-side - both inside driver budgets)")
-except SystemExit:
-    pass
-
-for tag, path, note in [
+blocks = [
+    ("sf1_same_keys", "/tmp/s1_all.log",
+     "same-session sf1 denominators for the 18-key documents chain "
+     "(idle, cal 0.42)"),
+    ("carve3m_docs_light", "/tmp/f3_light.log",
+     "11 scan/agg-shaped documents keys at 64x (3.2M docs). cal 1.77 "
+     "with gc_s 873 at a 97 GB heap ceiling - the forced-GC storm "
+     "inflates these; treat as upper bounds. failed=[] (all green)."),
+    ("carve3m_docs_heavy", "/tmp/f3_heavy2.log",
+     "d3/d4/d5/d13 at 64x; partially overlapped by the correctness "
+     "batch (gate+tests) - cal token records the contention; treat as "
+     "upper bounds"),
+    ("carve1m6_docs", "/tmp/c16_d28.log",
+     "d2+d8 at the 32x carve (1.6M docs, n>=1e6, all-distinct ids)"),
+    ("carve3m_epanel", "/tmp/ep_epanel.log",
+     "23-key e-family panel (incl e23 and the duplicate-aware d12) at "
+     "1.28M vectors"),
+    ("carve10m_epanel", "/tmp/t10_epanel.log",
+     "the n=1e7 decade: 23-key e-family panel at 10.24M vectors "
+     "(adaptiveK sqrt-branch k=4*ceil(sqrt(n))=12800; assignKernel "
+     "broadcast = k*d*8B = 6.6 MB; centroid collect = k*d = 819200 "
+     "(cid,d,cv) rows driver-side - both inside driver budgets)"),
     ("e24_ab_carve3m", "/tmp/e24_c3m.log",
-     "e5 (rank-all-cells probe) vs e24 (graph-guided beam probe) "
-     "paired in one JVM at 1.28M vectors - same memoized "
-     "quantized/centroid substrates, e24 additionally builds the "
-     "cell-adjacency graph"),
+     "e5 (rank-all-cells probe) vs e24 (graph-guided beam probe) vs "
+     "e25 (the paired evaluation) in one JVM at 1.28M vectors"),
     ("e24_ab_carve10m", "/tmp/e24_c10m.log",
-     "the same A/B at the n=1e7 decade (10.24M vectors, ~12.8k "
-     "cells): the regime where e24's O(sqrt(C)) per-query probe "
-     "separates from e5's O(C)"),
-]:
+     "the same A/B at the n=1e7 decade (~12.8k cells): the regime "
+     "where e24's O(sqrt(C)) per-query probe separates from e5's O(C)"),
+]
+for tag, path, note in blocks:
     try:
         out[tag] = sub(bench_line(path), note)
     except (SystemExit, FileNotFoundError):
-        pass
+        out.setdefault("not_measured", []).append(tag)
 
 def counts_map(path):
     m = {}
@@ -93,41 +124,34 @@ def counts_map(path):
         raise SystemExit(f"no [counts] lines in {path}")
     return m
 
-try:
-    out["output_rows"] = {
-        "sf1": counts_map("/tmp/cnt_sf1.log"),
-        "carve3m": counts_map("/tmp/cnt_c3m.log"),
-        "carve1m6": counts_map("/tmp/cnt_c16.log"),
-        "note": (
-            "Pair-output normalization (wall ratios on pair operators "
-            "mean nothing without it): the salted carve keeps "
-            "cross-replica shingle overlap at zero, so pair outputs "
-            "grow ~linearly in n (intra-replica structure x factor), "
-            "never SF^2 - compare each carve count against factor x "
-            "the sf1 count."
-        ),
-    }
-except (SystemExit, FileNotFoundError):
-    pass
+rows = {}
+for tag, path in [("sf1", "/tmp/cnt_sf1.log"),
+                  ("carve3m", "/tmp/cnt_c3m.log"),
+                  ("carve1m6", "/tmp/cnt_c16.log")]:
+    try:
+        rows[tag] = counts_map(path)
+    except (SystemExit, FileNotFoundError):
+        pass
+if rows:
+    rows["note"] = (
+        "Pair-output normalization (wall ratios on pair operators mean "
+        "nothing without it): the salted carve keeps cross-replica "
+        "shingle overlap at zero, so pair outputs grow ~linearly in n "
+        "(intra-replica structure x factor), never SF^2."
+    )
+    out["output_rows"] = rows
 
 out["single_box_disk_ceiling"] = {
     "note": (
         "d2/d8 at the 64x carve exceed one machine's ~80 GB spill "
         "budget BY ARITHMETIC, not by accident: the DF-capped candidate "
-        "stream is Sigma df^2 ~= 64x sf1's ~50M = 3.2B rows; even "
-        "with the round's two plan fixes (8-byte gram fingerprints in "
-        "the substrate; exchange-first pair aggregation) the live set "
-        "at the aggregation peak is the two sorted join inputs + the "
-        "pair exchange ~= 100 GB. Measured green at 32x (49 GB peak "
-        "blockmgr). On a cluster this is a ~25 GB compressed exchange "
-        "spread across executors - not a bottleneck; locally the 32x "
-        "point is the honest decade-past-1e6 measurement."
-    ),
-    "measured_peak_blockmgr_gb": {"carve1m6_32x": 49, "carve3m_64x_enospc": ">78"},
-    "pre_fix_failure": (
-        "before the two fixes the STRING substrate + partial-agg "
-        "sort-fallback ENOSPC'd at 64x inside d2's self-join; the "
-        "round-16 clean re-measure debt traces to exactly this wall"
+        "stream is Sigma df^2 ~= 3.2B rows; even with the two plan "
+        "fixes (8-byte gram fingerprints in the substrate; "
+        "exchange-first pair aggregation) the live set at the "
+        "aggregation peak is the two sorted join inputs + the pair "
+        "exchange ~= 100 GB. On a cluster this is a ~25 GB compressed "
+        "exchange spread across executors - not a bottleneck; locally "
+        "the 32x point is the honest decade-past-1e6 measurement."
     ),
 }
 
