@@ -705,7 +705,17 @@ object DedupOps {
     pf.as("a")
       .join(pf.as("b"),
         col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      // Exchange FIRST, then one complete hash agg per partition — the
+      // pairIntersections discipline: the join stream arrives in FP
+      // order, a pair's shared fingerprints scatter across the whole
+      // fp range, so the default partial agg's map fills with ~every
+      // distinct pair in the task and collapses ~nothing (at the
+      // 3.2M-doc carve the partial-agg churn GC-wedged a 96 GB heap).
+      // One exchange of the narrow pair stream; per-task group count
+      // bounded at |pairs|/tasks.
+      .repartition(col("doc_a"), col("doc_b"))
+      .groupBy("doc_a", "doc_b")
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= 2)
       .orderBy("doc_a", "doc_b")
