@@ -459,30 +459,22 @@ object Oracles {
 
   private lazy val e5Sql: String = ivfSqlWith("")
 
-  /** e24: the graph-guided beam probe — replays AnnOps.annBeam's three
-    * deterministic ranks (entry net by (hash, label); per-round beam by
-    * (dist2, label); final probed cells by (dist2, label)) over the
-    * shared IVF state, with the cell-adjacency graph re-derived from
-    * scratch: 'bp_'-salted band codes over the centroid SUM vectors
-    * (sign(mean·w) = sign(s·w)), banded candidate pairs, exact
+  /** e24/e25: the graph-guided beam probe — replays AnnOps.annBeam's
+    * three deterministic ranks (entry net by (hash, label); per-round
+    * beam by (dist2, label); final probed cells by (dist2, label)) over
+    * the shared IVF state, with the cell-adjacency graph re-derived
+    * from scratch: 'bp_'-salted band codes over the centroid SUM
+    * vectors (sign(mean·w) = sign(s·w)), banded candidate pairs, exact
     * inter-centroid ranking in HUGEINT (the e23 overflow discipline),
-    * top-BeamDegree directed edges. The two unrolled expansion rounds
-    * mirror BeamRounds = 2. */
-  /** The beam chain's CTE body (graph build → entry net → two unrolled
-    * expansion rounds → `probed`), parameterized on nothing — shared by
-    * the e24 statement and e25's paired evaluation so the replayed
-    * navigation cannot fork between them. Callers must prepend
-    * [[ivfStateCte]]. */
-  private lazy val e24BodyCte: String = {
-    import graft.operators.AnnOps.{BeamDegree, BeamWidth, NProbe, Bands, BandBucketTarget, PlanesPerBand, Dims}
-    def score(src: String, name: String) =
-      s"""$name AS MATERIALIZED (SELECT v.q_id, v.label,
-         |    c.n * c.n * q.q2 - 2 * c.n * list_dot_product(q.qv, c.s) + c.ss AS dist2
-         |  FROM $src v JOIN cent c USING (label) JOIN qq q ON q.q_id = v.q_id)""".stripMargin
-    def topw(src: String, name: String, w: Int) =
-      s"""$name AS MATERIALIZED (SELECT q_id, label FROM (
-         |    SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY dist2, label) AS rn
-         |    FROM $src) t WHERE rn <= $w)""".stripMargin
+    * ranked directed edges to BeamDegreeMax. Expansion rounds unroll
+    * per config in [[beamCfgCte]]. */
+  /** The beam NAVIGATION-STRUCTURE CTEs (graph build to top-
+    * [[graft.operators.AnnOps.BeamDegreeMax]] ranked edges `adjall`,
+    * plus the config-independent entry net `ent`) — shared by the e24
+    * statement and every e25 swept config so the replayed graph cannot
+    * fork between them. Callers must prepend [[ivfStateCte]]. */
+  private lazy val beamGraphCte: String = {
+    import graft.operators.AnnOps.{BeamDegreeMax, Bands, BandBucketTarget, PlanesPerBand, Dims}
     s"""gcnt AS (SELECT CAST(COUNT(*) AS BIGINT) AS c FROM cent),
        |gpl AS MATERIALIZED (SELECT CAST(COALESCE(MIN(x), 24) AS INTEGER) AS p
        |  FROM range($PlanesPerBand, 25) t(x), gcnt
@@ -509,79 +501,122 @@ object Oracles {
        |    CAST(cb.n AS HUGEINT) * cb.n * ca.ss - 2 * CAST(ca.n AS HUGEINT) * cb.n * p.dab
        |      + CAST(ca.n AS HUGEINT) * ca.n * cb.ss AS dist2
        |  FROM gpd p JOIN cent ca ON ca.label = p.la JOIN cent cb ON cb.label = p.lb),
-       |adj AS MATERIALIZED (SELECT la AS label, lb AS nb FROM (
+       |adjall AS MATERIALIZED (SELECT la, lb, rn FROM (
        |    SELECT *, row_number() OVER (PARTITION BY la ORDER BY dist2, lb) AS rn
-       |    FROM gdist) t WHERE rn <= $BeamDegree),
+       |    FROM gdist) t WHERE rn <= $BeamDegreeMax),
        |ecnt AS (SELECT LEAST(c, 2 * CAST(CEIL(SQRT(c)) AS BIGINT)) AS en FROM gcnt),
        |ent AS MATERIALIZED (SELECT label FROM (
        |    SELECT label, row_number() OVER (
        |      ORDER BY ${h60("'entry_' || CAST(label AS VARCHAR)")}, label) AS rn
-       |    FROM cent) t, ecnt WHERE rn <= ecnt.en),
-       |v0r AS (SELECT q.q_id, e.label FROM qq q CROSS JOIN ent e),
-       |${score("v0r", "v0s")},
-       |${topw("v0s", "f0", BeamWidth)},
-       |n1 AS (SELECT DISTINCT f.q_id, a.nb AS label FROM f0 f JOIN adj a USING (label)),
-       |u1 AS MATERIALIZED (SELECT q_id, label FROM f0 UNION SELECT q_id, label FROM n1),
-       |${score("u1", "s1")},
-       |${topw("s1", "f1", BeamWidth)},
-       |n2 AS (SELECT DISTINCT f.q_id, a.nb AS label FROM f1 f JOIN adj a USING (label)),
-       |u2 AS MATERIALIZED (SELECT q_id, label FROM u1 UNION SELECT q_id, label FROM n2),
-       |${score("u2", "s2")},
-       |${topw("s2", "probed", NProbe)},
-       |bcand AS (SELECT p.q_id, q.qv, c.vec_id AS c_id, c.qv AS cq
-       |  FROM probed p JOIN qq q ON q.q_id = p.q_id JOIN ql c ON c.label = p.label
-       |  WHERE c.vec_id <> p.q_id),
-       |rb AS (SELECT q_id, c_id,
-       |    list_dot_product(qv, cq) / sqrt(list_dot_product(qv, qv) * list_dot_product(cq, cq)) AS score,
-       |    row_number() OVER (PARTITION BY q_id ORDER BY
-       |      list_dot_product(qv, cq) / sqrt(list_dot_product(qv, qv) * list_dot_product(cq, cq)) DESC,
-       |      c_id) AS rnk
-       |  FROM bcand)""".stripMargin
+       |    FROM cent) t, ecnt WHERE rn <= ecnt.en)""".stripMargin
   }
 
-  private lazy val e24Sql: String =
+  /** One beam chain's CTEs under a (width, rounds, degree) config:
+    * entry scoring → `rounds` unrolled expansion rounds → `probed$tag`
+    * → the exact rerank `rb$tag`. `qrel` is the query relation (`qq`
+    * for the serving e24 statement; the panel-restricted `qp` for
+    * e25's evaluation — output-invariant, since every e25 leg is
+    * panel-scoped). Mirrors AnnOps.beamChain round for round. */
+  private def beamCfgCte(tag: String, qrel: String, width: Int, rounds: Int,
+      degree: Int): String = {
+    val np = graft.operators.AnnOps.NProbe
+    def score(src: String, name: String) =
+      s"""$name AS MATERIALIZED (SELECT v.q_id, v.label,
+         |    c.n * c.n * q.q2 - 2 * c.n * list_dot_product(q.qv, c.s) + c.ss AS dist2
+         |  FROM $src v JOIN cent c USING (label) JOIN $qrel q ON q.q_id = v.q_id)""".stripMargin
+    def topw(src: String, name: String, w: Int) =
+      s"""$name AS MATERIALIZED (SELECT q_id, label FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY dist2, label) AS rn
+         |    FROM $src) t WHERE rn <= $w)""".stripMargin
+    val sb = Seq.newBuilder[String]
+    sb += s"v0r$tag AS (SELECT q.q_id, e.label FROM $qrel q CROSS JOIN ent e)"
+    sb += score(s"v0r$tag", s"v0s$tag")
+    sb += topw(s"v0s$tag", s"f0$tag", width)
+    for (r <- 1 to rounds) {
+      val prevU = if (r == 1) s"f0$tag" else s"u${r - 1}$tag"
+      sb += s"""n$r$tag AS (SELECT DISTINCT f.q_id, a.lb AS label
+               |  FROM f${r - 1}$tag f JOIN adjall a ON a.la = f.label AND a.rn <= $degree)""".stripMargin
+      sb += s"u$r$tag AS MATERIALIZED (SELECT q_id, label FROM $prevU UNION SELECT q_id, label FROM n$r$tag)"
+      sb += score(s"u$r$tag", s"s$r$tag")
+      if (r < rounds) sb += topw(s"s$r$tag", s"f$r$tag", width)
+    }
+    sb += topw(s"s$rounds$tag", s"probed$tag", np)
+    sb += s"""bcand$tag AS (SELECT p.q_id, q.qv, c.vec_id AS c_id, c.qv AS cq
+             |  FROM probed$tag p JOIN $qrel q ON q.q_id = p.q_id JOIN ql c ON c.label = p.label
+             |  WHERE c.vec_id <> p.q_id)""".stripMargin
+    sb += s"""rb$tag AS (SELECT q_id, c_id,
+             |    list_dot_product(qv, cq) / sqrt(list_dot_product(qv, qv) * list_dot_product(cq, cq)) AS score,
+             |    row_number() OVER (PARTITION BY q_id ORDER BY
+             |      list_dot_product(qv, cq) / sqrt(list_dot_product(qv, qv) * list_dot_product(cq, cq)) DESC,
+             |      c_id) AS rnk
+             |  FROM bcand$tag)""".stripMargin
+    sb.result().mkString(",\n")
+  }
+
+  private lazy val e24Sql: String = {
+    import graft.operators.AnnOps.{BeamDegree, BeamRounds, BeamWidth}
     s"""WITH $ivfStateCte,
-       |$e24BodyCte
+       |$beamGraphCte,
+       |${beamCfgCte("", "qq", BeamWidth, BeamRounds, BeamDegree)}
        |SELECT q_id, rnk, c_id, round(score, 6) AS score
        |FROM rb WHERE rnk <= 3 ORDER BY q_id, rnk""".stripMargin
+  }
 
-  /** e25: the probe-discipline evaluation — e17's recall/cost rows for
-    * the e5-at-NProbe leg (replayed via the shared pr chain) and the
-    * e24 beam leg (the shared [[e24BodyCte]]), plus CELLS_RANKED: the
-    * coarse-probe cost term the beam cuts — exhaustive = panel × all
-    * cells; beam = the entry-net scoring plus each round's visited-set
-    * scoring, counted from the chain's own relations. */
+  /** e25: the probe-discipline evaluation and beam-knob sweep — e17's
+    * recall/cost rows for the e5-at-NProbe leg (the `pr` chain over the
+    * panel-restricted `qp`) and one beam leg per
+    * [[graft.operators.AnnOps.BeamSweep]] config (each a [[beamCfgCte]]
+    * instance over the shared [[beamGraphCte]] so the graph cannot fork
+    * between configs), plus CELLS_RANKED: the coarse-probe cost term
+    * the beam cuts — exhaustive = panel × all cells; a beam config =
+    * its entry-net scoring plus each round's visited-set scoring,
+    * counted from the chain's own relations. Knob columns bw/br/bd
+    * (0 = the ivf row). */
   private lazy val e25Sql: String = {
     val np = graft.operators.AnnOps.NProbe
-    val inPanel = "IN (SELECT q_id FROM exact)"
     def hitRow(leg: String) =
       s"""(SELECT CAST(COUNT(*) AS BIGINT) FROM exact e
          |     JOIN $leg a ON e.q_id = a.q_id AND e.c_id = a.c_id WHERE a.rnk <= 3)""".stripMargin
     val nqSq = "(SELECT CAST(COUNT(DISTINCT q_id) AS BIGINT) FROM exact)"
+    val cfgs = graft.operators.AnnOps.BeamSweep
+    def tagOf(w: Int, r: Int, d: Int) = s"_w${w}r${r}d$d"
+    val cfgCtes = cfgs.map { case (w, r, d) =>
+      beamCfgCte(tagOf(w, r, d), "qp", w, r, d)
+    }.mkString(",\n")
+    val beamRows = cfgs.map { case (w, r, d) =>
+      val tag = tagOf(w, r, d)
+      val ranked = (s"(SELECT CAST(COUNT(*) AS BIGINT) FROM v0r$tag)" +:
+        (1 to r).map(i => s"(SELECT CAST(COUNT(*) AS BIGINT) FROM u$i$tag)"))
+        .mkString("\n   + ")
+      s"""SELECT 'beam_w${w}_r${r}_d$d' AS config,
+         |  CAST($w AS BIGINT) AS bw, CAST($r AS BIGINT) AS br, CAST($d AS BIGINT) AS bd,
+         |  $nqSq AS n_q,
+         |  ${hitRow(s"rb$tag")} AS n_hit,
+         |  round(${hitRow(s"rb$tag")} / ($nqSq * 3.0), 6) AS recall_at_3,
+         |  (SELECT CAST(SUM(c.n) AS BIGINT) FROM probed$tag p JOIN cent c USING (label)) AS candidates_scanned,
+         |  $ranked AS cells_ranked""".stripMargin
+    }
     s"""WITH exact0 AS ($e1Sql),
        |exact AS MATERIALIZED (SELECT q_id, c_id FROM exact0 WHERE rnk <= 3),
        |$ivfStateCte,
-       |$e24BodyCte,
+       |qp AS MATERIALIZED (SELECT * FROM qq WHERE q_id IN (SELECT q_id FROM exact)),
+       |$beamGraphCte,
+       |$cfgCtes,
        |qd AS (SELECT q.q_id, q.qv, c.label,
        |    c.n * c.n * q.q2 - 2 * c.n * list_dot_product(q.qv, c.s) + c.ss AS dist2
-       |  FROM qq q CROSS JOIN cent c),
+       |  FROM qp q CROSS JOIN cent c),
        |pr AS MATERIALIZED (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY dist2, label) AS crnk
        |  FROM qd),
        |${ivfRerankCte("ri", np, "")}
-       |SELECT 'beam' AS config, $nqSq AS n_q,
-       |  ${hitRow("rb")} AS n_hit,
-       |  round(${hitRow("rb")} / ($nqSq * 3.0), 6) AS recall_at_3,
-       |  (SELECT CAST(SUM(c.n) AS BIGINT) FROM probed p JOIN cent c USING (label)
-       |     WHERE p.q_id $inPanel) AS candidates_scanned,
-       |  (SELECT CAST(COUNT(*) AS BIGINT) FROM v0r WHERE q_id $inPanel)
-       |   + (SELECT CAST(COUNT(*) AS BIGINT) FROM u1 WHERE q_id $inPanel)
-       |   + (SELECT CAST(COUNT(*) AS BIGINT) FROM u2 WHERE q_id $inPanel) AS cells_ranked
+       |${beamRows.mkString("\nUNION ALL\n")}
        |UNION ALL
-       |SELECT 'ivf' AS config, $nqSq AS n_q,
+       |SELECT 'ivf' AS config,
+       |  CAST(0 AS BIGINT) AS bw, CAST(0 AS BIGINT) AS br, CAST(0 AS BIGINT) AS bd,
+       |  $nqSq AS n_q,
        |  ${hitRow("ri")} AS n_hit,
        |  round(${hitRow("ri")} / ($nqSq * 3.0), 6) AS recall_at_3,
        |  (SELECT CAST(SUM(c.n) AS BIGINT) FROM pr p JOIN cent c USING (label)
-       |     WHERE p.crnk <= $np AND p.q_id $inPanel) AS candidates_scanned,
+       |     WHERE p.crnk <= $np) AS candidates_scanned,
        |  $nqSq * (SELECT c FROM gcnt) AS cells_ranked
        |ORDER BY config""".stripMargin
   }

@@ -73,3 +73,34 @@ object ScratchCounts {
     spark.stop()
   }
 }
+
+/** Dev-only row dump: prints a query's full result rows as JSON lines
+  * — the evidence capture for small evaluation TABLES at carve scale
+  * (e25's per-config recall/cost rows are the round-18 e24-A/B
+  * deliverable; wall times alone don't say which discipline won).
+  * Args: dir, comma list of keys. Bounded use only: the dump collects
+  * to the driver, so it is for evaluation-scale outputs (rows ≤ ~10³),
+  * never corpus-scale relations. */
+object ScratchShow {
+  def main(args: Array[String]): Unit = {
+    val dir = args(0)
+    val keys = args(1).split(",").map(_.trim).toSet
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .appName("graft-scratch-show")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+        graft.functions.F.ObjectAggFallbackGroups.toString)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark.conf.set("graft.memo.level", "MEMORY_AND_DISK_SER")
+    keys.toSeq.sorted.foreach { k =>
+      SparkEntry.queries(k)(spark, dir).toJSON.collect()
+        .foreach(j => println(s"[show] $k $j"))
+    }
+    spark.stop()
+  }
+}

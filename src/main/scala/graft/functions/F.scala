@@ -50,7 +50,17 @@ object F {
     * task — and a task only pays what its group count actually is; at
     * every shipped SF the count is orders of magnitude below the
     * threshold. On a cluster the same setting belongs in the submit
-    * conf for any job running these operators. */
+    * conf for any job running these operators.
+    *
+    * HOUSE RULE (the threshold's contract): this override is
+    * session-wide, so every NEW typed/object aggregate added to the
+    * library must keep its per-group buffer BOUNDED (~hundreds of
+    * bytes — a fixed slot array, a sketch, a fixed-width struct). An
+    * unbounded buffer (collect_list of rows, growing maps) under this
+    * threshold can hold ~2M groups with no sort-spill safety net
+    * before OOM. If an unbounded-buffer aggregate ever becomes
+    * necessary, scope it to its own session or restore the Spark
+    * default around it. */
   val ObjectAggFallbackGroups: Int = 1 << 21
 
   /** Collision-proof per-data-dir tag: the sanitized dir name keeps it

@@ -361,10 +361,16 @@ object AnnOps {
     * probe touches only its cells' partitions. Complements e2/e4: LSH
     * needs no training and probes O(1) rows per bucket; IVF follows the
     * data's cluster structure and bounds the scanned fraction. */
-  def annIvf(spark: SparkSession, dir: String, k: Int = 3, nProbe: Int = NProbe): DataFrame = {
+  def annIvf(spark: SparkSession, dir: String, k: Int = 3, nProbe: Int = NProbe): DataFrame =
+    ivfRerank(spark, dir, probedCells(spark, dir, nProbe), k)
+
+  /** The exact rerank over an explicit probed-cells relation — annIvf's
+    * body, factored so e25's evaluation can feed a panel-restricted
+    * probe through the identical presentation. */
+  private def ivfRerank(spark: SparkSession, dir: String, probed: DataFrame,
+      k: Int): DataFrame = {
     val cos = cosineWith(dotBest(spark)) _
     val qv = quantized(spark, dir)
-    val probed = probedCells(spark, dir, nProbe)
     rankTopk(
       probed.join(qv.select(col("vec_id").as("c_id"), col("q").as("cq"), col("label")), "label")
         .filter(col("q_id") =!= col("c_id"))
@@ -993,6 +999,23 @@ object AnnOps {
   val BeamWidth = 4
   val BeamRounds = 2
 
+  /** Graph-build degree ceiling: [[cellGraph]] keeps each cell's
+    * BeamDegreeMax nearest neighbors WITH their rank, so e25's sweep can
+    * price denser navigation graphs without rebuilding the banded
+    * candidate structure — consumers filter `ernk <= degree`. The
+    * ceiling is a graph-size knob (C·BeamDegreeMax edge rows), not a
+    * per-query cost. */
+  val BeamDegreeMax = 8
+
+  /** e25's swept (BeamWidth, BeamRounds, BeamDegree) configs — the
+    * e17 SweepProbes discipline applied to the beam's three knobs:
+    * the default (4,2,4) plus one-axis variations, so the A/B table
+    * says WHICH beam config wins before a deployment switches its
+    * probe discipline. Bounded: each config costs one panel-scale
+    * chain + rerank over the shared memoized substrates. */
+  val BeamSweep: Seq[(Int, Int, Int)] =
+    Seq((2, 2, 4), (4, 1, 4), (4, 2, 4), (4, 2, 8), (8, 2, 4))
+
   /** e24 entry net size: 2·⌈√C⌉ cells (capped at C) — the √-sized
     * navigation net that replaces e5's rank-ALL-cells probe. Both
     * engines derive it from the same cell count (IEEE sqrt/ceil —
@@ -1017,7 +1040,9 @@ object AnnOps {
     *   ‖sa/na − sb/nb‖²·(na·nb)² = nb²·ssa − 2·na·nb·(sa·sb) + na²·ssb
     * in decimal(38,0) (the e23 overflow discipline: Σs·s crosses int64
     * near 10⁶-member cells); tie-break (dist2, neighbor label). Edges
-    * are DIRECTED a→top-BeamDegree — the HNSW convention. */
+    * are DIRECTED a→top-[[BeamDegreeMax]] with their rank `ernk` — the
+    * HNSW convention; e24 reads the default top-BeamDegree slice and
+    * e25's sweep prices denser slices off the same build. */
   private[graft] def cellGraph(spark: SparkSession, dir: String): DataFrame =
     DedupOps.memoized(spark, "ann_cellGraph", dir) {
       val dot = dotBest(spark)
@@ -1055,8 +1080,8 @@ object AnnOps {
         .withColumn("ernk", row_number().over(
           org.apache.spark.sql.expressions.Window
             .partitionBy("la").orderBy(col("dist2"), col("lb"))))
-        .filter(col("ernk") <= BeamDegree)
-        .select(col("la").as("label"), col("lb").as("nb"))
+        .filter(col("ernk") <= BeamDegreeMax)
+        .select(col("la").as("label"), col("lb").as("nb"), col("ernk"))
     }
 
   /** e24: GRAPH-GUIDED ANN PROBE (beam search over the cell graph) —
@@ -1093,13 +1118,33 @@ object AnnOps {
   private[graft] case class BeamChain(queries: DataFrame, entryRows: DataFrame,
       visiteds: Seq[DataFrame], probed: DataFrame)
 
-  private[graft] def beamChain(spark: SparkSession, dir: String): BeamChain = {
+  /** @param width    beam width (frontier size per round)
+    * @param rounds   expansion rounds (unrolled)
+    * @param degree   graph out-degree read from [[cellGraph]]'s top-
+    *                 [[BeamDegreeMax]] edges (must be ≤ BeamDegreeMax)
+    * @param queriesOpt explicit (q_id, qq) query relation — e25 passes
+    *                 the capped evaluation panel (output-invariant: every
+    *                 e25 leg is panel-scoped, so non-panel chain work is
+    *                 pure waste at carve scale); None = the serving
+    *                 stride queries
+    * @param persist  materialize each round's visited set and the final
+    *                 probed relation — e25 reads every one of them from
+    *                 several aggregate actions (recall, cost,
+    *                 cells_ranked), so without the barrier the chain
+    *                 re-executes per action (the r17 ADVICE find) */
+  private[graft] def beamChain(spark: SparkSession, dir: String,
+      width: Int = BeamWidth, rounds: Int = BeamRounds,
+      degree: Int = BeamDegree, queriesOpt: Option[DataFrame] = None,
+      persist: Boolean = false): BeamChain = {
+    require(degree <= BeamDegreeMax, s"degree $degree > BeamDegreeMax $BeamDegreeMax")
     val dot = dotBest(spark)
     val qv = quantized(spark, dir)
     val cent = centroids(spark, dir)
     val adj = cellGraph(spark, dir)
-    val queries = qv.filter(col("vec_id") % QueryStride === 0)
-      .select(col("vec_id").as("q_id"), col("q").as("qq"))
+      .filter(col("ernk") <= degree).select("label", "nb")
+    val queries = queriesOpt.getOrElse(
+      qv.filter(col("vec_id") % QueryStride === 0)
+        .select(col("vec_id").as("q_id"), col("q").as("qq")))
     val en = entryCount(cent.count()).toInt
     // TakeOrderedAndProject (the panelOf discipline): per-partition
     // top-en with a driver merge, never a global sort
@@ -1122,26 +1167,31 @@ object AnnOps {
           .partitionBy("q_id").orderBy(col("dist2"), col("label"))))
         .filter(col("brnk") <= w)
         .select("q_id", "label")
+    def barrier(df: DataFrame): DataFrame =
+      if (persist) df.materialized() else df
     val entryRows = queries.select("q_id").crossJoin(broadcast(entries))
-    val v0 = topW(scored(entryRows), BeamWidth)
+    val v0 = topW(scored(entryRows), width)
     var visited = v0
     var frontier = v0
     val visiteds = Seq.newBuilder[DataFrame]
-    for (_ <- 1 to BeamRounds) {
+    for (_ <- 1 to rounds) {
       val nbrs = frontier.join(broadcast(adj), "label")
         .select(col("q_id"), col("nb").as("label"))
-      visited = visited.union(nbrs).distinct()
+      visited = barrier(visited.union(nbrs).distinct())
       visiteds += visited
-      frontier = topW(scored(visited), BeamWidth)
+      frontier = topW(scored(visited), width)
     }
     BeamChain(queries, entryRows, visiteds.result(),
-      topW(scored(visited), NProbe))
+      barrier(topW(scored(visited), NProbe)))
   }
 
-  def annBeam(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
+  /** The exact rerank over a beam chain's probed cells — e5's
+    * presentation, factored so annBeam and e25's swept recall legs read
+    * ONE chain instead of rebuilding it (the r17 ADVICE find). */
+  private def beamRerank(spark: SparkSession, dir: String, chain: BeamChain,
+      k: Int): DataFrame = {
     val cos = cosineWith(dotBest(spark)) _
     val qv = quantized(spark, dir)
-    val chain = beamChain(spark, dir)
     val probed = chain.probed.join(broadcast(chain.queries), "q_id")
     rankTopk(
       probed
@@ -1151,55 +1201,77 @@ object AnnOps {
       k)
   }
 
-  /** e25: BEAM-VS-EXHAUSTIVE PROBE EVALUATION — e17's harness extended
-    * to the probe-discipline fork: one row per discipline (e5's
-    * rank-all-cells IVF at NProbe vs e24's graph-guided beam), each
-    * carrying recall@3 against e1's exact top-3, the rerank volume
-    * (candidates_scanned = Σ probed cell sizes), and CELLS_RANKED —
-    * the coarse-probe cost itself, the term the beam exists to cut:
-    * the exhaustive probe ranks |queries|·C centroid distances, the
-    * beam ranks the entry net plus each round's visited set. Run this
-    * before switching a 100 TB index from e5 to e24: the row pair IS
-    * the recall-you-lose / probe-cost-you-save trade at the current
-    * geometry.
+  def annBeam(spark: SparkSession, dir: String, k: Int = 3): DataFrame =
+    beamRerank(spark, dir, beamChain(spark, dir), k)
+
+  /** e25: BEAM-VS-EXHAUSTIVE PROBE EVALUATION + BEAM KNOB SWEEP —
+    * e17's harness extended to the probe-discipline fork AND across the
+    * beam's hyperparameters: one row per swept (BeamWidth, BeamRounds,
+    * BeamDegree) config from [[BeamSweep]] plus one for e5's
+    * rank-all-cells IVF at NProbe, each carrying recall@3 against e1's
+    * exact top-3, the rerank volume (candidates_scanned = Σ probed cell
+    * sizes), and CELLS_RANKED — the coarse-probe cost itself, the term
+    * the beam exists to cut: the exhaustive probe ranks |panel|·C
+    * centroid distances, a beam config ranks the entry net plus each
+    * round's visited set. Run this before switching a 100 TB index from
+    * e5 to e24: the table says WHICH beam config wins, not just that
+    * one does (knob columns bw/br/bd; 0 = the ivf row).
     *
     * Cost accounting is over the SAME capped panel the recall legs
-    * score (the e17 rule) — the exact side's q_ids are the panel. */
+    * score (the e17 rule) — and the evaluation CHAINS run on the panel
+    * only: every output leg (the recall join against the panel-keyed
+    * exact set, the panel-scoped costs) is invariant to non-panel
+    * queries, so chain work beyond the panel would be pure waste at
+    * carve scale. Each config's chain is built ONCE with its visited
+    * sets and probed relation materialized; recall and both cost legs
+    * read those barriers (the r17 ADVICE find: the old shape rebuilt
+    * the chain per aggregate action). */
   def annBeamEval(spark: SparkSession, dir: String): DataFrame = {
     val exact = annTopk(spark, dir).filter(col("rnk") <= 3)
       .select("q_id", "c_id").materialized()
     val panel = exact.select("q_id").distinct()
     val cellSizes = centroids(spark, dir).select(col("label"), col("n"))
     val cells = centroids(spark, dir).count()
-    val chain = beamChain(spark, dir)
     val nq = panel.agg(count(lit(1)).as("n_q"))
-    def panelCount(df: DataFrame): DataFrame =
-      df.join(panel, Seq("q_id"), "left_semi").agg(count(lit(1)).as("cnt"))
-    def row(cfg: String, approx: DataFrame, probedCost: DataFrame,
-        cellsRanked: DataFrame): DataFrame = {
+    // the panel as a (q_id, qq) query relation — the swept chains' and
+    // the ivf leg's shared query side (panel ⊆ the serving stride)
+    val panelQueries = quantized(spark, dir)
+      .select(col("vec_id").as("q_id"), col("q").as("qq"))
+      .join(panel, Seq("q_id"), "left_semi")
+      .materialized()
+    def row(cfg: String, knobs: (Int, Int, Int), approx: DataFrame,
+        probedCost: DataFrame, cellsRanked: DataFrame): DataFrame = {
       val hits = exact.join(approx.filter(col("rnk") <= 3).select("q_id", "c_id"),
         Seq("q_id", "c_id")).agg(count(lit(1)).as("n_hit"))
       hits.crossJoin(nq).crossJoin(probedCost).crossJoin(cellsRanked)
-        .select(lit(cfg).as("config"), col("n_q"), col("n_hit"),
+        .select(lit(cfg).as("config"),
+          lit(knobs._1.toLong).as("bw"), lit(knobs._2.toLong).as("br"),
+          lit(knobs._3.toLong).as("bd"),
+          col("n_q"), col("n_hit"),
           round(col("n_hit").cast(DoubleType) / (col("n_q") * lit(3.0)), 6)
             .as("recall_at_3"),
           col("candidates_scanned"), col("cells_ranked"))
     }
-    val ivfCost = probedCells(spark, dir, NProbe)
-      .join(panel, Seq("q_id"), "left_semi")
-      .join(broadcast(cellSizes), "label")
+    def count1(df: DataFrame): DataFrame = df.agg(count(lit(1)).as("cnt"))
+    val beamRows = BeamSweep.map { case (w, r, d) =>
+      val chain = beamChain(spark, dir, w, r, d, Some(panelQueries),
+        persist = true)
+      val cost = chain.probed.join(broadcast(cellSizes), "label")
+        .agg(sum("n").as("candidates_scanned"))
+      val ranked = (count1(chain.entryRows) +: chain.visiteds.map(count1))
+        .reduce(_ unionByName _)
+        .agg(sum("cnt").as("cells_ranked"))
+      row(s"beam_w${w}_r${r}_d${d}", (w, r, d),
+        beamRerank(spark, dir, chain, 3), cost, ranked)
+    }
+    val ivfProbed = probedCellsOf(spark, panelQueries, NProbe,
+      centroids(spark, dir)).materialized()
+    val ivfCost = ivfProbed.join(broadcast(cellSizes), "label")
       .agg(sum("n").as("candidates_scanned"))
     val ivfRanked = nq.select((col("n_q") * lit(cells)).as("cells_ranked"))
-    val beamCost = chain.probed
-      .join(panel, Seq("q_id"), "left_semi")
-      .join(broadcast(cellSizes), "label")
-      .agg(sum("n").as("candidates_scanned"))
-    val beamRanked = (panelCount(chain.entryRows) +: chain.visiteds.map(panelCount))
-      .reduce(_ unionByName _)
-      .agg(sum("cnt").as("cells_ranked"))
-    row("beam", annBeam(spark, dir), beamCost, beamRanked)
-      .unionByName(row("ivf", annIvf(spark, dir), ivfCost, ivfRanked))
-      .orderBy("config")
+    val ivfRow = row("ivf", (0, 0, 0), ivfRerank(spark, dir, ivfProbed, 3),
+      ivfCost, ivfRanked)
+    (beamRows :+ ivfRow).reduce(_ unionByName _).orderBy("config")
   }
 
   /** The full-rebuild reference for e13's bit-equality spec: the same

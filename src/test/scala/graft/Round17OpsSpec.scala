@@ -7,20 +7,27 @@ import graft.operators.AnnOps
 /** Round-17: e24 graph-guided beam probe — the navigation structure's
   * invariants, the approx-vs-exact dominance bound, and the
   * full-coverage equivalence with e5 (the property that makes the two
-  * probe disciplines directly comparable). */
+  * probe disciplines directly comparable). Round-18 extends e25 to the
+  * beam-knob sweep: per-config rows, knob columns, and the provable
+  * visited-set nesting across width and rounds. */
 class Round17OpsSpec extends AnyFunSuite with SparkSpec {
 
-  test("e24: cell graph has no self-edges, bounded out-degree, real endpoints") {
-    val cells = AnnOps.cellGraph(spark, Sf001).collect()
-      .map(r => (r.getInt(0), r.getInt(1)))
-    assert(cells.nonEmpty, "cell graph empty at the gate SF")
-    assert(cells.forall { case (a, b) => a != b }, "self-edge in cell graph")
-    val deg = cells.groupBy(_._1).values.map(_.length)
-    assert(deg.forall(_ <= AnnOps.BeamDegree),
-      s"out-degree above BeamDegree=${AnnOps.BeamDegree}")
+  test("e24: cell graph has no self-edges, ranked bounded out-degree, real endpoints") {
+    val rows = AnnOps.cellGraph(spark, Sf001).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getInt(2)))
+    assert(rows.nonEmpty, "cell graph empty at the gate SF")
+    assert(rows.forall { case (a, b, _) => a != b }, "self-edge in cell graph")
+    val byLabel = rows.groupBy(_._1)
+    assert(byLabel.values.forall(_.length <= AnnOps.BeamDegreeMax),
+      s"out-degree above BeamDegreeMax=${AnnOps.BeamDegreeMax}")
+    // ranks per label are contiguous 1..deg — the e25 sweep's
+    // `ernk <= degree` slices depend on this
+    assert(byLabel.values.forall(es =>
+      es.map(_._3).sorted.sameElements(1 to es.length)),
+      "edge ranks per label are not contiguous 1..deg")
     val labels = AnnOps.centroids(spark, Sf001)
       .select("label").collect().map(_.getInt(0)).toSet
-    assert(cells.forall { case (a, b) => labels(a) && labels(b) },
+    assert(rows.forall { case (a, b, _) => labels(a) && labels(b) },
       "edge endpoint references a nonexistent cell")
   }
 
@@ -38,21 +45,42 @@ class Round17OpsSpec extends AnyFunSuite with SparkSpec {
       "beam rank-r score exceeded the exact rank-r score")
   }
 
-  test("e25: evaluation rows are internally consistent") {
+  test("e25: sweep rows are internally consistent and nest across width/rounds") {
     val rows = AnnOps.annBeamEval(spark, Sf001).collect()
-    assert(rows.map(_.getAs[String]("config")).toSeq == Seq("beam", "ivf"))
+    val expected = (AnnOps.BeamSweep.map { case (w, r, d) =>
+      s"beam_w${w}_r${r}_d$d"
+    } :+ "ivf").sorted
+    assert(rows.map(_.getAs[String]("config")).toSeq == expected,
+      "config rows must be the swept set plus ivf, in config order")
     val nq = rows.map(_.getAs[Long]("n_q")).distinct
     assert(nq.length == 1 && nq.head > 0, "panel size must agree across rows")
     val cells = AnnOps.centroids(spark, Sf001).count()
-    val ivf = rows.find(_.getAs[String]("config") == "ivf").get
+    val byCfg = rows.map(r => r.getAs[String]("config") -> r).toMap
+    val ivf = byCfg("ivf")
     assert(ivf.getAs[Long]("cells_ranked") == nq.head * cells,
       "exhaustive probe must rank panel x all-cells centroid distances")
+    assert(Seq("bw", "br", "bd").forall(c => ivf.getAs[Long](c) == 0L),
+      "ivf row must carry zero beam knobs")
     assert(rows.forall(r => r.getAs[Long]("candidates_scanned") > 0))
     assert(rows.forall { r =>
       val rec = r.getAs[Double]("recall_at_3")
       rec >= 0.0 && rec <= 1.0 &&
         math.abs(rec - r.getAs[Long]("n_hit").toDouble / (nq.head * 3.0)) < 1e-6
     })
+    // rounds nesting is PROVABLE: an r-round chain is a prefix of the
+    // (r+1)-round chain at equal (w, d), and cells_ranked adds the
+    // extra round's visited set on top. Width nesting is provable for
+    // the first round (top-2 of a ranking ⊆ top-4) and pinned here as
+    // the observed deterministic ordering at the gate corpus for the
+    // full sum (later frontiers of a wider beam are supersets only
+    // when the narrower beam's visited set hasn't diverged).
+    def ranked(cfg: String) = byCfg(cfg).getAs[Long]("cells_ranked")
+    assert(ranked("beam_w4_r1_d4") <= ranked("beam_w4_r2_d4"),
+      "visited sets must grow with rounds")
+    assert(ranked("beam_w2_r2_d4") <= ranked("beam_w4_r2_d4"),
+      "gate-corpus ordering: width 2 vs 4")
+    assert(ranked("beam_w4_r2_d4") <= ranked("beam_w8_r2_d4"),
+      "gate-corpus ordering: width 4 vs 8")
   }
 
   test("e24 == e5 when the entry net + beam cover every cell") {
@@ -60,17 +88,26 @@ class Round17OpsSpec extends AnyFunSuite with SparkSpec {
     // all cells and BeamWidth=4 keeps them all: visited == all cells,
     // so the probed set is exactly e5's top-NProbe and the outputs
     // must be bit-identical
-    val dir = java.nio.file.Files.createTempDirectory("e24cover").toString
-    import spark.implicits._
-    (0L until 40L).map { id =>
-      val emb = (0 until AnnOps.Dims)
-        .map(d => (((id * 31 + d * 7) % 13) - 6).toFloat / 10.0f).toArray
-      (id, emb, (id % 2).toInt)
-    }.toDF("vec_id", "embedding", "label")
-      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
-    val beam = AnnOps.annBeam(spark, dir).collect().toSeq
-    val ivf = AnnOps.annIvf(spark, dir).collect().toSeq
-    assert(beam.nonEmpty, "empty beam output on the coverage corpus")
-    assert(beam == ivf, "full-coverage beam diverged from the exhaustive probe")
+    val dir = java.nio.file.Files.createTempDirectory("e24cover")
+    try {
+      import spark.implicits._
+      (0L until 40L).map { id =>
+        val emb = (0 until AnnOps.Dims)
+          .map(d => (((id * 31 + d * 7) % 13) - 6).toFloat / 10.0f).toArray
+        (id, emb, (id % 2).toInt)
+      }.toDF("vec_id", "embedding", "label")
+        .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+      val beam = AnnOps.annBeam(spark, dir.toString).collect().toSeq
+      val ivf = AnnOps.annIvf(spark, dir.toString).collect().toSeq
+      assert(beam.nonEmpty, "empty beam output on the coverage corpus")
+      assert(beam == ivf, "full-coverage beam diverged from the exhaustive probe")
+    } finally {
+      // ADVICE r17: delete the corpus dir — repeated runs were
+      // accumulating temp dirs (and per-dir memo entries)
+      import java.nio.file.{Files, Path}
+      import java.util.Comparator
+      Files.walk(dir).sorted(Comparator.reverseOrder[Path]())
+        .forEach(p => Files.deleteIfExists(p))
+    }
   }
 }

@@ -1,0 +1,179 @@
+#!/usr/bin/env python3
+"""Assemble BENCH_r18_SCALE.json from the round's carve-run logs.
+
+Dev-only evidence tooling (the r17 evidence-first protocol): each
+carve_run.sh group leaves one Bench JSON line in /tmp/<name>.log, raw
+logs are committed under evidence_r18/ as they land, and this stitches
+whatever is committed into the round's scale-evidence file. Every
+block is optional — the file records exactly what was measured, never
+a placeholder; anything absent lands in `not_measured`.
+"""
+import json, re, sys, os
+
+EV = os.path.join(os.path.dirname(__file__), "..", "evidence_r18")
+
+def first(paths):
+    for p in paths:
+        if os.path.exists(p):
+            return p
+    return paths[0]
+
+def bench_line(name):
+    path = first([os.path.join(EV, name), os.path.join("/tmp", name)])
+    with open(path) as f:
+        for line in f:
+            if line.startswith('{"metric"'):
+                return json.loads(line)
+    raise SystemExit(f"no bench JSON in {path}")
+
+def sub(block, note):
+    block = dict(block)
+    block["note"] = note
+    return block
+
+out = {
+    "round": 18,
+    "note": (
+        "Round-18 scale evidence: the five r17 not_measured blocks "
+        "(led by the e24 beam-probe A/B), the d7 64x post-fix "
+        "re-measurement, and a clean idle-host sf0.1 trend point "
+        "(r17's was contaminated at cal 0.63). Carves are the r17 "
+        "all-distinct-id derivations, flatten.py re-chunked: "
+        "scaledata/sf1 = 10x sf0.1 (50k docs); carve1m6 = 32x sf1 "
+        "docs (1.6M); carve3m = 64x sf1 (3.2M docs + 1.28M vectors); "
+        "carve10m = 8x carve3m embeddings (10.24M vectors). Carve "
+        "probes: REPS=1 family-major MEMORY_AND_DISK_SER, one JVM per "
+        "group, forced inter-query GC + 60s periodic cleaner GC; "
+        "sf0.1 runs keep the driver methodology (REPS=3 interleaved, "
+        "Spark-default splits via autoSplitMb). Each block carries "
+        "its own cal token. e25 sweeps beam (width, rounds, degree) "
+        "configs this round (code change, see NOTES_r18) — its rows "
+        "are the per-config A/B table, captured verbatim in the "
+        "e25_table_* blocks."
+    ),
+}
+
+blocks = [
+    ("sf01_clean", "r18_sf01.log",
+     "full 197-key suite at sf0.1, driver methodology (REPS=3 "
+     "interleaved), idle host — the round's clean trend point"),
+    ("sf01_isolated", "r18_iso.log",
+     "the r17 cal-normalized >1.3x watchlist keys (q9 x4 g5 t14 p15 "
+     "x8 x7) isolated in one JVM, REPS=5 medians, idle host — "
+     "attribute-or-dissolve per the r15/r16 protocol"),
+    ("e24_ab_carve3m", "r18_e24_c3m.log",
+     "e5 (rank-all-cells probe) vs e24 (graph-guided beam probe) vs "
+     "e25 (the paired per-config evaluation) in one JVM at 1.28M "
+     "vectors (C=5120 cells)"),
+    ("e24_ab_carve10m", "r18_e24_c10m.log",
+     "e24 + e25 at the n=1e7 decade (10.24M vectors, C=40960 cells) "
+     "- the regime where e24's O(sqrt(C)) per-query probe separates "
+     "from e5's O(C). e5's own serving leg at this decade is "
+     "single-box-infeasible by disk arithmetic (see "
+     "e5_carve10m_ceiling); the e25 table quantifies both "
+     "disciplines' coarse cost at the panel"),
+    ("d7_carve3m", "r18_d7_c3m.log",
+     "d7_winnow at the 64x carve (3.2M docs) POST the exchange-first "
+     "pair-aggregation fix - the recovery measurement for the r17 "
+     "96 GB GC-wedge failure record (exit 56); same carve, same "
+     "harness config as the failed run"),
+    ("carve1m6_docs", "r18_c16_d28.log",
+     "d2+d8 at the 32x carve (1.6M docs, n>=1e6, all-distinct ids) - "
+     "the decade-past-1e6 documents point the disk-ceiling note says "
+     "IS measurable on one box"),
+    ("carve3m_epanel", "r18_ep3m.log",
+     "e-family panel at 1.28M vectors (the r15 carve1m panel set + "
+     "e23), one JVM, family-major"),
+    ("carve10m_epanel", "r18_ep10m.log",
+     "e-family panel at 10.24M vectors - the feasible subset: keys "
+     "whose serving leg is NOT the full-stride rank-all-cells coarse "
+     "probe (that family is single-box-infeasible at C=40960 by the "
+     "same arithmetic as e5_carve10m_ceiling and is represented by "
+     "e24/e25 + the ceiling note)"),
+]
+for tag, name, note in blocks:
+    try:
+        out[tag] = sub(bench_line(name), note)
+    except (SystemExit, FileNotFoundError):
+        out.setdefault("not_measured", []).append(tag)
+
+def show_rows(name, key):
+    path = first([os.path.join(EV, name), os.path.join("/tmp", name)])
+    rows = []
+    with open(path) as f:
+        for line in f:
+            m = re.match(r"\[show\] (\S+) (\{.*\})\s*$", line)
+            if m and m.group(1) == key:
+                rows.append(json.loads(m.group(2)))
+    if not rows:
+        raise SystemExit(f"no [show] {key} rows in {path}")
+    return rows
+
+for tag, name in [("e25_table_carve3m", "r18_show_c3m.log"),
+                  ("e25_table_carve10m", "r18_show_c10m.log")]:
+    try:
+        out[tag] = {
+            "rows": show_rows(name, "e25_beam_eval"),
+            "note": (
+                "e25's verbatim output: one row per swept beam "
+                "(bw, br, bd) config plus the ivf row (bw=br=bd=0), "
+                "recall@3 against e1's exact top-3 over the capped "
+                "panel, candidates_scanned = rerank volume, "
+                "cells_ranked = coarse-probe cost. THE e24-vs-e5 "
+                "decision table at this corpus size."
+            ),
+        }
+    except (SystemExit, FileNotFoundError):
+        out.setdefault("not_measured", []).append(tag)
+
+def counts_map(name):
+    path = first([os.path.join(EV, name), os.path.join("/tmp", name)])
+    m = {}
+    with open(path) as f:
+        for line in f:
+            mm = re.match(r"\[counts\] (\S+) rows=(\d+)", line)
+            if mm:
+                m[mm.group(1)] = int(mm.group(2))
+    if not m:
+        raise SystemExit(f"no [counts] lines in {path}")
+    return m
+
+rows = {}
+for tag, name in [("carve1m6", "r18_cnt_c16.log"),
+                  ("carve3m", "r18_cnt_c3m.log")]:
+    try:
+        rows[tag] = counts_map(name)
+    except (SystemExit, FileNotFoundError):
+        pass
+if rows:
+    rows["note"] = (
+        "Pair-output normalization (wall ratios on pair operators mean "
+        "nothing without it): the salted carve keeps cross-replica "
+        "shingle overlap at zero, so pair outputs grow ~linearly in n "
+        "(intra-replica structure x factor), never SF^2."
+    )
+    out["output_rows"] = rows
+
+out["e5_carve10m_ceiling"] = {
+    "note": (
+        "e5's SERVING leg at carve10m is single-box-infeasible BY "
+        "ARITHMETIC (the d2/d8 disk-ceiling discipline): the "
+        "rank-all-cells coarse probe materializes |queries| x C = "
+        "(10.24M/25) x 40960 = 16.8B (q_id, label, dist2) rows "
+        "through the per-query rank window - ~200 GB of narrow rows "
+        "into a window sort against this box's ~77 GB free disk. The "
+        "same arithmetic covers every full-stride rank-all-cells "
+        "serving key (e5/e6/e8/e19/e22 class) at this decade. On a "
+        "cluster the exchange spreads across executors and the probe "
+        "is fine - locally, carve3m (C=5120, 262M coarse rows, "
+        "measured green) is the honest exhaustive-probe decade, and "
+        "carve10m is exactly the regime e24 exists for: its coarse "
+        "cost is |queries| x (2*sqrt(C) + rounds*width*degree) ~ "
+        "410k x ~470 = 0.19B scored rows, 87x less, measured green "
+        "in e24_ab_carve10m."
+    ),
+}
+
+with open(sys.argv[1] if len(sys.argv) > 1 else "BENCH_r18_SCALE.json", "w") as f:
+    json.dump(out, f, indent=1)
+print("wrote", sys.argv[1] if len(sys.argv) > 1 else "BENCH_r18_SCALE.json")

@@ -1,0 +1,75 @@
+#!/bin/bash
+# Round-18 measurement campaign (dev-only; the r17 evidence-first
+# protocol): each group runs in its own JVM, its raw log lands in
+# evidence_r18/ IMMEDIATELY after the group exits, and
+# BENCH_r18_SCALE.json is re-assembled from committed logs only.
+# Groups are ordered by VERDICT r17 priority: the e24 A/B first, then
+# the d7 post-fix recovery, carve1m6 d2/d8, the e-panels.
+# The sf0.1 clean bench + isolation runs are NOT here — they need the
+# strictest idle host and run first, standalone.
+set -u
+cd /root/repo
+mkdir -p evidence_r18
+
+run_group() { # name sfdir keys extra_env...
+  local name=$1 sfdir=$2 keys=$3; shift 3
+  rm -rf /tmp/blockmgr-* /tmp/spark-[0-9a-f]*-* 2>/dev/null
+  echo "[r18] $name -> $keys @ $sfdir"
+  env SPARK_DRIVER_MEM=96g SPARK_GRAFT_CPUS=32 SPARK_GRAFT_REPS=1 \
+    SPARK_GRAFT_FAMILY_MAJOR=1 SPARK_GRAFT_MEMO_LEVEL=MEMORY_AND_DISK_SER \
+    SPARK_GRAFT_GC_EACH=1 \
+    SPARK_GRAFT_JAVA_OPTS="-Dspark.cleaner.periodicGC.interval=60s" \
+    SPARK_GRAFT_SF_DIR="$sfdir" SPARK_GRAFT_ONLY="$keys" "$@" \
+    sbt -batch "runMain graft.Bench" > "/tmp/${name}.log" 2>&1
+  local rc=$?
+  cp "/tmp/${name}.log" "evidence_r18/${name}.log"
+  echo "[r18] $name exit=$rc json:"
+  grep '"metric"' "/tmp/${name}.log" | tail -1
+}
+
+C3M=/root/repo/scaledata/carve3m
+C10M=/root/repo/scaledata/carve10m
+C16=/root/repo/scaledata/carve1m6
+
+case "${1:-all}" in
+  ab3m)
+    run_group r18_e24_c3m "$C3M" "e5_ann_ivf,e24_beam_probe,e25_beam_eval" ;;
+  ab10m)
+    run_group r18_e24_c10m "$C10M" "e24_beam_probe,e25_beam_eval" ;;
+  d7)
+    run_group r18_d7_c3m "$C3M" "d7_winnow" ;;
+  c16)
+    run_group r18_c16_d28 "$C16" "d2_ngram_jaccard,d8_containment" ;;
+  ep3m)
+    run_group r18_ep3m "$C3M" "d12_semantic_dedup,d19_semantic_decon,e1_ann_topk,e2_ann_lsh,e4_ann_multiprobe,e5_ann_ivf,e6_ann_pq,e7_kmeans,e8_ann_recall,e9_ann_filtered,e10_ann_persisted,e11_ann_incremental,e12_ann_serve,e13_ann_delete,e14_ann_compact,e15_index_health,e16_kmeans_stable,e17_ann_sweep,e19_ann_sq,e20_cell_split,e21_index_eval,e22_ann_bq,e23_centroid_drift,g5_ann_hubness" ;;
+  ep10m)
+    # feasible subset at C=40960: every full-stride rank-all-cells
+    # serving key (e5/e6/e8/e9/e10/e11/e13/e14/e17/e19/e21/e22) and
+    # the k=4*sqrt(n) assignment key (d12) are single-box-infeasible
+    # by the e5_carve10m_ceiling arithmetic; represented by e24/e25 +
+    # the ceiling note in the artifact
+    run_group r18_ep10m "$C10M" "e1_ann_topk,e2_ann_lsh,e4_ann_multiprobe,e7_kmeans,e15_index_health,e16_kmeans_stable,e20_cell_split,e23_centroid_drift,g5_ann_hubness" ;;
+  show3m)
+    rm -rf /tmp/blockmgr-* 2>/dev/null
+    SPARK_DRIVER_MEM=96g SPARK_GRAFT_CPUS=32 \
+      sbt -batch "runMain graft.ScratchShow $C3M e25_beam_eval" \
+      > /tmp/r18_show_c3m.log 2>&1
+    cp /tmp/r18_show_c3m.log evidence_r18/
+    grep '\[show\]' /tmp/r18_show_c3m.log | head ;;
+  show10m)
+    rm -rf /tmp/blockmgr-* 2>/dev/null
+    SPARK_DRIVER_MEM=96g SPARK_GRAFT_CPUS=32 \
+      sbt -batch "runMain graft.ScratchShow $C10M e25_beam_eval" \
+      > /tmp/r18_show_c10m.log 2>&1
+    cp /tmp/r18_show_c10m.log evidence_r18/
+    grep '\[show\]' /tmp/r18_show_c10m.log | head ;;
+  cnt16)
+    SPARK_DRIVER_MEM=96g sbt -batch "runMain graft.ScratchCounts $C16 d2_ngram_jaccard,d8_containment" \
+      > /tmp/r18_cnt_c16.log 2>&1
+    cp /tmp/r18_cnt_c16.log evidence_r18/
+    grep '\[counts\]' /tmp/r18_cnt_c16.log ;;
+  *)
+    echo "usage: r18_measure.sh {ab3m|ab10m|d7|c16|ep3m|ep10m|show3m|show10m|cnt16}" ;;
+esac
+rm -rf /tmp/blockmgr-* 2>/dev/null
+echo "[r18] done"
