@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobEnd, SparkListenerJobStart, SparkListenerStageCompleted}
+import org.apache.spark.sql.SparkSession
+
+/** Dev-only per-query job/stage profiler (round-18 optimization
+  * measurement tool; not driver contract): runs each named query under
+  * the Bench session config and prints, per Spark JOB, its wall time,
+  * stage/task counts and description — the breakdown that says WHERE a
+  * multi-action operator spends its seconds (barrier actions, metadata
+  * counts, streaming micro-batches), which the single bench number
+  * cannot. Streaming keys additionally dump each micro-batch's
+  * durationMs map from the query progress buffer.
+  *
+  * Args: <dir> <comma-separated keys> [reps]
+  */
+object ScratchProf {
+  def main(args: Array[String]): Unit = {
+    val dir = args(0)
+    val keys = args(1).split(",").map(_.trim).filter(_.nonEmpty)
+    val reps = if (args.length > 2) args(2).toInt else 2
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName("graft-scratch-prof")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+        graft.functions.F.ObjectAggFallbackGroups.toString)
+      .config("spark.sql.files.maxPartitionBytes", s"${32L * 1024 * 1024}")
+      .config("spark.sql.files.openCostInBytes", s"${1024 * 1024}")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val jobs = new java.util.concurrent.ConcurrentHashMap[Int, (Long, String, Int)]()
+    val done = new java.util.concurrent.ConcurrentLinkedQueue[(Int, Double, String, Int, Int)]()
+    val stageTasks = new java.util.concurrent.atomic.AtomicInteger(0)
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onJobStart(j: SparkListenerJobStart): Unit = {
+        val desc = Option(j.properties)
+          .flatMap(p => Option(p.getProperty("spark.job.description"))).getOrElse("")
+        jobs.put(j.jobId, (System.nanoTime(), desc, j.stageInfos.size))
+      }
+      override def onStageCompleted(s: SparkListenerStageCompleted): Unit =
+        stageTasks.addAndGet(s.stageInfo.numTasks): Unit
+      override def onJobEnd(j: SparkListenerJobEnd): Unit = {
+        Option(jobs.remove(j.jobId)).foreach { case (t0, desc, nStages) =>
+          done.add((j.jobId, (System.nanoTime() - t0) / 1e9, desc, nStages, 0))
+        }
+      }
+    })
+
+    keys.foreach { k =>
+      val fn = SparkEntry.queries(k)
+      // warm pass (substrates, JIT) — uncounted
+      fn(spark, dir).write.format("noop").mode("overwrite").save()
+      (1 to reps).foreach { r =>
+        done.clear()
+        val t0 = System.nanoTime()
+        fn(spark, dir).write.format("noop").mode("overwrite").save()
+        val wall = (System.nanoTime() - t0) / 1e9
+        Thread.sleep(200) // let listener drain
+        val rows = done.toArray(Array.empty[(Int, Double, String, Int, Int)]).sortBy(_._1)
+        println(f"[prof] $k rep$r wall=$wall%.2f jobs=${rows.length}")
+        rows.foreach { case (id, w, desc, nStages, _) =>
+          val d = if (desc.length > 90) desc.take(90) else desc
+          println(f"[prof]   job$id%-5d ${w}%6.3f s  stages=$nStages%-3d $d")
+        }
+      }
+      println(s"[prof] $k floors=${streaming.StreamPipeline.streamFloors.get(k.takeWhile(_ != '_'))}")
+    }
+    spark.stop()
+  }
+}
