@@ -65,6 +65,10 @@ object Bench {
       // see F.ObjectAggFallbackGroups.
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
         graft.functions.F.ObjectAggFallbackGroups.toString)
+      // 197-query suite vs the 100-entry default codegen class cache:
+      // every pass recompiled every stage — see F.CodegenCacheEntries
+      .config("spark.sql.codegen.cache.maxEntries",
+        graft.functions.F.CodegenCacheEntries.toString)
     val spark = (if (splitMb > 0) builder
         .config("spark.sql.files.maxPartitionBytes", s"${splitMb.toLong * 1024 * 1024}")
         .config("spark.sql.files.openCostInBytes", s"${1024 * 1024}")

@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Dev-only (round-18 optimization evidence; not driver contract):
+  * writes each named query's `.explain("formatted")` text to
+  * `<outDir>/<key>_<tag>.txt` under a Bench-shaped session, so plan
+  * claims in OPTIMIZATION_r18.md are checkable without running Spark.
+  *
+  * Args: <dataDir> <outDir> <tag> <comma-separated keys | ALL>
+  *
+  * Streaming keys execute their materialization during construction
+  * (the fn returns the memory-table read); the dumped plan is the
+  * batch-side read plan — the streaming leg's shape is pinned by the
+  * StreamingSpec plan tests instead. */
+object PlanDump {
+  def main(args: Array[String]): Unit = {
+    require(args.length == 4, "usage: PlanDump <dataDir> <outDir> <tag> <keys|ALL>")
+    val dir = args(0)
+    val outDir = java.nio.file.Paths.get(args(1))
+    val tag = args(2)
+    val keys =
+      if (args(3) == "ALL") SparkEntry.queries.keys.toSeq.sorted
+      else args(3).split(",").map(_.trim).filter(_.nonEmpty).toSeq
+    java.nio.file.Files.createDirectories(outDir)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName("graft-plan-dump")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+        graft.functions.F.ObjectAggFallbackGroups.toString)
+      .config("spark.sql.codegen.cache.maxEntries",
+        graft.functions.F.CodegenCacheEntries.toString)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val mode = org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    keys.foreach { k =>
+      try {
+        val df = SparkEntry.queries(k)(spark, dir)
+        val txt = df.queryExecution.explainString(mode)
+        java.nio.file.Files.write(outDir.resolve(s"${k}_$tag.txt"),
+          txt.getBytes("UTF-8"))
+        println(s"[plandump] wrote ${k}_$tag.txt (${txt.length} chars)")
+      } catch {
+        case e: Throwable => System.err.println(s"[plandump] $k FAILED: $e")
+      }
+    }
+    spark.stop()
+  }
+}

@@ -29,6 +29,8 @@ object ScratchProf {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
         graft.functions.F.ObjectAggFallbackGroups.toString)
+      .config("spark.sql.codegen.cache.maxEntries",
+        graft.functions.F.CodegenCacheEntries.toString)
       .config("spark.sql.files.maxPartitionBytes", s"${32L * 1024 * 1024}")
       .config("spark.sql.files.openCostInBytes", s"${1024 * 1024}")
       .getOrCreate()

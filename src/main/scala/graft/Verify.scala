@@ -24,6 +24,9 @@ object Verify {
       // F.ObjectAggFallbackGroups
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
         graft.functions.F.ObjectAggFallbackGroups.toString)
+      // suite-sized codegen class cache — see F.CodegenCacheEntries
+      .config("spark.sql.codegen.cache.maxEntries",
+        graft.functions.F.CodegenCacheEntries.toString)
     val spark = (if (splitMb > 0) builder
         .config("spark.sql.files.maxPartitionBytes", s"${splitMb.toLong * 1024 * 1024}")
         .config("spark.sql.files.openCostInBytes", s"${1024 * 1024}")

@@ -63,6 +63,31 @@ object F {
     * default around it. */
   val ObjectAggFallbackGroups: Int = 1 << 21
 
+  /** Whole-stage-codegen class-cache size for the graft session
+    * builders (Bench/Verify and the dev mains) —
+    * `spark.sql.codegen.cache.maxEntries`, a STATIC conf (must be set
+    * at session build). Spark's default is 100 compiled classes, sized
+    * for a driver that runs a handful of distinct plans; this library's
+    * suite runs 197 queries × ~10-30 generated stages each, so under
+    * the default every round-robin bench pass evicts everything and
+    * janino RECOMPILES every stage of every query, every pass — pure
+    * driver-side overhead charged to whichever query runs it. The
+    * round-18 A/B (46-key suite, 4 passes) measured fat-plan keys 30-60%
+    * faster with the cache sized to the suite (e25 13.4→8.1 s,
+    * e17 2.6→1.5, d14 2.1→1.5, q16 2.6→1.0) and the bench's own fixed
+    * CAL PROBE dropping below its documented idle band (0.88→0.48 s) —
+    * the probe itself had been paying recompiles, i.e. the default
+    * contaminated the measurement floor as well as the queries.
+    * 8192 entries bounds the cache at roughly the distinct-source count
+    * of the whole suite (compiled classes are ~5-20 KB each — tens of
+    * MB, trivial next to the 8 GB driver). Scale note: this is
+    * JVM-level, core-count- and data-size-independent; a production
+    * driver (or executor) running a large mixed query suite wants the
+    * same setting in its submit conf. Results are unaffected — the
+    * cache keys on generated SOURCE TEXT, so a hit replays the
+    * identical class. */
+  val CodegenCacheEntries: Int = 8192
+
   /** Collision-proof per-data-dir tag: the sanitized dir name keeps it
     * readable, the md5-derived suffix keeps DISTINCT dirs from ever
     * sharing a name — `replaceAll` alone maps two dirs differing only

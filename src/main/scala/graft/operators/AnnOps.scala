@@ -1253,16 +1253,39 @@ object AnnOps {
           col("candidates_scanned"), col("cells_ranked"))
     }
     def count1(df: DataFrame): DataFrame = df.agg(count(lit(1)).as("cnt"))
-    val beamRows = BeamSweep.map { case (w, r, d) =>
-      val chain = beamChain(spark, dir, w, r, d, Some(panelQueries),
-        persist = true)
-      val cost = chain.probed.join(broadcast(cellSizes), "label")
-        .agg(sum("n").as("candidates_scanned"))
-      val ranked = (count1(chain.entryRows) +: chain.visiteds.map(count1))
-        .reduce(_ unionByName _)
-        .agg(sum("cnt").as("cells_ranked"))
-      row(s"beam_w${w}_r${r}_d${d}", (w, r, d),
-        beamRerank(spark, dir, chain, 3), cost, ranked)
+    // The five swept chains are INDEPENDENT (each reads only the shared
+    // memoized substrates + the two barriers above), and each erects 3
+    // eager materialization barriers — 15 sequential job launches whose
+    // wall is scheduling latency, not compute, at evaluation scale.
+    // Build them CONCURRENTLY (the guide's overlap-independent-jobs
+    // discipline): each chain's barrier jobs back-fill the idle slots of
+    // the others' tails; at carve scale the same overlap fills the
+    // cluster during each chain's small-relation rounds. The shared
+    // substrate (cellGraph) is touched ONCE before forking —
+    // DedupOps.memoized's getOrElseUpdate is atomic for the map but a
+    // concurrent first build would run `build` twice and leak a persist,
+    // so the substrate must be warm before threads race to read it.
+    // Row content is identical to the sequential form: per-chain results
+    // never depend on scheduling.
+    cellGraph(spark, dir)
+    val beamRows = {
+      import scala.concurrent.{Await, ExecutionContext, Future}
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(BeamSweep.size)
+      implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+      try Await.result(
+        Future.sequence(BeamSweep.map { case (w, r, d) => Future {
+          SparkSession.setActiveSession(spark) // thread-local; new pool thread
+          val chain = beamChain(spark, dir, w, r, d, Some(panelQueries),
+            persist = true)
+          val cost = chain.probed.join(broadcast(cellSizes), "label")
+            .agg(sum("n").as("candidates_scanned"))
+          val ranked = (count1(chain.entryRows) +: chain.visiteds.map(count1))
+            .reduce(_ unionByName _)
+            .agg(sum("cnt").as("cells_ranked"))
+          row(s"beam_w${w}_r${r}_d${d}", (w, r, d),
+            beamRerank(spark, dir, chain, 3), cost, ranked)
+        } }), scala.concurrent.duration.Duration.Inf)
+      finally pool.shutdown()
     }
     val ivfProbed = probedCellsOf(spark, panelQueries, NProbe,
       centroids(spark, dir)).materialized()
