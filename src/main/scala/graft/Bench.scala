@@ -266,6 +266,18 @@ object Bench {
     def line(key: String => String) =
       s"""{"metric":"total","value":${r2(total)},"unit":"sec","queries":${qmap(key)},"failed":${failedArr(key)},"stream_floor":$floorMap,"sf":"$sfDir","wall":${r2(wallTotal)},"cal":${r2(cal)},"gc_s":${r2(gcSec)},"heap_mb":$heapMb}"""
     println(line(shortId))
+    // codegen-compile diagnostic (stderr, NOT the JSON contract): how
+    // many distinct sources janino compiled this process and their
+    // mean compile time — the attribution signal for class-cache
+    // sizing (a count far above F.CodegenCacheEntries means the suite
+    // overflowed the cache and re-paid compiles per pass).
+    try {
+      val m = org.apache.spark.metrics.source.CodegenMetrics
+      System.err.println(
+        s"[bench] codegen compiles=${m.METRIC_COMPILATION_TIME.getCount} " +
+        f"mean_raw=${m.METRIC_COMPILATION_TIME.getSnapshot.getMean}%.0f " +
+        s"cache_max=${graft.functions.F.CodegenCacheEntries}")
+    } catch { case scala.util.control.NonFatal(_) => () }
     // Also land the FULL-NAME line as a local file (gitignored) —
     // stdout passes through sbt and whatever wrapper invoked it; the
     // file is the unmediated record. Best-effort: a read-only or

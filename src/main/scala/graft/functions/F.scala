@@ -78,15 +78,22 @@ object F {
     * CAL PROBE dropping below its documented idle band (0.88→0.48 s) —
     * the probe itself had been paying recompiles, i.e. the default
     * contaminated the measurement floor as well as the queries.
-    * 8192 entries bounds the cache at roughly the distinct-source count
-    * of the whole suite (compiled classes are ~5-20 KB each — tens of
-    * MB, trivial next to the 8 GB driver). Scale note: this is
+    * Sizing: the cache is keyed by the full generated SOURCE TEXT, so
+    * heap cost ≈ entries × source size (tens of KB each). MEASURED at
+    * the full 197-key suite (Bench's stderr codegen diagnostic):
+    * 5687 distinct sources compiled per process, mean 27 ms each —
+    * ~154 s of one-time compile work that the 100-entry default
+    * re-ran EVERY PASS (~600 s across a 4-pass bench). 16384 holds
+    * the measured suite with ~3× headroom for growth at a bounded
+    * worst-case source-text ceiling inside the 8 GB driver. Dev A/B
+    * override: SPARK_GRAFT_CODEGEN_CACHE. Scale note: this is
     * JVM-level, core-count- and data-size-independent; a production
     * driver (or executor) running a large mixed query suite wants the
     * same setting in its submit conf. Results are unaffected — the
     * cache keys on generated SOURCE TEXT, so a hit replays the
     * identical class. */
-  val CodegenCacheEntries: Int = 8192
+  val CodegenCacheEntries: Int =
+    sys.env.get("SPARK_GRAFT_CODEGEN_CACHE").map(_.toInt).getOrElse(16384)
 
   /** Collision-proof per-data-dir tag: the sanitized dir name keeps it
     * readable, the md5-derived suffix keeps DISTINCT dirs from ever
