@@ -47,7 +47,7 @@ out = {
         "sf0.1 runs keep the driver methodology (REPS=3 interleaved, "
         "Spark-default splits via autoSplitMb). Each block carries "
         "its own cal token. e25 sweeps beam (width, rounds, degree) "
-        "configs this round (code change, see NOTES_r18) — its rows "
+        "configs this round (code change, see OPTIMIZATION_r18.md) — its rows "
         "are the per-config A/B table, captured verbatim in the "
         "e25_table_* blocks."
     ),
@@ -56,7 +56,11 @@ out = {
 blocks = [
     ("sf01_clean", "r18_sf01.log",
      "full 197-key suite at sf0.1, driver methodology (REPS=3 "
-     "interleaved), idle host — the round's clean trend point"),
+     "interleaved), idle host — the round's clean trend point, "
+     "measured POST the r18 optimization fixes (OPTIMIZATION_r18.md): "
+     "codegen cache sized to the suite + e25 concurrent chains; its "
+     "cal (0.61) is the post-fix idle band — fix 1 removed the "
+     "recompile cost the probe itself used to pay"),
     ("sf01_isolated", "r18_iso.log",
      "the r17 cal-normalized >1.3x watchlist keys (q9 x4 g5 t14 p15 "
      "x8 x7) isolated in one JVM, REPS=5 medians, idle host — "
