@@ -1,0 +1,29 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{AnnOps, DedupOps}
+
+/** Round-18 optimization-round specs: the only operator whose
+  * INTERNALS changed this round is e25 (annBeamEval builds its five
+  * swept chains from a thread pool instead of sequentially — an
+  * orchestration change whose plans are pinned byte-comparable in
+  * plans/r18). This spec pins the contract the change must keep:
+  * thread scheduling may reorder job execution but can never reach
+  * the rows. */
+class Round18OpsSpec extends AnyFunSuite with SparkSpec {
+
+  test("e25: concurrent chain construction is deterministic — two invocations bit-equal") {
+    def run(): Seq[String] = {
+      // fresh memo per invocation: the second run must rebuild its
+      // substrates and re-race the pool, not read the first run's
+      // persists — the strongest form of the determinism claim
+      DedupOps.clearMemo(spark, Sf001)
+      AnnOps.annBeamEval(spark, Sf001).collect().map(_.toString).toSeq
+    }
+    val a = run()
+    val b = run()
+    assert(a.nonEmpty, "e25 must emit its config rows")
+    assert(a == b,
+      "concurrently-built sweep rows must be bit-identical across invocations")
+  }
+}
