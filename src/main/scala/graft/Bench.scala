@@ -246,7 +246,13 @@ object Bench {
     // before the first underscore: q1, d2, t10, ...) — ~11 bytes per
     // query, leaving room for rounds of growth. BENCH_SELF.json keeps
     // the full-name map as the unmediated local record.
-    def r2(v: Double): String = String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
+    // trailing zeros stripped ("0.90" -> "0.9", "2.00" -> "2"): the
+    // consumer's tail capture is ~2 KB and the 197-key line is ~2.4 KB,
+    // so every byte saved moves more of the line inside the window
+    def r2(v: Double): String = {
+      val s = String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
+      if (s.contains('.')) s.reverse.dropWhile(_ == '0').dropWhile(_ == '.').reverse else s
+    }
     def qmap(key: String => String) =
       results.map { case (k, v, _) => "\"" + key(k) + "\":" + r2(v) }.mkString("{", ",", "}")
     // failed uses the same key scheme as queries: a mass failure must
@@ -265,12 +271,14 @@ object Bench {
     // the scaladoc + round notes, not spent as line bytes
     def line(key: String => String) =
       s"""{"metric":"total","value":${r2(total)},"unit":"sec","queries":${qmap(key)},"failed":${failedArr(key)},"stream_floor":$floorMap,"sf":"$sfDir","wall":${r2(wallTotal)},"cal":${r2(cal)},"gc_s":${r2(gcSec)},"heap_mb":$heapMb}"""
-    println(line(shortId))
     // codegen-compile diagnostic (stderr, NOT the JSON contract): how
     // many distinct sources janino compiled this process and their
     // mean compile time — the attribution signal for class-cache
     // sizing (a count far above F.CodegenCacheEntries means the suite
-    // overflowed the cache and re-paid compiles per pass).
+    // overflowed the cache and re-paid compiles per pass). Printed
+    // BEFORE the contract line: consumers keep only the LAST ~2 KB of
+    // merged output, and the r17/r18 records show anything trailing
+    // the line pushes its head out of that window.
     try {
       val m = org.apache.spark.metrics.source.CodegenMetrics
       System.err.println(
@@ -286,7 +294,14 @@ object Bench {
       (line(identity) + "\n").getBytes("UTF-8"))
     catch { case scala.util.control.NonFatal(_) => () }
     operators.DedupOps.clearMemo(spark, sfDir)
+    // stop() BEFORE the contract line: Spark shutdown can log to stderr,
+    // and the line must be the FINAL bytes of merged output so a
+    // tail-window capture ends exactly at the line's end (VERDICT r18
+    // item 2 — the r17 round-over-round comparison was lost to exactly
+    // this truncation).
     spark.stop()
+    println(line(shortId))
+    System.out.flush()
     if (results.exists(!_._3)) sys.exit(1)
   }
 }

@@ -46,7 +46,10 @@ object PlanDump {
           txt.getBytes("UTF-8"))
         println(s"[plandump] wrote ${k}_$tag.txt (${txt.length} chars)")
       } catch {
-        case e: Throwable => System.err.println(s"[plandump] $k FAILED: $e")
+        // NonFatal only: an OOM/linkage error must abort the dump loop,
+        // not let it keep producing misleading partial evidence
+        case scala.util.control.NonFatal(e) =>
+          System.err.println(s"[plandump] $k FAILED: $e")
       }
     }
     spark.stop()

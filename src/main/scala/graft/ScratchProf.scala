@@ -71,7 +71,15 @@ object ScratchProf {
           println(f"[prof]   job$id%-5d ${w}%6.3f s  stages=$nStages%-3d $d")
         }
       }
-      println(s"[prof] $k floors=${streaming.StreamPipeline.streamFloors.get(k.takeWhile(_ != '_'))}")
+      val short = k.takeWhile(_ != '_')
+      println(s"[prof] $k floors=${streaming.StreamPipeline.streamFloors.get(short)}")
+      streaming.StreamPipeline.lastProgress(short).foreach { j =>
+        // one compact line per micro-batch: the durationMs map is the
+        // floor's composition (walCommit/commitOffsets/queryPlanning/...)
+        val dur = j.linesIterator.mkString(" ")
+        val i = dur.indexOf("\"durationMs\"")
+        println(s"[prof]   progress ${if (i >= 0) dur.substring(i).take(260) else dur.take(260)}")
+      }
     }
     spark.stop()
   }

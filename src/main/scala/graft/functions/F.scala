@@ -93,7 +93,16 @@ object F {
     * cache keys on generated SOURCE TEXT, so a hit replays the
     * identical class. */
   val CodegenCacheEntries: Int =
-    sys.env.get("SPARK_GRAFT_CODEGEN_CACHE").map(_.toInt).getOrElse(16384)
+    sys.env.get("SPARK_GRAFT_CODEGEN_CACHE").map { v =>
+      // parse failure here surfaces as ExceptionInInitializerError on
+      // the first touch of object F — name the env var in the cause so
+      // the stack trace points at the actual misconfiguration
+      try v.trim.toInt
+      catch {
+        case _: NumberFormatException => throw new IllegalArgumentException(
+          s"SPARK_GRAFT_CODEGEN_CACHE must be an integer, got '$v'")
+      }
+    }.getOrElse(16384)
 
   /** Collision-proof per-data-dir tag: the sanitized dir name keeps it
     * readable, the md5-derived suffix keeps DISTINCT dirs from ever

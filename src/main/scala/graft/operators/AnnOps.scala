@@ -1131,11 +1131,28 @@ object AnnOps {
     *                 probed relation — e25 reads every one of them from
     *                 several aggregate actions (recall, cost,
     *                 cells_ranked), so without the barrier the chain
-    *                 re-executes per action (the r17 ADVICE find) */
+    *                 re-executes per action (the r17 ADVICE find)
+    * @param shared   INVOCATION-local prefix-state cache (VERDICT r18
+    *                 item 5): a beam state is a pure function of
+    *                 (width, round, degree) given fixed queries/entries,
+    *                 so e25's swept chains share identical prefixes —
+    *                 v0 depends on width alone ((4,1,4)/(4,2,4)/(4,2,8)
+    *                 share it) and visited(1) on (width, degree)
+    *                 ((4,1,4) is a strict prefix of (4,2,4)). Single
+    *                 evaluation per key via cached futures (the
+    *                 memoized discipline); rows are by construction
+    *                 identical to the unshared build — every rank is
+    *                 total-ordered. The cache object lives only for one
+    *                 annBeamEval call: nothing is reused across
+    *                 invocations or bench passes. None (e24's serving
+    *                 path) = exactly the old plan. */
   private[graft] def beamChain(spark: SparkSession, dir: String,
       width: Int = BeamWidth, rounds: Int = BeamRounds,
       degree: Int = BeamDegree, queriesOpt: Option[DataFrame] = None,
-      persist: Boolean = false): BeamChain = {
+      persist: Boolean = false,
+      shared: Option[java.util.concurrent.ConcurrentHashMap[
+        (String, Int, Int, Int),
+        java.util.concurrent.CompletableFuture[DataFrame]]] = None): BeamChain = {
     require(degree <= BeamDegreeMax, s"degree $degree > BeamDegreeMax $BeamDegreeMax")
     val dot = dotBest(spark)
     val qv = quantized(spark, dir)
@@ -1169,15 +1186,43 @@ object AnnOps {
         .select("q_id", "label")
     def barrier(df: DataFrame): DataFrame =
       if (persist) df.materialized() else df
+    // single evaluation per shared prefix key, first builder wins —
+    // losers await the winner's future (the memoized discipline; a
+    // failure propagates raw to every sharer, which is correct: they
+    // were about to compute the identical thing)
+    def sharedState(tag: String, r: Int, deg: Int)(build: => DataFrame): DataFrame =
+      shared match {
+        case None => build
+        case Some(cache) =>
+          val mine = new java.util.concurrent.CompletableFuture[DataFrame]()
+          val prior = cache.putIfAbsent((tag, width, r, deg), mine)
+          if (prior == null) {
+            try { val df = build; mine.complete(df); df }
+            catch { case e: Throwable => mine.completeExceptionally(e); throw e }
+          } else
+            try prior.join()
+            catch {
+              case e: java.util.concurrent.CompletionException =>
+                throw Option(e.getCause).getOrElse(e)
+            }
+      }
     val entryRows = queries.select("q_id").crossJoin(broadcast(entries))
-    val v0 = topW(scored(entryRows), width)
+    // under sharing, v0 is barriered so the sharers reuse its COMPUTE,
+    // not just its lineage (v0 is width-keyed: degree plays no part)
+    val v0 = sharedState("v0", 0, 0) {
+      if (shared.isDefined) barrier(topW(scored(entryRows), width))
+      else topW(scored(entryRows), width)
+    }
     var visited = v0
     var frontier = v0
     val visiteds = Seq.newBuilder[DataFrame]
-    for (_ <- 1 to rounds) {
-      val nbrs = frontier.join(broadcast(adj), "label")
-        .select(col("q_id"), col("nb").as("label"))
-      visited = barrier(visited.union(nbrs).distinct())
+    for (r <- 1 to rounds) {
+      val f = frontier
+      visited = sharedState("v", r, degree) {
+        val nbrs = f.join(broadcast(adj), "label")
+          .select(col("q_id"), col("nb").as("label"))
+        barrier(visited.union(nbrs).distinct())
+      }
       visiteds += visited
       frontier = topW(scored(visited), width)
     }
@@ -1272,11 +1317,20 @@ object AnnOps {
       import scala.concurrent.{Await, ExecutionContext, Future}
       val pool = java.util.concurrent.Executors.newFixedThreadPool(BeamSweep.size)
       implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+      // invocation-local prefix-state cache: the swept configs share
+      // identical chain prefixes (see beamChain's `shared` doc); dies
+      // with this call — nothing crosses invocations.
+      // SPARK_GRAFT_BEAM_SHARE=0 is the dev-only A/B override.
+      val prefixCache =
+        if (sys.env.get("SPARK_GRAFT_BEAM_SHARE").contains("0")) None
+        else Some(new java.util.concurrent.ConcurrentHashMap[
+          (String, Int, Int, Int),
+          java.util.concurrent.CompletableFuture[org.apache.spark.sql.DataFrame]]())
       try Await.result(
         Future.sequence(BeamSweep.map { case (w, r, d) => Future {
           SparkSession.setActiveSession(spark) // thread-local; new pool thread
           val chain = beamChain(spark, dir, w, r, d, Some(panelQueries),
-            persist = true)
+            persist = true, shared = prefixCache)
           val cost = chain.probed.join(broadcast(cellSizes), "label")
             .agg(sum("n").as("candidates_scanned"))
           val ranked = (count1(chain.entryRows) +: chain.visiteds.map(count1))
@@ -1285,6 +1339,13 @@ object AnnOps {
           row(s"beam_w${w}_r${r}_d${d}", (w, r, d),
             beamRerank(spark, dir, chain, 3), cost, ranked)
         } }), scala.concurrent.duration.Duration.Inf)
+      catch {
+        // a failed chain rethrows immediately — interrupt the surviving
+        // threads too, or they keep erecting persist=true barriers
+        // (leaked Spark jobs + pinned blocks) after the caller has
+        // already seen the failure
+        case e: Throwable => pool.shutdownNow(); throw e
+      }
       finally pool.shutdown()
     }
     val ivfProbed = probedCellsOf(spark, panelQueries, NProbe,
@@ -1516,7 +1577,7 @@ object AnnOps {
       spark.readStream.schema(schema).parquet(s"$out/arrivals")
         .dropDuplicates("vec_id"))
     graft.streaming.StreamPipeline.withStatePartitions(
-        spark, graft.streaming.StreamPipeline.MaterializeStateParts) {
+        spark, graft.streaming.StreamPipeline.materializeStateParts(dir)) {
       val codesQ = arrivals
         .select(col("vec_id").as("c_id"), col("label"),
           posexplode(pqCodesCol(spark, col("q"))).as(Seq("m", "code")))

@@ -34,28 +34,62 @@ object DedupOps {
     * same signature build is materialized once per (session, sfDir) even
     * when several operators (d2/d3 share docNgrams; e2/e3 share buckets)
     * or both sides of a self-join need it. */
-  private val memo =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String, String), DataFrame]
+  private val memo = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String, String), java.util.concurrent.CompletableFuture[DataFrame]]
   private[operators] def memoized(spark: SparkSession, key: String, dir: String)(
       build: => DataFrame): DataFrame = {
     MemoTrace.record(key)
-    memo.getOrElseUpdate((spark, key, dir), {
-      MemoTrace.push(key)
-      // Storage level is a session knob (`graft.memo.level`): the
-      // default deserialized MEMORY_AND_DISK is right for the driver's
-      // SFs, but a carve-scale suite co-residing many array-heavy
-      // substrates in ONE local JVM runs the heap to its ceiling
-      // (round 15: 46 of 48 GB, 21.7 s GC at n = 1.28M) —
-      // MEMORY_AND_DISK_SER stores the long-array rows packed,
-      // trading per-read deserialization CPU for the headroom the
-      // n = 10⁷ decade needs. On a cluster substrates partition
-      // across executors and the default stands.
-      val level = spark.conf.getOption("graft.memo.level")
-        .map(StorageLevel.fromString).getOrElse(StorageLevel.MEMORY_AND_DISK)
-      try build.persist(level)
-      finally MemoTrace.pop()
-    })
+    val k = (spark, key, dir)
+    // SINGLE-EVALUATION under races, enforced by code (cached-future —
+    // the landOnce discipline): TrieMap.getOrElseUpdate may run `build`
+    // twice when two threads race a cold key, and the losing build's
+    // persist leaks for the session lifetime. Callers that fork threads
+    // over shared substrates (annBeamEval) used to depend on a
+    // warm-before-fork comment; now the loser just awaits the winner's
+    // future. A build that throws leaves no mapping (next caller
+    // retries) and propagates the raw failure to every waiter. The
+    // putIfAbsent holds no bin lock across the build, so nested
+    // memoized builds (docNgrams inside d3's substrate) cannot
+    // deadlock.
+    memo.get(k) match {
+      case Some(done) => joinMemo(done)
+      case None =>
+        val mine = new java.util.concurrent.CompletableFuture[DataFrame]()
+        memo.putIfAbsent(k, mine) match {
+          case Some(prior) => joinMemo(prior)
+          case None =>
+            try {
+              MemoTrace.push(key)
+              // Storage level is a session knob (`graft.memo.level`): the
+              // default deserialized MEMORY_AND_DISK is right for the driver's
+              // SFs, but a carve-scale suite co-residing many array-heavy
+              // substrates in ONE local JVM runs the heap to its ceiling
+              // (round 15: 46 of 48 GB, 21.7 s GC at n = 1.28M) —
+              // MEMORY_AND_DISK_SER stores the long-array rows packed,
+              // trading per-read deserialization CPU for the headroom the
+              // n = 10⁷ decade needs. On a cluster substrates partition
+              // across executors and the default stands.
+              val level = spark.conf.getOption("graft.memo.level")
+                .map(StorageLevel.fromString).getOrElse(StorageLevel.MEMORY_AND_DISK)
+              val df = try build.persist(level) finally MemoTrace.pop()
+              mine.complete(df)
+              df
+            } catch {
+              case e: Throwable =>
+                memo.remove(k, mine)
+                mine.completeExceptionally(e)
+                throw e
+            }
+        }
+    }
   }
+
+  private def joinMemo(f: java.util.concurrent.CompletableFuture[DataFrame]): DataFrame =
+    try f.join()
+    catch {
+      case e: java.util.concurrent.CompletionException =>
+        throw Option(e.getCause).getOrElse(e)
+    }
 
   /** Dev-only memo-topology recorder (see [[graft.DocGen]]): when
     * `edges` is non-null every [[memoized]] ACCESS records an
@@ -87,8 +121,17 @@ object DedupOps {
     * for the session lifetime by design (they are re-read per query). */
   def clearMemo(spark: SparkSession): Unit = {
     memo.keys.filter(_._1 eq spark).foreach { k =>
-      memo.remove(k).foreach(_.unpersist(blocking = false))
+      memo.remove(k).foreach(unpersistWhenBuilt)
     }
+  }
+
+  /** Unpersist a memo entry's DataFrame once its build completes — a
+    * clear racing an in-flight build must not skip the unpersist (the
+    * callback runs immediately for the common already-done case; a
+    * failed build has nothing persisted). */
+  private def unpersistWhenBuilt(
+      f: java.util.concurrent.CompletableFuture[DataFrame]): Unit = {
+    f.thenAccept(df => df.unpersist(blocking = false): Unit): Unit
   }
 
   /** Release only the persists built for one data directory — the memo
@@ -97,7 +140,7 @@ object DedupOps {
     * pins more than one dir's substrates at a time). */
   def clearMemo(spark: SparkSession, dir: String): Unit = {
     memo.keys.filter(k => (k._1 eq spark) && k._3 == dir).foreach { k =>
-      memo.remove(k).foreach(_.unpersist(blocking = false))
+      memo.remove(k).foreach(unpersistWhenBuilt)
     }
   }
 

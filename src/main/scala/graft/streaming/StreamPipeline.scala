@@ -229,7 +229,7 @@ object StreamPipeline {
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     val sdf = graft.Tables.normalizeEventsTs(
       spark.readStream.schema(raw.schema).parquet(streamDir.toString))
-    withStatePartitions(spark, MaterializeStateParts) {
+    withStatePartitions(spark, materializeStateParts(dir)) {
       val query = sessionizeStream(sdf)
         .writeStream.format("memory").queryName(memSinkName("p15", dir))
         .outputMode("append").start()
@@ -267,7 +267,7 @@ object StreamPipeline {
     * hash-matches the same DuckDB oracle as p5 — which is what promotes
     * the streaming operator from test-verified to oracle-verified. */
   def kpiDailyViaFileStream(spark: SparkSession, dir: String): DataFrame = {
-    withStatePartitions(spark, MaterializeStateParts) {
+    withStatePartitions(spark, materializeStateParts(dir)) {
       val query = kpiDailyStream(spark, stagedEventsStream(spark, dir))
         .writeStream.format("memory").queryName(memSinkName("p9", dir))
         .outputMode("complete").start()
@@ -305,11 +305,23 @@ object StreamPipeline {
   /** Snapshot for Bench: streaming-query short id → floor seconds. */
   def streamFloors: Map[String, Double] = floors.toMap
 
+  /** Dev-only (ScratchProf): the most recent materialization's raw
+    * per-batch progress JSON per kind — the durationMs breakdown that
+    * says where a streaming floor's milliseconds go. A few KB per kind;
+    * no query path reads it. */
+  private val progressDump = scala.collection.concurrent.TrieMap.empty[String, Seq[String]]
+
+  /** Snapshot for dev profiling: streaming short id → per-batch
+    * progress JSON of its most recent run in this JVM. */
+  def lastProgress(kind: String): Seq[String] = progressDump.getOrElse(kind, Nil)
+
   /** Reads the finished query's progress buffer; call before stop().
     * recentProgress holds the last ~100 batches — far above any finite
     * materialization here. */
-  private def recordFloor(kind: String, q: StreamingQuery): Unit =
+  private def recordFloor(kind: String, q: StreamingQuery): Unit = {
+    progressDump.put(kind, q.recentProgress.toSeq.map(_.json))
     floors.put(kind, floorOf(q)): Unit
+  }
 
   /** Multi-query variant for operators whose materialization runs more
     * than one streaming query (e18's codes + state legs): the floor
@@ -333,8 +345,26 @@ object StreamPipeline {
   private def memSinkName(kind: String, dir: String): String =
     s"graft_${kind}_" + graft.functions.F.dirTag(dir)
 
-  /** State partition count for the finite-input materializations. */
-  private[graft] val MaterializeStateParts = 8
+  /** State partition count for the finite-input materializations —
+    * which for streaming is also the STATE STORE count, each paying
+    * fixed per-micro-batch costs (store init, delta/snapshot commit
+    * I/O) regardless of its rows. INPUT-SIZED since round 19 (the
+    * autoSplitMb discipline): at the driver SFs the state volumes are
+    * tiny (p9 holds 22 state rows at sf0.1; the progress dumps show
+    * per-store commit I/O dominating addBatch), and the measured
+    * family A/B (17 streaming keys, 3-pass medians, matched cal
+    * 0.56/0.58) ran 54.9 s at 8 stores vs 44.7 s at 2 — idle stores
+    * are pure per-batch overhead. Above 64 MB of input the count
+    * returns to 8 (the r16 value — the scale runs keep their store
+    * parallelism). A 100 TB deployment does NOT use this local
+    * heuristic: it sizes stores to aggregate state ÷ target store
+    * size (see withStatePartitions' scaladoc). Results are
+    * partition-count-invariant (DeterminismSpec), so this changes
+    * cost, never content. SPARK_GRAFT_STATE_PARTS is the dev-only
+    * A/B override. */
+  private[graft] def materializeStateParts(dir: String): Int =
+    sys.env.get("SPARK_GRAFT_STATE_PARTS").map(_.toInt).getOrElse(
+      if (graft.functions.F.autoSplitMb(dir) > 0) 8 else 2)
 
   /** Collision-proof staging dir per (operator, data dir) — the shared
     * `F.dirTag` scheme. (`hashCode`-keyed names, the original scheme,
@@ -435,7 +465,7 @@ object StreamPipeline {
     * re-invented precision, crashed, or leaked the corrupt records
     * could not stay green. */
   def kpiDailyViaKafkaWire(spark: SparkSession, dir: String): DataFrame = {
-    withStatePartitions(spark, MaterializeStateParts) {
+    withStatePartitions(spark, materializeStateParts(dir)) {
       val query = kpiDailyStream(spark,
         graft.sources.KafkaEvents.decodeEvents(stagedWireStream(spark, dir)))
         .writeStream.format("memory").queryName(memSinkName("p30", dir))
@@ -477,7 +507,7 @@ object StreamPipeline {
   /** p13 as an oracle-checkable batch result (file streaming source →
     * memory sink), like kpiDailyViaFileStream. */
   def signupPurchaseJoinViaFileStream(spark: SparkSession, dir: String): DataFrame = {
-    withStatePartitions(spark, MaterializeStateParts) {
+    withStatePartitions(spark, materializeStateParts(dir)) {
       val query = signupPurchaseJoin(spark, stagedEventsStream(spark, dir))
         .writeStream.format("memory").queryName(memSinkName("p13", dir))
         .outputMode("append").start()
@@ -521,7 +551,7 @@ object StreamPipeline {
   /** p20 driver-facing materialization over the real events parquet
     * via a file streaming source; oracle = the equivalent batch join. */
   def revenueByNationViaFileStream(spark: SparkSession, dir: String): DataFrame = {
-    withStatePartitions(spark, MaterializeStateParts) {
+    withStatePartitions(spark, materializeStateParts(dir)) {
       val query = revenueByNationStream(spark, stagedEventsStream(spark, dir), dir)
         .writeStream.format("memory").queryName(memSinkName("p20", dir))
         .outputMode("complete").start()
@@ -548,7 +578,7 @@ object StreamPipeline {
     * batch, not the lake's history. */
   def idempotentKpiSink(spark: SparkSession, dir: String): DataFrame = {
     val out = stagingPath("p21sink", dir)
-    withStatePartitions(spark, MaterializeStateParts) {
+    withStatePartitions(spark, materializeStateParts(dir)) {
       val query = kpiDailyStream(spark, stagedEventsStream(spark, dir))
         .writeStream.outputMode("complete")
         .foreachBatch { (batch: DataFrame, _: Long) =>
@@ -593,7 +623,7 @@ object StreamPipeline {
     * branch) runs over the tiny materialized register table. n_exact
     * joins in from a batch scan as the accuracy reference column. */
   def hllDistinctStream(spark: SparkSession, dir: String): DataFrame = {
-    withStatePartitions(spark, MaterializeStateParts) {
+    withStatePartitions(spark, materializeStateParts(dir)) {
       val query = hllRegistersStream(stagedEventsStream(spark, dir))
         .writeStream.format("memory").queryName(memSinkName("p19", dir))
         .outputMode("complete").start()
@@ -637,7 +667,7 @@ object StreamPipeline {
     * verbatim. */
   def kpiAnomalyStream(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    withStatePartitions(spark, MaterializeStateParts) {
+    withStatePartitions(spark, materializeStateParts(dir)) {
       val counts = stagedEventsStream(spark, dir)
         .withWatermark("ts", "1 hour")
         .dropDuplicatesWithinWatermark("event_id")
@@ -673,7 +703,7 @@ object StreamPipeline {
     * from the batch one (spec pins hash-equality); the oracle is a14's
     * statement verbatim. */
   def ewmaForecastStream(spark: SparkSession, dir: String): DataFrame = {
-    withStatePartitions(spark, MaterializeStateParts) {
+    withStatePartitions(spark, materializeStateParts(dir)) {
       val counts = stagedEventsStream(spark, dir)
         .withWatermark("ts", "1 hour")
         .dropDuplicatesWithinWatermark("event_id")
@@ -792,7 +822,7 @@ object StreamPipeline {
       spark.readStream.schema(raw.schema)
         .option("maxFilesPerTrigger", "1").parquet(streamDir.toString))
     val sink = memSinkName("p35", dir)
-    withStatePartitions(spark, MaterializeStateParts) {
+    withStatePartitions(spark, materializeStateParts(dir)) {
       val query = sdf.filter(TripPipeline.validCond)
         .withWatermark("ts", LateDelay)
         .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
@@ -863,7 +893,7 @@ object StreamPipeline {
     * into the serving store and the full-outer join is the store's
     * lookup. */
   def cdcUpsertStream(spark: SparkSession, dir: String): DataFrame = {
-    withStatePartitions(spark, MaterializeStateParts) {
+    withStatePartitions(spark, materializeStateParts(dir)) {
       val changes = stagedEventsStream(spark, dir)
         .withWatermark("ts", "1 hour")
         .dropDuplicatesWithinWatermark("event_id")
@@ -912,7 +942,7 @@ object StreamPipeline {
         .select(col("*"), SketchOps.cmCells(col("mh")))
         .select(col("*"), col("dc.d").as("d"), col("dc.cell").as("cell"))
         .drop("dc", "mh")
-    withStatePartitions(spark, MaterializeStateParts) {
+    withStatePartitions(spark, materializeStateParts(dir)) {
       val cells = cellsOf(
         stagedEventsStream(spark, dir)
           .withWatermark("ts", "1 hour")

@@ -1,0 +1,48 @@
+package graft.operators
+
+import java.util.concurrent.atomic.AtomicInteger
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkSpec
+
+/** Round-19 optimization-round specs: the round hardened
+  * DedupOps.memoized from comment-enforced warm-before-fork discipline
+  * to code-enforced single evaluation (cached-future pattern — the
+  * ADVICE r18 race: two threads hitting a cold key used to run `build`
+  * twice and leak the loser's persist). These pin the new contract. */
+class Round19OpsSpec extends AnyFunSuite with SparkSpec {
+
+  test("memoized: a cold key builds exactly once under concurrent first callers") {
+    val builds = new AtomicInteger(0)
+    // the dir is only a memo-key component here; a probe-private value
+    // keeps the cleanup below from touching real substrate entries
+    val probeDir = "/tmp/graft-r19-race-probe"
+    def call(): Long = DedupOps.memoized(spark, "r19_race_probe", probeDir) {
+      builds.incrementAndGet()
+      Thread.sleep(200) // widen the race window every caller must fit in
+      spark.range(5).toDF("v")
+    }.count()
+    val results = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val threads = (1 to 8).map(_ => new Thread(() => { results.add(call()); () }))
+    threads.foreach(_.start())
+    threads.foreach(_.join())
+    assert(builds.get() == 1,
+      s"build must run exactly once under the race, ran ${builds.get()} times")
+    assert(results.size == 8 && results.stream.allMatch(_ == 5L),
+      "every racer must read the winner's DataFrame")
+    DedupOps.clearMemo(spark, probeDir)
+  }
+
+  test("memoized: a failed build leaves no mapping and the next caller retries") {
+    val probeDir = "/tmp/graft-r19-fail-probe"
+    val attempts = new AtomicInteger(0)
+    def call(): Long = DedupOps.memoized(spark, "r19_fail_probe", probeDir) {
+      if (attempts.incrementAndGet() == 1) sys.error("injected first-build failure")
+      spark.range(3).toDF("v")
+    }.count()
+    val e = intercept[RuntimeException](call())
+    assert(e.getMessage.contains("injected first-build failure"))
+    assert(call() == 3L, "second caller must rebuild after the failed first build")
+    assert(attempts.get() == 2)
+    DedupOps.clearMemo(spark, probeDir)
+  }
+}

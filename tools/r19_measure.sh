@@ -1,0 +1,57 @@
+#!/bin/bash
+# Round-19 measurement campaign (dev-only; the r17 evidence-first
+# protocol): each group runs in its own JVM, its raw log lands in
+# evidence_r19/ IMMEDIATELY after the group exits, and
+# BENCH_r19_SCALE.json is assembled from committed logs only.
+# Groups ordered by VERDICT r18 priority: carve regeneration, the d7
+# 64x re-measure (item 4), the carve3m e-panels (item 7), the e25
+# prefix-share A/B (item 5).
+set -u
+cd /root/repo
+mkdir -p evidence_r19
+
+SF1=/root/repo/scaledata/sf1
+C3M=/root/repo/scaledata/carve3m
+
+run_group() { # name sfdir keys extra_env...
+  local name=$1 sfdir=$2 keys=$3; shift 3
+  rm -rf /tmp/blockmgr-* /tmp/spark-[0-9a-f]*-* 2>/dev/null
+  echo "[r19] $name -> $keys @ $sfdir"
+  env SPARK_DRIVER_MEM=96g SPARK_GRAFT_CPUS=32 SPARK_GRAFT_REPS=1 \
+    SPARK_GRAFT_FAMILY_MAJOR=1 SPARK_GRAFT_MEMO_LEVEL=MEMORY_AND_DISK_SER \
+    SPARK_GRAFT_GC_EACH=1 \
+    SPARK_GRAFT_JAVA_OPTS="-Dspark.cleaner.periodicGC.interval=60s" \
+    SPARK_GRAFT_SF_DIR="$sfdir" SPARK_GRAFT_ONLY="$keys" "$@" \
+    sbt -batch "runMain graft.Bench" > "/tmp/${name}.log" 2>&1
+  local rc=$?
+  cp "/tmp/${name}.log" "evidence_r19/${name}.log"
+  echo "[r19] $name exit=$rc json:"
+  grep '"metric"' "/tmp/${name}.log" | tail -1
+}
+
+case "${1:-usage}" in
+  gen)
+    # carve regeneration (r17 recipe, BENCH_r17_SCALE.json note):
+    # sf1 = 10x sf0.1 (all tables); carve3m = 64x sf1 documents +
+    # embeddings in salt mode (3.2M docs + 1.28M vectors); every
+    # derived dir re-chunked by flatten.py (the one-row-group find).
+    mkdir -p scaledata
+    sbt -batch "runMain graft.ScaleGen /root/testdata/sf0.1 $SF1 10" \
+      > /tmp/r19_gen_sf1.log 2>&1 || { echo "[r19] sf1 gen FAILED"; exit 1; }
+    python3 tools/flatten.py "$SF1" >> /tmp/r19_gen_sf1.log 2>&1
+    sbt -batch "runMain graft.ScaleGen $SF1 $C3M 64 documents,embeddings salt" \
+      > /tmp/r19_gen_c3m.log 2>&1 || { echo "[r19] carve3m gen FAILED"; exit 1; }
+    python3 tools/flatten.py "$C3M" >> /tmp/r19_gen_c3m.log 2>&1
+    cp /tmp/r19_gen_sf1.log /tmp/r19_gen_c3m.log evidence_r19/
+    echo "[r19] carves regenerated:"; du -sh "$SF1" "$C3M" ;;
+  d7)
+    run_group r19_d7_c3m "$C3M" "d7_winnow" ;;
+  ep3m)
+    run_group r19_ep3m "$C3M" "d12_semantic_dedup,d19_semantic_decon,e1_ann_topk,e2_ann_lsh,e4_ann_multiprobe,e5_ann_ivf,e6_ann_pq,e7_kmeans,e8_ann_recall,e9_ann_filtered,e10_ann_persisted,e11_ann_incremental,e12_ann_serve,e13_ann_delete,e14_ann_compact,e15_index_health,e16_kmeans_stable,e17_ann_sweep,e19_ann_sq,e20_cell_split,e21_index_eval,e22_ann_bq,e23_centroid_drift,g5_ann_hubness" ;;
+  e25_3m)
+    run_group r19_e25_c3m "$C3M" "e24_beam_probe,e25_beam_eval" ;;
+  *)
+    echo "usage: r19_measure.sh {gen|d7|ep3m|e25_3m}" ;;
+esac
+rm -rf /tmp/blockmgr-* 2>/dev/null
+echo "[r19] done"
