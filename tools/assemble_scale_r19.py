@@ -1,0 +1,135 @@
+#!/usr/bin/env python3
+"""Assemble BENCH_r19_SCALE.json from the round's committed logs.
+
+Dev-only evidence tooling (the r17 evidence-first protocol): each
+r19_measure.sh group leaves one Bench JSON line in /tmp/<name>.log,
+raw logs are committed under evidence_r19/ as they land, and this
+stitches whatever is committed into the round's scale-evidence file.
+Every block is optional — the file records exactly what was measured,
+never a placeholder; anything absent lands in `not_measured`.
+"""
+import json, os, sys
+
+EV = os.path.join(os.path.dirname(__file__), "..", "evidence_r19")
+
+
+def first(paths):
+    for p in paths:
+        if os.path.exists(p):
+            return p
+    return paths[0]
+
+
+def bench_line(name):
+    path = first([os.path.join(EV, name), os.path.join("/tmp", name)])
+    with open(path) as f:
+        for line in f:
+            if line.startswith('{"metric"'):
+                return json.loads(line)
+    raise SystemExit(f"no bench JSON in {path}")
+
+
+def sub(block, note):
+    block = dict(block)
+    block["note"] = note
+    return block
+
+
+out = {
+    "round": 19,
+    "note": (
+        "Round-19 scale evidence (second optimization round). Carves "
+        "REGENERATED this round by the r17 recipe (the r18 sandbox "
+        "wipe): scaledata/sf1 = 10x sf0.1 (all tables); carve3m = 64x "
+        "sf1 documents+embeddings in salt mode (3.2M docs + 1.28M "
+        "vectors), flatten.py re-chunked (r19_gen_*.log). Carve "
+        "probes: REPS=1 family-major MEMORY_AND_DISK_SER, one JVM per "
+        "group, forced inter-query GC + 60s periodic cleaner GC; "
+        "sf0.1 runs keep the driver methodology (REPS=3 interleaved). "
+        "Each block carries its own cal token. Round-19 code changes "
+        "under test: input-sized state-store count for the streaming "
+        "materializations, e25 beam-chain prefix sharing "
+        "(invocation-local), memoized single-evaluation hardening "
+        "(OPTIMIZATION_r19.md)."
+    ),
+}
+
+blocks = [
+    ("sf01_baseline", "r19_sf01_baseline.log",
+     "full 197-key suite at sf0.1, driver methodology, idle host "
+     "(cal 0.53), OLD code (commit 964273e) — the round's BEFORE "
+     "point on this host"),
+    ("sf01_final", "r19_sf01_final.log",
+     "full 197-key suite at sf0.1, driver methodology, idle host, "
+     "round-19 code — the AFTER point; compare per-key against "
+     "sf01_baseline (same session, same host state)"),
+    ("sf01_c8_full", "r19_sf01_c8.log",
+     "full 197-key suite at 8 cores, idle host (cal 0.23) — the d20 "
+     "low-core attribution run (VERDICT r18 item 3): d20 = 0.69 s "
+     "where the r18 driver recorded 11.69; the cliff does not "
+     "reproduce and was a one-run host anomaly. Also the record that "
+     "the suite TOTAL at sf0.1 is FASTER at 8 cores (130.1 vs 155.0) "
+     "— scheduling-bound, not CPU-bound, at this SF"),
+    ("p9_isolated_32c", "r19_p9_iso32.log",
+     "p9 isolated REPS=5 at 32 cores (VERDICT r18 item 1): 3.17 s at "
+     "cal 0.47 — at/below its r17 level; the r18 6.13 s was host "
+     "contention"),
+    ("p9_isolated_8c", "r19_p9_iso8.log",
+     "p9 isolated REPS=5 at 8 cores: 3.41 s at cal 0.20 — "
+     "core-insensitive, completing the item-1 attribution"),
+    ("stream_family_sp8", "r19_stream_sp8.log",
+     "the 17 streaming keys, REPS=3, 32 cores, 8 state stores (the "
+     "old constant) — the A side of the state-store sizing A/B "
+     "(cal 0.56)"),
+    ("stream_family_sp2", "r19_stream_sp2.log",
+     "same 17 keys, same session config, 2 state stores (the new "
+     "input-sized value at sf0.1) — 54.9 -> 44.7 s at matched cal "
+     "(0.58); the round's main suite win"),
+    ("e25_share_ab_sf01", "r19_e25_share.log",
+     "e25 isolated REPS=5 with invocation-local prefix sharing "
+     "(3.97 s, cal 0.54) — compare r19_e25_noshare.log (4.89 s, cal "
+     "0.46): -19% at sf0.1; rows bit-identical (Verify dump compare "
+     "at sf0.01 + oracle gate)"),
+    ("e25_share_ab_sf01_control", "r19_e25_noshare.log",
+     "the unshared control for e25_share_ab_sf01 (same binary, "
+     "SPARK_GRAFT_BEAM_SHARE=0)"),
+    ("d7_carve3m", "r19_d7_c3m.log",
+     "d7_winnow COMPLETES at the 64x carve (3.2M docs): 506.5 s, "
+     "failed [], heap peak 108 GB, cal 2.08 under forced GC (upper "
+     "bound) — the recovery measurement for the r17 96 GB GC-wedge "
+     "failure (exit 56), on a freshly regenerated identical carve; "
+     "clears the last r17 weak mark (VERDICT r18 item 4)"),
+    ("carve3m_epanel", "r19_ep3m.log",
+     "e-family panel at 1.28M vectors (24 keys: d12 d19 e1-e23 "
+     "serving/maintenance/eval legs g5), one JVM, family-major — all "
+     "green, 331.3 s total, cal 1.20 under forced GC (VERDICT r18 "
+     "item 7; was r17/r18 not_measured)"),
+    ("e25_share_ab_carve3m", "r19_e25_c3m.log",
+     "e24+e25 at carve3m WITH prefix sharing (e25 11.34 s, cal 1.28) "
+     "— the item-5 coupling-cost check at carve scale; compare the "
+     "noshare control"),
+    ("e25_share_ab_carve3m_control", "r19_e25_c3m_noshare.log",
+     "e24+e25 at carve3m WITHOUT sharing (e25 11.09 s, cal 0.74): "
+     "cal-normalized NEUTRAL — at carve scale the concurrent pool "
+     "already overlaps the barrier waves; the sharing win is an "
+     "sf0.1 scheduling-latency effect. Kept: wins where the suite is "
+     "measured, free elsewhere, rows identical both scales"),
+]
+for tag, name, note in blocks:
+    try:
+        out[tag] = sub(bench_line(name), note)
+    except (SystemExit, FileNotFoundError):
+        out.setdefault("not_measured", []).append(tag)
+
+out["carve10m_note"] = {
+    "note": (
+        "carve10m was NOT regenerated this round (disk budget went to "
+        "the d7 + e-panel blocks at carve3m); the r18 blocks "
+        "(BENCH_r18_SCALE.json -> e24_ab_carve10m, e5_carve10m_ceiling) "
+        "remain the 1e7-decade record."
+    ),
+}
+
+with open(sys.argv[1] if len(sys.argv) > 1 else "BENCH_r19_SCALE.json", "w") as f:
+    json.dump(out, f, indent=1)
+print("wrote", sys.argv[1] if len(sys.argv) > 1 else "BENCH_r19_SCALE.json")

@@ -50,6 +50,10 @@ case "${1:-usage}" in
     run_group r19_ep3m "$C3M" "d12_semantic_dedup,d19_semantic_decon,e1_ann_topk,e2_ann_lsh,e4_ann_multiprobe,e5_ann_ivf,e6_ann_pq,e7_kmeans,e8_ann_recall,e9_ann_filtered,e10_ann_persisted,e11_ann_incremental,e12_ann_serve,e13_ann_delete,e14_ann_compact,e15_index_health,e16_kmeans_stable,e17_ann_sweep,e19_ann_sq,e20_cell_split,e21_index_eval,e22_ann_bq,e23_centroid_drift,g5_ann_hubness" ;;
   e25_3m)
     run_group r19_e25_c3m "$C3M" "e24_beam_probe,e25_beam_eval" ;;
+  e25_3m_noshare)
+    # the item-5 carve-scale A/B control: same binary, sharing off
+    run_group r19_e25_c3m_noshare "$C3M" "e24_beam_probe,e25_beam_eval" \
+      SPARK_GRAFT_BEAM_SHARE=0 ;;
   *)
     echo "usage: r19_measure.sh {gen|d7|ep3m|e25_3m}" ;;
 esac
